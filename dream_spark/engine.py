@@ -1,0 +1,67 @@
+"""User-facing engine facade.
+
+The reference's entry point is a SPARQL text file handed to a proxy process
+(Client.c:7-25, Proxy.c:40); ours is ``Engine.sparql(text)`` returning a
+DataFrame.  ``Engine.sql`` passes through to Spark SQL (the reference has no
+SQL surface; this is the superset the extensions use).  ``Engine.explain``
+exposes the Catalyst plan the way the reference printed its optimal compact
+graph (Optimizer.cpp:1049-1106), and ``Engine.timed`` reproduces the
+``dream: <sec>`` wall-clock line (Proxy.c:266-271).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dream_spark.plans.sparql import ParsedQuery, parse_sparql
+from dream_spark.plans.stats import TripleStats
+from dream_spark.plans.translator import translate
+from dream_spark.sources.triples import TripleStore
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, store: TripleStore, stats: TripleStats | None = None):
+        self.spark = spark
+        self.store = store
+        self._stats = stats
+
+    @classmethod
+    def from_tpch(cls, spark: SparkSession, sf_dir: str, collect_stats: bool = True) -> "Engine":
+        store = TripleStore.from_tpch(spark, sf_dir)
+        stats = TripleStats.collect(store.triples) if collect_stats else None
+        return cls(spark, store, stats)
+
+    # -- stats --------------------------------------------------------------
+    @property
+    def stats(self) -> TripleStats | None:
+        return self._stats
+
+    def analyze(self) -> TripleStats:
+        """One aggregation pass over triples → per-predicate stats (replaces
+        the reference's execute-to-estimate, PlanCostEstimator.cpp:585-655)."""
+        self._stats = TripleStats.collect(self.store.triples)
+        return self._stats
+
+    # -- query surfaces -----------------------------------------------------
+    def parse(self, sparql_text: str) -> ParsedQuery:
+        return parse_sparql(sparql_text)
+
+    def sparql(self, sparql_text: str, decode: bool = False) -> DataFrame:
+        return translate(self.store, parse_sparql(sparql_text), self._stats, decode=decode)
+
+    def sql(self, sql_text: str) -> DataFrame:
+        return self.spark.sql(sql_text)
+
+    def explain(self, sparql_text: str, mode: str = "formatted") -> str:
+        df = self.sparql(sparql_text)
+        return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+    def timed(self, sparql_text: str, decode: bool = False) -> tuple[DataFrame, float, int]:
+        """Run to completion, return (df, seconds, rows) — the reference's
+        end-to-end timing semantics (query receipt → final result)."""
+        t0 = time.perf_counter()
+        df = self.sparql(sparql_text, decode=decode)
+        n = df.count()
+        return df, time.perf_counter() - t0, n

@@ -1,0 +1,94 @@
+"""Per-predicate triple statistics — the planner's cardinality oracle.
+
+Replaces the reference's stats cache (PlanCostEstimator.cpp:424-498, files
+``LUBMResStats-N.txt``/``LUBMCostStats-N.txt``) and, crucially, its
+execute-to-estimate fallback (getSubQResultSize PlanCostEstimator.cpp:585-655,
+which literally runs candidate subqueries during planning).  Here statistics
+come from ONE aggregation pass over the triples table — O(|T|) once, then
+planning is pure driver-side arithmetic.
+
+Why custom stats instead of Catalyst CBO alone: a BGP compiles to an n-way
+*self*-join of one table, and table-level CBO stats cannot distinguish the
+selectivity of ``p = type`` from ``p = ofOrder`` without histograms on the
+predicate column.  Per-predicate (count, ndv_s, ndv_o) triplets are tiny
+(#predicates rows) and give the translator exactly what DREAM's cost model
+extracted by executing subqueries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PredStat:
+    count: int
+    ndv_s: int
+    ndv_o: int
+
+
+class TripleStats:
+    """count/ndv per predicate + totals, with optional JSON persistence
+    (the analog of the reference's stat files, reference Main.c:139-140)."""
+
+    def __init__(self, per_pred: dict[int, PredStat], total: int):
+        self.per_pred = per_pred
+        self.total = max(total, 1)
+
+    @classmethod
+    def collect(cls, triples: DataFrame) -> "TripleStats":
+        rows = (
+            triples.groupBy("p")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("s").alias("ndv_s"),
+                F.approx_count_distinct("o").alias("ndv_o"),
+            )
+            .collect()
+        )
+        per = {r["p"]: PredStat(r["n"], max(r["ndv_s"], 1), max(r["ndv_o"], 1)) for r in rows}
+        return cls(per, sum(s.count for s in per.values()))
+
+    # -- persistence --------------------------------------------------------
+    def save(self, path: str) -> None:
+        payload = {
+            "total": self.total,
+            "per_pred": {str(p): [s.count, s.ndv_s, s.ndv_o] for p, s in self.per_pred.items()},
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f)
+
+    @classmethod
+    def load(cls, path: str) -> "TripleStats | None":
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            payload = json.load(f)
+        per = {int(p): PredStat(*v) for p, v in payload["per_pred"].items()}
+        return cls(per, payload["total"])
+
+    # -- estimation ---------------------------------------------------------
+    def pattern_cardinality(self, pred_id: int | None, s_const: bool, o_const: bool) -> float:
+        """Estimated matches for one triple pattern under independence.
+
+        Same role as the reference's per-subquery resultSize lookups
+        (PlanCostEstimator.cpp:434-437), without ever executing anything.
+        """
+        if pred_id is None:  # variable predicate: whole table minus nothing
+            n = float(self.total)
+            ndv_s = ndv_o = max(self.total ** 0.5, 1.0)
+        else:
+            st = self.per_pred.get(pred_id)
+            if st is None:
+                return 0.0  # predicate absent => provably empty pattern
+            n, ndv_s, ndv_o = float(st.count), float(st.ndv_s), float(st.ndv_o)
+        if s_const:
+            n /= ndv_s
+        if o_const:
+            n /= ndv_o
+        return max(n, 1e-3)

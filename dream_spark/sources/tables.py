@@ -1,0 +1,62 @@
+"""Load the driver-generated parquet tables and register them as temp views.
+
+The same table names are pre-registered as DuckDB views by the correctness
+driver, so any SQL that references them bare runs identically on both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Testdata parquet stores timestamps as TIMESTAMP(NANOS); Spark (with
+# spark.sql.legacy.parquet.nanosAsLong=true) surfaces them as BIGINT nanos.
+# Convert to microsecond TIMESTAMP with integer division — exact, and it
+# truncates the same way DuckDB's nanos→micros read does, so both engines see
+# identical values.
+_NANO_TS_COLS = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"], "events": ["ts"]}
+
+
+def _fix_timestamps(df: DataFrame, name: str) -> DataFrame:
+    for c in _NANO_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _fix_timestamps(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")), name)
+
+
+def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
+    """Register each parquet table as a temp view named after itself.
+
+    Scans stay parquet-backed (predicate pushdown + column pruning reach the
+    file scan); nothing is materialized here.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables or TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = _fix_timestamps(spark.read.parquet(path), name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,275 @@
+"""Dictionary-encoded triple store — the engine's core data model.
+
+Mirrors the reference's data model (SURVEY.md §1): the only runtime value type
+is a 64-bit dictionary ID (reference Structs.h:30, BasicHashJoin.h:22-26), and
+lexical strings exist only in a separate dictionary that is consulted once at
+the very end (``id2name``, reference Proxy.c:211-224).  We keep exactly that
+split — it is the single most important performance idea in the reference
+(SURVEY.md §4.2): joins run on longs, strings are joined in once for display.
+
+Unlike the reference, the triples table is NOT replicated per worker
+(reference README.md:7): it is a parquet-backed DataFrame that Spark
+partitions; at cluster scale it should be written partitioned by predicate
+``p`` (the analog of RDF-3X's predicate-major indexes) so constant-predicate
+patterns prune to one partition directory.
+
+The synthetic ``triples``/``dict`` instances are *derived* from the driver's
+TPC-H-ish tables through one shared ANSI-SQL definition (``TRIPLES_SQL`` /
+``DICT_SQL``) that runs identically on Spark and DuckDB — this is what makes
+every SPARQL query oracle-checkable: the oracle wraps the same SQL in a CTE.
+
+ID-space layout (all BIGINT, chosen to stay collision-free up to TPC-H sf
+10 000, i.e. ~10^10 orders — verified headroom, not an accident):
+
+    1-99           predicates
+    100-199        classes
+    200-999        enum literals (mktsegment/status/priority/returnflag)
+    1 000+         region entities        (1000 + r_regionkey)
+    2 000+         nation entities        (2000 + n_nationkey)
+    300 000+       part-size literals     (300000 + p_size)
+    1 000 000+     supplier entities      (10^6 + s_suppkey)
+    100 000 000+   customer entities      (10^8 + c_custkey)
+    200 000 000+   part entities          (2*10^8 + p_partkey)
+    10^10+         order entities         (10^10 + o_orderkey)
+    2*10^11+       lineitem entities      (2*10^11 + 10*o_orderkey + linenumber)
+    10^13+         name literals          (10^13 + owning entity id)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dream_spark.sources.tables import register_tables
+
+# --- predicate ids ---------------------------------------------------------
+P_TYPE = 1
+P_IN_NATION = 2
+P_IN_REGION = 3
+P_PLACED_BY = 4
+P_NAME = 5
+P_MKTSEGMENT = 6
+P_STATUS = 7
+P_PRIORITY = 8
+P_OF_ORDER = 9
+P_OF_PART = 10
+P_SUPPLIED_BY = 11
+P_RETURNFLAG = 12
+P_SIZE = 13
+
+PREDICATES = {
+    "type": P_TYPE,
+    "inNation": P_IN_NATION,
+    "inRegion": P_IN_REGION,
+    "placedBy": P_PLACED_BY,
+    "name": P_NAME,
+    "mktsegment": P_MKTSEGMENT,
+    "status": P_STATUS,
+    "priority": P_PRIORITY,
+    "ofOrder": P_OF_ORDER,
+    "ofPart": P_OF_PART,
+    "suppliedBy": P_SUPPLIED_BY,
+    "returnflag": P_RETURNFLAG,
+    "size": P_SIZE,
+}
+
+# --- class ids -------------------------------------------------------------
+CLASSES = {
+    "Region": 101,
+    "Nation": 102,
+    "Customer": 103,
+    "Supplier": 104,
+    "Part": 105,
+    "Order": 106,
+    "Lineitem": 107,
+}
+
+# --- enum literal ids ------------------------------------------------------
+SEGMENTS = {"AUTOMOBILE": 201, "BUILDING": 202, "FURNITURE": 203, "HOUSEHOLD": 204, "MACHINERY": 205}
+STATUSES = {"O": 211, "F": 212, "P": 213}
+PRIORITIES = {"1-URGENT": 221, "2-HIGH": 222, "3-MEDIUM": 223, "4-NOT SPECIFIED": 224, "5-LOW": 225}
+RETURNFLAGS = {"R": 231, "A": 232, "N": 233}
+
+# --- entity id bases -------------------------------------------------------
+BASE_REGION = 1_000
+BASE_NATION = 2_000
+BASE_SIZE_LIT = 300_000
+BASE_SUPPLIER = 1_000_000
+BASE_CUSTOMER = 100_000_000
+BASE_PART = 200_000_000
+BASE_ORDER = 10_000_000_000
+BASE_LINEITEM = 200_000_000_000
+BASE_NAME_LIT = 10_000_000_000_000
+
+
+def _case(col: str, mapping: dict[str, int]) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in mapping.items())
+    return f"CASE {col} {whens} END"
+
+
+# One shared ANSI-SQL body: runs verbatim on Spark SQL and DuckDB.
+# Every s/p/o is CAST to BIGINT so UNION ALL type-promotion is identical on
+# both engines regardless of the parquet column widths (INTEGER vs BIGINT).
+TRIPLES_SQL = f"""
+SELECT CAST({BASE_REGION} + r_regionkey AS BIGINT) AS s, CAST({P_TYPE} AS BIGINT) AS p, CAST({CLASSES['Region']} AS BIGINT) AS o FROM region
+UNION ALL
+SELECT CAST({BASE_REGION} + r_regionkey AS BIGINT), CAST({P_NAME} AS BIGINT), CAST({BASE_NAME_LIT} + {BASE_REGION} + r_regionkey AS BIGINT) FROM region
+UNION ALL
+SELECT CAST({BASE_NATION} + n_nationkey AS BIGINT), CAST({P_TYPE} AS BIGINT), CAST({CLASSES['Nation']} AS BIGINT) FROM nation
+UNION ALL
+SELECT CAST({BASE_NATION} + n_nationkey AS BIGINT), CAST({P_IN_REGION} AS BIGINT), CAST({BASE_REGION} + n_regionkey AS BIGINT) FROM nation
+UNION ALL
+SELECT CAST({BASE_NATION} + n_nationkey AS BIGINT), CAST({P_NAME} AS BIGINT), CAST({BASE_NAME_LIT} + {BASE_NATION} + n_nationkey AS BIGINT) FROM nation
+UNION ALL
+SELECT CAST({BASE_CUSTOMER} + c_custkey AS BIGINT), CAST({P_TYPE} AS BIGINT), CAST({CLASSES['Customer']} AS BIGINT) FROM customer
+UNION ALL
+SELECT CAST({BASE_CUSTOMER} + c_custkey AS BIGINT), CAST({P_IN_NATION} AS BIGINT), CAST({BASE_NATION} + c_nationkey AS BIGINT) FROM customer
+UNION ALL
+SELECT CAST({BASE_CUSTOMER} + c_custkey AS BIGINT), CAST({P_MKTSEGMENT} AS BIGINT), CAST({_case('c_mktsegment', SEGMENTS)} AS BIGINT) FROM customer
+UNION ALL
+SELECT CAST({BASE_CUSTOMER} + c_custkey AS BIGINT), CAST({P_NAME} AS BIGINT), CAST({BASE_NAME_LIT} + {BASE_CUSTOMER} + c_custkey AS BIGINT) FROM customer
+UNION ALL
+SELECT CAST({BASE_SUPPLIER} + s_suppkey AS BIGINT), CAST({P_TYPE} AS BIGINT), CAST({CLASSES['Supplier']} AS BIGINT) FROM supplier
+UNION ALL
+SELECT CAST({BASE_SUPPLIER} + s_suppkey AS BIGINT), CAST({P_IN_NATION} AS BIGINT), CAST({BASE_NATION} + s_nationkey AS BIGINT) FROM supplier
+UNION ALL
+SELECT CAST({BASE_SUPPLIER} + s_suppkey AS BIGINT), CAST({P_NAME} AS BIGINT), CAST({BASE_NAME_LIT} + {BASE_SUPPLIER} + s_suppkey AS BIGINT) FROM supplier
+UNION ALL
+SELECT CAST({BASE_PART} + p_partkey AS BIGINT), CAST({P_TYPE} AS BIGINT), CAST({CLASSES['Part']} AS BIGINT) FROM part
+UNION ALL
+SELECT CAST({BASE_PART} + p_partkey AS BIGINT), CAST({P_SIZE} AS BIGINT), CAST({BASE_SIZE_LIT} + p_size AS BIGINT) FROM part
+UNION ALL
+SELECT CAST({BASE_PART} + p_partkey AS BIGINT), CAST({P_NAME} AS BIGINT), CAST({BASE_NAME_LIT} + {BASE_PART} + p_partkey AS BIGINT) FROM part
+UNION ALL
+SELECT CAST({BASE_ORDER} + o_orderkey AS BIGINT), CAST({P_TYPE} AS BIGINT), CAST({CLASSES['Order']} AS BIGINT) FROM orders
+UNION ALL
+SELECT CAST({BASE_ORDER} + o_orderkey AS BIGINT), CAST({P_PLACED_BY} AS BIGINT), CAST({BASE_CUSTOMER} + o_custkey AS BIGINT) FROM orders
+UNION ALL
+SELECT CAST({BASE_ORDER} + o_orderkey AS BIGINT), CAST({P_STATUS} AS BIGINT), CAST({_case('o_orderstatus', STATUSES)} AS BIGINT) FROM orders
+UNION ALL
+SELECT CAST({BASE_ORDER} + o_orderkey AS BIGINT), CAST({P_PRIORITY} AS BIGINT), CAST({_case('o_orderpriority', PRIORITIES)} AS BIGINT) FROM orders
+UNION ALL
+SELECT CAST({BASE_LINEITEM} + 10 * l_orderkey + l_linenumber AS BIGINT), CAST({P_TYPE} AS BIGINT), CAST({CLASSES['Lineitem']} AS BIGINT) FROM lineitem
+UNION ALL
+SELECT CAST({BASE_LINEITEM} + 10 * l_orderkey + l_linenumber AS BIGINT), CAST({P_OF_ORDER} AS BIGINT), CAST({BASE_ORDER} + l_orderkey AS BIGINT) FROM lineitem
+UNION ALL
+SELECT CAST({BASE_LINEITEM} + 10 * l_orderkey + l_linenumber AS BIGINT), CAST({P_OF_PART} AS BIGINT), CAST({BASE_PART} + l_partkey AS BIGINT) FROM lineitem
+UNION ALL
+SELECT CAST({BASE_LINEITEM} + 10 * l_orderkey + l_linenumber AS BIGINT), CAST({P_SUPPLIED_BY} AS BIGINT), CAST({BASE_SUPPLIER} + l_suppkey AS BIGINT) FROM lineitem
+UNION ALL
+SELECT CAST({BASE_LINEITEM} + 10 * l_orderkey + l_linenumber AS BIGINT), CAST({P_RETURNFLAG} AS BIGINT), CAST({_case('l_returnflag', RETURNFLAGS)} AS BIGINT) FROM lineitem
+""".strip()
+
+
+def _literal_dict_rows() -> str:
+    rows = []
+    for lex, i in {**PREDICATES, **CLASSES}.items():
+        rows.append((i, lex))
+    for mapping in (SEGMENTS, STATUSES, PRIORITIES, RETURNFLAGS):
+        rows.extend((i, lex) for lex, i in mapping.items())
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS id, CAST('{lex}' AS STRING) AS lexical" for i, lex in rows
+    )
+
+
+# Dictionary: id -> lexical.  Entity ids decode to 'kind:key'; name-literal
+# ids decode to the actual *_name string; enum ids decode to the enum text.
+# This replaces the reference's external `id2name` binary (Proxy.c:211-224).
+DICT_SQL = f"""
+{_literal_dict_rows()}
+UNION ALL
+SELECT CAST({BASE_SIZE_LIT} + p_size AS BIGINT), CAST(CONCAT('size:', CAST(p_size AS STRING)) AS STRING) FROM (SELECT DISTINCT p_size FROM part) szs
+UNION ALL
+SELECT CAST({BASE_REGION} + r_regionkey AS BIGINT), CAST(CONCAT('region:', CAST(r_regionkey AS STRING)) AS STRING) FROM region
+UNION ALL
+SELECT CAST({BASE_NAME_LIT} + {BASE_REGION} + r_regionkey AS BIGINT), CAST(r_name AS STRING) FROM region
+UNION ALL
+SELECT CAST({BASE_NATION} + n_nationkey AS BIGINT), CAST(CONCAT('nation:', CAST(n_nationkey AS STRING)) AS STRING) FROM nation
+UNION ALL
+SELECT CAST({BASE_NAME_LIT} + {BASE_NATION} + n_nationkey AS BIGINT), CAST(n_name AS STRING) FROM nation
+UNION ALL
+SELECT CAST({BASE_CUSTOMER} + c_custkey AS BIGINT), CAST(CONCAT('customer:', CAST(c_custkey AS STRING)) AS STRING) FROM customer
+UNION ALL
+SELECT CAST({BASE_NAME_LIT} + {BASE_CUSTOMER} + c_custkey AS BIGINT), CAST(c_name AS STRING) FROM customer
+UNION ALL
+SELECT CAST({BASE_SUPPLIER} + s_suppkey AS BIGINT), CAST(CONCAT('supplier:', CAST(s_suppkey AS STRING)) AS STRING) FROM supplier
+UNION ALL
+SELECT CAST({BASE_NAME_LIT} + {BASE_SUPPLIER} + s_suppkey AS BIGINT), CAST(s_name AS STRING) FROM supplier
+UNION ALL
+SELECT CAST({BASE_PART} + p_partkey AS BIGINT), CAST(CONCAT('part:', CAST(p_partkey AS STRING)) AS STRING) FROM part
+UNION ALL
+SELECT CAST({BASE_NAME_LIT} + {BASE_PART} + p_partkey AS BIGINT), CAST(p_name AS STRING) FROM part
+UNION ALL
+SELECT CAST({BASE_ORDER} + o_orderkey AS BIGINT), CAST(CONCAT('order:', CAST(o_orderkey AS STRING)) AS STRING) FROM orders
+UNION ALL
+SELECT CAST({BASE_LINEITEM} + 10 * l_orderkey + l_linenumber AS BIGINT), CAST(CONCAT('lineitem:', CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING)) AS STRING) FROM lineitem
+""".strip()
+
+
+class TripleStore:
+    """A (triples, dict) DataFrame pair plus constant-resolution helpers.
+
+    The reference resolves constants inside RDF-3X and decodes via id2name;
+    here both directions are plain joins/lookups against ``dict``.
+    """
+
+    def __init__(self, spark: SparkSession, triples: DataFrame, dictionary: DataFrame):
+        self.spark = spark
+        self.triples = triples
+        self.dictionary = dictionary
+        self._static_ids: dict[str, int] = {}
+        for m in (PREDICATES, CLASSES, SEGMENTS, STATUSES, PRIORITIES, RETURNFLAGS):
+            self._static_ids.update(m)
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_tpch(cls, spark: SparkSession, sf_dir: str, cache: bool = False) -> "TripleStore":
+        """Derive triples+dict from the driver's parquet tables (shared SQL)."""
+        register_tables(spark, sf_dir)
+        triples = spark.sql(TRIPLES_SQL)
+        dictionary = spark.sql(DICT_SQL)
+        if cache:
+            triples = triples.cache()
+        return cls(spark, triples, dictionary)
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, triples_path: str, dict_path: str) -> "TripleStore":
+        return cls(spark, spark.read.parquet(triples_path), spark.read.parquet(dict_path))
+
+    def write_parquet(self, triples_path: str, dict_path: str) -> None:
+        """Materialize partitioned by predicate — the scale layout.
+
+        Partitioning by ``p`` is the Spark analog of RDF-3X's predicate-major
+        indexes: a constant-predicate pattern prunes to one directory, so a
+        100 TB store reads only the predicates a query touches.
+        """
+        self.triples.write.partitionBy("p").mode("overwrite").parquet(triples_path)
+        self.dictionary.write.mode("overwrite").parquet(dict_path)
+
+    # -- constant resolution ------------------------------------------------
+    def resolve(self, lexical: str) -> int:
+        """lexical -> id.  Static vocab resolves driver-side with no job;
+        entity ids ('customer:42') parse arithmetically; anything else is one
+        pushdown-filtered dict lookup."""
+        if lexical in self._static_ids:
+            return self._static_ids[lexical]
+        if ":" in lexical:
+            kind, _, key = lexical.partition(":")
+            bases = {
+                "region": BASE_REGION,
+                "nation": BASE_NATION,
+                "supplier": BASE_SUPPLIER,
+                "customer": BASE_CUSTOMER,
+                "part": BASE_PART,
+                "order": BASE_ORDER,
+                "size": BASE_SIZE_LIT,
+            }
+            if kind in bases and key.lstrip("-").isdigit():
+                return bases[kind] + int(key)
+            if kind == "lineitem":
+                ok, _, ln = key.partition(":")
+                if ok.isdigit() and ln.isdigit():
+                    return BASE_LINEITEM + 10 * int(ok) + int(ln)
+        rows = self.dictionary.where(self.dictionary.lexical == lexical).select("id").limit(2).collect()
+        if not rows:
+            raise KeyError(f"unknown lexical constant: {lexical!r}")
+        return rows[0][0]
