@@ -9,17 +9,29 @@ a genuinely independent evaluation path from the Spark translator.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from dream_spark.plans.sparql import ParsedQuery
-from dream_spark.sources.triples import DICT_SQL, TRIPLES_SQL, TripleStore
+from dream_spark.sources.triples import DICT_SQL, TRIPLES_SQL, resolve_lexical
 
 
-def bgp_to_sql(store: TripleStore, query: ParsedQuery, decode: bool = False) -> str:
+def _default_resolver(lexical: str) -> int:
+    rid = resolve_lexical(lexical)
+    if rid is None:
+        raise KeyError(f"unknown lexical constant: {lexical!r}")
+    return rid
+
+
+def bgp_to_sql(
+    query: ParsedQuery, decode: bool = False, resolver: Callable[[str], int] | None = None
+) -> str:
     """Render the BGP as ``WITH triples AS (…) SELECT … FROM triples t1, …``.
 
     Variables become equality chains across pattern aliases; constants become
     literal ID predicates; projection picks each variable's first binding
     slot.  Bag semantics (no DISTINCT) unless the query says otherwise.
     """
+    resolve = resolver or _default_resolver
     first_slot: dict[str, str] = {}
     where: list[str] = []
     aliases: list[str] = []
@@ -34,7 +46,7 @@ def bgp_to_sql(store: TripleStore, query: ParsedQuery, decode: bool = False) -> 
                 else:
                     first_slot[term.var] = ref
             else:
-                where.append(f"{ref} = {store.resolve(term.lexical)}")
+                where.append(f"{ref} = {resolve(term.lexical)}")
 
     if decode:
         sel = []

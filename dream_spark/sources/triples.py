@@ -201,8 +201,46 @@ SELECT CAST({BASE_NAME_LIT} + {BASE_PART} + p_partkey AS BIGINT), CAST(p_name AS
 UNION ALL
 SELECT CAST({BASE_ORDER} + o_orderkey AS BIGINT), CAST(CONCAT('order:', CAST(o_orderkey AS STRING)) AS STRING) FROM orders
 UNION ALL
-SELECT CAST({BASE_LINEITEM} + 10 * l_orderkey + l_linenumber AS BIGINT), CAST(CONCAT('lineitem:', CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING)) AS STRING) FROM lineitem
+SELECT DISTINCT CAST({BASE_LINEITEM} + 10 * l_orderkey + l_linenumber AS BIGINT), CAST(CONCAT('lineitem:', CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING)) AS STRING) FROM lineitem
 """.strip()
+# NB: (l_orderkey, l_linenumber) is NOT unique in the driver's synthetic
+# lineitem table, so distinct physical lineitems can share one entity id;
+# their triples then appear with bag multiplicity.  Both engines derive from
+# the same shared SQL, so engine-vs-oracle comparisons are unaffected, but
+# the dict needs DISTINCT above.
+
+
+_STATIC_IDS: dict[str, int] = {}
+for _m in (PREDICATES, CLASSES, SEGMENTS, STATUSES, PRIORITIES, RETURNFLAGS):
+    _STATIC_IDS.update(_m)
+
+_ENTITY_BASES = {
+    "region": BASE_REGION,
+    "nation": BASE_NATION,
+    "supplier": BASE_SUPPLIER,
+    "customer": BASE_CUSTOMER,
+    "part": BASE_PART,
+    "order": BASE_ORDER,
+    "size": BASE_SIZE_LIT,
+}
+
+
+def resolve_lexical(lexical: str) -> int | None:
+    """Driver-side lexical→id resolution: static vocab + arithmetic entity
+    ids ('customer:42').  Returns None for lexicals only the dict knows
+    (e.g. literal name strings) — callers with a dict DataFrame fall back to
+    a pushdown-filtered lookup."""
+    if lexical in _STATIC_IDS:
+        return _STATIC_IDS[lexical]
+    if ":" in lexical:
+        kind, _, key = lexical.partition(":")
+        if kind in _ENTITY_BASES and key.lstrip("-").isdigit():
+            return _ENTITY_BASES[kind] + int(key)
+        if kind == "lineitem":
+            ok, _, ln = key.partition(":")
+            if ok.isdigit() and ln.isdigit():
+                return BASE_LINEITEM + 10 * int(ok) + int(ln)
+    return None
 
 
 class TripleStore:
@@ -216,9 +254,6 @@ class TripleStore:
         self.spark = spark
         self.triples = triples
         self.dictionary = dictionary
-        self._static_ids: dict[str, int] = {}
-        for m in (PREDICATES, CLASSES, SEGMENTS, STATUSES, PRIORITIES, RETURNFLAGS):
-            self._static_ids.update(m)
 
     # -- constructors -------------------------------------------------------
     @classmethod
@@ -247,28 +282,12 @@ class TripleStore:
 
     # -- constant resolution ------------------------------------------------
     def resolve(self, lexical: str) -> int:
-        """lexical -> id.  Static vocab resolves driver-side with no job;
-        entity ids ('customer:42') parse arithmetically; anything else is one
-        pushdown-filtered dict lookup."""
-        if lexical in self._static_ids:
-            return self._static_ids[lexical]
-        if ":" in lexical:
-            kind, _, key = lexical.partition(":")
-            bases = {
-                "region": BASE_REGION,
-                "nation": BASE_NATION,
-                "supplier": BASE_SUPPLIER,
-                "customer": BASE_CUSTOMER,
-                "part": BASE_PART,
-                "order": BASE_ORDER,
-                "size": BASE_SIZE_LIT,
-            }
-            if kind in bases and key.lstrip("-").isdigit():
-                return bases[kind] + int(key)
-            if kind == "lineitem":
-                ok, _, ln = key.partition(":")
-                if ok.isdigit() and ln.isdigit():
-                    return BASE_LINEITEM + 10 * int(ok) + int(ln)
+        """lexical -> id.  Static vocab and entity ids resolve driver-side
+        with no Spark job; anything else is one pushdown-filtered dict
+        lookup (e.g. a literal name string)."""
+        rid = resolve_lexical(lexical)
+        if rid is not None:
+            return rid
         rows = self.dictionary.where(self.dictionary.lexical == lexical).select("id").limit(2).collect()
         if not rows:
             raise KeyError(f"unknown lexical constant: {lexical!r}")
