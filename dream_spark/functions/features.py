@@ -1,0 +1,111 @@
+"""Shared text-feature extraction: tokens, character shingles, and
+integer feature encoding.
+
+Feature ids are computed by Horner-packing character codes with a running
+modulus (every intermediate < 2^31 · 256 < 2^39, exact in int64 on both
+engines) — a *vocabulary-free* dictionary encoding: no global ROW_NUMBER
+window over the distinct-feature set, which would serialize on one partition
+at 100 TB.  ``ascii(substr(x, j, 1))`` returns 0 past the end of the string
+on both Spark and DuckDB, so short tokens pack consistently.
+
+The SQL fragments here are dialect-portable (ascii/substr/CAST only) and are
+used verbatim by the Spark DataFrame side (via F.expr) AND rendered into the
+DuckDB oracle strings, so both engines replay the identical feature mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dream_spark.functions.hashing import MERSENNE_P
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+SHINGLE_LEN = 3
+
+
+def pack_sql(expr: str, nchars: int) -> str:
+    """Horner-pack the first ``nchars`` characters of ``expr`` into a BIGINT
+    < 2^31 (mod P at each step).  Portable across Spark SQL and DuckDB."""
+    acc = f"CAST(ascii(substr({expr}, 1, 1)) AS BIGINT)"
+    for j in range(2, nchars + 1):
+        acc = f"(({acc}) * 256 + ascii(substr({expr}, {j}, 1))) % {MERSENNE_P}"
+    return f"({acc})"
+
+
+TOKEN_PACK_CHARS = 8  # longest vocab words distinguish within 8 chars
+
+
+def token_id_sql(expr: str) -> str:
+    return pack_sql(expr, TOKEN_PACK_CHARS)
+
+
+def shingle_id_sql(expr: str) -> str:
+    # 3 chars pack into 24 bits — collision-free.
+    return pack_sql(expr, SHINGLE_LEN)
+
+
+# ---- Spark-side extraction ------------------------------------------------
+def tokens(docs: DataFrame, with_pos: bool = False) -> DataFrame:
+    """(doc_id, tok[, pos]) — lowercased alnum runs, bag semantics.
+    1-based positions count empty split artifacts so they line up with the
+    DuckDB ``generate_subscripts`` numbering."""
+    arr = F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)
+    if with_pos:
+        out = docs.select("doc_id", F.posexplode(arr).alias("pos0", "tok")).where(
+            F.col("tok") != ""
+        )
+        return out.select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    return docs.select("doc_id", F.explode(arr).alias("tok")).where(F.col("tok") != "")
+
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) — character 3-grams of lower(text), bag semantics.
+    Documents shorter than the shingle length yield no rows (same guard in
+    the oracle SQL)."""
+    return (
+        docs.where(F.length("text") >= SHINGLE_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {SHINGLE_LEN - 1}),"
+                    f" i -> substring(lower(text), i, {SHINGLE_LEN}))"
+                )
+            ).alias("sh"),
+        )
+    )
+
+
+def shingle_ids(docs: DataFrame) -> DataFrame:
+    """(doc_id, sid) distinct — the set of encoded shingles per document."""
+    return shingles(docs).select("doc_id", F.expr(shingle_id_sql("sh")).alias("sid")).distinct()
+
+
+# ---- DuckDB-side extraction fragments ------------------------------------
+def duck_tokens_cte(table: str = "documents", with_pos: bool = False) -> str:
+    lst = f"string_split_regex(lower(text), '{TOKEN_SPLIT_RE}')"
+    if with_pos:
+        return (
+            f"SELECT doc_id, tok, pos FROM (SELECT doc_id, unnest({lst}) AS tok,"
+            f" generate_subscripts({lst}, 1) AS pos FROM {table}) WHERE tok <> ''"
+        )
+    return (
+        f"SELECT doc_id, tok FROM (SELECT doc_id, unnest({lst}) AS tok FROM {table})"
+        f" WHERE tok <> ''"
+    )
+
+
+def duck_shingles_cte(table: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, unnest([substr(lower(text), CAST(i AS INT), {SHINGLE_LEN})"
+        f" FOR i IN range(1, length(text) - {SHINGLE_LEN - 2})]) AS sh"
+        f" FROM {table} WHERE length(text) >= {SHINGLE_LEN}"
+    )
+
+
+def duck_shingle_ids_cte(table: str = "documents") -> str:
+    return (
+        f"SELECT DISTINCT doc_id, {shingle_id_sql('sh')} AS sid"
+        f" FROM ({duck_shingles_cte(table)})"
+    )

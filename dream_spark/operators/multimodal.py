@@ -1,0 +1,174 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+Design (per the north-star spec): image/audio/video payloads are opaque
+``binary`` columns with a typed metadata struct alongside.  All *plumbing* —
+schema, metadata predicate pushdown, batched Arrow transfer, partition-sized
+processing — is real Spark; the actual codec work (image decode, resampling,
+frame extraction) is stubbed behind ``mapInPandas`` UDFs because the codec
+libraries are not in this container.  The UDF signatures, batch shapes and
+output schemas are exactly what a real decoder drops into.
+
+``media_catalog`` is the oracle-checked surface: the binary payload +
+metadata synthesis is pure deterministic SQL-expressible derivation from
+``documents``, so DuckDB replays it (binary column included — both engines
+produce the same UTF-8 bytes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dream_spark.sources.tables import load_table
+
+FORMATS = ["png", "jpeg", "webp"]
+
+
+def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the multimodal table: (doc_id, payload BINARY, fmt, width,
+    height, n_bytes), with a metadata predicate (n_bytes bounds + format
+    filter) that prunes before any decode touches the payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, FORMATS[0])
+        .when(F.col("doc_id") % 3 == 1, FORMATS[1])
+        .otherwise(FORMATS[2])
+    )
+    out = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        fmt.alias("fmt"),
+        (F.lit(64) + F.col("doc_id") % 448).cast("int").alias("width"),
+        (F.lit(64) + (F.col("doc_id") * 7) % 448).cast("int").alias("height"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+    )
+    return out.where((F.col("n_bytes") >= 64) & (F.col("fmt") != "webp"))
+
+
+def media_catalog_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked projection of the catalog: metadata columns only.
+    (Binary payload bytes are identical on both engines but typed
+    differently across drivers — bytes vs memoryview — so the compared
+    surface sticks to scalars; the payload itself is exercised by the
+    decode-pipeline tests.)"""
+    return media_catalog(spark, sf_dir).drop("payload")
+
+
+MEDIA_CATALOG_META_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpeg'
+            ELSE 'webp' END AS fmt,
+       CAST(64 + doc_id % 448 AS INT) AS width,
+       CAST(64 + (doc_id * 7) % 448 AS INT) AS height,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+WHERE octet_length(encode(text)) >= 64
+  AND (CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpeg'
+            ELSE 'webp' END) <> 'webp'
+""".strip()
+
+
+MEDIA_CATALOG_SQL = """
+SELECT doc_id,
+       encode(text) AS payload,
+       CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpeg'
+            ELSE 'webp' END AS fmt,
+       CAST(64 + doc_id % 448 AS INT) AS width,
+       CAST(64 + (doc_id * 7) % 448 AS INT) AS height,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+WHERE octet_length(encode(text)) >= 64
+  AND (CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpeg'
+            ELSE 'webp' END) <> 'webp'
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# decode / feature-extract pipeline (stubbed codecs, real Spark plumbing)
+# --------------------------------------------------------------------------
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> tuple[float, bool]:
+    """Deterministic stand-in for an image decoder: 'luma' = mean byte value.
+
+    A real implementation replaces this body with e.g. PIL/libvips decode —
+    the surrounding Arrow-batched plumbing is unchanged.
+    """
+    if not payload:
+        return 0.0, False
+    return sum(payload) / len(payload) / 255.0, True
+
+
+def decode_and_resize(df: DataFrame, target: int = 224) -> DataFrame:
+    """mapInPandas decode+resize: Arrow-batched, partition-parallel, constant
+    memory per batch — the canonical shape for CPU-bound media work on
+    Spark.  Codec calls are stubbed (see _fake_decode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lumas, oks = [], []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                luma, ok = _fake_decode(bytes(payload), int(w), int(h))
+                lumas.append(luma)
+                oks.append(ok)
+            scale = [min(target / max(int(w), 1), target / max(int(h), 1)) for w, h in zip(pdf["width"], pdf["height"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": pdf["fmt"],
+                    "out_width": [int(round(w * s)) for w, s in zip(pdf["width"], scale)],
+                    "out_height": [int(round(h * s)) for h, s in zip(pdf["height"], scale)],
+                    "mean_luma": lumas,
+                    "decode_ok": oks,
+                }
+            )
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video-style frame sampling stub: emit one row per sampled 'frame'
+    index derived from payload length — demonstrates the row-expanding
+    mapInPandas shape (one input row → many output rows)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_offset", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_offset": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(bytes(payload)) // every_n
+                for k in range(n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(k)
+                    rows["frame_offset"].append(k * every_n)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+QUERIES = {"media_catalog": media_catalog_meta}
+ORACLES = {"media_catalog": MEDIA_CATALOG_META_SQL}

@@ -1,0 +1,207 @@
+"""Text-analysis operators over the ``documents`` table: token statistics,
+quality scoring, language-ID heuristic, and positional document
+fingerprinting.
+
+All scalar math happens on integer counts (exact) with one final cast to
+DOUBLE per ratio, so Spark and the DuckDB oracle agree bitwise (see
+operators/relational.py for the determinism contract).  Everything is
+built-in-function Spark SQL — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dream_spark.functions.features import (
+    duck_tokens_cte,
+    token_id_sql,
+    tokens,
+)
+from dream_spark.functions.hashing import MERSENNE_P
+from dream_spark.sources.tables import load_table
+
+# "BPE-ish" tokenizer regex: alpha runs, digit runs, single punctuation.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "en", "los"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "de": ["der", "die", "und", "das", "von"],
+}
+_ALL_STOP = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+# Positional weights for the rolling fingerprint: 31^(pos mod 8).
+_POS_W = [31**k for k in range(8)]
+
+
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting + quality scoring.
+
+    Columns: n_chars, n_ws_tokens (whitespace-ish split), n_bpe_tokens
+    (regex tokenizer), n_distinct_tokens, alpha_ratio, digit_ratio,
+    stop_ratio, quality_score.  One scan, one groupBy(doc_id) over the
+    token explode — partial aggregation keeps the shuffle at #docs rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(docs)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ws_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.sum(F.when(F.col("tok").isin(_ALL_STOP), 1).otherwise(0)).alias("n_stop"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.expr(f"size(regexp_extract_all(lower(text), '{BPE_RE}', 0))").alias("n_bpe_tokens"),
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).alias("n_digit"),
+    )
+    j = base.join(per_doc, on="doc_id", how="left").na.fill(
+        {"n_ws_tokens": 0, "n_distinct_tokens": 0, "n_stop": 0}
+    )
+    alpha_ratio = F.col("n_alpha").cast("double") / F.col("n_chars")
+    digit_ratio = F.col("n_digit").cast("double") / F.col("n_chars")
+    stop_ratio = F.when(F.col("n_ws_tokens") > 0, F.col("n_stop").cast("double") / F.col("n_ws_tokens")).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(F.col("n_ws_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+    )
+    return j.select(
+        "doc_id",
+        "n_chars",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "n_distinct_tokens",
+        alpha_ratio.alias("alpha_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def _stop_list_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+TEXT_FEATURES_SQL = f"""
+WITH toks AS ({duck_tokens_cte()}),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_ws_tokens, COUNT(DISTINCT tok) AS n_distinct_tokens,
+         SUM(CASE WHEN tok IN ({", ".join(repr(w) for w in _ALL_STOP)}) THEN 1 ELSE 0 END) AS n_stop
+  FROM toks GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+)
+SELECT b.doc_id, b.n_chars,
+       COALESCE(p.n_ws_tokens, 0) AS n_ws_tokens,
+       b.n_bpe_tokens,
+       COALESCE(p.n_distinct_tokens, 0) AS n_distinct_tokens,
+       CAST(b.n_alpha AS DOUBLE) / b.n_chars AS alpha_ratio,
+       CAST(b.n_digit AS DOUBLE) / b.n_chars AS digit_ratio,
+       CASE WHEN COALESCE(p.n_ws_tokens, 0) > 0
+            THEN CAST(p.n_stop AS DOUBLE) / p.n_ws_tokens ELSE 0.0 END AS stop_ratio,
+       0.4 * (CASE WHEN COALESCE(p.n_ws_tokens, 0) > 0
+                   THEN CAST(p.n_stop AS DOUBLE) / p.n_ws_tokens ELSE 0.0 END)
+       + 0.3 * (CAST(b.n_alpha AS DOUBLE) / b.n_chars)
+       + 0.3 * (least(CAST(COALESCE(p.n_ws_tokens, 0) AS DOUBLE) / 100.0, 1.0)) AS quality_score
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+""".strip()
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: count per-language stopword
+    hits, argmax with a fixed preference order (en > es > fr > de, else
+    'und').  The synthetic corpus is English-ish word salad, so this mostly
+    demonstrates the deterministic plumbing; with real multilingual text the
+    same plan discriminates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(docs)
+    agg = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok").isin(STOPWORDS[lang]), 1).otherwise(0)).alias(f"n_{lang}")
+            for lang in STOPWORDS
+        ]
+    )
+    n = {lang: F.col(f"n_{lang}") for lang in STOPWORDS}
+    pred = (
+        F.when((n["en"] >= n["es"]) & (n["en"] >= n["fr"]) & (n["en"] >= n["de"]) & (n["en"] > 0), "en")
+        .when((n["es"] >= n["fr"]) & (n["es"] >= n["de"]) & (n["es"] > 0), "es")
+        .when((n["fr"] >= n["de"]) & (n["fr"] > 0), "fr")
+        .when(n["de"] > 0, "de")
+        .otherwise("und")
+    )
+    out = docs.select("doc_id").join(agg, on="doc_id", how="left").na.fill(0)
+    return out.select("doc_id", pred.alias("lang_pred"), "n_en", "n_es", "n_fr", "n_de")
+
+
+TEXT_LANGID_SQL = f"""
+WITH toks AS ({duck_tokens_cte()}),
+agg AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(CASE WHEN tok IN ({_stop_list_sql(lang)}) THEN 1 ELSE 0 END) AS n_{lang}" for lang in STOPWORDS)}
+  FROM toks GROUP BY doc_id
+)
+, filled AS (
+  SELECT d.doc_id, COALESCE(a.n_en, 0) AS n_en, COALESCE(a.n_es, 0) AS n_es,
+         COALESCE(a.n_fr, 0) AS n_fr, COALESCE(a.n_de, 0) AS n_de
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN n_en >= n_es AND n_en >= n_fr AND n_en >= n_de AND n_en > 0 THEN 'en'
+            WHEN n_es >= n_fr AND n_es >= n_de AND n_es > 0 THEN 'es'
+            WHEN n_fr >= n_de AND n_fr > 0 THEN 'fr'
+            WHEN n_de > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred,
+       n_en, n_es, n_fr, n_de
+FROM filled
+""".strip()
+
+
+def _pos_weight_sql(pos_expr: str) -> str:
+    whens = " ".join(f"WHEN {k} THEN {w}" for k, w in enumerate(_POS_W))
+    return f"(CASE CAST(({pos_expr}) % 8 AS INT) {whens} END)"
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: a rolling polynomial hash over
+    the token sequence — SUM((token_id mod 2^16) * 31^(pos mod 8)) mod P.
+    Commutative integer summation makes it partition-order independent while
+    still depending on token *positions* (unlike a bag hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(docs, with_pos=True)
+    term = F.expr(f"({token_id_sql('tok')} % 65536) * {_pos_weight_sql('pos')}")
+    fp = tk.groupBy("doc_id").agg((F.sum(term) % MERSENNE_P).alias("fingerprint"))
+    return docs.select("doc_id").join(fp, on="doc_id", how="left").na.fill({"fingerprint": 0})
+
+
+TEXT_FINGERPRINT_SQL = f"""
+WITH toks AS ({duck_tokens_cte(with_pos=True)}),
+fp AS (
+  SELECT doc_id,
+         SUM(({token_id_sql('tok')} % 65536) * {_pos_weight_sql('pos')}) % {MERSENNE_P} AS fingerprint
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(fp.fingerprint, 0) AS fingerprint
+FROM (SELECT doc_id FROM documents) d LEFT JOIN fp USING (doc_id)
+""".strip()
+
+
+QUERIES = {
+    "text_features": text_features,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_features": TEXT_FEATURES_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}

@@ -64,6 +64,91 @@ def _estimate(stats: TripleStats | None, store: TripleStore, cond: Condition) ->
     return stats.pattern_cardinality(pred_id, not cond.subj.is_var, not cond.obj.is_var)
 
 
+def _var_ndvs(stats: TripleStats | None, store: TripleStore, cond: Condition, card: float) -> dict[str, float]:
+    """Estimated distinct values per variable of one pattern."""
+    out: dict[str, float] = {}
+    if cond.pred.is_var:
+        nds = ndo = max(card, 1.0) ** 0.5
+        out[cond.pred.var] = max(len(stats.per_pred) if stats else 10, 1)
+    elif stats is not None:
+        st = stats.per_pred.get(store.resolve(cond.pred.lexical))
+        nds = float(st.ndv_s) if st else 1.0
+        ndo = float(st.ndv_o) if st else 1.0
+    else:
+        nds = ndo = max(card, 1.0)
+    if cond.subj.is_var:
+        out[cond.subj.var] = min(nds, card) if card else nds
+    if cond.obj.is_var:
+        out.setdefault(cond.obj.var, min(ndo, card) if card else ndo)
+    return {v: max(n, 1.0) for v, n in out.items()}
+
+
+def dp_order(
+    conditions: list[Condition],
+    cards: dict[int, float],
+    ndvs: dict[int, dict[str, float]],
+) -> list[Condition]:
+    """Selinger-style DP join ordering over connected subsets.
+
+    The Spark-side analog of the reference's exhaustive plan search
+    (Optimizer.cpp:207-333) done with estimates instead of
+    execute-to-measure: minimize the cumulative size of intermediate
+    results under the standard independence model
+
+        |A ⋈ B| = |A|·|B| / Π_{v shared} max(ndv_A(v), ndv_B(v)).
+
+    Left-deep orders only (each step adds one pattern), which matches the
+    chained `join` the translator emits.  Greedy smallest-first (the v1
+    heuristic) can route a cycle query through a low-ndv hub variable and
+    blow up the intermediate by orders of magnitude — the DP sees the
+    whole order space and avoids it.  Driver-side cost: O(2^n · n) for n
+    patterns; falls back to greedy above _DP_MAX_CONDITIONS.
+    """
+    n = len(conditions)
+    idx = {c.cid: i for i, c in enumerate(conditions)}
+    cvars = [set(c.variables()) for c in conditions]
+
+    # state: bitmask -> (total_cost, card, {var: ndv}, order tuple)
+    best: dict[int, tuple[float, float, dict[str, float], tuple[int, ...]]] = {}
+    for i, c in enumerate(conditions):
+        m = 1 << i
+        best[m] = (cards[c.cid], cards[c.cid], dict(ndvs[c.cid]), (i,))
+
+    full = (1 << n) - 1
+    # iterate masks in increasing popcount order
+    masks = sorted(range(1, full + 1), key=lambda m: bin(m).count("1"))
+    for m in masks:
+        if m not in best:
+            continue
+        cost, card, nv, order = best[m]
+        for j in range(n):
+            if m & (1 << j):
+                continue
+            shared = cvars[j] & set(nv)
+            jc = cards[conditions[j].cid]
+            jnv = ndvs[conditions[j].cid]
+            new_card = card * jc
+            for v in shared:
+                new_card /= max(nv[v], jnv.get(v, 1.0))
+            if not shared:
+                # cross join: heavily penalized but allowed (disconnected BGP)
+                new_card = card * jc
+            new_card = max(new_card, 1e-3)
+            new_cost = cost + new_card
+            nm = m | (1 << j)
+            prev = best.get(nm)
+            if prev is None or (new_cost, new_card) < (prev[0], prev[1]):
+                merged = dict(nv)
+                for v, d in jnv.items():
+                    merged[v] = min(merged.get(v, d), d, new_card)
+                best[nm] = (new_cost, new_card, merged, order + (j,))
+    _, _, _, order = best[full]
+    return [conditions[i] for i in order]
+
+
+_DP_MAX_CONDITIONS = 13
+
+
 def greedy_order(conditions: list[Condition], est: dict[int, float]) -> list[Condition]:
     """Smallest-first greedy: start at the cheapest pattern, then repeatedly
     take the cheapest pattern *connected* to the bound variables; fall back to
@@ -93,7 +178,11 @@ def translate(
     """Compile a parsed BGP to a DataFrame plan (bag semantics, like the
     reference — SURVEY.md §2.3; ``distinct`` only when the query asks)."""
     est = {c.cid: _estimate(stats, store, c) for c in query.conditions}
-    order = greedy_order(query.conditions, est)
+    if stats is not None and len(query.conditions) <= _DP_MAX_CONDITIONS:
+        ndvs = {c.cid: _var_ndvs(stats, store, c, est[c.cid]) for c in query.conditions}
+        order = dp_order(query.conditions, est, ndvs)
+    else:
+        order = greedy_order(query.conditions, est)
 
     plan: DataFrame | None = None
     bound: set[str] = set()

@@ -1,0 +1,205 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming at all (SURVEY.md §2.3); this is the
+north-star extension built the Spark way: ``readStream`` sources with
+watermarked event-time windows, plus a custom stateful sessionizer via
+``applyInPandasWithState``.  Batch twins of these aggregations (identical
+semantics once windows close) live in operators/relational.py and
+``sessionize_batch`` below, which is what the DuckDB oracle checks — the
+streaming runtime itself is exercised by tests with an availableNow trigger.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from dream_spark.sources.tables import load_table
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw parquet: nanos as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_GAP_MIN = 30
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos→timestamp fixed the
+    same way the batch reader does)."""
+    # The file source requires a directory; the sf dir holds every table's
+    # parquet, so glob-filter to the events file only.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation: late data beyond the
+    watermark is dropped, windows finalize incrementally."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# custom stateful operator: sessionization
+# --------------------------------------------------------------------------
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """applyInPandasWithState sessionizer: per-user state carries the open
+    session; a gap > ``gap_min`` (or state timeout) closes and emits it."""
+    gap_us = gap_min * 60 * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_list.sort()
+        out = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = -1, -1, 0
+        for t in ts_list:
+            if start_us < 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                out["user_id"].append(user_id)
+                out["session_start"].append(pd.Timestamp(start_us, unit="us"))
+                out["session_end"].append(pd.Timestamp(last_us, unit="us"))
+                out["n_events"].append(n)
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        if start_us >= 0:
+            state.update((start_us, last_us, n))
+            state.setTimeoutDuration(gap_us // 1000)
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the sessionizer (gaps-and-islands with window
+    functions) — SQL-expressible, so the DuckDB oracle checks the session
+    semantics the streaming operator implements."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microsecond arithmetic on both engines (unix_micros / epoch_us);
+    # second-truncation would disagree on fractional-second gaps
+    gap = F.lit(SESSION_GAP_MIN * 60 * 1_000_000)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w) > gap, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+SESSIONIZE_BATCH_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+""".strip()
+
+
+QUERIES = {"streaming_sessionize_batch": sessionize_batch}
+ORACLES = {"streaming_sessionize_batch": SESSIONIZE_BATCH_SQL}

