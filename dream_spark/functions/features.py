@@ -82,6 +82,12 @@ def shingle_ids(docs: DataFrame) -> DataFrame:
     return shingles(docs).select("doc_id", F.expr(shingle_id_sql("sh")).alias("sid")).distinct()
 
 
+def shingle_ids_bag(docs: DataFrame) -> DataFrame:
+    """(doc_id, sid) with duplicates — for consumers whose aggregation is
+    duplicate-insensitive (MIN/MAX): skips the distinct's extra shuffle."""
+    return shingles(docs).select("doc_id", F.expr(shingle_id_sql("sh")).alias("sid"))
+
+
 # ---- DuckDB-side extraction fragments ------------------------------------
 def duck_tokens_cte(table: str = "documents", with_pos: bool = False) -> str:
     lst = f"string_split_regex(lower(text), '{TOKEN_SPLIT_RE}')"
@@ -109,3 +115,18 @@ def duck_shingle_ids_cte(table: str = "documents") -> str:
         f"SELECT DISTINCT doc_id, {shingle_id_sql('sh')} AS sid"
         f" FROM ({duck_shingles_cte(table)})"
     )
+
+
+#: word-bigram packing base (= textkernels.BIGRAM_BASE)
+BIGRAM_BASE = 2_147_483_648
+
+
+def duck_token_bigram_ids_cte(table: str = "documents") -> str:
+    """DuckDB twin of textkernels.token_bigram_sets: consecutive-token
+    bigram ids, distinct per document."""
+    return f"""
+SELECT DISTINCT doc_id,
+       tid * {BIGRAM_BASE} + LEAD(tid) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+FROM (SELECT doc_id, {token_id_sql('tok')} AS tid, pos
+      FROM ({duck_tokens_cte(table, with_pos=True)}))
+QUALIFY sid IS NOT NULL""".strip()

@@ -1,0 +1,205 @@
+"""Arrow-batched numpy kernels for per-document text signatures.
+
+A MinHash signature, SimHash fingerprint, or shingle set is a *per-document*
+computation — there is no cross-row dependency — so the Spark-first shape is
+a narrow ``mapInPandas`` projection with ZERO shuffles, not an
+explode → groupBy pipeline (which shuffles every shingle row).  At 100 TB
+the explode form shuffles ~300× the corpus size; this form shuffles nothing
+until the band join.
+
+Exactness contract: every kernel replays the same integer math the DuckDB
+oracle runs in SQL (functions/features.py fragments):
+
+- character code = Unicode code point (``ascii()`` on both engines; the
+  kernel uses UTF-32 views, identical for any BMP text),
+- shingle id = Horner pack c1·65536 + c2·256 + c3  (< 2^24, no modulus
+  reached),
+- h_i(x) = (A_i·x + B_i) mod (2^31-1) in int64 (products < 2^55, exact).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from dream_spark.functions.features import SHINGLE_LEN
+from dream_spark.functions.hashing import MERSENNE_P, hash_params
+
+
+def _doc_sids(text: str, distinct: bool) -> np.ndarray:
+    """int64 shingle ids of one document (character 3-grams of lower())."""
+    t = text.lower()
+    if len(t) < SHINGLE_LEN:
+        return np.empty(0, dtype=np.int64)
+    c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    sids = c[:-2] * 65536 + c[1:-1] * 256 + c[2:]
+    return np.unique(sids) if distinct else sids
+
+
+def _hash_rows(k: int) -> tuple[np.ndarray, np.ndarray]:
+    ab = np.array([hash_params(i) for i in range(k)], dtype=np.int64)
+    return ab[:, 0:1], ab[:, 1:2]  # column vectors for broadcasting
+
+
+def minhash_signatures(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sig0..sig{k-1}) for every document with ≥1 shingle.
+    One pass, no shuffle: sig_i = min over shingles of h_i(sid)."""
+    A, B = _hash_rows(k)
+    schema = "doc_id long, " + ", ".join(f"sig{i} long" for i in range(k))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = _doc_sids(text, distinct=False)
+                if not len(s):
+                    continue
+                ids.append(doc_id)
+                sigs.append(((A * s + B) % MERSENNE_P).min(axis=1))
+            out = np.array(sigs, dtype=np.int64).reshape(len(ids), k)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    **{f"sig{i}": out[:, i] for i in range(k)},
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, simhash) for every document with ≥1 shingle.  Bit j is the
+    sign of Σ over the shingle *set* of (2·bit_j − 1), where bit_j is bit
+    (j mod 16) of h_{j//16}(sid) — the exact SQL the oracle runs."""
+    n_fns = (bits + 15) // 16
+    A, B = _hash_rows(n_fns)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                u = _doc_sids(text, distinct=True)
+                if not len(u):
+                    continue
+                h = (A * u + B) % MERSENNE_P  # (n_fns, n_shingles)
+                fp = 0
+                for j in range(bits):
+                    ones = int(((h[j // 16] >> (j % 16)) & 1).sum())
+                    if 2 * ones - len(u) > 0:  # Σ(2·bit−1) > 0
+                        fp |= 1 << j
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "simhash": np.asarray(fps, dtype=np.int64),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema="doc_id long, simhash long")
+
+
+_TOKEN_RE = None
+
+
+def _doc_token_ids(text: str) -> np.ndarray:
+    """int64 token ids of one document in order — the numpy replay of
+    features.token_id_sql (Horner pack of the first 8 chars, mod P each
+    step) over the lowercase-alnum-run tokenizer."""
+    global _TOKEN_RE
+    if _TOKEN_RE is None:
+        import re
+
+        _TOKEN_RE = re.compile(r"[^a-z0-9]+")
+    toks = [t for t in _TOKEN_RE.split(text.lower()) if t]
+    if not toks:
+        return np.empty(0, dtype=np.int64)
+    m = np.zeros((len(toks), 8), dtype=np.int64)
+    for r, t in enumerate(toks):
+        for j, ch in enumerate(t[:8]):
+            m[r, j] = ord(ch)
+    acc = m[:, 0].copy()
+    for j in range(1, 8):
+        acc = (acc * 256 + m[:, j]) % MERSENNE_P
+    return acc
+
+
+#: word-bigram packing base: tid < 2^31, so tid1·2^31 + tid2 < 2^62 (exact)
+BIGRAM_BASE = 2_147_483_648
+
+
+def token_bigram_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sid) distinct — consecutive-token bigrams packed as
+    tid1·2^31 + tid2.  Word bigrams are the right Jaccard feature space for
+    natural text: vastly more discriminative than character shingles, so
+    prefix-filtered candidate joins stay near-linear."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_sid = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tids = _doc_token_ids(text)
+                if len(tids) < 2:
+                    continue
+                u = np.unique(tids[:-1] * BIGRAM_BASE + tids[1:])
+                out_id.append(np.full(len(u), doc_id, dtype=np.int64))
+                out_sid.append(u)
+            if out_id:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(out_id), "sid": np.concatenate(out_sid)}
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema="doc_id long, sid long")
+
+
+def token_bigram_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, sids: sorted array<long>, n) — the set form of
+    token_bigram_sets, for broadcast-join verification of candidate pairs
+    (one row per document instead of one per bigram)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, arrs, ns = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tids = _doc_token_ids(text)
+                if len(tids) < 2:
+                    continue
+                u = np.unique(tids[:-1] * BIGRAM_BASE + tids[1:])
+                ids.append(doc_id)
+                arrs.append(u)
+                ns.append(len(u))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "sids": arrs,
+                    "n": np.asarray(ns, dtype=np.int64),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, sids array<long>, n long"
+    )
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sid) distinct — numpy twin of features.shingle_ids (same
+    rows, ~10× the extraction throughput of explode+substr+ascii)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_sid = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                u = _doc_sids(text, distinct=True)
+                if not len(u):
+                    continue
+                out_id.append(np.full(len(u), doc_id, dtype=np.int64))
+                out_sid.append(u)
+            if out_id:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(out_id), "sid": np.concatenate(out_sid)}
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema="doc_id long, sid long")

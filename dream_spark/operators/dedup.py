@@ -18,22 +18,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dream_spark.functions.features import (
-    duck_shingle_ids_cte,
-    shingle_ids,
+from dream_spark.functions.features import duck_shingle_ids_cte, duck_token_bigram_ids_cte
+from dream_spark.functions.hashing import hash_sql
+from dream_spark.functions.textkernels import (
+    minhash_signatures,
+    simhash_fingerprints,
+    token_bigram_arrays,
 )
-from dream_spark.functions.hashing import BAND_WEIGHTS, hash_sql
+from dream_spark.functions.vectors import buckets_udf, cos_sql, dot_sql, dot_udf, plane_dot_sql
 from dream_spark.sources.tables import load_table
 
-# MinHash configuration: 16 hashes in 4 bands of 4 → LSH threshold ≈ 0.71.
+# MinHash configuration: 16 hashes in 2 bands of 8 → LSH threshold ≈ 0.92.
+# Tight bands keep the candidate stream precision-tuned: character-3-gram
+# profiles of same-language documents overlap heavily, so looser bands
+# (4×4, t≈0.71) collide near-quadratically on a homogeneous corpus.
 MINHASH_K = 16
-BAND_ROWS = 4
+BAND_ROWS = 8
 N_BANDS = MINHASH_K // BAND_ROWS
 
+# Jaccard threshold t = T_NUM/T_DEN (integer fraction so both engines derive
+# the prefix length with exact arithmetic)
 JACCARD_THRESHOLD = 0.8
-RARE_DF_MAX = 50  # candidate filter: only shingles appearing in ≤ 50 docs
+_T_NUM, _T_DEN = 4, 5
 
-SIMHASH_BITS = 16
+# 32-bit SimHash in 4 bands of 8: a pair within hamming ≤ 3 differs in at
+# most 3 bands (pigeonhole), so banding loses nothing; 8-bit bands keep
+# buckets ~256× smaller than the 4-bit nibbles a 16-bit fingerprint allows.
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
 SIMHASH_MAX_HAMMING = 3
 
 EMB_QUANT = 1_000_000  # float → int quantization scale (exact cross-engine)
@@ -72,24 +84,22 @@ DEDUP_EXACT_DOCS_SQL = (
 # --------------------------------------------------------------------------
 # MinHash + LSH banding
 # --------------------------------------------------------------------------
-def _minhash_signatures(sids: DataFrame) -> DataFrame:
-    """(doc_id, sig0..sig{K-1}): K conditional mins in ONE groupBy — no row
-    explosion, map-side partial min."""
-    aggs = [
-        F.min(F.expr(hash_sql("sid", i))).alias(f"sig{i}") for i in range(MINHASH_K)
-    ]
-    return sids.groupBy("doc_id").agg(*aggs)
+def _band_slot_hash(b: int, r: int, col: str) -> str:
+    """Positional band combiner: slot r of band b re-hashed with its own
+    function (index offset past the signature functions), then summed —
+    8 values < 2^31 sum < 2^34, exact in int64 for any band width."""
+    return hash_sql(col, MINHASH_K + b * BAND_ROWS + r)
 
 
 def _band_frame(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, bh): band hash = commutative weighted sum of in-band
-    signature values (fits int64; see hashing.BAND_WEIGHTS)."""
+    """(doc_id, band, bh): band hash = Σ_r h_{K+b·R+r}(sig_r) — positional
+    (each slot has its own hash) yet commutative in evaluation order."""
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 sum(
-                    F.col(f"sig{b * BAND_ROWS + r}") * F.lit(BAND_WEIGHTS[r])
+                    F.expr(_band_slot_hash(b, r, f"sig{b * BAND_ROWS + r}"))
                     for r in range(BAND_ROWS)
                 ).alias("bh"),
             )
@@ -104,10 +114,11 @@ def _band_frame(sigs: DataFrame) -> DataFrame:
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs over character-3-gram sets.
 
-    shingle → minhash → band → bucket-join: the only shuffles are the
-    signature groupBy and the band self-join, both keyed small."""
+    shingle → minhash → band → bucket-join: signatures come from the
+    zero-shuffle Arrow kernel (functions/textkernels.py) — the only shuffle
+    in the whole operator is the band self-join, keyed on ids."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = _band_frame(_minhash_signatures(shingle_ids(docs)))
+    bands = _band_frame(minhash_signatures(docs, MINHASH_K))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -122,7 +133,7 @@ def _duck_minhash_bands() -> str:
     sig_cols = ", ".join(f"MIN({hash_sql('sid', i)}) AS sig{i}" for i in range(MINHASH_K))
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        + " + ".join(f"sig{b * BAND_ROWS + r} * {BAND_WEIGHTS[r]}" for r in range(BAND_ROWS))
+        + " + ".join(_band_slot_hash(b, r, f"sig{b * BAND_ROWS + r}") for r in range(BAND_ROWS))
         + " AS bh FROM sigs"
         for b in range(N_BANDS)
     )
@@ -143,64 +154,75 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.do
 # exact n-gram Jaccard with rare-feature candidate filtering
 # --------------------------------------------------------------------------
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs with shingle-set Jaccard ≥ 0.8.
+    """Pairs with word-bigram-set Jaccard ≥ 0.8, via *prefix filtering*.
 
-    Candidate generation joins only on *rare* shingles (document frequency
-    ≤ RARE_DF_MAX) — the prefix-filtering idea: near-identical documents
-    share rare features, while stopword-like features (df ~ all docs) would
-    make the join quadratic.  Exact |∩|/|∪| is then computed on candidates
-    only.
+    Feature space = consecutive-token bigrams (discriminative for natural
+    text — character shingles of same-language documents overlap so heavily
+    that any candidate scheme goes quadratic).  Sort each document's
+    bigrams by global document frequency (rarest first, ties by id) and
+    keep only the first n − ⌈t·n⌉ + 1 as its join prefix: any pair with
+    J ≥ t MUST share a prefix bigram (pigeonhole on the global order), so
+    the candidate join loses no recall while joining on the rarest ~20% of
+    features.  Exact |∩|/|∪| verifies candidates.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    sids = shingle_ids(docs)
-    sizes = sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = sids.join(
-        sids.groupBy("sid").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= RARE_DF_MAX),
-        on="sid",
-    ).select("doc_id", "sid")
+    # one kernel pass builds each document's sorted bigram-set array; the
+    # flat (doc_id, sid) view for prefix generation is a cheap explode of it
+    docsets = token_bigram_arrays(docs).persist()
+    sids = docsets.select("doc_id", F.explode("sids").alias("sid"))
+    dfreq = sids.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sid")
+    # ⌈t·n⌉ with exact integer arithmetic: (T_NUM·n + T_DEN − 1) div T_DEN
+    prefix_len = F.col("n") - F.floor((F.lit(_T_NUM) * F.col("n") + _T_DEN - 1) / F.lit(float(_T_DEN))) + 1
+    pref = (
+        sids.join(dfreq, on="sid")
+        .withColumn("pos", F.row_number().over(w))
+        .join(docsets.select("doc_id", "n"), on="doc_id")
+        .where(F.col("pos") <= prefix_len)
+        .select("doc_id", "sid")
+    )
     cand = (
-        rare.alias("a")
-        .join(rare.alias("b"), on="sid")
+        pref.alias("a")
+        .join(pref.alias("b"), on="sid")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    inter = (
-        cand.join(sids.alias("sa"), cand.doc_a == F.col("sa.doc_id"))
-        .join(
-            sids.alias("sb"),
-            (cand.doc_b == F.col("sb.doc_id")) & (F.col("sa.sid") == F.col("sb.sid")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    jac = (
-        inter.join(na, on="doc_a")
-        .join(nb, on="doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
+    # verify by broadcast-joining the per-doc set arrays onto the candidate
+    # pairs and counting the intersection JVM-side (array_intersect — no
+    # pair×shingle row blowup, no Python transfer of the pair stream)
+    sa = docsets.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sa"), F.col("n").alias("n_a"))
+    sb = docsets.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sb"), F.col("n").alias("n_b"))
+    pairs = cand.join(F.broadcast(sa), on="doc_a").join(F.broadcast(sb), on="doc_b")
+    pairs = pairs.withColumn("n_inter", F.size(F.array_intersect("sa", "sb")).cast("long"))
+    jac = pairs.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
     )
     return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 DEDUP_JACCARD_SQL = f"""
-WITH sids AS ({duck_shingle_ids_cte()}),
+WITH sids AS ({duck_token_bigram_ids_cte()}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sids GROUP BY doc_id),
-rare AS (
-  SELECT doc_id, sid FROM sids
-  WHERE sid IN (SELECT sid FROM sids GROUP BY sid HAVING COUNT(*) <= {RARE_DF_MAX})
+dfreq AS (SELECT sid, COUNT(*) AS df FROM sids GROUP BY sid),
+pref AS (
+  SELECT doc_id, sid FROM (
+    SELECT s.doc_id, s.sid,
+           ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sid) AS pos,
+           z.n
+    FROM sids s JOIN dfreq d USING (sid) JOIN sizes z USING (doc_id)
+  ) WHERE pos <= n - FLOOR(({_T_NUM} * n + {_T_DEN - 1}) / {float(_T_DEN)}) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM rare a JOIN rare b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  FROM pref a JOIN pref b ON a.sid = b.sid AND a.doc_id < b.doc_id
 ),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
@@ -221,35 +243,28 @@ WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= {JACCARD_THRESHOLD}
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
+def _simhash_bit(j: int) -> str:
+    """Bit j of the SimHash draws from h_{j//16}(sid) bit (j mod 16) — two
+    31-bit hash draws cover 32 independent fingerprint bits."""
+    return f"(({hash_sql('sid', j // 16)} >> {j % 16}) & 1)"
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 16-bit SimHash over the shingle set — bit j is the
-    sign of Σ ±1 where ± is bit j of h_0(shingle).  Computed as 16
-    conditional sums in one groupBy (no explosion)."""
+    """(doc_id, simhash): 32-bit SimHash over the shingle set — bit j is the
+    sign of Σ ±1 where ± is a hash bit of the shingle.  Computed by the
+    zero-shuffle Arrow kernel; docs without shingles fill 0."""
     docs = load_table(spark, sf_dir, "documents")
-    sids = shingle_ids(docs)
-    h = hash_sql("sid", 0)
-    aggs = [
-        F.sum(F.expr(f"2 * (({h} >> {j}) & 1) - 1")).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    per = sids.groupBy("doc_id").agg(*aggs)
-    fp = sum(
-        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        for j in range(SIMHASH_BITS)
-    )
-    out = per.select("doc_id", fp.cast("bigint").alias("simhash"))
+    out = simhash_fingerprints(docs, SIMHASH_BITS)
     return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
+        docs.select("doc_id")
         .join(out, on="doc_id", how="left")
         .na.fill({"simhash": 0})
     )
 
 
 def _duck_simhash() -> str:
-    h = hash_sql("sid", 0)
     sums = ", ".join(
-        f"SUM(2 * (({h} >> {j}) & 1) - 1) AS s{j}" for j in range(SIMHASH_BITS)
+        f"SUM(2 * {_simhash_bit(j)} - 1) AS s{j}" for j in range(SIMHASH_BITS)
     )
     fp = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
@@ -267,9 +282,13 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN sh USING (doc_id)
 """.strip()
 
 
+_SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+_SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on 4-bit bands (a pair within
-    hamming ≤ 3 of a 16-bit fingerprint shares ≥ 1 of 4 bands), verify
+    """Near-dup pairs by SimHash: bucket on 8-bit bands (a pair within
+    hamming ≤ 3 of a 32-bit fingerprint shares ≥ 1 of 4 bands), verify
     exact hamming on candidates."""
     fps = simhash_docs(spark, sf_dir)
     bands = fps.select(
@@ -280,9 +299,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(f"(simhash >> {4 * b}) & 15").alias("nib"),
+                        F.expr(
+                            f"(simhash >> {SIMHASH_BAND_BITS * b}) & {_SIMHASH_BAND_MASK}"
+                        ).alias("nib"),
                     )
-                    for b in range(4)
+                    for b in range(_SIMHASH_N_BANDS)
                 ]
             )
         ).alias("x"),
@@ -309,8 +330,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_SIMHASH_SQL = f"""
 WITH {_duck_simhash()},
 bands AS (
-  SELECT doc_id, simhash, i AS band, (simhash >> (4 * CAST(i AS INT))) & 15 AS nib
-  FROM sh, range(0, 4) t(i)
+  SELECT doc_id, simhash, i AS band,
+         (simhash >> ({SIMHASH_BAND_BITS} * CAST(i AS INT))) & {_SIMHASH_BAND_MASK} AS nib
+  FROM sh, range(0, {_SIMHASH_N_BANDS}) t(i)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb
@@ -331,27 +353,30 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qe = F.expr(f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {EMB_QUANT}) AS BIGINT))")
     out = emb.select("vec_id", qe.alias("qe"))
-    nrm = F.expr("aggregate(qe, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
-    return out.select("vec_id", "qe", nrm.alias("nrm"))
+    return out.select("vec_id", "qe", dot_udf()("qe", "qe").alias("nrm"))
 
 
-def _bucket_expr(n_tables: int = 4, planes_per_table: int = 4) -> str:
-    """SQL expr: array of (table, bucket) structs — random-hyperplane LSH
-    with deterministic integer plane weights w[p][dim] = h_p(dim) mod 2001
-    - 1000."""
-    tables = []
-    for t in range(n_tables):
-        bits = []
-        for pp in range(planes_per_table):
-            p = t * planes_per_table + pp
-            w = f"((({hash_sql('CAST(i AS BIGINT)', p)}) % 2001) - 1000)"
-            dot = (
-                "aggregate(sequence(1, size(qe)), CAST(0 AS BIGINT),"
-                f" (acc, i) -> acc + element_at(qe, CAST(i AS INT)) * {w})"
-            )
-            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << pp} ELSE 0 END)")
-        tables.append(f"named_struct('tbl', {t}, 'bkt', {' + '.join(bits)})")
-    return f"array({', '.join(tables)})"
+def _bucket_ids(q: DataFrame, n_tables: int = 4, planes_per_table: int = 4) -> DataFrame:
+    """(vec_id, tbl, bkt) — ids only: the candidate join must never shuffle
+    the 64-element arrays (at 100 TB that is the difference between
+    shuffling 8 bytes and 0.5 KB per bucket row).  Bucket ids come from one
+    numpy matmul per Arrow batch (functions/vectors.py)."""
+    b = q.select("vec_id", F.posexplode(buckets_udf(n_tables, planes_per_table)("qe")).alias("tbl", "bkt"))
+    return b.select("vec_id", F.col("tbl").cast("int").alias("tbl"), "bkt")
+
+
+def _rerank(cand: DataFrame, q: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Join the quantized vectors back onto id-only candidate pairs and emit
+    the exact cosine.  The vector table is orders of magnitude smaller than
+    the candidate pair stream — broadcast it so the (large) pair side is
+    never shuffled or sorted; at a scale where the vector table itself
+    outgrows broadcast, drop the hint and this degrades to a keyed join."""
+    qa = q.select(F.col("vec_id").alias(a_col), F.col("qe").alias("qa"), F.col("nrm").alias("na"))
+    qb = q.select(F.col("vec_id").alias(b_col), F.col("qe").alias("qb"), F.col("nrm").alias("nb"))
+    pairs = cand.join(F.broadcast(qa), on=a_col).join(F.broadcast(qb), on=b_col)
+    pairs = pairs.withColumn("dot", dot_udf()("qa", "qb"))
+    cos = F.expr(cos_sql("dot", "na", "nb"))
+    return pairs.select(a_col, b_col, cos.alias("cos"))
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,36 +388,22 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical candidate set.
     """
     q = _quantized(spark, sf_dir)
-    b = q.select(
-        "vec_id", "qe", "nrm", F.explode(F.expr(_bucket_expr())).alias("x")
-    ).select("vec_id", "qe", "nrm", F.col("x.tbl").alias("tbl"), F.col("x.bkt").alias("bkt"))
-    a, c = b.alias("a"), b.alias("b")
+    b = _bucket_ids(q)
     cand = (
-        a.join(c, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bkt") == F.col("b.bkt")))
+        b.alias("a")
+        .join(b.alias("b"), on=["tbl", "bkt"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.qe").alias("qa"),
-            F.col("b.qe").alias("qb"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
-    dot = F.expr(
-        "aggregate(sequence(1, size(qa)), CAST(0 AS BIGINT),"
-        " (acc, i) -> acc + element_at(qa, CAST(i AS INT)) * element_at(qb, CAST(i AS INT)))"
-    )
-    cos = dot.cast("double") / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
-    return cand.select("vec_a", "vec_b", cos.alias("cos")).where(F.col("cos") >= EMB_COS_THRESHOLD)
+    return _rerank(cand, q, "vec_a", "vec_b").where(F.col("cos") >= EMB_COS_THRESHOLD)
 
 
 def _duck_quantized() -> str:
     return (
         f"q AS (SELECT vec_id, [CAST(FLOOR(CAST(x AS DOUBLE) * {EMB_QUANT}) AS BIGINT) FOR x IN embedding] AS qe"
         f" FROM embeddings),"
-        f" qn AS (SELECT vec_id, qe, list_sum([v * v FOR v IN qe]) AS nrm FROM q)"
+        f" qn AS (SELECT vec_id, qe, {dot_sql('qe', 'qe', duck=True)} AS nrm FROM q)"
     )
 
 
@@ -402,29 +413,24 @@ def _duck_buckets(n_tables: int = 4, planes_per_table: int = 4) -> str:
         bits = []
         for pp in range(planes_per_table):
             p = t * planes_per_table + pp
-            w = f"((({hash_sql('CAST(i AS BIGINT)', p)}) % 2001) - 1000)"
-            dot = f"list_sum([qe[CAST(i AS INT)] * {w} FOR i IN range(1, 1 + len(qe))])"
+            dot = plane_dot_sql("qe", p, duck=True)
             bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << pp} ELSE 0 END)")
-        rows.append(f"SELECT vec_id, qe, nrm, {t} AS tbl, {' + '.join(bits)} AS bkt FROM qn")
+        rows.append(f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bkt FROM qn")
     return "buckets AS (" + " UNION ALL ".join(rows) + ")"
 
+
+_DUCK_COS_AB = cos_sql(dot_sql("qa.qe", "qb.qe", duck=True), "qa.nrm", "qb.nrm")
 
 DEDUP_EMBEDDING_SQL = f"""
 WITH {_duck_quantized()},
 {_duck_buckets()},
 cand AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         ANY_VALUE(a.qe) AS qa, ANY_VALUE(b.qe) AS qb,
-         ANY_VALUE(a.nrm) AS na, ANY_VALUE(b.nrm) AS nb
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
-  GROUP BY a.vec_id, b.vec_id
 )
-SELECT vec_a, vec_b,
-       CAST(list_sum([qa[CAST(i AS INT)] * qb[CAST(i AS INT)] FOR i IN range(1, 1 + len(qa))]) AS DOUBLE)
-         / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
-FROM cand
-WHERE CAST(list_sum([qa[CAST(i AS INT)] * qb[CAST(i AS INT)] FOR i IN range(1, 1 + len(qa))]) AS DOUBLE)
-        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= {EMB_COS_THRESHOLD}
+SELECT vec_a, vec_b, {_DUCK_COS_AB} AS cos
+FROM cand JOIN qn qa ON qa.vec_id = vec_a JOIN qn qb ON qb.vec_id = vec_b
+WHERE {_DUCK_COS_AB} >= {EMB_COS_THRESHOLD}
 """.strip()
 
 

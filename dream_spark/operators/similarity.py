@@ -9,9 +9,10 @@ Two paths, per SURVEY.md's north-star extensions:
   At 100 TB the bucket join replaces the full scan; recall is tunable by
   tables × planes.
 
-Both use the FLOOR(x·10^6) integer quantization from operators/dedup.py so
-every cosine is bit-identical across engines (see the determinism contract
-in operators/relational.py).
+Both use the FLOOR(x·10^6) integer quantization from operators/dedup.py and
+the flat codegen-able dot products from functions/vectors.py, so every
+cosine is bit-identical across engines (see the determinism contract in
+operators/relational.py).
 """
 
 from __future__ import annotations
@@ -19,20 +20,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dream_spark.operators.dedup import EMB_QUANT, _bucket_expr, _duck_buckets, _duck_quantized, _quantized
+from dream_spark.functions.vectors import cos_sql, dot_sql, dot_udf
+from dream_spark.operators.dedup import (
+    _bucket_ids,
+    _duck_buckets,
+    _duck_quantized,
+    _quantized,
+)
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 
-_DOT = (
-    "aggregate(sequence(1, size(qa)), CAST(0 AS BIGINT),"
-    " (acc, i) -> acc + element_at(qa, CAST(i AS INT)) * element_at(qb, CAST(i AS INT)))"
-)
+_COS = cos_sql("dot", "na", "nb")
 
 
-def _cos_col():
-    return F.expr(_DOT).cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+def _scored(pairs: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, cos) from (qa, na, qb, nb) pair rows — exact
+    int64 dot via the Arrow kernel, final division in SQL (both engines
+    share the double formula)."""
+    return pairs.withColumn("dot", dot_udf()("qa", "qb")).select(
+        "query_id", "neighbor_id", F.expr(_COS).alias("cos")
+    )
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    """Deterministic per-query top-k: (cos DESC, neighbor id) tiebreak."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
     )
 
 
@@ -49,19 +66,10 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = F.broadcast(queries).crossJoin(corpus).where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = pairs.select("query_id", "neighbor_id", _cos_col().alias("cos"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _topk(_scored(pairs))
 
 
-_DUCK_COS = (
-    "CAST(list_sum([qa[CAST(i AS INT)] * qb[CAST(i AS INT)] FOR i IN range(1, 1 + len(qa))]) AS DOUBLE)"
-    " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
-)
+_DUCK_COS = cos_sql(dot_sql("qa", "qb", duck=True), "na", "nb")
 
 KNN_BRUTEFORCE_SQL = f"""
 WITH {_duck_quantized()},
@@ -85,52 +93,38 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: candidates = corpus vectors sharing an LSH bucket with the
     query in ≥1 of the hash tables, exact cosine rerank within candidates.
     Smaller k_eff than brute force when buckets miss — the documented LSH
-    recall tradeoff; the oracle replays identical buckets."""
+    recall tradeoff; the oracle replays identical buckets.
+
+    The bucket join moves ids only; vectors are joined back per side for the
+    rerank (query side broadcast-tiny, corpus side keyed by id)."""
     q = _quantized(spark, sf_dir)
-    b = q.select("vec_id", "qe", "nrm", F.explode(F.expr(_bucket_expr())).alias("x")).select(
-        "vec_id", "qe", "nrm", F.col("x.tbl").alias("tbl"), F.col("x.bkt").alias("bkt")
-    )
-    queries = b.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qe").alias("qa"),
-        F.col("nrm").alias("na"),
-        "tbl",
-        "bkt",
-    )
-    corpus = b.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("qe").alias("qb"),
-        F.col("nrm").alias("nb"),
-        "tbl",
-        "bkt",
-    )
+    b = _bucket_ids(q)
     cand = (
-        F.broadcast(queries)
-        .join(corpus, on=["tbl", "bkt"])
+        F.broadcast(b.where(F.col("vec_id") < N_QUERIES).select(F.col("vec_id").alias("query_id"), "tbl", "bkt"))
+        .join(b.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bkt"), on=["tbl", "bkt"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = cand.select("query_id", "neighbor_id", _cos_col().alias("cos"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    qa = q.select(F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na"))
+    qb = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb"))
+    pairs = cand.join(F.broadcast(qa), on="query_id").join(F.broadcast(qb), on="neighbor_id")
+    return _topk(_scored(pairs))
 
 
 KNN_LSH_SQL = f"""
 WITH {_duck_quantized()},
 {_duck_buckets()},
 cand AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         ANY_VALUE(a.qe) AS qa, ANY_VALUE(b.qe) AS qb,
-         ANY_VALUE(a.nrm) AS na, ANY_VALUE(b.nrm) AS nb
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
   FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bkt = b.bkt
   WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
-  GROUP BY a.vec_id, b.vec_id
 ),
-scored AS (SELECT query_id, neighbor_id, {_DUCK_COS} AS cos FROM cand)
+scored AS (
+  SELECT query_id, neighbor_id,
+         {cos_sql(dot_sql("qa.qe", "qb.qe", duck=True), "qa.nrm", "qb.nrm")} AS cos
+  FROM cand JOIN qn qa ON qa.vec_id = query_id JOIN qn qb ON qb.vec_id = neighbor_id
+)
 SELECT query_id, neighbor_id, cos, rank FROM (
   SELECT query_id, neighbor_id, cos,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
