@@ -75,19 +75,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from dream_spark.operators import dedup, multimodal, relational, similarity, text
+    from dream_spark.operators import dedup, multimodal, relational, similarity, temporal, text
     from dream_spark.streaming import events as streaming_events
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (qtext, decode) in SPARQL_QUERIES.items():
         out[name] = _sparql_runner(qtext, decode)
-    for mod in (relational, text, dedup, similarity, multimodal, streaming_events):
+    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events):
         out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from dream_spark.operators import dedup, multimodal, relational, similarity, text
+    from dream_spark.operators import dedup, multimodal, relational, similarity, temporal, text
     from dream_spark.plans.oracle import bgp_to_sql
     from dream_spark.plans.sparql import parse_sparql
     from dream_spark.streaming import events as streaming_events
@@ -95,6 +95,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, (qtext, decode) in SPARQL_QUERIES.items():
         out[name] = bgp_to_sql(parse_sparql(qtext), decode=decode)
-    for mod in (relational, text, dedup, similarity, multimodal, streaming_events):
+    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events):
         out.update(mod.ORACLES)
     return out

@@ -27,8 +27,17 @@ HEADLINE = [
     "rel_q1_pricing",
     "rel_q3_top10",
     "rel_q5_cycle",
+    "rel_q4_semi",
+    "rel_anti",
+    "rel_q13_outer",
+    "rel_q6_filter",
+    "rel_q18_having",
+    "rel_rollup",
+    "rel_json_props",
     "rel_window_top3",
     "rel_events_hourly",
+    "temporal_asof",
+    "temporal_range",
     "text_features",
     "text_fingerprint",
     "text_langid",

@@ -237,6 +237,175 @@ GROUP BY date_trunc('hour', ts), event_type
 """.strip()
 
 
+def q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: LEFT SEMI join — orders with ≥1 returned lineitem,
+    counted by priority.  Semi joins ship only the join key of the probe
+    side and stop at first match; the oracle's EXISTS is the same plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q4_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""".strip()
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers who never placed a 1-URGENT order — the
+    NOT EXISTS shape (reference has no anti join at all, SURVEY.md §2.3)."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""".strip()
+
+
+def q13_outer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: LEFT OUTER join + two-level aggregation — the
+    order-count-per-customer distribution including zero-order customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    per_cust = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""".strip()
+
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: pure scan-filter-aggregate — the pattern where
+    predicate pushdown into the parquet scan is the whole plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(_dec("l_extendedprice", _PRICE) * _dec("l_discount", _RATE))
+    return (
+        li.where(
+            (F.col("l_shipdate") < F.lit(CUTOFF).cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 10)
+        )
+        .agg(rev.cast("double").alias("revenue"))
+    )
+
+
+Q6_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {_PRICE}) * CAST(l_discount AS {_RATE})) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{CUTOFF}'
+  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 10
+""".strip()
+
+
+Q18_MIN_QTY = 150
+
+
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: HAVING over a grouped join — orders whose total
+    quantity exceeds a threshold, with their customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", _QTY)).alias("qty_dec"))
+        .where(F.col("qty_dec") > Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(qty_dec AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS {_QTY})) AS qty_dec
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS {_QTY})) > {Q18_MIN_QTY}
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""".strip()
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (the hypertable-rollup shape): per
+    (returnflag, linestatus), per returnflag subtotal, and grand total in
+    one pass — Spark and DuckDB share ROLLUP null-marker semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity", _QTY)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS {_QTY})) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".strip()
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull an integer out of the JSON ``props``
+    column and aggregate — get_json_object stays JVM-side; the oracle uses
+    DuckDB's json_extract on the identical path expression."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
+FROM events
+GROUP BY event_type
+""".strip()
+
+
 QUERIES = {
     "rel_q1_pricing": q1_pricing_summary,
     "rel_q3_top10": q3_shipping_priority,
@@ -244,6 +413,13 @@ QUERIES = {
     "rel_window_top3": window_top_orders,
     "rel_window_running": window_running_spend,
     "rel_events_hourly": events_hourly,
+    "rel_q4_semi": q4_semi_join,
+    "rel_anti": anti_join_customers,
+    "rel_q13_outer": q13_outer_distribution,
+    "rel_q6_filter": q6_revenue_delta,
+    "rel_q18_having": q18_big_orders,
+    "rel_rollup": rollup_pricing,
+    "rel_json_props": json_props_stats,
 }
 
 ORACLES = {
@@ -253,4 +429,11 @@ ORACLES = {
     "rel_window_top3": WINDOW_TOP_SQL,
     "rel_window_running": WINDOW_RUNNING_SQL,
     "rel_events_hourly": EVENTS_HOURLY_SQL,
+    "rel_q4_semi": Q4_SEMI_SQL,
+    "rel_anti": ANTI_SQL,
+    "rel_q13_outer": Q13_SQL,
+    "rel_q6_filter": Q6_SQL,
+    "rel_q18_having": Q18_SQL,
+    "rel_rollup": ROLLUP_SQL,
+    "rel_json_props": JSON_PROPS_SQL,
 }

@@ -250,10 +250,19 @@ class TripleStore:
     here both directions are plain joins/lookups against ``dict``.
     """
 
-    def __init__(self, spark: SparkSession, triples: DataFrame, dictionary: DataFrame):
+    def __init__(
+        self,
+        spark: SparkSession,
+        triples: DataFrame,
+        dictionary: DataFrame,
+        resolver=resolve_lexical,
+    ):
         self.spark = spark
         self.triples = triples
         self.dictionary = dictionary
+        # driver-side lexical->id shortcut (None => dictionary lookups only,
+        # e.g. hash-encoded N-Triples stores)
+        self._resolver = resolver
 
     # -- constructors -------------------------------------------------------
     @classmethod
@@ -265,6 +274,14 @@ class TripleStore:
         if cache:
             triples = triples.cache()
         return cls(spark, triples, dictionary)
+
+    @classmethod
+    def from_ntriples(cls, spark: SparkSession, path: str, validate: bool = False) -> "TripleStore":
+        """Load an N-Triples file with hash-based dictionary encoding
+        (sources/ntriples.py)."""
+        from dream_spark.sources.ntriples import load_ntriples
+
+        return load_ntriples(spark, path, validate=validate)
 
     @classmethod
     def from_parquet(cls, spark: SparkSession, triples_path: str, dict_path: str) -> "TripleStore":
@@ -285,7 +302,7 @@ class TripleStore:
         """lexical -> id.  Static vocab and entity ids resolve driver-side
         with no Spark job; anything else is one pushdown-filtered dict
         lookup (e.g. a literal name string)."""
-        rid = resolve_lexical(lexical)
+        rid = self._resolver(lexical) if self._resolver is not None else None
         if rid is not None:
             return rid
         rows = self.dictionary.where(self.dictionary.lexical == lexical).select("id").limit(2).collect()
