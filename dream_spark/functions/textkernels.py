@@ -29,6 +29,14 @@ from dream_spark.functions.features import SHINGLE_LEN
 from dream_spark.functions.hashing import MERSENNE_P, hash_params
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition the (narrow) kernel input across the cluster.  A small
+    parquet table arrives as one input split, which would run the whole
+    Arrow kernel on a single core; at 100 TB inputs already span thousands
+    of splits and this is a no-op-sized shuffle either way."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _doc_sids(text: str, distinct: bool) -> np.ndarray:
     """int64 shingle ids of one document (character 3-grams of lower())."""
     t = text.lower()
@@ -67,7 +75,7 @@ def minhash_signatures(docs: DataFrame, k: int) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
+    return _spread(docs.select("doc_id", "text")).mapInPandas(run, schema=schema)
 
 
 def simhash_fingerprints(docs: DataFrame, bits: int) -> DataFrame:
@@ -99,7 +107,7 @@ def simhash_fingerprints(docs: DataFrame, bits: int) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema="doc_id long, simhash long")
+    return _spread(docs.select("doc_id", "text")).mapInPandas(run, schema="doc_id long, simhash long")
 
 
 _TOKEN_RE = None
@@ -152,7 +160,7 @@ def token_bigram_sets(docs: DataFrame) -> DataFrame:
                     {"doc_id": np.concatenate(out_id), "sid": np.concatenate(out_sid)}
                 )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema="doc_id long, sid long")
+    return _spread(docs.select("doc_id", "text")).mapInPandas(run, schema="doc_id long, sid long")
 
 
 def token_bigram_arrays(docs: DataFrame) -> DataFrame:
@@ -179,7 +187,7 @@ def token_bigram_arrays(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, sids array<long>, n long"
     )
 
@@ -202,4 +210,4 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
                     {"doc_id": np.concatenate(out_id), "sid": np.concatenate(out_sid)}
                 )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema="doc_id long, sid long")
+    return _spread(docs.select("doc_id", "text")).mapInPandas(run, schema="doc_id long, sid long")

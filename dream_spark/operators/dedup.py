@@ -181,12 +181,23 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .join(docsets.select("doc_id", "n"), on="doc_id")
         .where(F.col("pos") <= prefix_len)
-        .select("doc_id", "sid")
+        .select("doc_id", "sid", "pos", "n")
     )
+    # PPJoin pruning inside the candidate join (both sound for J ≥ t):
+    # - size filter: t ≤ n_a/n_b ≤ 1/t
+    # - positional filter: at the first shared prefix token the remaining
+    #   suffixes must still allow overlap α = ⌈t/(1+t)·(n_a+n_b)⌉
+    na, nb = F.col("a.n"), F.col("b.n")
+    alpha = F.ceil(F.lit(_T_NUM) * (na + nb) / F.lit(float(_T_NUM + _T_DEN)))
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), on="sid")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.lit(_T_NUM) * nb <= F.lit(_T_DEN) * na)
+            & (F.lit(_T_NUM) * na <= F.lit(_T_DEN) * nb)
+            & (F.least(na - F.col("a.pos"), nb - F.col("b.pos")) + 1 >= alpha)
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -213,7 +224,7 @@ WITH sids AS ({duck_token_bigram_ids_cte()}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sids GROUP BY doc_id),
 dfreq AS (SELECT sid, COUNT(*) AS df FROM sids GROUP BY sid),
 pref AS (
-  SELECT doc_id, sid FROM (
+  SELECT doc_id, sid, pos, n FROM (
     SELECT s.doc_id, s.sid,
            ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sid) AS pos,
            z.n
@@ -222,7 +233,10 @@ pref AS (
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM pref a JOIN pref b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  FROM pref a JOIN pref b
+    ON a.sid = b.sid AND a.doc_id < b.doc_id
+   AND {_T_NUM} * b.n <= {_T_DEN} * a.n AND {_T_NUM} * a.n <= {_T_DEN} * b.n
+   AND LEAST(a.n - a.pos, b.n - b.pos) + 1 >= CEIL({_T_NUM} * (a.n + b.n) / {float(_T_NUM + _T_DEN)})
 ),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter

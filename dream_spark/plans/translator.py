@@ -197,14 +197,30 @@ def translate(
 
     assert plan is not None
     if decode:
-        # Final dictionary decode — the id2name step (reference Proxy.c:211-224)
-        # as one join per projected column against the dict DataFrame.
-        for v in query.projection:
-            lex = store.dictionary.select(
-                F.col("id").alias(v), F.col("lexical").alias(f"__lex_{v}")
-            )
-            plan = plan.join(lex, on=v, how="left")
-        plan = plan.select(*[F.col(f"__lex_{v}").alias(v) for v in query.projection])
+        # Final dictionary decode — the id2name step (reference Proxy.c:211-224).
+        # Melt the k projected id columns into (row, slot, id), decode with
+        # ONE dict join, and pivot back: one shuffle of the dictionary
+        # instead of k, and AQE turns the join into a broadcast at runtime
+        # when the (small) result side allows it.
+        proj = query.projection
+        # rid must be assigned BEFORE the explode (a generator re-evaluates
+        # sibling expressions per output row)
+        plan = plan.select(F.monotonically_increasing_id().alias("__rid"), *proj)
+        plan = plan.select(
+            "__rid",
+            F.posexplode(F.array(*[F.col(v) for v in proj])).alias("__slot", "__id"),
+        )
+        dec = plan.join(
+            store.dictionary.select(F.col("id").alias("__id"), "lexical"),
+            on="__id",
+            how="left",
+        )
+        plan = dec.groupBy("__rid").agg(
+            *[
+                F.max(F.when(F.col("__slot") == i, F.col("lexical"))).alias(v)
+                for i, v in enumerate(proj)
+            ]
+        ).select(*proj)
     else:
         plan = plan.select(*query.projection)
     if query.distinct:
