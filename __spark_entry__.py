@@ -46,6 +46,11 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " ?O status ?ST . ?O priority ?PR }",
         True,
     ),
+    # ORDER BY + LIMIT superset (reference grammar has neither, SURVEY.md §2.3)
+    "sparql_topk": (
+        "select ?O ?C where { ?O type Order . ?O placedBy ?C } order by ?O desc limit 20",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

@@ -62,4 +62,15 @@ def bgp_to_sql(
 
     distinct = "DISTINCT " if query.distinct else ""
     where_sql = " AND ".join(where) if where else "TRUE"
-    return f"{ctes}\nSELECT {distinct}{select_list}\nFROM {', '.join(aliases)}\nWHERE {where_sql}"
+    sql = f"{ctes}\nSELECT {distinct}{select_list}\nFROM {', '.join(aliases)}\nWHERE {where_sql}"
+    if query.order or query.limit is not None:
+        # wrap so ORDER BY/LIMIT apply to the projected (possibly decoded)
+        # output columns, same as the DataFrame plan
+        sql = f"SELECT * FROM (\n{sql}\n)"
+        if query.order:
+            sql += "\nORDER BY " + ", ".join(
+                f"{v} DESC" if desc else f"{v}" for v, desc in query.order
+            )
+        if query.limit is not None:
+            sql += f"\nLIMIT {query.limit}"
+    return sql

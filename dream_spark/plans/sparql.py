@@ -56,11 +56,14 @@ class Condition:
 @dataclass
 class ParsedQuery:
     """Projection list + conditions — reference ``Result``+``Condition`` lists
-    (QueryPlanner.c:24-28)."""
+    (QueryPlanner.c:24-28).  ``order``/``limit`` extend the reference grammar
+    (which has neither, SURVEY.md §2.3) as a documented superset."""
 
     projection: list[str]
     conditions: list[Condition]
     distinct: bool = False
+    order: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
+    limit: int | None = None
     text: str = field(default="", repr=False)
 
     def all_variables(self) -> list[str]:
@@ -88,11 +91,29 @@ def parse_sparql(text: str) -> ParsedQuery:
     (QueryPlanner.c:946-1013).
     """
     src = text.strip()
-    m = re.match(r"(?is)^\s*select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}\s*$", src, re.DOTALL)
+    m = re.match(
+        r"(?is)^\s*select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}\s*"
+        r"(?:order\s+by\s+((?:\?\w+(?:\s+(?:asc|desc))?\s*)+))?"
+        r"(?:limit\s+(\d+))?\s*$",
+        src,
+        re.DOTALL,
+    )
     if not m:
         raise SparqlSyntaxError(f"expected 'select … where {{ … }}': {text[:120]!r}")
     distinct = bool(m.group(1))
     proj_src, body = m.group(2), m.group(3)
+    order: list[tuple[str, bool]] = []
+    if m.group(4):
+        toks = _WS.split(m.group(4).strip())
+        i = 0
+        while i < len(toks):
+            var = toks[i]
+            if not var.startswith("?"):
+                raise SparqlSyntaxError(f"order by terms must be variables, got {var!r}")
+            desc = i + 1 < len(toks) and toks[i + 1].lower() in ("asc", "desc") and toks[i + 1].lower() == "desc"
+            i += 2 if (i + 1 < len(toks) and toks[i + 1].lower() in ("asc", "desc")) else 1
+            order.append((var[1:], desc))
+    limit = int(m.group(5)) if m.group(5) else None
 
     projection: list[str] = []
     for tok in _WS.split(proj_src.strip()):
@@ -118,7 +139,14 @@ def parse_sparql(text: str) -> ParsedQuery:
     if not conditions:
         raise SparqlSyntaxError("empty where clause")
 
-    q = ParsedQuery(projection=projection, conditions=conditions, distinct=distinct, text=src)
+    q = ParsedQuery(
+        projection=projection,
+        conditions=conditions,
+        distinct=distinct,
+        order=order,
+        limit=limit,
+        text=src,
+    )
     if not q.projection:
         q.projection = q.all_variables()
     else:
@@ -126,4 +154,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         missing = [v for v in q.projection if v not in known]
         if missing:
             raise SparqlSyntaxError(f"projected variables not bound in where clause: {missing}")
+    bad_order = [v for v, _ in q.order if v not in q.projection]
+    if bad_order:
+        raise SparqlSyntaxError(f"order-by variables must be projected: {bad_order}")
     return q

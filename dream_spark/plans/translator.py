@@ -225,4 +225,10 @@ def translate(
         plan = plan.select(*query.projection)
     if query.distinct:
         plan = plan.distinct()
+    if query.order:
+        plan = plan.orderBy(
+            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in query.order]
+        )
+    if query.limit is not None:
+        plan = plan.limit(query.limit)
     return plan

@@ -201,5 +201,42 @@ FROM sess GROUP BY user_id, session_no
 """.strip()
 
 
-QUERIES = {"streaming_sessionize_batch": sessionize_batch}
-ORACLES = {"streaming_sessionize_batch": SESSIONIZE_BATCH_SQL}
+# --------------------------------------------------------------------------
+# streaming exact dedup
+# --------------------------------------------------------------------------
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state: the watermark
+    lets Spark drop dedup state older than the lateness horizon — the only
+    way exact dedup survives an unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def dedup_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dedup: duplicate-injected events (the
+    FIXTURES recipe) reduced to one row per event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionAll(ev)
+    return doubled.groupBy("event_id").agg(
+        F.min("ts").alias("ts"),
+        F.min("user_id").alias("user_id"),
+        F.min("event_type").alias("event_type"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+DEDUP_EVENTS_SQL = """
+SELECT event_id, MIN(ts) AS ts, MIN(user_id) AS user_id,
+       MIN(event_type) AS event_type, COUNT(*) AS n_copies
+FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+GROUP BY event_id
+""".strip()
+
+
+QUERIES = {
+    "streaming_sessionize_batch": sessionize_batch,
+    "streaming_dedup_batch": dedup_events_batch,
+}
+ORACLES = {
+    "streaming_sessionize_batch": SESSIONIZE_BATCH_SQL,
+    "streaming_dedup_batch": DEDUP_EVENTS_SQL,
+}

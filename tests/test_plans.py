@@ -1,0 +1,85 @@
+"""Physical-plan invariants — the 100 TB posture checks (SCALE.md).
+
+These assert properties of the *executed* plan, not results: filters reach
+the parquet scan, small dims broadcast, aggregations are partial (map-side
+combine), and nothing silently degrades to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+# Queries that intentionally broadcast one side against the whole corpus.
+_BROADCAST_SCAN_OK = {"knn_bruteforce"}
+
+
+def test_no_accidental_cartesian_products(spark, queries):
+    """A CartesianProduct in any operator plan means a join lost its keys."""
+    offenders = []
+    for name, fn in sorted(queries.items()):
+        if name in _BROADCAST_SCAN_OK:
+            continue
+        plan = _plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_q1_partial_aggregation_and_column_pruning(spark, queries):
+    plan = _plan(queries["rel_q1_pricing"](spark, SF_DIR))
+    # partial + final HashAggregate pair = map-side combine: the shuffle
+    # carries #groups rows, not raw lineitems
+    assert plan.count("HashAggregate") >= 2
+    # column pruning: the scan must not read join-irrelevant columns
+    assert "l_partkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_q6_filter_pushdown(spark, queries):
+    plan = _plan(queries["rel_q6_filter"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "LessThan" in plan
+
+
+def test_sparql_constant_predicate_pushdown(engine):
+    """A constant-predicate triple pattern must reach the scan as a pushed
+    equality filter on p — the analog of RDF-3X predicate-index pruning."""
+    plan = engine.sparql(
+        "select ?O ?ST where { ?O placedBy <customer:1> . ?O status ?ST }"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+
+
+def test_knn_corpus_not_shuffled(spark, queries):
+    """Brute-force kNN broadcasts the query side; the corpus scan must feed
+    the join without an Exchange (no corpus shuffle at any scale)."""
+    plan = _plan(queries["knn_bruteforce"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    before_join = plan.split("Join")[-1]
+    assert "Exchange hashpartitioning" not in before_join
+
+
+def test_semi_and_anti_join_operators(spark, queries):
+    assert "LeftSemi" in _plan(queries["rel_q4_semi"](spark, SF_DIR))
+    assert "LeftAnti" in _plan(queries["rel_anti"](spark, SF_DIR))
+
+
+def test_dedup_minhash_signatures_from_kernel(spark, queries):
+    """Signatures must come from the zero-shuffle Arrow kernel, not an
+    explode→groupBy pipeline (which would shuffle ~300× the corpus size):
+    the plan contains the kernel node and no shingle-level aggregation."""
+    plan = _plan(queries["dedup_minhash"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "partial_min" not in plan  # no shingle-row groupBy(doc_id) min

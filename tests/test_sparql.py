@@ -121,3 +121,28 @@ def test_greedy_order_starts_selective(engine):
 def test_pushed_filters_reach_scan(engine):
     plan = engine.explain("select ?O ?ST where { ?O placedBy <customer:1> . ?O status ?ST }")
     assert "PushedFilters" in plan
+
+
+# ---- ORDER BY / LIMIT superset --------------------------------------------
+def test_order_by_limit_parse():
+    q = parse_sparql("select ?A ?B where { ?A placedBy ?B } order by ?A desc ?B limit 7")
+    assert q.order == [("A", True), ("B", False)]
+    assert q.limit == 7
+
+
+def test_order_by_unprojected_raises():
+    from dream_spark.plans.sparql import SparqlSyntaxError
+
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?A where { ?A placedBy ?B } order by ?B")
+
+
+def test_topk_oracle(engine, duck):
+    qtext = "select ?O ?C where { ?O type Order . ?O placedBy ?C } order by ?O desc limit 20"
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(parse_sparql(qtext)))
+
+
+def test_topk_decoded_oracle(engine, duck):
+    qtext = "select ?C ?N where { ?C type Customer . ?C name ?N } order by ?N limit 5"
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=True), duck, bgp_to_sql(q, decode=True))

@@ -40,6 +40,61 @@ def test_hourly_counts_stream_matches_batch(spark):
     assert got == want
 
 
+def test_dedup_batch_oracle(spark, duck):
+    assert_oracle_match(SE.dedup_events_batch(spark, SF_DIR), duck, SE.DEDUP_EVENTS_SQL)
+
+
+@pytest.mark.slow
+def test_dedup_stream_drops_duplicates(spark):
+    """Two unioned copies of the stream dedup down to one row per event."""
+    s1 = SE.read_events_stream(spark, SF_DIR)
+    s2 = SE.read_events_stream(spark, SF_DIR)
+    deduped = SE.dedup_stream(s1.unionAll(s2))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from dream_spark.sources.tables import load_table
+
+    n_events = load_table(spark, SF_DIR, "events").count()
+    got = spark.sql("select count(*) c, count(distinct event_id) d from dedup_sink").first()
+    assert got["c"] == got["d"] == n_events
+
+
+@pytest.mark.slow
+def test_stream_parquet_sink_roundtrip(spark, tmp_path):
+    """foreachBatch-free sink check: stream → parquet files → re-read equals
+    the batch aggregation."""
+    from dream_spark.operators.relational import events_hourly
+
+    stream = SE.hourly_counts_stream(SE.read_events_stream(spark, SF_DIR))
+    out = str(tmp_path / "hourly_out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_hourly(spark, SF_DIR).collect()
+    }
+    # append mode emits only watermark-finalized windows: a non-empty exact
+    # subset of the batch result (the trailing horizon stays open)
+    assert got and got.items() <= want.items()
+
+
 @pytest.mark.slow
 def test_sessionize_stream_runs(spark):
     """The applyInPandasWithState sessionizer must run end-to-end and emit
