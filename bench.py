@@ -24,6 +24,7 @@ HEADLINE = [
     "sparql_cycle5",
     "sparql_path",
     "sparql_decode",
+    "sparql_topk",
     "rel_q1_pricing",
     "rel_q3_top10",
     "rel_q5_cycle",
@@ -46,10 +47,13 @@ HEADLINE = [
     "dedup_jaccard",
     "simhash_docs",
     "dedup_embedding",
+    "dedup_clusters",
     "knn_bruteforce",
     "knn_lsh",
     "media_catalog",
+    "media_decode_stats",
     "streaming_sessionize_batch",
+    "streaming_dedup_batch",
 ]
 
 

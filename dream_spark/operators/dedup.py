@@ -1,14 +1,15 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
-and embedding-cosine near-duplicates.
+"""Deduplication operators: exact, MinHash+LSH, SimHash, word-bigram
+Jaccard, embedding-cosine near-duplicates, and cluster assembly.
 
 Scale design notes (the part that matters at 100 TB):
 - No operator materializes the O(n^2) pair space.  Candidate pairs always
   come from an equi-join on a *bucket key* (LSH band hash, SimHash band,
-  rare-feature id, hyperplane bucket) — Spark shuffles by bucket, buckets are
+  prefix feature, hyperplane bucket) — Spark shuffles by bucket, buckets are
   small, and the exact verification runs only on candidates.
-- Signatures are computed as per-document aggregations (groupBy doc_id with
-  K conditional-min/sum columns) — partial aggregation map-side, one shuffle
-  of #docs rows, no K-fold row explosion.
+- Signatures come from zero-shuffle Arrow kernels (functions/textkernels.py):
+  one mapInPandas pass per corpus, no shingle-level shuffle at all.
+- Candidate joins move ids only; vectors/sets are joined back (broadcast)
+  for verification.
 - All hashing is the deterministic integer family in functions/hashing.py,
   replayed verbatim by the DuckDB oracle.
 """
@@ -448,6 +449,82 @@ WHERE {_DUCK_COS_AB} >= {EMB_COS_THRESHOLD}
 """.strip()
 
 
+# --------------------------------------------------------------------------
+# duplicate-cluster assembly (connected components)
+# --------------------------------------------------------------------------
+_CC_MAX_ITERS = 25
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Min-label propagation over an undirected edge list → (node, cluster)
+    where cluster = smallest reachable node id.
+
+    The iterative step Spark SQL cannot express: a driver-side loop over
+    distributed joins, converging in O(graph diameter) rounds, with an
+    eager localCheckpoint per round to truncate lineage (without it the
+    plan tree doubles every iteration).  This is the simplified form of the
+    large-star/small-star CC algorithm used for dedup-cluster assembly.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(_CC_MAX_ITERS):
+        nbr = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline's last step: group the verified (J ≥ 0.8)
+    near-duplicate pairs into clusters; canonical keeper = min doc_id.
+    Output: (doc_id, cluster_id) for every clustered document."""
+    edges = dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(edges, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{DEDUP_JACCARD_SQL}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON r.node = s.b
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+""".strip()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_docs": dedup_exact_docs,
@@ -456,6 +533,7 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
@@ -466,4 +544,5 @@ ORACLES = {
     "simhash_docs": SIMHASH_DOCS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }

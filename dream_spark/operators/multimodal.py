@@ -170,5 +170,24 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
-QUERIES = {"media_catalog": media_catalog_meta}
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full decode pipeline surfaced as a query: catalog → metadata
+    prune → mapInPandas decode/resize → per-format stats.  The decode step
+    is genuinely non-SQL-expressible (Arrow-batched Python), so this entry
+    has NO oracle — the driver records its weaker rows-only check, which is
+    exactly the declared contract for custom kernels."""
+    decoded = decode_and_resize(media_catalog(spark, sf_dir))
+    return decoded.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_decoded"),
+        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_ok"),
+        F.max("out_width").alias("max_w"),
+        F.max("out_height").alias("max_h"),
+    )
+
+
+QUERIES = {
+    "media_catalog": media_catalog_meta,
+    "media_decode_stats": media_decode_stats,
+}
+# media_decode_stats intentionally absent: non-SQL-expressible decode kernel
 ORACLES = {"media_catalog": MEDIA_CATALOG_META_SQL}

@@ -38,3 +38,30 @@ def test_jaccard_threshold_respected(spark):
 def test_simhash_16bit_range(spark):
     rows = D.simhash_docs(spark, SF_DIR).collect()
     assert all(0 <= r["simhash"] < (1 << D.SIMHASH_BITS) for r in rows)
+
+
+# ---- connected-components cluster assembly --------------------------------
+def test_connected_components_unit(spark):
+    from dream_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        ["src", "dst"],
+    )
+    got = {
+        (r["node"], r["cluster"]) for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_dedup_clusters_oracle(spark, duck):
+    from dream_spark.operators import dedup as D
+    from tests.conftest import SF_DIR, assert_oracle_match
+
+    assert_oracle_match(
+        D.dedup_clusters(spark, SF_DIR), duck, D.DEDUP_CLUSTERS_SQL
+    )
