@@ -51,6 +51,18 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?O ?C where { ?O type Order . ?O placedBy ?C } order by ?O desc limit 20",
         False,
     ),
+    # disconnected BGP components → bag-union cross product (reference O7)
+    "sparql_disconnected": (
+        "select ?R ?S where { ?R type Region . ?S type Supplier }",
+        False,
+    ),
+    # empty SUBPLAN inside a larger join (reference O10 / stats key <1>.1.6=-1):
+    # regions are never inNation subjects, so the middle pattern is empty and
+    # AQE's empty-relation propagation must collapse the whole join
+    "sparql_empty_join": (
+        "select ?X ?Y where { ?X type Region . ?X inNation ?Y . ?Y type Nation }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

@@ -25,6 +25,7 @@ HEADLINE = [
     "sparql_path",
     "sparql_decode",
     "sparql_topk",
+    "sparql_disconnected",
     "rel_q1_pricing",
     "rel_q3_top10",
     "rel_q5_cycle",
@@ -35,6 +36,7 @@ HEADLINE = [
     "rel_q18_having",
     "rel_rollup",
     "rel_json_props",
+    "rel_sql_passthrough",
     "rel_window_top3",
     "rel_events_hourly",
     "temporal_asof",
@@ -42,6 +44,7 @@ HEADLINE = [
     "text_features",
     "text_fingerprint",
     "text_langid",
+    "text_topterms",
     "dedup_exact_docs",
     "dedup_minhash",
     "dedup_jaccard",
@@ -50,6 +53,7 @@ HEADLINE = [
     "dedup_clusters",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
     "media_catalog",
     "media_decode_stats",
     "streaming_sessionize_batch",

@@ -406,6 +406,32 @@ GROUP BY event_type
 """.strip()
 
 
+# One ANSI-SQL text, two engines: the engine.sql() passthrough surface
+# (reference O1 analog — the query *text* is the user API) run verbatim by
+# Spark SQL and by the DuckDB oracle.
+SQL_PASSTHROUGH = f"""
+WITH spend AS (
+  SELECT c_nationkey, c_custkey, SUM(CAST(o_totalprice AS {_PRICE})) AS tot
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_nationkey, c_custkey
+)
+SELECT c_nationkey, c_custkey, CAST(tot AS DOUBLE) AS total_spend, rnk
+FROM (SELECT c_nationkey, c_custkey, tot,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY tot DESC, c_custkey) AS rnk
+      FROM spend)
+WHERE rnk <= 3
+""".strip()
+
+
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine.sql(): the same ANSI text the oracle runs, executed by Spark
+    SQL over the registered tables — Catalyst plans it, no translation."""
+    from dream_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(SQL_PASSTHROUGH)
+
+
 QUERIES = {
     "rel_q1_pricing": q1_pricing_summary,
     "rel_q3_top10": q3_shipping_priority,
@@ -420,6 +446,7 @@ QUERIES = {
     "rel_q18_having": q18_big_orders,
     "rel_rollup": rollup_pricing,
     "rel_json_props": json_props_stats,
+    "rel_sql_passthrough": sql_passthrough,
 }
 
 ORACLES = {
@@ -436,4 +463,5 @@ ORACLES = {
     "rel_q18_having": Q18_SQL,
     "rel_rollup": ROLLUP_SQL,
     "rel_json_props": JSON_PROPS_SQL,
+    "rel_sql_passthrough": SQL_PASSTHROUGH,
 }

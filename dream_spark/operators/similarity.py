@@ -133,12 +133,98 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """.strip()
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantizer cells + multi-probe
+# --------------------------------------------------------------------------
+IVF_K = 8  # number of coarse cells
+IVF_NPROBE = 2  # cells probed per query
+
+_D2 = "(nrm + cn - 2 * cdot)"  # ‖x−c‖² = ‖x‖² + ‖c‖² − 2⟨x,c⟩, exact int64
+
+
+def _ivf_assign(q: DataFrame, nprobe: int) -> DataFrame:
+    """(vec_id, cell[, rank]) — nearest-centroid assignment.  Centroids are
+    the IVF_K lowest-id vectors: a deterministic training stub (a real
+    deployment trains k-means with a fixed seed and persists the centroid
+    table; everything downstream — broadcast assign, cell join, probe — is
+    unchanged).  Assignment = argmin exact integer distance, ties by cell."""
+    cents = q.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cell"), F.col("qe").alias("ce"), F.col("nrm").alias("cn")
+    )
+    pairs = q.crossJoin(F.broadcast(cents)).withColumn("cdot", dot_udf()("qe", "ce"))
+    w = Window.partitionBy("vec_id").orderBy(F.expr(_D2), F.col("cell"))
+    return (
+        pairs.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= nprobe)
+        .select("vec_id", "cell", F.col("crank"))
+    )
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in their nearest-centroid cell
+    (an inverted file, partition-prunable at scale); each query probes its
+    IVF_NPROBE nearest cells and reranks exactly within them.  Recall is
+    the cells-probed tradeoff; the oracle replays identical cells."""
+    q = _quantized(spark, sf_dir)
+    corpus_cells = _ivf_assign(q, 1).select(F.col("vec_id").alias("neighbor_id"), "cell")
+    query_cells = (
+        _ivf_assign(q.where(F.col("vec_id") < N_QUERIES), IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        F.broadcast(query_cells)
+        .join(corpus_cells, on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qa = q.select(F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na"))
+    qb = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb"))
+    pairs = cand.join(F.broadcast(qa), on="query_id").join(F.broadcast(qb), on="neighbor_id")
+    return _topk(_scored(pairs))
+
+
+_DUCK_D2 = f"(a.nrm + c.nrm - 2 * {dot_sql('a.qe', 'c.qe', duck=True)})"
+
+KNN_IVF_SQL = f"""
+WITH {_duck_quantized()},
+cents AS (SELECT vec_id AS cell, qe, nrm FROM qn WHERE vec_id < {IVF_K}),
+asgn AS (
+  SELECT vec_id, cell, crank FROM (
+    SELECT a.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_DUCK_D2}, c.cell) AS crank
+    FROM qn a CROSS JOIN cents c
+  )
+),
+corpus_cells AS (SELECT vec_id AS neighbor_id, cell FROM asgn WHERE crank = 1),
+query_cells AS (SELECT vec_id AS query_id, cell FROM asgn
+                WHERE crank <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM query_cells JOIN corpus_cells USING (cell)
+  WHERE query_id <> neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {cos_sql(dot_sql("qa.qe", "qb.qe", duck=True), "qa.nrm", "qb.nrm")} AS cos
+  FROM cand JOIN qn qa ON qa.vec_id = query_id JOIN qn qb ON qb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""".strip()
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
 }
 
 ORACLES = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_lsh": KNN_LSH_SQL,
+    "knn_ivf": KNN_IVF_SQL,
 }

@@ -194,14 +194,40 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN fp USING (doc_id)
 """.strip()
 
 
+TOP_TERMS_K = 25
+
+
+def text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-K terms by document frequency
+    (deterministic tiebreak on the term itself) with total occurrence
+    counts — the df/tf sketch a corpus-analysis pipeline starts from."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(docs)
+    stats = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    return stats.orderBy(F.col("df").desc(), F.col("tok")).limit(TOP_TERMS_K)
+
+
+TEXT_TOPTERMS_SQL = f"""
+WITH toks AS ({duck_tokens_cte()})
+SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+FROM toks GROUP BY tok
+ORDER BY df DESC, tok LIMIT {TOP_TERMS_K}
+""".strip()
+
+
 QUERIES = {
     "text_features": text_features,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_topterms": text_topterms,
 }
 
 ORACLES = {
     "text_features": TEXT_FEATURES_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_topterms": TEXT_TOPTERMS_SQL,
 }

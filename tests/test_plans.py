@@ -22,15 +22,16 @@ def queries():
     return entry.queries()
 
 
-# Queries that intentionally broadcast one side against the whole corpus.
-_BROADCAST_SCAN_OK = {"knn_bruteforce"}
+# Queries whose semantics REQUIRE a cross product: a broadcast scan of the
+# whole corpus (brute-force kNN) or a disconnected BGP (bag-union, ref O7).
+_CARTESIAN_OK = {"knn_bruteforce", "sparql_disconnected"}
 
 
 def test_no_accidental_cartesian_products(spark, queries):
     """A CartesianProduct in any operator plan means a join lost its keys."""
     offenders = []
     for name, fn in sorted(queries.items()):
-        if name in _BROADCAST_SCAN_OK:
+        if name in _CARTESIAN_OK:
             continue
         plan = _plan(fn(spark, SF_DIR))
         if "CartesianProduct" in plan:
