@@ -159,31 +159,32 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Feature space = consecutive-token bigrams (discriminative for natural
     text — character shingles of same-language documents overlap so heavily
-    that any candidate scheme goes quadratic).  Sort each document's
-    bigrams by global document frequency (rarest first, ties by id) and
-    keep only the first n − ⌈t·n⌉ + 1 as its join prefix: any pair with
-    J ≥ t MUST share a prefix bigram (pigeonhole on the global order), so
-    the candidate join loses no recall while joining on the rarest ~20% of
-    features.  Exact |∩|/|∪| verifies candidates.
+    that any candidate scheme goes quadratic).  Each document's bigram set
+    is a sorted array; its join prefix is simply the first n − ⌈t·n⌉ + 1
+    elements: any pair with J ≥ t MUST share a prefix element (pigeonhole
+    on the shared global order), so the candidate join loses no recall.
+    Prefix filtering is exact under ANY global feature order — ascending
+    sid costs a few % more candidates than rarest-first but needs zero
+    extra shuffles (no document-frequency pass, no per-doc ranking window).
+    Exact |∩|/|∪| verifies candidates; dedup happens on the (tiny)
+    verified output, not the (large) candidate stream.
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    # one kernel pass builds each document's sorted bigram-set array; the
-    # flat (doc_id, sid) view for prefix generation is a cheap explode of it
+    # one kernel pass builds each document's sorted bigram-set array
     docsets = token_bigram_arrays(docs).persist()
-    sids = docsets.select("doc_id", F.explode("sids").alias("sid"))
-    dfreq = sids.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "sid")
+    # materialize the cache NOW: the three downstream subtrees (prefix
+    # stream, both verification broadcasts) otherwise race to compute the
+    # kernel concurrently before the cache is populated
+    docsets.count()
     # ⌈t·n⌉ with exact integer arithmetic: (T_NUM·n + T_DEN − 1) div T_DEN
-    prefix_len = F.col("n") - F.floor((F.lit(_T_NUM) * F.col("n") + _T_DEN - 1) / F.lit(float(_T_DEN))) + 1
-    pref = (
-        sids.join(dfreq, on="sid")
-        .withColumn("pos", F.row_number().over(w))
-        .join(docsets.select("doc_id", "n"), on="doc_id")
-        .where(F.col("pos") <= prefix_len)
-        .select("doc_id", "sid", "pos", "n")
-    )
+    prefix_len = (
+        F.col("n") - F.floor((F.lit(_T_NUM) * F.col("n") + _T_DEN - 1) / F.lit(float(_T_DEN))) + 1
+    ).cast("int")
+    pref = docsets.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("sids", F.lit(1), prefix_len)).alias("pos0", "sid"),
+    ).select("doc_id", "n", "sid", (F.col("pos0") + 1).alias("pos"))
     # PPJoin pruning inside the candidate join (both sound for J ≥ t):
     # - size filter: t ≤ n_a/n_b ≤ 1/t
     # - positional filter: at the first shared prefix token the remaining
@@ -200,11 +201,13 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.least(na - F.col("a.pos"), nb - F.col("b.pos")) + 1 >= alpha)
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
     # verify by broadcast-joining the per-doc set arrays onto the candidate
     # pairs and counting the intersection JVM-side (array_intersect — no
-    # pair×shingle row blowup, no Python transfer of the pair stream)
+    # pair×shingle row blowup, no Python transfer of the pair stream).
+    # Candidates are NOT deduped first: re-verifying a duplicate pair is
+    # cheaper than shuffling the whole candidate stream for distinct —
+    # dedup runs on the verified (threshold-surviving) output instead.
     sa = docsets.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sa"), F.col("n").alias("n_a"))
     sb = docsets.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sb"), F.col("n").alias("n_b"))
     pairs = cand.join(F.broadcast(sa), on="doc_a").join(F.broadcast(sb), on="doc_b")
@@ -217,19 +220,18 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         ).alias("jaccard"),
     )
-    return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD).dropDuplicates(["doc_a", "doc_b"])
 
 
 DEDUP_JACCARD_SQL = f"""
 WITH sids AS ({duck_token_bigram_ids_cte()}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sids GROUP BY doc_id),
-dfreq AS (SELECT sid, COUNT(*) AS df FROM sids GROUP BY sid),
 pref AS (
   SELECT doc_id, sid, pos, n FROM (
     SELECT s.doc_id, s.sid,
-           ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sid) AS pos,
+           ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY s.sid) AS pos,
            z.n
-    FROM sids s JOIN dfreq d USING (sid) JOIN sizes z USING (doc_id)
+    FROM sids s JOIN sizes z USING (doc_id)
   ) WHERE pos <= n - FLOOR(({_T_NUM} * n + {_T_DEN - 1}) / {float(_T_DEN)}) + 1
 ),
 cand AS (
