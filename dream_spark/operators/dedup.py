@@ -457,19 +457,57 @@ WHERE {_DUCK_COS_AB} >= {EMB_COS_THRESHOLD}
 _CC_MAX_ITERS = 25
 
 
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+_CC_SMALL_EDGES = 2_000_000
+
+
+def _unionfind_components(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Driver union-find over a collected edge list: (node, min reachable)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    label: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        label[r] = min(label.get(r, x), x)
+    return sorted((x, label[find(x)]) for x in parent)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", small_edges: int = _CC_SMALL_EDGES
+) -> DataFrame:
     """Min-label propagation over an undirected edge list → (node, cluster)
     where cluster = smallest reachable node id.
 
-    The iterative step Spark SQL cannot express: a driver-side loop over
-    distributed joins, converging in O(graph diameter) rounds, with an
-    eager localCheckpoint per round to truncate lineage (without it the
-    plan tree doubles every iteration).  This is the simplified form of the
-    large-star/small-star CC algorithm used for dedup-cluster assembly.
+    Size-adaptive physical choice, same philosophy as broadcast-vs-shuffle
+    join: when the surviving near-dup edge list is small (it is the
+    *verified-duplicate* set, orders of magnitude smaller than the corpus),
+    2·diameter shuffle rounds cost more than one collect — run union-find
+    on the driver.  Past _CC_SMALL_EDGES, iterate distributed: a
+    driver-side loop over joins, converging in O(graph diameter) rounds,
+    with an eager localCheckpoint per round to truncate lineage (without
+    it the plan tree doubles every iteration).  This is the simplified
+    form of the large-star/small-star CC algorithm used for dedup-cluster
+    assembly.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).persist()
+    if sym.count() <= small_edges:
+        rows = _unionfind_components([(r["a"], r["b"]) for r in sym.collect()])
+        sym.unpersist()
+        spark = edges.sparkSession
+        return spark.createDataFrame(rows, schema="node long, cluster long")
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()

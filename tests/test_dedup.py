@@ -41,7 +41,10 @@ def test_simhash_16bit_range(spark):
 
 
 # ---- connected-components cluster assembly --------------------------------
-def test_connected_components_unit(spark):
+@pytest.mark.parametrize("small_edges", [0, 10**6])
+def test_connected_components_unit(spark, small_edges):
+    """small_edges=0 forces the distributed label-propagation loop;
+    the default exercises the driver union-find fast path."""
     from dream_spark.operators.dedup import connected_components
 
     edges = spark.createDataFrame(
@@ -49,7 +52,8 @@ def test_connected_components_unit(spark):
         ["src", "dst"],
     )
     got = {
-        (r["node"], r["cluster"]) for r in connected_components(edges).collect()
+        (r["node"], r["cluster"])
+        for r in connected_components(edges, small_edges=small_edges).collect()
     }
     assert got == {
         (1, 1), (2, 1), (3, 1),
