@@ -37,6 +37,16 @@ HEADLINE = [
     "rel_rollup",
     "rel_json_props",
     "rel_sql_passthrough",
+    "rel_q7_nations",
+    "rel_q14_promo",
+    "rel_q16_countd",
+    "rel_q17_corr",
+    "rel_q19_disjunct",
+    "rel_q22_idle",
+    "rel_cube",
+    "rel_pivot",
+    "rel_intersect",
+    "rel_except",
     "rel_window_top3",
     "rel_events_hourly",
     "temporal_asof",

@@ -432,6 +432,304 @@ def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_PASSTHROUGH)
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: volume shipped between two nations in either
+    direction — a 5-way join whose selective pair-predicate sits across two
+    broadcast dims.  At scale only lineitem⋈orders⋈customer shuffles; both
+    nation lookups broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nat.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nat.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")))
+    vol = F.sum(_dec("l_extendedprice", _PRICE) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("sk"))
+        .join(n2, cust.c_nationkey == F.col("ck"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(vol.cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(l_extendedprice AS {_PRICE}) * (1 - CAST(l_discount AS {_RATE}))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+""".strip()
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: conditional-aggregate ratio — share of revenue from
+    ECONOMY-type parts.  Two CASE-WHEN sums in one pass; part is the
+    broadcast side of the join.  Ratio computed on exact decimals, cast to
+    double only at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice", _PRICE) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast(_PRICE))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+                "promo_share"
+            )
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                             THEN CAST(l_extendedprice AS {_PRICE}) * (1 - CAST(l_discount AS {_RATE}))
+                             ELSE CAST(0 AS {_PRICE}) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS {_PRICE}) * (1 - CAST(l_discount AS {_RATE}))) AS DOUBLE)
+       AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""".strip()
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: COUNT(DISTINCT) per group with an exclusion
+    predicate — distinct suppliers per (brand, type), skipping one brand.
+    Spark plans distinct-agg as a two-phase expand+agg; only (brand, type,
+    suppkey) triples shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#2")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2'
+GROUP BY p_brand, p_type
+""".strip()
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: correlated scalar subquery — revenue from lineitems
+    whose quantity is below half their part's average.
+
+    The correlation is decorrelated into a per-part aggregate joined back
+    (exactly what a decorrelating optimizer emits).  The avg comparison
+    ``qty < 0.5 * avg(qty)`` is algebraically rewritten to
+    ``2*qty*cnt < sum(qty)`` so both engines compare exact decimals —
+    no division, no float rounding divergence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity", _QTY)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    return (
+        li.join(per_part, li.l_partkey == F.col("pk"))
+        .where(
+            F.lit(2) * _dec("l_quantity", _QTY) * F.col("cnt_qty") < F.col("sum_qty")
+        )
+        .agg(F.sum(_dec("l_extendedprice", _PRICE)).cast("double").alias("small_qty_revenue"))
+    )
+
+
+Q17_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {_PRICE})) AS DOUBLE) AS small_qty_revenue
+FROM lineitem
+JOIN (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS {_QTY})) AS sum_qty, COUNT(*) AS cnt_qty
+  FROM lineitem GROUP BY l_partkey
+) ON l_partkey = pk
+WHERE 2 * CAST(l_quantity AS {_QTY}) * cnt_qty < sum_qty
+""".strip()
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: disjunction of conjunctive branches across a join —
+    the OR-of-ANDs shape that defeats naive pushdown.  Catalyst still pushes
+    the common join key and prunes columns; the disjunction evaluates
+    post-join in one codegen stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    branch1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#34")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    rev = F.sum(_dec("l_extendedprice", _PRICE) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE)))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(branch1 | branch2 | branch3)
+        .agg(rev.cast("double").alias("revenue"))
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {_PRICE}) * (1 - CAST(l_discount AS {_RATE}))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""".strip()
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: global scalar subquery + anti join + string ops —
+    customers with above-average balance and no orders, grouped by a
+    name-derived code.  The global (sum,count) aggregate is a single row
+    cross-joined (broadcast) against customer; the above-average predicate
+    ``bal > sum/cnt`` is rewritten to ``bal*cnt > sum`` on exact decimals."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    positive = cust.where(F.col("c_acctbal") > 0.0)
+    glob = positive.agg(
+        F.sum(_dec("c_acctbal", _PRICE)).alias("sum_bal"),
+        F.count(F.lit(1)).alias("cnt_bal"),
+    )
+    return (
+        positive.crossJoin(F.broadcast(glob))
+        .where(_dec("c_acctbal", _PRICE) * F.col("cnt_bal") > F.col("sum_bal"))
+        .join(orders, F.col("c_custkey") == orders.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal", _PRICE)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+SELECT substr(c_name, 10, 2) AS code,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS {_PRICE})) AS DOUBLE) AS totacctbal
+FROM customer
+CROSS JOIN (
+  SELECT SUM(CAST(c_acctbal AS {_PRICE})) AS sum_bal, COUNT(*) AS cnt_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+WHERE c_acctbal > 0.0
+  AND CAST(c_acctbal AS {_PRICE}) * cnt_bal > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY substr(c_name, 10, 2)
+""".strip()
+
+
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all 4 grouping sets over (returnflag, linestatus)
+    in one pass — the full grouping-sets machinery (rollup covers only the
+    hierarchical prefix sets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity", _QTY)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS {_QTY})) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""".strip()
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns.  The explicit value
+    list keeps the plan single-pass (no distinct-values pre-scan) and the
+    output schema static — the production form at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).agg(F.count(F.lit(1)))
+    return out.na.fill(0, EVENT_TYPES)
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events
+GROUP BY user_id
+""".strip()
+
+
+def intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): BUILDING-segment customers who also
+    placed an urgent order.  Spark plans INTERSECT as a distinct left-semi
+    join — only distinct keys shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(urgent)
+
+
+INTERSECT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""".strip()
+
+
+def except_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customers minus those with any order — the
+    set-difference twin of the anti join (distinct output, unlike rel_anti)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.select(F.col("c_custkey").alias("custkey")).subtract(
+        orders.select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""".strip()
+
+
 QUERIES = {
     "rel_q1_pricing": q1_pricing_summary,
     "rel_q3_top10": q3_shipping_priority,
@@ -447,6 +745,16 @@ QUERIES = {
     "rel_rollup": rollup_pricing,
     "rel_json_props": json_props_stats,
     "rel_sql_passthrough": sql_passthrough,
+    "rel_q7_nations": q7_nation_volume,
+    "rel_q14_promo": q14_promo_share,
+    "rel_q16_countd": q16_supplier_counts,
+    "rel_q17_corr": q17_small_quantity,
+    "rel_q19_disjunct": q19_disjunctive,
+    "rel_q22_idle": q22_idle_customers,
+    "rel_cube": cube_pricing,
+    "rel_pivot": pivot_event_counts,
+    "rel_intersect": intersect_segments,
+    "rel_except": except_no_orders,
 }
 
 ORACLES = {
@@ -464,4 +772,14 @@ ORACLES = {
     "rel_rollup": ROLLUP_SQL,
     "rel_json_props": JSON_PROPS_SQL,
     "rel_sql_passthrough": SQL_PASSTHROUGH,
+    "rel_q7_nations": Q7_SQL,
+    "rel_q14_promo": Q14_SQL,
+    "rel_q16_countd": Q16_SQL,
+    "rel_q17_corr": Q17_SQL,
+    "rel_q19_disjunct": Q19_SQL,
+    "rel_q22_idle": Q22_SQL,
+    "rel_cube": CUBE_SQL,
+    "rel_pivot": PIVOT_SQL,
+    "rel_intersect": INTERSECT_SQL,
+    "rel_except": EXCEPT_SQL,
 }
