@@ -56,6 +56,34 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?R ?S where { ?R type Region . ?S type Supplier }",
         False,
     ),
+    # FILTER/OPTIONAL supersets (reference grammar has neither — Structs.h:82
+    # ships an always-NULL Query.filter field; SURVEY.md §2.3)
+    "sparql_optional": (
+        "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } }",
+        False,
+    ),
+    "sparql_optional_ground": (
+        "select ?C ?N ?O where { ?C type Customer . ?C inNation ?N ."
+        " optional { ?O placedBy ?C . ?O status <F> } }",
+        False,
+    ),
+    "sparql_filter_ne": (
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N . filter (?N != <nation:5>) }",
+        False,
+    ),
+    "sparql_filter_samenation": (
+        "select ?L ?S ?C where { ?L suppliedBy ?S . ?L ofOrder ?O . ?O placedBy ?C ."
+        " ?C inNation ?N1 . ?S inNation ?N2 . filter (?N1 = ?N2) }",
+        False,
+    ),
+    "sparql_filter_regex": (
+        'select ?C ?NM where { ?C type Customer . ?C name ?NM . filter regex(?NM, "1$") }',
+        False,
+    ),
+    "sparql_optional_decode": (
+        "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } }",
+        True,
+    ),
     # empty SUBPLAN inside a larger join (reference O10 / stats key <1>.1.6=-1):
     # regions are never inNation subjects, so the middle pattern is empty and
     # AQE's empty-relation propagation must collapse the whole join

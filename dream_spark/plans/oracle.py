@@ -22,6 +22,100 @@ def _default_resolver(lexical: str) -> int:
     return rid
 
 
+def _render_block(conditions, resolve, alias_start: int) -> tuple[list[str], list[str], dict[str, str]]:
+    """Flat comma-join block for one pattern group: (table aliases, where
+    predicates, var -> first binding slot)."""
+    first_slot: dict[str, str] = {}
+    where: list[str] = []
+    aliases: list[str] = []
+    for i, cond in enumerate(conditions, start=alias_start):
+        t = f"t{i}"
+        aliases.append(f"triples {t}")
+        for slot, term in (("s", cond.subj), ("p", cond.pred), ("o", cond.obj)):
+            ref = f"{t}.{slot}"
+            if term.is_var:
+                if term.var in first_slot:
+                    where.append(f"{ref} = {first_slot[term.var]}")
+                else:
+                    first_slot[term.var] = ref
+            else:
+                where.append(f"{ref} = {resolve(term.lexical)}")
+    return aliases, where, first_slot
+
+
+def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
+    """Rendering path for FILTER/OPTIONAL queries: the required BGP and each
+    optional group become flat subqueries composed with explicit LEFT JOINs,
+    filters apply in the outer WHERE — mirroring the translator's left-join
+    lowering and post-join filter placement."""
+    aliases, where, first_slot = _render_block(query.conditions, resolve, 1)
+    base_vars = list(first_slot)
+    base_sel = ", ".join(f"{first_slot[v]} AS {v}" for v in base_vars)
+    base_where = " AND ".join(where) if where else "TRUE"
+    base = f"SELECT {base_sel} FROM {', '.join(aliases)} WHERE {base_where}"
+
+    src: dict[str, str] = {v: "b" for v in base_vars}
+    joins: list[str] = []
+    astart = len(query.conditions) + 1
+    for k, grp in enumerate(query.optionals, start=1):
+        g_aliases, g_where, g_slot = _render_block(grp, resolve, astart)
+        astart += len(grp)
+        g_vars = list(g_slot)
+        g_sel = ", ".join(f"{g_slot[v]} AS {v}" for v in g_vars)
+        g_where_sql = " AND ".join(g_where) if g_where else "TRUE"
+        shared = [v for v in g_vars if v in src]
+        on = " AND ".join(f"{src[v]}.{v} = g{k}.{v}" for v in shared) or "TRUE"
+        joins.append(f"LEFT JOIN (SELECT {g_sel} FROM {', '.join(g_aliases)} WHERE {g_where_sql}) g{k} ON {on}")
+        for v in g_vars:
+            src.setdefault(v, f"g{k}")
+
+    filt_where: list[str] = []
+    for i, f in enumerate(query.filters):
+        lhs = f"{src[f.var]}.{f.var}"
+        if f.kind == "cmp":
+            rhs = f"{src[f.rhs_var]}.{f.rhs_var}" if f.rhs_var is not None else str(resolve(f.rhs_const))
+            op = "=" if f.op == "=" else "<>"
+            filt_where.append(f"{lhs} {op} {rhs}")
+        else:  # regex — inner dict join, drops NULLs like the engine's plan
+            joins.append(f"JOIN dict fr{i} ON fr{i}.id = {lhs}")
+            filt_where.append(f"regexp_matches(fr{i}.lexical, '{f.pattern}')")
+
+    proj_sel = ", ".join(f"{src[v]}.{v} AS {v}" for v in query.projection)
+    inner = f"SELECT {proj_sel}\nFROM ({base}) b\n" + "\n".join(joins)
+    if filt_where:
+        inner += "\nWHERE " + " AND ".join(filt_where)
+
+    needs_dict = decode or any(f.kind == "regex" for f in query.filters)
+    distinct = "DISTINCT " if query.distinct else ""
+    if decode:
+        # LEFT JOIN (not inner): optional-group variables may be NULL
+        dsel = ", ".join(f"d{j}.lexical AS {v}" for j, v in enumerate(query.projection, start=1))
+        djoins = "\n".join(
+            f"LEFT JOIN dict d{j} ON d{j}.id = q.{v}"
+            for j, v in enumerate(query.projection, start=1)
+        )
+        sql = f"SELECT {distinct}{dsel}\nFROM (\n{inner}\n) q\n{djoins}"
+    elif query.distinct:
+        sql = f"SELECT DISTINCT * FROM (\n{inner}\n)"
+    else:
+        sql = inner
+    ctes = (
+        f"WITH triples AS (\n{TRIPLES_SQL}\n), dict AS (\n{DICT_SQL}\n)"
+        if needs_dict
+        else f"WITH triples AS (\n{TRIPLES_SQL}\n)"
+    )
+    sql = f"{ctes}\n{sql}"
+    if query.order or query.limit is not None:
+        sql = f"SELECT * FROM (\n{sql}\n)"
+        if query.order:
+            sql += "\nORDER BY " + ", ".join(
+                f"{v} DESC" if desc else f"{v}" for v, desc in query.order
+            )
+        if query.limit is not None:
+            sql += f"\nLIMIT {query.limit}"
+    return sql
+
+
 def bgp_to_sql(
     query: ParsedQuery, decode: bool = False, resolver: Callable[[str], int] | None = None
 ) -> str:
@@ -30,8 +124,11 @@ def bgp_to_sql(
     Variables become equality chains across pattern aliases; constants become
     literal ID predicates; projection picks each variable's first binding
     slot.  Bag semantics (no DISTINCT) unless the query says otherwise.
+    FILTER/OPTIONAL queries take the nested LEFT-JOIN rendering path.
     """
     resolve = resolver or _default_resolver
+    if query.filters or query.optionals:
+        return _extended_sql(query, decode, resolve)
     first_slot: dict[str, str] = {}
     where: list[str] = []
     aliases: list[str] = []

@@ -5,9 +5,13 @@ Covers the reference grammar exactly (reference QueryPlanner.c:933-1015):
 patterns only; a term starting with ``?`` is a variable
 (QueryPlanner.c:299-315), anything else is a constant.  Variable predicates
 are supported (QueryPlanner.c:305-309).  The reference grammar has no
-FILTER/OPTIONAL/UNION/ORDER BY/LIMIT (SURVEY.md §2.3); we additionally accept
-an optional ``distinct`` marker and angle-bracketed constants ``<lexical>``
-for readability — both strict supersets.
+FILTER/OPTIONAL/UNION/ORDER BY/LIMIT (SURVEY.md §2.3 — ``Query.filter``
+exists as an always-NULL field, Structs.h:82); we additionally accept as
+documented supersets: a ``distinct`` marker, angle-bracketed constants
+``<lexical>``, ``order by``/``limit``, ``optional { … }`` groups (left
+outer join semantics), and ``filter`` clauses of the forms
+``filter (?X != ?Y)``, ``filter (?X = <const>)``, ``filter (?X != <const>)``
+and ``filter regex(?X, "pattern")``.
 """
 
 from __future__ import annotations
@@ -53,17 +57,35 @@ class Condition:
         return out
 
 
+@dataclass(frozen=True)
+class Filter:
+    """A FILTER clause.  ``kind`` is ``cmp`` (``var op var-or-const`` with op
+    in =/!=, evaluated on dictionary IDs — exact because the dictionary is a
+    bijection) or ``regex`` (``regex(?v, "pat")``, evaluated on the decoded
+    lexical)."""
+
+    kind: str
+    var: str
+    op: str | None = None
+    rhs_var: str | None = None
+    rhs_const: str | None = None
+    pattern: str | None = None
+
+
 @dataclass
 class ParsedQuery:
     """Projection list + conditions — reference ``Result``+``Condition`` lists
-    (QueryPlanner.c:24-28).  ``order``/``limit`` extend the reference grammar
-    (which has neither, SURVEY.md §2.3) as a documented superset."""
+    (QueryPlanner.c:24-28).  ``order``/``limit``/``filters``/``optionals``
+    extend the reference grammar (which has none of them, SURVEY.md §2.3) as
+    documented supersets."""
 
     projection: list[str]
     conditions: list[Condition]
     distinct: bool = False
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
+    filters: list[Filter] = field(default_factory=list)
+    optionals: list[list[Condition]] = field(default_factory=list)
     text: str = field(default="", repr=False)
 
     def all_variables(self) -> list[str]:
@@ -72,6 +94,11 @@ class ParsedQuery:
             for v in c.variables():
                 if v not in out:
                     out.append(v)
+        for grp in self.optionals:
+            for c in grp:
+                for v in c.variables():
+                    if v not in out:
+                        out.append(v)
         return out
 
 
@@ -127,17 +154,73 @@ def parse_sparql(text: str) -> ParsedQuery:
         if tok[1:] not in projection:
             projection.append(tok[1:])
 
-    conditions: list[Condition] = []
-    for i, pat in enumerate(p.strip() for p in re.split(r"\s+\.(?:\s+|$)", body.strip())):
-        pat = pat.strip().rstrip(".").strip()
-        if not pat:
-            continue
-        terms = _WS.split(pat)
-        if len(terms) != 3:
-            raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {terms!r}")
-        conditions.append(Condition(i + 1, Term(terms[0]), Term(terms[1]), Term(terms[2])))
+    # optional { … } groups (non-nested) come out of the body first
+    optional_bodies: list[str] = []
+
+    def _grab_optional(m2: re.Match) -> str:
+        optional_bodies.append(m2.group(1))
+        return " "
+
+    body = re.sub(r"(?is)optional\s*\{([^{}]*)\}\s*\.?", _grab_optional, body)
+
+    # then filter clauses
+    filters: list[Filter] = []
+
+    def _grab_regex(m2: re.Match) -> str:
+        filters.append(Filter(kind="regex", var=m2.group(1)[1:], pattern=m2.group(2)))
+        return " "
+
+    def _grab_cmp(m2: re.Match) -> str:
+        var, op, rhs = m2.group(1)[1:], m2.group(2), m2.group(3)
+        if rhs.startswith("?"):
+            filters.append(Filter(kind="cmp", var=var, op=op, rhs_var=rhs[1:]))
+        else:
+            filters.append(Filter(kind="cmp", var=var, op=op, rhs_const=Term(rhs).lexical))
+        return " "
+
+    body = re.sub(r'(?is)filter\s+regex\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*\)\s*\.?', _grab_regex, body)
+    body = re.sub(
+        r"(?is)filter\s*\(\s*(\?\w+)\s*(!=|=)\s*(\?\w+|<[^>]*>|[^\s()]+)\s*\)\s*\.?",
+        _grab_cmp,
+        body,
+    )
+    if re.search(r"(?i)\b(filter|optional)\b", body):
+        raise SparqlSyntaxError(f"unparsable filter/optional clause in: {body[:120]!r}")
+
+    def _parse_patterns(text_: str, start: int) -> list[Condition]:
+        out: list[Condition] = []
+        for pat in (p.strip() for p in re.split(r"\s+\.(?:\s+|$)", text_.strip())):
+            pat = pat.strip().rstrip(".").strip()
+            if not pat:
+                continue
+            terms = _WS.split(pat)
+            if len(terms) != 3:
+                raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {terms!r}")
+            out.append(Condition(start + len(out), Term(terms[0]), Term(terms[1]), Term(terms[2])))
+        return out
+
+    conditions = _parse_patterns(body, 1)
     if not conditions:
         raise SparqlSyntaxError("empty where clause")
+    optionals: list[list[Condition]] = []
+    next_cid = len(conditions) + 1
+    for ob in optional_bodies:
+        grp = _parse_patterns(ob, next_cid)
+        if not grp:
+            raise SparqlSyntaxError("empty optional group")
+        optionals.append(grp)
+        next_cid += len(grp)
+
+    # a variable introduced by one optional group must not also be introduced
+    # by another (SPARQL allows it; our left-join translation does not)
+    required_vars = {v for c in conditions for v in c.variables()}
+    seen_opt: set[str] = set()
+    for grp in optionals:
+        new = {v for c in grp for v in c.variables()} - required_vars
+        clash = new & seen_opt
+        if clash:
+            raise SparqlSyntaxError(f"variable(s) bound in two optional groups: {sorted(clash)}")
+        seen_opt |= new
 
     q = ParsedQuery(
         projection=projection,
@@ -145,6 +228,8 @@ def parse_sparql(text: str) -> ParsedQuery:
         distinct=distinct,
         order=order,
         limit=limit,
+        filters=filters,
+        optionals=optionals,
         text=src,
     )
     if not q.projection:
@@ -157,4 +242,9 @@ def parse_sparql(text: str) -> ParsedQuery:
     bad_order = [v for v, _ in q.order if v not in q.projection]
     if bad_order:
         raise SparqlSyntaxError(f"order-by variables must be projected: {bad_order}")
+    known = set(q.all_variables())
+    for f in q.filters:
+        unbound = [v for v in (f.var, f.rhs_var) if v is not None and v not in known]
+        if unbound:
+            raise SparqlSyntaxError(f"filter variables not bound in where clause: {unbound}")
     return q

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dream_spark.plans.sparql import Condition, ParsedQuery
+from dream_spark.plans.sparql import Condition, Filter, ParsedQuery
 from dream_spark.plans.stats import TripleStats
 from dream_spark.sources.triples import TripleStore
 
@@ -196,6 +196,43 @@ def translate(
         bound |= set(cond.variables())
 
     assert plan is not None
+
+    # OPTIONAL groups: each is a mini-BGP joined internally, then LEFT
+    # OUTER joined onto the required part on the shared variables — the
+    # standard SPARQL-OPTIONAL → left-join lowering.
+    for grp in query.optionals:
+        gplan: DataFrame | None = None
+        gbound: set[str] = set()
+        for cond in greedy_order(grp, {c.cid: _estimate(stats, store, c) for c in grp}):
+            cdf = _condition_frame(store, cond)
+            if gplan is None:
+                gplan = cdf
+            else:
+                shared = sorted(gbound & set(cond.variables()))
+                gplan = gplan.join(cdf, on=shared) if shared else gplan.crossJoin(cdf)
+            gbound |= set(cond.variables())
+        assert gplan is not None
+        shared = sorted(bound & gbound)
+        plan = plan.join(gplan, on=shared, how="left") if shared else plan.crossJoin(gplan)
+        bound |= gbound
+
+    # FILTER clauses: id-level comparisons stay on the encoded longs (the
+    # dictionary is a bijection, so =/!= on ids ≡ on lexicals); regex
+    # filters decode just the one column via a dict equi-join, then drop it.
+    for i, f in enumerate(query.filters):
+        if f.kind == "cmp":
+            lhs = F.col(f.var)
+            rhs = F.col(f.rhs_var) if f.rhs_var is not None else F.lit(store.resolve(f.rhs_const))
+            plan = plan.where(lhs == rhs if f.op == "=" else lhs != rhs)
+        elif f.kind == "regex":
+            lex = store.dictionary.select(
+                F.col("id").alias(f.var), F.col("lexical").alias(f"__flex_{i}")
+            )
+            plan = plan.join(lex, on=f.var).where(
+                F.col(f"__flex_{i}").rlike(f.pattern)
+            ).drop(f"__flex_{i}")
+        else:  # pragma: no cover
+            raise ValueError(f"unknown filter kind {f.kind!r}")
     if decode:
         # Final dictionary decode — the id2name step (reference Proxy.c:211-224).
         # Melt the k projected id columns into (row, slot, id), decode with

@@ -146,3 +146,65 @@ def test_topk_decoded_oracle(engine, duck):
     qtext = "select ?C ?N where { ?C type Customer . ?C name ?N } order by ?N limit 5"
     q = parse_sparql(qtext)
     assert_oracle_match(engine.sparql(qtext, decode=True), duck, bgp_to_sql(q, decode=True))
+
+
+# ---- FILTER / OPTIONAL superset -------------------------------------------
+def test_parse_filter_and_optional():
+    q = parse_sparql(
+        "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } ."
+        ' filter (?C != <customer:1>) . filter regex(?C, "x") }'
+    )
+    assert len(q.conditions) == 1
+    assert len(q.optionals) == 1 and len(q.optionals[0]) == 1
+    kinds = sorted(f.kind for f in q.filters)
+    assert kinds == ["cmp", "regex"]
+
+
+def test_parse_filter_unbound_var_raises():
+    from dream_spark.plans.sparql import SparqlSyntaxError
+
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?A where { ?A placedBy ?B . filter (?Z != ?A) }")
+
+
+def test_parse_two_optionals_same_new_var_raises():
+    from dream_spark.plans.sparql import SparqlSyntaxError
+
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?A where { ?A type Customer . optional { ?O placedBy ?A } ."
+            " optional { ?O status ?A } }"
+        )
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        ("select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } }", False),
+        (
+            "select ?C ?N ?O where { ?C type Customer . ?C inNation ?N ."
+            " optional { ?O placedBy ?C . ?O status <F> } }",
+            False,
+        ),
+        ("select ?C ?N where { ?C type Customer . ?C inNation ?N . filter (?N != <nation:5>) }", False),
+        (
+            "select ?L ?S ?C where { ?L suppliedBy ?S . ?L ofOrder ?O . ?O placedBy ?C ."
+            " ?C inNation ?N1 . ?S inNation ?N2 . filter (?N1 = ?N2) }",
+            False,
+        ),
+        ('select ?C ?NM where { ?C type Customer . ?C name ?NM . filter regex(?NM, "1$") }', False),
+        ("select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } }", True),
+    ],
+)
+def test_filter_optional_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+def test_optional_unmatched_rows_are_null(engine):
+    # orders are never placedBy a supplier, so the optional never matches:
+    # every supplier must still appear, with a NULL ?O (left-join semantics)
+    rows = engine.sparql(
+        "select ?S ?O where { ?S type Supplier . optional { ?O placedBy ?S } }"
+    ).collect()
+    assert rows and all(r["O"] is None for r in rows)
