@@ -66,6 +66,7 @@ HEADLINE = [
     "knn_ivf",
     "media_catalog",
     "media_decode_stats",
+    "media_frames",
     "streaming_sessionize_batch",
     "streaming_dedup_batch",
 ]

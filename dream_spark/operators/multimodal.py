@@ -185,9 +185,37 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline surfaced as a query: catalog → mapInPandas
+    frame_sample (1 row in → n rows out) → per-document frame stats.
+    Unlike the decode kernel, the sampling schedule is a pure function of
+    payload length, so the row-expanding UDF output IS oracle-checkable:
+    n_frames = ⌊n_bytes/10⌋, last offset = (n_frames−1)·10."""
+    frames = frame_sample(media_catalog(spark, sf_dir), every_n=10)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_offset").alias("last_offset"),
+    )
+
+
+MEDIA_FRAME_STATS_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) // 10 AS n_frames,
+       CAST((octet_length(encode(text)) // 10 - 1) * 10 AS BIGINT) AS last_offset
+FROM documents
+WHERE octet_length(encode(text)) >= 64
+  AND doc_id % 3 <> 2
+  AND octet_length(encode(text)) // 10 > 0
+""".strip()
+
+
 QUERIES = {
     "media_catalog": media_catalog_meta,
     "media_decode_stats": media_decode_stats,
+    "media_frames": media_frame_stats,
 }
 # media_decode_stats intentionally absent: non-SQL-expressible decode kernel
-ORACLES = {"media_catalog": MEDIA_CATALOG_META_SQL}
+ORACLES = {
+    "media_catalog": MEDIA_CATALOG_META_SQL,
+    "media_frames": MEDIA_FRAME_STATS_SQL,
+}
