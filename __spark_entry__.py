@@ -84,6 +84,17 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } }",
         True,
     ),
+    # UNION superset: bag-union alternation, NULL-padded heterogeneous
+    # branches (reference O7 generalized; grammar has no union, SURVEY.md §2.3)
+    "sparql_union": (
+        "select ?X where { { ?X type Customer } union { ?X type Supplier } }",
+        False,
+    ),
+    "sparql_union_hetero": (
+        "select ?X ?N ?S where { { ?X inNation ?N . ?X type Supplier }"
+        " union { ?X mktsegment ?S } }",
+        True,
+    ),
     # empty SUBPLAN inside a larger join (reference O10 / stats key <1>.1.6=-1):
     # regions are never inNation subjects, so the middle pattern is empty and
     # AQE's empty-relation propagation must collapse the whole join

@@ -116,6 +116,46 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     return sql
 
 
+def _union_sql(query: ParsedQuery, decode: bool, resolve) -> str:
+    """UNION ALL over independently-rendered branches; variables a branch
+    does not bind come back as typed NULLs (SPARQL union semantics)."""
+    parts: list[str] = []
+    astart = 1
+    for grp in query.union_branches:
+        aliases, where, first_slot = _render_block(grp, resolve, astart)
+        astart += len(grp)
+        sel = ", ".join(
+            f"{first_slot[v]} AS {v}" if v in first_slot else f"CAST(NULL AS BIGINT) AS {v}"
+            for v in query.projection
+        )
+        where_sql = " AND ".join(where) if where else "TRUE"
+        parts.append(f"SELECT {sel} FROM {', '.join(aliases)} WHERE {where_sql}")
+    inner = "\nUNION ALL\n".join(parts)
+
+    distinct = "DISTINCT " if query.distinct else ""
+    if decode:
+        dsel = ", ".join(f"d{j}.lexical AS {v}" for j, v in enumerate(query.projection, start=1))
+        djoins = "\n".join(
+            f"LEFT JOIN dict d{j} ON d{j}.id = q.{v}"
+            for j, v in enumerate(query.projection, start=1)
+        )
+        sql = f"SELECT {distinct}{dsel}\nFROM (\n{inner}\n) q\n{djoins}"
+        ctes = f"WITH triples AS (\n{TRIPLES_SQL}\n), dict AS (\n{DICT_SQL}\n)"
+    else:
+        sql = f"SELECT DISTINCT * FROM (\n{inner}\n)" if query.distinct else inner
+        ctes = f"WITH triples AS (\n{TRIPLES_SQL}\n)"
+    sql = f"{ctes}\n{sql}"
+    if query.order or query.limit is not None:
+        sql = f"SELECT * FROM (\n{sql}\n)"
+        if query.order:
+            sql += "\nORDER BY " + ", ".join(
+                f"{v} DESC" if desc else f"{v}" for v, desc in query.order
+            )
+        if query.limit is not None:
+            sql += f"\nLIMIT {query.limit}"
+    return sql
+
+
 def bgp_to_sql(
     query: ParsedQuery, decode: bool = False, resolver: Callable[[str], int] | None = None
 ) -> str:
@@ -124,9 +164,12 @@ def bgp_to_sql(
     Variables become equality chains across pattern aliases; constants become
     literal ID predicates; projection picks each variable's first binding
     slot.  Bag semantics (no DISTINCT) unless the query says otherwise.
-    FILTER/OPTIONAL queries take the nested LEFT-JOIN rendering path.
+    FILTER/OPTIONAL queries take the nested LEFT-JOIN rendering path;
+    UNION queries render as UNION ALL over branch blocks.
     """
     resolve = resolver or _default_resolver
+    if query.union_branches:
+        return _union_sql(query, decode, resolve)
     if query.filters or query.optionals:
         return _extended_sql(query, decode, resolve)
     first_slot: dict[str, str] = {}

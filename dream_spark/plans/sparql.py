@@ -9,9 +9,11 @@ FILTER/OPTIONAL/UNION/ORDER BY/LIMIT (SURVEY.md §2.3 — ``Query.filter``
 exists as an always-NULL field, Structs.h:82); we additionally accept as
 documented supersets: a ``distinct`` marker, angle-bracketed constants
 ``<lexical>``, ``order by``/``limit``, ``optional { … }`` groups (left
-outer join semantics), and ``filter`` clauses of the forms
+outer join semantics), ``filter`` clauses of the forms
 ``filter (?X != ?Y)``, ``filter (?X = <const>)``, ``filter (?X != <const>)``
-and ``filter regex(?X, "pattern")``.
+and ``filter regex(?X, "pattern")``, and top-level
+``{ BGP } union { BGP }`` alternation (bag-union semantics; variables
+unbound in a branch come back NULL, per the SPARQL spec).
 """
 
 from __future__ import annotations
@@ -86,15 +88,16 @@ class ParsedQuery:
     limit: int | None = None
     filters: list[Filter] = field(default_factory=list)
     optionals: list[list[Condition]] = field(default_factory=list)
+    # non-empty => the where clause is { branch } union { branch } …;
+    # ``conditions`` then holds the FIRST branch (so single-branch helpers
+    # keep working) and filters/optionals are disallowed by the parser
+    union_branches: list[list[Condition]] = field(default_factory=list)
     text: str = field(default="", repr=False)
 
     def all_variables(self) -> list[str]:
         out: list[str] = []
-        for c in self.conditions:
-            for v in c.variables():
-                if v not in out:
-                    out.append(v)
-        for grp in self.optionals:
+        groups = self.union_branches if self.union_branches else [self.conditions]
+        for grp in list(groups) + list(self.optionals):
             for c in grp:
                 for v in c.variables():
                     if v not in out:
@@ -154,6 +157,35 @@ def parse_sparql(text: str) -> ParsedQuery:
         if tok[1:] not in projection:
             projection.append(tok[1:])
 
+    # { … } union { … } alternation: detected before optional/filter
+    # extraction (branches are plain BGPs; combining union with
+    # filter/optional is not supported)
+    union_branches: list[list[Condition]] = []
+    if re.search(r"(?i)\bunion\b", body):
+        if re.search(r"(?i)\b(filter|optional)\b", body):
+            raise SparqlSyntaxError("filter/optional combined with union is not supported")
+        branch_bodies = re.findall(r"\{([^{}]*)\}", body)
+        residue = [t.lower() for t in _WS.split(re.sub(r"\{[^{}]*\}", " ", body).strip()) if t]
+        if len(branch_bodies) < 2 or residue != ["union"] * (len(branch_bodies) - 1):
+            raise SparqlSyntaxError(f"malformed union clause: {body[:120]!r}")
+        cid = 1
+        for bb in branch_bodies:
+            grp = _parse_patterns_from(bb, cid)
+            if not grp:
+                raise SparqlSyntaxError("empty union branch")
+            union_branches.append(grp)
+            cid += len(grp)
+        q = ParsedQuery(
+            projection=projection,
+            conditions=union_branches[0],
+            distinct=distinct,
+            order=order,
+            limit=limit,
+            union_branches=union_branches,
+            text=src,
+        )
+        return _validate(q)
+
     # optional { … } groups (non-nested) come out of the body first
     optional_bodies: list[str] = []
 
@@ -187,25 +219,13 @@ def parse_sparql(text: str) -> ParsedQuery:
     if re.search(r"(?i)\b(filter|optional)\b", body):
         raise SparqlSyntaxError(f"unparsable filter/optional clause in: {body[:120]!r}")
 
-    def _parse_patterns(text_: str, start: int) -> list[Condition]:
-        out: list[Condition] = []
-        for pat in (p.strip() for p in re.split(r"\s+\.(?:\s+|$)", text_.strip())):
-            pat = pat.strip().rstrip(".").strip()
-            if not pat:
-                continue
-            terms = _WS.split(pat)
-            if len(terms) != 3:
-                raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {terms!r}")
-            out.append(Condition(start + len(out), Term(terms[0]), Term(terms[1]), Term(terms[2])))
-        return out
-
-    conditions = _parse_patterns(body, 1)
+    conditions = _parse_patterns_from(body, 1)
     if not conditions:
         raise SparqlSyntaxError("empty where clause")
     optionals: list[list[Condition]] = []
     next_cid = len(conditions) + 1
     for ob in optional_bodies:
-        grp = _parse_patterns(ob, next_cid)
+        grp = _parse_patterns_from(ob, next_cid)
         if not grp:
             raise SparqlSyntaxError("empty optional group")
         optionals.append(grp)
@@ -232,6 +252,23 @@ def parse_sparql(text: str) -> ParsedQuery:
         optionals=optionals,
         text=src,
     )
+    return _validate(q)
+
+
+def _parse_patterns_from(text_: str, start: int) -> list[Condition]:
+    out: list[Condition] = []
+    for pat in (p.strip() for p in re.split(r"\s+\.(?:\s+|$)", text_.strip())):
+        pat = pat.strip().rstrip(".").strip()
+        if not pat:
+            continue
+        terms = _WS.split(pat)
+        if len(terms) != 3:
+            raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {terms!r}")
+        out.append(Condition(start + len(out), Term(terms[0]), Term(terms[1]), Term(terms[2])))
+    return out
+
+
+def _validate(q: ParsedQuery) -> ParsedQuery:
     if not q.projection:
         q.projection = q.all_variables()
     else:

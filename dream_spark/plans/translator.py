@@ -169,21 +169,20 @@ def greedy_order(conditions: list[Condition], est: dict[int, float]) -> list[Con
     return order
 
 
-def translate(
+def _join_group(
     store: TripleStore,
-    query: ParsedQuery,
-    stats: TripleStats | None = None,
-    decode: bool = False,
-) -> DataFrame:
-    """Compile a parsed BGP to a DataFrame plan (bag semantics, like the
-    reference — SURVEY.md §2.3; ``distinct`` only when the query asks)."""
-    est = {c.cid: _estimate(stats, store, c) for c in query.conditions}
-    if stats is not None and len(query.conditions) <= _DP_MAX_CONDITIONS:
-        ndvs = {c.cid: _var_ndvs(stats, store, c, est[c.cid]) for c in query.conditions}
-        order = dp_order(query.conditions, est, ndvs)
+    conditions: list[Condition],
+    stats: TripleStats | None,
+    use_dp: bool = False,
+) -> tuple[DataFrame, set[str]]:
+    """Join one pattern group (inner equi-joins on shared variables) in a
+    stats-seeded order; returns (plan, bound variables)."""
+    est = {c.cid: _estimate(stats, store, c) for c in conditions}
+    if use_dp and stats is not None and len(conditions) <= _DP_MAX_CONDITIONS:
+        ndvs = {c.cid: _var_ndvs(stats, store, c, est[c.cid]) for c in conditions}
+        order = dp_order(conditions, est, ndvs)
     else:
-        order = greedy_order(query.conditions, est)
-
+        order = greedy_order(conditions, est)
     plan: DataFrame | None = None
     bound: set[str] = set()
     for cond in order:
@@ -194,24 +193,46 @@ def translate(
             shared = sorted(bound & set(cond.variables()))
             plan = plan.join(cdf, on=shared) if shared else plan.crossJoin(cdf)
         bound |= set(cond.variables())
-
     assert plan is not None
+    return plan, bound
+
+
+def translate(
+    store: TripleStore,
+    query: ParsedQuery,
+    stats: TripleStats | None = None,
+    decode: bool = False,
+) -> DataFrame:
+    """Compile a parsed BGP to a DataFrame plan (bag semantics, like the
+    reference — SURVEY.md §2.3; ``distinct`` only when the query asks)."""
+    if query.union_branches:
+        # { BGP } union { BGP }: translate each branch independently, pad
+        # unbound projection variables with NULL (SPARQL union semantics),
+        # and bag-union — the reference's O7 union generalized to
+        # heterogeneous branches.
+        branches = []
+        for grp in query.union_branches:
+            bplan, bvars = _join_group(store, grp, stats)
+            branches.append(
+                bplan.select(
+                    *[
+                        F.col(v) if v in bvars else F.lit(None).cast("long").alias(v)
+                        for v in query.projection
+                    ]
+                )
+            )
+        plan = branches[0]
+        for b in branches[1:]:
+            plan = plan.unionByName(b)
+        bound = set(query.projection)
+    else:
+        plan, bound = _join_group(store, query.conditions, stats, use_dp=True)
 
     # OPTIONAL groups: each is a mini-BGP joined internally, then LEFT
     # OUTER joined onto the required part on the shared variables — the
     # standard SPARQL-OPTIONAL → left-join lowering.
     for grp in query.optionals:
-        gplan: DataFrame | None = None
-        gbound: set[str] = set()
-        for cond in greedy_order(grp, {c.cid: _estimate(stats, store, c) for c in grp}):
-            cdf = _condition_frame(store, cond)
-            if gplan is None:
-                gplan = cdf
-            else:
-                shared = sorted(gbound & set(cond.variables()))
-                gplan = gplan.join(cdf, on=shared) if shared else gplan.crossJoin(cdf)
-            gbound |= set(cond.variables())
-        assert gplan is not None
+        gplan, gbound = _join_group(store, grp, stats)
         shared = sorted(bound & gbound)
         plan = plan.join(gplan, on=shared, how="left") if shared else plan.crossJoin(gplan)
         bound |= gbound

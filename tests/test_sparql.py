@@ -208,3 +208,52 @@ def test_optional_unmatched_rows_are_null(engine):
         "select ?S ?O where { ?S type Supplier . optional { ?O placedBy ?S } }"
     ).collect()
     assert rows and all(r["O"] is None for r in rows)
+
+
+# ---- UNION superset -------------------------------------------------------
+def test_parse_union():
+    q = parse_sparql("select ?X where { { ?X type Customer } union { ?X type Supplier } }")
+    assert len(q.union_branches) == 2
+    assert [len(b) for b in q.union_branches] == [1, 1]
+    # cids unique across branches
+    cids = [c.cid for b in q.union_branches for c in b]
+    assert len(cids) == len(set(cids))
+
+
+def test_parse_union_malformed_raises():
+    from dream_spark.plans.sparql import SparqlSyntaxError
+
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?X where { { ?X type Customer } union }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?X where { { ?X type Customer } union { ?X type Supplier } . filter (?X != ?X) }"
+        )
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        ("select ?X where { { ?X type Customer } union { ?X type Supplier } }", False),
+        ("select ?X ?N ?S where { { ?X inNation ?N } union { ?X mktsegment ?S } }", False),
+        (
+            "select ?X ?N ?S where { { ?X inNation ?N . ?X type Supplier } union { ?X mktsegment ?S } }",
+            True,
+        ),
+        (
+            "select distinct ?N where { { ?C inNation ?N . ?C type Customer }"
+            " union { ?S inNation ?N . ?S type Supplier } }",
+            False,
+        ),
+    ],
+)
+def test_union_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+def test_union_nulls_for_unbound_branch_vars(engine):
+    rows = engine.sparql(
+        "select ?X ?N ?S where { { ?X inNation ?N } union { ?X mktsegment ?S } }"
+    ).collect()
+    assert all((r["N"] is None) != (r["S"] is None) for r in rows)
