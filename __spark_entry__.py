@@ -84,6 +84,17 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } }",
         True,
     ),
+    # MINUS superset: anti-join removal of compatible bindings
+    "sparql_minus": (
+        "select ?C where { ?C type Customer ."
+        " minus { ?O placedBy ?C . ?O priority <1-URGENT> } }",
+        False,
+    ),
+    "sparql_minus_shared": (
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " minus { ?S type Supplier . ?S inNation ?N } }",
+        False,
+    ),
     # UNION superset: bag-union alternation, NULL-padded heterogeneous
     # branches (reference O7 generalized; grammar has no union, SURVEY.md §2.3)
     "sparql_union": (

@@ -70,6 +70,15 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             src.setdefault(v, f"g{k}")
 
     filt_where: list[str] = []
+    for grp in query.minuses:
+        g_aliases, g_where, g_slot = _render_block(grp, resolve, astart)
+        astart += len(grp)
+        shared = [v for v in g_slot if v in src]
+        corr = " AND ".join(f"{g_slot[v]} = {src[v]}.{v}" for v in shared)
+        g_where_sql = " AND ".join(g_where + [corr]) if g_where else corr
+        filt_where.append(
+            f"NOT EXISTS (SELECT 1 FROM {', '.join(g_aliases)} WHERE {g_where_sql})"
+        )
     for i, f in enumerate(query.filters):
         lhs = f"{src[f.var]}.{f.var}"
         if f.kind == "cmp":
@@ -170,7 +179,7 @@ def bgp_to_sql(
     resolve = resolver or _default_resolver
     if query.union_branches:
         return _union_sql(query, decode, resolve)
-    if query.filters or query.optionals:
+    if query.filters or query.optionals or query.minuses:
         return _extended_sql(query, decode, resolve)
     first_slot: dict[str, str] = {}
     where: list[str] = []

@@ -11,9 +11,10 @@ documented supersets: a ``distinct`` marker, angle-bracketed constants
 ``<lexical>``, ``order by``/``limit``, ``optional { … }`` groups (left
 outer join semantics), ``filter`` clauses of the forms
 ``filter (?X != ?Y)``, ``filter (?X = <const>)``, ``filter (?X != <const>)``
-and ``filter regex(?X, "pattern")``, and top-level
-``{ BGP } union { BGP }`` alternation (bag-union semantics; variables
-unbound in a branch come back NULL, per the SPARQL spec).
+and ``filter regex(?X, "pattern")``, ``minus { … }`` groups (anti-join semantics on the shared
+variables), and top-level ``{ BGP } union { BGP }`` alternation
+(bag-union semantics; variables unbound in a branch come back NULL, per
+the SPARQL spec).
 """
 
 from __future__ import annotations
@@ -88,6 +89,7 @@ class ParsedQuery:
     limit: int | None = None
     filters: list[Filter] = field(default_factory=list)
     optionals: list[list[Condition]] = field(default_factory=list)
+    minuses: list[list[Condition]] = field(default_factory=list)
     # non-empty => the where clause is { branch } union { branch } …;
     # ``conditions`` then holds the FIRST branch (so single-branch helpers
     # keep working) and filters/optionals are disallowed by the parser
@@ -162,8 +164,8 @@ def parse_sparql(text: str) -> ParsedQuery:
     # filter/optional is not supported)
     union_branches: list[list[Condition]] = []
     if re.search(r"(?i)\bunion\b", body):
-        if re.search(r"(?i)\b(filter|optional)\b", body):
-            raise SparqlSyntaxError("filter/optional combined with union is not supported")
+        if re.search(r"(?i)\b(filter|optional|minus)\b", body):
+            raise SparqlSyntaxError("filter/optional/minus combined with union is not supported")
         branch_bodies = re.findall(r"\{([^{}]*)\}", body)
         residue = [t.lower() for t in _WS.split(re.sub(r"\{[^{}]*\}", " ", body).strip()) if t]
         if len(branch_bodies) < 2 or residue != ["union"] * (len(branch_bodies) - 1):
@@ -186,14 +188,20 @@ def parse_sparql(text: str) -> ParsedQuery:
         )
         return _validate(q)
 
-    # optional { … } groups (non-nested) come out of the body first
+    # optional { … } / minus { … } groups (non-nested) come out of the body first
     optional_bodies: list[str] = []
+    minus_bodies: list[str] = []
 
     def _grab_optional(m2: re.Match) -> str:
         optional_bodies.append(m2.group(1))
         return " "
 
+    def _grab_minus(m2: re.Match) -> str:
+        minus_bodies.append(m2.group(1))
+        return " "
+
     body = re.sub(r"(?is)optional\s*\{([^{}]*)\}\s*\.?", _grab_optional, body)
+    body = re.sub(r"(?is)minus\s*\{([^{}]*)\}\s*\.?", _grab_minus, body)
 
     # then filter clauses
     filters: list[Filter] = []
@@ -216,8 +224,8 @@ def parse_sparql(text: str) -> ParsedQuery:
         _grab_cmp,
         body,
     )
-    if re.search(r"(?i)\b(filter|optional)\b", body):
-        raise SparqlSyntaxError(f"unparsable filter/optional clause in: {body[:120]!r}")
+    if re.search(r"(?i)\b(filter|optional|minus)\b", body):
+        raise SparqlSyntaxError(f"unparsable filter/optional/minus clause in: {body[:120]!r}")
 
     conditions = _parse_patterns_from(body, 1)
     if not conditions:
@@ -229,6 +237,18 @@ def parse_sparql(text: str) -> ParsedQuery:
         if not grp:
             raise SparqlSyntaxError("empty optional group")
         optionals.append(grp)
+        next_cid += len(grp)
+    minuses: list[list[Condition]] = []
+    required_vars_ = {v for c in conditions for v in c.variables()}
+    for mb in minus_bodies:
+        grp = _parse_patterns_from(mb, next_cid)
+        if not grp:
+            raise SparqlSyntaxError("empty minus group")
+        if not ({v for c in grp for v in c.variables()} & required_vars_):
+            # SPARQL MINUS with disjoint domains removes nothing; our
+            # anti-join lowering needs shared variables — reject explicitly
+            raise SparqlSyntaxError("minus group shares no variable with the required patterns")
+        minuses.append(grp)
         next_cid += len(grp)
 
     # a variable introduced by one optional group must not also be introduced
@@ -250,6 +270,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         limit=limit,
         filters=filters,
         optionals=optionals,
+        minuses=minuses,
         text=src,
     )
     return _validate(q)

@@ -237,6 +237,14 @@ def translate(
         plan = plan.join(gplan, on=shared, how="left") if shared else plan.crossJoin(gplan)
         bound |= gbound
 
+    # MINUS groups: anti join on the shared variables — rows with a
+    # compatible binding in the minus pattern are removed (parser
+    # guarantees ≥1 shared variable, so this matches SPARQL MINUS).
+    for grp in query.minuses:
+        gplan, gbound = _join_group(store, grp, stats)
+        shared = sorted(bound & gbound)
+        plan = plan.join(gplan.select(*shared), on=shared, how="left_anti")
+
     # FILTER clauses: id-level comparisons stay on the encoded longs (the
     # dictionary is a bijection, so =/!= on ids ≡ on lexicals); regex
     # filters decode just the one column via a dict equi-join, then drop it.

@@ -257,3 +257,49 @@ def test_union_nulls_for_unbound_branch_vars(engine):
         "select ?X ?N ?S where { { ?X inNation ?N } union { ?X mktsegment ?S } }"
     ).collect()
     assert all((r["N"] is None) != (r["S"] is None) for r in rows)
+
+
+# ---- MINUS superset -------------------------------------------------------
+def test_parse_minus():
+    q = parse_sparql(
+        "select ?C where { ?C type Customer . minus { ?O placedBy ?C } }"
+    )
+    assert len(q.minuses) == 1 and len(q.minuses[0]) == 1
+    # minus-only variables are not projectable
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?O where { ?C type Customer . minus { ?O placedBy ?C } }")
+
+
+def test_parse_minus_disjoint_raises():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?C where { ?C type Customer . minus { ?S type Supplier } }")
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        (
+            "select ?C where { ?C type Customer ."
+            " minus { ?O placedBy ?C . ?O priority <1-URGENT> } }",
+            False,
+        ),
+        (
+            "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+            " minus { ?S type Supplier . ?S inNation ?N } }",
+            False,
+        ),
+        (
+            "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } ."
+            " minus { ?C mktsegment <BUILDING> } }",
+            False,
+        ),
+        (
+            "select ?C where { ?C type Customer ."
+            " minus { ?O placedBy ?C . ?O priority <1-URGENT> } }",
+            True,
+        ),
+    ],
+)
+def test_minus_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
