@@ -26,6 +26,10 @@ HEADLINE = [
     "sparql_decode",
     "sparql_topk",
     "sparql_disconnected",
+    "sparql_optional",
+    "sparql_filter_samenation",
+    "sparql_union",
+    "sparql_minus",
     "rel_q1_pricing",
     "rel_q3_top10",
     "rel_q5_cycle",

@@ -84,3 +84,45 @@ def test_dedup_minhash_signatures_from_kernel(spark, queries):
     plan = _plan(queries["dedup_minhash"](spark, SF_DIR))
     assert "MapInPandas" in plan
     assert "partial_min" not in plan  # no shingle-row groupBy(doc_id) min
+
+
+def test_sparql_optional_is_left_outer_join(engine):
+    plan = _plan(
+        engine.sparql("select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } }")
+    )
+    assert "LeftOuter" in plan
+
+
+def test_sparql_minus_is_anti_join(engine):
+    plan = _plan(
+        engine.sparql("select ?C where { ?C type Customer . minus { ?O placedBy ?C } }")
+    )
+    assert "LeftAnti" in plan
+
+
+def test_sparql_union_is_plain_union(engine):
+    """Union must be partition concatenation — no exchange introduced by the
+    union itself (each branch scans + filters only; no join, no shuffle)."""
+    plan = _plan(
+        engine.sparql("select ?X where { { ?X type Customer } union { ?X type Supplier } }")
+    )
+    assert "Union" in plan
+    assert "Exchange" not in plan  # scans + filters + union only
+
+
+def test_q7_broadcasts_both_nation_lookups(spark, queries):
+    plan = _plan(queries["rel_q7_nations"](spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_q22_global_aggregate_is_broadcast_not_cartesian(spark, queries):
+    plan = _plan(queries["rel_q22_idle"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q16_distinct_aggregate_is_two_phase(spark, queries):
+    """COUNT(DISTINCT) must plan as expand + partial aggregate — only
+    (brand, type, suppkey) triples shuffle, never raw join output."""
+    plan = _plan(queries["rel_q16_countd"](spark, SF_DIR))
+    assert "partial_count(distinct" in plan.lower() or "Expand" in plan
