@@ -84,6 +84,28 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } }",
         True,
     ),
+    # Aggregate superset: count/count-distinct with group by (SPARQL 1.1
+    # shape; reference grammar has no aggregates, SURVEY.md §2.3)
+    "sparql_count_group": (
+        "select ?N (count(?C) as ?cnt) where { ?C type Customer . ?C inNation ?N }"
+        " group by ?N",
+        False,
+    ),
+    "sparql_count_distinct": (
+        "select ?N (count(distinct ?S) as ?nsupp) (count(*) as ?nrows)"
+        " where { ?L suppliedBy ?S . ?S inNation ?N } group by ?N",
+        False,
+    ),
+    "sparql_count_optional": (
+        "select ?C (count(?O) as ?norders) where { ?C type Customer ."
+        " optional { ?O placedBy ?C } } group by ?C",
+        False,
+    ),
+    "sparql_count_decode": (
+        "select ?N (count(?C) as ?cnt) where { ?C type Customer . ?C inNation ?N }"
+        " group by ?N",
+        True,
+    ),
     # MINUS superset: anti-join removal of compatible bindings
     "sparql_minus": (
         "select ?C where { ?C type Customer ."

@@ -9,6 +9,7 @@ a genuinely independent evaluation path from the Spark translator.
 
 from __future__ import annotations
 
+import dataclasses
 from collections.abc import Callable
 
 from dream_spark.plans.sparql import ParsedQuery
@@ -165,6 +166,61 @@ def _union_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     return sql
 
 
+def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
+    """GROUP BY wrap: render the query without aggregates projecting every
+    needed variable, then aggregate outside (and decode group columns via
+    inline dict joins — counts pass through undecoded)."""
+    needed: list[str] = list(query.group_by)
+    for a in query.aggregates:
+        if a.var is not None and a.var not in needed:
+            needed.append(a.var)
+    if not needed:  # global count(*): any bound variable carries the rows
+        needed = query.all_variables()[:1]
+    inner_q = dataclasses.replace(
+        query,
+        projection=needed,
+        aggregates=[],
+        group_by=[],
+        order=[],
+        limit=None,
+        distinct=False,
+    )
+    inner = bgp_to_sql(inner_q, decode=False, resolver=resolver)
+
+    agg_sel = []
+    for a in query.aggregates:
+        if a.var is None:
+            agg_sel.append(f"COUNT(*) AS {a.alias}")
+        elif a.distinct:
+            agg_sel.append(f"COUNT(DISTINCT {a.var}) AS {a.alias}")
+        else:
+            agg_sel.append(f"COUNT({a.var}) AS {a.alias}")
+    sel = ", ".join(list(query.group_by) + agg_sel)
+    sql = f"SELECT {sel}\nFROM (\n{inner}\n) q"
+    if query.group_by:
+        sql += "\nGROUP BY " + ", ".join(query.group_by)
+
+    if decode and query.group_by:
+        dsel = ", ".join(
+            [f"d{j}.lexical AS {v}" for j, v in enumerate(query.group_by, start=1)]
+            + [a.alias for a in query.aggregates]
+        )
+        djoins = "\n".join(
+            f"LEFT JOIN (\n{DICT_SQL}\n) d{j} ON d{j}.id = g.{v}"
+            for j, v in enumerate(query.group_by, start=1)
+        )
+        sql = f"SELECT {dsel}\nFROM (\n{sql}\n) g\n{djoins}"
+    # restore select order (group vars then aliases = query.projection)
+    sql = f"SELECT {', '.join(query.projection)} FROM (\n{sql}\n)"
+    if query.order:
+        sql += "\nORDER BY " + ", ".join(
+            f"{v} DESC" if desc else f"{v}" for v, desc in query.order
+        )
+    if query.limit is not None:
+        sql += f"\nLIMIT {query.limit}"
+    return sql
+
+
 def bgp_to_sql(
     query: ParsedQuery, decode: bool = False, resolver: Callable[[str], int] | None = None
 ) -> str:
@@ -177,6 +233,8 @@ def bgp_to_sql(
     UNION queries render as UNION ALL over branch blocks.
     """
     resolve = resolver or _default_resolver
+    if query.aggregates:
+        return _aggregate_sql(query, decode, resolve)
     if query.union_branches:
         return _union_sql(query, decode, resolve)
     if query.filters or query.optionals or query.minuses:

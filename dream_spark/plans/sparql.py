@@ -12,9 +12,10 @@ documented supersets: a ``distinct`` marker, angle-bracketed constants
 outer join semantics), ``filter`` clauses of the forms
 ``filter (?X != ?Y)``, ``filter (?X = <const>)``, ``filter (?X != <const>)``
 and ``filter regex(?X, "pattern")``, ``minus { … }`` groups (anti-join semantics on the shared
-variables), and top-level ``{ BGP } union { BGP }`` alternation
+variables), top-level ``{ BGP } union { BGP }`` alternation
 (bag-union semantics; variables unbound in a branch come back NULL, per
-the SPARQL spec).
+the SPARQL spec), and ``(count([distinct] ?v|*) as ?alias)`` aggregate
+projections with ``group by ?v …``.
 """
 
 from __future__ import annotations
@@ -75,6 +76,16 @@ class Filter:
     pattern: str | None = None
 
 
+@dataclass(frozen=True)
+class Aggregate:
+    """One ``(count([distinct] ?v|*) as ?alias)`` projection item."""
+
+    fn: str  # only "count" for now
+    var: str | None  # None => count(*)
+    alias: str
+    distinct: bool = False
+
+
 @dataclass
 class ParsedQuery:
     """Projection list + conditions — reference ``Result``+``Condition`` lists
@@ -90,6 +101,10 @@ class ParsedQuery:
     filters: list[Filter] = field(default_factory=list)
     optionals: list[list[Condition]] = field(default_factory=list)
     minuses: list[list[Condition]] = field(default_factory=list)
+    # aggregate projection: group_by vars + Aggregate items; ``projection``
+    # then lists group_by vars followed by aggregate aliases, in select order
+    aggregates: list[Aggregate] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
     # non-empty => the where clause is { branch } union { branch } …;
     # ``conditions`` then holds the FIRST branch (so single-branch helpers
     # keep working) and filters/optionals are disallowed by the parser
@@ -125,6 +140,7 @@ def parse_sparql(text: str) -> ParsedQuery:
     src = text.strip()
     m = re.match(
         r"(?is)^\s*select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}\s*"
+        r"(?:group\s+by\s+((?:\?\w+\s*)+))?"
         r"(?:order\s+by\s+((?:\?\w+(?:\s+(?:asc|desc))?\s*)+))?"
         r"(?:limit\s+(\d+))?\s*$",
         src,
@@ -134,9 +150,12 @@ def parse_sparql(text: str) -> ParsedQuery:
         raise SparqlSyntaxError(f"expected 'select … where {{ … }}': {text[:120]!r}")
     distinct = bool(m.group(1))
     proj_src, body = m.group(2), m.group(3)
-    order: list[tuple[str, bool]] = []
+    group_by: list[str] = []
     if m.group(4):
-        toks = _WS.split(m.group(4).strip())
+        group_by = [t[1:] for t in _WS.split(m.group(4).strip()) if t]
+    order: list[tuple[str, bool]] = []
+    if m.group(5):
+        toks = _WS.split(m.group(5).strip())
         i = 0
         while i < len(toks):
             var = toks[i]
@@ -145,19 +164,54 @@ def parse_sparql(text: str) -> ParsedQuery:
             desc = i + 1 < len(toks) and toks[i + 1].lower() in ("asc", "desc") and toks[i + 1].lower() == "desc"
             i += 2 if (i + 1 < len(toks) and toks[i + 1].lower() in ("asc", "desc")) else 1
             order.append((var[1:], desc))
-    limit = int(m.group(5)) if m.group(5) else None
+    limit = int(m.group(6)) if m.group(6) else None
 
     projection: list[str] = []
+    aggregates: list[Aggregate] = []
+    # aggregate items first: (count([distinct] ?v|*) as ?alias)
+    def _grab_agg(m2: re.Match) -> str:
+        var = None if m2.group(2) == "*" else m2.group(2)[1:]
+        aggregates.append(
+            Aggregate(fn="count", var=var, alias=m2.group(3)[1:], distinct=bool(m2.group(1)))
+        )
+        return " "
+
+    proj_src = re.sub(
+        r"(?is)\(\s*count\s*\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s+as\s+(\?\w+)\s*\)",
+        _grab_agg,
+        proj_src,
+    )
+    plain_vars: list[str] = []
+    star = False
     for tok in _WS.split(proj_src.strip()):
         if not tok:
             continue
         if tok == "*":
-            projection = []  # empty => project all variables
+            if aggregates:
+                raise SparqlSyntaxError("select * cannot be combined with aggregates")
+            star = True
             continue
         if not tok.startswith("?"):
             raise SparqlSyntaxError(f"projection terms must be variables, got {tok!r}")
-        if tok[1:] not in projection:
-            projection.append(tok[1:])
+        if tok[1:] not in plain_vars:
+            plain_vars.append(tok[1:])
+    if aggregates:
+        if distinct:
+            raise SparqlSyntaxError("select distinct with aggregates is not supported")
+        aliases = [a.alias for a in aggregates]
+        dup = set(aliases) & set(plain_vars)
+        if dup:
+            raise SparqlSyntaxError(f"aggregate alias collides with projected variable: {sorted(dup)}")
+        if len(set(aliases)) != len(aliases):
+            raise SparqlSyntaxError("duplicate aggregate aliases")
+        not_grouped = [v for v in plain_vars if v not in group_by]
+        if not_grouped:
+            raise SparqlSyntaxError(f"projected variables not in group by: {not_grouped}")
+        projection = plain_vars + aliases
+    elif group_by:
+        raise SparqlSyntaxError("group by requires at least one aggregate projection")
+    else:
+        projection = [] if star else plain_vars
 
     # { … } union { … } alternation: detected before optional/filter
     # extraction (branches are plain BGPs; combining union with
@@ -166,6 +220,8 @@ def parse_sparql(text: str) -> ParsedQuery:
     if re.search(r"(?i)\bunion\b", body):
         if re.search(r"(?i)\b(filter|optional|minus)\b", body):
             raise SparqlSyntaxError("filter/optional/minus combined with union is not supported")
+        if aggregates:
+            raise SparqlSyntaxError("aggregates combined with union are not supported")
         branch_bodies = re.findall(r"\{([^{}]*)\}", body)
         residue = [t.lower() for t in _WS.split(re.sub(r"\{[^{}]*\}", " ", body).strip()) if t]
         if len(branch_bodies) < 2 or residue != ["union"] * (len(branch_bodies) - 1):
@@ -271,6 +327,8 @@ def parse_sparql(text: str) -> ParsedQuery:
         filters=filters,
         optionals=optionals,
         minuses=minuses,
+        aggregates=aggregates,
+        group_by=group_by,
         text=src,
     )
     return _validate(q)
@@ -290,13 +348,21 @@ def _parse_patterns_from(text_: str, start: int) -> list[Condition]:
 
 
 def _validate(q: ParsedQuery) -> ParsedQuery:
+    aliases = {a.alias for a in q.aggregates}
     if not q.projection:
         q.projection = q.all_variables()
     else:
         known = set(q.all_variables())
-        missing = [v for v in q.projection if v not in known]
+        missing = [v for v in q.projection if v not in known and v not in aliases]
         if missing:
             raise SparqlSyntaxError(f"projected variables not bound in where clause: {missing}")
+    known = set(q.all_variables())
+    bad_group = [v for v in q.group_by if v not in known]
+    if bad_group:
+        raise SparqlSyntaxError(f"group-by variables not bound in where clause: {bad_group}")
+    bad_agg = [a.var for a in q.aggregates if a.var is not None and a.var not in known]
+    if bad_agg:
+        raise SparqlSyntaxError(f"aggregate variables not bound in where clause: {bad_agg}")
     bad_order = [v for v, _ in q.order if v not in q.projection]
     if bad_order:
         raise SparqlSyntaxError(f"order-by variables must be projected: {bad_order}")

@@ -262,6 +262,39 @@ def translate(
             ).drop(f"__flex_{i}")
         else:  # pragma: no cover
             raise ValueError(f"unknown filter kind {f.kind!r}")
+
+    # Aggregate projection: groupBy + count/count-distinct — Catalyst plans
+    # partial aggregation, so only #groups rows shuffle.
+    if query.aggregates:
+        aggs = [
+            (
+                F.countDistinct(a.var)
+                if a.distinct and a.var is not None
+                else F.count(F.col(a.var) if a.var is not None else F.lit(1))
+            ).alias(a.alias)
+            for a in query.aggregates
+        ]
+        plan = plan.groupBy(*query.group_by).agg(*aggs)
+        if decode:
+            # decode the (id-valued) group columns only — counts pass through
+            for v in query.group_by:
+                lex = store.dictionary.select(
+                    F.col("id").alias(v), F.col("lexical").alias(f"__glex_{v}")
+                )
+                plan = (
+                    plan.join(lex, on=v, how="left")
+                    .drop(v)
+                    .withColumnRenamed(f"__glex_{v}", v)
+                )
+        plan = plan.select(*query.projection)
+        if query.order:
+            plan = plan.orderBy(
+                *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in query.order]
+            )
+        if query.limit is not None:
+            plan = plan.limit(query.limit)
+        return plan
+
     if decode:
         # Final dictionary decode — the id2name step (reference Proxy.c:211-224).
         # Melt the k projected id columns into (row, slot, id), decode with

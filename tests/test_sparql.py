@@ -303,3 +303,76 @@ def test_parse_minus_disjoint_raises():
 def test_minus_oracle(engine, duck, qtext, decode):
     q = parse_sparql(qtext)
     assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+# ---- aggregate superset ---------------------------------------------------
+def test_parse_aggregates():
+    q = parse_sparql(
+        "select ?N (count(?C) as ?cnt) where { ?C type Customer . ?C inNation ?N } group by ?N"
+    )
+    assert q.group_by == ["N"]
+    assert len(q.aggregates) == 1
+    a = q.aggregates[0]
+    assert (a.fn, a.var, a.alias, a.distinct) == ("count", "C", "cnt", False)
+    assert q.projection == ["N", "cnt"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # ungrouped plain var alongside an aggregate
+        "select ?C (count(?O) as ?n) where { ?O placedBy ?C }",
+        # group by without any aggregate
+        "select ?C where { ?O placedBy ?C } group by ?C",
+        # alias collides with projected var
+        "select ?C (count(?O) as ?C) where { ?O placedBy ?C } group by ?C",
+        # aggregate over unbound var
+        "select (count(?Z) as ?n) where { ?O placedBy ?C }",
+    ],
+)
+def test_parse_aggregate_errors(bad):
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(bad)
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        ("select (count(*) as ?n) where { ?O type Order }", False),
+        (
+            "select ?N (count(?C) as ?cnt) where { ?C type Customer . ?C inNation ?N } group by ?N",
+            False,
+        ),
+        (
+            "select ?N (count(distinct ?S) as ?nsupp) (count(*) as ?nrows)"
+            " where { ?L suppliedBy ?S . ?S inNation ?N } group by ?N",
+            False,
+        ),
+        (
+            "select ?N (count(?C) as ?cnt) where { ?C type Customer . ?C inNation ?N } group by ?N",
+            True,
+        ),
+        (
+            "select ?N (count(?C) as ?cnt) where { ?C type Customer . ?C inNation ?N }"
+            " group by ?N order by ?cnt desc ?N limit 5",
+            False,
+        ),
+        (
+            "select ?C (count(?O) as ?norders) where { ?C type Customer ."
+            " optional { ?O placedBy ?C } } group by ?C",
+            False,
+        ),
+    ],
+)
+def test_aggregate_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+def test_aggregate_count_optional_counts_zero(engine):
+    # COUNT(?O) skips NULLs: suppliers never match placedBy, so count is 0
+    rows = engine.sparql(
+        "select ?S (count(?O) as ?n) where { ?S type Supplier ."
+        " optional { ?O placedBy ?S } } group by ?S"
+    ).collect()
+    assert rows and all(r["n"] == 0 for r in rows)
