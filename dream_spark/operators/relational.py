@@ -730,8 +730,158 @@ SELECT o_custkey AS custkey FROM orders
 """.strip()
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: returned-item revenue per customer, top 20.
+
+    Scale notes: the `l_returnflag = 'R'` filter is pushed into the lineitem
+    scan; nation is broadcast; the three-way join shuffles on the join keys
+    Catalyst picks, and only 20 rows survive the final sort (Spark plans
+    TakeOrderedAndProject, no full sort).  Ties broken by unique c_custkey so
+    the LIMIT boundary is deterministic across engines.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(
+        _dec("l_extendedprice", _PRICE) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS {_PRICE}) * (1 - CAST(l_discount AS {_RATE}))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""".strip()
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (no partsupp table in the corpus): parts whose
+    lineitem revenue exceeds 0.1% of total revenue.
+
+    The fraction predicate ``value > total * 0.001`` is rewritten to
+    ``value * 1000 > total`` so both sides stay exact DECIMAL (no double
+    rounding at the threshold).  The global total is one row, broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice", _PRICE)).alias("value_dec")
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_dec") * F.lit(1000) > F.col("total_dec"))
+        .select(F.col("l_partkey").alias("partkey"), F.col("value_dec").cast("double").alias("value"))
+    )
+
+
+Q11_SQL = f"""
+SELECT l_partkey AS partkey, CAST(value_dec AS DOUBLE) AS value
+FROM (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS {_PRICE})) AS value_dec
+  FROM lineitem GROUP BY l_partkey
+) CROSS JOIN (
+  SELECT SUM(value_dec) AS total_dec FROM (
+    SELECT SUM(CAST(l_extendedprice AS {_PRICE})) AS value_dec
+    FROM lineitem GROUP BY l_partkey
+  )
+)
+WHERE value_dec * 1000 > total_dec
+""".strip()
+
+
+def q12_priority_by_shipyear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (no l_shipmode column): per ship-year, count of
+    high-priority vs other orders among shipped lineitems — conditional
+    aggregation after an orders⋈lineitem join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").alias("shipyear"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT EXTRACT(year FROM l_shipdate) AS shipyear,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY EXTRACT(year FROM l_shipdate)
+""".strip()
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: supplier(s) with maximum revenue over a quarter.
+
+    The max is compared on exact DECIMAL (ties and the max itself are
+    bit-stable across engines); only the final projection casts to double.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec("l_extendedprice", _PRICE) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
+        ).alias("rev_dec")
+    )
+    top = rev.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS {_PRICE}) * (1 - CAST(l_discount AS {_RATE}))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name AS name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+""".strip()
+
+
 QUERIES = {
     "rel_q1_pricing": q1_pricing_summary,
+    "rel_q10_returns": q10_returned_items,
+    "rel_q11_important": q11_important_parts,
+    "rel_q12_priority": q12_priority_by_shipyear,
+    "rel_q15_topsupp": q15_top_supplier,
     "rel_q3_top10": q3_shipping_priority,
     "rel_q5_cycle": q5_local_supplier_volume,
     "rel_window_top3": window_top_orders,
@@ -759,6 +909,10 @@ QUERIES = {
 
 ORACLES = {
     "rel_q1_pricing": Q1_SQL,
+    "rel_q10_returns": Q10_SQL,
+    "rel_q11_important": Q11_SQL,
+    "rel_q12_priority": Q12_SQL,
+    "rel_q15_topsupp": Q15_SQL,
     "rel_q3_top10": Q3_SQL,
     "rel_q5_cycle": Q5_SQL,
     "rel_window_top3": WINDOW_TOP_SQL,
