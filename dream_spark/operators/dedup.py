@@ -340,7 +340,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a",
         "doc_b",
-        F.expr("bit_count(ha ^ hb)").alias("hamming"),
+        F.expr("cast(bit_count(ha ^ hb) as bigint)").alias("hamming"),
     ).where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
 
 
@@ -355,7 +355,7 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb
   FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}
 """.strip()
 

@@ -44,7 +44,7 @@ def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt.alias("fmt"),
         (F.lit(64) + F.col("doc_id") % 448).cast("int").alias("width"),
         (F.lit(64) + (F.col("doc_id") * 7) % 448).cast("int").alias("height"),
-        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
     )
     return out.where((F.col("n_bytes") >= 64) & (F.col("fmt") != "webp"))
 

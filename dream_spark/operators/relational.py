@@ -163,7 +163,7 @@ def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec("o_totalprice", _PRICE).desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rk", F.row_number().over(w))
+        orders.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= 3)
         .select(
             "o_custkey",
@@ -399,7 +399,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
 FROM events
 GROUP BY event_type
@@ -417,7 +417,7 @@ WITH spend AS (
 )
 SELECT c_nationkey, c_custkey, CAST(tot AS DOUBLE) AS total_spend, rnk
 FROM (SELECT c_nationkey, c_custkey, tot,
-             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY tot DESC, c_custkey) AS rnk
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY tot DESC, c_custkey) AS BIGINT) AS rnk
       FROM spend)
 WHERE rnk <= 3
 """.strip()
@@ -455,7 +455,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
         .agg(vol.cast("double").alias("revenue"))
     )
 
@@ -815,7 +815,7 @@ def q12_priority_by_shipyear(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(F.year("l_shipdate").alias("shipyear"))
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("shipyear"))
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
@@ -825,8 +825,8 @@ def q12_priority_by_shipyear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT EXTRACT(year FROM l_shipdate) AS shipyear,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY EXTRACT(year FROM l_shipdate)
 """.strip()

@@ -47,7 +47,7 @@ def _topk(scored: DataFrame) -> DataFrame:
     """Deterministic per-query top-k: (cos DESC, neighbor id) tiebreak."""
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos", "rank")
     )

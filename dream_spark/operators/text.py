@@ -53,8 +53,8 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        F.expr(f"size(regexp_extract_all(lower(text), '{BPE_RE}', 0))").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.expr(f"size(regexp_extract_all(lower(text), '{BPE_RE}', 0))").cast("bigint").alias("n_bpe_tokens"),
         F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).alias("n_alpha"),
         F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).alias("n_digit"),
     )
@@ -146,7 +146,7 @@ TEXT_LANGID_SQL = f"""
 WITH toks AS ({duck_tokens_cte()}),
 agg AS (
   SELECT doc_id,
-         {", ".join(f"SUM(CASE WHEN tok IN ({_stop_list_sql(lang)}) THEN 1 ELSE 0 END) AS n_{lang}" for lang in STOPWORDS)}
+         {", ".join(f"CAST(SUM(CASE WHEN tok IN ({_stop_list_sql(lang)}) THEN 1 ELSE 0 END) AS BIGINT) AS n_{lang}" for lang in STOPWORDS)}
   FROM toks GROUP BY doc_id
 )
 , filled AS (
@@ -186,10 +186,10 @@ TEXT_FINGERPRINT_SQL = f"""
 WITH toks AS ({duck_tokens_cte(with_pos=True)}),
 fp AS (
   SELECT doc_id,
-         SUM(({token_id_sql('tok')} % 65536) * {_pos_weight_sql('pos')}) % {MERSENNE_P} AS fingerprint
+         CAST(SUM(({token_id_sql('tok')} % 65536) * {_pos_weight_sql('pos')}) % {MERSENNE_P} AS BIGINT) AS fingerprint
   FROM toks GROUP BY doc_id
 )
-SELECT d.doc_id, COALESCE(fp.fingerprint, 0) AS fingerprint
+SELECT d.doc_id, CAST(COALESCE(fp.fingerprint, 0) AS BIGINT) AS fingerprint
 FROM (SELECT doc_id FROM documents) d LEFT JOIN fp USING (doc_id)
 """.strip()
 

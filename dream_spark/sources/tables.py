@@ -41,7 +41,19 @@ def _fix_timestamps(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """The engine must work under ANY caller-supplied session (reference O1
+    contract, Proxy.c:40) — not just our own get_spark().  events.parquet is
+    TIMESTAMP(NANOS), which Spark rejects unless nanosAsLong is set; it is a
+    runtime-settable conf, so set it here rather than at session build time."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # read-only conf mechanism (e.g. Connect w/ locked confs): proceed
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_nanos_readable(spark)
     return _fix_timestamps(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")), name)
 
 
@@ -51,6 +63,7 @@ def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None =
     Scans stay parquet-backed (predicate pushdown + column pruning reach the
     file scan); nothing is materialized here.
     """
+    _ensure_nanos_readable(spark)
     out: dict[str, DataFrame] = {}
     for name in tables or TPCH_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -267,8 +267,16 @@ class TripleStore:
     # -- constructors -------------------------------------------------------
     @classmethod
     def from_tpch(cls, spark: SparkSession, sf_dir: str, cache: bool = False) -> "TripleStore":
-        """Derive triples+dict from the driver's parquet tables (shared SQL)."""
-        register_tables(spark, sf_dir)
+        """Derive triples+dict from the driver's parquet tables (shared SQL).
+
+        Registers only the 7 tables TRIPLES_SQL/DICT_SQL actually reference —
+        the SPARQL path must not depend on unrelated tables (events/documents/
+        embeddings) being readable under the caller's session."""
+        register_tables(
+            spark,
+            sf_dir,
+            tables=["region", "nation", "customer", "supplier", "part", "orders", "lineitem"],
+        )
         triples = spark.sql(TRIPLES_SQL)
         dictionary = spark.sql(DICT_SQL)
         if cache:
