@@ -8,8 +8,9 @@ Scale design notes (the part that matters at 100 TB):
   small, and the exact verification runs only on candidates.
 - Signatures come from zero-shuffle Arrow kernels (functions/textkernels.py):
   one mapInPandas pass per corpus, no shingle-level shuffle at all.
-- Candidate joins move ids only; vectors/sets are joined back (broadcast)
-  for verification.
+- Candidate joins move ids only; vectors/sets are joined back for
+  verification through a size-gated broadcast (functions/joins.py): hinted
+  below the row threshold, plain keyed shuffle join above it.
 - All hashing is the deterministic integer family in functions/hashing.py,
   replayed verbatim by the DuckDB oracle.
 """
@@ -21,6 +22,12 @@ from pyspark.sql import functions as F
 
 from dream_spark.functions.features import duck_shingle_ids_cte, duck_token_bigram_ids_cte
 from dream_spark.functions.hashing import hash_sql
+from dream_spark.functions.joins import (
+    CC_SMALL_EDGES_CONF,
+    DEFAULT_CC_SMALL_EDGES,
+    broadcast_if_small,
+    conf_int,
+)
 from dream_spark.functions.textkernels import (
     minhash_signatures,
     simhash_fingerprints,
@@ -173,9 +180,10 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one kernel pass builds each document's sorted bigram-set array
     docsets = token_bigram_arrays(docs).persist()
     # materialize the cache NOW: the three downstream subtrees (prefix
-    # stream, both verification broadcasts) otherwise race to compute the
-    # kernel concurrently before the cache is populated
-    docsets.count()
+    # stream, both verification joins) otherwise race to compute the
+    # kernel concurrently before the cache is populated — and the count
+    # doubles as the broadcast size gate
+    n_docs = docsets.count()
     # ⌈t·n⌉ with exact integer arithmetic: (T_NUM·n + T_DEN − 1) div T_DEN
     prefix_len = (
         F.col("n") - F.floor((F.lit(_T_NUM) * F.col("n") + _T_DEN - 1) / F.lit(float(_T_DEN))) + 1
@@ -202,15 +210,20 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    # verify by broadcast-joining the per-doc set arrays onto the candidate
-    # pairs and counting the intersection JVM-side (array_intersect — no
-    # pair×shingle row blowup, no Python transfer of the pair stream).
-    # Candidates are NOT deduped first: re-verifying a duplicate pair is
-    # cheaper than shuffling the whole candidate stream for distinct —
-    # dedup runs on the verified (threshold-surviving) output instead.
+    # verify by joining the per-doc set arrays onto the candidate pairs and
+    # counting the intersection JVM-side (array_intersect — no pair×shingle
+    # row blowup, no Python transfer of the pair stream).  The docset table
+    # grows with the corpus, so the broadcast is size-gated: below the row
+    # threshold the (large) pair stream is never shuffled; above it this
+    # degrades to a keyed shuffle join.  Candidates are NOT deduped first:
+    # re-verifying a duplicate pair is cheaper than shuffling the whole
+    # candidate stream for distinct — dedup runs on the verified
+    # (threshold-surviving) output instead.
     sa = docsets.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sa"), F.col("n").alias("n_a"))
     sb = docsets.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sb"), F.col("n").alias("n_b"))
-    pairs = cand.join(F.broadcast(sa), on="doc_a").join(F.broadcast(sb), on="doc_b")
+    pairs = cand.join(broadcast_if_small(sa, known_count=n_docs), on="doc_a").join(
+        broadcast_if_small(sb, known_count=n_docs), on="doc_b"
+    )
     pairs = pairs.withColumn("n_inter", F.size(F.array_intersect("sa", "sb")).cast("long"))
     jac = pairs.select(
         "doc_a",
@@ -373,6 +386,12 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "qe", dot_udf()("qe", "qe").alias("nrm"))
 
 
+def corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding-corpus row count for broadcast gating — a parquet
+    metadata-only count (no embedding column read, no UDF run)."""
+    return load_table(spark, sf_dir, "embeddings").count()
+
+
 def _bucket_ids(q: DataFrame, n_tables: int = 4, planes_per_table: int = 4) -> DataFrame:
     """(vec_id, tbl, bkt) — ids only: the candidate join must never shuffle
     the 64-element arrays (at 100 TB that is the difference between
@@ -382,15 +401,21 @@ def _bucket_ids(q: DataFrame, n_tables: int = 4, planes_per_table: int = 4) -> D
     return b.select("vec_id", F.col("tbl").cast("int").alias("tbl"), "bkt")
 
 
-def _rerank(cand: DataFrame, q: DataFrame, a_col: str, b_col: str) -> DataFrame:
+def _rerank(
+    cand: DataFrame, q: DataFrame, a_col: str, b_col: str, corpus_count: int | None = None
+) -> DataFrame:
     """Join the quantized vectors back onto id-only candidate pairs and emit
     the exact cosine.  The vector table is orders of magnitude smaller than
-    the candidate pair stream — broadcast it so the (large) pair side is
-    never shuffled or sorted; at a scale where the vector table itself
-    outgrows broadcast, drop the hint and this degrades to a keyed join."""
+    the candidate pair stream, but it still grows with the corpus, so the
+    broadcast is size-gated: below the threshold the (large) pair side is
+    never shuffled or sorted; above it this degrades to a keyed shuffle
+    join.  ``corpus_count`` should be the cheap parquet-metadata count of
+    the embeddings table (counting ``q`` itself would run its UDF column)."""
     qa = q.select(F.col("vec_id").alias(a_col), F.col("qe").alias("qa"), F.col("nrm").alias("na"))
     qb = q.select(F.col("vec_id").alias(b_col), F.col("qe").alias("qb"), F.col("nrm").alias("nb"))
-    pairs = cand.join(F.broadcast(qa), on=a_col).join(F.broadcast(qb), on=b_col)
+    pairs = cand.join(broadcast_if_small(qa, known_count=corpus_count), on=a_col).join(
+        broadcast_if_small(qb, known_count=corpus_count), on=b_col
+    )
     pairs = pairs.withColumn("dot", dot_udf()("qa", "qb"))
     cos = F.expr(cos_sql("dot", "na", "nb"))
     return pairs.select(a_col, b_col, cos.alias("cos"))
@@ -413,7 +438,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    return _rerank(cand, q, "vec_a", "vec_b").where(F.col("cos") >= EMB_COS_THRESHOLD)
+    n_corpus = corpus_count(spark, sf_dir)
+    return _rerank(cand, q, "vec_a", "vec_b", corpus_count=n_corpus).where(
+        F.col("cos") >= EMB_COS_THRESHOLD
+    )
 
 
 def _duck_quantized() -> str:
@@ -457,7 +485,8 @@ WHERE {_DUCK_COS_AB} >= {EMB_COS_THRESHOLD}
 _CC_MAX_ITERS = 25
 
 
-_CC_SMALL_EDGES = 2_000_000
+# collect-to-driver threshold; conf-overridable via CC_SMALL_EDGES_CONF
+_CC_SMALL_EDGES = DEFAULT_CC_SMALL_EDGES
 
 
 def _unionfind_components(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -484,7 +513,7 @@ def _unionfind_components(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", small_edges: int = _CC_SMALL_EDGES
+    edges: DataFrame, src: str = "src", dst: str = "dst", small_edges: int | None = None
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list → (node, cluster)
     where cluster = smallest reachable node id.
@@ -500,6 +529,8 @@ def connected_components(
     form of the large-star/small-star CC algorithm used for dedup-cluster
     assembly.
     """
+    if small_edges is None:
+        small_edges = conf_int(edges.sparkSession, CC_SMALL_EDGES_CONF, _CC_SMALL_EDGES)
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).persist()

@@ -20,12 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dream_spark.functions.joins import broadcast_if_small
 from dream_spark.functions.vectors import cos_sql, dot_sql, dot_udf
 from dream_spark.operators.dedup import (
     _bucket_ids,
     _duck_buckets,
     _duck_quantized,
     _quantized,
+    corpus_count,
 )
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -96,7 +98,9 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall tradeoff; the oracle replays identical buckets.
 
     The bucket join moves ids only; vectors are joined back per side for the
-    rerank (query side broadcast-tiny, corpus side keyed by id)."""
+    rerank: the query side is constant-size (broadcast unconditionally), the
+    corpus side grows with the data so its broadcast is size-gated —
+    degrading to a keyed shuffle join past the row threshold."""
     q = _quantized(spark, sf_dir)
     b = _bucket_ids(q)
     cand = (
@@ -106,9 +110,13 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qa = q.select(F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na"))
+    qa = q.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na")
+    )
     qb = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb"))
-    pairs = cand.join(F.broadcast(qa), on="query_id").join(F.broadcast(qb), on="neighbor_id")
+    pairs = cand.join(F.broadcast(qa), on="query_id").join(
+        broadcast_if_small(qb, known_count=corpus_count(spark, sf_dir)), on="neighbor_id"
+    )
     return _topk(_scored(pairs))
 
 
@@ -178,9 +186,13 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qa = q.select(F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na"))
+    qa = q.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na")
+    )
     qb = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb"))
-    pairs = cand.join(F.broadcast(qa), on="query_id").join(F.broadcast(qb), on="neighbor_id")
+    pairs = cand.join(F.broadcast(qa), on="query_id").join(
+        broadcast_if_small(qb, known_count=corpus_count(spark, sf_dir)), on="neighbor_id"
+    )
     return _topk(_scored(pairs))
 
 

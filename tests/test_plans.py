@@ -126,3 +126,49 @@ def test_q16_distinct_aggregate_is_two_phase(spark, queries):
     (brand, type, suppkey) triples shuffle, never raw join output."""
     plan = _plan(queries["rel_q16_countd"](spark, SF_DIR))
     assert "partial_count(distinct" in plan.lower() or "Expand" in plan
+
+
+def test_broadcast_gate_hints_when_small(spark, queries):
+    """Default threshold: the Jaccard verification joins broadcast the
+    (tiny at test SF) docset arrays — the pair stream is never shuffled."""
+    plan = _plan(queries["dedup_jaccard"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_broadcast_gate_degrades_to_shuffle_join(spark, queries):
+    """Threshold 0 models a corpus-sized build side: the size-gated hint
+    must be withheld so the verification join degrades to a keyed shuffle
+    join (SortMergeJoin/ShuffledHashJoin) instead of OOMing a broadcast.
+    Auto-broadcast is disabled for the check so Catalyst/AQE can't re-add
+    the hint from measured (test-SF-small) sizes."""
+    from dream_spark.functions.joins import BROADCAST_MAX_ROWS_CONF
+
+    spark.conf.set(BROADCAST_MAX_ROWS_CONF, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("dedup_jaccard", "knn_lsh"):
+            plan = _plan(queries[name](spark, SF_DIR))
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+    finally:
+        spark.conf.unset(BROADCAST_MAX_ROWS_CONF)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_cc_small_edges_conf_knob(spark):
+    """The collect-to-driver CC threshold is conf-overridable: 0 forces the
+    distributed label-propagation path; result must be identical."""
+    from dream_spark.functions.joins import CC_SMALL_EDGES_CONF
+    from dream_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    expect = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    spark.conf.set(CC_SMALL_EDGES_CONF, "0")
+    try:
+        got = {(r["node"], r["cluster"]) for r in connected_components(edges).collect()}
+    finally:
+        spark.conf.unset(CC_SMALL_EDGES_CONF)
+    assert got == expect
+    got_small = {(r["node"], r["cluster"]) for r in connected_components(edges).collect()}
+    assert got_small == expect
