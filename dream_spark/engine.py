@@ -16,7 +16,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 from dream_spark.plans.sparql import ParsedQuery, parse_sparql
-from dream_spark.plans.stats import TripleStats
+from dream_spark.plans.stats import TripleStats, default_stats_path
 from dream_spark.plans.translator import translate
 from dream_spark.sources.triples import TripleStore
 
@@ -28,9 +28,31 @@ class Engine:
         self._stats = stats
 
     @classmethod
-    def from_tpch(cls, spark: SparkSession, sf_dir: str, collect_stats: bool = True) -> "Engine":
+    def from_tpch(
+        cls,
+        spark: SparkSession,
+        sf_dir: str,
+        collect_stats: bool = True,
+        stats_path: str | None = None,
+    ) -> "Engine":
+        """Build the engine over the TPC-H-derived triple store.
+
+        Statistics persist across constructions (the reference reloads its
+        stat files at startup rather than re-profiling, Main.c:146-161):
+        load from ``stats_path`` (default: an mtime-keyed tmp cache file)
+        when present, else run the one aggregation pass and save it.
+        """
         store = TripleStore.from_tpch(spark, sf_dir)
-        stats = TripleStats.collect(store.triples) if collect_stats else None
+        stats = None
+        if collect_stats:
+            path = stats_path or default_stats_path(sf_dir)
+            stats = TripleStats.load(path)
+            if stats is None:
+                stats = TripleStats.collect(store.triples)
+                try:
+                    stats.save(path)
+                except OSError:
+                    pass  # read-only tmp: stats stay in-memory for this engine
         return cls(spark, store, stats)
 
     # -- stats --------------------------------------------------------------

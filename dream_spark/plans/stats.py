@@ -17,12 +17,29 @@ extracted by executing subqueries.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def default_stats_path(sf_dir: str) -> str:
+    """Cache-file path for a TPC-H-derived store's stats — the analog of the
+    reference's per-dataset stat files reloaded at startup (Main.c:146-161,
+    QueryPlanner.c:13-18).  Keyed on the absolute data path AND the source
+    parquet mtimes, so regenerated testdata never reuses stale statistics.
+    Lives in tmp because the data directory itself is read-only."""
+    root = os.path.abspath(sf_dir)
+    sig = [root]
+    for name in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        p = os.path.join(root, f"{name}.parquet")
+        sig.append(f"{name}:{os.path.getmtime(p) if os.path.exists(p) else 0}")
+    digest = hashlib.md5("|".join(sig).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"dream_spark_stats_{digest}.json")
 
 
 @dataclass(frozen=True)
@@ -60,17 +77,24 @@ class TripleStats:
             "total": self.total,
             "per_pred": {str(p): [s.count, s.ndv_s, s.ndv_o] for p, s in self.per_pred.items()},
         }
-        with open(path, "w") as f:
+        # write-then-rename: concurrent engine constructions share the cache
+        # path, and a reader must never see a half-written file
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
             json.dump(payload, f)
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "TripleStats | None":
         if not os.path.exists(path):
             return None
-        with open(path) as f:
-            payload = json.load(f)
-        per = {int(p): PredStat(*v) for p, v in payload["per_pred"].items()}
-        return cls(per, payload["total"])
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+            per = {int(p): PredStat(*v) for p, v in payload["per_pred"].items()}
+            return cls(per, payload["total"])
+        except (json.JSONDecodeError, KeyError, TypeError, OSError):
+            return None  # unreadable cache == no cache: caller recollects
 
     # -- estimation ---------------------------------------------------------
     def pattern_cardinality(self, pred_id: int | None, s_const: bool, o_const: bool) -> float:

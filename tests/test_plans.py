@@ -172,3 +172,25 @@ def test_cc_small_edges_conf_knob(spark):
     assert got == expect
     got_small = {(r["node"], r["cluster"]) for r in connected_components(edges).collect()}
     assert got_small == expect
+
+
+def test_stats_persist_across_engine_constructions(spark, tmp_path, monkeypatch):
+    """Second construction must reload the stat file, running zero Spark
+    jobs for statistics (reference startup stat reload, Main.c:146-161)."""
+    import os as _os
+
+    from dream_spark.engine import Engine
+    from dream_spark.plans import stats as stats_mod
+
+    path = str(tmp_path / "stats.json")
+    e1 = Engine.from_tpch(spark, SF_DIR, stats_path=path)
+    assert e1.stats is not None and _os.path.exists(path)
+
+    def boom(*a, **k):
+        raise AssertionError("stats recollected despite cache file")
+
+    monkeypatch.setattr(stats_mod.TripleStats, "collect", classmethod(boom))
+    e2 = Engine.from_tpch(spark, SF_DIR, stats_path=path)
+    assert e2.stats is not None
+    assert e2.stats.per_pred == e1.stats.per_pred
+    assert e2.stats.total == e1.stats.total
