@@ -194,3 +194,38 @@ def test_stats_persist_across_engine_constructions(spark, tmp_path, monkeypatch)
     assert e2.stats is not None
     assert e2.stats.per_pred == e1.stats.per_pred
     assert e2.stats.total == e1.stats.total
+
+
+def test_sparql_ground_pattern_prunes_to_single_scan(engine):
+    """Constant predicate must prune the derived triples view down to the
+    ONE base table holding that predicate — Catalyst folds `p = placedBy`
+    through the UNION ALL, eliminating the other 23 branches, the Spark
+    analog of RDF-3X predicate-index pruning (QueryPlanner.c:780-821).
+    The constant object then filters that single scan, which reads only
+    the two columns the pattern needs."""
+    plan = _plan(engine.sparql("select ?X where { ?X placedBy <customer:1> }"))
+    assert plan.count("FileScan") == 1
+    assert "orders.parquet" in plan
+    assert "= 100000001)" in plan  # o = customer:1 on the surviving branch
+    scan_schema = plan.split("ReadSchema")[-1]
+    assert "o_orderkey" in scan_schema and "o_totalprice" not in scan_schema
+
+
+def test_sparql_varpred_constant_subject_pushdown_no_cartesian(engine):
+    """A variable-predicate pattern must still push its constant subject
+    into every UNION branch (each scan filtered, never a full-table pass
+    unfiltered), and joining it to a second pattern must stay a keyed
+    join — never a cartesian over the whole triple table."""
+    plan = _plan(engine.sparql("select ?P ?X where { <customer:1> ?P ?X }"))
+    assert "= 100000001)" in plan  # s-constant folded into branch filters
+    assert "CartesianProduct" not in plan
+
+    joined = _plan(
+        engine.sparql("select ?P ?X ?N where { <customer:1> ?P ?X . ?X inNation ?N }")
+    )
+    assert "CartesianProduct" not in joined
+    assert (
+        "SortMergeJoin" in joined
+        or "BroadcastHashJoin" in joined
+        or "ShuffledHashJoin" in joined
+    )
