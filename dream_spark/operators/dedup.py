@@ -531,12 +531,15 @@ def connected_components(
     """
     if small_edges is None:
         small_edges = conf_int(edges.sparkSession, CC_SMALL_EDGES_CONF, _CC_SMALL_EDGES)
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).persist()
+    # persist the DIRECTED edge list before symmetrizing: the union's two
+    # branches otherwise each re-evaluate the upstream pipeline (for dedup
+    # clusters that is the whole candidate-join + verification subtree)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
     if sym.count() <= small_edges:
         rows = _unionfind_components([(r["a"], r["b"]) for r in sym.collect()])
         sym.unpersist()
+        e.unpersist()
         spark = edges.sparkSession
         return spark.createDataFrame(rows, schema="node long, cluster long")
     labels = (
@@ -566,6 +569,7 @@ def connected_components(
         if not changed:
             break
     sym.unpersist()
+    e.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
