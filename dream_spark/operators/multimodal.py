@@ -124,18 +124,22 @@ def decode_and_resize(df: DataFrame, target: int = 224) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            lumas, oks = [], []
+            lumas, oks, ows, ohs = [], [], [], []
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 luma, ok = _fake_decode(bytes(payload), int(w), int(h))
                 lumas.append(luma)
                 oks.append(ok)
-            scale = [min(target / max(int(w), 1), target / max(int(h), 1)) for w, h in zip(pdf["width"], pdf["height"])]
+                # aspect-preserving fit into target×target with INTEGER floor
+                # scaling: exact (no float ties), replayable in plain SQL
+                m = max(int(w), int(h), 1)
+                ows.append(int(w) * target // m)
+                ohs.append(int(h) * target // m)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "fmt": pdf["fmt"],
-                    "out_width": [int(round(w * s)) for w, s in zip(pdf["width"], scale)],
-                    "out_height": [int(round(h * s)) for h, s in zip(pdf["height"], scale)],
+                    "out_width": ows,
+                    "out_height": ohs,
                     "mean_luma": lumas,
                     "decode_ok": oks,
                 }
@@ -172,10 +176,11 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
 
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full decode pipeline surfaced as a query: catalog → metadata
-    prune → mapInPandas decode/resize → per-format stats.  The decode step
-    is genuinely non-SQL-expressible (Arrow-batched Python), so this entry
-    has NO oracle — the driver records its weaker rows-only check, which is
-    exactly the declared contract for custom kernels."""
+    prune → mapInPandas decode/resize → per-format stats.  The luma kernel
+    is the genuinely non-SQL part (a real codec replaces _fake_decode), but
+    the COMPARED surface — decode counts and integer resize geometry — is
+    pure arithmetic, so the oracle replays it in SQL and this entry gets a
+    full hash check rather than the weaker rows-only one."""
     decoded = decode_and_resize(media_catalog(spark, sf_dir))
     return decoded.groupBy("fmt").agg(
         F.count(F.lit(1)).alias("n_decoded"),
@@ -183,6 +188,30 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("out_width").alias("max_w"),
         F.max("out_height").alias("max_h"),
     )
+
+
+MEDIA_DECODE_STATS_SQL = """
+WITH cat AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'png'
+              WHEN doc_id % 3 = 1 THEN 'jpeg'
+              ELSE 'webp' END AS fmt,
+         CAST(64 + doc_id % 448 AS INT) AS width,
+         CAST(64 + (doc_id * 7) % 448 AS INT) AS height,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+  WHERE octet_length(encode(text)) >= 64
+    AND (CASE WHEN doc_id % 3 = 0 THEN 'png'
+              WHEN doc_id % 3 = 1 THEN 'jpeg'
+              ELSE 'webp' END) <> 'webp'
+)
+SELECT fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_decoded,
+       CAST(SUM(CASE WHEN n_bytes > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       MAX(CAST(width * 224 // GREATEST(width, height, 1) AS INT)) AS max_w,
+       MAX(CAST(height * 224 // GREATEST(width, height, 1) AS INT)) AS max_h
+FROM cat GROUP BY fmt
+""".strip()
 
 
 def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,8 +243,8 @@ QUERIES = {
     "media_decode_stats": media_decode_stats,
     "media_frames": media_frame_stats,
 }
-# media_decode_stats intentionally absent: non-SQL-expressible decode kernel
 ORACLES = {
     "media_catalog": MEDIA_CATALOG_META_SQL,
+    "media_decode_stats": MEDIA_DECODE_STATS_SQL,
     "media_frames": MEDIA_FRAME_STATS_SQL,
 }
