@@ -876,6 +876,186 @@ WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
 """.strip()
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: NATION_1's share of AMERICA-customer revenue per
+    order-year.  A 6-way join whose two nation lookups and the region
+    lookup broadcast; the ratio divides two exact DECIMAL sums as DOUBLE
+    (identical on both engines).  At scale only
+    lineitem⋈orders⋈customer shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cnat = F.broadcast(
+        nat.join(reg, nat.n_regionkey == reg.r_regionkey)
+        .where(F.col("r_name") == "AMERICA")
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    snat = F.broadcast(nat.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")))
+    rev = _dec("l_extendedprice", _PRICE) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cnat, cust.c_nationkey == F.col("cnk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(snat, supp.s_nationkey == F.col("snk"))
+        .select(F.year("o_orderdate").cast("bigint").alias("o_year"), rev.alias("volume"), "supp_nation")
+    )
+    agg = base.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))).alias("num"),
+        F.sum("volume").alias("den"),
+    )
+    return agg.select(
+        "o_year",
+        (F.coalesce(F.col("num"), F.lit(0).cast(_PRICE)).cast("double") / F.col("den").cast("double")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+Q8_SQL = f"""
+WITH base AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice AS {_PRICE}) * (1 - CAST(l_discount AS {_RATE})) AS volume,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+)
+SELECT o_year,
+       CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume END), 0) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM base GROUP BY o_year
+""".strip()
+
+
+def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (no partsupp table in the testdata, so supply cost
+    is modeled as 10% of the part's retail price — documented adaptation):
+    profit by supplier nation and order-year for parts whose name contains
+    'red'.  Part/nation lookups broadcast; all arithmetic on exact
+    DECIMALs, final cast to DOUBLE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nat = load_table(spark, sf_dir, "nation")
+    red = F.broadcast(part.where(F.col("p_name").contains("red")).select("p_partkey", "p_retailprice"))
+    snat = F.broadcast(nat.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation")))
+    amount = _dec("l_extendedprice", _PRICE) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE)) - _dec(
+        "p_retailprice", _PRICE
+    ) * F.lit(0.1).cast(_RATE) * _dec("l_quantity", _QTY)
+    return (
+        li.join(red, li.l_partkey == red.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(snat, supp.s_nationkey == F.col("snk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS {_PRICE}) * (1 - CAST(l_discount AS {_RATE}))
+                - CAST(p_retailprice AS {_PRICE}) * CAST(0.1 AS {_RATE}) * CAST(l_quantity AS {_QTY})) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+""".strip()
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (the testdata lacks receipt/commit dates, so the
+    'late' marker is l_returnflag = 'R'): suppliers whose returned line sits
+    in a finished multi-supplier order where NO other supplier's line was
+    returned — the EXISTS + NOT-EXISTS double-correlation shape, lowered to
+    a left-semi then left-anti join, both keyed on l_orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        li.join(orders.where(F.col("o_orderstatus") == "F"), li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+    )
+    l2 = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    cand = l1.join(
+        l2, (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")), "leftsemi"
+    ).join(l3, (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")), "leftanti")
+    return (
+        cand.join(supp, F.col("sk") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""".strip()
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (no partsupp: a supplier's 'offer' for a part is its
+    MIN lineitem extendedprice — exact decimal): for each part of size
+    < 15, the supplier(s) with the minimum offer — the correlated-argmin
+    shape, lowered to a window rank over the per-(part, supplier)
+    aggregate, ties kept like Q2's ORDER BY tie semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    small = F.broadcast(part.where(F.col("p_size") < 15).select("p_partkey", "p_size"))
+    offers = (
+        li.join(small, li.l_partkey == small.p_partkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice", _PRICE)).alias("offer_dec"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.col("offer_dec"))
+    best = offers.withColumn("rk", F.rank().over(w)).where(F.col("rk") == 1)
+    return best.join(supp, best.l_suppkey == supp.s_suppkey).select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        "s_name",
+        F.col("offer_dec").cast("double").alias("min_offer"),
+    )
+
+
+Q2_SQL = f"""
+WITH offers AS (
+  SELECT p_partkey, l_suppkey, MIN(CAST(l_extendedprice AS {_PRICE})) AS offer_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size < 15
+  GROUP BY p_partkey, l_suppkey
+)
+SELECT p_partkey AS partkey, l_suppkey AS suppkey, s_name,
+       CAST(offer_dec AS DOUBLE) AS min_offer
+FROM offers o JOIN supplier ON l_suppkey = s_suppkey
+WHERE offer_dec = (SELECT MIN(offer_dec) FROM offers i WHERE i.p_partkey = o.p_partkey)
+""".strip()
+
+
 QUERIES = {
     "rel_q1_pricing": q1_pricing_summary,
     "rel_q10_returns": q10_returned_items,
@@ -905,6 +1085,10 @@ QUERIES = {
     "rel_pivot": pivot_event_counts,
     "rel_intersect": intersect_segments,
     "rel_except": except_no_orders,
+    "rel_q2_mincost": q2_min_cost_supplier,
+    "rel_q8_share": q8_market_share,
+    "rel_q9_profit": q9_profit,
+    "rel_q21_waiting": q21_waiting_supplier,
 }
 
 ORACLES = {
@@ -936,4 +1120,8 @@ ORACLES = {
     "rel_pivot": PIVOT_SQL,
     "rel_intersect": INTERSECT_SQL,
     "rel_except": EXCEPT_SQL,
+    "rel_q2_mincost": Q2_SQL,
+    "rel_q8_share": Q8_SQL,
+    "rel_q9_profit": Q9_SQL,
+    "rel_q21_waiting": Q21_SQL,
 }
