@@ -40,3 +40,40 @@ def test_partition_count_is_predicate_count(spark, engine, tmp_path):
 
     dirs = [d for d in os.listdir(tdir) if d.startswith("p=")]
     assert len(dirs) == n_preds
+
+
+def test_bucketed_store_star_join_is_shuffle_free(spark, engine, tmp_path):
+    """SCALE §6.1: the subject-bucketed layout runs a BGP star query's
+    subject joins with ZERO hash-partitioning exchanges (bucket-aligned
+    SortMergeJoin), and returns the same rows as the derived store.
+    Auto-broadcast is disabled so the shuffle-free claim is the bucketing,
+    not a broadcast."""
+    tdir, ddir = str(tmp_path / "bt"), str(tmp_path / "bd")
+    spark.sql("DROP TABLE IF EXISTS triples_bucketed_test")
+    engine.store.write_bucketed("triples_bucketed_test", tdir, ddir, n_buckets=8)
+    st = TripleStore.from_table(spark, "triples_bucketed_test", ddir)
+
+    q = parse_sparql(
+        "select ?O ?ST ?PR where { ?O type Order . ?O status ?ST . ?O priority ?PR }"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = translate(st, q, None)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert "SortMergeJoin" in plan
+        a = sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    b = sorted(
+        map(
+            tuple,
+            engine.sparql(
+                "select ?O ?ST ?PR where { ?O type Order . ?O status ?ST . ?O priority ?PR }"
+            ).collect(),
+        )
+    )
+    assert a == b
+    spark.sql("DROP TABLE IF EXISTS triples_bucketed_test")
