@@ -22,10 +22,18 @@ from dream_spark.sources.triples import TripleStore
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, store: TripleStore, stats: TripleStats | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: TripleStore,
+        stats: TripleStats | None = None,
+        sf_dir: str | None = None,
+    ):
         self.spark = spark
         self.store = store
         self._stats = stats
+        self._sf_dir = sf_dir
+        self._sql_tables_registered = False
 
     @classmethod
     def from_tpch(
@@ -53,7 +61,7 @@ class Engine:
                     stats.save(path)
                 except OSError:
                     pass  # read-only tmp: stats stay in-memory for this engine
-        return cls(spark, store, stats)
+        return cls(spark, store, stats, sf_dir=sf_dir)
 
     # -- stats --------------------------------------------------------------
     @property
@@ -74,6 +82,16 @@ class Engine:
         return translate(self.store, parse_sparql(sparql_text), self._stats, decode=decode)
 
     def sql(self, sql_text: str) -> DataFrame:
+        """ANSI SQL over all the store's base tables.
+
+        Table views register lazily on first use — the SPARQL path stays
+        independent of tables it never reads (store derivation registers
+        only its own 7), while the SQL surface sees all of them."""
+        if self._sf_dir is not None and not self._sql_tables_registered:
+            from dream_spark.sources.tables import register_tables
+
+            register_tables(self.spark, self._sf_dir)
+            self._sql_tables_registered = True
         return self.spark.sql(sql_text)
 
     def explain(self, sparql_text: str, mode: str = "formatted") -> str:

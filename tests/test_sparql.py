@@ -376,3 +376,12 @@ def test_aggregate_count_optional_counts_zero(engine):
         " optional { ?O placedBy ?S } } group by ?S"
     ).collect()
     assert rows and all(r["n"] == 0 for r in rows)
+
+
+def test_engine_sql_surface_sees_all_tables(engine):
+    """Engine.sql must reach every base table (lazily registered), not just
+    the 7 the SPARQL store derivation uses."""
+    n = engine.sql("SELECT COUNT(*) AS n FROM events").collect()[0]["n"]
+    assert n > 0
+    n2 = engine.sql("SELECT COUNT(*) AS n FROM documents").collect()[0]["n"]
+    assert n2 > 0
