@@ -318,7 +318,12 @@ class TripleStore:
         the Spark analog of the co-located per-worker RDF-3X replicas the
         reference relies on (README.md:7) — same locality, without
         replicating the store.  Requires a saveAsTable catalog entry
-        because parquet files alone carry no bucket metadata."""
+        because parquet files alone carry no bucket metadata.
+
+        The dictionary is likewise bucketed by ``id`` (SCALE.md §6.4,
+        table ``<table_name>_dict``): the final decode join then never
+        shuffles the dictionary — only the (small) melted result side
+        exchanges to the dict's bucketing."""
         (
             self.triples.write.mode("overwrite")
             .partitionBy("p")
@@ -328,13 +333,28 @@ class TripleStore:
             .format("parquet")
             .saveAsTable(table_name)
         )
-        self.dictionary.write.mode("overwrite").parquet(dict_path)
+        (
+            self.dictionary.write.mode("overwrite")
+            .bucketBy(n_buckets, "id")
+            .sortBy("id")
+            .option("path", dict_path)
+            .format("parquet")
+            .saveAsTable(f"{table_name}_dict")
+        )
 
     @classmethod
-    def from_table(cls, spark: SparkSession, table_name: str, dict_path: str) -> "TripleStore":
-        """Open a store written by ``write_bucketed`` — the catalog table
-        carries the bucket spec, so subject-joins plan shuffle-free."""
-        return cls(spark, spark.table(table_name), spark.read.parquet(dict_path))
+    def from_table(cls, spark: SparkSession, table_name: str, dict_path: str | None = None) -> "TripleStore":
+        """Open a store written by ``write_bucketed`` — the catalog tables
+        carry the bucket specs, so subject-joins and the dictionary decode
+        plan shuffle-free (dict side).  ``dict_path`` falls back to a plain
+        parquet dictionary for stores written before the dict was bucketed."""
+        try:
+            dictionary = spark.table(f"{table_name}_dict")
+        except Exception:
+            if dict_path is None:
+                raise
+            dictionary = spark.read.parquet(dict_path)
+        return cls(spark, spark.table(table_name), dictionary)
 
     # -- constant resolution ------------------------------------------------
     def resolve(self, lexical: str) -> int:

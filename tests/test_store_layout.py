@@ -50,8 +50,9 @@ def test_bucketed_store_star_join_is_shuffle_free(spark, engine, tmp_path):
     not a broadcast."""
     tdir, ddir = str(tmp_path / "bt"), str(tmp_path / "bd")
     spark.sql("DROP TABLE IF EXISTS triples_bucketed_test")
+    spark.sql("DROP TABLE IF EXISTS triples_bucketed_test_dict")
     engine.store.write_bucketed("triples_bucketed_test", tdir, ddir, n_buckets=8)
-    st = TripleStore.from_table(spark, "triples_bucketed_test", ddir)
+    st = TripleStore.from_table(spark, "triples_bucketed_test")
 
     q = parse_sparql(
         "select ?O ?ST ?PR where { ?O type Order . ?O status ?ST . ?O priority ?PR }"
@@ -64,6 +65,14 @@ def test_bucketed_store_star_join_is_shuffle_free(spark, engine, tmp_path):
         assert plan.count("Exchange hashpartitioning") == 0, plan
         assert "SortMergeJoin" in plan
         a = sorted(map(tuple, df.collect()))
+
+        # §6.4: decode must never shuffle the dictionary — the only __id
+        # exchange is the (small) melted result side aligning to the
+        # dict's buckets
+        dfd = translate(st, q, None, decode=True)
+        pland = dfd._jdf.queryExecution().executedPlan().toString()
+        assert pland.count("Exchange hashpartitioning(__id") == 1, pland
+        n_decoded = dfd.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -76,4 +85,6 @@ def test_bucketed_store_star_join_is_shuffle_free(spark, engine, tmp_path):
         )
     )
     assert a == b
+    assert n_decoded == len(b)
     spark.sql("DROP TABLE IF EXISTS triples_bucketed_test")
+    spark.sql("DROP TABLE IF EXISTS triples_bucketed_test_dict")
