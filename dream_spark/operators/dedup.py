@@ -119,13 +119,13 @@ def _band_frame(sigs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs over character-3-gram sets.
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs for ANY ``(doc_id, text)`` DataFrame —
+    the library surface; ``dedup_minhash`` wraps it over the test table.
 
     shingle → minhash → band → bucket-join: signatures come from the
     zero-shuffle Arrow kernel (functions/textkernels.py) — the only shuffle
     in the whole operator is the band self-join, keyed on ids."""
-    docs = load_table(spark, sf_dir, "documents")
     bands = _band_frame(minhash_signatures(docs, MINHASH_K))
     a = bands.alias("a")
     b = bands.alias("b")
@@ -135,6 +135,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``minhash_pairs`` over the documents table."""
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def _duck_minhash_bands() -> str:
@@ -161,8 +166,9 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.do
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard with rare-feature candidate filtering
 # --------------------------------------------------------------------------
-def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs with word-bigram-set Jaccard ≥ 0.8, via *prefix filtering*.
+def jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact-recall Jaccard near-dup pairs for ANY ``(doc_id, text)``
+    DataFrame — the library surface; ``dedup_jaccard`` wraps it.
 
     Feature space = consecutive-token bigrams (discriminative for natural
     text — character shingles of same-language documents overlap so heavily
@@ -176,7 +182,6 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact |∩|/|∪| verifies candidates; dedup happens on the (tiny)
     verified output, not the (large) candidate stream.
     """
-    docs = load_table(spark, sf_dir, "documents")
     # one kernel pass builds each document's sorted bigram-set array
     docsets = token_bigram_arrays(docs).persist()
     # materialize the cache NOW: the three downstream subtrees (prefix
@@ -236,6 +241,11 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD).dropDuplicates(["doc_a", "doc_b"])
 
 
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``jaccard_pairs`` over the documents table."""
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
 DEDUP_JACCARD_SQL = f"""
 WITH sids AS ({duck_token_bigram_ids_cte()}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sids GROUP BY doc_id),
@@ -279,17 +289,22 @@ def _simhash_bit(j: int) -> str:
     return f"(({hash_sql('sid', j // 16)} >> {j % 16}) & 1)"
 
 
-def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 32-bit SimHash over the shingle set — bit j is the
-    sign of Σ ±1 where ± is a hash bit of the shingle.  Computed by the
-    zero-shuffle Arrow kernel; docs without shingles fill 0."""
-    docs = load_table(spark, sf_dir, "documents")
+def simhash_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) for ANY ``(doc_id, text)`` DataFrame: 32-bit
+    SimHash over the shingle set — bit j is the sign of Σ ±1 where ± is a
+    hash bit of the shingle.  Computed by the zero-shuffle Arrow kernel;
+    docs without shingles fill 0."""
     out = simhash_fingerprints(docs, SIMHASH_BITS)
     return (
         docs.select("doc_id")
         .join(out, on="doc_id", how="left")
         .na.fill({"simhash": 0})
     )
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``simhash_of`` over the documents table."""
+    return simhash_of(load_table(spark, sf_dir, "documents"))
 
 
 def _duck_simhash() -> str:
@@ -316,11 +331,11 @@ _SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 _SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on 8-bit bands (a pair within
-    hamming ≤ 3 of a 32-bit fingerprint shares ≥ 1 of 4 bands), verify
-    exact hamming on candidates."""
-    fps = simhash_docs(spark, sf_dir)
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs for ANY ``(doc_id, text)`` DataFrame: bucket
+    on 8-bit bands (a pair within hamming ≤ 3 of a 32-bit fingerprint
+    shares ≥ 1 of 4 bands), verify exact hamming on candidates."""
+    fps = simhash_of(docs)
     bands = fps.select(
         "doc_id",
         "simhash",
@@ -357,6 +372,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
 
 
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``simhash_pairs`` over the documents table."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
 DEDUP_SIMHASH_SQL = f"""
 WITH {_duck_simhash()},
 bands AS (
@@ -376,14 +396,19 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}
 # --------------------------------------------------------------------------
 # embedding-cosine near-duplicates (quantized-exact, LSH-bucketed)
 # --------------------------------------------------------------------------
-def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, qe: array<bigint>, nrm: bigint) — FLOOR(x·10^6) quantization
+def quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, qe: array<bigint>, nrm: bigint) for ANY ``(vec_id,
+    embedding array<float/double>)`` DataFrame — FLOOR(x·10^6) quantization
     makes every dot product integer-exact and thus bit-identical across
     engines and partition orders."""
-    emb = load_table(spark, sf_dir, "embeddings")
     qe = F.expr(f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {EMB_QUANT}) AS BIGINT))")
     out = emb.select("vec_id", qe.alias("qe"))
     return out.select("vec_id", "qe", dot_udf()("qe", "qe").alias("nrm"))
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``quantize`` over the embeddings table."""
+    return quantize(load_table(spark, sf_dir, "embeddings"))
 
 
 def corpus_count(spark: SparkSession, sf_dir: str) -> int:
@@ -421,15 +446,16 @@ def _rerank(
     return pairs.select(a_col, b_col, cos.alias("cos"))
 
 
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ τ among LSH-bucket candidates.
+def embedding_pairs(emb: DataFrame, corpus_count: int | None = None) -> DataFrame:
+    """Embedding near-dup pairs for ANY ``(vec_id, embedding)`` DataFrame:
+    cosine ≥ τ among LSH-bucket candidates.
 
     4 tables × 4 hyperplanes: candidates collide in ≥1 table; exact
     (quantized-integer) cosine verifies.  Recall is the standard LSH
     tradeoff; the oracle replays the same buckets so both engines see the
     identical candidate set.
     """
-    q = _quantized(spark, sf_dir)
+    q = quantize(emb)
     b = _bucket_ids(q)
     cand = (
         b.alias("a")
@@ -438,9 +464,16 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    n_corpus = corpus_count(spark, sf_dir)
-    return _rerank(cand, q, "vec_a", "vec_b", corpus_count=n_corpus).where(
+    return _rerank(cand, q, "vec_a", "vec_b", corpus_count=corpus_count).where(
         F.col("cos") >= EMB_COS_THRESHOLD
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``embedding_pairs`` over the embeddings
+    table (corpus count from parquet metadata for the broadcast gate)."""
+    return embedding_pairs(
+        load_table(spark, sf_dir, "embeddings"), corpus_count=corpus_count(spark, sf_dir)
     )
 
 
@@ -573,13 +606,19 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full dedup pipeline's last step: group the verified (J ≥ 0.8)
-    near-duplicate pairs into clusters; canonical keeper = min doc_id.
-    Output: (doc_id, cluster_id) for every clustered document."""
-    edges = dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+def duplicate_clusters(docs: DataFrame) -> DataFrame:
+    """The full dedup pipeline for ANY ``(doc_id, text)`` DataFrame: group
+    the verified (J ≥ 0.8) near-duplicate pairs into clusters; canonical
+    keeper = min doc_id.  Output: (doc_id, cluster_id) for every clustered
+    document."""
+    edges = jaccard_pairs(docs).select("doc_a", "doc_b")
     cc = connected_components(edges, "doc_a", "doc_b")
     return cc.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``duplicate_clusters`` over documents."""
+    return duplicate_clusters(load_table(spark, sf_dir, "documents"))
 
 
 DEDUP_CLUSTERS_SQL = f"""

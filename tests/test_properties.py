@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis).
+
+Driver-side algorithms get full randomized coverage (100 examples); the
+Spark pipelines get a handful of randomized corpora each (Spark job cost),
+checking the properties that matter most:
+
+- PPJoin prefix filtering is EXACT-recall: the bucketed pipeline finds
+  precisely the pairs a brute-force O(n²) Jaccard finds (the scale design
+  must not change the answer).
+- Connected components (driver union-find path) matches an independent
+  BFS reference on arbitrary graphs.
+- The triple-store ID space is injective across entity kinds at TPC-H
+  bounds (the collision-freedom claim in sources/triples.py).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_DIR  # noqa: F401  (ensures env setup)
+
+# ---------------------------------------------------------------------------
+# driver-side: union-find vs BFS reference
+# ---------------------------------------------------------------------------
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _bfs_components(pairs):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label: dict[int, int] = {}
+    for start in sorted(adj):
+        if start in label:
+            continue
+        seen, queue = {start}, [start]
+        while queue:
+            x = queue.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    queue.append(y)
+        root = min(seen)
+        for x in seen:
+            label[x] = root
+    return sorted(label.items())
+
+
+@given(edges_strategy)
+@settings(max_examples=100, deadline=None)
+def test_unionfind_matches_bfs(pairs):
+    from dream_spark.operators.dedup import _unionfind_components
+
+    assert _unionfind_components(pairs) == _bfs_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# driver-side: ID-space injectivity at TPC-H bounds
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["region", "nation", "supplier", "customer", "part", "order"]),
+            st.integers(0, 10**9),
+        ),
+        min_size=2,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_entity_id_space_injective(entities):
+    """Distinct (kind, key) pairs must never collide in id space up to
+    10^9 keys per kind (sf 10 000 headroom)."""
+    from dream_spark.sources.triples import resolve_lexical
+
+    ids = [resolve_lexical(f"{kind}:{key}") for kind, key in entities]
+    assert None not in ids
+    assert len(set(ids)) == len(entities)
+
+
+# ---------------------------------------------------------------------------
+# Spark: PPJoin prefix filtering is exact-recall vs brute force
+# ---------------------------------------------------------------------------
+def _bigrams(text: str) -> set[tuple[str, str]]:
+    import re
+
+    toks = [t for t in re.split(r"[^0-9a-z]+", text.lower()) if t]
+    return set(zip(toks, toks[1:]))
+
+
+def _brute_force_pairs(docs: list[tuple[int, str]], threshold=0.8):
+    out = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            (ia, ta), (ib, tb) = docs[i], docs[j]
+            sa, sb = _bigrams(ta), _bigrams(tb)
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= threshold:
+                out.add((min(ia, ib), max(ia, ib)))
+    return out
+
+
+# small vocabulary forces heavy overlap → near-dups actually occur
+_words = st.sampled_from(["red", "blue", "widget", "bolt", "ring", "gear"])
+_doc_text = st.lists(_words, min_size=2, max_size=8).map(" ".join)
+_corpus = st.lists(_doc_text, min_size=2, max_size=10).map(
+    lambda texts: [(i, t) for i, t in enumerate(texts)]
+)
+
+
+@given(_corpus)
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jaccard_pipeline_exact_recall(spark, corpus):
+    """The bucketed PPJoin pipeline must return exactly the brute-force
+    J ≥ 0.8 pair set — prefix/size/positional filters lose no recall and
+    verification admits no false positives."""
+    from dream_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs).collect()
+    }
+    assert got == _brute_force_pairs(corpus)
