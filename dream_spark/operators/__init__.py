@@ -4,7 +4,8 @@ Two surfaces per operator family:
 - DataFrame-level functions (the library API — bring your own DataFrame):
   ``jaccard_pairs``, ``minhash_pairs``, ``simhash_pairs``,
   ``embedding_pairs``, ``duplicate_clusters``, ``connected_components``,
-  ``quantize``, ``simhash_of``.
+  ``quantize``, ``simhash_of``, ``knn_topk``, ``asof_join``,
+  ``range_join``.
 - ``(spark, sf_dir)`` wrappers in each module's ``QUERIES`` dict (the
   driver contract, each with a DuckDB oracle in ``ORACLES``).
 """
@@ -19,14 +20,19 @@ from dream_spark.operators.dedup import (
     simhash_of,
     simhash_pairs,
 )
+from dream_spark.operators.similarity import knn_topk
+from dream_spark.operators.temporal import asof_join, range_join
 
 __all__ = [
+    "asof_join",
     "connected_components",
     "duplicate_clusters",
     "embedding_pairs",
     "jaccard_pairs",
+    "knn_topk",
     "minhash_pairs",
     "quantize",
+    "range_join",
     "simhash_of",
     "simhash_pairs",
 ]

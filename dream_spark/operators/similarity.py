@@ -28,7 +28,9 @@ from dream_spark.operators.dedup import (
     _duck_quantized,
     _quantized,
     corpus_count,
+    quantize,
 )
+from dream_spark.sources.tables import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -45,30 +47,38 @@ def _scored(pairs: DataFrame) -> DataFrame:
     )
 
 
-def _topk(scored: DataFrame) -> DataFrame:
+def _topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     """Deterministic per-query top-k: (cos DESC, neighbor id) tiebreak."""
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
 
 
-def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k neighbors for each query vector (vec_id < N_QUERIES),
-    self excluded; deterministic ordering by (cos DESC, neighbor id)."""
-    q = _quantized(spark, sf_dir)
-    queries = q.where(F.col("vec_id") < N_QUERIES).select(
+def knn_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for ANY pair of
+    ``(vec_id, embedding)`` DataFrames — the library surface and the
+    correctness baseline for the LSH/IVF scale paths.  The (small) query
+    set broadcasts against the corpus scan: the corpus never shuffles.
+    Rows where query and neighbor share a vec_id are excluded (self-match
+    when queries ⊆ corpus)."""
+    qq = quantize(queries).select(
         F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na")
     )
-    corpus = q.select(
+    qc = quantize(corpus).select(
         F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb")
     )
-    pairs = F.broadcast(queries).crossJoin(corpus).where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    return _topk(_scored(pairs))
+    pairs = F.broadcast(qq).crossJoin(qc).where(F.col("query_id") != F.col("neighbor_id"))
+    return _topk(_scored(pairs), k)
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``knn_topk`` with the first N_QUERIES
+    corpus vectors as the query set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_topk(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
 _DUCK_COS = cos_sql(dot_sql("qa", "qb", duck=True), "na", "nb")

@@ -27,6 +27,70 @@ from dream_spark.sources.tables import load_table
 RANGE_WINDOW_MIN = 30
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Generic AS-OF join (pandas ``merge_asof`` analog, backward
+    direction): for each left row, the single latest right row with
+    ``right_ts <= left_ts`` sharing the ``on`` key; LEFT semantics (no
+    match → NULL right columns).
+
+    Right-side column names must not collide with left's (rename before
+    calling, as with any Spark join).  ``tiebreak`` breaks equal-timestamp
+    ties deterministically (DESC); always pass one when right_ts isn't
+    unique per key.  Scale shape: equi-shuffle both sides on ``on``,
+    evaluate the time bound in-group, top-1 per left row by window — the
+    window partitions by the join output's left row id, so Catalyst
+    pipelines it after the join without an extra shuffle."""
+    lid = "__asof_lid"
+    rkey = "__asof_rkey"
+    lf = left.withColumn(lid, F.monotonically_increasing_id())
+    rf = right.withColumnRenamed(on, rkey)
+    joined = lf.join(
+        rf,
+        (F.col(on) == F.col(rkey))
+        & (F.unix_micros(F.col(right_ts)) <= F.unix_micros(F.col(left_ts))),
+        "left_outer",
+    ).drop(rkey)
+    order = [F.col(right_ts).desc_nulls_last()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc_nulls_last())
+    w = Window.partitionBy(lid).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", lid)
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_us: int,
+) -> DataFrame:
+    """Generic RANGE (interval) join: right rows strictly after the left
+    row's timestamp and within ``window_us`` microseconds, sharing the
+    ``on`` key.  Inner semantics; one output row per qualifying pair.
+    Equi-keyed first — never a cross join; the band predicate evaluates
+    inside the key group."""
+    rkey = "__range_rkey"
+    rf = right.withColumnRenamed(on, rkey)
+    return left.join(
+        rf,
+        (F.col(on) == F.col(rkey))
+        & (F.unix_micros(F.col(right_ts)) > F.unix_micros(F.col(left_ts)))
+        & (F.unix_micros(F.col(right_ts)) <= F.unix_micros(F.col(left_ts)) + window_us),
+    ).drop(rkey)
+
+
 def _typed_events(spark: SparkSession, sf_dir: str, etype: str, prefix: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == etype)
     return ev.select(
@@ -46,21 +110,17 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (click_ts DESC, click_id DESC) with explicit NULLS LAST so both
     engines rank the unmatched-left row identically.
     """
-    p = _typed_events(spark, sf_dir, "purchase", "purchase")
-    c = _typed_events(spark, sf_dir, "click", "click")
-    joined = p.join(
-        c,
-        (F.col("purchase_user") == F.col("click_user"))
-        & (F.unix_micros("click_ts") <= F.unix_micros("purchase_ts")),
-        "left_outer",
+    p = _typed_events(spark, sf_dir, "purchase", "purchase").withColumnRenamed(
+        "purchase_user", "user"
     )
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.col("click_ts").desc_nulls_last(), F.col("click_id").desc_nulls_last()
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("purchase_id", "purchase_user", "purchase_ts", "click_id", "click_ts")
+    c = _typed_events(spark, sf_dir, "click", "click").withColumnRenamed("click_user", "user")
+    out = asof_join(p, c, on="user", left_ts="purchase_ts", right_ts="click_ts", tiebreak="click_id")
+    return out.select(
+        "purchase_id",
+        F.col("user").alias("purchase_user"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
     )
 
 
@@ -86,14 +146,13 @@ def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     minutes *after* each click, aggregated per click — the banded-time join
     every attribution/feature pipeline needs."""
     win_us = RANGE_WINDOW_MIN * 60 * 1_000_000
-    c = _typed_events(spark, sf_dir, "click", "click")
-    p = _typed_events(spark, sf_dir, "purchase", "purchase")
-    joined = c.join(
-        p,
-        (F.col("click_user") == F.col("purchase_user"))
-        & (F.unix_micros("purchase_ts") > F.unix_micros("click_ts"))
-        & (F.unix_micros("purchase_ts") <= F.unix_micros("click_ts") + win_us),
+    c = _typed_events(spark, sf_dir, "click", "click").withColumnRenamed("click_user", "user")
+    p = _typed_events(spark, sf_dir, "purchase", "purchase").withColumnRenamed(
+        "purchase_user", "user"
     )
+    joined = range_join(
+        c, p, on="user", left_ts="click_ts", right_ts="purchase_ts", window_us=win_us
+    ).withColumnRenamed("user", "click_user")
     return joined.groupBy("click_id", "click_user").agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(F.col("purchase_value").cast("decimal(12,2)")).cast("double").alias("attributed_value"),
