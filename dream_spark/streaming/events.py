@@ -202,6 +202,47 @@ FROM sess GROUP BY user_id, session_no
 
 
 # --------------------------------------------------------------------------
+# stream-stream interval join (streaming twin of operators/temporal.range_join)
+# --------------------------------------------------------------------------
+ATTRIBUTION_WINDOW_MIN = 30
+
+
+def attribution_stream(
+    events: DataFrame,
+    window_min: int = ATTRIBUTION_WINDOW_MIN,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases landing within
+    ``window_min`` minutes after a click by the same user.
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time on BOTH ends relative to click time, so Spark can expire buffered
+    click state once `click_ts + window + watermark` passes — the state
+    stays bounded on an unbounded stream (the defining constraint of
+    stream-stream joins).  Inner semantics; one row per qualifying pair.
+    """
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"""click_user = purchase_user
+                AND purchase_ts > click_ts
+                AND purchase_ts <= click_ts + interval {window_min} minutes"""
+        ),
+    ).select("click_id", "click_user", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+
+
+# --------------------------------------------------------------------------
 # streaming exact dedup
 # --------------------------------------------------------------------------
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -118,3 +118,45 @@ def test_sessionize_stream_runs(spark):
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"]) in batch
         for r in got
     )
+
+
+@pytest.mark.slow
+def test_attribution_stream_matches_batch_range_join(spark):
+    """The watermarked stream-stream interval join must produce exactly the
+    pairs the batch range_join produces once the stream drains
+    (availableNow)."""
+    from dream_spark.operators.temporal import RANGE_WINDOW_MIN, range_join
+    from dream_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    joined = SE.attribution_stream(
+        SE.read_events_stream(spark, SF_DIR), window_min=RANGE_WINDOW_MIN
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("select * from attr_sink").collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("user"), F.col("ts").alias("click_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("user"), F.col("ts").alias("purchase_ts")
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in range_join(
+            c, p, on="user", left_ts="click_ts", right_ts="purchase_ts",
+            window_us=RANGE_WINDOW_MIN * 60 * 1_000_000,
+        ).collect()
+    }
+    assert got == want and len(want) > 0
