@@ -22,17 +22,22 @@ from dream_spark.operators.dedup import (
 )
 from dream_spark.operators.similarity import knn_topk
 from dream_spark.operators.temporal import asof_join, range_join
+from dream_spark.operators.text import features_of, fingerprint_of, langid_of, topterms_of
 
 __all__ = [
     "asof_join",
     "connected_components",
     "duplicate_clusters",
     "embedding_pairs",
+    "features_of",
+    "fingerprint_of",
     "jaccard_pairs",
     "knn_topk",
+    "langid_of",
     "minhash_pairs",
     "quantize",
     "range_join",
     "simhash_of",
     "simhash_pairs",
+    "topterms_of",
 ]

@@ -36,15 +36,15 @@ _ALL_STOP = sorted({w for ws in STOPWORDS.values() for w in ws})
 _POS_W = [31**k for k in range(8)]
 
 
-def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counting + quality scoring.
+def features_of(docs: DataFrame) -> DataFrame:
+    """Per-document token counting + quality scoring for ANY ``(doc_id,
+    text)`` DataFrame — the library surface; ``text_features`` wraps it.
 
     Columns: n_chars, n_ws_tokens (whitespace-ish split), n_bpe_tokens
     (regex tokenizer), n_distinct_tokens, alpha_ratio, digit_ratio,
     stop_ratio, quality_score.  One scan, one groupBy(doc_id) over the
     token explode — partial aggregation keeps the shuffle at #docs rows.
     """
-    docs = load_table(spark, sf_dir, "documents")
     toks = tokens(docs)
     per_doc = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_ws_tokens"),
@@ -82,6 +82,11 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``features_of`` over the documents table."""
+    return features_of(load_table(spark, sf_dir, "documents"))
+
+
 def _stop_list_sql(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
 
@@ -116,13 +121,12 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 """.strip()
 
 
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def langid_of(docs: DataFrame) -> DataFrame:
     """N-gram/stopword language-ID heuristic: count per-language stopword
     hits, argmax with a fixed preference order (en > es > fr > de, else
     'und').  The synthetic corpus is English-ish word salad, so this mostly
     demonstrates the deterministic plumbing; with real multilingual text the
     same plan discriminates."""
-    docs = load_table(spark, sf_dir, "documents")
     toks = tokens(docs)
     agg = toks.groupBy("doc_id").agg(
         *[
@@ -140,6 +144,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = docs.select("doc_id").join(agg, on="doc_id", how="left").na.fill(0)
     return out.select("doc_id", pred.alias("lang_pred"), "n_en", "n_es", "n_fr", "n_de")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``langid_of`` over the documents table."""
+    return langid_of(load_table(spark, sf_dir, "documents"))
 
 
 TEXT_LANGID_SQL = f"""
@@ -170,16 +179,20 @@ def _pos_weight_sql(pos_expr: str) -> str:
     return f"(CASE CAST(({pos_expr}) % 8 AS INT) {whens} END)"
 
 
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fingerprint_of(docs: DataFrame) -> DataFrame:
     """Order-sensitive document fingerprint: a rolling polynomial hash over
     the token sequence — SUM((token_id mod 2^16) * 31^(pos mod 8)) mod P.
     Commutative integer summation makes it partition-order independent while
     still depending on token *positions* (unlike a bag hash)."""
-    docs = load_table(spark, sf_dir, "documents")
     tk = tokens(docs, with_pos=True)
     term = F.expr(f"({token_id_sql('tok')} % 65536) * {_pos_weight_sql('pos')}")
     fp = tk.groupBy("doc_id").agg((F.sum(term) % MERSENNE_P).alias("fingerprint"))
     return docs.select("doc_id").join(fp, on="doc_id", how="left").na.fill({"fingerprint": 0})
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``fingerprint_of`` over documents."""
+    return fingerprint_of(load_table(spark, sf_dir, "documents"))
 
 
 TEXT_FINGERPRINT_SQL = f"""
@@ -197,17 +210,22 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN fp USING (doc_id)
 TOP_TERMS_K = 25
 
 
-def text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary profile: top-K terms by document frequency
-    (deterministic tiebreak on the term itself) with total occurrence
-    counts — the df/tf sketch a corpus-analysis pipeline starts from."""
-    docs = load_table(spark, sf_dir, "documents")
+def topterms_of(docs: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
+    """Corpus vocabulary profile for ANY ``(doc_id, text)`` DataFrame:
+    top-k terms by document frequency (deterministic tiebreak on the term
+    itself) with total occurrence counts — the df/tf sketch a
+    corpus-analysis pipeline starts from."""
     toks = tokens(docs)
     stats = toks.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("df"),
         F.count(F.lit(1)).alias("tf"),
     )
-    return stats.orderBy(F.col("df").desc(), F.col("tok")).limit(TOP_TERMS_K)
+    return stats.orderBy(F.col("df").desc(), F.col("tok")).limit(k)
+
+
+def text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``topterms_of`` over the documents table."""
+    return topterms_of(load_table(spark, sf_dir, "documents"))
 
 
 TEXT_TOPTERMS_SQL = f"""

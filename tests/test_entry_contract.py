@@ -1,0 +1,51 @@
+"""Driver-contract invariants for __spark_entry__ — cheap structural checks
+that would otherwise only fail at round-grading time.
+
+The driver adjudicates the FIRST 50 queries() entries (insertion order), so
+the invariants are: exactly 50 priority names, all resolvable, emitted
+first, every operator family represented inside the cap, and an oracle for
+every declared query.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+FAMILIES = [
+    "sparql_",
+    "rel_",
+    "temporal_",
+    "text_",
+    "dedup_",
+    "simhash_",
+    "knn_",
+    "media_",
+    "streaming_",
+]
+
+
+def test_priority_order_is_exactly_the_first_fifty():
+    qs = list(entry.queries())
+    assert len(entry.PRIORITY_ORDER) == 50
+    missing = [n for n in entry.PRIORITY_ORDER if n not in qs]
+    assert not missing, f"priority names without a queries() entry: {missing}"
+    assert qs[:50] == entry.PRIORITY_ORDER
+
+
+def test_every_family_inside_the_cap():
+    first50 = list(entry.queries())[:50]
+    for fam in FAMILIES:
+        assert any(n.startswith(fam) for n in first50), f"family {fam} outside the 50-cap"
+
+
+def test_every_query_has_an_oracle_with_matching_keys():
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(os_) == set(qs), (
+        f"oracle/query key mismatch: only-in-queries={sorted(set(qs) - set(os_))}, "
+        f"only-in-oracles={sorted(set(os_) - set(qs))}"
+    )
+
+
+def test_oracle_sql_is_nonempty_text():
+    for name, sql in entry.oracle_sql().items():
+        assert isinstance(sql, str) and sql.strip(), name
