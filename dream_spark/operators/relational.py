@@ -1056,6 +1056,42 @@ WHERE offer_dec = (SELECT MIN(offer_dec) FROM offers i WHERE i.p_partkey = o.p_p
 """.strip()
 
 
+Q20_MIN_QTY = 2000
+
+
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog shape: semi-join against an AGGREGATED subquery —
+    suppliers whose total shipped quantity of 'red' parts exceeds a
+    threshold (the IN-over-derived-aggregate form; no partsupp in the
+    testdata, so availability is modeled from lineitem).  The aggregate
+    runs first (shuffle = #suppliers rows), then a left-semi join keeps
+    supplier rows — the probe side never expands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    red = F.broadcast(part.where(F.col("p_name").contains("red")).select("p_partkey"))
+    bulk = (
+        li.join(red, li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity", _QTY)).alias("qty_dec"))
+        .where(F.col("qty_dec") > Q20_MIN_QTY)
+    )
+    return supp.join(bulk, supp.s_suppkey == bulk.l_suppkey, "leftsemi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+Q20_SQL = f"""
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS {_QTY})) > {Q20_MIN_QTY}
+)
+""".strip()
+
+
 QUERIES = {
     "rel_q1_pricing": q1_pricing_summary,
     "rel_q10_returns": q10_returned_items,
@@ -1088,6 +1124,7 @@ QUERIES = {
     "rel_q2_mincost": q2_min_cost_supplier,
     "rel_q8_share": q8_market_share,
     "rel_q9_profit": q9_profit,
+    "rel_q20_bulk": q20_bulk_suppliers,
     "rel_q21_waiting": q21_waiting_supplier,
 }
 
@@ -1123,5 +1160,6 @@ ORACLES = {
     "rel_q2_mincost": Q2_SQL,
     "rel_q8_share": Q8_SQL,
     "rel_q9_profit": Q9_SQL,
+    "rel_q20_bulk": Q20_SQL,
     "rel_q21_waiting": Q21_SQL,
 }
