@@ -20,7 +20,7 @@ from dream_spark.operators.dedup import (
     simhash_of,
     simhash_pairs,
 )
-from dream_spark.operators.similarity import knn_topk
+from dream_spark.operators.similarity import knn_ivf_topk, knn_lsh_topk, knn_topk
 from dream_spark.operators.temporal import asof_join, range_join
 from dream_spark.operators.text import features_of, fingerprint_of, langid_of, topterms_of
 
@@ -32,6 +32,8 @@ __all__ = [
     "features_of",
     "fingerprint_of",
     "jaccard_pairs",
+    "knn_ivf_topk",
+    "knn_lsh_topk",
     "knn_topk",
     "langid_of",
     "minhash_pairs",

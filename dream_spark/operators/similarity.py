@@ -101,33 +101,52 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """.strip()
 
 
-def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k: candidates = corpus vectors sharing an LSH bucket with the
-    query in ≥1 of the hash tables, exact cosine rerank within candidates.
-    Smaller k_eff than brute force when buckets miss — the documented LSH
-    recall tradeoff; the oracle replays identical buckets.
+def knn_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """ANN top-k for ANY pair of ``(vec_id, embedding)`` DataFrames:
+    candidates = corpus vectors sharing an LSH bucket with the query in ≥1
+    of the hash tables, exact cosine rerank within candidates.  Smaller
+    k_eff than brute force when buckets miss — the documented LSH recall
+    tradeoff.
 
-    The bucket join moves ids only; vectors are joined back per side for the
-    rerank: the query side is constant-size (broadcast unconditionally), the
-    corpus side grows with the data so its broadcast is size-gated —
-    degrading to a keyed shuffle join past the row threshold."""
-    q = _quantized(spark, sf_dir)
-    b = _bucket_ids(q)
+    The bucket join moves ids only; vectors are joined back per side for
+    the rerank.  The query side broadcasts (an ANN query set is small by
+    contract), the corpus side grows with the data so its broadcast is
+    size-gated — degrading to a keyed shuffle join past the row
+    threshold."""
+    qc = quantize(corpus)
+    qq = quantize(queries)
+    bc = _bucket_ids(qc)
+    bq = _bucket_ids(qq)
     cand = (
-        F.broadcast(b.where(F.col("vec_id") < N_QUERIES).select(F.col("vec_id").alias("query_id"), "tbl", "bkt"))
-        .join(b.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bkt"), on=["tbl", "bkt"])
+        F.broadcast(bq.select(F.col("vec_id").alias("query_id"), "tbl", "bkt"))
+        .join(bc.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bkt"), on=["tbl", "bkt"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qa = q.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na")
-    )
-    qb = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb"))
+    qa = qq.select(F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na"))
+    qb = qc.select(F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb"))
     pairs = cand.join(F.broadcast(qa), on="query_id").join(
-        broadcast_if_small(qb, known_count=corpus_count(spark, sf_dir)), on="neighbor_id"
+        broadcast_if_small(qb, known_count=corpus_count), on="neighbor_id"
     )
-    return _topk(_scored(pairs))
+    return _topk(_scored(pairs), k)
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``knn_lsh_topk`` with the first N_QUERIES
+    corpus vectors as the query set (parquet-metadata corpus count feeds
+    the broadcast gate); the oracle replays identical buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh_topk(
+        emb,
+        emb.where(F.col("vec_id") < N_QUERIES),
+        corpus_count=corpus_count(spark, sf_dir),
+    )
 
 
 KNN_LSH_SQL = f"""
@@ -160,15 +179,19 @@ IVF_NPROBE = 2  # cells probed per query
 _D2 = "(nrm + cn - 2 * cdot)"  # ‖x−c‖² = ‖x‖² + ‖c‖² − 2⟨x,c⟩, exact int64
 
 
-def _ivf_assign(q: DataFrame, nprobe: int) -> DataFrame:
-    """(vec_id, cell[, rank]) — nearest-centroid assignment.  Centroids are
-    the IVF_K lowest-id vectors: a deterministic training stub (a real
-    deployment trains k-means with a fixed seed and persists the centroid
-    table; everything downstream — broadcast assign, cell join, probe — is
-    unchanged).  Assignment = argmin exact integer distance, ties by cell."""
-    cents = q.where(F.col("vec_id") < IVF_K).select(
+def _ivf_centroids(qc: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic training stub: the n_cells lowest-id corpus vectors
+    (a real deployment trains k-means with a fixed seed and persists the
+    centroid table; everything downstream — broadcast assign, cell join,
+    probe — is unchanged)."""
+    return qc.orderBy("vec_id").limit(n_cells).select(
         F.col("vec_id").alias("cell"), F.col("qe").alias("ce"), F.col("nrm").alias("cn")
     )
+
+
+def _ivf_assign(q: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """(vec_id, cell, crank) — nearest-centroid assignment: argmin exact
+    integer distance, ties by cell id."""
     pairs = q.crossJoin(F.broadcast(cents)).withColumn("cdot", dot_udf()("qe", "ce"))
     w = Window.partitionBy("vec_id").orderBy(F.expr(_D2), F.col("cell"))
     return (
@@ -178,17 +201,24 @@ def _ivf_assign(q: DataFrame, nprobe: int) -> DataFrame:
     )
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k: corpus vectors live in their nearest-centroid cell
-    (an inverted file, partition-prunable at scale); each query probes its
-    IVF_NPROBE nearest cells and reranks exactly within them.  Recall is
-    the cells-probed tradeoff; the oracle replays identical cells."""
-    q = _quantized(spark, sf_dir)
-    corpus_cells = _ivf_assign(q, 1).select(F.col("vec_id").alias("neighbor_id"), "cell")
-    query_cells = (
-        _ivf_assign(q.where(F.col("vec_id") < N_QUERIES), IVF_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
+def knn_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_cells: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """IVF ANN top-k for ANY pair of ``(vec_id, embedding)`` DataFrames:
+    corpus vectors live in their nearest-centroid cell (an inverted file,
+    partition-prunable at scale); each query probes its ``nprobe`` nearest
+    cells and reranks exactly within them.  Recall is the cells-probed
+    tradeoff."""
+    qc = quantize(corpus)
+    qq = quantize(queries)
+    cents = _ivf_centroids(qc, n_cells)
+    corpus_cells = _ivf_assign(qc, cents, 1).select(F.col("vec_id").alias("neighbor_id"), "cell")
+    query_cells = _ivf_assign(qq, cents, nprobe).select(F.col("vec_id").alias("query_id"), "cell")
     cand = (
         F.broadcast(query_cells)
         .join(corpus_cells, on="cell")
@@ -196,14 +226,23 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qa = q.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na")
-    )
-    qb = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb"))
+    qa = qq.select(F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na"))
+    qb = qc.select(F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb"))
     pairs = cand.join(F.broadcast(qa), on="query_id").join(
-        broadcast_if_small(qb, known_count=corpus_count(spark, sf_dir)), on="neighbor_id"
+        broadcast_if_small(qb, known_count=corpus_count), on="neighbor_id"
     )
-    return _topk(_scored(pairs))
+    return _topk(_scored(pairs), k)
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``knn_ivf_topk`` with the first N_QUERIES
+    corpus vectors as the query set; the oracle replays identical cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < N_QUERIES),
+        corpus_count=corpus_count(spark, sf_dir),
+    )
 
 
 _DUCK_D2 = f"(a.nrm + c.nrm - 2 * {dot_sql('a.qe', 'c.qe', duck=True)})"

@@ -35,3 +35,41 @@ def test_lsh_is_subset_quality(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf:
             assert abs(bf[key] - r["cos"]) < 1e-12
+
+
+def test_knn_topk_generic_corpus_numpy_parity(spark):
+    """The DataFrame-level API must work on arbitrary (non-dense) vec_ids
+    and a disjoint query set, matching a numpy brute-force reference."""
+    import numpy as np
+
+    from dream_spark.operators.similarity import knn_topk
+
+    rng = np.random.RandomState(7)
+    corpus_ids = [100, 205, 333, 404, 512, 999]
+    query_ids = [7000, 8001]
+    cvecs = {i: rng.rand(8).astype("float64") for i in corpus_ids}
+    qvecs = {i: rng.rand(8).astype("float64") for i in query_ids}
+
+    def quant(v):
+        return np.floor(v * 1_000_000).astype("int64")
+
+    def cos(a, b):
+        qa, qb = quant(a), quant(b)
+        return float(qa @ qb) / (np.sqrt(float(qa @ qa)) * np.sqrt(float(qb @ qb)))
+
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in cvecs.items()], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in qvecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in knn_topk(corpus, queries, k=3).collect()
+    }
+    for qid, qv in qvecs.items():
+        ranked = sorted(((cos(qv, cv), -cid) for cid, cv in cvecs.items()), reverse=True)
+        for rank, (c, negcid) in enumerate(ranked[:3], start=1):
+            nid, gcos = got[(qid, rank)]
+            assert nid == -negcid
+            assert abs(gcos - c) < 1e-12
