@@ -128,6 +128,12 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " union { ?X mktsegment ?S } }",
         True,
     ),
+    # VALUES superset: single-variable inline bindings → IN-filter lowering
+    "sparql_values": (
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " values ?N { <nation:1> <nation:2> <nation:3> } }",
+        False,
+    ),
     # empty SUBPLAN inside a larger join (reference O10 / stats key <1>.1.6=-1):
     # regions are never inNation subjects, so the middle pattern is empty and
     # AQE's empty-relation propagation must collapse the whole join

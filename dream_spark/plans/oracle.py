@@ -86,6 +86,9 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             rhs = f"{src[f.rhs_var]}.{f.rhs_var}" if f.rhs_var is not None else str(resolve(f.rhs_const))
             op = "=" if f.op == "=" else "<>"
             filt_where.append(f"{lhs} {op} {rhs}")
+        elif f.kind == "in":
+            ids = ", ".join(str(resolve(c)) for c in f.consts)
+            filt_where.append(f"{lhs} IN ({ids})")
         else:  # regex — inner dict join, drops NULLs like the engine's plan
             joins.append(f"JOIN dict fr{i} ON fr{i}.id = {lhs}")
             filt_where.append(f"regexp_matches(fr{i}.lexical, '{f.pattern}')")

@@ -74,6 +74,7 @@ class Filter:
     rhs_var: str | None = None
     rhs_const: str | None = None
     pattern: str | None = None
+    consts: tuple[str, ...] | None = None  # kind="in": VALUES constants
 
 
 @dataclass(frozen=True)
@@ -218,8 +219,8 @@ def parse_sparql(text: str) -> ParsedQuery:
     # filter/optional is not supported)
     union_branches: list[list[Condition]] = []
     if re.search(r"(?i)\bunion\b", body):
-        if re.search(r"(?i)\b(filter|optional|minus)\b", body):
-            raise SparqlSyntaxError("filter/optional/minus combined with union is not supported")
+        if re.search(r"(?i)\b(filter|optional|minus|values)\b", body):
+            raise SparqlSyntaxError("filter/optional/minus/values combined with union is not supported")
         if aggregates:
             raise SparqlSyntaxError("aggregates combined with union are not supported")
         branch_bodies = re.findall(r"\{([^{}]*)\}", body)
@@ -280,8 +281,25 @@ def parse_sparql(text: str) -> ParsedQuery:
         _grab_cmp,
         body,
     )
-    if re.search(r"(?i)\b(filter|optional|minus)\b", body):
-        raise SparqlSyntaxError(f"unparsable filter/optional/minus clause in: {body[:120]!r}")
+
+    # values ?X { <c1> <c2> … } — single-variable inline binding, lowered
+    # to an IN filter.  Duplicate constants are rejected: the IN lowering
+    # cannot reproduce the bag multiplicity SPARQL assigns to duplicates.
+    def _grab_values(m2: re.Match) -> str:
+        var = m2.group(1)[1:]
+        items = [Term(t).lexical for t in _WS.split(m2.group(2).strip()) if t]
+        if not items:
+            raise SparqlSyntaxError("empty values clause")
+        if any(t.startswith("?") for t in items):
+            raise SparqlSyntaxError("values items must be constants")
+        if len(set(items)) != len(items):
+            raise SparqlSyntaxError("duplicate constants in values clause")
+        filters.append(Filter(kind="in", var=var, consts=tuple(items)))
+        return " "
+
+    body = re.sub(r"(?is)values\s+(\?\w+)\s*\{([^{}]*)\}\s*\.?", _grab_values, body)
+    if re.search(r"(?i)\b(filter|optional|minus|values)\b", body):
+        raise SparqlSyntaxError(f"unparsable filter/optional/minus/values clause in: {body[:120]!r}")
 
     conditions = _parse_patterns_from(body, 1)
     if not conditions:

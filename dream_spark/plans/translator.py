@@ -253,6 +253,11 @@ def translate(
             lhs = F.col(f.var)
             rhs = F.col(f.rhs_var) if f.rhs_var is not None else F.lit(store.resolve(f.rhs_const))
             plan = plan.where(lhs == rhs if f.op == "=" else lhs != rhs)
+        elif f.kind == "in":
+            # VALUES lowering: an IN literal list on the encoded ids —
+            # Catalyst pushes it into the pattern scans (partition-prunable
+            # under the p-partitioned layout when the var is a predicate)
+            plan = plan.where(F.col(f.var).isin([store.resolve(c) for c in f.consts]))
         elif f.kind == "regex":
             lex = store.dictionary.select(
                 F.col("id").alias(f.var), F.col("lexical").alias(f"__flex_{i}")

@@ -385,3 +385,30 @@ def test_engine_sql_surface_sees_all_tables(engine):
     assert n > 0
     n2 = engine.sql("SELECT COUNT(*) AS n FROM documents").collect()[0]["n"]
     assert n2 > 0
+
+
+def test_parse_values():
+    q = parse_sparql(
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " values ?N { <nation:1> <nation:2> } }"
+    )
+    (f,) = q.filters
+    assert f.kind == "in" and f.var == "N" and f.consts == ("nation:1", "nation:2")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?C where { ?C type Customer . values ?C { } }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?C where { ?C type Customer . values ?C { <customer:1> <customer:1> } }"
+        )
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?C where { ?C type Customer . values ?X { <customer:1> } }")
+
+
+@pytest.mark.parametrize("decode", [False, True])
+def test_values_oracle(engine, duck, decode):
+    qtext = (
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " values ?N { <nation:1> <nation:2> <nation:3> } }"
+    )
+    df = engine.sparql(qtext, decode=decode)
+    assert_oracle_match(df, duck, bgp_to_sql(parse_sparql(qtext), decode=decode))
