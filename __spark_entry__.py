@@ -128,6 +128,12 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " union { ?X mktsegment ?S } }",
         True,
     ),
+    # property-path superset (SPARQL 1.1 OneOrMorePath): pred+ = transitive
+    # closure, semi-naive iteration on the Spark side, recursive CTE oracle
+    "sparql_path_plus": (
+        "select ?N ?R where { ?N type Nation . ?N inRegion+ ?R }",
+        False,
+    ),
     # VALUES superset: single-variable inline bindings → IN-filter lowering
     "sparql_values": (
         "select ?C ?N where { ?C type Customer . ?C inNation ?N ."

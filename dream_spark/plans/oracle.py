@@ -25,14 +25,20 @@ def _default_resolver(lexical: str) -> int:
 
 def _render_block(conditions, resolve, alias_start: int) -> tuple[list[str], list[str], dict[str, str]]:
     """Flat comma-join block for one pattern group: (table aliases, where
-    predicates, var -> first binding slot)."""
+    predicates, var -> first binding slot).  ``pred+`` patterns scan the
+    predicate's recursive-closure CTE (two columns, no p slot)."""
     first_slot: dict[str, str] = {}
     where: list[str] = []
     aliases: list[str] = []
     for i, cond in enumerate(conditions, start=alias_start):
         t = f"t{i}"
-        aliases.append(f"triples {t}")
-        for slot, term in (("s", cond.subj), ("p", cond.pred), ("o", cond.obj)):
+        if cond.pred.is_transitive:
+            aliases.append(f"closure_{resolve(cond.pred.lexical)} {t}")
+            slot_terms = (("s", cond.subj), ("o", cond.obj))
+        else:
+            aliases.append(f"triples {t}")
+            slot_terms = (("s", cond.subj), ("p", cond.pred), ("o", cond.obj))
+        for slot, term in slot_terms:
             ref = f"{t}.{slot}"
             if term.is_var:
                 if term.var in first_slot:
@@ -42,6 +48,36 @@ def _render_block(conditions, resolve, alias_start: int) -> tuple[list[str], lis
             else:
                 where.append(f"{ref} = {resolve(term.lexical)}")
     return aliases, where, first_slot
+
+
+def _transitive_pids(query: ParsedQuery, resolve) -> list[int]:
+    pids: set[int] = set()
+    groups = list(query.union_branches or [query.conditions])
+    for grp in groups + list(query.optionals) + list(query.minuses):
+        for c in grp:
+            if c.pred.is_transitive:
+                pids.add(resolve(c.pred.lexical))
+    return sorted(pids)
+
+
+def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
+    """The WITH clause: triples, one recursive closure CTE per transitive
+    predicate (SPARQL OneOrMorePath = UNION-distinct reachability), and the
+    dict when decoding."""
+    pids = _transitive_pids(query, resolve)
+    parts = [f"triples AS (\n{TRIPLES_SQL}\n)"]
+    for pid in pids:
+        parts.append(
+            f"closure_{pid}(s, o) AS (\n"
+            f"  SELECT s, o FROM triples WHERE p = {pid}\n"
+            f"  UNION\n"
+            f"  SELECT c.s, t.o FROM closure_{pid} c JOIN triples t ON t.p = {pid} AND t.s = c.o\n"
+            f")"
+        )
+    if needs_dict:
+        parts.append(f"dict AS (\n{DICT_SQL}\n)")
+    kw = "WITH RECURSIVE" if pids else "WITH"
+    return f"{kw} " + ",\n".join(parts)
 
 
 def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
@@ -112,12 +148,7 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         sql = f"SELECT DISTINCT * FROM (\n{inner}\n)"
     else:
         sql = inner
-    ctes = (
-        f"WITH triples AS (\n{TRIPLES_SQL}\n), dict AS (\n{DICT_SQL}\n)"
-        if needs_dict
-        else f"WITH triples AS (\n{TRIPLES_SQL}\n)"
-    )
-    sql = f"{ctes}\n{sql}"
+    sql = f"{_ctes(query, resolve, needs_dict)}\n{sql}"
     if query.order or query.limit is not None:
         sql = f"SELECT * FROM (\n{sql}\n)"
         if query.order:
@@ -153,11 +184,10 @@ def _union_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             for j, v in enumerate(query.projection, start=1)
         )
         sql = f"SELECT {distinct}{dsel}\nFROM (\n{inner}\n) q\n{djoins}"
-        ctes = f"WITH triples AS (\n{TRIPLES_SQL}\n), dict AS (\n{DICT_SQL}\n)"
+        sql = f"{_ctes(query, resolve, True)}\n{sql}"
     else:
         sql = f"SELECT DISTINCT * FROM (\n{inner}\n)" if query.distinct else inner
-        ctes = f"WITH triples AS (\n{TRIPLES_SQL}\n)"
-    sql = f"{ctes}\n{sql}"
+        sql = f"{_ctes(query, resolve, False)}\n{sql}"
     if query.order or query.limit is not None:
         sql = f"SELECT * FROM (\n{sql}\n)"
         if query.order:
@@ -242,21 +272,7 @@ def bgp_to_sql(
         return _union_sql(query, decode, resolve)
     if query.filters or query.optionals or query.minuses:
         return _extended_sql(query, decode, resolve)
-    first_slot: dict[str, str] = {}
-    where: list[str] = []
-    aliases: list[str] = []
-    for i, cond in enumerate(query.conditions, start=1):
-        t = f"t{i}"
-        aliases.append(f"triples {t}")
-        for slot, term in (("s", cond.subj), ("p", cond.pred), ("o", cond.obj)):
-            ref = f"{t}.{slot}"
-            if term.is_var:
-                if term.var in first_slot:
-                    where.append(f"{ref} = {first_slot[term.var]}")
-                else:
-                    first_slot[term.var] = ref
-            else:
-                where.append(f"{ref} = {resolve(term.lexical)}")
+    aliases, where, first_slot = _render_block(query.conditions, resolve, 1)
 
     if decode:
         sel = []
@@ -265,10 +281,9 @@ def bgp_to_sql(
             where.append(f"d{j}.id = {first_slot[v]}")
             sel.append(f"d{j}.lexical AS {v}")
         select_list = ", ".join(sel)
-        ctes = f"WITH triples AS (\n{TRIPLES_SQL}\n), dict AS (\n{DICT_SQL}\n)"
     else:
         select_list = ", ".join(f"{first_slot[v]} AS {v}" for v in query.projection)
-        ctes = f"WITH triples AS (\n{TRIPLES_SQL}\n)"
+    ctes = _ctes(query, resolve, decode)
 
     distinct = "DISTINCT " if query.distinct else ""
     where_sql = " AND ".join(where) if where else "TRUE"

@@ -26,7 +26,11 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class Term:
-    """One s/p/o slot: either a variable (?X) or a lexical constant."""
+    """One s/p/o slot: either a variable (?X) or a lexical constant.
+
+    A constant PREDICATE may carry a trailing ``+`` (SPARQL 1.1
+    OneOrMorePath): ``?x inRegion+ ?y`` matches pairs connected by 1..n
+    hops.  ``lexical`` strips the marker; ``is_transitive`` exposes it."""
 
     text: str
 
@@ -39,8 +43,14 @@ class Term:
         return self.text[1:]
 
     @property
+    def is_transitive(self) -> bool:
+        return (not self.is_var) and self.text.endswith("+")
+
+    @property
     def lexical(self) -> str:
         t = self.text
+        if t.endswith("+") and not t.startswith("?"):
+            t = t[:-1]
         return t[1:-1] if t.startswith("<") and t.endswith(">") else t
 
 
@@ -361,6 +371,10 @@ def _parse_patterns_from(text_: str, start: int) -> list[Condition]:
         terms = _WS.split(pat)
         if len(terms) != 3:
             raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {terms!r}")
+        if terms[0].endswith("+") or terms[2].endswith("+"):
+            raise SparqlSyntaxError("path '+' marker is only valid on a predicate")
+        if terms[1].startswith("?") and terms[1].endswith("+"):
+            raise SparqlSyntaxError("path '+' requires a constant predicate")
         out.append(Condition(start + len(out), Term(terms[0]), Term(terms[1]), Term(terms[2])))
     return out
 

@@ -30,14 +30,69 @@ from dream_spark.plans.stats import TripleStats
 from dream_spark.sources.triples import TripleStore
 
 
+_PATH_MAX_ITERS = 25
+
+
+def _closure_frame(store: TripleStore, pid: int) -> DataFrame:
+    """Transitive closure of one predicate's edge set (SPARQL OneOrMorePath
+    semantics: DISTINCT connected pairs, 1..n hops).
+
+    Semi-naive iteration: only the frontier (pairs new in the last round)
+    joins the edge set each round, anti-joined against everything seen, so
+    work per round is proportional to NEW pairs — the standard datalog
+    evaluation, O(diameter) rounds.  ``localCheckpoint`` truncates lineage
+    per round (the plan tree would otherwise double every iteration); this
+    makes translation eager for path patterns, which is documented and
+    bounded by the predicate's (pruned) edge set size."""
+    e = (
+        store.triples.where(F.col("p") == F.lit(pid))
+        .select("s", "o")
+        .distinct()
+        .localCheckpoint()
+    )
+    full, frontier = e, e
+    for _ in range(_PATH_MAX_ITERS):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.o") == F.col("e.s"))
+            .select(F.col("f.s").alias("s"), F.col("e.o").alias("o"))
+            .distinct()
+            .join(full, on=["s", "o"], how="left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        full = full.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return full
+
+
 def _condition_frame(store: TripleStore, cond: Condition) -> DataFrame:
     """One triple pattern → filtered/aliased scan.
 
     Constants become pushdown-able filters (reference O3,
     QueryPlanner.c:780-821); variables become column aliases.  A variable
     repeated inside one pattern (e.g. ``?x p ?x``) becomes a same-row equality
-    filter.
+    filter.  A ``pred+`` pattern scans the predicate's transitive closure
+    (``_closure_frame``) instead of the raw triples.
     """
+    if cond.pred.is_transitive:
+        df = _closure_frame(store, store.resolve(cond.pred.lexical))
+        slots = {"s": cond.subj, "o": cond.obj}
+        seen: dict[str, str] = {}
+        cols = []
+        for slot, term in slots.items():
+            if term.is_var:
+                if term.var in seen:
+                    df = df.where(F.col(slot) == F.col(seen[term.var]))
+                else:
+                    seen[term.var] = slot
+                    cols.append(F.col(slot).alias(term.var))
+            else:
+                df = df.where(F.col(slot) == F.lit(store.resolve(term.lexical)))
+        if not cols:
+            return df.select(F.lit(1).alias(f"__ground_{cond.cid}")).limit(1)
+        return df.select(*cols)
     df = store.triples
     slots = {"s": cond.subj, "p": cond.pred, "o": cond.obj}
     seen: dict[str, str] = {}  # var -> first slot bound to it

@@ -412,3 +412,52 @@ def test_values_oracle(engine, duck, decode):
     )
     df = engine.sparql(qtext, decode=decode)
     assert_oracle_match(df, duck, bgp_to_sql(parse_sparql(qtext), decode=decode))
+
+
+def test_parse_transitive_path():
+    q = parse_sparql("select ?N ?R where { ?N type Nation . ?N inRegion+ ?R }")
+    assert q.conditions[1].pred.is_transitive
+    assert q.conditions[1].pred.lexical == "inRegion"
+    assert not q.conditions[0].pred.is_transitive
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?X ?Y where { ?X+ inRegion ?Y }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?X ?Y ?P where { ?X ?P+ ?Y }")
+
+
+@pytest.mark.parametrize("decode", [False, True])
+def test_transitive_path_oracle(engine, duck, decode):
+    qtext = "select ?N ?R where { ?N type Nation . ?N inRegion+ ?R }"
+    df = engine.sparql(qtext, decode=decode)
+    assert_oracle_match(df, duck, bgp_to_sql(parse_sparql(qtext), decode=decode))
+
+
+def test_transitive_multihop_chain(spark):
+    """A 4-node chain under one predicate: the closure must contain all 6
+    reachable pairs — real multi-hop, which the shallow TPC-H hierarchy
+    can't exercise."""
+    from dream_spark.plans.translator import translate
+    from dream_spark.sources.triples import TripleStore
+
+    triples = spark.createDataFrame([(1, 7, 2), (2, 7, 3), (3, 7, 4)], "s long, p long, o long")
+    dict_df = spark.createDataFrame(
+        [(i, f"n{i}") for i in (1, 2, 3, 4)] + [(7, "link")], "id long, lexical string"
+    )
+    st = TripleStore(spark, triples, dict_df, resolver=None)
+    q = parse_sparql("select ?X ?Y where { ?X link+ ?Y }")
+    got = {(r["X"], r["Y"]) for r in translate(st, q, None).collect()}
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+
+def test_transitive_cycle_terminates(spark):
+    """A cyclic graph must converge (semi-naive anti-join drains the
+    frontier) and include every connected ordered pair."""
+    from dream_spark.plans.translator import translate
+    from dream_spark.sources.triples import TripleStore
+
+    triples = spark.createDataFrame([(1, 7, 2), (2, 7, 3), (3, 7, 1)], "s long, p long, o long")
+    dict_df = spark.createDataFrame([(7, "link")], "id long, lexical string")
+    st = TripleStore(spark, triples, dict_df, resolver=None)
+    q = parse_sparql("select ?X ?Y where { ?X link+ ?Y }")
+    got = {(r["X"], r["Y"]) for r in translate(st, q, None).collect()}
+    assert got == {(a, b) for a in (1, 2, 3) for b in (1, 2, 3)}
