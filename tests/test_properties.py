@@ -130,3 +130,39 @@ def test_jaccard_pipeline_exact_recall(spark, corpus):
         (r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs).collect()
     }
     assert got == _brute_force_pairs(corpus)
+
+
+# ---------------------------------------------------------------------------
+# Spark: generic as-of join vs exhaustive reference
+# ---------------------------------------------------------------------------
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)), unique=True, min_size=1, max_size=12
+)
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)), unique=True, min_size=1, max_size=12
+)
+
+
+@given(_left_rows, _right_rows)
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_reference(spark, left_rows, right_rows):
+    """For every left row, asof_join must pick exactly the latest right row
+    with rts <= lts sharing the key (NULL when none exists)."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(left_rows, "k long, lsec long").select(
+        "k", F.timestamp_seconds("lsec").alias("lts")
+    )
+    right = spark.createDataFrame(right_rows, "k long, rsec long").select(
+        "k", F.timestamp_seconds("rsec").alias("rts")
+    )
+    got = {
+        (r["k"], r["lts"].timestamp()): (None if r["rts"] is None else r["rts"].timestamp())
+        for r in asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    }
+    for k, lt in left_rows:
+        cands = [rt for rk, rt in right_rows if rk == k and rt <= lt]
+        want = float(max(cands)) if cands else None
+        assert got[(k, float(lt))] == want, (k, lt)
