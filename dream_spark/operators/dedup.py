@@ -166,9 +166,13 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.do
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard with rare-feature candidate filtering
 # --------------------------------------------------------------------------
-def jaccard_pairs(docs: DataFrame) -> DataFrame:
+def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)) -> DataFrame:
     """Exact-recall Jaccard near-dup pairs for ANY ``(doc_id, text)``
     DataFrame — the library surface; ``dedup_jaccard`` wraps it.
+
+    ``threshold`` is an integer fraction (num, den) with 0 < num ≤ den —
+    exact rational arithmetic keeps the prefix length, size filter, and
+    positional bound bit-identical on every engine at any threshold.
 
     Feature space = consecutive-token bigrams (discriminative for natural
     text — character shingles of same-language documents overlap so heavily
@@ -182,6 +186,9 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
     Exact |∩|/|∪| verifies candidates; dedup happens on the (tiny)
     verified output, not the (large) candidate stream.
     """
+    t_num, t_den = threshold
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be a fraction in (0, 1], got {threshold}")
     # one kernel pass builds each document's sorted bigram-set array
     docsets = token_bigram_arrays(docs).persist()
     # materialize the cache NOW: the three downstream subtrees (prefix
@@ -191,7 +198,7 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
     n_docs = docsets.count()
     # ⌈t·n⌉ with exact integer arithmetic: (T_NUM·n + T_DEN − 1) div T_DEN
     prefix_len = (
-        F.col("n") - F.floor((F.lit(_T_NUM) * F.col("n") + _T_DEN - 1) / F.lit(float(_T_DEN))) + 1
+        F.col("n") - F.floor((F.lit(t_num) * F.col("n") + t_den - 1) / F.lit(float(t_den))) + 1
     ).cast("int")
     pref = docsets.select(
         "doc_id",
@@ -203,14 +210,14 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
     # - positional filter: at the first shared prefix token the remaining
     #   suffixes must still allow overlap α = ⌈t/(1+t)·(n_a+n_b)⌉
     na, nb = F.col("a.n"), F.col("b.n")
-    alpha = F.ceil(F.lit(_T_NUM) * (na + nb) / F.lit(float(_T_NUM + _T_DEN)))
+    alpha = F.ceil(F.lit(t_num) * (na + nb) / F.lit(float(t_num + t_den)))
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), on="sid")
         .where(
             (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.lit(_T_NUM) * nb <= F.lit(_T_DEN) * na)
-            & (F.lit(_T_NUM) * na <= F.lit(_T_DEN) * nb)
+            & (F.lit(t_num) * nb <= F.lit(t_den) * na)
+            & (F.lit(t_num) * na <= F.lit(t_den) * nb)
             & (F.least(na - F.col("a.pos"), nb - F.col("b.pos")) + 1 >= alpha)
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -238,7 +245,9 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         ).alias("jaccard"),
     )
-    return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD).dropDuplicates(["doc_a", "doc_b"])
+    return jac.where(
+        F.col("jaccard") >= F.lit(t_num) / F.lit(float(t_den))
+    ).dropDuplicates(["doc_a", "doc_b"])
 
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -166,3 +166,17 @@ def test_asof_join_matches_reference(spark, left_rows, right_rows):
         cands = [rt for rk, rt in right_rows if rk == k and rt <= lt]
         want = float(max(cands)) if cands else None
         assert got[(k, float(lt))] == want, (k, lt)
+
+
+@given(_corpus)
+@settings(max_examples=3, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jaccard_pipeline_exact_recall_at_half_threshold(spark, corpus):
+    """Threshold is a parameter, not a constant: the prefix/size/positional
+    arithmetic must stay exact-recall at J ≥ 0.5 too."""
+    from dream_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, threshold=(1, 2)).collect()
+    }
+    assert got == _brute_force_pairs(corpus, threshold=0.5)
