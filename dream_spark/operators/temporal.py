@@ -11,9 +11,11 @@ Scale notes:
 - The as-of "latest prior" pick is a per-left-row top-1 window, the same
   dedup-rank shape Catalyst pipelines after the join without an extra
   shuffle (window partitions by the join's output key).
-- All temporal comparisons run on integer microseconds (``unix_micros`` /
-  ``epoch_us``) so Spark and the DuckDB oracle agree exactly, including on
-  fractional-second gaps.
+- All temporal comparisons run on integer microseconds
+  (``functions.timeutils.epoch_micros`` / DuckDB ``epoch_us``) so Spark and
+  the oracle agree exactly, including on fractional-second gaps, regardless
+  of whether the session surfaces the parquet column as TIMESTAMP or
+  TIMESTAMP_NTZ.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dream_spark.functions.timeutils import epoch_micros
 from dream_spark.sources.tables import load_table
 
 #: attribution window for the range join
@@ -49,12 +52,13 @@ def asof_join(
     pipelines it after the join without an extra shuffle."""
     lid = "__asof_lid"
     rkey = "__asof_rkey"
+    l_us = epoch_micros(left, left_ts)
+    r_us = epoch_micros(right, right_ts)
     lf = left.withColumn(lid, F.monotonically_increasing_id())
     rf = right.withColumnRenamed(on, rkey)
     joined = lf.join(
         rf,
-        (F.col(on) == F.col(rkey))
-        & (F.unix_micros(F.col(right_ts)) <= F.unix_micros(F.col(left_ts))),
+        (F.col(on) == F.col(rkey)) & (r_us <= l_us),
         "left_outer",
     ).drop(rkey)
     order = [F.col(right_ts).desc_nulls_last()]
@@ -82,12 +86,12 @@ def range_join(
     Equi-keyed first — never a cross join; the band predicate evaluates
     inside the key group."""
     rkey = "__range_rkey"
+    l_us = epoch_micros(left, left_ts)
+    r_us = epoch_micros(right, right_ts)
     rf = right.withColumnRenamed(on, rkey)
     return left.join(
         rf,
-        (F.col(on) == F.col(rkey))
-        & (F.unix_micros(F.col(right_ts)) > F.unix_micros(F.col(left_ts)))
-        & (F.unix_micros(F.col(right_ts)) <= F.unix_micros(F.col(left_ts)) + window_us),
+        (F.col(on) == F.col(rkey)) & (r_us > l_us) & (r_us <= l_us + window_us),
     ).drop(rkey)
 
 

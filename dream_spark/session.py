@@ -47,8 +47,9 @@ def get_spark(app_name: str = "dream_spark", master: str | None = None) -> Spark
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
-        # Driver testdata is written with nanosecond parquet timestamps, which
-        # Spark 4 rejects; read them as longs and convert in register_tables.
+        # Legacy-robustness: older driver testdata used nanosecond parquet
+        # timestamps, which Spark 4 rejects unless read as longs (repaired in
+        # register_tables).  Harmless no-op on micro-precision data.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )

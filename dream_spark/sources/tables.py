@@ -26,11 +26,15 @@ TPCH_TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Testdata parquet stores timestamps as TIMESTAMP(NANOS); Spark (with
-# spark.sql.legacy.parquet.nanosAsLong=true) surfaces them as BIGINT nanos.
-# Convert to microsecond TIMESTAMP with integer division — exact, and it
-# truncates the same way DuckDB's nanos→micros read does, so both engines see
-# identical values.
+# Current testdata stores timestamps as parquet TIMESTAMP(MICROS) without
+# isAdjustedToUTC, which Spark 4 surfaces as TIMESTAMP_NTZ (matching DuckDB's
+# naive TIMESTAMP) — no repair needed; temporal operators use
+# functions.timeutils.epoch_micros, which is dtype-aware.  Earlier driver
+# generations wrote TIMESTAMP(NANOS), which Spark only reads as BIGINT nanos
+# under spark.sql.legacy.parquet.nanosAsLong; keep that repair path so the
+# engine reads either generation: convert bigint nanos to microsecond
+# TIMESTAMP with integer division — exact, truncating the same way DuckDB's
+# nanos→micros read does.
 _NANO_TS_COLS = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"], "events": ["ts"]}
 
 

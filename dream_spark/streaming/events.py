@@ -21,12 +21,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from dream_spark.functions.timeutils import epoch_micros
 from dream_spark.sources.tables import load_table
 
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw parquet: nanos as long
+        T.StructField("ts", T.TimestampNTZType()),  # parquet micros, no tz
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -38,8 +39,12 @@ SESSION_GAP_MIN = 30
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos→timestamp fixed the
-    same way the batch reader does)."""
+    """File-source stream over the events parquet.
+
+    Watermarks require event time to be TIMESTAMP (Spark rejects
+    TIMESTAMP_NTZ: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the NTZ parquet
+    column is cast here — deterministic because the engine session pins
+    spark.sql.session.timeZone=UTC (session.py)."""
     # The file source requires a directory; the sf dir holds every table's
     # parquet, so glob-filter to the events file only.
     raw = (
@@ -48,7 +53,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -155,16 +160,15 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # exact microsecond arithmetic on both engines (unix_micros / epoch_us);
+    # exact microsecond arithmetic on both engines (epoch_micros / epoch_us);
     # second-truncation would disagree on fractional-second gaps
     gap = F.lit(SESSION_GAP_MIN * 60 * 1_000_000)
+    ts_us = epoch_micros(ev, "ts")
     marked = ev.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w) > gap, 1
-        )
+        F.when(ts_us - F.lag(ts_us, 1).over(w) > gap, 1)
         .otherwise(0)
         .alias("new_session"),
     )

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from dream_spark.functions.timeutils import epoch_micros
 from dream_spark.operators import temporal as T
 from dream_spark.sources.tables import load_table
 from tests.conftest import SF_DIR, assert_oracle_match
@@ -28,7 +29,7 @@ def test_asof_left_semantics(spark):
 
 def test_asof_click_not_after_purchase(spark):
     out = T.asof_click_attribution(spark, SF_DIR).where(F.col("click_id").isNotNull())
-    late = out.where(F.unix_micros("click_ts") > F.unix_micros("purchase_ts"))
+    late = out.where(epoch_micros(out, "click_ts") > epoch_micros(out, "purchase_ts"))
     assert late.count() == 0
 
 
