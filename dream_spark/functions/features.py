@@ -117,16 +117,39 @@ def duck_shingle_ids_cte(table: str = "documents") -> str:
     )
 
 
-#: word-bigram packing base (= textkernels.BIGRAM_BASE)
+#: word-n-gram packing bases (= textkernels.BIGRAM_BASE / NGRAM_FOLD_MULT).
+#: The intermediate fold multiplier must not be ≡ 1 (mod P) — 2^31 is,
+#: which would collapse the fold into an order-insensitive sum — so the
+#: fold uses 2^16 and only the final (modulus-free) step uses 2^31.
 BIGRAM_BASE = 2_147_483_648
+NGRAM_FOLD_MULT = 65_536
+
+
+def token_ngram_sid_expr(n: int) -> str:
+    """The packed n-gram id over columns tid, tid_1..tid_{n-1} (LEADs):
+    Horner fold acc = (acc·2^16 + tid_j) mod P, final acc·2^31 + tid_{n-1}
+    without the modulus — identical to textkernels._ngram_ids."""
+    acc = "tid"
+    for j in range(1, n - 1):
+        acc = f"(({acc}) * {NGRAM_FOLD_MULT} + tid_{j}) % {MERSENNE_P}"
+    return f"({acc}) * {BIGRAM_BASE} + tid_{n - 1}"
+
+
+def duck_token_ngram_ids_cte(table: str = "documents", n: int = 2) -> str:
+    """DuckDB twin of textkernels.token_ngram_sets: consecutive-token
+    ``n``-gram ids, distinct per document."""
+    leads = ", ".join(
+        f"LEAD(tid, {j}) OVER (PARTITION BY doc_id ORDER BY pos) AS tid_{j}"
+        for j in range(1, n)
+    )
+    return f"""
+SELECT DISTINCT doc_id, {token_ngram_sid_expr(n)} AS sid
+FROM (SELECT doc_id, tid, pos, {leads}
+      FROM (SELECT doc_id, {token_id_sql('tok')} AS tid, pos
+            FROM ({duck_tokens_cte(table, with_pos=True)})))
+WHERE tid_{n - 1} IS NOT NULL""".strip()
 
 
 def duck_token_bigram_ids_cte(table: str = "documents") -> str:
-    """DuckDB twin of textkernels.token_bigram_sets: consecutive-token
-    bigram ids, distinct per document."""
-    return f"""
-SELECT DISTINCT doc_id,
-       tid * {BIGRAM_BASE} + LEAD(tid) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
-FROM (SELECT doc_id, {token_id_sql('tok')} AS tid, pos
-      FROM ({duck_tokens_cte(table, with_pos=True)}))
-QUALIFY sid IS NOT NULL""".strip()
+    """Bigram special case of :func:`duck_token_ngram_ids_cte`."""
+    return duck_token_ngram_ids_cte(table, 2)

@@ -135,24 +135,42 @@ def _doc_token_ids(text: str) -> np.ndarray:
     return acc
 
 
-#: word-bigram packing base: tid < 2^31, so tid1·2^31 + tid2 < 2^62 (exact)
+#: final-step packing base: acc < P < 2^31, so acc·2^31 + tid < 2^62
+#: (exact in int64 on both engines)
 BIGRAM_BASE = 2_147_483_648
+#: intermediate-fold multiplier.  Must NOT be ≡ 1 (mod P): 2^31 ≡ 1 mod
+#: (2^31 − 1), which would collapse the fold into an order-insensitive SUM
+#: of token ids (any permutation of the first n−1 tokens would collide).
+#: 2^16 is ≢ 1 mod P and keeps acc·2^16 + tid < 2^47, exact in int64.
+NGRAM_FOLD_MULT = 65_536
 
 
-def token_bigram_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, sid) distinct — consecutive-token bigrams packed as
-    tid1·2^31 + tid2.  Word bigrams are the right Jaccard feature space for
-    natural text: vastly more discriminative than character shingles, so
-    prefix-filtered candidate joins stay near-linear."""
+def _ngram_ids(tids: np.ndarray, n: int) -> np.ndarray:
+    """Distinct packed ids of consecutive token ``n``-grams: Horner fold
+    acc = (acc·2^16 + tid) mod P over the first n−1 tokens, final
+    acc·2^31 + tid_n without the modulus (< 2^62).  The SQL twin is
+    features.token_ngram_sid_expr — identical arithmetic."""
+    if len(tids) < n:
+        return np.empty(0, dtype=np.int64)
+    acc = tids[: len(tids) - n + 1].copy()
+    for j in range(1, n - 1):
+        acc = (acc * NGRAM_FOLD_MULT + tids[j : len(tids) - n + 1 + j]) % MERSENNE_P
+    return np.unique(acc * BIGRAM_BASE + tids[n - 1 :])
+
+
+def token_ngram_sets(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, sid) distinct — consecutive-token ``n``-grams.  Word n-grams
+    are the right Jaccard feature space for text: vastly more discriminative
+    than character shingles (and higher n stays discriminative even over a
+    tiny vocabulary), so prefix-filtered candidate joins stay near-linear."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_sid = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                tids = _doc_token_ids(text)
-                if len(tids) < 2:
+                u = _ngram_ids(_doc_token_ids(text), n)
+                if not len(u):
                     continue
-                u = np.unique(tids[:-1] * BIGRAM_BASE + tids[1:])
                 out_id.append(np.full(len(u), doc_id, dtype=np.int64))
                 out_sid.append(u)
             if out_id:
@@ -163,26 +181,34 @@ def token_bigram_sets(docs: DataFrame) -> DataFrame:
     return _spread(docs.select("doc_id", "text")).mapInPandas(run, schema="doc_id long, sid long")
 
 
-def token_bigram_arrays(docs: DataFrame) -> DataFrame:
+def token_bigram_sets(docs: DataFrame) -> DataFrame:
+    """Bigram special case of :func:`token_ngram_sets` (kept for callers
+    pinned to the 2-gram feature space, e.g. MinHash banding)."""
+    return token_ngram_sets(docs, 2)
+
+
+def token_ngram_arrays(docs: DataFrame, n: int = 2) -> DataFrame:
     """(doc_id, sids: sorted array<long>, n) — the set form of
-    token_bigram_sets, for broadcast-join verification of candidate pairs
-    (one row per document instead of one per bigram)."""
+    token_ngram_sets, for broadcast-join verification of candidate pairs
+    (one row per document instead of one per n-gram)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, arrs, ns = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                tids = _doc_token_ids(text)
-                if len(tids) < 2:
+                u = _ngram_ids(_doc_token_ids(text), n)
+                if not len(u):
                     continue
-                u = np.unique(tids[:-1] * BIGRAM_BASE + tids[1:])
                 ids.append(doc_id)
                 arrs.append(u)
                 ns.append(len(u))
             yield pd.DataFrame(
                 {
                     "doc_id": np.asarray(ids, dtype=np.int64),
-                    "sids": arrs,
+                    # explicit object Series: a list of EQUAL-length arrays
+                    # would otherwise coerce to one 2-D block, which the
+                    # Arrow serializer rejects for an array<long> column
+                    "sids": pd.Series(arrs, dtype=object),
                     "n": np.asarray(ns, dtype=np.int64),
                 }
             )
@@ -190,6 +216,11 @@ def token_bigram_arrays(docs: DataFrame) -> DataFrame:
     return _spread(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, sids array<long>, n long"
     )
+
+
+def token_bigram_arrays(docs: DataFrame) -> DataFrame:
+    """Bigram special case of :func:`token_ngram_arrays`."""
+    return token_ngram_arrays(docs, 2)
 
 
 def shingle_sets(docs: DataFrame) -> DataFrame:

@@ -1,4 +1,4 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, word-bigram
+"""Deduplication operators: exact, MinHash+LSH, SimHash, word-n-gram
 Jaccard, embedding-cosine near-duplicates, and cluster assembly.
 
 Scale design notes (the part that matters at 100 TB):
@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dream_spark.functions.features import duck_shingle_ids_cte, duck_token_bigram_ids_cte
+from dream_spark.functions.features import duck_shingle_ids_cte, duck_token_ngram_ids_cte
 from dream_spark.functions.hashing import hash_sql
 from dream_spark.functions.joins import (
     CC_SMALL_EDGES_CONF,
@@ -31,7 +31,7 @@ from dream_spark.functions.joins import (
 from dream_spark.functions.textkernels import (
     minhash_signatures,
     simhash_fingerprints,
-    token_bigram_arrays,
+    token_ngram_arrays,
 )
 from dream_spark.functions.vectors import buckets_udf, cos_sql, dot_sql, dot_udf, plane_dot_sql
 from dream_spark.sources.tables import load_table
@@ -48,6 +48,12 @@ N_BANDS = MINHASH_K // BAND_ROWS
 # the prefix length with exact arithmetic)
 JACCARD_THRESHOLD = 0.8
 _T_NUM, _T_DEN = 4, 5
+# Jaccard feature space: consecutive-token n-grams.  n=3 keeps the prefix
+# index discriminative even over a small vocabulary (bigrams of a ~40-word
+# vocab have document frequencies in the hundreds, which makes the prefix
+# candidate join near-quadratic; trigrams cut the candidate stream ~10x at
+# identical verified output on the synthetic corpus).
+JACCARD_NGRAM = 3
 
 # 32-bit SimHash in 4 bands of 8: a pair within hamming ≤ 3 differs in at
 # most 3 bands (pigeonhole), so banding loses nothing; 8-bit bands keep
@@ -174,9 +180,10 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
     exact rational arithmetic keeps the prefix length, size filter, and
     positional bound bit-identical on every engine at any threshold.
 
-    Feature space = consecutive-token bigrams (discriminative for natural
-    text — character shingles of same-language documents overlap so heavily
-    that any candidate scheme goes quadratic).  Each document's bigram set
+    Feature space = consecutive-token JACCARD_NGRAM-grams (discriminative
+    for natural text — character shingles of same-language documents overlap
+    so heavily that any candidate scheme goes quadratic, and over a small
+    vocabulary even bigrams do).  Each document's n-gram set
     is a sorted array; its join prefix is simply the first n − ⌈t·n⌉ + 1
     elements: any pair with J ≥ t MUST share a prefix element (pigeonhole
     on the shared global order), so the candidate join loses no recall.
@@ -189,8 +196,8 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
     t_num, t_den = threshold
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be a fraction in (0, 1], got {threshold}")
-    # one kernel pass builds each document's sorted bigram-set array
-    docsets = token_bigram_arrays(docs).persist()
+    # one kernel pass builds each document's sorted n-gram-set array
+    docsets = token_ngram_arrays(docs, JACCARD_NGRAM).persist()
     # materialize the cache NOW: the three downstream subtrees (prefix
     # stream, both verification joins) otherwise race to compute the
     # kernel concurrently before the cache is populated — and the count
@@ -256,7 +263,7 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_JACCARD_SQL = f"""
-WITH sids AS ({duck_token_bigram_ids_cte()}),
+WITH sids AS ({duck_token_ngram_ids_cte(n=JACCARD_NGRAM)}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sids GROUP BY doc_id),
 pref AS (
   SELECT doc_id, sid, pos, n FROM (
@@ -464,8 +471,14 @@ def embedding_pairs(emb: DataFrame, corpus_count: int | None = None) -> DataFram
     tradeoff; the oracle replays the same buckets so both engines see the
     identical candidate set.
     """
-    q = quantize(emb)
-    b = _bucket_ids(q)
+    # persist + materialize the two Arrow-kernel outputs: q feeds three
+    # downstream subtrees (buckets + both rerank sides) and b self-joins —
+    # without a populated cache each subtree re-runs the pandas UDF over the
+    # whole corpus (4× quantize, 2× buckets)
+    q = quantize(emb).persist()
+    q.count()
+    b = _bucket_ids(q).persist()
+    b.count()
     cand = (
         b.alias("a")
         .join(b.alias("b"), on=["tbl", "bkt"])
@@ -573,17 +586,20 @@ def connected_components(
     """
     if small_edges is None:
         small_edges = conf_int(edges.sparkSession, CC_SMALL_EDGES_CONF, _CC_SMALL_EDGES)
-    # persist the DIRECTED edge list before symmetrizing: the union's two
-    # branches otherwise each re-evaluate the upstream pipeline (for dedup
-    # clusters that is the whole candidate-join + verification subtree)
+    # persist AND materialize the DIRECTED edge list before symmetrizing:
+    # the union's two branches otherwise race to compute the upstream
+    # pipeline concurrently before the cache is populated (for dedup
+    # clusters that is the whole candidate-join + verification subtree,
+    # evaluated twice)
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
-    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
-    if sym.count() <= small_edges:
+    n_edges = e.count()
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    if 2 * n_edges <= small_edges:
         rows = _unionfind_components([(r["a"], r["b"]) for r in sym.collect()])
-        sym.unpersist()
         e.unpersist()
         spark = edges.sparkSession
         return spark.createDataFrame(rows, schema="node long, cluster long")
+    sym = sym.persist()
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()

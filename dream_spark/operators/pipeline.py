@@ -1,0 +1,236 @@
+"""Training-data pipeline operators over the ``documents`` table:
+deterministic dataset splitting, stratified sampling, quantized TF-IDF
+term ranking, and corpus n-gram statistics.
+
+These are the plumbing every large-scale training-data pipeline needs
+between dedup and tokenization (the reference engine has nothing like them
+— SURVEY.md §2.3; they extend the north-star LLM-pipeline suite).  All
+randomness is replaced by the package's universal hashing
+(functions/hashing.py) so both engines — and any two cluster runs — assign
+identical splits/samples: reproducible data curation is a correctness
+feature, not a nicety.
+
+Scale notes (100 TB posture):
+- ``split_assign`` is map-only: a projection over the scan, no shuffle, no
+  state.  Split assignment must never require a join against a membership
+  table — the hash IS the membership function.
+- ``stratified_sample`` shuffles once on the stratum key and ranks inside
+  each stratum.  With few huge strata the per-stratum sort serializes; the
+  scale path is a two-phase sample (hash-threshold prefilter sized from
+  per-stratum counts ≈ 2n survivors, then the exact window on the tiny
+  survivor set).  The prefilter is a pure map, so the expensive sort sees
+  ~2n rows per stratum instead of the full corpus.
+- ``tfidf_topterms`` is two partial-aggregated shuffles (doc×term, then
+  term) plus a term-keyed join; stop-word-like terms are the classic skew
+  case — AQE skew-join handles moderate skew, and the df side is a
+  term-level aggregate (vocabulary-sized, far smaller than the token
+  stream) so Spark's planner can broadcast it when it fits.
+- ``bigram_counts`` needs token *adjacency*, which the bag-of-tokens
+  explode loses — the per-document window (LEAD over pos) shuffles by
+  doc_id, which is near-uniform by construction; the following global
+  count is partially aggregated map-side.
+
+Integer determinism contract: every ranking key and output metric is
+either an exact integer or a deterministic CASE over integers; TF-IDF's
+idf is integer-quantized (``IDF_QUANT · (N+1) div (df+1)``) instead of a
+float logarithm, so cross-engine comparisons never meet float rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dream_spark.functions.features import duck_tokens_cte, tokens
+from dream_spark.functions.hashing import hash_sql
+from dream_spark.sources.tables import load_table
+
+#: (train, val, test) percentage weights for the deterministic split
+SPLIT_WEIGHTS = (80, 10, 10)
+#: documents sampled per stratum
+SAMPLE_PER_GROUP = 20
+#: top terms kept per document by quantized TF-IDF
+TFIDF_K = 5
+#: idf quantization factor: idf_q = IDF_QUANT * (N+1) div (df+1)
+IDF_QUANT = 1_000_000
+#: corpus bigrams kept
+BIGRAM_TOP_K = 50
+
+
+def _split_bucket_sql(id_expr: str) -> str:
+    """Portable SQL for the 0-99 split bucket of an integer id column."""
+    return f"({hash_sql(id_expr, 0)} % 100)"
+
+
+def _split_case_sql(bucket_expr: str, weights: tuple[int, int, int]) -> str:
+    train, val, _ = weights
+    return (
+        f"(CASE WHEN {bucket_expr} < {train} THEN 'train'"
+        f" WHEN {bucket_expr} < {train + val} THEN 'val'"
+        f" ELSE 'test' END)"
+    )
+
+
+def split_assign(
+    df: DataFrame, id_col: str = "doc_id", weights: tuple[int, int, int] = SPLIT_WEIGHTS
+) -> DataFrame:
+    """Deterministic train/val/test assignment for ANY DataFrame with an
+    integer id column: bucket = h(id) mod 100, split by cumulative weights.
+
+    Map-only (no shuffle, no membership table); the same id gets the same
+    split on every engine, run, and cluster size — the reproducibility
+    contract training pipelines require."""
+    if sum(weights) != 100:
+        raise ValueError(f"weights must sum to 100, got {weights}")
+    bucket = F.expr(_split_bucket_sql(id_col))
+    split = F.expr(_split_case_sql(_split_bucket_sql(id_col), weights))
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: deterministic 80/10/10 split of documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(docs.select("doc_id", "lang")).select(
+        "doc_id", "lang", "bucket", "split"
+    )
+
+
+PIPELINE_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CAST({_split_bucket_sql("doc_id")} AS BIGINT) AS bucket,
+       {_split_case_sql(_split_bucket_sql("doc_id"), SPLIT_WEIGHTS)} AS split
+FROM documents
+""".strip()
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, id_col: str = "doc_id", n: int = SAMPLE_PER_GROUP
+) -> DataFrame:
+    """Deterministic per-stratum sample: the ``n`` rows of each stratum with
+    the smallest universal-hash value (ties broken by id).  Because the hash
+    is uniform this is an unbiased sample, and because it is a function of
+    the id it is identical across engines and runs."""
+    h = F.expr(hash_sql(id_col, 1))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("samp_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("samp_rank") <= n)
+    )
+
+
+def pipeline_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: 20 deterministic documents per language."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang").select("lang", "doc_id", "samp_rank")
+
+
+PIPELINE_SAMPLE_SQL = f"""
+SELECT lang, doc_id, samp_rank FROM (
+  SELECT lang, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY {hash_sql("doc_id", 1)}, doc_id) AS BIGINT) AS samp_rank
+  FROM documents
+) WHERE samp_rank <= {SAMPLE_PER_GROUP}
+""".strip()
+
+
+def tfidf_topterms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """Top-``k`` terms per document by integer-quantized TF-IDF for ANY
+    ``(doc_id, text)`` DataFrame.
+
+    score = tf · (IDF_QUANT · (N+1) div (df+1)) — the standard tf·idf
+    ranking with the logarithm replaced by a quantized rational so the
+    ranking is exact integer arithmetic on every engine (a monotone
+    transform of N/df preserves the idf ordering; only inter-term score
+    *ratios* differ from ln-idf, which a top-k ranking never uses)."""
+    # spread the token explode across the cluster: a small parquet table
+    # arrives as one input split (at 100 TB inputs already span thousands,
+    # making this a no-op-sized shuffle)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    toks = tokens(docs)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    total = docs.select(F.countDistinct("doc_id").alias("n_total"))
+    scored = (
+        tf.join(dfreq, on="tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("score", F.expr(f"tf * (({IDF_QUANT} * (n_total + 1)) div (df + 1))"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", F.col("tok").alias("term"), "tf", "df", "score", "rnk")
+    )
+
+
+def pipeline_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``tfidf_topterms`` over documents."""
+    return tfidf_topterms(load_table(spark, sf_dir, "documents"))
+
+
+PIPELINE_TFIDF_SQL = f"""
+WITH toks AS ({duck_tokens_cte()}),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+total AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         tf.tf * (({IDF_QUANT} * (total.n_total + 1)) // (dfreq.df + 1)) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN total
+)
+SELECT doc_id, tok AS term, tf, df, score, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, tok) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= {TFIDF_K}
+""".strip()
+
+
+def bigram_counts(docs: DataFrame, k: int = BIGRAM_TOP_K) -> DataFrame:
+    """Corpus-level top-``k`` consecutive-token bigrams for ANY ``(doc_id,
+    text)`` DataFrame — the co-occurrence statistic BPE-style tokenizer
+    training and collocation analysis start from.  Adjacency comes from a
+    per-document LEAD over token position; the global count is a partially
+    aggregated groupBy."""
+    tk = tokens(docs, with_pos=True)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tk.withColumn("nxt", F.lead("tok", 1).over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+    )
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(k)
+
+
+def pipeline_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``bigram_counts`` over documents."""
+    return bigram_counts(load_table(spark, sf_dir, "documents"))
+
+
+PIPELINE_BIGRAMS_SQL = f"""
+WITH toks AS ({duck_tokens_cte(with_pos=True)}),
+bg AS (
+  SELECT tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM toks
+  QUALIFY bigram IS NOT NULL
+)
+SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {BIGRAM_TOP_K}
+""".strip()
+
+
+QUERIES = {
+    "pipeline_split": pipeline_split,
+    "pipeline_sample": pipeline_sample,
+    "pipeline_tfidf": pipeline_tfidf,
+    "pipeline_bigrams": pipeline_bigrams,
+}
+
+ORACLES = {
+    "pipeline_split": PIPELINE_SPLIT_SQL,
+    "pipeline_sample": PIPELINE_SAMPLE_SQL,
+    "pipeline_tfidf": PIPELINE_TFIDF_SQL,
+    "pipeline_bigrams": PIPELINE_BIGRAMS_SQL,
+}

@@ -1,0 +1,89 @@
+"""Generic output sinks: partitioned parquet, bucketed tables, and JSONL.
+
+The reference engine's only sink is a text file of decoded rows on the proxy
+(Proxy.c:211-228); a Spark-native engine instead writes layouts the NEXT
+job can exploit:
+
+- ``write_partitioned``: hive-style directory partitioning.  A reader that
+  filters on the partition column scans only the matching directories
+  (partition pruning — the `PartitionFilters` line in `.explain`), which at
+  100 TB is the difference between reading one day/language and all of them.
+- ``write_bucketed``: pre-shuffled, hash-bucketed table layout.  Two tables
+  bucketed on the same key with the same bucket count join WITHOUT a
+  shuffle exchange — the persisted analog of co-partitioning, and the right
+  layout for fact tables that are repeatedly joined on the same key
+  (the triple store uses the same mechanism for its subject-bucketed
+  layout, sources/triples.py).
+- ``write_jsonl``: newline-delimited JSON — the interchange format
+  tokenizer/training jobs usually ingest.
+
+Partition-count guidance at scale: aim for output files near the
+``spark.sql.files.maxPartitionBytes`` the readers will use (default 128 MB)
+— thousands of tiny files thrash the driver's listing and any metastore;
+``coalesce_to`` caps the file count for small outputs without a full
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def coalesce_to(df: DataFrame, max_files: int) -> DataFrame:
+    """Cap output file count without a shuffle (coalesce narrows; it never
+    redistributes, so it cannot fix skew — use repartition for that)."""
+    return df.coalesce(max_files) if max_files > 0 else df
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_files_per_partition: int = 0,
+) -> None:
+    """Hive-style partitioned parquet: one directory tree level per
+    partition column.  Readers filtering on those columns prune at plan
+    time.  Choose LOW-cardinality columns (date, lang, source); a
+    high-cardinality partition column creates millions of directories."""
+    if max_files_per_partition:
+        df = df.repartition(max_files_per_partition, *partition_cols)
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (and optionally sorted) managed table.  Joins and
+    aggregations keyed on ``bucket_col`` between tables sharing the bucket
+    spec skip the shuffle exchange entirely."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table back with its bucket metadata intact (a plain
+    ``spark.read.parquet`` of the files would lose the bucket spec and
+    reintroduce the shuffle)."""
+    return spark.table(table_name)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", max_files: int = 0) -> None:
+    """Newline-delimited JSON export (one object per row)."""
+    coalesce_to(df, max_files).write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSONL source.  Always pass an explicit ``schema`` in production —
+    schema inference is a full extra pass over the data at 100 TB."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

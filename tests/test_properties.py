@@ -88,11 +88,14 @@ def test_entity_id_space_injective(entities):
 # ---------------------------------------------------------------------------
 # Spark: PPJoin prefix filtering is exact-recall vs brute force
 # ---------------------------------------------------------------------------
-def _bigrams(text: str) -> set[tuple[str, str]]:
+def _ngrams(text: str) -> set[tuple[str, ...]]:
     import re
 
+    from dream_spark.operators.dedup import JACCARD_NGRAM
+
     toks = [t for t in re.split(r"[^0-9a-z]+", text.lower()) if t]
-    return set(zip(toks, toks[1:]))
+    n = JACCARD_NGRAM
+    return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
 def _brute_force_pairs(docs: list[tuple[int, str]], threshold=0.8):
@@ -100,7 +103,7 @@ def _brute_force_pairs(docs: list[tuple[int, str]], threshold=0.8):
     for i in range(len(docs)):
         for j in range(i + 1, len(docs)):
             (ia, ta), (ib, tb) = docs[i], docs[j]
-            sa, sb = _bigrams(ta), _bigrams(tb)
+            sa, sb = _ngrams(ta), _ngrams(tb)
             if not sa or not sb:
                 continue
             jac = len(sa & sb) / len(sa | sb)

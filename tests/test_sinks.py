@@ -1,0 +1,58 @@
+"""Sinks: partition pruning, bucketed shuffle-free joins, JSONL round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dream_spark.sources import sinks
+from dream_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_partitioned_write_prunes(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("part") / "docs")
+    sinks.write_partitioned(docs, out, ["lang"])
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # filtering on the partition column must reach the scan as a partition
+    # filter (pruned directories), not a post-scan filter
+    plan = back.where(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+    en_spark = back.where(F.col("lang") == "en").count()
+    assert en_spark == docs.where(F.col("lang") == "en").count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, docs, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    a = docs.select("doc_id", "lang")
+    b = docs.select("doc_id", "n_chars")
+    sinks.write_bucketed(a, "t_bucket_a", "doc_id", 4)
+    sinks.write_bucketed(b, "t_bucket_b", "doc_id", 4)
+    try:
+        ta = sinks.read_bucketed(spark, "t_bucket_a")
+        tb = sinks.read_bucketed(spark, "t_bucket_b")
+        joined = ta.join(tb, on="doc_id")
+        assert joined.count() == docs.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed equi-join: no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_jsonl_roundtrip(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("jsonl") / "docs")
+    sinks.write_jsonl(docs.select("doc_id", "lang", "text"), out, max_files=2)
+    back = sinks.read_jsonl(spark, out, schema="doc_id long, lang string, text string")
+    assert back.count() == docs.count()
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.select("doc_id", "lang", "text").collect())
+    )
