@@ -177,32 +177,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver adjudicates the FIRST 50 queries() entries (insertion order), so
 # the first 50 must contain ≥1 representative of every operator family.  This
-# list is exactly 50 names: 16 semantically-distinct SPARQL forms, 13
-# relational (every distinct shape incl. pivot/intersect/except), and all
-# temporal/text/dedup/similarity/multimodal/streaming entries.  Everything
-# after position 50 is a semantic variant of a checked entry (e.g. the
-# optional+decode combination of two individually-checked features) or a
-# TPC-H analog whose family is already represented.
+# list is exactly 50 names: 14 semantically-distinct SPARQL forms, 12
+# relational (every distinct shape incl. pivot/intersect), the
+# training-pipeline quartet, and all temporal/text/dedup/similarity/
+# multimodal/streaming entries.  Everything after position 50 is a semantic
+# variant of a checked entry (e.g. sparql_ground = constant-anchored star,
+# sparql_empty_join = O10 with a join on top, simhash_docs = the fingerprint
+# table dedup_simhash consumes, rel_except = INTERSECT's set-op sibling) or
+# a TPC-H analog whose family is already represented.
 PRIORITY_ORDER = [
     # SPARQL — one per distinct plan shape (O1-O11, P1-P8 paths)
     "sparql_star", "sparql_cycle5", "sparql_path", "sparql_varpred",
-    "sparql_empty", "sparql_distinct", "sparql_ground", "sparql_decode",
+    "sparql_empty", "sparql_distinct", "sparql_decode",
     "sparql_topk", "sparql_disconnected", "sparql_optional",
     "sparql_filter_ne", "sparql_count_group", "sparql_minus", "sparql_union",
-    "sparql_empty_join",
     # relational — every distinct operator shape
     "rel_q1_pricing", "rel_q3_top10", "rel_q5_cycle", "rel_q12_priority",
     "rel_anti", "rel_cube", "rel_window_top3", "rel_events_hourly",
     "rel_json_props", "rel_sql_passthrough", "rel_pivot", "rel_intersect",
-    "rel_except",
     # temporal
     "temporal_asof", "temporal_range",
     # text (quality scoring is part of text_features)
     "text_features", "text_langid", "text_fingerprint", "text_topterms",
+    # training-pipeline: split / stratified sample / tf-idf / bigram stats
+    "pipeline_split", "pipeline_sample", "pipeline_tfidf", "pipeline_bigrams",
     # dedup — one per algorithm: exact, minhash-LSH, jaccard-PPJoin, simhash,
     # embedding-cosine, connected-components (exact_docs = exact on another
     # table, deferred past the cap)
-    "dedup_exact", "dedup_minhash", "dedup_jaccard", "simhash_docs",
+    "dedup_exact", "dedup_minhash", "dedup_jaccard",
     "dedup_simhash", "dedup_embedding", "dedup_clusters",
     # similarity
     "knn_bruteforce", "knn_lsh", "knn_ivf",
@@ -226,21 +228,21 @@ def _ordered(full: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dream_spark.operators import (
-        dedup, multimodal, pipeline, relational, similarity, temporal, text,
+        dedup, multimodal, pipeline, relational, similarity, sketch, temporal, text,
     )
     from dream_spark.streaming import events as streaming_events
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (qtext, decode) in SPARQL_QUERIES.items():
         out[name] = _sparql_runner(qtext, decode)
-    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline):
+    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch):
         out.update(mod.QUERIES)
     return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
     from dream_spark.operators import (
-        dedup, multimodal, pipeline, relational, similarity, temporal, text,
+        dedup, multimodal, pipeline, relational, similarity, sketch, temporal, text,
     )
     from dream_spark.plans.oracle import bgp_to_sql
     from dream_spark.plans.sparql import parse_sparql
@@ -249,6 +251,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, (qtext, decode) in SPARQL_QUERIES.items():
         out[name] = bgp_to_sql(parse_sparql(qtext), decode=decode)
-    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline):
+    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch):
         out.update(mod.ORACLES)
     return _ordered(out)

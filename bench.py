@@ -59,6 +59,10 @@ HEADLINE = [
     "text_fingerprint",
     "text_langid",
     "text_topterms",
+    "pipeline_split",
+    "pipeline_sample",
+    "pipeline_tfidf",
+    "pipeline_bigrams",
     "dedup_exact_docs",
     "dedup_minhash",
     "dedup_jaccard",

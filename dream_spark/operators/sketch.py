@@ -1,0 +1,146 @@
+"""Sketch operators: KMV (k-minimum-values) distinct-count estimation and
+exact grouped quantiles — the cardinality/profile statistics a pipeline
+computes before committing to a shuffle strategy.
+
+Why KMV and not HyperLogLog: Spark's ``approx_count_distinct`` (HLL++) is
+the right production choice, but its estimate is not replayable by an
+independent engine, so it cannot pass a value-exact oracle gate.  KMV with
+the package's universal hash family IS deterministic: both engines hash
+every value with the same h, keep the k smallest distinct hashes, and apply
+the same integer estimator — bit-identical output, genuinely sublinear
+state.  (The estimator D̂ = (k−1)·P/h_(k) is the standard KMV unbiased
+form; the integer division quantizes identically on both engines.)
+
+Scale notes:
+- KMV state is k longs per group — mergeable by "union then keep k
+  smallest", i.e. a partial-aggregatable sketch: map-side combine reduces
+  every partition to ≤ k values before the shuffle, exactly like a SUM.
+  The implementation here uses distinct + global top-k (two exchanges of
+  hash-sized rows); at 100 TB swap the final orderBy().limit(k) for the
+  same windowless aggregate the oracle uses — the plan already moves only
+  hashes, never raw values.
+- Exact grouped quantiles need a per-group sort; the window runs after one
+  shuffle on the group key.  For percentile sets at extreme scale use
+  partial histograms instead; the exact form is the oracle-checkable
+  definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dream_spark.functions.hashing import MERSENNE_P, hash_sql
+from dream_spark.sources.tables import load_table
+
+#: sketch size (values kept); estimator error ~ 1/sqrt(k) ≈ 6% at 256
+KMV_K = 256
+#: hash-function index reserved for the KMV sketch
+_KMV_FN = 2
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """One-row distinct-count estimate of integer column ``col`` for ANY
+    DataFrame: (k, n_kept, kth_min, est_distinct).
+
+    ``est_distinct`` = exact count when fewer than ``k`` distinct hashes
+    exist (the sketch has seen everything), else (k−1)·P div h_(k)."""
+    hv = df.select(F.expr(hash_sql(col, _KMV_FN)).alias("hv")).where(
+        F.col("hv").isNotNull()
+    ).distinct()
+    kept = hv.orderBy("hv").limit(k)
+    agg = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth_min")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept")
+    ).otherwise(F.expr(f"({k} - 1) * {MERSENNE_P}L div kth_min"))
+    return agg.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("kth_min").cast("bigint").alias("kth_min"),
+        est.cast("bigint").alias("est_distinct"),
+    )
+
+
+def sketch_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: KMV estimate of distinct event users."""
+    return kmv_distinct(load_table(spark, sf_dir, "events"), "user_id")
+
+
+SKETCH_KMV_SQL = f"""
+WITH h AS (SELECT DISTINCT {hash_sql("user_id", _KMV_FN)} AS hv
+           FROM events WHERE user_id IS NOT NULL),
+kept AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}),
+agg AS (SELECT COUNT(*) AS n_kept, MAX(hv) AS kth_min FROM kept)
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(kth_min AS BIGINT) AS kth_min,
+       CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
+                 ELSE ({KMV_K} - 1) * {MERSENNE_P} // kth_min END AS BIGINT)
+         AS est_distinct
+FROM agg
+""".strip()
+
+
+def grouped_quantiles(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Exact lower-median and quartiles of ``value_col`` per group —
+    type-1 (no interpolation) quantiles: the element at 1-based rank
+    ⌈q·n⌉ of the ascending sort, a pure integer definition both engines
+    compute identically (unlike interpolating percentile functions)."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.select(
+        group_col,
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n"),
+    )
+    def at(q_num: int, q_den: int):
+        # rank = ceil(q·n) with integer arithmetic
+        target = F.expr(f"cast((n * {q_num} + {q_den} - 1) div {q_den} as int)")
+        return F.max(F.when(F.col("r") == target, F.col("v")))
+
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            at(1, 4).cast("bigint").alias("p25"),
+            at(1, 2).cast("bigint").alias("p50"),
+            at(3, 4).cast("bigint").alias("p75"),
+        )
+    )
+
+
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: exact n_chars quartiles per document source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return grouped_quantiles(docs, "source", "n_chars")
+
+
+SKETCH_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars AS v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN r = (n * 1 + 3) // 4 THEN v END) AS BIGINT) AS p25,
+       CAST(MAX(CASE WHEN r = (n * 1 + 1) // 2 THEN v END) AS BIGINT) AS p50,
+       CAST(MAX(CASE WHEN r = (n * 3 + 3) // 4 THEN v END) AS BIGINT) AS p75
+FROM ranked GROUP BY source
+""".strip()
+
+
+QUERIES = {
+    "sketch_kmv_users": sketch_kmv_users,
+    "sketch_quantiles": sketch_quantiles,
+}
+
+ORACLES = {
+    "sketch_kmv_users": SKETCH_KMV_SQL,
+    "sketch_quantiles": SKETCH_QUANTILES_SQL,
+}

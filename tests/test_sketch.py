@@ -1,0 +1,49 @@
+"""Sketches (KMV distinct, exact grouped quantiles) vs DuckDB oracle +
+estimator-quality invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dream_spark.operators import sketch as S
+from dream_spark.sources.tables import load_table
+from tests.conftest import SF_DIR, assert_oracle_match
+
+
+@pytest.mark.parametrize("name", sorted(S.QUERIES))
+def test_sketch_oracle(spark, duck, name):
+    df = S.QUERIES[name](spark, SF_DIR)
+    assert_oracle_match(df, duck, S.ORACLES[name])
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer distinct values than k → the sketch IS the exact count."""
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.select("user_id").distinct().count()
+    row = S.kmv_distinct(ev, "user_id").collect()[0]
+    if row["n_kept"] < row["k"]:
+        assert row["est_distinct"] == exact
+
+
+def test_kmv_estimator_error_bound(spark):
+    """Above k the estimator lands within the ~1/sqrt(k) KMV error band
+    (generous 5-sigma bound to keep the test deterministic-friendly)."""
+    n = 100_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    row = S.kmv_distinct(df, "v", k=S.KMV_K).collect()[0]
+    assert row["n_kept"] == S.KMV_K
+    rel_err = abs(row["est_distinct"] - n) / n
+    assert rel_err < 5 / (S.KMV_K ** 0.5), rel_err
+
+
+def test_quantiles_ordered_and_member(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = S.grouped_quantiles(docs, "source", "n_chars")
+    for r in out.collect():
+        assert r["p25"] <= r["p50"] <= r["p75"]
+        vals = {
+            x["n_chars"]
+            for x in docs.where(F.col("source") == r["source"]).select("n_chars").collect()
+        }
+        assert {r["p25"], r["p50"], r["p75"]} <= vals  # type-1: actual members
