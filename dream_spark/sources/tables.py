@@ -61,11 +61,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _fix_timestamps(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")), name)
 
 
+# (session id, view name) -> sf_dir currently backing that view.  Used to
+# make registration idempotent: createOrReplaceTempView INVALIDATES every
+# cache entry whose plan references the replaced view (Spark's staleness
+# guard), so re-registering the same table for the same sf_dir — which
+# rel_sql_passthrough and every engine construction do — would silently
+# evict the open triple store's cache.
+_REGISTERED: dict[tuple[int, str], str] = {}
+
+
 def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
     """Register each parquet table as a temp view named after itself.
 
     Scans stay parquet-backed (predicate pushdown + column pruning reach the
-    file scan); nothing is materialized here.
+    file scan); nothing is materialized here.  Re-registration for the SAME
+    sf_dir is skipped (see _REGISTERED); pointing a view at a DIFFERENT
+    sf_dir replaces it — and deliberately drops dependent caches, since
+    their data really did change.
     """
     _ensure_nanos_readable(spark)
     out: dict[str, DataFrame] = {}
@@ -73,7 +85,12 @@ def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None =
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
+        key = (id(spark), name)
+        if _REGISTERED.get(key) == sf_dir:
+            out[name] = spark.table(name)
+            continue
         df = _fix_timestamps(spark.read.parquet(path), name)
         df.createOrReplaceTempView(name)
+        _REGISTERED[key] = sf_dir
         out[name] = df
     return out

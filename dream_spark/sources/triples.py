@@ -266,12 +266,20 @@ class TripleStore:
 
     # -- constructors -------------------------------------------------------
     @classmethod
-    def from_tpch(cls, spark: SparkSession, sf_dir: str, cache: bool = False) -> "TripleStore":
+    def from_tpch(cls, spark: SparkSession, sf_dir: str, cache: bool = True) -> "TripleStore":
         """Derive triples+dict from the driver's parquet tables (shared SQL).
 
         Registers only the 7 tables TRIPLES_SQL/DICT_SQL actually reference —
         the SPARQL path must not depend on unrelated tables (events/documents/
-        embeddings) being readable under the caller's session."""
+        embeddings) being readable under the caller's session.
+
+        ``cache=True`` persists + materializes the derived triples (the
+        reference's model: the store is OPEN before queries arrive —
+        Main.c:122 opens the RDF-3X DB at startup).  Without it every triple
+        pattern in every query re-derives the 7-table union.  Spark's
+        MEMORY_AND_DISK cache degrades to disk spill; at warehouse scale the
+        analog is the persisted predicate-partitioned layout
+        (``write_parquet``/``write_bucketed``), not a derive-per-query."""
         register_tables(
             spark,
             sf_dir,
@@ -281,6 +289,7 @@ class TripleStore:
         dictionary = spark.sql(DICT_SQL)
         if cache:
             triples = triples.cache()
+            triples.count()  # materialize now: queries must not race to fill it
         return cls(spark, triples, dictionary)
 
     @classmethod

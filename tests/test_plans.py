@@ -196,19 +196,47 @@ def test_stats_persist_across_engine_constructions(spark, tmp_path, monkeypatch)
     assert e2.stats.total == e1.stats.total
 
 
-def test_sparql_ground_pattern_prunes_to_single_scan(engine):
-    """Constant predicate must prune the derived triples view down to the
-    ONE base table holding that predicate — Catalyst folds `p = placedBy`
-    through the UNION ALL, eliminating the other 23 branches, the Spark
-    analog of RDF-3X predicate-index pruning (QueryPlanner.c:780-821).
-    The constant object then filters that single scan, which reads only
-    the two columns the pattern needs."""
+def test_sparql_ground_pattern_filters_cached_store(engine):
+    """On the OPEN-STORE path (cached triples — the default engine), the
+    same pattern must scan the in-memory store with the p/o filters pushed
+    into the cache scan (batch-stat pruning); nothing executes below the
+    InMemoryRelation boundary (the FileScans printed under it are the
+    cache's definition, not executed operators).  Ordered BEFORE the
+    derive-path test below: that one registers views for another sf_dir,
+    which deliberately invalidates this session store's cache."""
     plan = _plan(engine.sparql("select ?X where { ?X placedBy <customer:1> }"))
+    executed = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in executed
+    assert executed.count("FileScan") == 0
+    assert "= 100000001)" in executed  # o = customer:1 reaches the cache scan
+
+
+def test_sparql_ground_pattern_prunes_to_single_scan(spark):
+    """On the DERIVE-PER-QUERY path (cache=False — the shape the persisted
+    predicate-partitioned layout scans at warehouse scale), a constant
+    predicate must prune the derived triples view down to the ONE base
+    table holding that predicate — Catalyst folds `p = placedBy` through
+    the UNION ALL, eliminating the other 23 branches, the Spark analog of
+    RDF-3X predicate-index pruning (QueryPlanner.c:780-821).  The constant
+    object then filters that single scan, which reads only the two columns
+    the pattern needs."""
+    from dream_spark.engine import Engine
+    from dream_spark.sources.triples import TripleStore
+
+    # a DIFFERENT sf_dir than the cached session store: the cache manager
+    # substitutes any matching canonicalized plan, which would mask the
+    # derive-path shape this test pins down
+    alt_sf = "/root/testdata/sf0.01"
+    store = TripleStore.from_tpch(spark, alt_sf, cache=False)
+    eng = Engine(spark, store, None, sf_dir=alt_sf)
+    plan = _plan(eng.sparql("select ?X where { ?X placedBy <customer:1> }"))
     assert plan.count("FileScan") == 1
     assert "orders.parquet" in plan
     assert "= 100000001)" in plan  # o = customer:1 on the surviving branch
     scan_schema = plan.split("ReadSchema")[-1]
     assert "o_orderkey" in scan_schema and "o_totalprice" not in scan_schema
+    # restore the default-session table registrations for later tests
+    TripleStore.from_tpch(spark, SF_DIR, cache=False)
 
 
 def test_sparql_varpred_constant_subject_pushdown_no_cartesian(engine):
