@@ -147,6 +147,10 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?X ?Y where { ?X type Region . ?X inNation ?Y . ?Y type Nation }",
         False,
     ),
+    # ASK superset (SPARQL 1.1 boolean-existence form): one positive (any
+    # order placed by customer:1?) and one provably negative (O10 shape)
+    "sparql_ask_pos": ("ask { ?O placedBy <customer:1> . ?O status ?ST }", False),
+    "sparql_ask_neg": ("ask where { ?X type Region . ?X inNation ?Y }", False),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

@@ -252,9 +252,14 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         ).alias("jaccard"),
     )
-    return jac.where(
-        F.col("jaccard") >= F.lit(t_num) / F.lit(float(t_den))
-    ).dropDuplicates(["doc_a", "doc_b"])
+    # persist the (tiny) verified-pair output: dedup_clusters' edge list is
+    # this exact plan, so the cache manager serves it from the first
+    # evaluation instead of re-running the candidate join + verification
+    return (
+        jac.where(F.col("jaccard") >= F.lit(t_num) / F.lit(float(t_den)))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .persist()
+    )
 
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,7 +603,14 @@ def connected_components(
         rows = _unionfind_components([(r["a"], r["b"]) for r in sym.collect()])
         e.unpersist()
         spark = edges.sparkSession
-        return spark.createDataFrame(rows, schema="node long, cluster long")
+        # hand the driver-local result back through Arrow (pandas), NOT a
+        # parallelized Python list: the list form deserializes via one
+        # Python worker per partition — ~3 s of fork overhead for a
+        # few-hundred-row frame
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["node", "cluster"], dtype="int64")
+        return spark.createDataFrame(pdf, schema="node long, cluster long")
     sym = sym.persist()
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))

@@ -266,6 +266,11 @@ def bgp_to_sql(
     UNION queries render as UNION ALL over branch blocks.
     """
     resolve = resolver or _default_resolver
+    if query.ask:
+        inner = bgp_to_sql(
+            dataclasses.replace(query, ask=False), decode=False, resolver=resolver
+        )
+        return f"SELECT EXISTS (SELECT 1 FROM ({inner}) __ask) AS ask_result"
     if query.aggregates:
         return _aggregate_sql(query, decode, resolve)
     if query.union_branches:

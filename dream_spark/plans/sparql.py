@@ -21,7 +21,7 @@ projections with ``group by ?v …``.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 
 @dataclass(frozen=True)
@@ -120,6 +120,9 @@ class ParsedQuery:
     # ``conditions`` then holds the FIRST branch (so single-branch helpers
     # keep working) and filters/optionals are disallowed by the parser
     union_branches: list[list[Condition]] = field(default_factory=list)
+    # ASK form (SPARQL 1.1; superset of the reference grammar): the result
+    # is a single boolean row — does any binding exist?
+    ask: bool = False
     text: str = field(default="", repr=False)
 
     def all_variables(self) -> list[str]:
@@ -149,6 +152,12 @@ def parse_sparql(text: str) -> ParsedQuery:
     (QueryPlanner.c:946-1013).
     """
     src = text.strip()
+    # ASK { … } / ASK WHERE { … }: parse the body exactly like
+    # `select * where { … }` (same pattern/filter/optional grammar), then
+    # mark the query as boolean-existence
+    if re.match(r"(?is)^\s*ask\s*(?:where\s*)?\{", src):
+        inner = re.sub(r"(?is)^\s*ask\s*(?:where\s*)?\{", "select * where {", src, count=1)
+        return replace(parse_sparql(inner), ask=True, text=src)
     m = re.match(
         r"(?is)^\s*select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}\s*"
         r"(?:group\s+by\s+((?:\?\w+\s*)+))?"

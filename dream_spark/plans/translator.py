@@ -203,6 +203,10 @@ def dp_order(
 
 _DP_MAX_CONDITIONS = 13
 
+#: broadcast a disconnected component into its cross product when its
+#: estimated cardinality is under this many rows (≤ 3 longs/row → ≤ 24 MB)
+_BCAST_CARTESIAN_MAX_ROWS = 1_000_000
+
 
 def greedy_order(conditions: list[Condition], est: dict[int, float]) -> list[Condition]:
     """Smallest-first greedy: start at the cheapest pattern, then repeatedly
@@ -246,7 +250,18 @@ def _join_group(
             plan = cdf
         else:
             shared = sorted(bound & set(cond.variables()))
-            plan = plan.join(cdf, on=shared) if shared else plan.crossJoin(cdf)
+            if shared:
+                plan = plan.join(cdf, on=shared)
+            else:
+                # Disconnected component (reference O7: bag-union cross
+                # product).  Broadcast the new side when its estimate is
+                # small so the cartesian runs as a BroadcastNestedLoopJoin
+                # (p tasks) instead of a partition-pair CartesianProduct
+                # (p² tasks over the open store); a huge-both-sides
+                # cartesian is output-bound either way, so the hint is
+                # never the bottleneck.
+                small = est[cond.cid] <= _BCAST_CARTESIAN_MAX_ROWS
+                plan = plan.crossJoin(F.broadcast(cdf) if small else cdf)
         bound |= set(cond.variables())
     assert plan is not None
     return plan, bound
@@ -260,6 +275,17 @@ def translate(
 ) -> DataFrame:
     """Compile a parsed BGP to a DataFrame plan (bag semantics, like the
     reference — SURVEY.md §2.3; ``distinct`` only when the query asks)."""
+    if query.ask:
+        # ASK → does any binding exist: compile the body as usual, keep one
+        # row at most (limit(1) lets Spark stop at the first match), count.
+        import dataclasses
+
+        inner = translate(store, dataclasses.replace(query, ask=False), stats, decode=False)
+        return (
+            inner.select(F.lit(1).alias("__one"))
+            .limit(1)
+            .agg((F.count("__one") > 0).alias("ask_result"))
+        )
     if query.union_branches:
         # { BGP } union { BGP }: translate each branch independently, pad
         # unbound projection variables with NULL (SPARQL union semantics),

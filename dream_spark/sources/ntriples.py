@@ -27,11 +27,16 @@ NT_PATTERN = rf"^\s*{_TERM}\s+{_TERM}\s+{_TERM}\s*\.\s*$"
 
 
 def _lexical(col):
-    """Strip IRI brackets / literal quotes+suffix from a raw N-Triples term."""
+    """Strip IRI brackets / literal quotes+suffix from a raw N-Triples term,
+    and UNESCAPE literal bodies (\\" and \\\\) so the stored lexical is the
+    true string — write_ntriples re-escapes on the way out, keeping
+    read→write→read a fixed point."""
     c = F.col(col)
+    body = F.regexp_extract(c, r'^"((?:[^"\\]|\\.)*)"', 1)
+    unescaped = F.regexp_replace(body, r'\\(["\\])', r"$1")
     return (
         F.when(c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1))
-        .when(c.startswith('"'), F.regexp_extract(c, r'^"((?:[^"\\]|\\.)*)"', 1))
+        .when(c.startswith('"'), unescaped)
         .otherwise(c)
     )
 
@@ -82,3 +87,45 @@ def load_ntriples(spark: SparkSession, path: str, validate: bool = False):
 
     triples, dictionary = encode(parse_ntriples(spark, path), validate=validate)
     return TripleStore(spark, triples, dictionary, resolver=None)
+
+
+def _nt_term(col) -> "F.Column":
+    """Render a lexical back to N-Triples syntax: IRI-looking terms (scheme
+    prefix) get angle brackets, blank-node labels pass through, everything
+    else becomes a quoted literal with minimal escaping."""
+    c = F.col(col) if isinstance(col, str) else col
+    is_iri = c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+    is_blank = c.startswith("_:")
+    quoted = F.concat(
+        F.lit('"'),
+        F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"'),
+        F.lit('"'),
+    )
+    return (
+        F.when(is_blank, c)
+        .when(is_iri, F.concat(F.lit("<"), c, F.lit(">")))
+        .otherwise(quoted)
+    )
+
+
+def write_ntriples(store, path: str, mode: str = "overwrite", max_files: int = 0) -> None:
+    """Export a TripleStore back to N-Triples text — the inverse of
+    ``load_ntriples`` (the reference's interchange format).
+
+    Decodes (s,p,o) ids through the dictionary with three id-keyed joins —
+    the lexicals shuffle once each, never the triple rows' full decode
+    product — then renders one triple per line.  ``max_files`` caps the
+    output file count via coalesce (narrow, no shuffle)."""
+    d = store.dictionary
+    t = store.triples
+    for slot in ("s", "p", "o"):
+        lex = d.select(F.col("id").alias(slot), F.col("lexical").alias(f"{slot}_lex"))
+        t = t.join(lex, on=slot, how="left").drop(slot)
+    lines = t.select(
+        F.concat_ws(
+            " ", _nt_term("s_lex"), _nt_term("p_lex"), _nt_term("o_lex"), F.lit(".")
+        ).alias("value")
+    )
+    if max_files > 0:
+        lines = lines.coalesce(max_files)
+    lines.write.mode(mode).text(path)

@@ -63,3 +63,25 @@ def test_unknown_constant_raises(nt_store):
     q = parse_sparql("select ?X where { ?X <http://ex/name> <NoSuch> }")
     with pytest.raises(KeyError):
         translate(nt_store, q, None)
+
+
+def test_write_roundtrip(nt_store, spark, tmp_path_factory):
+    """write_ntriples → load_ntriples must preserve the triple multiset
+    (modulo the datatype/lang tags the data model deliberately drops)."""
+    from dream_spark.sources.ntriples import write_ntriples
+
+    out = str(tmp_path_factory.mktemp("ntout") / "g")
+    write_ntriples(nt_store, out, max_files=1)
+    back = TripleStore.from_ntriples(spark, out, validate=True)
+
+    def lex_triples(store):
+        d = store.dictionary
+        t = store.triples
+        from pyspark.sql import functions as F
+
+        for slot in ("s", "p", "o"):
+            lex = d.select(F.col("id").alias(slot), F.col("lexical").alias(f"{slot}_lex"))
+            t = t.join(lex, on=slot).drop(slot)
+        return sorted(map(tuple, t.collect()))
+
+    assert lex_triples(back) == lex_triples(nt_store)

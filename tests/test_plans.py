@@ -39,6 +39,16 @@ def test_no_accidental_cartesian_products(spark, queries):
     assert not offenders, f"cartesian products in: {offenders}"
 
 
+def test_disconnected_component_broadcasts_small_side(spark, queries):
+    """A disconnected BGP component (reference O7 bag-union cross product)
+    with a small cardinality estimate must run as BroadcastNestedLoopJoin
+    (p tasks), never a partition-pair CartesianProduct (p² tasks over the
+    open store)."""
+    plan = _plan(queries["sparql_disconnected"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q1_partial_aggregation_and_column_pruning(spark, queries):
     plan = _plan(queries["rel_q1_pricing"](spark, SF_DIR))
     # partial + final HashAggregate pair = map-side combine: the shuffle

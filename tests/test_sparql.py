@@ -126,6 +126,28 @@ def test_pushed_filters_reach_scan(engine):
     assert "PushedFilters" in plan or "InMemoryTableScan" in plan
 
 
+# ---- ASK superset ----------------------------------------------------------
+def test_ask_parse():
+    q = parse_sparql("ask { ?O placedBy <customer:1> }")
+    assert q.ask and len(q.conditions) == 1
+    q2 = parse_sparql("ask where { ?X type Region . ?X inNation ?Y }")
+    assert q2.ask and len(q2.conditions) == 2
+
+
+def test_ask_semantics(engine, duck):
+    pos = engine.sparql("ask { ?O placedBy <customer:1> . ?O status ?ST }")
+    assert [r["ask_result"] for r in pos.collect()] == [True]
+    neg = engine.sparql("ask where { ?X type Region . ?X inNation ?Y }")
+    assert [r["ask_result"] for r in neg.collect()] == [False]
+    from dream_spark.plans.oracle import bgp_to_sql
+
+    for text, want in [
+        ("ask { ?O placedBy <customer:1> . ?O status ?ST }", True),
+        ("ask where { ?X type Region . ?X inNation ?Y }", False),
+    ]:
+        assert duck.execute(bgp_to_sql(parse_sparql(text))).fetchone()[0] is want
+
+
 # ---- ORDER BY / LIMIT superset --------------------------------------------
 def test_order_by_limit_parse():
     q = parse_sparql("select ?A ?B where { ?A placedBy ?B } order by ?A desc ?B limit 7")
