@@ -151,6 +151,14 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
     # order placed by customer:1?) and one provably negative (O10 shape)
     "sparql_ask_pos": ("ask { ?O placedBy <customer:1> . ?O status ?ST }", False),
     "sparql_ask_neg": ("ask where { ?X type Region . ?X inNation ?Y }", False),
+    # CONSTRUCT superset: emit a derived graph (two template triples per
+    # binding; template constants resolve through the dictionary like
+    # pattern constants do)
+    "sparql_construct": (
+        "construct { ?C inNation ?N . ?C type Customer } "
+        "where { ?O placedBy ?C . ?C inNation ?N . ?O priority <1-URGENT> }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

@@ -271,6 +271,23 @@ def bgp_to_sql(
             dataclasses.replace(query, ask=False), decode=False, resolver=resolver
         )
         return f"SELECT EXISTS (SELECT 1 FROM ({inner}) __ask) AS ask_result"
+    if query.construct_template:
+        inner = bgp_to_sql(
+            dataclasses.replace(query, construct_template=[]),
+            decode=False,
+            resolver=resolver,
+        )
+
+        def term_sql(t) -> str:
+            return t.var if t.is_var else str(resolve(t.lexical))
+
+        branches = " UNION ALL ".join(
+            f"SELECT CAST({term_sql(c.subj)} AS BIGINT) AS s,"
+            f" CAST({term_sql(c.pred)} AS BIGINT) AS p,"
+            f" CAST({term_sql(c.obj)} AS BIGINT) AS o FROM (\n{inner}\n) __b{i}"
+            for i, c in enumerate(query.construct_template)
+        )
+        return branches
     if query.aggregates:
         return _aggregate_sql(query, decode, resolve)
     if query.union_branches:

@@ -123,6 +123,9 @@ class ParsedQuery:
     # ASK form (SPARQL 1.1; superset of the reference grammar): the result
     # is a single boolean row — does any binding exist?
     ask: bool = False
+    # CONSTRUCT form: non-empty => emit (s,p,o) rows from these template
+    # patterns, one set per WHERE binding (bag semantics)
+    construct_template: list[Condition] = field(default_factory=list)
     text: str = field(default="", repr=False)
 
     def all_variables(self) -> list[str]:
@@ -158,6 +161,26 @@ def parse_sparql(text: str) -> ParsedQuery:
     if re.match(r"(?is)^\s*ask\s*(?:where\s*)?\{", src):
         inner = re.sub(r"(?is)^\s*ask\s*(?:where\s*)?\{", "select * where {", src, count=1)
         return replace(parse_sparql(inner), ask=True, text=src)
+    # CONSTRUCT { template } WHERE { body }: body parses like
+    # `select * where { body }`; the template is a plain pattern list whose
+    # variables must all be bound by the body
+    mc = re.match(r"(?is)^\s*construct\s*\{(.*?)\}\s*where\s*\{(.*)\}\s*$", src, re.DOTALL)
+    if mc:
+        tpl = _parse_patterns_from(mc.group(1), 1)
+        if not tpl:
+            raise SparqlSyntaxError("construct template needs at least one pattern")
+        if any(c.pred.is_transitive for c in tpl):
+            raise SparqlSyntaxError("path '+' is not valid in a construct template")
+        q = parse_sparql(f"select * where {{{mc.group(2)}}}")
+        bound = set(q.all_variables())
+        unbound = sorted(
+            {v for c in tpl for v in c.variables() if v not in bound}
+        )
+        if unbound:
+            raise SparqlSyntaxError(
+                f"construct template variables not bound in where clause: {unbound}"
+            )
+        return replace(q, construct_template=tpl, text=src)
     m = re.match(
         r"(?is)^\s*select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}\s*"
         r"(?:group\s+by\s+((?:\?\w+\s*)+))?"

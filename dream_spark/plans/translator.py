@@ -286,6 +286,43 @@ def translate(
             .limit(1)
             .agg((F.count("__one") > 0).alias("ask_result"))
         )
+    if query.construct_template:
+        # CONSTRUCT → one (s,p,o) row per template pattern per body
+        # binding: compile the body once, project each template triple from
+        # it, bag-union.  Constants resolve to dictionary ids like pattern
+        # constants do; decode=True renders lexicals via the dict join.
+        import dataclasses
+
+        inner = translate(
+            store, dataclasses.replace(query, construct_template=[]), stats, decode=False
+        )
+
+        def term_col(t):
+            return F.col(t.var) if t.is_var else F.lit(store.resolve(t.lexical))
+
+        parts = [
+            inner.select(
+                term_col(c.subj).cast("long").alias("s"),
+                term_col(c.pred).cast("long").alias("p"),
+                term_col(c.obj).cast("long").alias("o"),
+            )
+            for c in query.construct_template
+        ]
+        plan = parts[0]
+        for pp in parts[1:]:
+            plan = plan.unionByName(pp)
+        if decode:
+            for slot in ("s", "p", "o"):
+                lex = store.dictionary.select(
+                    F.col("id").alias(slot), F.col("lexical").alias(f"__clex_{slot}")
+                )
+                plan = (
+                    plan.join(lex, on=slot, how="left")
+                    .drop(slot)
+                    .withColumnRenamed(f"__clex_{slot}", slot)
+                )
+            plan = plan.select("s", "p", "o")
+        return plan
     if query.union_branches:
         # { BGP } union { BGP }: translate each branch independently, pad
         # unbound projection variables with NULL (SPARQL union semantics),

@@ -148,6 +148,40 @@ def test_ask_semantics(engine, duck):
         assert duck.execute(bgp_to_sql(parse_sparql(text))).fetchone()[0] is want
 
 
+# ---- CONSTRUCT superset -----------------------------------------------------
+def test_construct_parse_and_validate():
+    q = parse_sparql(
+        "construct { ?C inNation ?N } where { ?C type Customer . ?C inNation ?N }"
+    )
+    assert len(q.construct_template) == 1 and len(q.conditions) == 2
+    import pytest as _pytest
+
+    from dream_spark.plans.sparql import SparqlSyntaxError
+
+    with _pytest.raises(SparqlSyntaxError):
+        parse_sparql("construct { ?Z inNation ?N } where { ?C inNation ?N }")
+
+
+def test_construct_semantics(engine, duck):
+    from dream_spark.plans.oracle import bgp_to_sql
+
+    text = (
+        "construct { ?C inNation ?N . ?C type Customer } "
+        "where { ?C type Customer . ?C inNation ?N }"
+    )
+    df = engine.sparql(text)
+    assert df.columns == ["s", "p", "o"]
+    n_cust = engine.sparql("select ?C where { ?C type Customer }").count()
+    assert df.count() == 2 * n_cust  # two template triples per binding
+    spark_rows = sorted(map(tuple, df.collect()))
+    duck_rows = sorted(map(tuple, duck.execute(bgp_to_sql(parse_sparql(text))).fetchall()))
+    assert spark_rows == duck_rows
+    # decoded form renders lexicals
+    dec = engine.sparql(text, decode=True)
+    one = dec.where(dec.p == "type").limit(1).collect()
+    assert one and one[0]["o"] == "Customer"
+
+
 # ---- ORDER BY / LIMIT superset --------------------------------------------
 def test_order_by_limit_parse():
     q = parse_sparql("select ?A ?B where { ?A placedBy ?B } order by ?A desc ?B limit 7")
