@@ -238,13 +238,123 @@ WHERE octet_length(encode(text)) >= 64
 """.strip()
 
 
+# --------------------------------------------------------------------------
+# embedding-extractor stub + similarity integration
+# --------------------------------------------------------------------------
+EMBED_DIMS = 8
+_EMBED_QUANT = 1000  # per-dim values land in {0/1000, …, 999/1000}
+_EMBED_FN_BASE = 3  # universal-hash family offset for the embed dims
+
+
+def pseudo_embed(media: DataFrame) -> DataFrame:
+    """Embedding-extractor STUB over the opaque binary payload: a real
+    image/audio encoder drops into this exact mapInPandas slot (same batch
+    shape, same output schema).  The stand-in embedding is deterministic
+    integer math — Horner-pack the first 8 payload bytes (identical to
+    features.pack_sql over the source text, since payload = encode(text)
+    and the corpus is ASCII), then dim_i = h_i(base) mod 1000 / 1000 — so
+    the DuckDB oracle replays it bit-for-bit, which a real encoder could
+    never offer.  Output: (vec_id, embedding array<double>)."""
+    import numpy as np
+
+    from dream_spark.functions.hashing import MERSENNE_P, hash_params
+
+    ab = [hash_params(_EMBED_FN_BASE + i) for i in range(EMBED_DIMS)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)[:8]
+                acc = np.int64(b[0]) if b else np.int64(0)
+                for ch in b[1:]:
+                    acc = (acc * 256 + ch) % MERSENNE_P
+                ids.append(doc_id)
+                vecs.append(
+                    np.array(
+                        [((a * acc + c) % MERSENNE_P % _EMBED_QUANT) for a, c in ab],
+                        dtype=np.float64,
+                    )
+                    / _EMBED_QUANT
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(ids, dtype="int64"),
+                    "embedding": pd.Series(vecs, dtype=object),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema="vec_id long, embedding array<double>"
+    )
+
+
+MEDIA_KNN_K = 3
+_MEDIA_QUERY_MOD = 101
+
+
+def media_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → similarity integration: extract (stub) embeddings from
+    the media payloads, then exact top-k cosine neighbors for the query
+    subset (doc_id ≡ 0 mod 101) — the metadata filter prunes before the
+    extractor ever touches a payload, and the kNN reuses the generic
+    brute-force primitive (query side broadcast, corpus never shuffled)."""
+    from dream_spark.operators.similarity import knn_topk
+
+    emb = pseudo_embed(media_catalog(spark, sf_dir))
+    q = emb.where(F.col("vec_id") % _MEDIA_QUERY_MOD == 0)
+    return knn_topk(emb, q, k=MEDIA_KNN_K)
+
+
+def _media_knn_sql() -> str:
+    from dream_spark.functions.features import pack_sql
+    from dream_spark.functions.hashing import hash_sql
+
+    base = pack_sql("text", 8)
+    dims = ", ".join(
+        f"CAST(FLOOR((CAST({hash_sql('base', _EMBED_FN_BASE + i)} % {_EMBED_QUANT} AS DOUBLE)"
+        f" / {_EMBED_QUANT}) * 1000000) AS BIGINT) AS q{i}"
+        for i in range(EMBED_DIMS)
+    )
+    dot_ab = " + ".join(f"a.q{i} * b.q{i}" for i in range(EMBED_DIMS))
+    nrm = " + ".join(f"q{i} * q{i}" for i in range(EMBED_DIMS))
+    cos = f"CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+    return f"""
+WITH cat AS (
+  SELECT doc_id, text FROM documents
+  WHERE octet_length(encode(text)) >= 64 AND doc_id % 3 <> 2
+),
+packed AS (SELECT doc_id, {base} AS base FROM cat),
+emb AS (SELECT doc_id AS vec_id, {dims} FROM packed),
+qn AS (SELECT *, {nrm} AS nrm FROM emb),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {dot_ab} AS dot, a.nrm AS na, b.nrm AS nb
+  FROM qn a JOIN qn b
+    ON a.vec_id % {_MEDIA_QUERY_MOD} = 0 AND a.vec_id <> b.vec_id
+),
+scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM pairs)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {MEDIA_KNN_K}
+""".strip()
+
+
+MEDIA_KNN_SQL = _media_knn_sql()
+
+
 QUERIES = {
     "media_catalog": media_catalog_meta,
     "media_decode_stats": media_decode_stats,
     "media_frames": media_frame_stats,
+    "media_knn": media_knn,
 }
 ORACLES = {
     "media_catalog": MEDIA_CATALOG_META_SQL,
     "media_decode_stats": MEDIA_DECODE_STATS_SQL,
     "media_frames": MEDIA_FRAME_STATS_SQL,
+    "media_knn": MEDIA_KNN_SQL,
 }

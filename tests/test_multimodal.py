@@ -40,3 +40,20 @@ def test_frame_sample_expands_rows(spark):
     frames = M.frame_sample(cat, every_n=50).collect()
     assert len(frames) > 5
     assert all(f["frame_offset"] == f["frame_idx"] * 50 for f in frames)
+
+
+def test_media_knn_oracle(spark, duck):
+    from dream_spark.operators import multimodal as M
+    from tests.conftest import SF_DIR, assert_oracle_match
+
+    assert_oracle_match(M.media_knn(spark, SF_DIR), duck, M.MEDIA_KNN_SQL)
+
+
+def test_pseudo_embed_shape(spark):
+    from dream_spark.operators import multimodal as M
+    from tests.conftest import SF_DIR
+
+    emb = M.pseudo_embed(M.media_catalog(spark, SF_DIR))
+    row = emb.limit(1).collect()[0]
+    assert len(row["embedding"]) == M.EMBED_DIMS
+    assert all(0.0 <= x < 1.0 for x in row["embedding"])

@@ -39,6 +39,18 @@ def test_no_accidental_cartesian_products(spark, queries):
     assert not offenders, f"cartesian products in: {offenders}"
 
 
+def test_no_row_at_a_time_python_udfs(spark, queries):
+    """Row-wise Python UDFs (BatchEvalPython) are the forbidden slow path
+    (SCALE.md §4): the only Python allowed in any plan is Arrow-vectorized
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)."""
+    offenders = []
+    for name, fn in sorted(queries.items()):
+        plan = _plan(fn(spark, SF_DIR))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-wise Python UDFs in: {offenders}"
+
+
 def test_disconnected_component_broadcasts_small_side(spark, queries):
     """A disconnected BGP component (reference O7 bag-union cross product)
     with a small cardinality estimate must run as BroadcastNestedLoopJoin
@@ -153,6 +165,10 @@ def test_broadcast_gate_degrades_to_shuffle_join(spark, queries):
     the hint from measured (test-SF-small) sizes."""
     from dream_spark.functions.joins import BROADCAST_MAX_ROWS_CONF
 
+    # evict cached operator outputs (e.g. jaccard_pairs' persisted pair
+    # set): a cache hit would serve the result without planning the join
+    # whose physical shape this test asserts
+    spark.catalog.clearCache()
     spark.conf.set(BROADCAST_MAX_ROWS_CONF, "0")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
