@@ -221,11 +221,70 @@ ORDER BY n DESC, bigram LIMIT {BIGRAM_TOP_K}
 """.strip()
 
 
+#: curation quality gate: keep documents with ≥ this many whitespace tokens
+CURATE_MIN_TOKENS = 30
+
+
+def curate(docs: DataFrame) -> DataFrame:
+    """The end-to-end corpus-curation pipeline in ONE plan, for ANY
+    ``(doc_id, text)`` DataFrame: quality gate → near-duplicate removal →
+    deterministic split.
+
+    1. Quality: drop documents under CURATE_MIN_TOKENS whitespace tokens
+       (the integer-exact core of the quality score — the float composite
+       stays available via ``text.features_of``).
+    2. Dedup: within every verified near-duplicate cluster
+       (trigram-Jaccard ≥ 0.8, connected components) keep only the
+       canonical (minimum) doc_id — an anti join against the non-canonical
+       cluster members; the duplicate set is orders of magnitude smaller
+       than the corpus, so the anti join's build side stays tiny.
+    3. Split: map-only universal-hash bucketing (``split_assign``).
+
+    Output: (doc_id, n_tokens, split) for every surviving document —
+    exactly what a tokenizer/sharding stage consumes."""
+    from dream_spark.operators.dedup import duplicate_clusters
+
+    toks = tokens(docs)
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    quality = counts.where(F.col("n_tokens") >= CURATE_MIN_TOKENS)
+    drop = (
+        duplicate_clusters(docs)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    kept = quality.join(drop, on="doc_id", how="left_anti")
+    return split_assign(kept).select("doc_id", "n_tokens", "split")
+
+
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``curate`` over the documents table."""
+    return curate(load_table(spark, sf_dir, "documents"))
+
+
+def _curate_sql() -> str:
+    from dream_spark.operators.dedup import DEDUP_CLUSTERS_SQL
+
+    return f"""
+WITH toks AS ({duck_tokens_cte()}),
+counts AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
+quality AS (SELECT * FROM counts WHERE n_tokens >= {CURATE_MIN_TOKENS}),
+clusters AS ({DEDUP_CLUSTERS_SQL}),
+dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+SELECT q.doc_id, q.n_tokens,
+       {_split_case_sql(_split_bucket_sql("q.doc_id"), SPLIT_WEIGHTS)} AS split
+FROM quality q ANTI JOIN dropped d ON q.doc_id = d.doc_id
+""".strip()
+
+
+PIPELINE_CURATE_SQL = _curate_sql()
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_sample": pipeline_sample,
     "pipeline_tfidf": pipeline_tfidf,
     "pipeline_bigrams": pipeline_bigrams,
+    "pipeline_curate": pipeline_curate,
 }
 
 ORACLES = {
@@ -233,4 +292,5 @@ ORACLES = {
     "pipeline_sample": PIPELINE_SAMPLE_SQL,
     "pipeline_tfidf": PIPELINE_TFIDF_SQL,
     "pipeline_bigrams": PIPELINE_BIGRAMS_SQL,
+    "pipeline_curate": PIPELINE_CURATE_SQL,
 }

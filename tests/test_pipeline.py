@@ -63,3 +63,21 @@ def test_bigram_counts_topk_sorted(spark):
     ns = [r["n"] for r in rows]
     assert ns == sorted(ns, reverse=True)
     assert all(" " in r["bigram"] for r in rows)
+
+
+def test_curate_invariants(spark):
+    from dream_spark.operators.dedup import duplicate_clusters
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = P.pipeline_curate(spark, SF_DIR)
+    rows = out.collect()
+    assert all(r["n_tokens"] >= P.CURATE_MIN_TOKENS for r in rows)
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    kept = {r["doc_id"] for r in rows}
+    dropped = {
+        r["doc_id"]
+        for r in duplicate_clusters(docs).where("doc_id != cluster_id").collect()
+    }
+    assert not (kept & dropped)
+    # canonical member of every cluster survives unless quality-gated
+    assert len(kept) == len(set(kept))
