@@ -73,3 +73,18 @@ def test_knn_topk_generic_corpus_numpy_parity(spark):
             nid, gcos = got[(qid, rank)]
             assert nid == -negcid
             assert abs(gcos - c) < 1e-12
+
+
+def test_ivf_kmeans_trains_and_memoizes(spark):
+    """Trained centroids must differ from the seed vectors (Lloyd moved
+    them) and be served from the per-session memo on re-training."""
+    from dream_spark.operators.similarity import IVF_K, _ivf_centroids, _ivf_seed
+    from dream_spark.operators.dedup import quantize
+    from dream_spark.sources.tables import load_table
+
+    qc = quantize(load_table(spark, SF_DIR, "embeddings"))
+    seed = {r["cell"]: list(r["ce"]) for r in _ivf_seed(qc, IVF_K).collect()}
+    trained = _ivf_centroids(qc, IVF_K)
+    got = {r["cell"]: list(r["ce"]) for r in trained.collect()}
+    assert any(got[c] != seed[c] for c in got), "k-means did not move any centroid"
+    assert _ivf_centroids(qc, IVF_K) is trained  # memo hit
