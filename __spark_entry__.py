@@ -240,21 +240,21 @@ def _ordered(full: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dream_spark.operators import (
-        dedup, multimodal, pipeline, relational, similarity, sketch, temporal, text,
+        dedup, graph, multimodal, pipeline, relational, similarity, sketch, temporal, text,
     )
     from dream_spark.streaming import events as streaming_events
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (qtext, decode) in SPARQL_QUERIES.items():
         out[name] = _sparql_runner(qtext, decode)
-    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch):
+    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch, graph):
         out.update(mod.QUERIES)
     return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
     from dream_spark.operators import (
-        dedup, multimodal, pipeline, relational, similarity, sketch, temporal, text,
+        dedup, graph, multimodal, pipeline, relational, similarity, sketch, temporal, text,
     )
     from dream_spark.plans.oracle import bgp_to_sql
     from dream_spark.plans.sparql import parse_sparql
@@ -263,6 +263,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, (qtext, decode) in SPARQL_QUERIES.items():
         out[name] = bgp_to_sql(parse_sparql(qtext), decode=decode)
-    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch):
+    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch, graph):
         out.update(mod.ORACLES)
     return _ordered(out)

@@ -1,0 +1,152 @@
+"""Graph analytics over the triple store: integer-quantized PageRank.
+
+The reference is a graph *store* with no analytics (SURVEY.md §2.3); the
+north-star approach note names GraphX-style processing as the Spark
+mapping.  Rather than GraphX's RDD API (row-at-a-time, no Catalyst), the
+operators here are DataFrame iterations — the same dataflow Pregel runs,
+expressed as join + groupBy per superstep, so AQE/codegen apply.
+
+Determinism contract: classic PageRank sums floats, and distributed float
+summation is partition-order dependent — unacceptable under the oracle
+gate.  Ranks here are int64 micro-units (RANK_SCALE per unit mass):
+every superstep moves ``contrib = rank · D_NUM div (D_DEN · outdeg)``
+(truncating integer division, identical on both engines) and adds the
+teleport term ``RANK_SCALE · (D_DEN − D_NUM) div D_DEN``.  Integer sums
+are associative-commutative — bit-identical under ANY partitioning — and
+the quantization error (< outdeg ULPs per step) is deterministic too.
+
+Scale notes: each superstep shuffles (dst, contrib) pairs — partially
+aggregated map-side, so the shuffle carries ≤ #distinct-dst rows per
+partition; ranks and degrees are joined on the node id.  O(iters) rounds;
+lineage is truncated per round via localCheckpoint in the library loop
+(same pattern as connected_components' distributed path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dream_spark.sources.tables import register_tables
+from dream_spark.sources.triples import TRIPLES_SQL
+
+#: rank mass per node, in integer micro-units
+RANK_SCALE = 1_000_000
+#: damping factor 0.85 as an exact integer fraction
+D_NUM, D_DEN = 85, 100
+PAGERANK_ITERS = 2
+
+#: entity→entity predicates of the TPC-H triple derivation (constants are
+#: class/status objects — excluded so rank flows only between entities)
+_ENTITY_PREDS = ("placedBy", "inNation", "inRegion", "suppliedBy", "ofOrder", "ofPart")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-quantized PageRank for ANY directed edge DataFrame:
+    (node, rank) after ``iters`` supersteps, rank in micro-units.
+
+    Dangling nodes (no out-edges) keep their teleport share; their
+    non-teleport mass is dropped, the standard simplification (both
+    engines drop it identically)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e.count()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(RANK_SCALE).cast("long"))
+    teleport = RANK_SCALE * (D_DEN - D_NUM) // D_DEN
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, on="src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(rank * {D_NUM}) div ({D_DEN} * outdeg)").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return ranks
+
+
+def _entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(
+        spark,
+        sf_dir,
+        tables=["region", "nation", "customer", "supplier", "part", "orders", "lineitem"],
+    )
+    t = spark.sql(TRIPLES_SQL)
+    from dream_spark.sources.triples import resolve_lexical
+
+    pids = [resolve_lexical(p) for p in _ENTITY_PREDS]
+    pids = [p for p in pids if p is not None]
+    return t.where(F.col("p").isin(pids)).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: PageRank over the entity edges of the
+    triple graph, top 100 nodes by (rank DESC, node) for a bounded result."""
+    pr = pagerank(_entity_edges(spark, sf_dir))
+    return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(100)
+
+
+def _pagerank_sql() -> str:
+    from dream_spark.sources.triples import resolve_lexical
+
+    pids = ", ".join(
+        str(resolve_lexical(p)) for p in _ENTITY_PREDS if resolve_lexical(p) is not None
+    )
+    teleport = RANK_SCALE * (D_DEN - D_NUM) // D_DEN
+    parts = [
+        f"e AS (SELECT s AS src, o AS dst FROM triples WHERE p IN ({pids}))",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, SUM((r.rank * {D_NUM}) // ({D_DEN} * d.outdeg)) AS inflow
+  FROM e JOIN r{i - 1} r ON r.node = e.src JOIN outdeg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{i} AS (
+  SELECT n.node, CAST({teleport} + COALESCE(c.inflow, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH triples AS ({TRIPLES_SQL}),
+{body}
+SELECT node, rank FROM r{PAGERANK_ITERS}
+ORDER BY rank DESC, node LIMIT 100
+""".strip()
+
+
+GRAPH_PAGERANK_SQL = _pagerank_sql()
+
+QUERIES = {"graph_pagerank": graph_pagerank}
+ORACLES = {"graph_pagerank": GRAPH_PAGERANK_SQL}

@@ -183,3 +183,24 @@ def test_jaccard_pipeline_exact_recall_at_half_threshold(spark, corpus):
         (r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, threshold=(1, 2)).collect()
     }
     assert got == _brute_force_pairs(corpus, threshold=0.5)
+
+
+def test_pagerank_mass_and_determinism(spark):
+    """PageRank invariants on a hand graph: teleport floor for sources,
+    higher rank for the sink everyone points at, and bit-identical reruns."""
+    from dream_spark.operators.graph import RANK_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (4, 3), (3, 1)], "src long, dst long"
+    )
+    a = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert a == b
+    # nodes on the 1<->3 cycle accumulate mass; pure sources keep exactly
+    # the teleport share
+    teleport = RANK_SCALE * 15 // 100
+    assert a[1] > teleport and a[3] > teleport
+    assert a[2] == a[4] == teleport
+    # hand-computed second superstep: r2(1) = teleport + 0.85*r1(3)
+    r1_3 = teleport + 3 * (RANK_SCALE * 85 // 100)
+    assert a[1] == teleport + r1_3 * 85 // 100
