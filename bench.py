@@ -63,6 +63,13 @@ HEADLINE = [
     "pipeline_sample",
     "pipeline_tfidf",
     "pipeline_bigrams",
+    "pipeline_curate",
+    "sketch_kmv_users",
+    "sketch_quantiles",
+    "graph_pagerank",
+    "media_knn",
+    "sparql_ask_pos",
+    "sparql_construct",
     "dedup_exact_docs",
     "dedup_minhash",
     "dedup_jaccard",

@@ -64,7 +64,7 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(RANK_SCALE).cast("long"))
     teleport = RANK_SCALE * (D_DEN - D_NUM) // D_DEN
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .join(outdeg, on="src")
@@ -75,14 +75,16 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs, on="node", how="left")
-            .select(
-                "node",
-                (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contribs, on="node", how="left").select(
+            "node",
+            (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
         )
+        # truncate lineage only every few supersteps: each localCheckpoint
+        # materializes the full rank table, which costs more than carrying
+        # a few rounds of shallow lineage (the plan doubles per round, so
+        # unbounded iteration still needs the cut)
+        if (it + 1) % 4 == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint()
     e.unpersist()
     return ranks
 
