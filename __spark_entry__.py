@@ -159,6 +159,14 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "where { ?O placedBy ?C . ?C inNation ?N . ?O priority <1-URGENT> }",
         False,
     ),
+    # DESCRIBE superset: every triple touching a constant term
+    "sparql_describe": ("describe <customer:1>", False),
+    # FILTER ordering comparison on the order-preserving id scheme
+    "sparql_filter_range": (
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter (?C < <customer:100>) }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

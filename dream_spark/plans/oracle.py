@@ -120,7 +120,7 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         lhs = f"{src[f.var]}.{f.var}"
         if f.kind == "cmp":
             rhs = f"{src[f.rhs_var]}.{f.rhs_var}" if f.rhs_var is not None else str(resolve(f.rhs_const))
-            op = "=" if f.op == "=" else "<>"
+            op = {"=": "=", "!=": "<>"}.get(f.op, f.op)
             filt_where.append(f"{lhs} {op} {rhs}")
         elif f.kind == "in":
             ids = ", ".join(str(resolve(c)) for c in f.consts)
@@ -266,6 +266,12 @@ def bgp_to_sql(
     UNION queries render as UNION ALL over branch blocks.
     """
     resolve = resolver or _default_resolver
+    if query.describe_term is not None:
+        tid = resolve(query.describe_term)
+        return (
+            f"WITH triples AS ({TRIPLES_SQL})\n"
+            f"SELECT s, p, o FROM triples WHERE s = {tid} OR o = {tid}"
+        )
     if query.ask:
         inner = bgp_to_sql(
             dataclasses.replace(query, ask=False), decode=False, resolver=resolver

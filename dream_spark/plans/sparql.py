@@ -126,6 +126,9 @@ class ParsedQuery:
     # CONSTRUCT form: non-empty => emit (s,p,o) rows from these template
     # patterns, one set per WHERE binding (bag semantics)
     construct_template: list[Condition] = field(default_factory=list)
+    # DESCRIBE form: a constant term — emit every triple with it as
+    # subject or object
+    describe_term: str | None = None
     text: str = field(default="", repr=False)
 
     def all_variables(self) -> list[str]:
@@ -161,6 +164,16 @@ def parse_sparql(text: str) -> ParsedQuery:
     if re.match(r"(?is)^\s*ask\s*(?:where\s*)?\{", src):
         inner = re.sub(r"(?is)^\s*ask\s*(?:where\s*)?\{", "select * where {", src, count=1)
         return replace(parse_sparql(inner), ask=True, text=src)
+    # DESCRIBE <constant>: every triple touching the term
+    md = re.match(r"(?is)^\s*describe\s+(<[^>]*>|[^\s?]+)\s*$", src)
+    if md:
+        term = Term(md.group(1))
+        return ParsedQuery(
+            projection=["s", "p", "o"],
+            conditions=[],
+            describe_term=term.lexical,
+            text=src,
+        )
     # CONSTRUCT { template } WHERE { body }: body parses like
     # `select * where { body }`; the template is a plain pattern list whose
     # variables must all be bound by the body
@@ -318,8 +331,12 @@ def parse_sparql(text: str) -> ParsedQuery:
         return " "
 
     body = re.sub(r'(?is)filter\s+regex\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*\)\s*\.?', _grab_regex, body)
+    # ordering comparisons operate on dictionary ids; the arithmetic id
+    # scheme is order-preserving within an entity kind (customer:1 <
+    # customer:2), so same-kind range filters are meaningful — the caller
+    # owns kind-compatibility, as with any typed comparison
     body = re.sub(
-        r"(?is)filter\s*\(\s*(\?\w+)\s*(!=|=)\s*(\?\w+|<[^>]*>|[^\s()]+)\s*\)\s*\.?",
+        r"(?is)filter\s*\(\s*(\?\w+)\s*(!=|<=|>=|<|>|=)\s*(\?\w+|<[^>]*>|[^\s()]+)\s*\)\s*\.?",
         _grab_cmp,
         body,
     )

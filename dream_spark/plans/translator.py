@@ -275,6 +275,26 @@ def translate(
 ) -> DataFrame:
     """Compile a parsed BGP to a DataFrame plan (bag semantics, like the
     reference — SURVEY.md §2.3; ``distinct`` only when the query asks)."""
+    if query.describe_term is not None:
+        # DESCRIBE → every triple with the term as subject or object: one
+        # filtered scan of the open store (an OR predicate — both branches
+        # prune via the cache's batch stats / parquet min-max).
+        tid = store.resolve(query.describe_term)
+        plan = store.triples.where((F.col("s") == tid) | (F.col("o") == tid)).select(
+            "s", "p", "o"
+        )
+        if decode:
+            for slot in ("s", "p", "o"):
+                lex = store.dictionary.select(
+                    F.col("id").alias(slot), F.col("lexical").alias(f"__dlex_{slot}")
+                )
+                plan = (
+                    plan.join(lex, on=slot, how="left")
+                    .drop(slot)
+                    .withColumnRenamed(f"__dlex_{slot}", slot)
+                )
+            plan = plan.select("s", "p", "o")
+        return plan
     if query.ask:
         # ASK → does any binding exist: compile the body as usual, keep one
         # row at most (limit(1) lets Spark stop at the first match), count.
@@ -370,7 +390,15 @@ def translate(
         if f.kind == "cmp":
             lhs = F.col(f.var)
             rhs = F.col(f.rhs_var) if f.rhs_var is not None else F.lit(store.resolve(f.rhs_const))
-            plan = plan.where(lhs == rhs if f.op == "=" else lhs != rhs)
+            cmp = {
+                "=": lhs == rhs,
+                "!=": lhs != rhs,
+                "<": lhs < rhs,
+                "<=": lhs <= rhs,
+                ">": lhs > rhs,
+                ">=": lhs >= rhs,
+            }[f.op]
+            plan = plan.where(cmp)
         elif f.kind == "in":
             # VALUES lowering: an IN literal list on the encoded ids —
             # Catalyst pushes it into the pattern scans (partition-prunable

@@ -182,6 +182,33 @@ def test_construct_semantics(engine, duck):
     assert one and one[0]["o"] == "Customer"
 
 
+# ---- DESCRIBE + FILTER ordering supersets ----------------------------------
+def test_describe_semantics(engine, duck):
+    from dream_spark.plans.oracle import bgp_to_sql
+
+    df = engine.sparql("describe <customer:1>")
+    assert df.columns == ["s", "p", "o"]
+    spark_rows = sorted(map(tuple, df.collect()))
+    duck_rows = sorted(
+        map(tuple, duck.execute(bgp_to_sql(parse_sparql("describe <customer:1>"))).fetchall())
+    )
+    assert spark_rows == duck_rows and len(spark_rows) > 0
+    dec = engine.sparql("describe <customer:1>", decode=True)
+    assert any(r["s"] == "customer:1" or r["o"] == "customer:1" for r in dec.collect())
+
+
+def test_filter_ordering_comparisons(engine, duck):
+    from dream_spark.plans.oracle import bgp_to_sql
+
+    for op in ("<", "<=", ">", ">="):
+        text = (
+            f"select ?C where {{ ?C type Customer . filter (?C {op} <customer:10>) }}"
+        )
+        got = sorted(r["C"] for r in engine.sparql(text).collect())
+        want = sorted(r[0] for r in duck.execute(bgp_to_sql(parse_sparql(text))).fetchall())
+        assert got == want, op
+
+
 # ---- ORDER BY / LIMIT superset --------------------------------------------
 def test_order_by_limit_parse():
     q = parse_sparql("select ?A ?B where { ?A placedBy ?B } order by ?A desc ?B limit 7")
