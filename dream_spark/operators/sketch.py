@@ -77,7 +77,7 @@ SELECT CAST({KMV_K} AS BIGINT) AS k,
        CAST(n_kept AS BIGINT) AS n_kept,
        CAST(kth_min AS BIGINT) AS kth_min,
        CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
-                 ELSE ({KMV_K} - 1) * {MERSENNE_P} // kth_min END AS BIGINT)
+                 ELSE CAST({KMV_K - 1} AS BIGINT) * {MERSENNE_P} // kth_min END AS BIGINT)
          AS est_distinct
 FROM agg
 """.strip()

@@ -47,3 +47,22 @@ def test_quantiles_ordered_and_member(spark):
             for x in docs.where(F.col("source") == r["source"]).select("n_chars").collect()
         }
         assert {r["p25"], r["p50"], r["p75"]} <= vals  # type-1: actual members
+
+
+def test_kmv_oracle_estimator_branch_no_overflow():
+    """The oracle's estimator branch ((k-1)·P // h_k) only executes when
+    the corpus has > k distinct values — absent at the small test SF, so
+    exercise it against a synthetic DuckDB view (catches INT32 overflow in
+    the literal product)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT range AS user_id, 0 AS event_id, "
+        "TIMESTAMP '2020-01-01' AS ts, '' AS event_type, 0.0 AS value, '' AS props "
+        "FROM range(100000)"
+    )
+    row = con.execute(S.SKETCH_KMV_SQL).fetchone()
+    k, n_kept, kth_min, est = row
+    assert n_kept == S.KMV_K
+    assert abs(est - 100000) / 100000 < 5 / (S.KMV_K ** 0.5)
