@@ -53,6 +53,19 @@ def pagerank(
     Dangling nodes (no out-edges) keep their teleport share; their
     non-teleport mass is dropped, the standard simplification (both
     engines drop it identically)."""
+    # Right-size shuffle partitions for the iterative joins: under a
+    # default session (200 partitions) every shuffle write opens 200
+    # compressed bucket streams per concurrent task — an iterative op on a
+    # small-heap local session OOMs on writer buffers alone.  Runtime-
+    # settable conf, same contract as the table loader's nanos conf; AQE
+    # still coalesces the read side.
+    spark = edges.sparkSession
+    try:
+        par = spark.sparkContext.defaultParallelism
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * par:
+            spark.conf.set("spark.sql.shuffle.partitions", str(2 * par))
+    except Exception:
+        pass  # locked confs (e.g. Connect): proceed with the session's value
     # NOTE: keeping outdeg as a separate per-iteration join measured ~1.6×
     # faster than fusing it into a persisted wide edge table (the fused
     # variant materializes the outdeg shuffle up front and caches a wider

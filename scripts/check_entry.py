@@ -9,6 +9,13 @@ comparison goes through pandas so dtype drift (int32 vs int64, float vs
 decimal) is caught the same way the driver's type-sensitive hash catches it.
 
 Usage: python scripts/check_entry.py [sf_dir] [--get-spark] [--only name1,name2]
+       [--clear-cache]
+
+--clear-cache drops cached/persisted frames between queries, emulating the
+driver's one-query-per-adjudication memory profile.  Without it, a single
+small-heap session accumulates every operator's persisted intermediates
+across all ~100 queries, which can exhaust a default 1g driver heap at
+sf0.1 even though every query passes in isolation.
 """
 
 from __future__ import annotations
@@ -88,6 +95,7 @@ def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     use_get_spark = "--get-spark" in args
+    clear_cache = "--clear-cache" in args
     only = None
     if "--only" in args:
         i = args.index("--only")
@@ -120,6 +128,8 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            if clear_cache:
+                spark.catalog.clearCache()
             sdf = qs[name](spark, sf_dir)
             spd = _norm_frame(sdf.toPandas())
             if name not in os_:
