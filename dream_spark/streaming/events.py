@@ -247,6 +247,31 @@ def attribution_stream(
 
 
 # --------------------------------------------------------------------------
+# stream-static enrichment join
+# --------------------------------------------------------------------------
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: each micro-batch joins the STATIC dimension —
+    no streaming state, no watermark (only stream-stream joins buffer), and
+    the static side is re-planned per batch, so a small dimension
+    broadcasts.  This is the standard enrichment shape (events × user
+    profile / document metadata) and completes the streaming join
+    inventory alongside the watermarked stream-stream interval join."""
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
+def user_profile_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A static per-user dimension snapshot derived from the batch events
+    table: first/last seen and event count — the profile table an
+    enrichment join consumes."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
 # streaming exact dedup
 # --------------------------------------------------------------------------
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

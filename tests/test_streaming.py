@@ -160,3 +160,36 @@ def test_attribution_stream_matches_batch_range_join(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_enrich_stream_static_join(spark):
+    """Stream-static enrichment must attach the dimension row to every
+    event (left semantics) and run stateless — each micro-batch re-plans
+    the static side."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.sources.tables import load_table
+    from dream_spark.streaming.events import (
+        enrich_stream,
+        read_events_stream,
+        user_profile_dim,
+    )
+
+    dim = user_profile_dim(spark, SF_DIR)
+    out = enrich_stream(read_events_stream(spark, SF_DIR), dim)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enriched_events")
+    ev = load_table(spark, SF_DIR, "events")
+    assert got.count() == ev.count()
+    # every event's user exists in the dim (derived from the same table):
+    # no NULL profile columns
+    assert got.where(F.col("n_events").isNull()).count() == 0
+    one = got.limit(1).collect()[0]
+    assert one["first_seen"] is not None and one["n_events"] >= 1
