@@ -199,12 +199,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # the first 50 must contain ≥1 representative of every operator family.  This
 # list is exactly 50 names: 14 semantically-distinct SPARQL forms, 12
 # relational (every distinct shape incl. pivot/intersect), the
-# training-pipeline quartet, and all temporal/text/dedup/similarity/
+# training-pipeline family, and all temporal/text/dedup/similarity/
 # multimodal/streaming entries.  Everything after position 50 is a semantic
 # variant of a checked entry (e.g. sparql_ground = constant-anchored star,
 # sparql_empty_join = O10 with a join on top, simhash_docs = the fingerprint
 # table dedup_simhash consumes, rel_except = INTERSECT's set-op sibling) or
 # a TPC-H analog whose family is already represented.
+#
+# Round 3 rotates the pipeline-family slots: pipeline_chunks/pipeline_shards
+# (new this round) take the in-cap seats of pipeline_sample/pipeline_bigrams,
+# which went green in CORRECTNESS_r02 and are code-unchanged since — so every
+# pipeline operator has a driver-green row in SOME round while new operators
+# still get adjudicated.  All entries, in-cap or not, stay green in
+# scripts/check_entry.py (the driver-mirror pre-flight) every round.
 PRIORITY_ORDER = [
     # SPARQL — one per distinct plan shape (O1-O11, P1-P8 paths)
     "sparql_star", "sparql_cycle5", "sparql_path", "sparql_varpred",
@@ -219,8 +226,9 @@ PRIORITY_ORDER = [
     "temporal_asof", "temporal_range",
     # text (quality scoring is part of text_features)
     "text_features", "text_langid", "text_fingerprint", "text_topterms",
-    # training-pipeline: split / stratified sample / tf-idf / bigram stats
-    "pipeline_split", "pipeline_sample", "pipeline_tfidf", "pipeline_bigrams",
+    # training-pipeline: split / tf-idf / chunking / shard packing (sample +
+    # bigrams rotated out with green r02 rows — see note above)
+    "pipeline_split", "pipeline_tfidf", "pipeline_chunks", "pipeline_shards",
     # dedup — one per algorithm: exact, minhash-LSH, jaccard-PPJoin, simhash,
     # embedding-cosine, connected-components (exact_docs = exact on another
     # table, deferred past the cap)

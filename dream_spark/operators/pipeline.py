@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dream_spark.functions.features import duck_tokens_cte, tokens
+from dream_spark.functions.features import TOKEN_SPLIT_RE, duck_tokens_cte, tokens
 from dream_spark.functions.hashing import hash_sql
 from dream_spark.sources.tables import load_table
 
@@ -221,6 +221,140 @@ ORDER BY n DESC, bigram LIMIT {BIGRAM_TOP_K}
 """.strip()
 
 
+#: chunking geometry: tokens per chunk, tokens shared between neighbors
+CHUNK_TOKENS = 40
+CHUNK_OVERLAP = 10
+
+#: portable token-array fragment (Spark HOF syntax); the DuckDB twin uses
+#: list_filter/string_split_regex over the identical regex
+_TOKARR_SPARK = f"filter(split(lower(text), '{TOKEN_SPLIT_RE}'), x -> x != '')"
+_TOKARR_DUCK = f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')"
+
+
+def chunk_documents(
+    docs: DataFrame, chunk: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """Split ANY ``(doc_id, text)`` DataFrame into overlapping token windows
+    — the doc→training-sequence step between curation and tokenization.
+
+    Chunks start every ``chunk − overlap`` tokens; the final chunk may be
+    short (never empty).  Entirely map-side built-ins (split → sequence →
+    explode → slice): no shuffle, no UDF, no state — at 100 TB this is a
+    pure scan-shaped stage that AQE never has to re-plan.  Output rows are
+    (doc_id, chunk_id, start_pos, n_chunk_tokens, chunk_text)."""
+    if not 0 <= overlap < chunk:
+        raise ValueError(f"need 0 <= overlap < chunk, got {chunk=} {overlap=}")
+    stride = chunk - overlap
+    base = (
+        docs.select("doc_id", F.expr(_TOKARR_SPARK).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") > 0)
+    )
+    st = base.select(
+        "doc_id", "toks", "n", F.explode(F.expr(f"sequence(1, n, {stride})")).alias("start")
+    )
+    return st.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) div {stride} AS BIGINT)").alias("chunk_id"),
+        F.col("start").cast("bigint").alias("start_pos"),
+        F.expr(f"CAST(least({chunk}, n - start + 1) AS BIGINT)").alias("n_chunk_tokens"),
+        F.expr(f"array_join(slice(toks, start, {chunk}), ' ')").alias("chunk_text"),
+    )
+
+
+def pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: overlapping 40/10 token chunks of documents."""
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+PIPELINE_CHUNKS_SQL = f"""
+WITH arr AS (
+  SELECT doc_id, {_TOKARR_DUCK} AS toks FROM documents
+),
+st AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(1, len(toks) + 1, {CHUNK_TOKENS - CHUNK_OVERLAP})) AS start
+  FROM arr WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start_pos,
+       CAST(LEAST({CHUNK_TOKENS}, n - start + 1) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[start:start + {CHUNK_TOKENS} - 1], ' ') AS chunk_text
+FROM st
+""".strip()
+
+
+#: shard packing: token budget per shard, hash buckets packed independently
+PACK_BUDGET_TOKENS = 500
+PACK_BUCKETS = 8
+#: shard id = bucket · stride + in-bucket shard ordinal
+PACK_SHARD_STRIDE = 1_000_000
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET_TOKENS,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Assign ANY ``(doc_id, text)`` DataFrame to token-budget training
+    shards: a document starts in shard ``floor(prior_bucket_tokens /
+    budget)`` of its hash bucket.
+
+    A single global running sum would serialize the whole corpus through
+    one partition; instead documents hash into ``n_buckets`` independent
+    buckets (map-only), each bucket packs by a running sum over the
+    deterministic (hash, id) order, and the global shard id is
+    ``bucket · PACK_SHARD_STRIDE + local``.  At 100 TB, n_buckets scales
+    with the cluster and each bucket's window is an ordinary partitioned
+    sort — no global barrier.  Every shard's token count stays within
+    ``budget + max_doc_tokens`` (bin packing's online guarantee)."""
+    h_bucket = f"({hash_sql('doc_id', 2)} % {n_buckets})"
+    h_order = F.expr(hash_sql("doc_id", 3))
+    base = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_TOKARR_SPARK}) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST({h_bucket} AS BIGINT)").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(h_order.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.expr(
+            f"CAST(bucket * {PACK_SHARD_STRIDE} + (cum - n_tokens) div {budget} AS BIGINT)"
+        ).alias("shard"),
+    )
+
+
+def pipeline_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: token-budget shard packing of documents."""
+    return pack_shards(load_table(spark, sf_dir, "documents"))
+
+
+PIPELINE_SHARDS_SQL = f"""
+WITH arr AS (
+  SELECT doc_id, CAST(len({_TOKARR_DUCK}) AS BIGINT) AS n_tokens,
+         CAST({hash_sql("doc_id", 2)} % {PACK_BUCKETS} AS BIGINT) AS bucket
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, bucket,
+         CAST(SUM(n_tokens) OVER (PARTITION BY bucket
+                                  ORDER BY {hash_sql("doc_id", 3)}, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM arr
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(bucket * {PACK_SHARD_STRIDE} + (cum - n_tokens) // {PACK_BUDGET_TOKENS} AS BIGINT) AS shard
+FROM c
+""".strip()
+
+
 #: curation quality gate: keep documents with ≥ this many whitespace tokens
 CURATE_MIN_TOKENS = 30
 
@@ -285,6 +419,8 @@ QUERIES = {
     "pipeline_tfidf": pipeline_tfidf,
     "pipeline_bigrams": pipeline_bigrams,
     "pipeline_curate": pipeline_curate,
+    "pipeline_chunks": pipeline_chunks,
+    "pipeline_shards": pipeline_shards,
 }
 
 ORACLES = {
@@ -293,4 +429,6 @@ ORACLES = {
     "pipeline_tfidf": PIPELINE_TFIDF_SQL,
     "pipeline_bigrams": PIPELINE_BIGRAMS_SQL,
     "pipeline_curate": PIPELINE_CURATE_SQL,
+    "pipeline_chunks": PIPELINE_CHUNKS_SQL,
+    "pipeline_shards": PIPELINE_SHARDS_SQL,
 }

@@ -65,6 +65,44 @@ def test_bigram_counts_topk_sorted(spark):
     assert all(" " in r["bigram"] for r in rows)
 
 
+def test_chunks_cover_every_token_once_per_window(spark):
+    out = P.pipeline_chunks(spark, SF_DIR).collect()
+    stride = P.CHUNK_TOKENS - P.CHUNK_OVERLAP
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        # chunk ids consecutive from 0, starts on the stride grid
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        assert all(r["start_pos"] == 1 + r["chunk_id"] * stride for r in rows)
+        # every chunk non-empty, at most CHUNK_TOKENS, text token count agrees
+        for r in rows:
+            assert 1 <= r["n_chunk_tokens"] <= P.CHUNK_TOKENS
+            assert len(r["chunk_text"].split(" ")) == r["n_chunk_tokens"]
+        # consecutive chunks overlap by exactly CHUNK_OVERLAP positions
+        # (except a short tail)
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_pos"] - a["start_pos"] == stride
+
+
+def test_shards_respect_budget_at_start_offset(spark):
+    out = P.pipeline_shards(spark, SF_DIR)
+    rows = out.collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert len(rows) == docs.count()  # every doc assigned exactly once
+    # online bin-packing guarantee: each shard's tokens stay within
+    # budget + max single doc
+    agg = out.groupBy("shard").agg(
+        F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx")
+    )
+    bad = agg.where(F.col("tok") > P.PACK_BUDGET_TOKENS + F.col("mx")).count()
+    assert bad == 0
+    # buckets partition the id space deterministically
+    assert all(0 <= r["bucket"] < P.PACK_BUCKETS for r in rows)
+    assert all(r["shard"] // P.PACK_SHARD_STRIDE == r["bucket"] for r in rows)
+
+
 def test_curate_invariants(spark):
     from dream_spark.operators.dedup import duplicate_clusters
 
