@@ -94,6 +94,23 @@ def test_knn_corpus_not_shuffled(spark, queries):
     assert "Exchange hashpartitioning" not in before_join
 
 
+def test_chunking_is_map_only(spark, queries):
+    """Document chunking claims a pure scan shape: no Exchange of any kind
+    in the plan — the property that makes it free at 100 TB."""
+    plan = _plan(queries["pipeline_chunks"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_shard_packing_shuffles_once_on_bucket(spark, queries):
+    """Shard packing must shuffle exactly once — by the hash bucket its
+    window partitions on — and never collapse to a single global sort
+    partition (Exchange SinglePartition = the 100 TB serialization bug)."""
+    plan = _plan(queries["pipeline_shards"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "bucket" in plan.split("Exchange hashpartitioning")[1][:80]
+
+
 def test_semi_and_anti_join_operators(spark, queries):
     assert "LeftSemi" in _plan(queries["rel_q4_semi"](spark, SF_DIR))
     assert "LeftAnti" in _plan(queries["rel_anti"](spark, SF_DIR))
