@@ -50,7 +50,7 @@ class Engine:
         load from ``stats_path`` (default: an mtime-keyed tmp cache file)
         when present, else run the one aggregation pass and save it.
         """
-        store = TripleStore.from_tpch(spark, sf_dir)
+        store = TripleStore.shared(spark, sf_dir)
         stats = None
         if collect_stats:
             path = stats_path or default_stats_path(sf_dir)

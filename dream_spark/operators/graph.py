@@ -27,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dream_spark.sources.tables import register_tables
 from dream_spark.sources.triples import TRIPLES_SQL
 
 #: rank mass per node, in integer micro-units
@@ -66,25 +65,26 @@ def pagerank(
             spark.conf.set("spark.sql.shuffle.partitions", str(2 * par))
     except Exception:
         pass  # locked confs (e.g. Connect): proceed with the session's value
-    # NOTE: keeping outdeg as a separate per-iteration join measured ~1.6×
-    # faster than fusing it into a persisted wide edge table (the fused
-    # variant materializes the outdeg shuffle up front and caches a wider
-    # row for no join saved — Catalyst already pipelines the second join).
+    # NOTE: fusing outdeg into a wide EDGE table measured ~1.6× slower (it
+    # caches a wider row per edge for no join saved).  Fusing it into the
+    # RANK table is different and wins twice: the node set and the out-degree
+    # come from ONE shuffle (a 0/1-weighted union-aggregate instead of
+    # distinct + groupBy), and each superstep runs one edge join instead of
+    # two (rank and outdeg travel together, keyed identically).
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    e.count()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
-        .distinct()
+    deg = (
+        e.select(F.col("src").alias("node"), F.lit(1).alias("od"))
+        .unionAll(e.select(F.col("dst").alias("node"), F.lit(0).alias("od")))
+        .groupBy("node")
+        .agg(F.sum("od").alias("outdeg"))
         .persist()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = nodes.withColumn("rank", F.lit(RANK_SCALE).cast("long"))
+    deg.count()  # one evaluation fills BOTH caches (deg reads through e)
+    ranks = deg.withColumn("rank", F.lit(RANK_SCALE).cast("long"))
     teleport = RANK_SCALE * (D_DEN - D_NUM) // D_DEN
     for it in range(iters):
         contribs = (
             e.join(ranks, e.src == ranks.node)
-            .join(outdeg, on="src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr(f"(rank * {D_NUM}) div ({D_DEN} * outdeg)").alias("contrib"),
@@ -92,8 +92,9 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = nodes.join(contribs, on="node", how="left").select(
+        ranks = deg.join(contribs, on="node", how="left").select(
             "node",
+            "outdeg",
             (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
         )
         # truncate lineage only every few supersteps: each localCheckpoint
@@ -102,19 +103,22 @@ def pagerank(
         # unbounded iteration still needs the cut)
         if (it + 1) % 4 == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint()
+    # materialize BEFORE dropping the caches: the returned frame must not
+    # re-derive the edge union after e/deg are unpersisted (the lazy-return
+    # variant silently recomputed everything at evaluation time)
+    out = ranks.select("node", "rank").localCheckpoint()
     e.unpersist()
-    return ranks
+    deg.unpersist()
+    return out
 
 
 def _entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_tables(
-        spark,
-        sf_dir,
-        tables=["region", "nation", "customer", "supplier", "part", "orders", "lineitem"],
-    )
-    t = spark.sql(TRIPLES_SQL)
-    from dream_spark.sources.triples import resolve_lexical
+    # Pull the triple view from the session's SHARED store (cached at first
+    # engine/graph use) instead of re-deriving the 7-table union per call —
+    # the open-store model the reference runs (Main.c:122).
+    from dream_spark.sources.triples import TripleStore, resolve_lexical
 
+    t = TripleStore.shared(spark, sf_dir).triples
     pids = [resolve_lexical(p) for p in _ENTITY_PREDS]
     pids = [p for p in pids if p is not None]
     return t.where(F.col("p").isin(pids)).select(

@@ -365,6 +365,21 @@ class TripleStore:
             dictionary = spark.read.parquet(dict_path)
         return cls(spark, spark.table(table_name), dictionary)
 
+    # -- session-shared instances -------------------------------------------
+    _SHARED: dict = {}
+
+    @classmethod
+    def shared(cls, spark: SparkSession, sf_dir: str) -> "TripleStore":
+        """The session's open store for ``sf_dir`` — built (and its triples
+        cached) once, then reused by every consumer: the engine, graph
+        analytics, anything needing the triple view.  Mirrors the reference's
+        one-open-store-per-process model (Main.c:122); without it each
+        consumer re-derives and re-caches its own copy of the same union."""
+        key = (id(spark), sf_dir)
+        if key not in cls._SHARED:
+            cls._SHARED[key] = cls.from_tpch(spark, sf_dir)
+        return cls._SHARED[key]
+
     # -- constant resolution ------------------------------------------------
     def resolve(self, lexical: str) -> int:
         """lexical -> id.  Static vocab and entity ids resolve driver-side
