@@ -135,12 +135,76 @@ FROM ranked GROUP BY source
 """.strip()
 
 
+#: bottom-k sample size per group for the approximate-quantile sketch
+AQ_K = 512
+#: hash-function index reserved for quantile sampling
+_AQ_FN = 4
+
+
+def sampled_quantiles(
+    df: DataFrame, group_col: str, value_col: str, id_col: str, k: int = AQ_K
+) -> DataFrame:
+    """Approximate per-group quartiles from a deterministic bottom-``k``
+    sample — the sketch form of :func:`grouped_quantiles` for groups too
+    large to sort exactly.
+
+    The sample is the ``k`` rows with the smallest ``h(id)`` per group
+    (ties by id) — a uniform sample that is *mergeable* exactly like KMV:
+    the bottom-k of a union is the bottom-k of the per-partition bottom-ks,
+    so map-side combine bounds what shuffles at ≤ k rows per partition per
+    group.  The expensive value sort then sees k rows per group instead of
+    the group's full cardinality.  Same type-1 (no-interpolation) quantile
+    definition as the exact form, so the result is an actual data element
+    and both engines agree bit-for-bit on the same sample."""
+    ws = Window.partitionBy(group_col).orderBy(
+        F.expr(hash_sql(id_col, _AQ_FN)).asc(), F.col(id_col).asc()
+    )
+    samp = (
+        df.withColumn("sr", F.row_number().over(ws))
+        .where(F.col("sr") <= k)
+        .select(group_col, value_col)
+    )
+    return grouped_quantiles(samp, group_col, value_col)
+
+
+def sketch_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: sampled n_chars quartiles per doc source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampled_quantiles(docs, "source", "n_chars", "doc_id")
+
+
+SKETCH_QUANTILES_SAMPLED_SQL = f"""
+WITH samp AS (
+  SELECT source, n_chars FROM (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY {hash_sql("doc_id", _AQ_FN)}, doc_id) AS sr
+    FROM documents
+  ) WHERE sr <= {AQ_K}
+),
+ranked AS (
+  SELECT source, n_chars AS v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM samp
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN r = (n * 1 + 3) // 4 THEN v END) AS BIGINT) AS p25,
+       CAST(MAX(CASE WHEN r = (n * 1 + 1) // 2 THEN v END) AS BIGINT) AS p50,
+       CAST(MAX(CASE WHEN r = (n * 3 + 3) // 4 THEN v END) AS BIGINT) AS p75
+FROM ranked GROUP BY source
+""".strip()
+
+
 QUERIES = {
     "sketch_kmv_users": sketch_kmv_users,
     "sketch_quantiles": sketch_quantiles,
+    "sketch_quantiles_sampled": sketch_quantiles_sampled,
 }
 
 ORACLES = {
     "sketch_kmv_users": SKETCH_KMV_SQL,
     "sketch_quantiles": SKETCH_QUANTILES_SQL,
+    "sketch_quantiles_sampled": SKETCH_QUANTILES_SAMPLED_SQL,
 }

@@ -66,3 +66,31 @@ def test_kmv_oracle_estimator_branch_no_overflow():
     k, n_kept, kth_min, est = row
     assert n_kept == S.KMV_K
     assert abs(est - 100000) / 100000 < 5 / (S.KMV_K ** 0.5)
+
+
+def test_sampled_quantiles_approximate_exact(spark):
+    """On a 100k-row skew-free synthetic column the bottom-k sample's
+    quartiles land within a few percent of the exact ones, and the sample
+    per group is capped at AQ_K."""
+    n = 100_000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v"), F.col("id").alias("rid")
+    )
+    row = S.sampled_quantiles(df, "grp", "v", "rid").collect()[0]
+    assert row["n"] == S.AQ_K
+    for q, col in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75")):
+        assert abs(row[col] - q * n) / n < 0.10, (col, row[col])
+
+
+def test_sampled_quantiles_exact_below_k(spark):
+    """A group smaller than AQ_K is fully sampled: the sketch IS the exact
+    quantile set."""
+    docs = load_table(spark, SF_DIR, "documents")
+    approx = {
+        r["source"]: r for r in S.sketch_quantiles_sampled(spark, SF_DIR).collect()
+    }
+    exact = {r["source"]: r for r in S.sketch_quantiles(spark, SF_DIR).collect()}
+    for src, e in exact.items():
+        if e["n"] <= S.AQ_K:
+            a = approx[src]
+            assert (a["p25"], a["p50"], a["p75"]) == (e["p25"], e["p50"], e["p75"])
