@@ -41,9 +41,10 @@ def _lexical(col):
     )
 
 
-def parse_ntriples(spark: SparkSession, path: str) -> DataFrame:
-    """(s_lex, p_lex, o_lex) — parsed, bracket/quote-stripped lexicals."""
-    raw = spark.read.text(path)
+def parse_lines(raw: DataFrame) -> DataFrame:
+    """``value``-column line DataFrame (batch OR streaming) →
+    (s_lex, p_lex, o_lex) parsed, bracket/quote-stripped lexicals.
+    Pure projections — works unchanged on a streaming source."""
     parsed = raw.select(
         F.regexp_extract("value", NT_PATTERN, 1).alias("s_raw"),
         F.regexp_extract("value", NT_PATTERN, 2).alias("p_raw"),
@@ -54,6 +55,11 @@ def parse_ntriples(spark: SparkSession, path: str) -> DataFrame:
         _lexical("p_raw").alias("p_lex"),
         _lexical("o_raw").alias("o_lex"),
     )
+
+
+def parse_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """(s_lex, p_lex, o_lex) — parsed, bracket/quote-stripped lexicals."""
+    return parse_lines(spark.read.text(path))
 
 
 def encode(parsed: DataFrame, validate: bool = False):
