@@ -140,6 +140,13 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " values ?N { <nation:1> <nation:2> <nation:3> } }",
         False,
     ),
+    # multi-variable VALUES: row bindings → row-IN predicate on id tuples
+    "sparql_values_rows": (
+        "select ?O ?C ?PR where { ?O placedBy ?C . ?O priority ?PR ."
+        " values (?C ?PR) { (<customer:1> <1-URGENT>) (<customer:1> <5-LOW>)"
+        " (<customer:2> <2-HIGH>) } }",
+        False,
+    ),
     # empty SUBPLAN inside a larger join (reference O10 / stats key <1>.1.6=-1):
     # regions are never inNation subjects, so the middle pattern is empty and
     # AQE's empty-relation propagation must collapse the whole join

@@ -125,6 +125,12 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         elif f.kind == "in":
             ids = ", ".join(str(resolve(c)) for c in f.consts)
             filt_where.append(f"{lhs} IN ({ids})")
+        elif f.kind == "in_rows":
+            cols = ", ".join(f"{src[v]}.{v}" for v in f.vars_)
+            rows = ", ".join(
+                "(" + ", ".join(str(resolve(c)) for c in row) + ")" for row in f.rows
+            )
+            filt_where.append(f"({cols}) IN ({rows})")
         else:  # regex — inner dict join, drops NULLs like the engine's plan
             joins.append(f"JOIN dict fr{i} ON fr{i}.id = {lhs}")
             filt_where.append(f"regexp_matches(fr{i}.lexical, '{f.pattern}')")

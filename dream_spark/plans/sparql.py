@@ -85,6 +85,9 @@ class Filter:
     rhs_const: str | None = None
     pattern: str | None = None
     consts: tuple[str, ...] | None = None  # kind="in": VALUES constants
+    # kind="in_rows": multi-variable VALUES — variables + constant rows
+    vars_: tuple[str, ...] | None = None
+    rows: tuple[tuple[str, ...], ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -356,6 +359,36 @@ def parse_sparql(text: str) -> ParsedQuery:
         filters.append(Filter(kind="in", var=var, consts=tuple(items)))
         return " "
 
+    # values (?a ?b …) { (<c> <c> …) … } — multi-variable row bindings,
+    # lowered to a row-IN predicate (inner-join semantics with a constant
+    # bindings table).  UNDEF and duplicate rows are rejected: the IN
+    # lowering can express neither partial bindings nor bag multiplicity.
+    def _grab_values_rows(m2: re.Match) -> str:
+        vars_ = tuple(v[1:] for v in _WS.split(m2.group(1).strip()) if v)
+        if len(set(vars_)) != len(vars_):
+            raise SparqlSyntaxError("duplicate variables in values clause")
+        rows: list[tuple[str, ...]] = []
+        for rm in re.finditer(r"\(([^()]*)\)", m2.group(2)):
+            items = [t for t in _WS.split(rm.group(1).strip()) if t]
+            if len(items) != len(vars_):
+                raise SparqlSyntaxError(
+                    f"values row arity {len(items)} != variable count {len(vars_)}"
+                )
+            if any(t.startswith("?") or t.upper() == "UNDEF" for t in items):
+                raise SparqlSyntaxError("values rows must be ground constants")
+            rows.append(tuple(Term(t).lexical for t in items))
+        if not rows:
+            raise SparqlSyntaxError("empty values clause")
+        if len(set(rows)) != len(rows):
+            raise SparqlSyntaxError("duplicate rows in values clause")
+        filters.append(Filter(kind="in_rows", var=vars_[0], vars_=vars_, rows=tuple(rows)))
+        return " "
+
+    body = re.sub(
+        r"(?is)values\s*\(\s*((?:\?\w+\s*)+)\)\s*\{((?:\s*\([^()]*\))+)\s*\}\s*\.?",
+        _grab_values_rows,
+        body,
+    )
     body = re.sub(r"(?is)values\s+(\?\w+)\s*\{([^{}]*)\}\s*\.?", _grab_values, body)
     if re.search(r"(?i)\b(filter|optional|minus|values)\b", body):
         raise SparqlSyntaxError(f"unparsable filter/optional/minus/values clause in: {body[:120]!r}")

@@ -404,6 +404,22 @@ def translate(
             # Catalyst pushes it into the pattern scans (partition-prunable
             # under the p-partitioned layout when the var is a predicate)
             plan = plan.where(F.col(f.var).isin([store.resolve(c) for c in f.consts]))
+        elif f.kind == "in_rows":
+            # multi-variable VALUES: a row-IN predicate on the encoded id
+            # tuple — Catalyst folds the struct-literal list to a local
+            # filter; no join, no shuffle (bindings lists are tiny by
+            # construction)
+            cols = ", ".join(f.vars_)
+            lits = ", ".join(
+                "named_struct("
+                + ", ".join(
+                    f"'{v}', CAST({store.resolve(c)} AS BIGINT)"
+                    for v, c in zip(f.vars_, row)
+                )
+                + ")"
+                for row in f.rows
+            )
+            plan = plan.where(F.expr(f"struct({cols}) IN ({lits})"))
         elif f.kind == "regex":
             lex = store.dictionary.select(
                 F.col("id").alias(f.var), F.col("lexical").alias(f"__flex_{i}")

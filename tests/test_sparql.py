@@ -547,3 +547,27 @@ def test_transitive_cycle_terminates(spark):
     q = parse_sparql("select ?X ?Y where { ?X link+ ?Y }")
     got = {(r["X"], r["Y"]) for r in translate(st, q, None).collect()}
     assert got == {(a, b) for a in (1, 2, 3) for b in (1, 2, 3)}
+
+
+def test_values_rows_parse_and_reject():
+    """Multi-variable VALUES parses to an in_rows filter; arity mismatches,
+    UNDEF, variables in rows, and duplicate rows are rejected."""
+    q = parse_sparql(
+        "select ?C ?PR where { ?O placedBy ?C . ?O priority ?PR ."
+        " values (?C ?PR) { (<customer:1> <1-URGENT>) (<customer:2> <5-LOW>) } }"
+    )
+    (f,) = q.filters
+    assert f.kind == "in_rows"
+    assert f.vars_ == ("C", "PR")
+    assert f.rows == (("customer:1", "1-URGENT"), ("customer:2", "5-LOW"))
+    for bad in (
+        "values (?C ?PR) { (<customer:1>) }",  # arity
+        "values (?C ?PR) { (<customer:1> UNDEF) }",  # UNDEF
+        "values (?C ?PR) { (<customer:1> ?X) }",  # variable
+        "values (?C ?PR) { (<a> <b>) (<a> <b>) }",  # duplicate row
+        "values (?C ?C) { (<a> <b>) }",  # duplicate var
+    ):
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(
+                "select ?C where { ?O placedBy ?C . ?O priority ?PR . " + bad + " }"
+            )
