@@ -51,6 +51,12 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?O ?C where { ?O type Order . ?O placedBy ?C } order by ?O desc limit 20",
         False,
     ),
+    # OFFSET paging superset: deterministic under the total ORDER BY
+    "sparql_paged": (
+        "select ?O ?C where { ?O type Order . ?O placedBy ?C } order by ?O desc"
+        " limit 20 offset 40",
+        False,
+    ),
     # disconnected BGP components → bag-union cross product (reference O7)
     "sparql_disconnected": (
         "select ?R ?S where { ?R type Region . ?S type Supplier }",

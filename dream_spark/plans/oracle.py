@@ -155,7 +155,7 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     else:
         sql = inner
     sql = f"{_ctes(query, resolve, needs_dict)}\n{sql}"
-    if query.order or query.limit is not None:
+    if query.order or query.limit is not None or query.offset is not None:
         sql = f"SELECT * FROM (\n{sql}\n)"
         if query.order:
             sql += "\nORDER BY " + ", ".join(
@@ -163,6 +163,8 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             )
         if query.limit is not None:
             sql += f"\nLIMIT {query.limit}"
+        if query.offset is not None:
+            sql += f"\nOFFSET {query.offset}"
     return sql
 
 
@@ -194,7 +196,7 @@ def _union_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     else:
         sql = f"SELECT DISTINCT * FROM (\n{inner}\n)" if query.distinct else inner
         sql = f"{_ctes(query, resolve, False)}\n{sql}"
-    if query.order or query.limit is not None:
+    if query.order or query.limit is not None or query.offset is not None:
         sql = f"SELECT * FROM (\n{sql}\n)"
         if query.order:
             sql += "\nORDER BY " + ", ".join(
@@ -202,6 +204,8 @@ def _union_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             )
         if query.limit is not None:
             sql += f"\nLIMIT {query.limit}"
+        if query.offset is not None:
+            sql += f"\nOFFSET {query.offset}"
     return sql
 
 
@@ -257,6 +261,8 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
         )
     if query.limit is not None:
         sql += f"\nLIMIT {query.limit}"
+    if query.offset is not None:
+        sql += f"\nOFFSET {query.offset}"
     return sql
 
 
@@ -322,7 +328,7 @@ def bgp_to_sql(
     distinct = "DISTINCT " if query.distinct else ""
     where_sql = " AND ".join(where) if where else "TRUE"
     sql = f"{ctes}\nSELECT {distinct}{select_list}\nFROM {', '.join(aliases)}\nWHERE {where_sql}"
-    if query.order or query.limit is not None:
+    if query.order or query.limit is not None or query.offset is not None:
         # wrap so ORDER BY/LIMIT apply to the projected (possibly decoded)
         # output columns, same as the DataFrame plan
         sql = f"SELECT * FROM (\n{sql}\n)"
@@ -332,4 +338,6 @@ def bgp_to_sql(
             )
         if query.limit is not None:
             sql += f"\nLIMIT {query.limit}"
+        if query.offset is not None:
+            sql += f"\nOFFSET {query.offset}"
     return sql

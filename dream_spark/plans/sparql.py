@@ -112,6 +112,7 @@ class ParsedQuery:
     distinct: bool = False
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
+    offset: int | None = None
     filters: list[Filter] = field(default_factory=list)
     optionals: list[list[Condition]] = field(default_factory=list)
     minuses: list[list[Condition]] = field(default_factory=list)
@@ -201,7 +202,8 @@ def parse_sparql(text: str) -> ParsedQuery:
         r"(?is)^\s*select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}\s*"
         r"(?:group\s+by\s+((?:\?\w+\s*)+))?"
         r"(?:order\s+by\s+((?:\?\w+(?:\s+(?:asc|desc))?\s*)+))?"
-        r"(?:limit\s+(\d+))?\s*$",
+        r"(?:limit\s+(\d+))?\s*"
+        r"(?:offset\s+(\d+))?\s*$",
         src,
         re.DOTALL,
     )
@@ -224,6 +226,7 @@ def parse_sparql(text: str) -> ParsedQuery:
             i += 2 if (i + 1 < len(toks) and toks[i + 1].lower() in ("asc", "desc")) else 1
             order.append((var[1:], desc))
     limit = int(m.group(6)) if m.group(6) else None
+    offset = int(m.group(7)) if m.group(7) else None
 
     projection: list[str] = []
     aggregates: list[Aggregate] = []
@@ -298,6 +301,7 @@ def parse_sparql(text: str) -> ParsedQuery:
             distinct=distinct,
             order=order,
             limit=limit,
+            offset=offset,
             union_branches=union_branches,
             text=src,
         )
@@ -434,6 +438,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         distinct=distinct,
         order=order,
         limit=limit,
+        offset=offset,
         filters=filters,
         optionals=optionals,
         minuses=minuses,

@@ -458,6 +458,8 @@ def translate(
             plan = plan.orderBy(
                 *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in query.order]
             )
+        if query.offset is not None:
+            plan = plan.offset(query.offset)
         if query.limit is not None:
             plan = plan.limit(query.limit)
         return plan
@@ -495,6 +497,8 @@ def translate(
         plan = plan.orderBy(
             *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in query.order]
         )
+    if query.offset is not None:
+        plan = plan.offset(query.offset)
     if query.limit is not None:
         plan = plan.limit(query.limit)
     return plan

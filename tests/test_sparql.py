@@ -571,3 +571,13 @@ def test_values_rows_parse_and_reject():
             parse_sparql(
                 "select ?C where { ?O placedBy ?C . ?O priority ?PR . " + bad + " }"
             )
+
+
+def test_offset_paging_partitions_result(engine):
+    """limit k offset n pages through the ordered result without gaps or
+    overlaps: page1 ∪ page2 == first 2k rows, disjoint."""
+    base = "select ?O ?C where { ?O type Order . ?O placedBy ?C } order by ?O desc"
+    first40 = [tuple(r) for r in engine.sparql(base + " limit 40").collect()]
+    p1 = [tuple(r) for r in engine.sparql(base + " limit 20").collect()]
+    p2 = [tuple(r) for r in engine.sparql(base + " limit 20 offset 20").collect()]
+    assert p1 + p2 == first40
