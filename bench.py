@@ -53,6 +53,7 @@ HEADLINE = [
     "rel_except",
     "rel_window_top3",
     "rel_events_hourly",
+    "rel_events_rollup",
     "temporal_asof",
     "temporal_range",
     "text_features",
@@ -64,8 +65,11 @@ HEADLINE = [
     "pipeline_tfidf",
     "pipeline_bigrams",
     "pipeline_curate",
+    "pipeline_chunks",
+    "pipeline_shards",
     "sketch_kmv_users",
     "sketch_quantiles",
+    "sketch_quantiles_sampled",
     "graph_pagerank",
     "media_knn",
     "sparql_ask_pos",

@@ -228,6 +228,36 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: hourly, daily, and grand
+    totals of the events stream in ONE pass (`ROLLUP (day, hour)` —
+    the continuous-aggregate shape time-series stores maintain).  Spark
+    plans rollup as a single Expand + partial aggregation, so the fact
+    rows are read once and only #groups rows shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_PRICE)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_ROLLUP_SQL = f"""
+SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS {_PRICE})) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+""".strip()
+
+
 EVENTS_HOURLY_SQL = f"""
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
@@ -1103,6 +1133,7 @@ QUERIES = {
     "rel_window_top3": window_top_orders,
     "rel_window_running": window_running_spend,
     "rel_events_hourly": events_hourly,
+    "rel_events_rollup": events_time_rollup,
     "rel_q4_semi": q4_semi_join,
     "rel_anti": anti_join_customers,
     "rel_q13_outer": q13_outer_distribution,
@@ -1139,6 +1170,7 @@ ORACLES = {
     "rel_window_top3": WINDOW_TOP_SQL,
     "rel_window_running": WINDOW_RUNNING_SQL,
     "rel_events_hourly": EVENTS_HOURLY_SQL,
+    "rel_events_rollup": EVENTS_ROLLUP_SQL,
     "rel_q4_semi": Q4_SEMI_SQL,
     "rel_anti": ANTI_SQL,
     "rel_q13_outer": Q13_SQL,
