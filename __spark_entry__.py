@@ -112,6 +112,13 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " group by ?N",
         True,
     ),
+    # HAVING superset: post-grouping aggregate filter (order counts vary
+    # per customer, so the threshold genuinely partitions the groups)
+    "sparql_having": (
+        "select ?C (count(?O) as ?norders) where { ?C type Customer ."
+        " optional { ?O placedBy ?C } } group by ?C having (count(?O) > 5)",
+        False,
+    ),
     # MINUS superset: anti-join removal of compatible bindings
     "sparql_minus": (
         "select ?C where { ?C type Customer ."

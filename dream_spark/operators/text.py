@@ -215,6 +215,10 @@ def topterms_of(docs: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
     top-k terms by document frequency (deterministic tiebreak on the term
     itself) with total occurrence counts — the df/tf sketch a
     corpus-analysis pipeline starts from."""
+    # spread the token explode across the cluster before the ~1000× row
+    # expansion: a small parquet table arrives as one input split (no-op at
+    # real scale where splits abound — same pattern as pipeline.tfidf)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = tokens(docs)
     stats = toks.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("df"),

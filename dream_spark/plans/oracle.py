@@ -226,6 +226,8 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
         group_by=[],
         order=[],
         limit=None,
+        offset=None,
+        having=None,
         distinct=False,
     )
     inner = bgp_to_sql(inner_q, decode=False, resolver=resolver)
@@ -242,6 +244,15 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
     sql = f"SELECT {sel}\nFROM (\n{inner}\n) q"
     if query.group_by:
         sql += "\nGROUP BY " + ", ".join(query.group_by)
+    if query.having is not None:
+        ha, hop, hval = query.having
+        if ha.var is None:
+            hexpr = "COUNT(*)"
+        elif ha.distinct:
+            hexpr = f"COUNT(DISTINCT {ha.var})"
+        else:
+            hexpr = f"COUNT({ha.var})"
+        sql += f"\nHAVING {hexpr} {'<>' if hop == '!=' else hop} {hval}"
 
     if decode and query.group_by:
         dsel = ", ".join(

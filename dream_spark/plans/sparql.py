@@ -113,6 +113,8 @@ class ParsedQuery:
     order: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
     offset: int | None = None
+    # HAVING superset: (Aggregate, op, int) filter applied after grouping
+    having: tuple[Aggregate, str, int] | None = None
     filters: list[Filter] = field(default_factory=list)
     optionals: list[list[Condition]] = field(default_factory=list)
     minuses: list[list[Condition]] = field(default_factory=list)
@@ -201,6 +203,7 @@ def parse_sparql(text: str) -> ParsedQuery:
     m = re.match(
         r"(?is)^\s*select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}\s*"
         r"(?:group\s+by\s+((?:\?\w+\s*)+))?"
+        r"(?:having\s*\(([^()]*\([^()]*\)[^()]*)\)\s*)?"
         r"(?:order\s+by\s+((?:\?\w+(?:\s+(?:asc|desc))?\s*)+))?"
         r"(?:limit\s+(\d+))?\s*"
         r"(?:offset\s+(\d+))?\s*$",
@@ -214,9 +217,25 @@ def parse_sparql(text: str) -> ParsedQuery:
     group_by: list[str] = []
     if m.group(4):
         group_by = [t[1:] for t in _WS.split(m.group(4).strip()) if t]
-    order: list[tuple[str, bool]] = []
+    having: tuple[Aggregate, str, int] | None = None
     if m.group(5):
-        toks = _WS.split(m.group(5).strip())
+        hm = re.match(
+            r"(?is)^\s*count\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s*(=|!=|<=|>=|<|>)\s*(\d+)\s*$",
+            m.group(5),
+        )
+        if not hm:
+            raise SparqlSyntaxError(
+                f"having must be 'count([distinct] ?v|*) op N': {m.group(5)!r}"
+            )
+        hvar = None if hm.group(2) == "*" else hm.group(2)[1:]
+        having = (
+            Aggregate(fn="count", var=hvar, alias="__having", distinct=bool(hm.group(1))),
+            hm.group(3),
+            int(hm.group(4)),
+        )
+    order: list[tuple[str, bool]] = []
+    if m.group(6):
+        toks = _WS.split(m.group(6).strip())
         i = 0
         while i < len(toks):
             var = toks[i]
@@ -225,8 +244,8 @@ def parse_sparql(text: str) -> ParsedQuery:
             desc = i + 1 < len(toks) and toks[i + 1].lower() in ("asc", "desc") and toks[i + 1].lower() == "desc"
             i += 2 if (i + 1 < len(toks) and toks[i + 1].lower() in ("asc", "desc")) else 1
             order.append((var[1:], desc))
-    limit = int(m.group(6)) if m.group(6) else None
-    offset = int(m.group(7)) if m.group(7) else None
+    limit = int(m.group(7)) if m.group(7) else None
+    offset = int(m.group(8)) if m.group(8) else None
 
     projection: list[str] = []
     aggregates: list[Aggregate] = []
@@ -295,6 +314,8 @@ def parse_sparql(text: str) -> ParsedQuery:
                 raise SparqlSyntaxError("empty union branch")
             union_branches.append(grp)
             cid += len(grp)
+        if having is not None:
+            raise SparqlSyntaxError("having combined with union is not supported")
         q = ParsedQuery(
             projection=projection,
             conditions=union_branches[0],
@@ -432,6 +453,11 @@ def parse_sparql(text: str) -> ParsedQuery:
             raise SparqlSyntaxError(f"variable(s) bound in two optional groups: {sorted(clash)}")
         seen_opt |= new
 
+    if having is not None and not aggregates:
+        raise SparqlSyntaxError(
+            "having requires an aggregate projection (the translator's "
+            "grouped path carries the having filter)"
+        )
     q = ParsedQuery(
         projection=projection,
         conditions=conditions,
@@ -439,6 +465,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         order=order,
         limit=limit,
         offset=offset,
+        having=having,
         filters=filters,
         optionals=optionals,
         minuses=minuses,

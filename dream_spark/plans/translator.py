@@ -433,15 +433,45 @@ def translate(
     # Aggregate projection: groupBy + count/count-distinct — Catalyst plans
     # partial aggregation, so only #groups rows shuffle.
     if query.aggregates:
-        aggs = [
-            (
+        def _agg_col(a):
+            return (
                 F.countDistinct(a.var)
                 if a.distinct and a.var is not None
                 else F.count(F.col(a.var) if a.var is not None else F.lit(1))
             ).alias(a.alias)
-            for a in query.aggregates
-        ]
+
+        aggs = [_agg_col(a) for a in query.aggregates]
+        # HAVING: filter on an existing aggregate column when the having
+        # expression matches one, else compute it as a hidden extra column
+        # (Catalyst still plans ONE partial aggregation for all of them)
+        having_col = None
+        if query.having is not None:
+            ha, hop, hval = query.having
+            same = next(
+                (
+                    a
+                    for a in query.aggregates
+                    if (a.fn, a.var, a.distinct) == (ha.fn, ha.var, ha.distinct)
+                ),
+                None,
+            )
+            having_col = same.alias if same is not None else ha.alias
+            if same is None:
+                aggs.append(_agg_col(ha))
         plan = plan.groupBy(*query.group_by).agg(*aggs)
+        if having_col is not None:
+            _, hop, hval = query.having
+            c = F.col(having_col)
+            plan = plan.where(
+                {
+                    "=": c == hval,
+                    "!=": c != hval,
+                    "<": c < hval,
+                    "<=": c <= hval,
+                    ">": c > hval,
+                    ">=": c >= hval,
+                }[hop]
+            )
         if decode:
             # decode the (id-valued) group columns only — counts pass through
             for v in query.group_by:

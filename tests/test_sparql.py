@@ -581,3 +581,25 @@ def test_offset_paging_partitions_result(engine):
     p1 = [tuple(r) for r in engine.sparql(base + " limit 20").collect()]
     p2 = [tuple(r) for r in engine.sparql(base + " limit 20 offset 20").collect()]
     assert p1 + p2 == first40
+
+
+def test_having_filters_groups(engine):
+    """HAVING keeps exactly the groups whose aggregate passes, whether the
+    having aggregate is projected or hidden."""
+    base = (
+        "select ?C (count(?O) as ?norders) where { ?C type Customer ."
+        " optional { ?O placedBy ?C } } group by ?C"
+    )
+    allrows = {r["C"]: r["norders"] for r in engine.sparql(base).collect()}
+    kept = {r["C"]: r["norders"] for r in engine.sparql(base + " having (count(?O) > 5)").collect()}
+    assert kept == {c: n for c, n in allrows.items() if n > 5}
+    # hidden-aggregate form: having on count(*) while projecting count(?O)
+    kept2 = {r["C"] for r in engine.sparql(base + " having (count(*) <= 3)").collect()}
+    assert kept2  # non-empty at this SF
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?N where { ?C inNation ?N } group by ?N having (count(?C) > 1)")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?N (count(?C) as ?c) where { ?C inNation ?N } group by ?N"
+            " having (sum(?C) > 1)"
+        )
