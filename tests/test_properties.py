@@ -204,3 +204,78 @@ def test_pagerank_mass_and_determinism(spark):
     # hand-computed second superstep: r2(1) = teleport + 0.85*r1(3)
     r1_3 = teleport + 3 * (RANK_SCALE * 85 // 100)
     assert a[1] == teleport + r1_3 * 85 // 100
+
+
+# ---------------------------------------------------------------------------
+# chunking: pure-python reference over random corpora (Spark-side, few runs)
+# ---------------------------------------------------------------------------
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),
+        st.text(
+            alphabet=st.sampled_from("ab c1."),  # tokens, digits, separators
+            min_size=0,
+            max_size=200,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda d: d[0],
+)
+
+
+def _ref_tokens(text: str) -> list[str]:
+    import re as _re
+
+    return [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+@given(docs_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunking_matches_reference(spark, docs):
+    from dream_spark.operators.pipeline import CHUNK_OVERLAP, CHUNK_TOKENS, chunk_documents
+
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start_pos"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df).collect()
+    }
+    want = {}
+    for doc_id, text in docs:
+        toks = _ref_tokens(text)
+        for ci, start in enumerate(range(0, len(toks), stride)):
+            window = toks[start : start + CHUNK_TOKENS]
+            want[(doc_id, ci)] = (start + 1, len(window), " ".join(window))
+    assert got == want
+
+
+@given(docs_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_shard_packing_matches_reference(spark, docs):
+    from dream_spark.functions.hashing import hash_params
+    from dream_spark.operators.pipeline import (
+        PACK_BUCKETS,
+        PACK_BUDGET_TOKENS,
+        PACK_SHARD_STRIDE,
+        pack_shards,
+    )
+
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    got = {r["doc_id"]: (r["bucket"], r["shard"]) for r in pack_shards(df).collect()}
+
+    def h(i, x):
+        a, b = hash_params(i)
+        return (a * x + b) % 2_147_483_647
+
+    by_bucket: dict[int, list] = {}
+    for doc_id, text in docs:
+        by_bucket.setdefault(h(2, doc_id) % PACK_BUCKETS, []).append(doc_id)
+    want = {}
+    for bucket, ids in by_bucket.items():
+        cum = 0
+        for doc_id in sorted(ids, key=lambda d: (h(3, d), d)):
+            n = len(_ref_tokens(dict(docs)[doc_id]))
+            want[doc_id] = (bucket, bucket * PACK_SHARD_STRIDE + cum // PACK_BUDGET_TOKENS)
+            cum += n
+    assert got == want
