@@ -112,6 +112,13 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " group by ?N",
         True,
     ),
+    # MIN/MAX aggregates over the order-preserving id scheme: per nation,
+    # the lowest/highest customer id plus the member count
+    "sparql_minmax": (
+        "select ?N (min(?C) as ?lo) (max(?C) as ?hi) (count(?C) as ?cnt)"
+        " where { ?C type Customer . ?C inNation ?N } group by ?N",
+        False,
+    ),
     # HAVING superset: post-grouping aggregate filter (order counts vary
     # per customer, so the threshold genuinely partitions the groups)
     "sparql_having": (

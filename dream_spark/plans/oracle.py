@@ -234,7 +234,9 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
 
     agg_sel = []
     for a in query.aggregates:
-        if a.var is None:
+        if a.fn in ("min", "max"):
+            agg_sel.append(f"{a.fn.upper()}({a.var}) AS {a.alias}")
+        elif a.var is None:
             agg_sel.append(f"COUNT(*) AS {a.alias}")
         elif a.distinct:
             agg_sel.append(f"COUNT(DISTINCT {a.var}) AS {a.alias}")

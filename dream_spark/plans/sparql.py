@@ -92,9 +92,12 @@ class Filter:
 
 @dataclass(frozen=True)
 class Aggregate:
-    """One ``(count([distinct] ?v|*) as ?alias)`` projection item."""
+    """One ``(count([distinct] ?v|*) as ?alias)`` / ``(min(?v) as ?alias)``
+    / ``(max(?v) as ?alias)`` projection item.  min/max operate on the
+    dictionary ids — meaningful because the arithmetic id scheme is
+    order-preserving within an entity kind (sources/triples.py)."""
 
-    fn: str  # only "count" for now
+    fn: str  # "count" | "min" | "max"
     var: str | None  # None => count(*)
     alias: str
     distinct: bool = False
@@ -251,14 +254,23 @@ def parse_sparql(text: str) -> ParsedQuery:
     aggregates: list[Aggregate] = []
     # aggregate items first: (count([distinct] ?v|*) as ?alias)
     def _grab_agg(m2: re.Match) -> str:
-        var = None if m2.group(2) == "*" else m2.group(2)[1:]
+        fn = m2.group(1).lower()
+        var = None if m2.group(3) == "*" else m2.group(3)[1:]
+        distinct = bool(m2.group(2))
+        if fn in ("min", "max"):
+            if var is None:
+                raise SparqlSyntaxError(f"{fn}(*) is not valid — {fn} needs a variable")
+            if distinct:
+                raise SparqlSyntaxError(f"{fn}(distinct …) is redundant — drop distinct")
+        if fn == "count" and distinct and var is None:
+            raise SparqlSyntaxError("count(distinct *) is not supported")
         aggregates.append(
-            Aggregate(fn="count", var=var, alias=m2.group(3)[1:], distinct=bool(m2.group(1)))
+            Aggregate(fn=fn, var=var, alias=m2.group(4)[1:], distinct=distinct)
         )
         return " "
 
     proj_src = re.sub(
-        r"(?is)\(\s*count\s*\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s+as\s+(\?\w+)\s*\)",
+        r"(?is)\(\s*(count|min|max)\s*\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s+as\s+(\?\w+)\s*\)",
         _grab_agg,
         proj_src,
     )

@@ -434,6 +434,10 @@ def translate(
     # partial aggregation, so only #groups rows shuffle.
     if query.aggregates:
         def _agg_col(a):
+            if a.fn == "min":
+                return F.min(a.var).alias(a.alias)
+            if a.fn == "max":
+                return F.max(a.var).alias(a.alias)
             return (
                 F.countDistinct(a.var)
                 if a.distinct and a.var is not None

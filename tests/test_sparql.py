@@ -603,3 +603,18 @@ def test_having_filters_groups(engine):
             "select ?N (count(?C) as ?c) where { ?C inNation ?N } group by ?N"
             " having (sum(?C) > 1)"
         )
+
+
+def test_minmax_aggregates_and_rejections(engine):
+    rows = engine.sparql(
+        "select ?N (min(?C) as ?lo) (max(?C) as ?hi)"
+        " where { ?C type Customer . ?C inNation ?N } group by ?N"
+    ).collect()
+    assert rows and all(r["lo"] <= r["hi"] for r in rows)
+    for bad in (
+        "select (min(*) as ?x) where { ?C type Customer }",
+        "select (min(distinct ?C) as ?x) where { ?C type Customer }",
+        "select (count(distinct *) as ?x) where { ?C type Customer }",
+    ):
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
