@@ -658,6 +658,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(load_table(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# incremental dedup: a persisted signature index + per-batch arrivals
+# --------------------------------------------------------------------------
+def minhash_index(docs: DataFrame) -> DataFrame:
+    """The persistable signature index for incremental dedup:
+    (doc_id, band, bh) MinHash-LSH band rows of ANY ``(doc_id, text)``
+    DataFrame.  A deployment writes this with ``sinks.write_parquet``
+    (bucketed by (band, bh) at scale so batch probes never shuffle the
+    index) and unions each batch's kept rows back in."""
+    return _band_frame(minhash_signatures(docs, MINHASH_K))
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame, index: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup one arriving batch against a growing corpus WITHOUT re-running
+    dedup over the world: returns ``(kept_ids, kept_band_rows)``.
+
+    Rules (deterministic, order-independent within the batch):
+    1. a new document sharing ANY LSH band with the index is a near-dup of
+       the existing corpus → dropped;
+    2. among the remaining batch documents, band-collision components keep
+       only their minimum doc_id (the same canonical-keeper rule as
+       ``duplicate_clusters``).
+
+    Scale shape: the index probe is an equi-join on (band, bh) moving ids
+    only; the within-batch step runs ``minhash_pairs``-style banding on the
+    (small) batch.  Incremental dedup is ORDER-DEPENDENT across batches by
+    design — the first-seen document wins, exactly like the streaming
+    content-hash dedup (streaming/documents.py); a corpus-wide re-dedup is
+    the batch compaction layer's job (``duplicate_clusters``)."""
+    bands = minhash_index(new_docs).persist()
+    bands.count()
+    if index is not None:
+        hit = (
+            bands.join(index.select("band", "bh").distinct(), on=["band", "bh"])
+            .select("doc_id")
+            .distinct()
+        )
+        fresh = bands.join(hit, on="doc_id", how="left_anti")
+    else:
+        fresh = bands
+    fresh = fresh.persist()
+    fresh.count()
+    a, b = fresh.alias("a"), fresh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    drop = cc.where(F.col("node") != F.col("cluster")).select(F.col("node").alias("doc_id"))
+    kept_bands = fresh.join(drop, on="doc_id", how="left_anti").localCheckpoint()
+    bands.unpersist()
+    fresh.unpersist()
+    return kept_bands.select("doc_id").distinct(), kept_bands
+
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE pairs AS (
 {DEDUP_JACCARD_SQL}

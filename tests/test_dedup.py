@@ -69,3 +69,52 @@ def test_dedup_clusters_oracle(spark, duck):
     assert_oracle_match(
         D.dedup_clusters(spark, SF_DIR), duck, D.DEDUP_CLUSTERS_SQL
     )
+
+
+def test_incremental_minhash_dedup_two_batches(spark):
+    """Batch flow: batch1 establishes the index; batch2 documents that
+    near-dup batch1 (or each other) are dropped; survivors extend the
+    index.  Verified against a driver-side reference over the SAME band
+    rows (the kernel output is the shared ground truth): drop index hits,
+    then keep only each band-collision component's minimum id."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.dedup import (
+        _unionfind_components,
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+    from dream_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+
+    kept1, idx1 = incremental_minhash_dedup(b1, None)
+    kept2, idx2 = incremental_minhash_dedup(b2, idx1)
+
+    all_bands = minhash_index(docs).collect()
+    by_doc: dict[int, set] = {}
+    for r in all_bands:
+        by_doc.setdefault(r["doc_id"], set()).add((r["band"], r["bh"]))
+
+    def ref_batch(ids, index_bands):
+        fresh = [d for d in sorted(ids) if not (by_doc[d] & index_bands)]
+        edges = [
+            (x, y)
+            for i, x in enumerate(fresh)
+            for y in fresh[i + 1 :]
+            if by_doc[x] & by_doc[y]
+        ]
+        label = dict(_unionfind_components(edges))
+        kept = [d for d in fresh if label.get(d, d) == d]
+        return kept, set().union(set(), *(by_doc[d] for d in kept))
+
+    ids1 = [r["doc_id"] for r in b1.select("doc_id").collect()]
+    ids2 = [r["doc_id"] for r in b2.select("doc_id").collect()]
+    ref_kept1, ref_bands1 = ref_batch(ids1, set())
+    assert sorted(r["doc_id"] for r in kept1.collect()) == ref_kept1
+    ref_kept2, _ = ref_batch(ids2, ref_bands1)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == ref_kept2
+    # the updated index holds exactly the kept documents' band rows
+    assert {r["doc_id"] for r in idx2.collect()} == set(ref_kept2)
