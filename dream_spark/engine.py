@@ -82,15 +82,22 @@ class Engine:
         return translate(self.store, parse_sparql(sparql_text), self._stats, decode=decode)
 
     def sql(self, sql_text: str) -> DataFrame:
-        """ANSI SQL over all the store's base tables.
+        """ANSI SQL over all the store's base tables PLUS the triple store
+        itself: ``triples`` (s,p,o) and ``dict`` (id, lexical) register as
+        views, so SQL can join graph data with relational tables in one
+        statement (the interop surface the reference's split RDF-3X/MPI
+        stack could never offer).
 
         Table views register lazily on first use — the SPARQL path stays
         independent of tables it never reads (store derivation registers
         only its own 7), while the SQL surface sees all of them."""
-        if self._sf_dir is not None and not self._sql_tables_registered:
-            from dream_spark.sources.tables import register_tables
+        if not self._sql_tables_registered:
+            if self._sf_dir is not None:
+                from dream_spark.sources.tables import register_tables
 
-            register_tables(self.spark, self._sf_dir)
+                register_tables(self.spark, self._sf_dir)
+            self.store.triples.createOrReplaceTempView("triples")
+            self.store.dictionary.createOrReplaceTempView("dict")
             self._sql_tables_registered = True
         return self.spark.sql(sql_text)
 

@@ -618,3 +618,23 @@ def test_minmax_aggregates_and_rejections(engine):
     ):
         with pytest.raises(SparqlSyntaxError):
             parse_sparql(bad)
+
+
+def test_engine_sql_joins_graph_with_relational(engine):
+    """The SQL surface exposes the triple store itself (triples/dict views):
+    one statement joins graph triples, the dictionary, and a base table."""
+    from dream_spark.sources.triples import P_PLACED_BY, BASE_CUSTOMER
+
+    rows = engine.sql(
+        f"""
+        SELECT d.lexical AS customer, COUNT(*) AS n_orders, c.c_mktsegment
+        FROM triples t
+        JOIN dict d ON d.id = t.o
+        JOIN customer c ON t.o = {BASE_CUSTOMER} + c.c_custkey
+        WHERE t.p = {P_PLACED_BY}
+        GROUP BY d.lexical, c.c_mktsegment
+        ORDER BY n_orders DESC, customer LIMIT 5
+        """
+    ).collect()
+    assert len(rows) == 5
+    assert all(r["customer"].startswith("customer:") and r["n_orders"] >= 1 for r in rows)
