@@ -79,6 +79,12 @@ class Engine:
         return parse_sparql(sparql_text)
 
     def sparql(self, sparql_text: str, decode: bool = False) -> DataFrame:
+        # re-open the store if an external clearCache dropped its cache —
+        # a ~ms storage-level lookup per query, nothing vs. silently
+        # re-deriving the triple union under every pattern scan
+        ensure = getattr(self.store, "ensure_open", None)
+        if ensure is not None:
+            ensure()
         return translate(self.store, parse_sparql(sparql_text), self._stats, decode=decode)
 
     def sql(self, sql_text: str) -> DataFrame:

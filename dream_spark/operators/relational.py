@@ -250,7 +250,8 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_ROLLUP_SQL = f"""
-SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       date_trunc('hour', ts) AS hour,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS {_PRICE})) AS DOUBLE) AS sum_value
 FROM events

@@ -260,6 +260,10 @@ class TripleStore:
         self.spark = spark
         self.triples = triples
         self.dictionary = dictionary
+        # True only for stores built with cache=True: ensure_open re-caches
+        # ONLY those (a deliberately uncached derive-per-query store must
+        # stay uncached)
+        self._keep_open = False
         # driver-side lexical->id shortcut (None => dictionary lookups only,
         # e.g. hash-encoded N-Triples stores)
         self._resolver = resolver
@@ -290,7 +294,9 @@ class TripleStore:
         if cache:
             triples = triples.cache()
             triples.count()  # materialize now: queries must not race to fill it
-        return cls(spark, triples, dictionary)
+        st = cls(spark, triples, dictionary)
+        st._keep_open = cache
+        return st
 
     @classmethod
     def from_ntriples(cls, spark: SparkSession, path: str, validate: bool = False) -> "TripleStore":
@@ -376,9 +382,29 @@ class TripleStore:
         one-open-store-per-process model (Main.c:122); without it each
         consumer re-derives and re-caches its own copy of the same union."""
         key = (id(spark), sf_dir)
-        if key not in cls._SHARED:
-            cls._SHARED[key] = cls.from_tpch(spark, sf_dir)
-        return cls._SHARED[key]
+        st = cls._SHARED.get(key)
+        if st is None:
+            st = cls.from_tpch(spark, sf_dir)
+            cls._SHARED[key] = st
+        else:
+            st.ensure_open()
+        return st
+
+    def ensure_open(self) -> None:
+        """Re-persist the triples cache if an external
+        ``spark.catalog.clearCache()`` dropped it — a shared store must not
+        silently degrade to derive-per-query for the rest of the session
+        (the open-store contract `test_sparql_ground_pattern_filters_cached_store`
+        enforces)."""
+        if not self._keep_open:
+            return
+        try:
+            lvl = self.triples.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                self.triples = self.triples.cache()
+                self.triples.count()
+        except Exception:
+            pass  # storage level unavailable (e.g. Connect): stay lazy
 
     # -- constant resolution ------------------------------------------------
     def resolve(self, lexical: str) -> int:
