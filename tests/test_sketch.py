@@ -94,3 +94,37 @@ def test_sampled_quantiles_exact_below_k(spark):
         if e["n"] <= S.AQ_K:
             a = approx[src]
             assert (a["p25"], a["p50"], a["p75"]) == (e["p25"], e["p50"], e["p75"])
+
+
+def test_cms_overestimates_within_bound(spark):
+    """CMS point estimates are ≥ the true count (one-sided error) and the
+    heavy hitters stay within ε·N of truth."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events").where(F.col("user_id").isNotNull())
+    sketch = S.sketch_cms_users(spark, SF_DIR).collect()
+    truth = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(truth.values())
+    eps_bound = 3 * n_total / S.CMS_WIDTH  # ~e/width with slack
+    for uid, n in sorted(truth.items(), key=lambda kv: -kv[1])[:20]:
+        est = S.cms_estimate(sketch, uid)
+        assert est >= n, (uid, est, n)
+        assert est - n <= eps_bound, (uid, est, n, eps_bound)
+
+
+def test_cms_merge_is_counter_addition(spark):
+    """Sketching two halves and adding counters equals sketching the whole
+    — the mergeability that makes CMS a distributed-aggregation citizen."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events").where(F.col("user_id").isNotNull())
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in S.cms_table(ev, "user_id").collect()}
+    h1 = S.cms_table(ev.where(F.col("event_id") % 2 == 0), "user_id").collect()
+    h2 = S.cms_table(ev.where(F.col("event_id") % 2 == 1), "user_id").collect()
+    merged: dict = {}
+    for r in list(h1) + list(h2):
+        merged[(r["row"], r["bucket"])] = merged.get((r["row"], r["bucket"]), 0) + r["cnt"]
+    assert merged == whole
