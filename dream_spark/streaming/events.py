@@ -302,6 +302,39 @@ GROUP BY event_id
 """.strip()
 
 
+def cms_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Windowed count-min sketch over the stream: per tumbling window,
+    the depth×width heavy-hitter counter table of ``user_id``.
+
+    Union of the depth bucket projections → ONE watermarked windowed
+    groupBy: streaming state is depth·width counters per open window
+    regardless of stream rate or cardinality — the bounded-state form of
+    per-user counting (an exact per-user windowed count holds one state
+    row per user per window; this holds 4096).  Counters merge across
+    windows/streams by addition (operators/sketch.py::cms_estimate reads
+    point estimates)."""
+    from dream_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, _CMS_FN0
+    from dream_spark.functions.hashing import hash_sql
+
+    ev = events.where(F.col("user_id").isNotNull())
+    rows = [
+        ev.select(
+            "ts",
+            F.lit(i).alias("row"),
+            F.expr(f"{hash_sql('user_id', _CMS_FN0 + i)} % {CMS_WIDTH}").alias("bucket"),
+        )
+        for i in range(CMS_DEPTH)
+    ]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionAll(r)
+    return (
+        u.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 QUERIES = {
     "streaming_sessionize_batch": sessionize_batch,
     "streaming_dedup_batch": dedup_events_batch,

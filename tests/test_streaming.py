@@ -193,3 +193,33 @@ def test_enrich_stream_static_join(spark):
     assert got.where(F.col("n_events").isNull()).count() == 0
     one = got.limit(1).collect()[0]
     assert one["first_seen"] is not None and one["n_events"] >= 1
+
+
+def test_cms_stream_matches_batch_sketch(spark):
+    """The windowed streaming CMS, drained with availableNow, must equal
+    the batch CMS computed per hour window — counter for counter."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.sketch import cms_table
+    from dream_spark.sources.tables import load_table
+
+    stream = SE.cms_stream(SE.read_events_stream(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cms_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win"]["start"], r["row"], r["bucket"]): r["cnt"]
+        for r in spark.sql("select * from cms_sink").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").where(F.col("user_id").isNotNull())
+    ev = ev.withColumn("hour", F.date_trunc("hour", F.col("ts").cast("timestamp")))
+    want = {}
+    for hr in [r["hour"] for r in ev.select("hour").distinct().collect()]:
+        for r in cms_table(ev.where(F.col("hour") == hr), "user_id").collect():
+            want[(hr, r["row"], r["bucket"])] = r["cnt"]
+    assert got == want
