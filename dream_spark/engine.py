@@ -118,3 +118,31 @@ class Engine:
         df = self.sparql(sparql_text, decode=decode)
         n = df.count()
         return df, time.perf_counter() - t0, n
+
+    def profile(self, sparql_text: str) -> dict:
+        """Per-pattern result sizes + estimates + end-to-end wall — the
+        query statistics the reference materializes as its ResStats /
+        CostStats files (LUBMStats-RDFDB/LUBMResStats-2.txt records
+        per-condition-set result sizes, LUBMCostStats-2.txt their scan
+        times, produced by execute-to-estimate planning) recreated as an
+        API over the live store.  Each pattern row reports the planner's
+        cardinality estimate next to the measured count, so estimate drift
+        is observable the way the reference's stat files made it."""
+        from dream_spark.plans.translator import _condition_frame, _estimate
+
+        q = parse_sparql(sparql_text)
+        patterns = []
+        for cond in list(q.conditions) + [c for grp in q.optionals for c in grp]:
+            t0 = time.perf_counter()
+            n = _condition_frame(self.store, cond).count()
+            patterns.append(
+                {
+                    "cid": cond.cid,
+                    "pattern": f"{cond.subj.text} {cond.pred.text} {cond.obj.text}",
+                    "rows": n,
+                    "estimate": _estimate(self._stats, self.store, cond),
+                    "seconds": round(time.perf_counter() - t0, 4),
+                }
+            )
+        df, secs, rows = self.timed(sparql_text)
+        return {"patterns": patterns, "rows": rows, "seconds": round(secs, 4)}

@@ -638,3 +638,15 @@ def test_engine_sql_joins_graph_with_relational(engine):
     ).collect()
     assert len(rows) == 5
     assert all(r["customer"].startswith("customer:") and r["n_orders"] >= 1 for r in rows)
+
+
+def test_profile_reports_pattern_sizes(engine):
+    """profile() = the reference's ResStats/CostStats artifacts as an API:
+    one row per pattern with measured size + planner estimate, plus the
+    end-to-end total."""
+    text, _ = __import__("__spark_entry__").SPARQL_QUERIES["sparql_cycle5"]
+    prof = engine.profile(text)
+    assert len(prof["patterns"]) == 5
+    for p in prof["patterns"]:
+        assert p["rows"] > 0 and p["estimate"] > 0 and p["seconds"] >= 0
+    assert prof["rows"] == engine.sparql(text).count()
