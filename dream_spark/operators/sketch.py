@@ -197,6 +197,65 @@ FROM ranked GROUP BY source
 """.strip()
 
 
+def kmv_distinct_by(
+    df: DataFrame, group_col: str, col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV distinct-count estimates — the grouped form of
+    :func:`kmv_distinct`: (group, k, n_kept, kth_min, est_distinct).
+
+    Same mergeable bottom-k state per group (map-side distinct bounds the
+    shuffle at ≤ k hashes per partition per group); the per-group top-k
+    runs as one windowed rank over hash values, never over raw values."""
+    hv = (
+        df.where(F.col(col).isNotNull())
+        .select(group_col, F.expr(hash_sql(col, _KMV_FN)).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("hv").asc())
+    kept = hv.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    agg = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth_min")
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(f"({k} - 1) * {MERSENNE_P}L div kth_min")
+    )
+    return agg.select(
+        group_col,
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("kth_min").cast("bigint").alias("kth_min"),
+        est.cast("bigint").alias("est_distinct"),
+    )
+
+
+def sketch_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: distinct-user KMV estimate per event type."""
+    return kmv_distinct_by(load_table(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+SKETCH_KMV_BY_TYPE_SQL = f"""
+WITH h AS (SELECT DISTINCT event_type, {hash_sql("user_id", _KMV_FN)} AS hv
+           FROM events WHERE user_id IS NOT NULL),
+kept AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h
+  ) WHERE rn <= {KMV_K}
+),
+agg AS (SELECT event_type, COUNT(*) AS n_kept, MAX(hv) AS kth_min
+        FROM kept GROUP BY event_type)
+SELECT event_type,
+       CAST({KMV_K} AS BIGINT) AS k,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(kth_min AS BIGINT) AS kth_min,
+       CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
+                 ELSE CAST({KMV_K - 1} AS BIGINT) * {MERSENNE_P} // kth_min END AS BIGINT)
+         AS est_distinct
+FROM agg
+""".strip()
+
+
 #: count-min sketch geometry: depth (hash rows) × width (buckets per row).
 #: ε ≈ e/width, δ ≈ e^-depth — 4×1024 gives ~0.27% of stream length error
 #: at 98% confidence, in 4 KB of counters per group of interest.
@@ -276,6 +335,7 @@ QUERIES = {
     "sketch_quantiles": sketch_quantiles,
     "sketch_quantiles_sampled": sketch_quantiles_sampled,
     "sketch_cms_users": sketch_cms_users,
+    "sketch_kmv_by_type": sketch_kmv_by_type,
 }
 
 ORACLES = {
@@ -283,4 +343,5 @@ ORACLES = {
     "sketch_quantiles": SKETCH_QUANTILES_SQL,
     "sketch_quantiles_sampled": SKETCH_QUANTILES_SAMPLED_SQL,
     "sketch_cms_users": SKETCH_CMS_SQL,
+    "sketch_kmv_by_type": SKETCH_KMV_BY_TYPE_SQL,
 }

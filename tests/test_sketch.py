@@ -128,3 +128,23 @@ def test_cms_merge_is_counter_addition(spark):
     for r in list(h1) + list(h2):
         merged[(r["row"], r["bucket"])] = merged.get((r["row"], r["bucket"]), 0) + r["cnt"]
     assert merged == whole
+
+
+def test_kmv_by_group_exact_below_k(spark):
+    """Each group with fewer than k distinct values reports the exact
+    per-group distinct count."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in S.sketch_kmv_by_type(spark, SF_DIR).collect():
+        if r["n_kept"] < r["k"]:
+            assert r["est_distinct"] == exact[r["event_type"]]
+        else:
+            n = exact[r["event_type"]]
+            assert abs(r["est_distinct"] - n) / n < 5 / (S.KMV_K ** 0.5)
