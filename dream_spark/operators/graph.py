@@ -45,9 +45,17 @@ def pagerank(
     iters: int = PAGERANK_ITERS,
     src: str = "src",
     dst: str = "dst",
+    seed_sql: str | None = None,
 ) -> DataFrame:
     """Integer-quantized PageRank for ANY directed edge DataFrame:
     (node, rank) after ``iters`` supersteps, rank in micro-units.
+
+    ``seed_sql`` switches to PERSONALIZED PageRank: a SQL predicate over
+    ``node`` defining the seed set — initial mass and the per-step
+    teleport land only on seeds, so rank measures proximity to the seed
+    set instead of global centrality.  The predicate string is shared
+    verbatim with the oracle, keeping the personalization deterministic
+    cross-engine.
 
     Dangling nodes (no out-edges) keep their teleport share; their
     non-teleport mass is dropped, the standard simplification (both
@@ -80,7 +88,13 @@ def pagerank(
         .persist()
     )
     deg.count()  # one evaluation fills BOTH caches (deg reads through e)
-    ranks = deg.withColumn("rank", F.lit(RANK_SCALE).cast("long"))
+    ind = (
+        F.expr(f"CASE WHEN {seed_sql} THEN 1 ELSE 0 END")
+        if seed_sql is not None
+        else F.lit(1)
+    )
+    deg = deg.withColumn("ind", ind)
+    ranks = deg.withColumn("rank", (F.lit(RANK_SCALE) * F.col("ind")).cast("long"))
     teleport = RANK_SCALE * (D_DEN - D_NUM) // D_DEN
     for it in range(iters):
         contribs = (
@@ -95,7 +109,7 @@ def pagerank(
         ranks = deg.join(contribs, on="node", how="left").select(
             "node",
             "outdeg",
-            (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
+            (F.lit(teleport) * F.col("ind") + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
         )
         # truncate lineage only every few supersteps: each localCheckpoint
         # materializes the full rank table, which costs more than carrying
@@ -133,18 +147,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(100)
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(seed_sql: str | None = None) -> str:
     from dream_spark.sources.triples import resolve_lexical
 
     pids = ", ".join(
         str(resolve_lexical(p)) for p in _ENTITY_PREDS if resolve_lexical(p) is not None
     )
     teleport = RANK_SCALE * (D_DEN - D_NUM) // D_DEN
+    ind = f"(CASE WHEN {seed_sql} THEN 1 ELSE 0 END)" if seed_sql is not None else "1"
     parts = [
         f"e AS (SELECT s AS src, o AS dst FROM triples WHERE p IN ({pids}))",
         "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))",
         "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
-        f"r0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank FROM nodes)",
+        f"r0 AS (SELECT node, CAST({RANK_SCALE} * {ind} AS BIGINT) AS rank FROM nodes)",
     ]
     for i in range(1, PAGERANK_ITERS + 1):
         parts.append(
@@ -156,7 +171,7 @@ def _pagerank_sql() -> str:
         )
         parts.append(
             f"""r{i} AS (
-  SELECT n.node, CAST({teleport} + COALESCE(c.inflow, 0) AS BIGINT) AS rank
+  SELECT n.node, CAST({teleport} * {ind.replace("node", "n.node")} + COALESCE(c.inflow, 0) AS BIGINT) AS rank
   FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
 )"""
         )
@@ -171,5 +186,22 @@ ORDER BY rank DESC, node LIMIT 100
 
 GRAPH_PAGERANK_SQL = _pagerank_sql()
 
-QUERIES = {"graph_pagerank": graph_pagerank}
-ORACLES = {"graph_pagerank": GRAPH_PAGERANK_SQL}
+#: personalized-PageRank seed set: the supplier entities (shared predicate
+#: text — Spark evaluates it via F.expr, the oracle embeds it verbatim)
+from dream_spark.sources.triples import BASE_CUSTOMER as _BC, BASE_SUPPLIER as _BS
+
+PPR_SEED_SQL = f"(node >= {_BS} AND node < {_BC})"
+
+
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: personalized PageRank seeded at the
+    supplier entities — rank measures proximity to suppliers in the
+    entity graph; top 100 by (rank DESC, node)."""
+    pr = pagerank(_entity_edges(spark, sf_dir), seed_sql=PPR_SEED_SQL)
+    return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(100)
+
+
+GRAPH_PPR_SQL = _pagerank_sql(PPR_SEED_SQL)
+
+QUERIES = {"graph_pagerank": graph_pagerank, "graph_ppr": graph_ppr}
+ORACLES = {"graph_pagerank": GRAPH_PAGERANK_SQL, "graph_ppr": GRAPH_PPR_SQL}

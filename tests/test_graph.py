@@ -1,0 +1,35 @@
+"""Graph analytics (PageRank / personalized PageRank) vs DuckDB oracle +
+semantic invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dream_spark.operators import graph as G
+from tests.conftest import SF_DIR, assert_oracle_match
+
+
+@pytest.mark.parametrize("name", sorted(G.QUERIES))
+def test_graph_oracle(spark, duck, name):
+    assert_oracle_match(G.QUERIES[name](spark, SF_DIR), duck, G.ORACLES[name])
+
+
+def test_pagerank_mass_positive_and_bounded(spark):
+    pr = G.pagerank(G._entity_edges(spark, SF_DIR))
+    stats = pr.agg(
+        F.min("rank").alias("lo"), F.max("rank").alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert stats["lo"] >= G.RANK_SCALE * (G.D_DEN - G.D_NUM) // G.D_DEN
+    assert stats["hi"] < G.RANK_SCALE * stats["n"]  # no node exceeds total mass
+
+
+def test_ppr_concentrates_on_seed_neighborhood(spark):
+    """Personalized teleport: every node with positive rank is a seed or
+    receives inflow; nodes disconnected from the seed set rank 0 — unlike
+    global PageRank where every node keeps its teleport share."""
+    ppr = G.pagerank(G._entity_edges(spark, SF_DIR), seed_sql=G.PPR_SEED_SQL)
+    zero = ppr.where(F.col("rank") == 0)
+    seeds_zero = zero.where(F.expr(G.PPR_SEED_SQL)).count()
+    assert seeds_zero == 0  # seeds always keep their teleport share
+    assert zero.count() > 0  # far-from-seed nodes really get zero mass
