@@ -68,12 +68,19 @@ HEADLINE = [
     "pipeline_chunks",
     "pipeline_shards",
     "sketch_kmv_users",
+    "sketch_kmv_by_type",
     "sketch_quantiles",
     "sketch_quantiles_sampled",
+    "sketch_cms_users",
     "graph_pagerank",
+    "graph_ppr",
     "media_knn",
     "sparql_ask_pos",
     "sparql_construct",
+    "sparql_having",
+    "sparql_minmax",
+    "sparql_values_rows",
+    "sparql_paged",
     "dedup_exact_docs",
     "dedup_minhash",
     "dedup_jaccard",
