@@ -527,6 +527,7 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
     known = set(q.all_variables())
     for f in q.filters:
         unbound = [v for v in (f.var, f.rhs_var) if v is not None and v not in known]
+        unbound += [v for v in (f.vars_ or ()) if v not in known]
         if unbound:
             raise SparqlSyntaxError(f"filter variables not bound in where clause: {unbound}")
     return q
