@@ -34,7 +34,11 @@ def epoch_micros_expr(col: str | Column, dtype: str) -> Column:
     if dtype == "timestamp":
         return F.unix_micros(c)
     if dtype == "date":
-        return F.unix_micros(c.cast("timestamp"))
+        # DATE → NTZ midnight: timezone-free like the NTZ branch (a cast to
+        # plain TIMESTAMP would shift by the session timezone, breaking the
+        # any-session contract and DuckDB's epoch_us agreement)
+        ntz_epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return F.timestamp_diff("MICROSECOND", ntz_epoch, c.cast("timestamp_ntz"))
     raise ValueError(f"epoch_micros: unsupported dtype {dtype!r} for column {col!r}")
 
 

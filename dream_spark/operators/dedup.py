@@ -252,14 +252,22 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         ).alias("jaccard"),
     )
-    # persist the (tiny) verified-pair output: dedup_clusters' edge list is
-    # this exact plan, so the cache manager serves it from the first
-    # evaluation instead of re-running the candidate join + verification
-    return (
+    # persist AND materialize the (tiny) verified-pair output:
+    # dedup_clusters' edge list is this exact plan, so the cache manager
+    # serves it from the first evaluation instead of re-running the
+    # candidate join + verification.  Materializing here lets the (large)
+    # per-doc set-array cache be RELEASED before returning — the library
+    # must not pin corpus-sized caches for the caller's session lifetime
+    # (only the threshold-surviving pair set, which is orders of magnitude
+    # smaller, stays cached for cluster assembly).
+    out = (
         jac.where(F.col("jaccard") >= F.lit(t_num) / F.lit(float(t_den)))
         .dropDuplicates(["doc_a", "doc_b"])
         .persist()
     )
+    out.count()
+    docsets.unpersist()
+    return out
 
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,9 +499,17 @@ def embedding_pairs(emb: DataFrame, corpus_count: int | None = None) -> DataFram
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    return _rerank(cand, q, "vec_a", "vec_b", corpus_count=corpus_count).where(
+    out = _rerank(cand, q, "vec_a", "vec_b", corpus_count=corpus_count).where(
         F.col("cos") >= EMB_COS_THRESHOLD
     )
+    # materialize the (tiny, threshold-surviving) result, then RELEASE the
+    # corpus-sized quantized-vector and bucket caches — the library must
+    # not pin them for the caller's session lifetime
+    out = out.persist()
+    out.count()
+    q.unpersist()
+    b.unpersist()
+    return out
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

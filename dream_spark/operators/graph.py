@@ -67,63 +67,76 @@ def pagerank(
     # settable conf, same contract as the table loader's nanos conf; AQE
     # still coalesces the read side.
     spark = edges.sparkSession
+    restore_partitions = None
     try:
         par = spark.sparkContext.defaultParallelism
-        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * par:
+        current = spark.conf.get("spark.sql.shuffle.partitions")
+        if int(current) > 4 * par:
+            restore_partitions = current
             spark.conf.set("spark.sql.shuffle.partitions", str(2 * par))
     except Exception:
         pass  # locked confs (e.g. Connect): proceed with the session's value
-    # NOTE: fusing outdeg into a wide EDGE table measured ~1.6× slower (it
-    # caches a wider row per edge for no join saved).  Fusing it into the
-    # RANK table is different and wins twice: the node set and the out-degree
-    # come from ONE shuffle (a 0/1-weighted union-aggregate instead of
-    # distinct + groupBy), and each superstep runs one edge join instead of
-    # two (rank and outdeg travel together, keyed identically).
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    deg = (
-        e.select(F.col("src").alias("node"), F.lit(1).alias("od"))
-        .unionAll(e.select(F.col("dst").alias("node"), F.lit(0).alias("od")))
-        .groupBy("node")
-        .agg(F.sum("od").alias("outdeg"))
-        .persist()
-    )
-    deg.count()  # one evaluation fills BOTH caches (deg reads through e)
-    ind = (
-        F.expr(f"CASE WHEN {seed_sql} THEN 1 ELSE 0 END")
-        if seed_sql is not None
-        else F.lit(1)
-    )
-    deg = deg.withColumn("ind", ind)
-    ranks = deg.withColumn("rank", (F.lit(RANK_SCALE) * F.col("ind")).cast("long"))
-    teleport = RANK_SCALE * (D_DEN - D_NUM) // D_DEN
-    for it in range(iters):
-        contribs = (
-            e.join(ranks, e.src == ranks.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr(f"(rank * {D_NUM}) div ({D_DEN} * outdeg)").alias("contrib"),
-            )
+    try:
+        # NOTE: fusing outdeg into a wide EDGE table measured ~1.6× slower (it
+        # caches a wider row per edge for no join saved).  Fusing it into the
+        # RANK table is different and wins twice: the node set and the out-degree
+        # come from ONE shuffle (a 0/1-weighted union-aggregate instead of
+        # distinct + groupBy), and each superstep runs one edge join instead of
+        # two (rank and outdeg travel together, keyed identically).
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+        deg = (
+            e.select(F.col("src").alias("node"), F.lit(1).alias("od"))
+            .unionAll(e.select(F.col("dst").alias("node"), F.lit(0).alias("od")))
             .groupBy("node")
-            .agg(F.sum("contrib").alias("inflow"))
+            .agg(F.sum("od").alias("outdeg"))
+            .persist()
         )
-        ranks = deg.join(contribs, on="node", how="left").select(
-            "node",
-            "outdeg",
-            (F.lit(teleport) * F.col("ind") + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
+        deg.count()  # one evaluation fills BOTH caches (deg reads through e)
+        ind = (
+            F.expr(f"CASE WHEN {seed_sql} THEN 1 ELSE 0 END")
+            if seed_sql is not None
+            else F.lit(1)
         )
-        # truncate lineage only every few supersteps: each localCheckpoint
-        # materializes the full rank table, which costs more than carrying
-        # a few rounds of shallow lineage (the plan doubles per round, so
-        # unbounded iteration still needs the cut)
-        if (it + 1) % 4 == 0 and it + 1 < iters:
-            ranks = ranks.localCheckpoint()
-    # materialize BEFORE dropping the caches: the returned frame must not
-    # re-derive the edge union after e/deg are unpersisted (the lazy-return
-    # variant silently recomputed everything at evaluation time)
-    out = ranks.select("node", "rank").localCheckpoint()
-    e.unpersist()
-    deg.unpersist()
-    return out
+        deg = deg.withColumn("ind", ind)
+        ranks = deg.withColumn("rank", (F.lit(RANK_SCALE) * F.col("ind")).cast("long"))
+        teleport = RANK_SCALE * (D_DEN - D_NUM) // D_DEN
+        for it in range(iters):
+            contribs = (
+                e.join(ranks, e.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(f"(rank * {D_NUM}) div ({D_DEN} * outdeg)").alias("contrib"),
+                )
+                .groupBy("node")
+                .agg(F.sum("contrib").alias("inflow"))
+            )
+            ranks = deg.join(contribs, on="node", how="left").select(
+                "node",
+                "outdeg",
+                (F.lit(teleport) * F.col("ind") + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
+            )
+            # truncate lineage only every few supersteps: each localCheckpoint
+            # materializes the full rank table, which costs more than carrying
+            # a few rounds of shallow lineage (the plan doubles per round, so
+            # unbounded iteration still needs the cut)
+            if (it + 1) % 4 == 0 and it + 1 < iters:
+                ranks = ranks.localCheckpoint()
+        # materialize BEFORE dropping the caches: the returned frame must not
+        # re-derive the edge union after e/deg are unpersisted (the lazy-return
+        # variant silently recomputed everything at evaluation time)
+        out = ranks.select("node", "rank").localCheckpoint()
+        e.unpersist()
+        deg.unpersist()
+        return out
+    finally:
+        # the result is localCheckpoint-materialized above, so restoring
+        # the caller's shuffle-partition conf cannot change this plan —
+        # only stop the override leaking into unrelated later queries
+        if restore_partitions is not None:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", restore_partitions)
+            except Exception:
+                pass
 
 
 def _entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

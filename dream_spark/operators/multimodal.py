@@ -301,8 +301,14 @@ def media_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force primitive (query side broadcast, corpus never shuffled)."""
     from dream_spark.operators.similarity import knn_topk
 
-    emb = pseudo_embed(media_catalog(spark, sf_dir))
-    q = emb.where(F.col("vec_id") % _MEDIA_QUERY_MOD == 0)
+    cat = media_catalog(spark, sf_dir)
+    emb = pseudo_embed(cat)
+    # filter the QUERY side on metadata (doc_id ≡ vec_id) BEFORE the
+    # extractor: filtering emb after pseudo_embed cannot push the predicate
+    # through the mapInPandas barrier, so the (expensive with a real
+    # encoder) extractor would run over the full catalog a second time just
+    # to keep ~1% of it
+    q = pseudo_embed(cat.where(F.col("doc_id") % _MEDIA_QUERY_MOD == 0))
     return knn_topk(emb, q, k=MEDIA_KNN_K)
 
 

@@ -90,6 +90,10 @@ def grouped_quantiles(
     type-1 (no interpolation) quantiles: the element at 1-based rank
     ⌈q·n⌉ of the ascending sort, a pure integer definition both engines
     compute identically (unlike interpolating percentile functions)."""
+    # NULL values are excluded on BOTH engines: Spark sorts NULLS FIRST
+    # ascending, DuckDB NULLS LAST — without the filter every group
+    # containing a NULL would disagree on all its quantiles
+    df = df.where(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
     ranked = df.select(
         group_col,
@@ -124,7 +128,7 @@ WITH ranked AS (
   SELECT source, n_chars AS v,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS r,
          COUNT(*) OVER (PARTITION BY source) AS n
-  FROM documents
+  FROM documents WHERE n_chars IS NOT NULL
 )
 SELECT source,
        CAST(MAX(n) AS BIGINT) AS n,
@@ -186,7 +190,7 @@ ranked AS (
   SELECT source, n_chars AS v,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS r,
          COUNT(*) OVER (PARTITION BY source) AS n
-  FROM samp
+  FROM samp WHERE n_chars IS NOT NULL
 )
 SELECT source,
        CAST(MAX(n) AS BIGINT) AS n,

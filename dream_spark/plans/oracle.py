@@ -312,10 +312,13 @@ def bgp_to_sql(
         def term_sql(t) -> str:
             return t.var if t.is_var else str(resolve(t.lexical))
 
+        # spec: template triples with an unbound (NULL) slot are omitted
         branches = " UNION ALL ".join(
+            f"SELECT s, p, o FROM ("
             f"SELECT CAST({term_sql(c.subj)} AS BIGINT) AS s,"
             f" CAST({term_sql(c.pred)} AS BIGINT) AS p,"
             f" CAST({term_sql(c.obj)} AS BIGINT) AS o FROM (\n{inner}\n) __b{i}"
+            f") WHERE s IS NOT NULL AND p IS NOT NULL AND o IS NOT NULL"
             for i, c in enumerate(query.construct_template)
         )
         return branches

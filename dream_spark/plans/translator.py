@@ -320,11 +320,16 @@ def translate(
         def term_col(t):
             return F.col(t.var) if t.is_var else F.lit(store.resolve(t.lexical))
 
+        # SPARQL spec: a template triple containing an UNBOUND variable
+        # (possible when the body has OPTIONAL groups) is omitted from the
+        # constructed graph, not emitted with NULLs
         parts = [
             inner.select(
                 term_col(c.subj).cast("long").alias("s"),
                 term_col(c.pred).cast("long").alias("p"),
                 term_col(c.obj).cast("long").alias("o"),
+            ).where(
+                F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
             )
             for c in query.construct_template
         ]

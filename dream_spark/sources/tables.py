@@ -87,8 +87,14 @@ def register_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None =
             continue
         key = (id(spark), name)
         if _REGISTERED.get(key) == sf_dir:
-            out[name] = spark.table(name)
-            continue
+            # trust-but-verify: the registry entry can be stale (caller
+            # dropped the view, or a new session object reused this id) —
+            # fall through to re-registration instead of failing later
+            try:
+                out[name] = spark.table(name)
+                continue
+            except Exception:
+                _REGISTERED.pop(key, None)
         df = _fix_timestamps(spark.read.parquet(path), name)
         df.createOrReplaceTempView(name)
         _REGISTERED[key] = sf_dir

@@ -44,7 +44,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Watermarks require event time to be TIMESTAMP (Spark rejects
     TIMESTAMP_NTZ: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the NTZ parquet
     column is cast here — deterministic because the engine session pins
-    spark.sql.session.timeZone=UTC (session.py)."""
+    spark.sql.session.timeZone=UTC (session.py).
+
+    Known limitation: the legacy NANOS-timestamp testdata generation (which
+    the BATCH reader repairs via nanosAsLong + timestamp_micros,
+    sources/tables.py) is not supported on the streaming path — the
+    explicit schema here assumes the current micros generation; a legacy
+    store would need the bigint column + repair projection instead."""
     # The file source requires a directory; the sf dir holds every table's
     # parquet, so glob-filter to the events file only.
     raw = (
