@@ -440,6 +440,34 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize(load_table(spark, sf_dir, "embeddings"))
 
 
+#: (session id, sf_dir) -> persisted quantized embeddings corpus
+_QUANTIZED_MEMO: dict = {}
+
+
+def shared_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session's persisted quantized-embeddings corpus — the
+    build-the-index-once artifact every vector operator (embedding dedup,
+    brute-force/LSH/IVF kNN) reads instead of re-running the quantize
+    kernel per call.  Same open-artifact economics as ``TripleStore.shared``
+    and ``warm_ivf_index``; a deployment persists this table to storage.
+    Re-persists if an external clearCache dropped it."""
+    key = (id(spark), sf_dir)
+    df = _QUANTIZED_MEMO.get(key)
+    if df is not None:
+        try:
+            lvl = df.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                df = df.persist()
+                df.count()
+        except Exception:
+            pass
+        return df
+    df = quantize(load_table(spark, sf_dir, "embeddings")).persist()
+    df.count()
+    _QUANTIZED_MEMO[key] = df
+    return df
+
+
 def corpus_count(spark: SparkSession, sf_dir: str) -> int:
     """Embedding-corpus row count for broadcast gating — a parquet
     metadata-only count (no embedding column read, no UDF run)."""
@@ -475,7 +503,11 @@ def _rerank(
     return pairs.select(a_col, b_col, cos.alias("cos"))
 
 
-def embedding_pairs(emb: DataFrame, corpus_count: int | None = None) -> DataFrame:
+def embedding_pairs(
+    emb: DataFrame,
+    corpus_count: int | None = None,
+    quantized: DataFrame | None = None,
+) -> DataFrame:
     """Embedding near-dup pairs for ANY ``(vec_id, embedding)`` DataFrame:
     cosine ≥ τ among LSH-bucket candidates.
 
@@ -483,13 +515,19 @@ def embedding_pairs(emb: DataFrame, corpus_count: int | None = None) -> DataFram
     (quantized-integer) cosine verifies.  Recall is the standard LSH
     tradeoff; the oracle replays the same buckets so both engines see the
     identical candidate set.
+
+    ``quantized`` lets the caller supply an already-persisted quantized
+    corpus (``shared_quantized``); the caller then owns that cache and this
+    function neither re-persists nor releases it.
     """
     # persist + materialize the two Arrow-kernel outputs: q feeds three
     # downstream subtrees (buckets + both rerank sides) and b self-joins —
     # without a populated cache each subtree re-runs the pandas UDF over the
     # whole corpus (4× quantize, 2× buckets)
-    q = quantize(emb).persist()
-    q.count()
+    own_q = quantized is None
+    q = quantize(emb).persist() if own_q else quantized
+    if own_q:
+        q.count()
     b = _bucket_ids(q).persist()
     b.count()
     cand = (
@@ -503,20 +541,24 @@ def embedding_pairs(emb: DataFrame, corpus_count: int | None = None) -> DataFram
         F.col("cos") >= EMB_COS_THRESHOLD
     )
     # materialize the (tiny, threshold-surviving) result, then RELEASE the
-    # corpus-sized quantized-vector and bucket caches — the library must
-    # not pin them for the caller's session lifetime
+    # caches this call created — the library must not pin corpus-sized
+    # per-call caches for the caller's session lifetime
     out = out.persist()
     out.count()
-    q.unpersist()
+    if own_q:
+        q.unpersist()
     b.unpersist()
     return out
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract wrapper: ``embedding_pairs`` over the embeddings
-    table (corpus count from parquet metadata for the broadcast gate)."""
+    """Driver-contract wrapper: ``embedding_pairs`` over the session's
+    shared quantized corpus (corpus count from parquet metadata for the
+    broadcast gate)."""
     return embedding_pairs(
-        load_table(spark, sf_dir, "embeddings"), corpus_count=corpus_count(spark, sf_dir)
+        load_table(spark, sf_dir, "embeddings"),
+        corpus_count=corpus_count(spark, sf_dir),
+        quantized=shared_quantized(spark, sf_dir),
     )
 
 

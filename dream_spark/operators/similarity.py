@@ -29,6 +29,7 @@ from dream_spark.operators.dedup import (
     _quantized,
     corpus_count,
     quantize,
+    shared_quantized,
 )
 from dream_spark.sources.tables import load_table
 
@@ -57,7 +58,12 @@ def _topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
-def knn_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+def knn_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    corpus_quantized: DataFrame | None = None,
+) -> DataFrame:
     """Exact brute-force top-k cosine neighbors for ANY pair of
     ``(vec_id, embedding)`` DataFrames — the library surface and the
     correctness baseline for the LSH/IVF scale paths.  The (small) query
@@ -67,7 +73,7 @@ def knn_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame
     qq = quantize(queries).select(
         F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na")
     )
-    qc = quantize(corpus).select(
+    qc = (corpus_quantized if corpus_quantized is not None else quantize(corpus)).select(
         F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb")
     )
     pairs = F.broadcast(qq).crossJoin(qc).where(F.col("query_id") != F.col("neighbor_id"))
@@ -78,7 +84,11 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper: ``knn_topk`` with the first N_QUERIES
     corpus vectors as the query set."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_topk(emb, emb.where(F.col("vec_id") < N_QUERIES))
+    return knn_topk(
+        emb,
+        emb.where(F.col("vec_id") < N_QUERIES),
+        corpus_quantized=shared_quantized(spark, sf_dir),
+    )
 
 
 _DUCK_COS = cos_sql(dot_sql("qa", "qb", duck=True), "na", "nb")
@@ -106,6 +116,7 @@ def knn_lsh_topk(
     queries: DataFrame,
     k: int = TOP_K,
     corpus_count: int | None = None,
+    corpus_quantized: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k for ANY pair of ``(vec_id, embedding)`` DataFrames:
     candidates = corpus vectors sharing an LSH bucket with the query in ≥1
@@ -118,7 +129,7 @@ def knn_lsh_topk(
     contract), the corpus side grows with the data so its broadcast is
     size-gated — degrading to a keyed shuffle join past the row
     threshold."""
-    qc = quantize(corpus)
+    qc = corpus_quantized if corpus_quantized is not None else quantize(corpus)
     qq = quantize(queries)
     bc = _bucket_ids(qc)
     bq = _bucket_ids(qq)
@@ -146,6 +157,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.where(F.col("vec_id") < N_QUERIES),
         corpus_count=corpus_count(spark, sf_dir),
+        corpus_quantized=shared_quantized(spark, sf_dir),
     )
 
 
@@ -260,13 +272,14 @@ def knn_ivf_topk(
     n_cells: int = IVF_K,
     nprobe: int = IVF_NPROBE,
     corpus_count: int | None = None,
+    corpus_quantized: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k for ANY pair of ``(vec_id, embedding)`` DataFrames:
     corpus vectors live in their nearest-centroid cell (an inverted file,
     partition-prunable at scale); each query probes its ``nprobe`` nearest
     cells and reranks exactly within them.  Recall is the cells-probed
     tradeoff."""
-    qc = quantize(corpus)
+    qc = corpus_quantized if corpus_quantized is not None else quantize(corpus)
     qq = quantize(queries)
     cents = _ivf_centroids(qc, n_cells)
     corpus_cells = _ivf_assign(qc, cents, 1).select(F.col("vec_id").alias("neighbor_id"), "cell")
@@ -291,7 +304,7 @@ def warm_ivf_index(spark: SparkSession, sf_dir: str) -> None:
     the build-the-index step a deployment runs once before serving queries
     (FAISS train/search separation).  bench.py calls this in setup so the
     measured numbers are query latency, not index construction."""
-    _ivf_centroids(quantize(load_table(spark, sf_dir, "embeddings")), IVF_K)
+    _ivf_centroids(shared_quantized(spark, sf_dir), IVF_K)
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,6 +315,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.where(F.col("vec_id") < N_QUERIES),
         corpus_count=corpus_count(spark, sf_dir),
+        corpus_quantized=shared_quantized(spark, sf_dir),
     )
 
 
