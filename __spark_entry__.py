@@ -186,6 +186,13 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "where { ?O placedBy ?C . ?C inNation ?N . ?O priority <1-URGENT> }",
         False,
     ),
+    # CONSTRUCT over an OPTIONAL body: template triples with an unbound
+    # variable are OMITTED per the SPARQL spec (not emitted with NULLs)
+    "sparql_construct_optional": (
+        "construct { ?O placedBy ?C } where { ?C type Customer ."
+        " optional { ?O placedBy ?C . ?O priority <1-URGENT> } }",
+        False,
+    ),
     # DESCRIBE superset: every triple touching a constant term
     "sparql_describe": ("describe <customer:1>", False),
     # FILTER ordering comparison on the order-preserving id scheme

@@ -650,3 +650,22 @@ def test_profile_reports_pattern_sizes(engine):
     for p in prof["patterns"]:
         assert p["rows"] > 0 and p["estimate"] > 0 and p["seconds"] >= 0
     assert prof["rows"] == engine.sparql(text).count()
+
+
+def test_construct_optional_omits_unbound_triples(engine):
+    """SPARQL spec: template triples with an unbound variable (OPTIONAL
+    body) are dropped from the constructed graph, not emitted with NULLs."""
+    got = engine.sparql(
+        "construct { ?O placedBy ?C } where { ?C type Customer ."
+        " optional { ?O placedBy ?C . ?O priority <1-URGENT> } }"
+    )
+    rows = got.collect()
+    assert rows and all(
+        r["s"] is not None and r["p"] is not None and r["o"] is not None for r in rows
+    )
+    # count matches the inner join form (customers without urgent orders
+    # contribute nothing)
+    inner = engine.sparql(
+        "select ?O ?C where { ?C type Customer . ?O placedBy ?C . ?O priority <1-URGENT> }"
+    )
+    assert len(rows) == inner.count()
