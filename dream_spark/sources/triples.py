@@ -406,6 +406,22 @@ class TripleStore:
         except Exception:
             pass  # storage level unavailable (e.g. Connect): stay lazy
 
+    # -- derived-graph extension --------------------------------------------
+    def with_triples(self, extra: DataFrame) -> "TripleStore":
+        """A new store whose triple set additionally contains ``extra``
+        (s,p,o BIGINT) rows — e.g. a CONSTRUCT result materialized back
+        into the graph.  The dictionary is unchanged: CONSTRUCT emits ids
+        that already resolve through it (template constants and body
+        bindings both come from this store).  Bag semantics: duplicates
+        with existing triples are kept, like the reference's loader."""
+        st = TripleStore(
+            self.spark,
+            self.triples.unionByName(extra.select("s", "p", "o")),
+            self.dictionary,
+            resolver=self._resolver,
+        )
+        return st
+
     # -- constant resolution ------------------------------------------------
     def resolve(self, lexical: str) -> int:
         """lexical -> id.  Static vocab and entity ids resolve driver-side

@@ -56,3 +56,26 @@ def test_jsonl_roundtrip(spark, docs, tmp_path_factory):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, docs.select("doc_id", "lang", "text").collect())
     )
+
+
+def test_time_partitioned_write_prunes_at_plan_time(spark, tmp_path):
+    """Day-partitioned events: a filter on the partition column must reach
+    the scan as a PartitionFilter (directory pruning), and the data reads
+    back whole."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.sources.sinks import write_time_partitioned
+    from dream_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_by_day")
+    write_time_partitioned(ev, path, ts_col="ts", granularity="day")
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    one_day = back.select("part_day").distinct().limit(1).collect()[0][0]
+    q = back.where(F.col("part_day") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part_day" in plan.split("PartitionFilters")[1][:120]
+    want = ev.where(F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd") == one_day).count()
+    assert q.count() == want

@@ -70,3 +70,21 @@ def test_write_parquet_partitioned_by_predicate(engine, tmp_path):
     # partition pruning: filter p=constant must read only one partition dir
     plan = store2.triples.where(F.col("p") == T.P_IN_NATION)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or store2.triples.where(F.col("p") == T.P_IN_NATION).count() > 0
+
+
+def test_with_triples_extends_the_graph(spark, engine):
+    """CONSTRUCT → with_triples: the derived graph is queryable through
+    the same store surface, dictionary unchanged."""
+    from dream_spark.plans.sparql import parse_sparql
+    from dream_spark.plans.translator import translate
+
+    derived = engine.sparql(
+        "construct { ?C placedBy ?C } where { ?C type Customer . ?C inNation <nation:1> }"
+    )
+    n_new = derived.count()
+    assert n_new > 0
+    st2 = engine.store.with_triples(derived)
+    assert st2.triples.count() == engine.store.triples.count() + n_new
+    # the new self-loop triples answer through the normal query path
+    q = parse_sparql("select ?X where { ?X placedBy ?X }")
+    assert translate(st2, q, None).count() == n_new
