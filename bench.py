@@ -60,6 +60,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_langid",
     "text_topterms",
+    "text_knn",
     "pipeline_split",
     "pipeline_sample",
     "pipeline_tfidf",

@@ -240,11 +240,139 @@ ORDER BY df DESC, tok LIMIT {TOP_TERMS_K}
 """.strip()
 
 
+# --------------------------------------------------------------------------
+# hashed bag-of-words featurization + raw-text similarity search
+# --------------------------------------------------------------------------
+#: hashing-trick vector width (the classic sparse-features trick: token →
+#: h(token_id) mod dims, counts summed per bucket — vocabulary-free, fixed
+#: width, mergeable)
+HBOW_DIMS = 32
+#: hash-function index reserved for the feature hash
+_HBOW_FN = 16
+#: document similarity search: query set + k
+TEXT_KNN_QUERIES = 10
+TEXT_KNN_K = 5
+
+
+def hashed_bow(docs: DataFrame, dims: int = HBOW_DIMS) -> DataFrame:
+    """(doc_id, qe, nrm) — hashing-trick bag-of-words vectors for ANY
+    ``(doc_id, text)`` DataFrame: dimension i holds the count of tokens
+    whose hashed id lands in bucket i.  Exact integer counts (no float
+    tf-idf), so dot products and norms are int64-exact cross-engine.
+    Documents with zero tokens yield no row (both engines agree).
+
+    Scale shape: one partially-aggregated shuffle of (doc, bucket) counts,
+    then a map-side array assembly — never a vocabulary-sized window."""
+    tid = token_id_sql("tok")
+    counts = (
+        tokens(docs)
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(((CAST({_hbow_a()} AS BIGINT) * ({tid}) + {_hbow_b()}) % {MERSENNE_P}) % {dims} AS INT)"
+            ).alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("dim", "cnt"))).alias("m")
+    )
+    vec = m.select(
+        "doc_id",
+        F.expr(f"transform(sequence(0, {dims - 1}), i -> coalesce(element_at(m, i), 0L))").alias("qe"),
+    )
+    from dream_spark.functions.vectors import dot_udf
+
+    return vec.select("doc_id", "qe", dot_udf()("qe", "qe").alias("nrm"))
+
+
+def _hbow_a() -> int:
+    from dream_spark.functions.hashing import hash_params
+
+    return hash_params(_HBOW_FN)[0]
+
+
+def _hbow_b() -> int:
+    from dream_spark.functions.hashing import hash_params
+
+    return hash_params(_HBOW_FN)[1]
+
+
+def text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over RAW TEXT end-to-end: hashed-BoW vectors →
+    exact cosine top-k (query docs = doc_id < TEXT_KNN_QUERIES).  The
+    text→vector→ANN chain a retrieval pipeline runs, with every stage
+    oracle-replayable."""
+    from pyspark.sql import Window
+
+    from dream_spark.functions.vectors import cos_sql, dot_udf
+
+    bow = hashed_bow(load_table(spark, sf_dir, "documents"))
+    qa = bow.where(F.col("doc_id") < TEXT_KNN_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na")
+    )
+    qb = bow.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb")
+    )
+    pairs = F.broadcast(qa).crossJoin(qb).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("dot", dot_udf()("qa", "qb")).select(
+        "query_id", "neighbor_id", F.expr(cos_sql("dot", "na", "nb")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TEXT_KNN_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _text_knn_sql() -> str:
+    from dream_spark.functions.hashing import hash_sql
+    from dream_spark.functions.vectors import cos_sql, dot_sql
+
+    tid = token_id_sql("tok")
+    dot = dot_sql("qa.qe", "qb.qe", dim=HBOW_DIMS, duck=True)
+    return f"""
+WITH toks AS ({duck_tokens_cte()}),
+counts AS (
+  SELECT doc_id, CAST({hash_sql(tid, _HBOW_FN)} % {HBOW_DIMS} AS INT) AS dim,
+         COUNT(*) AS cnt
+  FROM toks GROUP BY doc_id, dim
+),
+grid AS (
+  SELECT d.doc_id, r.r AS dim
+  FROM (SELECT DISTINCT doc_id FROM counts) d
+  CROSS JOIN (SELECT unnest(range(0, {HBOW_DIMS})) AS r) r
+),
+vec AS (
+  SELECT g.doc_id, list(CAST(COALESCE(c.cnt, 0) AS BIGINT) ORDER BY g.dim) AS qe
+  FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.dim = g.dim
+  GROUP BY g.doc_id
+),
+qn AS (SELECT doc_id AS vec_id, qe, {dot_sql("qe", "qe", dim=HBOW_DIMS, duck=True)} AS nrm FROM vec),
+pairs AS (
+  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+         {cos_sql(dot, "qa.nrm", "qb.nrm")} AS cos
+  FROM qn qa JOIN qn qb ON qa.vec_id < {TEXT_KNN_QUERIES} AND qa.vec_id <> qb.vec_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {TEXT_KNN_K}
+""".strip()
+
+
+TEXT_KNN_SQL = _text_knn_sql()
+
+
 QUERIES = {
     "text_features": text_features,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_topterms": text_topterms,
+    "text_knn": text_knn,
 }
 
 ORACLES = {
@@ -252,4 +380,5 @@ ORACLES = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_topterms": TEXT_TOPTERMS_SQL,
+    "text_knn": TEXT_KNN_SQL,
 }

