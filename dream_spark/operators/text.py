@@ -241,6 +241,57 @@ ORDER BY df DESC, tok LIMIT {TOP_TERMS_K}
 
 
 # --------------------------------------------------------------------------
+# PII redaction (training-corpus scrubbing)
+# --------------------------------------------------------------------------
+#: (placeholder, pattern) scrub rules.  Patterns use the regex subset that
+#: Java (Spark) and RE2 (DuckDB) evaluate identically: character classes,
+#: +, {m,n} — no backrefs or lookarounds.
+REDACT_RULES = [
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<URL>", r"https?://[^\s]+"),
+    ("<PHONE>", r"\+?[0-9][0-9()\- ]{7,}[0-9]"),
+]
+
+
+def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII-shaped spans from ANY ``(doc_id, text)`` DataFrame —
+    the compliance pass a training pipeline runs before tokenization:
+    emails, URLs, and phone-number-shaped digit runs are replaced with
+    typed placeholders.  Map-only (regexp_replace chain, whole-stage
+    codegen), no shuffle; ``n_redactions`` counts replaced spans so the
+    scrub rate is monitorable per corpus slice."""
+    # Column-API regex calls throughout: embedding the patterns in an SQL
+    # string literal would eat the backslashes a second time
+    clean = F.col(text_col)
+    n_red = F.lit(0).cast("bigint")
+    for placeholder, pat in REDACT_RULES:
+        n_red = n_red + F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("bigint")
+        clean = F.regexp_replace(clean, pat, placeholder)
+    return docs.select("doc_id", clean.alias("text_clean"), n_red.alias("n_redactions"))
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``redact`` over the documents table."""
+    return redact(load_table(spark, sf_dir, "documents"))
+
+
+def _redact_sql() -> str:
+    clean = "text"
+    counts = []
+    for placeholder, pat in REDACT_RULES:
+        counts.append(f"len(regexp_extract_all(text, '{pat}'))")
+        clean = f"regexp_replace({clean}, '{pat}', '{placeholder}', 'g')"
+    return f"""
+SELECT doc_id, {clean} AS text_clean,
+       CAST({" + ".join(counts)} AS BIGINT) AS n_redactions
+FROM documents
+""".strip()
+
+
+TEXT_REDACT_SQL = _redact_sql()
+
+
+# --------------------------------------------------------------------------
 # hashed bag-of-words featurization + raw-text similarity search
 # --------------------------------------------------------------------------
 #: hashing-trick vector width (the classic sparse-features trick: token →
@@ -373,6 +424,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_topterms": text_topterms,
     "text_knn": text_knn,
+    "text_redact": text_redact,
 }
 
 ORACLES = {
@@ -381,4 +433,5 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_topterms": TEXT_TOPTERMS_SQL,
     "text_knn": TEXT_KNN_SQL,
+    "text_redact": TEXT_REDACT_SQL,
 }

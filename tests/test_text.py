@@ -53,3 +53,24 @@ def test_text_knn_self_similarity_and_shape(spark):
         per_q.setdefault(r["query_id"], []).append(r)
         assert -1.0000001 <= r["cos"] <= 1.0000001
     assert all(len(v) == TEXT_KNN_K for v in per_q.values())
+
+
+def test_redact_scrubs_injected_pii(spark):
+    """Injected emails/URLs/phone numbers disappear; clean rows untouched."""
+    from dream_spark.operators.text import redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or visit https://example.com/x?q=1 now"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact(df).collect()}
+    assert rows[1]["text_clean"] == "contact <EMAIL> or visit <URL> now"
+    assert rows[1]["n_redactions"] == 2
+    assert rows[2]["text_clean"] == "call <PHONE> today"
+    assert rows[2]["n_redactions"] == 1
+    assert rows[3]["text_clean"] == "nothing sensitive here"
+    assert rows[3]["n_redactions"] == 0
