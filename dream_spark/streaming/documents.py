@@ -49,6 +49,57 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_stream_incremental(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    kept_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming NEAR-duplicate dedup: every micro-batch runs the batch
+    incremental LSH dedup (operators/dedup.py::incremental_minhash_dedup)
+    against the signature index persisted so far, appends the surviving
+    documents to ``kept_path`` and their band rows to ``index_path``.
+
+    This is the production shape for dedup on a growing corpus: the
+    exact-dedup stream layer (``curate_stream``) catches byte-identical
+    repeats within the watermark horizon; THIS layer catches near-dups
+    against ALL history, because its state is the persisted index, not
+    bounded streaming state — per-batch work is one (band, bh) equi-join
+    probe against the index plus within-batch banding.  First-seen wins
+    across batches (order-dependent by design, like any incremental
+    dedup); the corpus-wide re-dedup remains the batch compaction layer.
+    Exactly-once at the file-source level via the checkpoint; the parquet
+    appends are at-least-once on executor retry (the standard foreachBatch
+    caveat — a MERGE-capable sink closes it in production)."""
+    import os
+
+    from dream_spark.operators.dedup import incremental_minhash_dedup
+
+    def _sink(batch_docs: DataFrame, batch_id: int) -> None:
+        idx = None
+        if os.path.exists(index_path):
+            idx = spark.read.parquet(index_path)
+        kept_ids, kept_bands = incremental_minhash_dedup(
+            batch_docs.select("doc_id", "text"), idx
+        )
+        kept_bands.write.mode("append").parquet(index_path)
+        batch_docs.join(kept_ids, on="doc_id").write.mode("append").parquet(kept_path)
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .load(src_dir)
+    )
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def curate_stream(
     docs: DataFrame,
     min_tokens: int = CURATE_MIN_TOKENS,

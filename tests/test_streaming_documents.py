@@ -54,3 +54,45 @@ def test_curate_stream_state_is_bounded(spark):
     state), not a plain dropDuplicates over all history."""
     plan = curate_stream(read_documents_stream(spark, SF_DIR))._jdf.queryExecution().logical().toString()
     assert "DeduplicateWithinWatermark" in plan
+
+
+def test_incremental_dedup_stream_matches_sequential_batches(spark, tmp_path):
+    """Draining the stream batch-by-batch must equal calling the batch
+    incremental dedup sequentially with the same arrival order."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.dedup import incremental_minhash_dedup
+    from dream_spark.sources.tables import load_table
+    from dream_spark.streaming.documents import dedup_stream_incremental
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    paths = dict(
+        index=str(tmp_path / "index"),
+        kept=str(tmp_path / "kept"),
+        ckpt=str(tmp_path / "ckpt"),
+    )
+
+    def drain():
+        q = dedup_stream_incremental(spark, src, paths["index"], paths["kept"], paths["ckpt"])
+        q.awaitTermination()
+
+    b1.write.mode("append").parquet(src)
+    drain()
+    kept_after_1 = {r["doc_id"] for r in spark.read.parquet(paths["kept"]).collect()}
+    b2.write.mode("append").parquet(src)
+    drain()
+    kept_after_2 = {r["doc_id"] for r in spark.read.parquet(paths["kept"]).collect()}
+
+    ref1_ids, ref1_bands = incremental_minhash_dedup(b1.select("doc_id", "text"), None)
+    want1 = {r["doc_id"] for r in ref1_ids.collect()}
+    assert kept_after_1 == want1
+    ref2_ids, _ = incremental_minhash_dedup(b2.select("doc_id", "text"), ref1_bands)
+    want2 = want1 | {r["doc_id"] for r in ref2_ids.collect()}
+    assert kept_after_2 == want2
+    # the index holds band rows for exactly the kept documents
+    idx_docs = {r["doc_id"] for r in spark.read.parquet(paths["index"]).collect()}
+    assert idx_docs == kept_after_2
