@@ -132,7 +132,9 @@ class Engine:
 
         q = parse_sparql(sparql_text)
         patterns = []
-        for cond in list(q.conditions) + [c for grp in q.optionals for c in grp]:
+        groups = list(q.union_branches) if q.union_branches else [q.conditions]
+        all_conds = [c for grp in groups for c in grp]
+        for cond in all_conds + [c for grp in q.optionals for c in grp]:
             t0 = time.perf_counter()
             n = _condition_frame(self.store, cond).count()
             patterns.append(

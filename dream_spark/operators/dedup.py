@@ -456,12 +456,16 @@ def shared_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is not None:
         try:
             lvl = df.storageLevel
-            if not (lvl.useMemory or lvl.useDisk):
-                df = df.persist()
-                df.count()
+            if lvl.useMemory or lvl.useDisk:
+                return df
+            df = df.persist()
+            df.count()
+            return df
         except Exception:
-            pass
-        return df
+            # stale handle (dead session) or un-probe-able storage level:
+            # fall through and REBUILD — returning the broken frame would
+            # either crash at first use or quietly lose the memo's point
+            _QUANTIZED_MEMO.pop(key, None)
     df = quantize(load_table(spark, sf_dir, "embeddings")).persist()
     df.count()
     _QUANTIZED_MEMO[key] = df

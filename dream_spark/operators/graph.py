@@ -177,15 +177,18 @@ def _pagerank_sql(seed_sql: str | None = None) -> str:
     for i in range(1, PAGERANK_ITERS + 1):
         parts.append(
             f"""c{i} AS (
-  SELECT e.dst AS node, SUM((r.rank * {D_NUM}) // ({D_DEN} * d.outdeg)) AS inflow
+  SELECT e.dst AS cnode, SUM((r.rank * {D_NUM}) // ({D_DEN} * d.outdeg)) AS inflow
   FROM e JOIN r{i - 1} r ON r.node = e.src JOIN outdeg d ON d.src = e.src
   GROUP BY e.dst
 )"""
         )
+        # c{i} exposes `cnode`, so `node` below unambiguously means n.node —
+        # the seed predicate text is embedded VERBATIM (no string rewriting,
+        # which would corrupt predicates containing 'node' as a substring)
         parts.append(
             f"""r{i} AS (
-  SELECT n.node, CAST({teleport} * {ind.replace("node", "n.node")} + COALESCE(c.inflow, 0) AS BIGINT) AS rank
-  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+  SELECT n.node, CAST({teleport} * {ind} + COALESCE(c.inflow, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.cnode = n.node
 )"""
         )
     body = ",\n".join(parts)

@@ -207,16 +207,22 @@ def kmv_distinct_by(
     """Per-group KMV distinct-count estimates — the grouped form of
     :func:`kmv_distinct`: (group, k, n_kept, kth_min, est_distinct).
 
-    Same mergeable bottom-k state per group (map-side distinct bounds the
-    shuffle at ≤ k hashes per partition per group); the per-group top-k
-    runs as one windowed rank over hash values, never over raw values."""
+    Two-phase bottom-k so NO single partition ever sorts a whole group's
+    distinct-hash set: phase 1 ranks within (group, hv mod S) sub-splits —
+    S-way parallel, each sub-split keeps ≤ k rows — and phase 2 ranks the
+    ≤ S·k survivors per group exactly.  Sound because the global bottom-k
+    is contained in the union of per-sub-split bottom-ks (same argument as
+    the KMV merge property)."""
+    S = 32  # sub-splits per group for the parallel pre-rank
     hv = (
         df.where(F.col(col).isNotNull())
         .select(group_col, F.expr(hash_sql(col, _KMV_FN)).alias("hv"))
         .distinct()
     )
+    w1 = Window.partitionBy(group_col, F.expr(f"hv % {S}")).orderBy(F.col("hv").asc())
+    pre = hv.withColumn("rn1", F.row_number().over(w1)).where(F.col("rn1") <= k)
     w = Window.partitionBy(group_col).orderBy(F.col("hv").asc())
-    kept = hv.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    kept = pre.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
     agg = kept.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth_min")
     )
@@ -293,6 +299,15 @@ def cms_table(df: DataFrame, col: str, depth: int = CMS_DEPTH, width: int = CMS_
     return u.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _trunc_mod(a: int, b: int) -> int:
+    """Truncated (C/SQL-style) modulo — Spark and DuckDB ``%`` both truncate
+    toward zero, so a NEGATIVE input value yields a negative bucket on the
+    table side; the estimator must probe the same bucket, not Python's
+    floored (always non-negative) one."""
+    r = abs(a) % abs(b)
+    return r if a >= 0 else -r
+
+
 def cms_estimate(sketch_rows: list, col_value: int, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> int:
     """Point-frequency estimate from a collected sketch (driver-side):
     min over rows of the value's bucket counter."""
@@ -300,7 +315,7 @@ def cms_estimate(sketch_rows: list, col_value: int, depth: int = CMS_DEPTH, widt
     est = None
     for i in range(depth):
         a, b = hash_params(_CMS_FN0 + i)
-        bucket = ((a * col_value + b) % MERSENNE_P) % width
+        bucket = _trunc_mod(_trunc_mod(a * col_value + b, MERSENNE_P), width)
         c = counters.get((i, bucket), 0)
         est = c if est is None else min(est, c)
     return int(est or 0)

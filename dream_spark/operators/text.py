@@ -245,10 +245,12 @@ ORDER BY df DESC, tok LIMIT {TOP_TERMS_K}
 # --------------------------------------------------------------------------
 #: (placeholder, pattern) scrub rules.  Patterns use the regex subset that
 #: Java (Spark) and RE2 (DuckDB) evaluate identically: character classes,
-#: +, {m,n} — no backrefs or lookarounds.
+#: +, {m,n} — no backrefs or lookarounds.  ORDER matters: outermost spans
+#: first (a URL can contain an email in its userinfo; scrubbing the URL
+#: first makes the nested email part of ONE redacted span, not two).
 REDACT_RULES = [
-    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("<URL>", r"https?://[^\s]+"),
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("<PHONE>", r"\+?[0-9][0-9()\- ]{7,}[0-9]"),
 ]
 
@@ -261,11 +263,15 @@ def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     codegen), no shuffle; ``n_redactions`` counts replaced spans so the
     scrub rate is monitorable per corpus slice."""
     # Column-API regex calls throughout: embedding the patterns in an SQL
-    # string literal would eat the backslashes a second time
+    # string literal would eat the backslashes a second time.  Each rule
+    # COUNTS against the text as cleaned by the PRECEDING rules (the same
+    # string it replaces on), so n_redactions equals the number of
+    # placeholders emitted — counting every rule against the original text
+    # double-counts nested spans (an email inside a URL).
     clean = F.col(text_col)
     n_red = F.lit(0).cast("bigint")
     for placeholder, pat in REDACT_RULES:
-        n_red = n_red + F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("bigint")
+        n_red = n_red + F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0))).cast("bigint")
         clean = F.regexp_replace(clean, pat, placeholder)
     return docs.select("doc_id", clean.alias("text_clean"), n_red.alias("n_redactions"))
 
@@ -279,7 +285,9 @@ def _redact_sql() -> str:
     clean = "text"
     counts = []
     for placeholder, pat in REDACT_RULES:
-        counts.append(f"len(regexp_extract_all(text, '{pat}'))")
+        # count against the text cleaned by preceding rules, like the
+        # Spark side — placeholder-count semantics, no double counting
+        counts.append(f"len(regexp_extract_all({clean}, '{pat}'))")
         clean = f"regexp_replace({clean}, '{pat}', '{placeholder}', 'g')"
     return f"""
 SELECT doc_id, {clean} AS text_clean,
@@ -314,15 +322,14 @@ def hashed_bow(docs: DataFrame, dims: int = HBOW_DIMS) -> DataFrame:
 
     Scale shape: one partially-aggregated shuffle of (doc, bucket) counts,
     then a map-side array assembly — never a vocabulary-sized window."""
+    from dream_spark.functions.hashing import hash_sql
+
     tid = token_id_sql("tok")
+    # ONE rendering of the load-bearing hash for both engines: hash_sql is
+    # exactly what the DuckDB oracle embeds, so the two sides cannot drift
     counts = (
         tokens(docs)
-        .select(
-            "doc_id",
-            F.expr(
-                f"CAST(((CAST({_hbow_a()} AS BIGINT) * ({tid}) + {_hbow_b()}) % {MERSENNE_P}) % {dims} AS INT)"
-            ).alias("dim"),
-        )
+        .select("doc_id", F.expr(f"CAST({hash_sql(tid, _HBOW_FN)} % {dims} AS INT)").alias("dim"))
         .groupBy("doc_id", "dim")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -336,18 +343,6 @@ def hashed_bow(docs: DataFrame, dims: int = HBOW_DIMS) -> DataFrame:
     from dream_spark.functions.vectors import dot_udf
 
     return vec.select("doc_id", "qe", dot_udf()("qe", "qe").alias("nrm"))
-
-
-def _hbow_a() -> int:
-    from dream_spark.functions.hashing import hash_params
-
-    return hash_params(_HBOW_FN)[0]
-
-
-def _hbow_b() -> int:
-    from dream_spark.functions.hashing import hash_params
-
-    return hash_params(_HBOW_FN)[1]
 
 
 def text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

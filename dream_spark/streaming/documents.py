@@ -71,8 +71,13 @@ def dedup_stream_incremental(
     across batches (order-dependent by design, like any incremental
     dedup); the corpus-wide re-dedup remains the batch compaction layer.
     Exactly-once at the file-source level via the checkpoint; the parquet
-    appends are at-least-once on executor retry (the standard foreachBatch
-    caveat — a MERGE-capable sink closes it in production)."""
+    appends are at-least-once on retry (the standard foreachBatch caveat —
+    a MERGE-capable sink closes it in production).  Write ORDER matters
+    for that retry: documents land in ``kept_path`` BEFORE their band rows
+    land in the index — were the index written first and the batch
+    retried, the batch would collide with its own band rows and silently
+    drop every document; with this order a replay re-appends duplicates
+    (the documented at-least-once behavior), never loses data."""
     import os
 
     from dream_spark.operators.dedup import incremental_minhash_dedup
@@ -84,8 +89,8 @@ def dedup_stream_incremental(
         kept_ids, kept_bands = incremental_minhash_dedup(
             batch_docs.select("doc_id", "text"), idx
         )
-        kept_bands.write.mode("append").parquet(index_path)
         batch_docs.join(kept_ids, on="doc_id").write.mode("append").parquet(kept_path)
+        kept_bands.write.mode("append").parquet(index_path)
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)

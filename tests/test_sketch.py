@@ -148,3 +148,12 @@ def test_kmv_by_group_exact_below_k(spark):
         else:
             n = exact[r["event_type"]]
             assert abs(r["est_distinct"] - n) / n < 5 / (S.KMV_K ** 0.5)
+
+
+def test_cms_estimate_handles_negative_values(spark):
+    """Spark/DuckDB % truncates toward zero (negative buckets for negative
+    values); the estimator must probe the same bucket — never underestimate."""
+    df = spark.createDataFrame([(v,) for v in (-5, -5, -5, 7)], "v long")
+    sketch = S.cms_table(df, "v").collect()
+    assert S.cms_estimate(sketch, -5) >= 3
+    assert S.cms_estimate(sketch, 7) >= 1

@@ -74,3 +74,16 @@ def test_redact_scrubs_injected_pii(spark):
     assert rows[2]["n_redactions"] == 1
     assert rows[3]["text_clean"] == "nothing sensitive here"
     assert rows[3]["n_redactions"] == 0
+
+
+def test_redact_nested_spans_count_once(spark):
+    """An email inside a URL is ONE redacted span: counts run against the
+    progressively-cleaned text, so nested matches are not double-counted."""
+    from dream_spark.operators.text import redact
+
+    df = spark.createDataFrame(
+        [(1, "see https://a@b.co/path now")], "doc_id long, text string"
+    )
+    r = redact(df).collect()[0]
+    assert r["n_redactions"] == 1
+    assert "<URL>" in r["text_clean"] and "<EMAIL>" not in r["text_clean"]
