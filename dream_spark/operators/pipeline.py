@@ -355,6 +355,61 @@ FROM c
 """.strip()
 
 
+#: mixture weights: source -> keep-rate in parts-per-million (exact integer
+#: thresholds so both engines draw the identical sample).  Sources not
+#: listed keep MIXTURE_DEFAULT_PPM.
+MIXTURE_RATES_PPM = {"src0": 1_000_000, "src1": 500_000, "src2": 250_000, "src3": 0}
+MIXTURE_DEFAULT_PPM = 750_000
+#: hash-function index reserved for mixture sampling
+_MIX_FN = 5
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates_ppm: dict[str, int] = MIXTURE_RATES_PPM,
+    default_ppm: int = MIXTURE_DEFAULT_PPM,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset-mixture sampling — the per-source keep-rates a training run
+    applies when blending corpora (upweight curated sources, cap crawl):
+    keep a document iff ``h(id) mod 10^6 < rate_ppm(source)``.
+
+    Map-only: the hash IS the sampling decision, so no per-source counts,
+    no shuffle, no state — and the same id is kept or dropped identically
+    on every engine, run, and cluster size (resampling a grown corpus
+    keeps the previous sample's decisions, the reproducibility property
+    mixture schedules need).  Rates are integer parts-per-million so the
+    threshold comparison is exact on both engines."""
+    if not all(0 <= r <= 1_000_000 for r in list(rates_ppm.values()) + [default_ppm]):
+        raise ValueError("rates must be in [0, 1_000_000] ppm")
+    u = F.expr(f"({hash_sql(id_col, _MIX_FN)} % 1000000)")
+    whens = None
+    for src, r in sorted(rates_ppm.items()):
+        cond = F.col(source_col) == src
+        whens = F.when(cond, r) if whens is None else whens.when(cond, r)
+    rate = whens.otherwise(default_ppm) if whens is not None else F.lit(default_ppm)
+    return docs.withColumn("__u", u).where(F.col("__u") < rate).drop("__u")
+
+
+def pipeline_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: mixture-sampled documents (ids + source)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(docs)
+
+
+def _mixture_sql() -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {r}" for s, r in sorted(MIXTURE_RATES_PPM.items()))
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ({hash_sql("doc_id", _MIX_FN)} % 1000000)
+      < (CASE source {whens} ELSE {MIXTURE_DEFAULT_PPM} END)
+""".strip()
+
+
+PIPELINE_MIXTURE_SQL = _mixture_sql()
+
+
 #: curation quality gate: keep documents with ≥ this many whitespace tokens
 CURATE_MIN_TOKENS = 30
 
@@ -421,6 +476,7 @@ QUERIES = {
     "pipeline_curate": pipeline_curate,
     "pipeline_chunks": pipeline_chunks,
     "pipeline_shards": pipeline_shards,
+    "pipeline_mixture": pipeline_mixture,
 }
 
 ORACLES = {
@@ -431,4 +487,5 @@ ORACLES = {
     "pipeline_curate": PIPELINE_CURATE_SQL,
     "pipeline_chunks": PIPELINE_CHUNKS_SQL,
     "pipeline_shards": PIPELINE_SHARDS_SQL,
+    "pipeline_mixture": PIPELINE_MIXTURE_SQL,
 }

@@ -119,3 +119,28 @@ def test_curate_invariants(spark):
     assert not (kept & dropped)
     # canonical member of every cluster survives unless quality-gated
     assert len(kept) == len(set(kept))
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Per-source keep decisions: rate-0 sources vanish, rate-1M sources
+    survive whole, everything is a subset of the corpus, and two runs
+    agree row-for-row."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    out = P.pipeline_mixture(spark, SF_DIR)
+    rows = out.collect()
+    kept = {r["doc_id"] for r in rows}
+    per_src_all = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    per_src_kept: dict[str, int] = {}
+    for r in rows:
+        per_src_kept[r["source"]] = per_src_kept.get(r["source"], 0) + 1
+    assert per_src_kept.get("src3", 0) == 0  # rate 0 → dropped entirely
+    assert per_src_kept.get("src0", 0) == per_src_all["src0"]  # rate 1.0 → all kept
+    # half-rate source keeps roughly half (generous band for small strata)
+    if "src1" in per_src_all:
+        frac = per_src_kept.get("src1", 0) / per_src_all["src1"]
+        assert 0.2 <= frac <= 0.8
+    again = {r["doc_id"] for r in P.pipeline_mixture(spark, SF_DIR).collect()}
+    assert again == kept
