@@ -201,6 +201,48 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " filter (?C < <customer:100>) }",
         False,
     ),
+    # FILTER EXISTS superset: correlated semi-join — customers with at
+    # least one finished order; group variables never bind out
+    "sparql_exists": (
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter exists { ?O placedBy ?C . ?O status <F> } }",
+        False,
+    ),
+    # FILTER NOT EXISTS: correlated anti-join — customers with no URGENT
+    # order (differs from MINUS exactly when domains are disjoint; here
+    # they share ?C, same lowering, spec-identical result)
+    "sparql_not_exists": (
+        "select ?C where { ?C type Customer ."
+        " filter not exists { ?O placedBy ?C . ?O priority <1-URGENT> } }",
+        False,
+    ),
+    # property-path alternation (SPARQL 1.1 PathAlternative): one scan with
+    # an IN predicate filter — geography edges of either kind
+    "sparql_alt_pred": (
+        "select ?X ?Y where { ?X inNation|inRegion ?Y }",
+        False,
+    ),
+    # inverse path (SPARQL 1.1 InversePath): ?C ^placedBy ?O ≡ ?O placedBy
+    # ?C — same scan, swapped slot bindings, no extra join
+    "sparql_inverse": (
+        "select ?C ?O where { ?C type Customer . ?C ^placedBy ?O ."
+        " ?O priority <1-URGENT> }",
+        False,
+    ),
+    # GROUP_CONCAT aggregate: decoded lexicals, sorted ascending, ','-joined
+    # (the engine's determinism contract — SPARQL leaves the order open)
+    "sparql_group_concat": (
+        "select ?R (group_concat(?NM) as ?names) where { ?N inRegion ?R ."
+        " ?N name ?NM } group by ?R",
+        False,
+    ),
+    # SAMPLE aggregate: deterministically MIN over the ids (SPARQL leaves
+    # the choice open; a distributed engine must pin it)
+    "sparql_sample": (
+        "select ?N (sample(?C) as ?anyc) (count(?C) as ?cnt)"
+        " where { ?C type Customer . ?C inNation ?N } group by ?N",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

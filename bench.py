@@ -82,6 +82,12 @@ HEADLINE = [
     "sparql_minmax",
     "sparql_values_rows",
     "sparql_paged",
+    "sparql_exists",
+    "sparql_not_exists",
+    "sparql_alt_pred",
+    "sparql_inverse",
+    "sparql_group_concat",
+    "sparql_sample",
     "dedup_exact_docs",
     "dedup_minhash",
     "dedup_jaccard",

@@ -35,6 +35,10 @@ def _render_block(conditions, resolve, alias_start: int) -> tuple[list[str], lis
         if cond.pred.is_transitive:
             aliases.append(f"closure_{resolve(cond.pred.lexical)} {t}")
             slot_terms = (("s", cond.subj), ("o", cond.obj))
+        elif cond.pred.is_inverse:
+            # ?x ^p ?y ≡ ?y p ?x: swap the slot bindings, keep one scan
+            aliases.append(f"triples {t}")
+            slot_terms = (("s", cond.obj), ("p", cond.pred), ("o", cond.subj))
         else:
             aliases.append(f"triples {t}")
             slot_terms = (("s", cond.subj), ("p", cond.pred), ("o", cond.obj))
@@ -45,6 +49,9 @@ def _render_block(conditions, resolve, alias_start: int) -> tuple[list[str], lis
                     where.append(f"{ref} = {first_slot[term.var]}")
                 else:
                     first_slot[term.var] = ref
+            elif slot == "p" and term.is_alternation:
+                ids = ", ".join(str(resolve(x)) for x in term.alternatives)
+                where.append(f"{ref} IN ({ids})")
             else:
                 where.append(f"{ref} = {resolve(term.lexical)}")
     return aliases, where, first_slot
@@ -53,7 +60,8 @@ def _render_block(conditions, resolve, alias_start: int) -> tuple[list[str], lis
 def _transitive_pids(query: ParsedQuery, resolve) -> list[int]:
     pids: set[int] = set()
     groups = list(query.union_branches or [query.conditions])
-    for grp in groups + list(query.optionals) + list(query.minuses):
+    exists = [grp for _, grp in query.exists_groups]
+    for grp in groups + list(query.optionals) + list(query.minuses) + exists:
         for c in grp:
             if c.pred.is_transitive:
                 pids.add(resolve(c.pred.lexical))
@@ -116,6 +124,14 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         filt_where.append(
             f"NOT EXISTS (SELECT 1 FROM {', '.join(g_aliases)} WHERE {g_where_sql})"
         )
+    for positive, grp in query.exists_groups:
+        g_aliases, g_where, g_slot = _render_block(grp, resolve, astart)
+        astart += len(grp)
+        shared = [v for v in g_slot if v in src]
+        corr = " AND ".join(f"{g_slot[v]} = {src[v]}.{v}" for v in shared)
+        g_where_sql = " AND ".join(g_where + [corr]) if g_where else corr
+        kw = "EXISTS" if positive else "NOT EXISTS"
+        filt_where.append(f"{kw} (SELECT 1 FROM {', '.join(g_aliases)} WHERE {g_where_sql})")
     for i, f in enumerate(query.filters):
         lhs = f"{src[f.var]}.{f.var}"
         if f.kind == "cmp":
@@ -232,18 +248,36 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
     )
     inner = bgp_to_sql(inner_q, decode=False, resolver=resolver)
 
+    # group_concat aggregates lexicals, not ids: LEFT JOIN the dict once per
+    # concatenated variable (1:1 — the dict is a bijection, no row fan-out)
+    gc_vars = sorted({a.var for a in query.aggregates if a.fn == "group_concat"})
+    gc_join = "\n".join(
+        f"LEFT JOIN (\n{DICT_SQL}\n) gcd{j} ON gcd{j}.id = q.{v}"
+        for j, v in enumerate(gc_vars, start=1)
+    )
+    gc_ref = {v: f"gcd{j}.lexical" for j, v in enumerate(gc_vars, start=1)}
+
     agg_sel = []
     for a in query.aggregates:
         if a.fn in ("min", "max"):
             agg_sel.append(f"{a.fn.upper()}({a.var}) AS {a.alias}")
+        elif a.fn == "sample":
+            # deterministic SAMPLE = MIN (plans/sparql.py contract)
+            agg_sel.append(f"MIN({a.var}) AS {a.alias}")
+        elif a.fn == "group_concat":
+            lex = gc_ref[a.var]
+            agg_sel.append(f"STRING_AGG({lex}, ',' ORDER BY {lex}) AS {a.alias}")
         elif a.var is None:
             agg_sel.append(f"COUNT(*) AS {a.alias}")
         elif a.distinct:
             agg_sel.append(f"COUNT(DISTINCT {a.var}) AS {a.alias}")
         else:
             agg_sel.append(f"COUNT({a.var}) AS {a.alias}")
-    sel = ", ".join(list(query.group_by) + agg_sel)
+    grp_sel = [f"q.{v} AS {v}" for v in query.group_by]
+    sel = ", ".join(grp_sel + agg_sel)
     sql = f"SELECT {sel}\nFROM (\n{inner}\n) q"
+    if gc_join:
+        sql += f"\n{gc_join}"
     if query.group_by:
         sql += "\nGROUP BY " + ", ".join(query.group_by)
     if query.having is not None:
@@ -326,7 +360,7 @@ def bgp_to_sql(
         return _aggregate_sql(query, decode, resolve)
     if query.union_branches:
         return _union_sql(query, decode, resolve)
-    if query.filters or query.optionals or query.minuses:
+    if query.filters or query.optionals or query.minuses or query.exists_groups:
         return _extended_sql(query, decode, resolve)
     aliases, where, first_slot = _render_block(query.conditions, resolve, 1)
 

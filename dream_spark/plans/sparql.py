@@ -11,11 +11,15 @@ documented supersets: a ``distinct`` marker, angle-bracketed constants
 ``<lexical>``, ``order by``/``limit``, ``optional { … }`` groups (left
 outer join semantics), ``filter`` clauses of the forms
 ``filter (?X != ?Y)``, ``filter (?X = <const>)``, ``filter (?X != <const>)``
-and ``filter regex(?X, "pattern")``, ``minus { … }`` groups (anti-join semantics on the shared
-variables), top-level ``{ BGP } union { BGP }`` alternation
-(bag-union semantics; variables unbound in a branch come back NULL, per
-the SPARQL spec), and ``(count([distinct] ?v|*) as ?alias)`` aggregate
-projections with ``group by ?v …``.
+and ``filter regex(?X, "pattern")``, ``filter [not] exists { … }`` groups
+(semi/anti-join semantics on the shared variables), ``minus { … }`` groups
+(anti-join semantics on the shared variables), top-level
+``{ BGP } union { BGP }`` alternation (bag-union semantics; variables
+unbound in a branch come back NULL, per the SPARQL spec), property-path
+markers on constant predicates (``p+`` transitive, ``^p`` inverse,
+``p1|p2`` alternation — one per predicate), and
+``(count([distinct] ?v|*) | min | max | sample | group_concat as ?alias)``
+aggregate projections with ``group by ?v …``.
 """
 
 from __future__ import annotations
@@ -28,9 +32,18 @@ from dataclasses import dataclass, field, replace
 class Term:
     """One s/p/o slot: either a variable (?X) or a lexical constant.
 
-    A constant PREDICATE may carry a trailing ``+`` (SPARQL 1.1
-    OneOrMorePath): ``?x inRegion+ ?y`` matches pairs connected by 1..n
-    hops.  ``lexical`` strips the marker; ``is_transitive`` exposes it."""
+    A constant PREDICATE may additionally carry (SPARQL 1.1 property-path
+    subset; mutually exclusive, parser-enforced):
+
+    - a trailing ``+`` (OneOrMorePath): ``?x inRegion+ ?y`` matches pairs
+      connected by 1..n hops — ``is_transitive``;
+    - a leading ``^`` (InversePath): ``?x ^placedBy ?o`` ≡ ``?o placedBy
+      ?x`` — ``is_inverse``;
+    - ``|`` alternation (PathAlternative): ``?s madeBy|placedBy ?e``
+      matches via either predicate — ``is_alternation`` /
+      ``alternatives``.
+
+    ``lexical`` strips the path markers."""
 
     text: str
 
@@ -47,8 +60,24 @@ class Term:
         return (not self.is_var) and self.text.endswith("+")
 
     @property
+    def is_inverse(self) -> bool:
+        return self.text.startswith("^")
+
+    @property
+    def is_alternation(self) -> bool:
+        return (not self.is_var) and "|" in self.text
+
+    @property
+    def alternatives(self) -> tuple[str, ...]:
+        """The lexical of each ``|`` alternative (a 1-tuple when the term
+        is a plain constant)."""
+        return tuple(Term(t).lexical for t in self.text.split("|"))
+
+    @property
     def lexical(self) -> str:
         t = self.text
+        if t.startswith("^"):
+            t = t[1:]
         if t.endswith("+") and not t.startswith("?"):
             t = t[:-1]
         return t[1:-1] if t.startswith("<") and t.endswith(">") else t
@@ -92,12 +121,19 @@ class Filter:
 
 @dataclass(frozen=True)
 class Aggregate:
-    """One ``(count([distinct] ?v|*) as ?alias)`` / ``(min(?v) as ?alias)``
-    / ``(max(?v) as ?alias)`` projection item.  min/max operate on the
-    dictionary ids — meaningful because the arithmetic id scheme is
-    order-preserving within an entity kind (sources/triples.py)."""
+    """One aggregate projection item: ``(count([distinct] ?v|*) as ?a)``,
+    ``(min(?v) as ?a)``, ``(max(?v) as ?a)``, ``(sample(?v) as ?a)``,
+    ``(group_concat(?v) as ?a)``.
 
-    fn: str  # "count" | "min" | "max"
+    min/max/sample operate on the dictionary ids — meaningful because the
+    arithmetic id scheme is order-preserving within an entity kind
+    (sources/triples.py); sample is deterministically MIN (SPARQL leaves
+    the choice open; a distributed engine must pin it or two runs
+    disagree).  group_concat emits the DECODED lexicals sorted ascending
+    joined with ``,`` — same determinism reasoning (SPARQL leaves the
+    order open)."""
+
+    fn: str  # "count" | "min" | "max" | "sample" | "group_concat"
     var: str | None  # None => count(*)
     alias: str
     distinct: bool = False
@@ -121,6 +157,10 @@ class ParsedQuery:
     filters: list[Filter] = field(default_factory=list)
     optionals: list[list[Condition]] = field(default_factory=list)
     minuses: list[list[Condition]] = field(default_factory=list)
+    # FILTER [NOT] EXISTS { … } groups: (positive?, patterns).  Semi-join
+    # (EXISTS) / anti-join (NOT EXISTS) on the shared variables; group
+    # variables do NOT bind into the solution (unlike OPTIONAL).
+    exists_groups: list[tuple[bool, list[Condition]]] = field(default_factory=list)
     # aggregate projection: group_by vars + Aggregate items; ``projection``
     # then lists group_by vars followed by aggregate aliases, in select order
     aggregates: list[Aggregate] = field(default_factory=list)
@@ -257,11 +297,13 @@ def parse_sparql(text: str) -> ParsedQuery:
         fn = m2.group(1).lower()
         var = None if m2.group(3) == "*" else m2.group(3)[1:]
         distinct = bool(m2.group(2))
-        if fn in ("min", "max"):
+        if fn in ("min", "max", "sample", "group_concat"):
             if var is None:
                 raise SparqlSyntaxError(f"{fn}(*) is not valid — {fn} needs a variable")
-            if distinct:
+            if distinct and fn in ("min", "max", "sample"):
                 raise SparqlSyntaxError(f"{fn}(distinct …) is redundant — drop distinct")
+            if distinct and fn == "group_concat":
+                raise SparqlSyntaxError("group_concat(distinct …) is not supported")
         if fn == "count" and distinct and var is None:
             raise SparqlSyntaxError("count(distinct *) is not supported")
         aggregates.append(
@@ -270,7 +312,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         return " "
 
     proj_src = re.sub(
-        r"(?is)\(\s*(count|min|max)\s*\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s+as\s+(\?\w+)\s*\)",
+        r"(?is)\(\s*(count|min|max|sample|group_concat)\s*\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s+as\s+(\?\w+)\s*\)",
         _grab_agg,
         proj_src,
     )
@@ -340,9 +382,16 @@ def parse_sparql(text: str) -> ParsedQuery:
         )
         return _validate(q)
 
-    # optional { … } / minus { … } groups (non-nested) come out of the body first
+    # filter [not] exists { … } / optional { … } / minus { … } groups
+    # (non-nested) come out of the body first — exists before the generic
+    # filter grammar so its braces never reach the comparison regexes
+    exists_raw: list[tuple[bool, str]] = []
     optional_bodies: list[str] = []
     minus_bodies: list[str] = []
+
+    def _grab_exists(m2: re.Match) -> str:
+        exists_raw.append((m2.group(1) is None, m2.group(2)))
+        return " "
 
     def _grab_optional(m2: re.Match) -> str:
         optional_bodies.append(m2.group(1))
@@ -352,6 +401,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         minus_bodies.append(m2.group(1))
         return " "
 
+    body = re.sub(r"(?is)filter\s+(not\s+)?exists\s*\{([^{}]*)\}\s*\.?", _grab_exists, body)
     body = re.sub(r"(?is)optional\s*\{([^{}]*)\}\s*\.?", _grab_optional, body)
     body = re.sub(r"(?is)minus\s*\{([^{}]*)\}\s*\.?", _grab_minus, body)
 
@@ -453,6 +503,19 @@ def parse_sparql(text: str) -> ParsedQuery:
             raise SparqlSyntaxError("minus group shares no variable with the required patterns")
         minuses.append(grp)
         next_cid += len(grp)
+    exists_groups: list[tuple[bool, list[Condition]]] = []
+    for positive, eb in exists_raw:
+        grp = _parse_patterns_from(eb, next_cid)
+        if not grp:
+            raise SparqlSyntaxError("empty exists group")
+        if not ({v for c in grp for v in c.variables()} & required_vars_):
+            # a variable-disjoint EXISTS is a global boolean gate, not a
+            # per-row filter; the semi/anti-join lowering needs correlation
+            raise SparqlSyntaxError(
+                "filter exists group shares no variable with the required patterns"
+            )
+        exists_groups.append((positive, grp))
+        next_cid += len(grp)
 
     # a variable introduced by one optional group must not also be introduced
     # by another (SPARQL allows it; our left-join translation does not)
@@ -481,6 +544,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         filters=filters,
         optionals=optionals,
         minuses=minuses,
+        exists_groups=exists_groups,
         aggregates=aggregates,
         group_by=group_by,
         text=src,
@@ -497,10 +561,22 @@ def _parse_patterns_from(text_: str, start: int) -> list[Condition]:
         terms = _WS.split(pat)
         if len(terms) != 3:
             raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {terms!r}")
-        if terms[0].endswith("+") or terms[2].endswith("+"):
-            raise SparqlSyntaxError("path '+' marker is only valid on a predicate")
-        if terms[1].startswith("?") and terms[1].endswith("+"):
+        for marker in ("+", "^", "|"):
+            if marker in terms[0] or marker in terms[2]:
+                raise SparqlSyntaxError(f"path {marker!r} marker is only valid on a predicate")
+        p = terms[1]
+        if p.startswith("?") and p.endswith("+"):
             raise SparqlSyntaxError("path '+' requires a constant predicate")
+        if ("^" in p or "|" in p) and ("?" in p):
+            raise SparqlSyntaxError("path '^'/'|' require constant predicates")
+        if ("^" in p and p.count("^") > 1) or p.startswith("|") or p.endswith("|") or "||" in p:
+            raise SparqlSyntaxError(f"malformed property path: {p!r}")
+        if sum(m in p for m in ("+", "^", "|")) > 1:
+            raise SparqlSyntaxError(
+                f"combined path operators are not supported (one of +/^/| per predicate): {p!r}"
+            )
+        if "^" in p and not p.startswith("^"):
+            raise SparqlSyntaxError(f"'^' must prefix the predicate: {p!r}")
         out.append(Condition(start + len(out), Term(terms[0]), Term(terms[1]), Term(terms[2])))
     return out
 

@@ -74,7 +74,12 @@ def _condition_frame(store: TripleStore, cond: Condition) -> DataFrame:
     QueryPlanner.c:780-821); variables become column aliases.  A variable
     repeated inside one pattern (e.g. ``?x p ?x``) becomes a same-row equality
     filter.  A ``pred+`` pattern scans the predicate's transitive closure
-    (``_closure_frame``) instead of the raw triples.
+    (``_closure_frame``) instead of the raw triples.  An inverse predicate
+    ``^p`` swaps the subject/object slot bindings (``?x ^p ?y`` ≡ ``?y p
+    ?x`` — still one filtered scan, no join).  A ``p1|p2`` alternation
+    becomes an IN filter on the predicate ids — one scan, and the IN list
+    prunes partitions/row groups exactly like an equality under the
+    p-partitioned layout.
     """
     if cond.pred.is_transitive:
         df = _closure_frame(store, store.resolve(cond.pred.lexical))
@@ -94,7 +99,10 @@ def _condition_frame(store: TripleStore, cond: Condition) -> DataFrame:
             return df.select(F.lit(1).alias(f"__ground_{cond.cid}")).limit(1)
         return df.select(*cols)
     df = store.triples
-    slots = {"s": cond.subj, "p": cond.pred, "o": cond.obj}
+    if cond.pred.is_inverse:
+        slots = {"s": cond.obj, "p": cond.pred, "o": cond.subj}
+    else:
+        slots = {"s": cond.subj, "p": cond.pred, "o": cond.obj}
     seen: dict[str, str] = {}  # var -> first slot bound to it
     cols = []
     for slot, term in slots.items():
@@ -104,6 +112,8 @@ def _condition_frame(store: TripleStore, cond: Condition) -> DataFrame:
             else:
                 seen[term.var] = slot
                 cols.append(F.col(slot).alias(term.var))
+        elif slot == "p" and term.is_alternation:
+            df = df.where(F.col(slot).isin([store.resolve(x) for x in term.alternatives]))
         else:
             df = df.where(F.col(slot) == F.lit(store.resolve(term.lexical)))
     if not cols:
@@ -115,8 +125,18 @@ def _condition_frame(store: TripleStore, cond: Condition) -> DataFrame:
 def _estimate(stats: TripleStats | None, store: TripleStore, cond: Condition) -> float:
     if stats is None:
         return 1.0
+    # scan-slot bound flags: an inverse predicate binds subj to the o slot
+    s_bound, o_bound = not cond.subj.is_var, not cond.obj.is_var
+    if cond.pred.is_inverse:
+        s_bound, o_bound = o_bound, s_bound
+    if cond.pred.is_alternation:
+        # alternation scans the union of the predicates' edge sets
+        return sum(
+            stats.pattern_cardinality(store.resolve(x), s_bound, o_bound)
+            for x in cond.pred.alternatives
+        )
     pred_id = None if cond.pred.is_var else store.resolve(cond.pred.lexical)
-    return stats.pattern_cardinality(pred_id, not cond.subj.is_var, not cond.obj.is_var)
+    return stats.pattern_cardinality(pred_id, s_bound, o_bound)
 
 
 def _var_ndvs(stats: TripleStats | None, store: TripleStore, cond: Condition, card: float) -> dict[str, float]:
@@ -125,12 +145,20 @@ def _var_ndvs(stats: TripleStats | None, store: TripleStore, cond: Condition, ca
     if cond.pred.is_var:
         nds = ndo = max(card, 1.0) ** 0.5
         out[cond.pred.var] = max(len(stats.per_pred) if stats else 10, 1)
+    elif stats is not None and cond.pred.is_alternation:
+        # union of edge sets: ndvs add (upper bound; card caps them below)
+        sts = [stats.per_pred.get(store.resolve(x)) for x in cond.pred.alternatives]
+        nds = float(sum(st.ndv_s for st in sts if st)) or 1.0
+        ndo = float(sum(st.ndv_o for st in sts if st)) or 1.0
     elif stats is not None:
         st = stats.per_pred.get(store.resolve(cond.pred.lexical))
         nds = float(st.ndv_s) if st else 1.0
         ndo = float(st.ndv_o) if st else 1.0
     else:
         nds = ndo = max(card, 1.0)
+    if cond.pred.is_inverse:
+        # subj binds the scan's o slot and vice versa
+        nds, ndo = ndo, nds
     if cond.subj.is_var:
         out[cond.subj.var] = min(nds, card) if card else nds
     if cond.obj.is_var:
@@ -388,6 +416,17 @@ def translate(
         shared = sorted(bound & gbound)
         plan = plan.join(gplan.select(*shared), on=shared, how="left_anti")
 
+    # FILTER [NOT] EXISTS groups: semi/anti join on the shared variables.
+    # Left bag multiplicity is preserved (semi joins never duplicate), group
+    # variables never bind into the solution — exactly SPARQL's EXISTS
+    # filter over our correlated subset (parser guarantees ≥1 shared var).
+    for positive, grp in query.exists_groups:
+        gplan, gbound = _join_group(store, grp, stats)
+        shared = sorted(bound & gbound)
+        plan = plan.join(
+            gplan.select(*shared), on=shared, how="left_semi" if positive else "left_anti"
+        )
+
     # FILTER clauses: id-level comparisons stay on the encoded longs (the
     # dictionary is a bijection, so =/!= on ids ≡ on lexicals); regex
     # filters decode just the one column via a dict equi-join, then drop it.
@@ -438,11 +477,34 @@ def translate(
     # Aggregate projection: groupBy + count/count-distinct — Catalyst plans
     # partial aggregation, so only #groups rows shuffle.
     if query.aggregates:
+        # group_concat emits DECODED lexicals: join the dict onto each
+        # concatenated variable BEFORE grouping (one broadcast-able join per
+        # distinct gc var; the dictionary is the small side by construction)
+        gc_vars = sorted({a.var for a in query.aggregates if a.fn == "group_concat"})
+        for v in gc_vars:
+            lex = store.dictionary.select(
+                F.col("id").alias(v), F.col("lexical").alias(f"__gc_{v}")
+            )
+            plan = plan.join(lex, on=v, how="left")
+
         def _agg_col(a):
             if a.fn == "min":
                 return F.min(a.var).alias(a.alias)
             if a.fn == "max":
                 return F.max(a.var).alias(a.alias)
+            if a.fn == "sample":
+                # deterministic SAMPLE: MIN over the ids (see plans/sparql.py)
+                return F.min(a.var).alias(a.alias)
+            if a.fn == "group_concat":
+                # sorted-ascending join with "," — the engine's determinism
+                # contract; NULL (not "") for all-unbound groups, matching
+                # SQL string_agg over zero non-null inputs
+                arr = F.array_sort(F.collect_list(f"__gc_{a.var}"))
+                return (
+                    F.when(F.size(arr) > 0, F.array_join(arr, ","))
+                    .otherwise(F.lit(None))
+                    .alias(a.alias)
+                )
             return (
                 F.countDistinct(a.var)
                 if a.distinct and a.var is not None

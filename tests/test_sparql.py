@@ -669,3 +669,159 @@ def test_construct_optional_omits_unbound_triples(engine):
         "select ?O ?C where { ?C type Customer . ?O placedBy ?C . ?O priority <1-URGENT> }"
     )
     assert len(rows) == inner.count()
+
+
+# ---- FILTER [NOT] EXISTS superset -----------------------------------------
+def test_parse_exists():
+    q = parse_sparql(
+        "select ?C where { ?C type Customer . filter exists { ?O placedBy ?C } }"
+    )
+    assert q.exists_groups and q.exists_groups[0][0] is True
+    q = parse_sparql(
+        "select ?C where { ?C type Customer . filter not exists { ?O placedBy ?C } }"
+    )
+    assert q.exists_groups[0][0] is False
+    # exists-group variables do not bind into the solution
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?O where { ?C type Customer . filter exists { ?O placedBy ?C } }"
+        )
+    # variable-disjoint exists is rejected (no correlation to lower)
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?C where { ?C type Customer . filter exists { ?S type Supplier } }"
+        )
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        (
+            "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+            " filter exists { ?O placedBy ?C . ?O status <F> } }",
+            False,
+        ),
+        (
+            "select ?C where { ?C type Customer ."
+            " filter not exists { ?O placedBy ?C . ?O priority <1-URGENT> } }",
+            False,
+        ),
+        # exists composed with optional + comparison filter
+        (
+            "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } ."
+            " filter exists { ?C inNation <nation:5> } }",
+            False,
+        ),
+        (
+            "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+            " filter exists { ?O placedBy ?C . ?O status <F> } }",
+            True,
+        ),
+    ],
+)
+def test_exists_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+def test_exists_preserves_bag_multiplicity(engine):
+    """A semi-join must not duplicate left rows however many matches the
+    exists group has (customer:1 has many orders; each (C,N) row appears
+    exactly once)."""
+    got = engine.sparql(
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter exists { ?O placedBy ?C } }"
+    ).collect()
+    assert len(got) == len({(r["C"], r["N"]) for r in got})
+
+
+# ---- property-path inverse / alternation ----------------------------------
+def test_parse_path_markers():
+    q = parse_sparql("select ?C ?O where { ?C ^placedBy ?O }")
+    assert q.conditions[0].pred.is_inverse and q.conditions[0].pred.lexical == "placedBy"
+    q = parse_sparql("select ?X ?Y where { ?X inNation|inRegion ?Y }")
+    p = q.conditions[0].pred
+    assert p.is_alternation and p.alternatives == ("inNation", "inRegion")
+    for bad in [
+        "select ?X ?Y where { ?X ^inRegion+ ?Y }",   # combined operators
+        "select ?X ?Y where { ?X inNation|?P ?Y }",  # variable alternative
+        "select ?X ?Y where { ?X |inNation ?Y }",    # malformed alternation
+        "select ?X ?Y where { ?X in^Nation ?Y }",    # interior ^
+        "select ?X ?Y where { ^?X inNation ?Y }",    # ^ on a non-predicate
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        ("select ?X ?Y where { ?X inNation|inRegion ?Y }", False),
+        (
+            "select ?C ?O where { ?C type Customer . ?C ^placedBy ?O ."
+            " ?O priority <1-URGENT> }",
+            False,
+        ),
+        # inverse with a ground object-side constant
+        ("select ?O where { <customer:1> ^placedBy ?O }", False),
+        ("select ?X ?Y where { ?X inNation|inRegion ?Y }", True),
+    ],
+)
+def test_path_marker_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+def test_inverse_equals_forward(engine):
+    """?C ^placedBy ?O must produce exactly the forward pattern's bag."""
+    inv = sorted(
+        map(tuple, engine.sparql("select ?C ?O where { ?C ^placedBy ?O }").collect())
+    )
+    fwd = sorted(
+        map(tuple, engine.sparql("select ?C ?O where { ?O placedBy ?C }").collect())
+    )
+    assert inv == fwd and inv
+
+
+# ---- GROUP_CONCAT / SAMPLE aggregates -------------------------------------
+def test_parse_group_concat_sample():
+    q = parse_sparql(
+        "select ?R (group_concat(?NM) as ?names) (sample(?N) as ?anyn)"
+        " where { ?N inRegion ?R . ?N name ?NM } group by ?R"
+    )
+    fns = [a.fn for a in q.aggregates]
+    assert fns == ["group_concat", "sample"]
+    for bad in [
+        "select (group_concat(*) as ?x) where { ?N inRegion ?R }",
+        "select (sample(*) as ?x) where { ?N inRegion ?R }",
+        "select ?R (group_concat(distinct ?N) as ?x) where { ?N inRegion ?R } group by ?R",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        (
+            "select ?R (group_concat(?NM) as ?names) where { ?N inRegion ?R ."
+            " ?N name ?NM } group by ?R",
+            False,
+        ),
+        (
+            "select ?N (sample(?C) as ?anyc) (count(?C) as ?cnt)"
+            " where { ?C type Customer . ?C inNation ?N } group by ?N",
+            False,
+        ),
+        # group_concat + decode: group key decodes, concatenation is already
+        # lexical, counts pass through
+        (
+            "select ?R (group_concat(?NM) as ?names) (count(?N) as ?cnt)"
+            " where { ?N inRegion ?R . ?N name ?NM } group by ?R",
+            True,
+        ),
+    ],
+)
+def test_group_concat_sample_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
