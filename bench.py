@@ -68,6 +68,8 @@ HEADLINE = [
     "pipeline_curate",
     "pipeline_chunks",
     "pipeline_shards",
+    "pipeline_contamination",
+    "pipeline_repetition",
     "sketch_kmv_users",
     "sketch_kmv_by_type",
     "sketch_quantiles",

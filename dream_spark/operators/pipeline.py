@@ -43,6 +43,8 @@ from pyspark.sql import functions as F
 
 from dream_spark.functions.features import TOKEN_SPLIT_RE, duck_tokens_cte, tokens
 from dream_spark.functions.hashing import hash_sql
+from dream_spark.functions.joins import broadcast_if_small
+from dream_spark.functions.textkernels import token_ngram_sets
 from dream_spark.sources.tables import load_table
 
 #: (train, val, test) percentage weights for the deterministic split
@@ -468,6 +470,177 @@ FROM quality q ANTI JOIN dropped d ON q.doc_id = d.doc_id
 PIPELINE_CURATE_SQL = _curate_sql()
 
 
+#: benchmark-contamination n-gram order (word n-grams; 13 is the common
+#: eval-decontamination choice on natural text — 3 here because the
+#: synthetic docs are ~50 tokens over a tiny vocabulary)
+CONTAM_NGRAM = 3
+#: split buckets (0-99, split_assign scheme): train < 80, benchmark ≥ 90
+_CONTAM_TRAIN_MAX = 80
+_CONTAM_BENCH_MIN = 90
+
+
+def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = CONTAM_NGRAM) -> DataFrame:
+    """Benchmark-contamination detection for ANY pair of ``(doc_id, text)``
+    DataFrames: for each training document, how many of its DISTINCT word
+    ``n``-grams also occur anywhere in the benchmark/eval set — the
+    eval-decontamination pass every serious training-data pipeline runs
+    before a model ships (and before eval numbers mean anything).
+
+    Output: (doc_id, n_hits) for documents with ≥ 1 shared n-gram; a
+    downstream gate drops or flags them.
+
+    Scale shape: the benchmark n-gram set is DISTINCT and eval-set-sized
+    (thousands of docs in practice → well under the broadcast gate), so the
+    training side — the 100 TB side — is never shuffled: n-gram explode,
+    broadcast-hash join, map-side partial count.  Above the gate it
+    degrades to a sid-keyed shuffle join.  The n-gram ids are the same
+    Horner-packed integers the Jaccard/MinHash operators use, so the
+    oracle replays them exactly."""
+    ts = token_ngram_sets(docs, n)
+    bs = token_ngram_sets(benchmark, n).select("sid").distinct().persist()
+    out = (
+        ts.join(broadcast_if_small(bs), on="sid")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .persist()
+    )
+    out.count()
+    bs.unpersist()
+    return out
+
+
+def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: contamination of the train split (buckets
+    0-79) against the test split (buckets 90-99) as the stand-in benchmark
+    — self-contained on the documents table, deterministic via the split
+    hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_split_bucket_sql("doc_id"))
+    return contamination_check(
+        docs.where(bucket < _CONTAM_TRAIN_MAX),
+        docs.where(bucket >= _CONTAM_BENCH_MIN),
+    )
+
+
+def _contamination_sql() -> str:
+    from dream_spark.functions.features import duck_token_ngram_ids_cte
+
+    bucket = _split_bucket_sql("doc_id")
+    return f"""
+WITH ng AS ({duck_token_ngram_ids_cte('documents', CONTAM_NGRAM)}),
+bmark AS (SELECT DISTINCT sid FROM ng WHERE {bucket} >= {_CONTAM_BENCH_MIN}),
+train AS (SELECT doc_id, sid FROM ng WHERE {bucket} < {_CONTAM_TRAIN_MAX})
+SELECT t.doc_id, COUNT(*) AS n_hits
+FROM train t JOIN bmark b ON t.sid = b.sid
+GROUP BY t.doc_id
+""".strip()
+
+
+PIPELINE_CONTAMINATION_SQL = _contamination_sql()
+
+
+#: repetition-gate thresholds, calibrated so both fire on real tails of
+#: THIS corpus (synthetic ~50-token docs: dup-bigram median 0.03 / p90
+#: 0.065, top-token median 0.09 / p90 0.14).  Gopher's natural-text rules
+#: use the same statistics with looser bounds (e.g. dup-line 0.30,
+#: top-2-gram 0.18).
+REP_DUP_BIGRAM_MAX = 0.05
+REP_TOP_TOKEN_MAX = 0.12
+#: the top-token rule only applies above this length: a short all-unique
+#: document has top_tok_frac = 1/n by arithmetic, not by repetition
+REP_MIN_TOKENS = 20
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality statistics for ANY ``(doc_id,
+    text)`` DataFrame: per document, the fraction of bigram occurrences
+    that are repeats and the share of the single most frequent token —
+    the two cheapest high-signal detectors of boilerplate/spam/looping
+    text in a pretraining corpus.
+
+    Output: (doc_id, n_tokens, n_bigrams, n_distinct_bigrams,
+    dup_bigram_frac, top_tok_frac, repetitive).
+
+    Scale shape: two doc_id-keyed partial aggregations over the token
+    stream (Catalyst reuses the doc_id exchange), one #docs-row join — no
+    UDF, no global state.  Fractions are double divisions of exact integer
+    counts with the identical formula on both engines."""
+    tk = tokens(docs, with_pos=True)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tk.withColumn("nxt", F.lead("tok", 1).over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("b"))
+    )
+    bgn = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("b").alias("n_distinct_bigrams"),
+    )
+    per_tok = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tt = per_tok.groupBy("doc_id").agg(
+        F.max("c").alias("top_tok_n"), F.sum("c").cast("bigint").alias("n_tokens")
+    )
+    j = tt.join(bgn, on="doc_id", how="left").na.fill(
+        {"n_bigrams": 0, "n_distinct_bigrams": 0}
+    )
+    dup = F.when(
+        F.col("n_bigrams") > 0,
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+        / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    top = F.col("top_tok_n").cast("double") / F.col("n_tokens")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        dup.alias("dup_bigram_frac"),
+        top.alias("top_tok_frac"),
+        (
+            (dup > REP_DUP_BIGRAM_MAX)
+            | ((F.col("n_tokens") >= REP_MIN_TOKENS) & (top > REP_TOP_TOKEN_MAX))
+        ).alias("repetitive"),
+    )
+
+
+def pipeline_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``repetition_stats`` over documents."""
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+PIPELINE_REPETITION_SQL = f"""
+WITH toks AS ({duck_tokens_cte("documents", with_pos=True)}),
+bg AS (
+  SELECT doc_id, b FROM (
+    SELECT doc_id, tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+    FROM toks
+  ) WHERE b IS NOT NULL
+),
+bgn AS (SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT b) AS n_distinct_bigrams
+        FROM bg GROUP BY doc_id),
+per_tok AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+tt AS (SELECT doc_id, MAX(c) AS top_tok_n, CAST(SUM(c) AS BIGINT) AS n_tokens
+       FROM per_tok GROUP BY doc_id),
+j AS (
+  SELECT tt.doc_id, tt.n_tokens, tt.top_tok_n,
+         COALESCE(bgn.n_bigrams, 0) AS n_bigrams,
+         COALESCE(bgn.n_distinct_bigrams, 0) AS n_distinct_bigrams
+  FROM tt LEFT JOIN bgn ON tt.doc_id = bgn.doc_id
+)
+SELECT doc_id, n_tokens, n_bigrams, n_distinct_bigrams,
+       (CASE WHEN n_bigrams > 0
+             THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+             ELSE 0.0 END) AS dup_bigram_frac,
+       CAST(top_tok_n AS DOUBLE) / n_tokens AS top_tok_frac,
+       ((CASE WHEN n_bigrams > 0
+              THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+              ELSE 0.0 END) > {REP_DUP_BIGRAM_MAX}
+        OR (n_tokens >= {REP_MIN_TOKENS}
+            AND CAST(top_tok_n AS DOUBLE) / n_tokens > {REP_TOP_TOKEN_MAX})) AS repetitive
+FROM j
+""".strip()
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_sample": pipeline_sample,
@@ -477,6 +650,8 @@ QUERIES = {
     "pipeline_chunks": pipeline_chunks,
     "pipeline_shards": pipeline_shards,
     "pipeline_mixture": pipeline_mixture,
+    "pipeline_contamination": pipeline_contamination,
+    "pipeline_repetition": pipeline_repetition,
 }
 
 ORACLES = {
@@ -488,4 +663,6 @@ ORACLES = {
     "pipeline_chunks": PIPELINE_CHUNKS_SQL,
     "pipeline_shards": PIPELINE_SHARDS_SQL,
     "pipeline_mixture": PIPELINE_MIXTURE_SQL,
+    "pipeline_contamination": PIPELINE_CONTAMINATION_SQL,
+    "pipeline_repetition": PIPELINE_REPETITION_SQL,
 }

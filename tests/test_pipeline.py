@@ -144,3 +144,54 @@ def test_mixture_sample_rates_and_determinism(spark):
         assert 0.2 <= frac <= 0.8
     again = {r["doc_id"] for r in P.pipeline_mixture(spark, SF_DIR).collect()}
     assert again == kept
+
+
+def test_contamination_detects_shared_ngrams(spark):
+    """A training doc sharing a word trigram with the benchmark is flagged
+    with the exact distinct-overlap count; a disjoint doc is absent."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # shares 'alpha beta gamma' + 'beta gamma delta'
+            (2, "zeta eta theta iota"),           # disjoint vocabulary
+            (3, "alpha beta gamma alpha beta gamma"),  # repeats: still DISTINCT grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in P.contamination_check(train, bench).collect()}
+    assert got[1] == 2          # both trigrams of doc 1 occur in the benchmark
+    assert 2 not in got         # no shared grams -> no row
+    # doc 3 has 4 trigram occurrences but only 2 distinct; only
+    # 'alpha beta gamma' and 'beta gamma alpha' — the latter is NOT in bench
+    assert got[3] == 1
+
+
+def test_contamination_train_side_never_shuffles_wide(spark):
+    """The benchmark side carries the broadcast hint (eval sets are small);
+    the training side must not sort/exchange before the join."""
+    train = load_table(spark, SF_DIR, "documents")
+    plan = P.contamination_check(train, train.limit(50))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_flags_looping_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),            # one token repeated
+            (2, "one two three four five six seven eight"),  # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in P.repetition_stats(docs).collect()}
+    assert rows[1]["repetitive"] and rows[1]["top_tok_frac"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == pytest.approx(4 / 5)
+    assert not rows[2]["repetitive"] and rows[2]["n_distinct_bigrams"] == 7
+
+
+def test_repetition_single_token_doc_has_zero_bigrams(spark):
+    rows = P.repetition_stats(
+        spark.createDataFrame([(1, "lonely")], "doc_id long, text string")
+    ).collect()
+    assert rows[0]["n_bigrams"] == 0 and rows[0]["dup_bigram_frac"] == 0.0
