@@ -56,6 +56,7 @@ HEADLINE = [
     "rel_events_rollup",
     "temporal_asof",
     "temporal_range",
+    "temporal_funnel",
     "text_features",
     "text_fingerprint",
     "text_langid",

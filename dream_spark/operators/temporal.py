@@ -177,12 +177,96 @@ GROUP BY c.event_id, c.user_id
 """.strip()
 
 
+#: ordered funnel stages for the driver-contract wrapper
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis for ANY event DataFrame: how many users
+    reach each stage, where stage k counts only events at-or-after the
+    user's stage k-1 time (the sequential-conversion semantics product
+    analytics engines ship as a primitive; Spark has no built-in).
+
+    Returns (stage_idx, stage, n_users) — one row per step.
+
+    Shape: ONE shuffle on the user key, then k chained unbounded window
+    mins over the same partitioning (Catalyst reuses the exchange; no sort
+    — the frames are unbounded), a per-user aggregate, and a 3-row unpivot.
+    Users are near-uniform keys, so this scales like any per-user window;
+    a celebrity-user skew is AQE's case.  All time comparisons are integer
+    microseconds (``epoch_micros``), so TIMESTAMP vs TIMESTAMP_NTZ
+    sessions and the DuckDB oracle agree exactly."""
+    us = epoch_micros(events, ts_col)
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, F.col(type_col).alias("__t"), us.alias("__us"))
+    prev: str | None = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col("__t") == step
+        if prev is not None:
+            cond = cond & (F.col("__us") >= F.col(prev))
+        df = df.withColumn(f"__s{i}", F.min(F.when(cond, F.col("__us"))).over(w))
+        prev = f"__s{i}"
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(f"__s{i}").alias(f"s{i}") for i in range(1, len(steps) + 1)]
+    )
+    counts = per_user.agg(
+        *[F.count(f"s{i}").alias(f"n{i}") for i in range(1, len(steps) + 1)]
+    )
+    stack = ", ".join(
+        f"CAST({i} AS BIGINT), '{step}', n{i}" for i, step in enumerate(steps, start=1)
+    )
+    return counts.select(
+        F.expr(f"stack({len(steps)}, {stack}) AS (stage_idx, stage, n_users)")
+    )
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: the view→click→purchase funnel over events."""
+    return funnel(load_table(spark, sf_dir, "events"))
+
+
+def _funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    """DuckDB twin: chained per-user conditional-min CTEs (each stage joins
+    the previous stage's per-user time), then the stage-count unpivot."""
+    parts = [
+        f"u1 AS (SELECT user_id, MIN(CASE WHEN event_type = '{steps[0]}'"
+        f" THEN epoch_us(ts) END) AS s1 FROM events GROUP BY user_id)"
+    ]
+    for i in range(2, len(steps) + 1):
+        prev_cols = ", ".join(f"u{i-1}.s{j}" for j in range(1, i))
+        parts.append(
+            f"u{i} AS (SELECT e.user_id, {prev_cols},"
+            f" MIN(CASE WHEN e.event_type = '{steps[i-1]}'"
+            f" AND epoch_us(e.ts) >= u{i-1}.s{i-1} THEN epoch_us(e.ts) END) AS s{i}"
+            f" FROM events e JOIN u{i-1} ON e.user_id = u{i-1}.user_id"
+            f" GROUP BY e.user_id, {prev_cols})"
+        )
+    last = f"u{len(steps)}"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage_idx, '{step}' AS stage,"
+        f" COUNT(s{i}) AS n_users FROM {last}"
+        for i, step in enumerate(steps, start=1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
+FUNNEL_SQL = _funnel_sql()
+
+
 QUERIES = {
     "temporal_asof": asof_click_attribution,
     "temporal_range": range_join_attribution,
+    "temporal_funnel": funnel_events,
 }
 
 ORACLES = {
     "temporal_asof": ASOF_SQL,
     "temporal_range": RANGE_SQL,
+    "temporal_funnel": FUNNEL_SQL,
 }

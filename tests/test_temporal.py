@@ -37,3 +37,28 @@ def test_range_join_within_window(spark):
     """Attributed value only counts purchases inside (click, click+30min]."""
     out = T.range_join_attribution(spark, SF_DIR)
     assert out.where(F.col("n_purchases") <= 0).count() == 0
+
+
+def test_funnel_monotone_and_sequential(spark):
+    from dream_spark.operators.temporal import FUNNEL_STEPS, funnel
+    from dream_spark.sources.tables import load_table
+
+    out = {r["stage"]: r["n_users"] for r in T.funnel_events(spark, SF_DIR).collect()}
+    assert list(out) == list(FUNNEL_STEPS)
+    # each stage can only lose users, and the top stage is non-empty
+    assert out["view"] >= out["click"] >= out["purchase"] and out["view"] > 0
+    # sequential semantics: a click BEFORE the first view must not count —
+    # synthetic user with click(t1) < view(t2), purchase(t3) reaches stage 1
+    # only for click/purchase ordering reasons
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:05", 7, "click", 0.0, "{}"),
+            (2, "2024-01-01 00:00:10", 7, "view", 0.0, "{}"),
+            (3, "2024-01-01 00:00:20", 7, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["stage"]: r["n_users"] for r in funnel(ev).collect()}
+    # user views at t10 but the only click is BEFORE it -> stage 2 empty,
+    # so stage 3 (purchase after the stage-2 time) is empty too
+    assert got == {"view": 1, "click": 0, "purchase": 0}
