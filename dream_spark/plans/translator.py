@@ -348,22 +348,29 @@ def translate(
         def term_col(t):
             return F.col(t.var) if t.is_var else F.lit(store.resolve(t.lexical))
 
+        # ONE body execution for the whole template: a per-row array of
+        # (s,p,o) structs exploded map-side.  A union of k per-template
+        # projections would execute the (arbitrarily expensive) body k
+        # times — Spark has no automatic subtree reuse across union
+        # branches; the explode makes template fan-out a free generator.
         # SPARQL spec: a template triple containing an UNBOUND variable
         # (possible when the body has OPTIONAL groups) is omitted from the
-        # constructed graph, not emitted with NULLs
-        parts = [
-            inner.select(
-                term_col(c.subj).cast("long").alias("s"),
-                term_col(c.pred).cast("long").alias("p"),
-                term_col(c.obj).cast("long").alias("o"),
-            ).where(
-                F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
-            )
-            for c in query.construct_template
-        ]
-        plan = parts[0]
-        for pp in parts[1:]:
-            plan = plan.unionByName(pp)
+        # constructed graph, not emitted with NULLs.
+        structs = F.array(
+            *[
+                F.struct(
+                    term_col(c.subj).cast("long").alias("s"),
+                    term_col(c.pred).cast("long").alias("p"),
+                    term_col(c.obj).cast("long").alias("o"),
+                )
+                for c in query.construct_template
+            ]
+        )
+        plan = (
+            inner.select(F.explode(structs).alias("__t"))
+            .select("__t.s", "__t.p", "__t.o")
+            .where(F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull())
+        )
         if decode:
             for slot in ("s", "p", "o"):
                 lex = store.dictionary.select(
