@@ -300,3 +300,52 @@ def test_sparql_varpred_constant_subject_pushdown_no_cartesian(engine):
         or "BroadcastHashJoin" in joined
         or "ShuffledHashJoin" in joined
     )
+
+
+def test_sparql_exists_is_semi_join(engine):
+    """FILTER EXISTS lowers to a left SEMI join (never an inner join that
+    would duplicate left rows per match); NOT EXISTS to a left ANTI join."""
+    pos = _plan(
+        engine.sparql(
+            "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+            " filter exists { ?O placedBy ?C } }"
+        )
+    )
+    assert "LeftSemi" in pos and "CartesianProduct" not in pos
+    neg = _plan(
+        engine.sparql(
+            "select ?C where { ?C type Customer ."
+            " filter not exists { ?O placedBy ?C } }"
+        )
+    )
+    assert "LeftAnti" in neg and "CartesianProduct" not in neg
+
+
+def test_sparql_alternation_is_single_in_filtered_scan(engine):
+    """p1|p2 must compile to ONE scan with an IN predicate on the predicate
+    ids — not a two-branch union or a join."""
+    import re
+
+    plan = _plan(engine.sparql("select ?X ?Y where { ?X inNation|inRegion ?Y }"))
+    assert re.search(r"p#\d+L? IN ", plan), plan[:500]
+    # the cached store prints its own (union-of-tables) derivation inside
+    # the InMemoryTableScan node — judge only the query plan above the scan
+    above_scan = plan.split("InMemoryTableScan")[0]
+    assert "Union" not in above_scan and "Join" not in above_scan
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    """The k chained per-user window mins must reuse ONE user-keyed
+    exchange (plus the final single-row aggregate's) — not re-shuffle per
+    stage; and the unbounded frames need no per-stage sort."""
+    from dream_spark.operators.temporal import funnel
+    from dream_spark.sources.tables import load_table
+
+    plan = (
+        funnel(load_table(spark, SF_DIR, "events"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 3
+    assert plan.count("Exchange") <= 2, plan[:800]
