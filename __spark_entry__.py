@@ -288,6 +288,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipeline operator has a driver-green row in SOME round while new operators
 # still get adjudicated.  All entries, in-cap or not, stay green in
 # scripts/check_entry.py (the driver-mirror pre-flight) every round.
+#
+# Round 4 rotation: the sketch and graph families (added mid-r2, never yet
+# inside the cap) plus this round's funnel and contamination operators take
+# four seats from CORRECTNESS_r02-green, code-unchanged entries whose
+# family stays represented: rel_pivot (grouping-sets family — rel_cube
+# keeps the seat), pipeline_chunks (split/tfidf/shards + contamination hold
+# the pipeline seats), text_fingerprint (features/langid/topterms hold
+# text), media_frames (catalog/decode_stats hold multimodal).
 PRIORITY_ORDER = [
     # SPARQL — one per distinct plan shape (O1-O11, P1-P8 paths)
     "sparql_star", "sparql_cycle5", "sparql_path", "sparql_varpred",
@@ -297,14 +305,15 @@ PRIORITY_ORDER = [
     # relational — every distinct operator shape
     "rel_q1_pricing", "rel_q3_top10", "rel_q5_cycle", "rel_q12_priority",
     "rel_anti", "rel_cube", "rel_window_top3", "rel_events_hourly",
-    "rel_json_props", "rel_sql_passthrough", "rel_pivot", "rel_intersect",
-    # temporal
-    "temporal_asof", "temporal_range",
+    "rel_json_props", "rel_sql_passthrough", "rel_intersect",
+    # temporal: as-of, range, ordered funnel
+    "temporal_asof", "temporal_range", "temporal_funnel",
     # text (quality scoring is part of text_features)
-    "text_features", "text_langid", "text_fingerprint", "text_topterms",
-    # training-pipeline: split / tf-idf / chunking / shard packing (sample +
-    # bigrams rotated out with green r02 rows — see note above)
-    "pipeline_split", "pipeline_tfidf", "pipeline_chunks", "pipeline_shards",
+    "text_features", "text_langid", "text_topterms",
+    # training-pipeline: split / tf-idf / shard packing / contamination
+    # (sample + bigrams green r02; chunks rotated out this round)
+    "pipeline_split", "pipeline_tfidf", "pipeline_shards",
+    "pipeline_contamination",
     # dedup — one per algorithm: exact, minhash-LSH, jaccard-PPJoin, simhash,
     # embedding-cosine, connected-components (exact_docs = exact on another
     # table, deferred past the cap)
@@ -312,8 +321,10 @@ PRIORITY_ORDER = [
     "dedup_simhash", "dedup_embedding", "dedup_clusters",
     # similarity
     "knn_bruteforce", "knn_lsh", "knn_ivf",
+    # sketches + graph analytics (added mid-r2; first time inside the cap)
+    "sketch_kmv_users", "graph_pagerank",
     # multimodal
-    "media_catalog", "media_decode_stats", "media_frames",
+    "media_catalog", "media_decode_stats",
     # streaming batch twins
     "streaming_sessionize_batch", "streaming_dedup_batch",
 ]
