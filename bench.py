@@ -105,6 +105,7 @@ HEADLINE = [
     "media_frames",
     "streaming_sessionize_batch",
     "streaming_dedup_batch",
+    "streaming_funnel_batch",
 ]
 
 

@@ -181,6 +181,35 @@ GROUP BY c.event_id, c.user_id
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
+def funnel_stages(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key funnel stage times: (keys..., s1..sk) where ``s_i`` is the
+    earliest step-``i`` event time (integer µs) at-or-after the key's
+    step-``i-1`` time, NULL when the stage was never reached.  ``keys``
+    defaults to ``[user_id]``; pass ``[user_id, window_start]`` for a
+    windowed funnel.  One shuffle on the key tuple; the k chained window
+    mins reuse that exchange (unbounded frames, no sort)."""
+    keys = keys or ["user_id"]
+    us = epoch_micros(events, ts_col)
+    w = Window.partitionBy(*keys)
+    df = events.select(*keys, F.col(type_col).alias("__t"), us.alias("__us"))
+    prev: str | None = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col("__t") == step
+        if prev is not None:
+            cond = cond & (F.col("__us") >= F.col(prev))
+        df = df.withColumn(f"__s{i}", F.min(F.when(cond, F.col("__us"))).over(w))
+        prev = f"__s{i}"
+    return df.groupBy(*keys).agg(
+        *[F.max(f"__s{i}").alias(f"s{i}") for i in range(1, len(steps) + 1)]
+    )
+
+
 def funnel(
     events: DataFrame,
     steps: tuple[str, ...] = FUNNEL_STEPS,
@@ -202,19 +231,7 @@ def funnel(
     a celebrity-user skew is AQE's case.  All time comparisons are integer
     microseconds (``epoch_micros``), so TIMESTAMP vs TIMESTAMP_NTZ
     sessions and the DuckDB oracle agree exactly."""
-    us = epoch_micros(events, ts_col)
-    w = Window.partitionBy(user_col)
-    df = events.select(user_col, F.col(type_col).alias("__t"), us.alias("__us"))
-    prev: str | None = None
-    for i, step in enumerate(steps, start=1):
-        cond = F.col("__t") == step
-        if prev is not None:
-            cond = cond & (F.col("__us") >= F.col(prev))
-        df = df.withColumn(f"__s{i}", F.min(F.when(cond, F.col("__us"))).over(w))
-        prev = f"__s{i}"
-    per_user = df.groupBy(user_col).agg(
-        *[F.max(f"__s{i}").alias(f"s{i}") for i in range(1, len(steps) + 1)]
-    )
+    per_user = funnel_stages(events, steps, [user_col], ts_col, type_col)
     counts = per_user.agg(
         *[F.count(f"s{i}").alias(f"n{i}") for i in range(1, len(steps) + 1)]
     )

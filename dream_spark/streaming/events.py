@@ -341,11 +341,165 @@ def cms_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 ho
     )
 
 
+#: tumbling funnel window (minutes); hour-aligned so the batch twin's
+#: date_trunc('hour') produces identical window starts
+FUNNEL_WINDOW_MIN = 60
+
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t1", T.ArrayType(T.LongType())),
+        T.StructField("t2", T.ArrayType(T.LongType())),
+        T.StructField("t3", T.ArrayType(T.LongType())),
+    ]
+)
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage_reached", T.LongType()),
+    ]
+)
+
+
+def funnel_stream(
+    events: DataFrame,
+    window_min: int = FUNNEL_WINDOW_MIN,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed ordered funnel over the stream: per (user, tumbling
+    window), the deepest view→click→purchase stage reached, where stage k
+    counts only events at-or-after the user's stage k-1 time in that
+    window — ``operators.temporal.funnel`` semantics, incremental.
+
+    State per open (user, window) key: one sorted-on-close time list per
+    stage, bounded by the user's step events inside ONE window (watermark
+    evicts closed windows via event-time timeout).  Keeping the raw times
+    — not a running min — is what makes out-of-order arrival exact: a
+    late stage-1 event can retroactively qualify an earlier-seen stage-2
+    time, which a running-min state would have already discarded.  Emits
+    once per closed window (append semantics)."""
+    from dream_spark.operators.temporal import FUNNEL_STEPS
+
+    steps = list(FUNNEL_STEPS)
+    win_us = window_min * 60 * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id, win_start = key
+        ws_us = int(pd.Timestamp(win_start).value // 1000)
+        if state.hasTimedOut:
+            lists = state.get
+            state.remove()
+            stage, s_prev = 0, None
+            for i in range(len(steps)):
+                arr = sorted(lists[i] or [])
+                if i == 0:
+                    cand = arr[0] if arr else None
+                else:
+                    cand = next((t for t in arr if t >= s_prev), None)
+                if cand is None:
+                    break
+                stage, s_prev = i + 1, cand
+            yield pd.DataFrame(
+                {
+                    "window_start": [pd.Timestamp(ws_us, unit="us")],
+                    "user_id": [user_id],
+                    "stage_reached": [stage],
+                }
+            )
+            return
+        new: dict[str, list[int]] = {s: [] for s in steps}
+        for pdf in pdfs:
+            for t, et in zip(pd.to_datetime(pdf["ts"]), pdf["event_type"]):
+                if et in new:
+                    new[et].append(int(t.value // 1000))
+        cur = list(state.get) if state.exists else [[] for _ in steps]
+        state.update(tuple(list(cur[i] or []) + new[steps[i]] for i in range(len(steps))))
+        # close just past the window end, driven by the event-time watermark
+        state.setTimeoutTimestamp((ws_us + win_us) // 1000 + 1)
+
+    ev = (
+        events.where(F.col("event_type").isin(steps))
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.window("ts", f"{window_min} minutes").start.alias("win_start"),
+        )
+        .withWatermark("ts", watermark)
+    )
+    return ev.groupBy("user_id", "win_start").applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def funnel_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``funnel_stream``: per (user, hour window) deepest
+    funnel stage — SQL-expressible, so the DuckDB oracle checks the
+    windowed-funnel semantics the streaming operator implements."""
+    from dream_spark.operators.temporal import FUNNEL_STEPS, funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.where(F.col("event_type").isin(list(FUNNEL_STEPS))).select(
+        "user_id", "ts", "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    )
+    st = funnel_stages(ev, FUNNEL_STEPS, ["user_id", "window_start"])
+    stage = F.lit(0).cast("bigint")
+    for i in range(1, len(FUNNEL_STEPS) + 1):
+        stage = F.when(F.col(f"s{i}").isNotNull(), F.lit(i).cast("bigint")).otherwise(stage)
+    return st.select("user_id", "window_start", stage.alias("stage_reached"))
+
+
+def _funnel_windows_sql() -> str:
+    from dream_spark.operators.temporal import FUNNEL_STEPS
+
+    steps = list(FUNNEL_STEPS)
+    parts = [
+        "se AS (SELECT user_id, ts, event_type, date_trunc('hour', ts) AS window_start"
+        " FROM events WHERE event_type IN ("
+        + ", ".join(f"'{s}'" for s in steps)
+        + "))",
+        f"u1 AS (SELECT user_id, window_start, MIN(CASE WHEN event_type = '{steps[0]}'"
+        f" THEN epoch_us(ts) END) AS s1 FROM se GROUP BY user_id, window_start)",
+    ]
+    for i in range(2, len(steps) + 1):
+        prev_cols = ", ".join(f"u{i-1}.s{j}" for j in range(1, i))
+        parts.append(
+            f"u{i} AS (SELECT se.user_id, se.window_start, {prev_cols},"
+            f" MIN(CASE WHEN se.event_type = '{steps[i-1]}'"
+            f" AND epoch_us(se.ts) >= u{i-1}.s{i-1} THEN epoch_us(se.ts) END) AS s{i}"
+            f" FROM se JOIN u{i-1} ON se.user_id = u{i-1}.user_id"
+            f" AND se.window_start = u{i-1}.window_start"
+            f" GROUP BY se.user_id, se.window_start, {prev_cols})"
+        )
+    case = "CASE " + " ".join(
+        f"WHEN s{i} IS NOT NULL THEN {i}"
+        for i in range(len(steps), 0, -1)
+    ) + " ELSE 0 END"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT user_id, window_start, CAST({case} AS BIGINT) AS stage_reached"
+        + f" FROM u{len(steps)}"
+    )
+
+
+FUNNEL_WINDOWS_SQL = _funnel_windows_sql()
+
+
 QUERIES = {
     "streaming_sessionize_batch": sessionize_batch,
     "streaming_dedup_batch": dedup_events_batch,
+    "streaming_funnel_batch": funnel_windows_batch,
 }
 ORACLES = {
     "streaming_sessionize_batch": SESSIONIZE_BATCH_SQL,
     "streaming_dedup_batch": DEDUP_EVENTS_SQL,
+    "streaming_funnel_batch": FUNNEL_WINDOWS_SQL,
 }

@@ -5,6 +5,7 @@ twin vs DuckDB oracle."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dream_spark.streaming import events as SE
 from tests.conftest import SF_DIR, assert_oracle_match
@@ -223,3 +224,35 @@ def test_cms_stream_matches_batch_sketch(spark):
         for r in cms_table(ev.where(F.col("hour") == hr), "user_id").collect():
             want[(hr, r["row"], r["bucket"])] = r["cnt"]
     assert got == want
+
+
+@pytest.mark.slow
+def test_funnel_stream_matches_batch_windows(spark):
+    """Closed (user, window) funnel stages emitted by the stream must
+    equal the batch windowed-funnel twin on those keys; the final
+    windows may still be open at availableNow termination (watermark
+    never passes them), so the emitted set is a subset."""
+    stream = SE.funnel_stream(SE.read_events_stream(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("funnel_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["window_start"]): r["stage_reached"]
+        for r in spark.sql("select * from funnel_sink").collect()
+    }
+    # the stream reader casts NTZ->timestamp; normalize the batch twin's
+    # window_start through the same cast for key comparison
+    batch = {
+        (r["user_id"], r["window_start"]): r["stage_reached"]
+        for r in SE.funnel_windows_batch(spark, SF_DIR)
+        .withColumn("window_start", F.col("window_start").cast("timestamp"))
+        .collect()
+    }
+    assert got, "stream emitted no closed windows"
+    mismatched = {k for k, v in got.items() if batch.get(k) != v}
+    assert not mismatched, sorted(mismatched)[:5]
