@@ -132,6 +132,10 @@ def main() -> None:
     from dream_spark.operators.similarity import warm_vector_indexes
 
     warm_vector_indexes(spark, sf_dir)
+    # load the entity graph (edges + degrees) once, like an open graph store
+    from dream_spark.operators.graph import shared_entity_graph
+
+    shared_entity_graph(spark, sf_dir)
     setup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
