@@ -279,3 +279,77 @@ def test_shard_packing_matches_reference(spark, docs):
             want[doc_id] = (bucket, bucket * PACK_SHARD_STRIDE + cum // PACK_BUDGET_TOKENS)
             cum += n
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SPARQL property-path grammar: parser invariants over random predicates
+# ---------------------------------------------------------------------------
+_pred_name = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll")), min_size=1, max_size=8
+)
+
+
+@given(_pred_name)
+@settings(max_examples=100, deadline=None)
+def test_parser_inverse_marker_roundtrip(pred):
+    from dream_spark.plans.sparql import parse_sparql
+
+    q = parse_sparql(f"select ?A ?B where {{ ?A ^{pred} ?B }}")
+    t = q.conditions[0].pred
+    assert t.is_inverse and not t.is_transitive and not t.is_alternation
+    assert t.lexical == pred
+
+
+@given(st.lists(_pred_name, min_size=2, max_size=4, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_parser_alternation_alternatives(preds):
+    from dream_spark.plans.sparql import parse_sparql
+
+    q = parse_sparql(f"select ?A ?B where {{ ?A {'|'.join(preds)} ?B }}")
+    t = q.conditions[0].pred
+    assert t.is_alternation and t.alternatives == tuple(preds)
+
+
+# ---------------------------------------------------------------------------
+# Funnel semantics vs a pure-Python reference on random event streams
+# ---------------------------------------------------------------------------
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),                 # user
+        st.integers(0, 50),                # second
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _funnel_reference(rows, steps=("view", "click", "purchase")):
+    """Sequential conditional-min reference, per user."""
+    users = sorted({u for u, _, _ in rows})
+    counts = [0] * len(steps)
+    for u in users:
+        prev = None
+        for i, step in enumerate(steps):
+            ts = [t for uu, t, e in rows if uu == u and e == step and (prev is None or t >= prev)]
+            if i == 0:
+                ts = [t for uu, t, e in rows if uu == u and e == step]
+            if not ts:
+                break
+            prev = min(ts)
+            counts[i] += 1
+    return counts
+
+
+@given(_events_strategy)
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_matches_reference(spark, rows):
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame(rows, "user_id long, sec long, event_type string").select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"), "event_type"
+    )
+    got = [r["n_users"] for r in funnel(ev).orderBy("stage_idx").collect()]
+    assert got == _funnel_reference(rows)
