@@ -71,6 +71,8 @@ HEADLINE = [
     "pipeline_shards",
     "pipeline_contamination",
     "pipeline_repetition",
+    "pipeline_vocab",
+    "pipeline_oov",
     "sketch_kmv_users",
     "sketch_kmv_by_type",
     "sketch_quantiles",

@@ -27,8 +27,10 @@ from dream_spark.operators.graph import pagerank
 from dream_spark.operators.multimodal import pseudo_embed
 from dream_spark.operators.pipeline import (
     bigram_counts,
+    build_vocab,
     contamination_check,
     curate,
+    oov_stats,
     repetition_stats,
     split_assign,
     stratified_sample,
@@ -42,6 +44,7 @@ from dream_spark.operators.text import features_of, fingerprint_of, langid_of, t
 __all__ = [
     "asof_join",
     "bigram_counts",
+    "build_vocab",
     "connected_components",
     "contamination_check",
     "curate",
@@ -58,6 +61,7 @@ __all__ = [
     "knn_topk",
     "langid_of",
     "minhash_pairs",
+    "oov_stats",
     "pagerank",
     "pseudo_embed",
     "quantize",

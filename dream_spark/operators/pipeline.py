@@ -641,6 +641,93 @@ FROM j
 """.strip()
 
 
+#: vocabulary size for the driver-contract wrappers (corpus has ~31
+#: distinct tokens at any sf, so 20 leaves a real OOV tail)
+VOCAB_K = 20
+
+
+def build_vocab(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """Frequency-ranked token vocabulary for ANY ``(doc_id, text)``
+    DataFrame: the top-``k`` corpus tokens as (tok, freq, tok_id) with
+    dense ids 1..k by (freq DESC, tok ASC) — the deterministic seed
+    vocabulary a tokenizer-training or feature-hashing stage starts from.
+
+    Scale shape: one partially-aggregated token count (vocabulary-sized
+    shuffle), top-k via TakeOrderedAndProject (no global sort
+    materializes), and a ROW_NUMBER over the K SURVIVORS only — the
+    single-partition window touches k rows, never the corpus (the
+    anti-pattern this library bans is a global rank over the full
+    distinct-token set)."""
+    tk = tokens(docs)
+    freq = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    top = freq.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(k)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    return top.withColumn("tok_id", F.row_number().over(w).cast("bigint"))
+
+
+def oov_stats(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-document out-of-vocabulary statistics against a ``(tok, …)``
+    vocabulary table: (doc_id, n_tokens, n_oov, oov_frac) — the coverage
+    check run before committing to a tokenizer/vocab.
+
+    The vocabulary is k-sized by construction, so it broadcasts
+    unconditionally; the token stream aggregates map-side per doc —
+    one #docs-row shuffle."""
+    tk = tokens(docs)
+    marked = tk.join(
+        F.broadcast(vocab.select("tok").withColumn("__in_v", F.lit(1))),
+        on="tok",
+        how="left",
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0)).cast("bigint").alias("n_oov"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_frac"),
+    )
+
+
+def pipeline_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: top-20 token vocabulary of documents."""
+    return build_vocab(load_table(spark, sf_dir, "documents"))
+
+
+def pipeline_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: per-document OOV stats against the
+    corpus's own top-20 vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_stats(docs, build_vocab(docs))
+
+
+PIPELINE_VOCAB_SQL = f"""
+SELECT tok, freq, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS tok_id
+FROM (
+  SELECT tok, COUNT(*) AS freq FROM ({duck_tokens_cte()}) GROUP BY tok
+  ORDER BY freq DESC, tok LIMIT {VOCAB_K}
+)
+""".strip()
+
+
+PIPELINE_OOV_SQL = f"""
+WITH toks AS ({duck_tokens_cte()}),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+    ORDER BY freq DESC, tok LIMIT {VOCAB_K}
+  )
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_frac
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY doc_id
+""".strip()
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_sample": pipeline_sample,
@@ -652,6 +739,8 @@ QUERIES = {
     "pipeline_mixture": pipeline_mixture,
     "pipeline_contamination": pipeline_contamination,
     "pipeline_repetition": pipeline_repetition,
+    "pipeline_vocab": pipeline_vocab,
+    "pipeline_oov": pipeline_oov,
 }
 
 ORACLES = {
@@ -665,4 +754,6 @@ ORACLES = {
     "pipeline_mixture": PIPELINE_MIXTURE_SQL,
     "pipeline_contamination": PIPELINE_CONTAMINATION_SQL,
     "pipeline_repetition": PIPELINE_REPETITION_SQL,
+    "pipeline_vocab": PIPELINE_VOCAB_SQL,
+    "pipeline_oov": PIPELINE_OOV_SQL,
 }

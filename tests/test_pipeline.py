@@ -195,3 +195,38 @@ def test_repetition_single_token_doc_has_zero_bigrams(spark):
         spark.createDataFrame([(1, "lonely")], "doc_id long, text string")
     ).collect()
     assert rows[0]["n_bigrams"] == 0 and rows[0]["dup_bigram_frac"] == 0.0
+
+
+def test_vocab_rank_deterministic_and_oov_consistent(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana cherry"),
+            (2, "apple banana banana durian"),
+            (3, "apple kiwi"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = P.build_vocab(docs, k=2)
+    rows = {r["tok"]: (r["freq"], r["tok_id"]) for r in vocab.collect()}
+    # apple(4) > banana(3); ids follow (freq DESC, tok ASC)
+    assert rows == {"apple": (4, 1), "banana": (3, 2)}
+    oov = {r["doc_id"]: (r["n_tokens"], r["n_oov"]) for r in P.oov_stats(docs, vocab).collect()}
+    assert oov == {1: (4, 1), 2: (4, 1), 3: (2, 1)}
+    frac = {r["doc_id"]: r["oov_frac"] for r in P.oov_stats(docs, vocab).collect()}
+    assert frac[3] == 0.5
+
+
+def test_vocab_window_touches_only_k_rows(spark):
+    """The ROW_NUMBER single-partition window must sit above the top-k
+    (TakeOrderedAndProject), never above the full distinct-token set."""
+    from dream_spark.sources.tables import load_table
+
+    plan = (
+        P.build_vocab(load_table(spark, SF_DIR, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # the window consumes the take's k-row output (appears above it)
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
