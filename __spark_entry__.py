@@ -243,6 +243,22 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " where { ?C type Customer . ?C inNation ?N } group by ?N",
         False,
     ),
+    # SPARQL 1.1 subquery: the nested SELECT aggregates independently and
+    # inner-joins the outer patterns on the shared variable — per-customer
+    # order counts joined with the customer's nation
+    "sparql_subquery": (
+        "select ?N ?C ?cnt where { { select ?C (count(?O) as ?cnt)"
+        " where { ?O placedBy ?C } group by ?C } . ?C inNation ?N }",
+        False,
+    ),
+    # subquery with inner ORDER BY/LIMIT: the top-5 most-ordered customers
+    # (inner top-k runs BEFORE the outer join, per SPARQL evaluation order)
+    "sparql_subquery_topk": (
+        "select ?N ?C ?cnt where { { select ?C (count(?O) as ?cnt)"
+        " where { ?O placedBy ?C } group by ?C order by ?cnt desc ?C limit 5 } ."
+        " ?C inNation ?N }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

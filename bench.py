@@ -93,6 +93,8 @@ HEADLINE = [
     "sparql_inverse",
     "sparql_group_concat",
     "sparql_sample",
+    "sparql_subquery",
+    "sparql_subquery_topk",
     "dedup_exact_docs",
     "dedup_minhash",
     "dedup_jaccard",

@@ -102,6 +102,16 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     src: dict[str, str] = {v: "b" for v in base_vars}
     joins: list[str] = []
     astart = len(query.conditions) + 1
+    if query.subquery is not None:
+        # the inner SELECT renders through the same entry point (its own
+        # WITH block is legal inside a join subquery) — a genuinely
+        # independent evaluation of the nested query
+        inner_sub = bgp_to_sql(query.subquery, decode=False, resolver=resolve)
+        shared = [v for v in query.subquery.projection if v in src]
+        on = " AND ".join(f"{src[v]}.{v} = sub.{v}" for v in shared) or "TRUE"
+        joins.append(f"JOIN (\n{inner_sub}\n) sub ON {on}")
+        for v in query.subquery.projection:
+            src.setdefault(v, "sub")
     for k, grp in enumerate(query.optionals, start=1):
         g_aliases, g_where, g_slot = _render_block(grp, resolve, astart)
         astart += len(grp)
@@ -360,7 +370,13 @@ def bgp_to_sql(
         return _aggregate_sql(query, decode, resolve)
     if query.union_branches:
         return _union_sql(query, decode, resolve)
-    if query.filters or query.optionals or query.minuses or query.exists_groups:
+    if (
+        query.filters
+        or query.optionals
+        or query.minuses
+        or query.exists_groups
+        or query.subquery is not None
+    ):
         return _extended_sql(query, decode, resolve)
     aliases, where, first_slot = _render_block(query.conditions, resolve, 1)
 

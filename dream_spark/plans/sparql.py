@@ -169,6 +169,10 @@ class ParsedQuery:
     # ``conditions`` then holds the FIRST branch (so single-branch helpers
     # keep working) and filters/optionals are disallowed by the parser
     union_branches: list[list[Condition]] = field(default_factory=list)
+    # SPARQL 1.1 subquery: one nested ``{ select … }`` group in the WHERE
+    # clause, inner-joined to the outer patterns on the shared projected
+    # variables; inner aggregate aliases become plain outer columns
+    subquery: "ParsedQuery | None" = None
     # ASK form (SPARQL 1.1; superset of the reference grammar): the result
     # is a single boolean row — does any binding exist?
     ask: bool = False
@@ -188,6 +192,10 @@ class ParsedQuery:
                 for v in c.variables():
                     if v not in out:
                         out.append(v)
+        if self.subquery is not None:
+            for v in self.subquery.projection:
+                if v not in out:
+                    out.append(v)
         return out
 
 
@@ -334,7 +342,9 @@ def parse_sparql(text: str) -> ParsedQuery:
         if distinct:
             raise SparqlSyntaxError("select distinct with aggregates is not supported")
         aliases = [a.alias for a in aggregates]
-        dup = set(aliases) & set(plain_vars)
+        # case-INSENSITIVE collision check: Spark resolves column names
+        # case-insensitively by default, so ?c vs ?C is ambiguous there
+        dup = {a.lower() for a in aliases} & {v.lower() for v in plain_vars}
         if dup:
             raise SparqlSyntaxError(f"aggregate alias collides with projected variable: {sorted(dup)}")
         if len(set(aliases)) != len(aliases):
@@ -348,6 +358,17 @@ def parse_sparql(text: str) -> ParsedQuery:
     else:
         projection = [] if star else plain_vars
 
+    # SPARQL 1.1 subquery: one nested { select … } group comes out of the
+    # body FIRST (its inner text may legally contain every keyword the
+    # outer grammar checks for — union, filter, optional — and must not
+    # trip the outer detection)
+    sub_text, body = _extract_subselect(body)
+    subquery: ParsedQuery | None = None
+    if sub_text is not None:
+        if re.search(r"\{\s*select\b", body, re.IGNORECASE):
+            raise SparqlSyntaxError("at most one subquery group is supported")
+        subquery = parse_sparql(sub_text)
+
     # { … } union { … } alternation: detected before optional/filter
     # extraction (branches are plain BGPs; combining union with
     # filter/optional is not supported)
@@ -357,6 +378,8 @@ def parse_sparql(text: str) -> ParsedQuery:
             raise SparqlSyntaxError("filter/optional/minus/values combined with union is not supported")
         if aggregates:
             raise SparqlSyntaxError("aggregates combined with union are not supported")
+        if subquery is not None:
+            raise SparqlSyntaxError("a subquery combined with union is not supported")
         branch_bodies = re.findall(r"\{([^{}]*)\}", body)
         residue = [t.lower() for t in _WS.split(re.sub(r"\{[^{}]*\}", " ", body).strip()) if t]
         if len(branch_bodies) < 2 or residue != ["union"] * (len(branch_bodies) - 1):
@@ -482,7 +505,26 @@ def parse_sparql(text: str) -> ParsedQuery:
 
     conditions = _parse_patterns_from(body, 1)
     if not conditions:
-        raise SparqlSyntaxError("empty where clause")
+        raise SparqlSyntaxError(
+            "empty where clause"
+            if subquery is None
+            else "a subquery must be joined to at least one triple pattern"
+        )
+    if subquery is not None:
+        outer_vars = {v for c in conditions for v in c.variables()}
+        if not (set(subquery.projection) & outer_vars):
+            raise SparqlSyntaxError(
+                "subquery shares no projected variable with the outer patterns"
+            )
+        # case-insensitive: Spark column resolution would see ?cnt vs ?CNT
+        # as the same name and fail with AMBIGUOUS_REFERENCE
+        clash = {a.alias.lower() for a in subquery.aggregates} & {
+            v.lower() for v in outer_vars
+        }
+        if clash:
+            raise SparqlSyntaxError(
+                f"subquery aggregate alias collides with an outer pattern variable: {sorted(clash)}"
+            )
     optionals: list[list[Condition]] = []
     next_cid = len(conditions) + 1
     for ob in optional_bodies:
@@ -547,9 +589,31 @@ def parse_sparql(text: str) -> ParsedQuery:
         exists_groups=exists_groups,
         aggregates=aggregates,
         group_by=group_by,
+        subquery=subquery,
         text=src,
     )
     return _validate(q)
+
+
+def _extract_subselect(body: str) -> tuple[str | None, str]:
+    """Pull the first ``{ select … }`` group out of a WHERE body via
+    balanced-brace scanning (regex alone cannot match nested braces);
+    returns (inner text or None, remaining body)."""
+    m = re.search(r"\{\s*select\b", body, re.IGNORECASE)
+    if not m:
+        return None, body
+    start = m.start()
+    depth = 0
+    for i in range(start, len(body)):
+        if body[i] == "{":
+            depth += 1
+        elif body[i] == "}":
+            depth -= 1
+            if depth == 0:
+                inner = body[start + 1 : i]
+                rest = body[:start] + " " + re.sub(r"^\s*\.", " ", body[i + 1 :], count=1)
+                return inner, rest
+    raise SparqlSyntaxError("unbalanced braces in subquery group")
 
 
 def _parse_patterns_from(text_: str, start: int) -> list[Condition]:

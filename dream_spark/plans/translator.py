@@ -406,6 +406,22 @@ def translate(
     else:
         plan, bound = _join_group(store, query.conditions, stats, use_dp=True)
 
+    # SPARQL 1.1 subquery: compile the inner SELECT independently (its own
+    # join order, aggregation, limits) and inner-join it on the shared
+    # projected variables.  Inner aggregate aliases surface as plain
+    # columns.  The inner result is #groups-sized after its aggregation,
+    # so Catalyst/AQE typically broadcasts it into this join.
+    if query.subquery is not None:
+        if decode and query.subquery.aggregates:
+            raise ValueError(
+                "decode=True over an aggregating subquery is not supported "
+                "(aggregate counts are not dictionary ids)"
+            )
+        sub = translate(store, query.subquery, stats, decode=False)
+        shared = sorted(bound & set(query.subquery.projection))
+        plan = plan.join(sub, on=shared)
+        bound |= set(query.subquery.projection)
+
     # OPTIONAL groups: each is a mini-BGP joined internally, then LEFT
     # OUTER joined onto the required part on the shared variables — the
     # standard SPARQL-OPTIONAL → left-join lowering.

@@ -825,3 +825,82 @@ def test_parse_group_concat_sample():
 def test_group_concat_sample_oracle(engine, duck, qtext, decode):
     q = parse_sparql(qtext)
     assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+# ---- SPARQL 1.1 subqueries ------------------------------------------------
+def test_parse_subquery():
+    q = parse_sparql(
+        "select ?N ?C ?cnt where { { select ?C (count(?O) as ?cnt)"
+        " where { ?O placedBy ?C } group by ?C } . ?C inNation ?N }"
+    )
+    assert q.subquery is not None
+    assert q.subquery.projection == ["C", "cnt"]
+    assert len(q.conditions) == 1
+    # outer projection may reference inner aggregate aliases
+    assert q.projection == ["N", "C", "cnt"]
+    # subquery must correlate with the outer patterns
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?N where { { select ?S where { ?S type Supplier } } ."
+            " ?C inNation ?N }"
+        )
+    # inner aggregate alias must not collide with an outer variable
+    # (case-insensitively — Spark resolves names case-insensitively)
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?N where { { select ?C (count(?O) as ?n) where"
+            " { ?O placedBy ?C } group by ?C } . ?C inNation ?N }"
+        )
+    # subquery must join at least one outer pattern
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?C where { { select ?C where { ?O placedBy ?C } } }")
+
+
+def test_parse_aggregate_alias_case_insensitive_collision():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?C (count(?O) as ?c) where { ?O placedBy ?C } group by ?C"
+        )
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        (
+            "select ?N ?C ?cnt where { { select ?C (count(?O) as ?cnt)"
+            " where { ?O placedBy ?C } group by ?C } . ?C inNation ?N }",
+            False,
+        ),
+        (
+            "select ?N ?C ?cnt where { { select ?C (count(?O) as ?cnt)"
+            " where { ?O placedBy ?C } group by ?C order by ?cnt desc ?C limit 5 } ."
+            " ?C inNation ?N }",
+            False,
+        ),
+        # non-aggregating DISTINCT subquery + outer filter
+        (
+            "select ?C ?X where { { select distinct ?C where { ?O placedBy ?C ."
+            " ?O priority <1-URGENT> } } . ?C mktsegment ?X ."
+            " filter (?X = <BUILDING>) }",
+            False,
+        ),
+        # non-aggregating subquery under decode (ids everywhere -> decodable)
+        (
+            "select ?C ?X where { { select distinct ?C where { ?O placedBy ?C ."
+            " ?O priority <1-URGENT> } } . ?C mktsegment ?X }",
+            True,
+        ),
+    ],
+)
+def test_subquery_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+def test_subquery_decode_with_aggregates_rejected(engine):
+    with pytest.raises(ValueError):
+        engine.sparql(
+            "select ?N ?C ?cnt where { { select ?C (count(?O) as ?cnt)"
+            " where { ?O placedBy ?C } group by ?C } . ?C inNation ?N }",
+            decode=True,
+        ).collect()
