@@ -107,6 +107,7 @@ HEADLINE = [
     "media_catalog",
     "media_decode_stats",
     "media_frames",
+    "media_dedup",
     "streaming_sessionize_batch",
     "streaming_dedup_batch",
     "streaming_funnel_batch",

@@ -352,15 +352,60 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 MEDIA_KNN_SQL = _media_knn_sql()
 
 
+def payload_dedup(media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Exact byte-level dedup for ANY binary-payload DataFrame: group by
+    the payload's SHA-256, report (payload_sha256, n_copies,
+    canonical_id) with the minimum id as canonical — the
+    hash-the-bytes-once pass every multimodal ingest runs before any
+    decode spends GPU/CPU on a duplicate asset.
+
+    Scale shape: the hash is a map-side projection (the 100-TB payload
+    column never shuffles — only 64-char digests + ids move), then one
+    partially-aggregated groupBy on the digest."""
+    h = F.sha2(F.col(payload_col), 256)
+    return (
+        media.select(h.alias("payload_sha256"), F.col(id_col))
+        .groupBy("payload_sha256")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: exact payload dedup over the media
+    catalog."""
+    return payload_dedup(media_catalog(spark, sf_dir))
+
+
+# The synthesized payload is encode(text), so hashing the source VARCHAR
+# (DuckDB sha256 accepts only VARCHAR) hashes the identical bytes the
+# Spark side hashes as BINARY — the digests match bit-for-bit.
+MEDIA_DEDUP_SQL = """
+SELECT sha256(text) AS payload_sha256,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_id
+FROM documents
+WHERE octet_length(encode(text)) >= 64
+  AND (CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpeg'
+            ELSE 'webp' END) <> 'webp'
+GROUP BY sha256(text)
+""".strip()
+
+
 QUERIES = {
     "media_catalog": media_catalog_meta,
     "media_decode_stats": media_decode_stats,
     "media_frames": media_frame_stats,
     "media_knn": media_knn,
+    "media_dedup": media_dedup,
 }
 ORACLES = {
     "media_catalog": MEDIA_CATALOG_META_SQL,
     "media_decode_stats": MEDIA_DECODE_STATS_SQL,
     "media_frames": MEDIA_FRAME_STATS_SQL,
     "media_knn": MEDIA_KNN_SQL,
+    "media_dedup": MEDIA_DEDUP_SQL,
 }

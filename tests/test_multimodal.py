@@ -57,3 +57,25 @@ def test_pseudo_embed_shape(spark):
     row = emb.limit(1).collect()[0]
     assert len(row["embedding"]) == M.EMBED_DIMS
     assert all(0.0 <= x < 1.0 for x in row["embedding"])
+
+
+def test_payload_dedup_groups_identical_bytes(spark):
+    from dream_spark.operators.multimodal import payload_dedup
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"imgA")), (2, bytearray(b"imgA")), (3, bytearray(b"imgB"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["canonical_id"]: r["n_copies"] for r in payload_dedup(media).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_payload_dedup_never_shuffles_payload_bytes(spark):
+    """Only digests + ids may reach the exchange — the payload column must
+    be projected away below the aggregation."""
+    from dream_spark.operators.multimodal import media_dedup
+    from tests.conftest import SF_DIR
+
+    plan = media_dedup(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    exchange_inputs = plan.split("Exchange")[1] if "Exchange" in plan else ""
+    assert "payload#" not in exchange_inputs.split("Scan")[0]
