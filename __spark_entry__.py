@@ -311,13 +311,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # family stays represented: rel_pivot (grouping-sets family — rel_cube
 # keeps the seat), pipeline_chunks (split/tfidf/shards + contamination hold
 # the pipeline seats), text_fingerprint (features/langid/topterms hold
-# text), media_frames (catalog/decode_stats hold multimodal).
+# text), media_frames (catalog/decode_stats hold multimodal).  The new
+# SPARQL 1.1 subquery form takes sparql_filter_ne's seat (simple =/!=
+# filters stay covered by sparql_minus/sparql_filter_samenation shapes and
+# filter_ne's green r02 row).
 PRIORITY_ORDER = [
     # SPARQL — one per distinct plan shape (O1-O11, P1-P8 paths)
     "sparql_star", "sparql_cycle5", "sparql_path", "sparql_varpred",
     "sparql_empty", "sparql_distinct", "sparql_decode",
     "sparql_topk", "sparql_disconnected", "sparql_optional",
-    "sparql_filter_ne", "sparql_count_group", "sparql_minus", "sparql_union",
+    "sparql_subquery", "sparql_count_group", "sparql_minus", "sparql_union",
     # relational — every distinct operator shape
     "rel_q1_pricing", "rel_q3_top10", "rel_q5_cycle", "rel_q12_priority",
     "rel_anti", "rel_cube", "rel_window_top3", "rel_events_hourly",

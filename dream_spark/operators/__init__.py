@@ -24,7 +24,7 @@ from dream_spark.operators.dedup import (
     simhash_pairs,
 )
 from dream_spark.operators.graph import pagerank
-from dream_spark.operators.multimodal import pseudo_embed
+from dream_spark.operators.multimodal import payload_dedup, pseudo_embed
 from dream_spark.operators.pipeline import (
     bigram_counts,
     build_vocab,
@@ -63,6 +63,7 @@ __all__ = [
     "minhash_pairs",
     "oov_stats",
     "pagerank",
+    "payload_dedup",
     "pseudo_embed",
     "quantize",
     "range_join",
