@@ -259,6 +259,18 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " ?C inNation ?N }",
         False,
     ),
+    # sequence property path (SPARQL 1.1 SequencePath): p1/p2/p3 rewrites
+    # to chained patterns through fresh internal variables at parse time —
+    # lineitem -> supplier -> nation -> region in one path expression
+    "sparql_seq_path": (
+        "select ?L ?R where { ?L suppliedBy/inNation/inRegion ?R }",
+        False,
+    ),
+    # sequence path with an inverse first hop: customers' order statuses
+    "sparql_seq_inverse": (
+        "select ?C ?S where { ?C ^placedBy/status ?S . ?C mktsegment <BUILDING> }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

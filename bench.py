@@ -95,6 +95,8 @@ HEADLINE = [
     "sparql_sample",
     "sparql_subquery",
     "sparql_subquery_topk",
+    "sparql_seq_path",
+    "sparql_seq_inverse",
     "dedup_exact_docs",
     "dedup_minhash",
     "dedup_jaccard",

@@ -190,7 +190,9 @@ class ParsedQuery:
         for grp in list(groups) + list(self.optionals):
             for c in grp:
                 for v in c.variables():
-                    if v not in out:
+                    # internal sequence-path hop variables join patterns
+                    # but never surface (not projectable, not `select *`)
+                    if v not in out and not v.startswith("__seq"):
                         out.append(v)
         if self.subquery is not None:
             for v in self.subquery.projection:
@@ -625,24 +627,50 @@ def _parse_patterns_from(text_: str, start: int) -> list[Condition]:
         terms = _WS.split(pat)
         if len(terms) != 3:
             raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {terms!r}")
-        for marker in ("+", "^", "|"):
+        for marker in ("+", "^", "|", "/"):
             if marker in terms[0] or marker in terms[2]:
                 raise SparqlSyntaxError(f"path {marker!r} marker is only valid on a predicate")
         p = terms[1]
-        if p.startswith("?") and p.endswith("+"):
-            raise SparqlSyntaxError("path '+' requires a constant predicate")
-        if ("^" in p or "|" in p) and ("?" in p):
-            raise SparqlSyntaxError("path '^'/'|' require constant predicates")
-        if ("^" in p and p.count("^") > 1) or p.startswith("|") or p.endswith("|") or "||" in p:
-            raise SparqlSyntaxError(f"malformed property path: {p!r}")
-        if sum(m in p for m in ("+", "^", "|")) > 1:
-            raise SparqlSyntaxError(
-                f"combined path operators are not supported (one of +/^/| per predicate): {p!r}"
-            )
-        if "^" in p and not p.startswith("^"):
-            raise SparqlSyntaxError(f"'^' must prefix the predicate: {p!r}")
+        if "/" in p and not p.startswith("?"):
+            # SequencePath p1/p2/…: rewrite into chained patterns through
+            # fresh internal variables (never projectable — see
+            # all_variables).  Each hop carries its own +/^/| marker and is
+            # validated like a standalone predicate.
+            hops = p.split("/")
+            if any(not h for h in hops):
+                raise SparqlSyntaxError(f"malformed sequence path: {p!r}")
+            if any(h.lstrip("^").startswith("?") for h in hops):
+                raise SparqlSyntaxError(
+                    f"sequence-path hops must be constant predicates: {p!r}"
+                )
+            subj = terms[0]
+            for j, hop in enumerate(hops):
+                _check_pred_markers(hop)
+                last = j == len(hops) - 1
+                obj = terms[2] if last else f"?__seq{start + len(out)}"
+                out.append(Condition(start + len(out), Term(subj), Term(hop), Term(obj)))
+                subj = obj
+            continue
+        _check_pred_markers(p)
         out.append(Condition(start + len(out), Term(terms[0]), Term(terms[1]), Term(terms[2])))
     return out
+
+
+def _check_pred_markers(p: str) -> None:
+    """Validate the path-marker grammar of one predicate slot (or one hop
+    of a sequence path)."""
+    if p.startswith("?") and p.endswith("+"):
+        raise SparqlSyntaxError("path '+' requires a constant predicate")
+    if ("^" in p or "|" in p) and ("?" in p):
+        raise SparqlSyntaxError("path '^'/'|' require constant predicates")
+    if ("^" in p and p.count("^") > 1) or p.startswith("|") or p.endswith("|") or "||" in p:
+        raise SparqlSyntaxError(f"malformed property path: {p!r}")
+    if sum(m in p for m in ("+", "^", "|")) > 1:
+        raise SparqlSyntaxError(
+            f"combined path operators are not supported (one of +/^/| per predicate): {p!r}"
+        )
+    if "^" in p and not p.startswith("^"):
+        raise SparqlSyntaxError(f"'^' must prefix the predicate: {p!r}")
 
 
 def _validate(q: ParsedQuery) -> ParsedQuery:

@@ -904,3 +904,57 @@ def test_subquery_decode_with_aggregates_rejected(engine):
             " where { ?O placedBy ?C } group by ?C } . ?C inNation ?N }",
             decode=True,
         ).collect()
+
+
+# ---- sequence property paths ----------------------------------------------
+def test_parse_sequence_path():
+    q = parse_sparql("select ?L ?R where { ?L suppliedBy/inNation/inRegion ?R }")
+    assert len(q.conditions) == 3
+    # chained through fresh internal variables, hop predicates in order
+    assert [c.pred.lexical for c in q.conditions] == ["suppliedBy", "inNation", "inRegion"]
+    assert q.conditions[0].obj.var == q.conditions[1].subj.var
+    assert q.conditions[1].obj.var == q.conditions[2].subj.var
+    # internal hop variables are not projectable and absent from select *
+    assert q.all_variables() == ["L", "R"]
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?X where { ?L suppliedBy/inNation ?N . ?L type ?X }"
+                     .replace("?X", "?__seq1"))
+    for bad in [
+        "select ?A ?B where { ?A suppliedBy//inNation ?B }",
+        "select ?A ?B where { ?A suppliedBy/?p ?B }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+def test_sequence_path_star_projection_hides_internal_vars(engine):
+    got = engine.sparql("select * where { ?L suppliedBy/inNation ?N }")
+    assert got.columns == ["L", "N"]
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        ("select ?L ?R where { ?L suppliedBy/inNation/inRegion ?R }", False),
+        (
+            "select ?O ?N where { ?O placedBy/inNation ?N . ?O priority <1-URGENT> }",
+            False,
+        ),
+        ("select ?C ?S where { ?C ^placedBy/status ?S }", False),
+        ("select ?L ?R where { ?L suppliedBy/inNation/inRegion ?R }", True),
+    ],
+)
+def test_sequence_path_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+def test_sequence_path_bag_multiplicity(engine):
+    """SPARQL SequencePath semantics: one row per intermediate binding —
+    a (L, R) pair connected through its supplier/nation chain appears with
+    join multiplicity, not DISTINCT-collapsed."""
+    rows = engine.sparql("select ?L ?R where { ?L suppliedBy/inNation/inRegion ?R }").count()
+    distinct = (
+        engine.sparql("select distinct ?L ?R where { ?L suppliedBy/inNation/inRegion ?R }").count()
+    )
+    assert rows >= distinct > 0
