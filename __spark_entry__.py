@@ -301,14 +301,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver adjudicates the FIRST 50 queries() entries (insertion order), so
 # the first 50 must contain ≥1 representative of every operator family.  This
-# list is exactly 50 names: 14 semantically-distinct SPARQL forms, 12
-# relational (every distinct shape incl. pivot/intersect), the
-# training-pipeline family, and all temporal/text/dedup/similarity/
-# multimodal/streaming entries.  Everything after position 50 is a semantic
-# variant of a checked entry (e.g. sparql_ground = constant-anchored star,
-# sparql_empty_join = O10 with a join on top, simhash_docs = the fingerprint
-# table dedup_simhash consumes, rel_except = INTERSECT's set-op sibling) or
-# a TPC-H analog whose family is already represented.
+# list is exactly 50 names — current family breakdown (post-round-4
+# rotation): 14 SPARQL forms (incl. the 1.1 subquery), 11 relational,
+# 3 temporal (as-of/range/funnel), 3 text, 4 pipeline
+# (split/tfidf/shards/contamination), 6 dedup (one per algorithm), 3 kNN,
+# 1 sketch, 1 graph, 2 multimodal, 2 streaming.  Everything after position
+# 50 is a semantic variant of a checked entry (e.g. sparql_ground =
+# constant-anchored star, sparql_empty_join = O10 with a join on top,
+# simhash_docs = the fingerprint table dedup_simhash consumes, rel_except =
+# INTERSECT's set-op sibling) or a TPC-H analog whose family is already
+# represented.  KEEP THE SUM AT 50 when rotating.
 #
 # Round 3 rotates the pipeline-family slots: pipeline_chunks/pipeline_shards
 # (new this round) take the in-cap seats of pipeline_sample/pipeline_bigrams,

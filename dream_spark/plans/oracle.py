@@ -258,11 +258,14 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
     )
     inner = bgp_to_sql(inner_q, decode=False, resolver=resolver)
 
-    # group_concat aggregates lexicals, not ids: LEFT JOIN the dict once per
-    # concatenated variable (1:1 — the dict is a bijection, no row fan-out)
+    # group_concat aggregates lexicals, not ids: ONE dict CTE shared by all
+    # concatenated variables, LEFT JOINed per variable (1:1 — the dict is a
+    # bijection, no row fan-out).  Every q-column reference is QUALIFIED:
+    # the gcd aliases expose id/lexical columns, so an unqualified group-by
+    # variable named ?id or ?lexical would be a binder ambiguity.
     gc_vars = sorted({a.var for a in query.aggregates if a.fn == "group_concat"})
     gc_join = "\n".join(
-        f"LEFT JOIN (\n{DICT_SQL}\n) gcd{j} ON gcd{j}.id = q.{v}"
+        f"LEFT JOIN gdict gcd{j} ON gcd{j}.id = q.{v}"
         for j, v in enumerate(gc_vars, start=1)
     )
     gc_ref = {v: f"gcd{j}.lexical" for j, v in enumerate(gc_vars, start=1)}
@@ -270,34 +273,35 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
     agg_sel = []
     for a in query.aggregates:
         if a.fn in ("min", "max"):
-            agg_sel.append(f"{a.fn.upper()}({a.var}) AS {a.alias}")
+            agg_sel.append(f"{a.fn.upper()}(q.{a.var}) AS {a.alias}")
         elif a.fn == "sample":
             # deterministic SAMPLE = MIN (plans/sparql.py contract)
-            agg_sel.append(f"MIN({a.var}) AS {a.alias}")
+            agg_sel.append(f"MIN(q.{a.var}) AS {a.alias}")
         elif a.fn == "group_concat":
             lex = gc_ref[a.var]
             agg_sel.append(f"STRING_AGG({lex}, ',' ORDER BY {lex}) AS {a.alias}")
         elif a.var is None:
             agg_sel.append(f"COUNT(*) AS {a.alias}")
         elif a.distinct:
-            agg_sel.append(f"COUNT(DISTINCT {a.var}) AS {a.alias}")
+            agg_sel.append(f"COUNT(DISTINCT q.{a.var}) AS {a.alias}")
         else:
-            agg_sel.append(f"COUNT({a.var}) AS {a.alias}")
+            agg_sel.append(f"COUNT(q.{a.var}) AS {a.alias}")
     grp_sel = [f"q.{v} AS {v}" for v in query.group_by]
     sel = ", ".join(grp_sel + agg_sel)
-    sql = f"SELECT {sel}\nFROM (\n{inner}\n) q"
+    prefix = f"WITH gdict AS (\n{DICT_SQL}\n)\n" if gc_vars else ""
+    sql = f"{prefix}SELECT {sel}\nFROM (\n{inner}\n) q"
     if gc_join:
         sql += f"\n{gc_join}"
     if query.group_by:
-        sql += "\nGROUP BY " + ", ".join(query.group_by)
+        sql += "\nGROUP BY " + ", ".join(f"q.{v}" for v in query.group_by)
     if query.having is not None:
         ha, hop, hval = query.having
         if ha.var is None:
             hexpr = "COUNT(*)"
         elif ha.distinct:
-            hexpr = f"COUNT(DISTINCT {ha.var})"
+            hexpr = f"COUNT(DISTINCT q.{ha.var})"
         else:
-            hexpr = f"COUNT({ha.var})"
+            hexpr = f"COUNT(q.{ha.var})"
         sql += f"\nHAVING {hexpr} {'<>' if hop == '!=' else hop} {hval}"
 
     if decode and query.group_by:

@@ -28,6 +28,40 @@ import re
 from dataclasses import dataclass, field, replace
 
 
+def _mask_brackets(t: str) -> str:
+    """Blank everything inside ``<…>`` (position-preserving): path-operator
+    detection must only see characters OUTSIDE bracketed constants — an IRI
+    like ``<http://a|b+c>`` contains every marker character legally."""
+    out, depth = [], 0
+    for ch in t:
+        if ch == "<":
+            depth += 1
+            out.append("_")
+        elif ch == ">":
+            depth = max(0, depth - 1)
+            out.append("_")
+        else:
+            out.append(ch if depth == 0 else "_")
+    return "".join(out)
+
+
+def _split_outside_brackets(t: str, sep: str) -> list[str]:
+    """Split on ``sep`` occurrences outside ``<…>`` only."""
+    parts, cur, depth = [], [], 0
+    for ch in t:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth = max(0, depth - 1)
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 @dataclass(frozen=True)
 class Term:
     """One s/p/o slot: either a variable (?X) or a lexical constant.
@@ -57,7 +91,7 @@ class Term:
 
     @property
     def is_transitive(self) -> bool:
-        return (not self.is_var) and self.text.endswith("+")
+        return (not self.is_var) and _mask_brackets(self.text).endswith("+")
 
     @property
     def is_inverse(self) -> bool:
@@ -65,13 +99,13 @@ class Term:
 
     @property
     def is_alternation(self) -> bool:
-        return (not self.is_var) and "|" in self.text
+        return (not self.is_var) and "|" in _mask_brackets(self.text)
 
     @property
     def alternatives(self) -> tuple[str, ...]:
         """The lexical of each ``|`` alternative (a 1-tuple when the term
         is a plain constant)."""
-        return tuple(Term(t).lexical for t in self.text.split("|"))
+        return tuple(Term(t).lexical for t in _split_outside_brackets(self.text, "|"))
 
     @property
     def lexical(self) -> str:
@@ -338,6 +372,11 @@ def parse_sparql(text: str) -> ParsedQuery:
             continue
         if not tok.startswith("?"):
             raise SparqlSyntaxError(f"projection terms must be variables, got {tok!r}")
+        if tok[1:].startswith("__seq"):
+            raise SparqlSyntaxError(
+                "variable names starting with '__seq' are reserved for "
+                "sequence-path rewriting"
+            )
         if tok[1:] not in plain_vars:
             plain_vars.append(tok[1:])
     if aggregates:
@@ -413,6 +452,27 @@ def parse_sparql(text: str) -> ParsedQuery:
     exists_raw: list[tuple[bool, str]] = []
     optional_bodies: list[str] = []
     minus_bodies: list[str] = []
+
+    # a FILTER nested INSIDE an optional/minus group must fail loudly: the
+    # exists grab below runs on the whole body, so without this guard a
+    # nested 'filter exists { … }' would be silently HOISTED to a top-level
+    # filter — changing semantics identically on both engines, which the
+    # oracle cross-check can therefore never catch
+    for gm in re.finditer(r"(?is)\b(optional|minus)\s*\{", body):
+        depth, i = 0, gm.end() - 1
+        while i < len(body):
+            if body[i] == "{":
+                depth += 1
+            elif body[i] == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if re.search(r"(?i)\bfilter\b", body[gm.end() : i]):
+            raise SparqlSyntaxError(
+                f"filter inside an {gm.group(1).lower()} group is not supported "
+                "(write it at the top level, where it applies after the join)"
+            )
 
     def _grab_exists(m2: re.Match) -> str:
         exists_raw.append((m2.group(1) is None, m2.group(2)))
@@ -527,6 +587,18 @@ def parse_sparql(text: str) -> ParsedQuery:
             raise SparqlSyntaxError(
                 f"subquery aggregate alias collides with an outer pattern variable: {sorted(clash)}"
             )
+        # same hazard for PLAIN projected variables: an exact-name match is
+        # the intended join key, but a case-only difference (?c vs ?C)
+        # joins under Spark's case-insensitive resolution while remaining
+        # two distinct columns — reject it
+        for v in subquery.projection:
+            twins = {w for w in outer_vars if w.lower() == v.lower() and w != v}
+            if twins:
+                raise SparqlSyntaxError(
+                    f"subquery variable ?{v} differs only in case from outer "
+                    f"variable(s) {sorted(twins)} — Spark resolves column names "
+                    "case-insensitively; use the identical spelling to join"
+                )
     optionals: list[list[Condition]] = []
     next_cid = len(conditions) + 1
     for ob in optional_bodies:
@@ -627,16 +699,28 @@ def _parse_patterns_from(text_: str, start: int) -> list[Condition]:
         terms = _WS.split(pat)
         if len(terms) != 3:
             raise SparqlSyntaxError(f"triple pattern needs 3 terms, got {terms!r}")
-        for marker in ("+", "^", "|", "/"):
-            if marker in terms[0] or marker in terms[2]:
-                raise SparqlSyntaxError(f"path {marker!r} marker is only valid on a predicate")
+        for st in (terms[0], terms[2]):
+            # markers only matter OUTSIDE bracketed constants (an IRI may
+            # contain any of them); on s/o slots only a path suffix/prefix
+            # shape is plausibly a user mistake — reject those loudly
+            sm = _mask_brackets(st)
+            if sm.endswith("+") or sm.startswith("^") or "|" in sm or "/" in sm:
+                raise SparqlSyntaxError(
+                    f"path markers are only valid on a predicate: {st!r}"
+                )
+        for t in terms:
+            if t.startswith("?") and t[1:].startswith("__seq"):
+                raise SparqlSyntaxError(
+                    "variable names starting with '__seq' are reserved for "
+                    "sequence-path rewriting"
+                )
         p = terms[1]
-        if "/" in p and not p.startswith("?"):
+        if "/" in _mask_brackets(p) and not p.startswith("?"):
             # SequencePath p1/p2/…: rewrite into chained patterns through
             # fresh internal variables (never projectable — see
             # all_variables).  Each hop carries its own +/^/| marker and is
             # validated like a standalone predicate.
-            hops = p.split("/")
+            hops = _split_outside_brackets(p, "/")
             if any(not h for h in hops):
                 raise SparqlSyntaxError(f"malformed sequence path: {p!r}")
             if any(h.lstrip("^").startswith("?") for h in hops):
@@ -658,18 +742,20 @@ def _parse_patterns_from(text_: str, start: int) -> list[Condition]:
 
 def _check_pred_markers(p: str) -> None:
     """Validate the path-marker grammar of one predicate slot (or one hop
-    of a sequence path)."""
-    if p.startswith("?") and p.endswith("+"):
+    of a sequence path).  All character tests run on the bracket-MASKED
+    text, so operator characters inside ``<…>`` constants never trip them."""
+    m = _mask_brackets(p)
+    if p.startswith("?") and m.endswith("+"):
         raise SparqlSyntaxError("path '+' requires a constant predicate")
-    if ("^" in p or "|" in p) and ("?" in p):
+    if ("^" in m or "|" in m) and ("?" in m):
         raise SparqlSyntaxError("path '^'/'|' require constant predicates")
-    if ("^" in p and p.count("^") > 1) or p.startswith("|") or p.endswith("|") or "||" in p:
+    if ("^" in m and m.count("^") > 1) or m.startswith("|") or m.endswith("|") or "||" in m:
         raise SparqlSyntaxError(f"malformed property path: {p!r}")
-    if sum(m in p for m in ("+", "^", "|")) > 1:
+    if sum(x in m for x in ("+", "^", "|")) > 1:
         raise SparqlSyntaxError(
             f"combined path operators are not supported (one of +/^/| per predicate): {p!r}"
         )
-    if "^" in p and not p.startswith("^"):
+    if "^" in m and not m.startswith("^"):
         raise SparqlSyntaxError(f"'^' must prefix the predicate: {p!r}")
 
 

@@ -958,3 +958,62 @@ def test_sequence_path_bag_multiplicity(engine):
         engine.sparql("select distinct ?L ?R where { ?L suppliedBy/inNation/inRegion ?R }").count()
     )
     assert rows >= distinct > 0
+
+
+# ---- review-hardening regressions -----------------------------------------
+def test_filter_inside_optional_or_minus_rejected():
+    """A nested FILTER must fail loudly — the alternative is silent
+    hoisting to a top-level filter, wrong on BOTH engines identically (the
+    oracle cross-check could never catch it)."""
+    for bad in [
+        "select ?C ?O where { ?C type Customer ."
+        " optional { ?O placedBy ?C . filter exists { ?C inNation <nation:5> } } }",
+        "select ?C where { ?C type Customer ."
+        " minus { ?O placedBy ?C . filter (?O != <x>) } }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+def test_bracketed_iri_constants_parse_with_marker_chars():
+    """Operator characters INSIDE <…> constants are data, not path
+    syntax — IRIs legally contain / + ^ |."""
+    q = parse_sparql("select ?x where { <http://e.org/a+b> placedBy ?x }")
+    assert q.conditions[0].subj.lexical == "http://e.org/a+b"
+    q = parse_sparql("select ?x ?y where { ?x <http://e.org/p|q> ?y }")
+    t = q.conditions[0].pred
+    assert not t.is_alternation and t.lexical == "http://e.org/p|q"
+    # bracketed alternation still works
+    q = parse_sparql("select ?x ?y where { ?x <inNation>|<inRegion> ?y }")
+    assert q.conditions[0].pred.alternatives == ("inNation", "inRegion")
+    # bracketed sequence hop with interior slash is ONE hop
+    q = parse_sparql("select ?x ?y where { ?x <http://e.org/p>/<q> ?y }")
+    assert [c.pred.lexical for c in q.conditions] == ["http://e.org/p", "q"]
+
+
+def test_subquery_case_only_variable_collision_rejected():
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?N where { { select ?c where { ?O placedBy ?c } } ."
+            " ?C inNation ?N }"
+        )
+
+
+def test_reserved_seq_prefix_rejected():
+    for bad in [
+        "select ?__seq1 where { ?__seq1 type Customer }",
+        "select ?x where { ?__seq2 type Customer . ?__seq2 inNation ?x }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+def test_group_concat_with_id_named_group_var_oracle(engine, duck):
+    """Regression: an unqualified oracle GROUP BY was ambiguous when the
+    group variable is named like a dict column (?id)."""
+    qtext = (
+        "select ?id (group_concat(?NM) as ?names) where { ?N inRegion ?id ."
+        " ?N name ?NM } group by ?id"
+    )
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
