@@ -271,6 +271,13 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?C ?S where { ?C ^placedBy/status ?S . ?C mktsegment <BUILDING> }",
         False,
     ),
+    # BIND superset (expression-free subset: variable aliasing + constant
+    # binding — id arithmetic is not meaningful on dictionary ids)
+    "sparql_bind": (
+        "select ?C ?HOME ?TAG where { ?C type Customer . ?C inNation ?N ."
+        " bind(?N as ?HOME) . bind(<BUILDING> as ?TAG) }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

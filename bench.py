@@ -97,6 +97,7 @@ HEADLINE = [
     "sparql_subquery_topk",
     "sparql_seq_path",
     "sparql_seq_inverse",
+    "sparql_bind",
     "dedup_exact_docs",
     "dedup_minhash",
     "dedup_jaccard",

@@ -161,7 +161,15 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             joins.append(f"JOIN dict fr{i} ON fr{i}.id = {lhs}")
             filt_where.append(f"regexp_matches(fr{i}.lexical, '{f.pattern}')")
 
-    proj_sel = ", ".join(f"{src[v]}.{v} AS {v}" for v in query.projection)
+    # BIND aliases project the source column / resolved constant
+    bind_expr = {
+        alias: (f"{src[s]}.{s}" if kind == "var" else f"CAST({resolve(s)} AS BIGINT)")
+        for kind, s, alias in query.binds
+    }
+    proj_sel = ", ".join(
+        f"{bind_expr[v]} AS {v}" if v in bind_expr else f"{src[v]}.{v} AS {v}"
+        for v in query.projection
+    )
     inner = f"SELECT {proj_sel}\nFROM ({base}) b\n" + "\n".join(joins)
     if filt_where:
         inner += "\nWHERE " + " AND ".join(filt_where)
@@ -380,6 +388,7 @@ def bgp_to_sql(
         or query.minuses
         or query.exists_groups
         or query.subquery is not None
+        or query.binds
     ):
         return _extended_sql(query, decode, resolve)
     aliases, where, first_slot = _render_block(query.conditions, resolve, 1)

@@ -207,6 +207,9 @@ class ParsedQuery:
     # clause, inner-joined to the outer patterns on the shared projected
     # variables; inner aggregate aliases become plain outer columns
     subquery: "ParsedQuery | None" = None
+    # BIND clauses: (kind, source, alias) with kind "var" (source = bound
+    # variable name) or "const" (source = constant lexical)
+    binds: list[tuple[str, str, str]] = field(default_factory=list)
     # ASK form (SPARQL 1.1; superset of the reference grammar): the result
     # is a single boolean row — does any binding exist?
     ask: bool = False
@@ -232,6 +235,9 @@ class ParsedQuery:
             for v in self.subquery.projection:
                 if v not in out:
                     out.append(v)
+        for _, _, alias in self.binds:
+            if alias not in out:
+                out.append(alias)
         return out
 
 
@@ -415,8 +421,10 @@ def parse_sparql(text: str) -> ParsedQuery:
     # filter/optional is not supported)
     union_branches: list[list[Condition]] = []
     if re.search(r"(?i)\bunion\b", body):
-        if re.search(r"(?i)\b(filter|optional|minus|values)\b", body):
-            raise SparqlSyntaxError("filter/optional/minus/values combined with union is not supported")
+        if re.search(r"(?i)\b(filter|optional|minus|values|bind)\b", body):
+            raise SparqlSyntaxError(
+                "filter/optional/minus/values/bind combined with union is not supported"
+            )
         if aggregates:
             raise SparqlSyntaxError("aggregates combined with union are not supported")
         if subquery is not None:
@@ -562,8 +570,34 @@ def parse_sparql(text: str) -> ParsedQuery:
         body,
     )
     body = re.sub(r"(?is)values\s+(\?\w+)\s*\{([^{}]*)\}\s*\.?", _grab_values, body)
-    if re.search(r"(?i)\b(filter|optional|minus|values)\b", body):
-        raise SparqlSyntaxError(f"unparsable filter/optional/minus/values clause in: {body[:120]!r}")
+
+    # bind(?src as ?alias) / bind(<const> as ?alias): variable aliasing and
+    # constant binding — the expression-free BIND subset that is meaningful
+    # over dictionary ids (id arithmetic is not)
+    binds: list[tuple[str, str, str]] = []
+
+    def _grab_bind(m2: re.Match) -> str:
+        src_t, alias = m2.group(1), m2.group(2)[1:]
+        if alias.startswith("__seq"):
+            raise SparqlSyntaxError(
+                "variable names starting with '__seq' are reserved for "
+                "sequence-path rewriting"
+            )
+        if src_t.startswith("?"):
+            binds.append(("var", src_t[1:], alias))
+        else:
+            binds.append(("const", Term(src_t).lexical, alias))
+        return " "
+
+    body = re.sub(
+        r"(?is)bind\s*\(\s*(\?\w+|<[^>]*>|[^\s()]+)\s+as\s+(\?\w+)\s*\)\s*\.?",
+        _grab_bind,
+        body,
+    )
+    if re.search(r"(?i)\b(filter|optional|minus|values|bind)\b", body):
+        raise SparqlSyntaxError(
+            f"unparsable filter/optional/minus/values/bind clause in: {body[:120]!r}"
+        )
 
     conditions = _parse_patterns_from(body, 1)
     if not conditions:
@@ -664,6 +698,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         aggregates=aggregates,
         group_by=group_by,
         subquery=subquery,
+        binds=binds,
         text=src,
     )
     return _validate(q)
@@ -784,4 +819,18 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
         unbound += [v for v in (f.vars_ or ()) if v not in known]
         if unbound:
             raise SparqlSyntaxError(f"filter variables not bound in where clause: {unbound}")
+    aliases_b = [alias for _, _, alias in q.binds]
+    if len({a.lower() for a in aliases_b}) != len(aliases_b):
+        raise SparqlSyntaxError("duplicate bind aliases")
+    pattern_vars = {v for v in known if v not in aliases_b}
+    for kind, src_v, alias in q.binds:
+        # alias must be NEW (case-insensitively — Spark resolution)
+        if alias.lower() in {v.lower() for v in pattern_vars}:
+            raise SparqlSyntaxError(
+                f"bind alias ?{alias} collides with a bound variable"
+            )
+        if kind == "var" and src_v not in pattern_vars:
+            raise SparqlSyntaxError(
+                f"bind source variable not bound in where clause: ?{src_v}"
+            )
     return q

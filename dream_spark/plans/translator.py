@@ -497,6 +497,14 @@ def translate(
         else:  # pragma: no cover
             raise ValueError(f"unknown filter kind {f.kind!r}")
 
+    # BIND clauses: pure projections — a column alias or a resolved
+    # constant literal; zero data movement (SPARQL's expression BINDs are
+    # out of scope: id arithmetic is not meaningful on dictionary ids).
+    for kind, src, alias in query.binds:
+        col = F.col(src) if kind == "var" else F.lit(store.resolve(src)).cast("long")
+        plan = plan.withColumn(alias, col)
+        bound.add(alias)
+
     # Aggregate projection: groupBy + count/count-distinct — Catalyst plans
     # partial aggregation, so only #groups rows shuffle.
     if query.aggregates:

@@ -1017,3 +1017,43 @@ def test_group_concat_with_id_named_group_var_oracle(engine, duck):
     )
     q = parse_sparql(qtext)
     assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
+# ---- BIND superset ---------------------------------------------------------
+def test_parse_bind():
+    q = parse_sparql(
+        "select ?C ?HOME where { ?C type Customer . ?C inNation ?N . bind(?N as ?HOME) }"
+    )
+    assert q.binds == [("var", "N", "HOME")]
+    q = parse_sparql("select ?C ?TAG where { ?C type Customer . bind(<BUILDING> as ?TAG) }")
+    assert q.binds == [("const", "BUILDING", "TAG")]
+    for bad in [
+        # alias collides with a bound variable (case-insensitively)
+        "select ?C where { ?C type Customer . ?C inNation ?N . bind(?C as ?n) }",
+        # unbound source
+        "select ?C ?Y where { ?C type Customer . bind(?missing as ?Y) }",
+        # duplicate aliases
+        "select ?C where { ?C type Customer . bind(?C as ?a) . bind(?C as ?A) }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        (
+            "select ?C ?HOME ?TAG where { ?C type Customer . ?C inNation ?N ."
+            " bind(?N as ?HOME) . bind(<BUILDING> as ?TAG) }",
+            False,
+        ),
+        (
+            "select ?C ?HOME where { ?C type Customer . ?C inNation ?N ."
+            " bind(?N as ?HOME) }",
+            True,
+        ),
+    ],
+)
+def test_bind_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
