@@ -129,3 +129,54 @@ def curate_stream(
         ["content_hash"]
     )
     return split_assign(deduped).select("doc_id", "n_tokens", "split")
+
+
+def contamination_stream(
+    spark: SparkSession,
+    src_dir: str,
+    benchmark: DataFrame,
+    flagged_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming benchmark-contamination gate: every micro-batch runs the
+    batch ``contamination_check`` of the arriving documents against a
+    STATIC benchmark/eval set and appends the flagged (doc_id, n_hits)
+    rows to ``flagged_path``.
+
+    This is the in-flight form of the decontamination pass: documents are
+    screened the moment they land instead of in a corpus-wide sweep.  The
+    benchmark n-gram set is computed once up front and persisted — the
+    static small side of every per-batch broadcast join; per-batch work is
+    one n-gram explode of the new documents plus the broadcast-hash probe
+    (the exact scale shape of the batch operator, applied incrementally).
+    Exactly-once at the file-source level via the checkpoint; the parquet
+    append is at-least-once on retry (same foreachBatch caveat as the
+    incremental dedup sink — flags are idempotent per doc_id, so a replay
+    re-appends rows, never corrupts them)."""
+    from dream_spark.functions.textkernels import token_ngram_sets
+    from dream_spark.operators.pipeline import CONTAM_NGRAM
+
+    bset = token_ngram_sets(benchmark, CONTAM_NGRAM).select("sid").distinct().persist()
+    bset.count()
+
+    def _sink(batch_docs: DataFrame, batch_id: int) -> None:
+        ts = token_ngram_sets(batch_docs.select("doc_id", "text"), CONTAM_NGRAM)
+        flagged = (
+            ts.join(F.broadcast(bset), on="sid")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        flagged.write.mode("append").parquet(flagged_path)
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .load(src_dir)
+    )
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

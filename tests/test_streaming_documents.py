@@ -96,3 +96,34 @@ def test_incremental_dedup_stream_matches_sequential_batches(spark, tmp_path):
     # the index holds band rows for exactly the kept documents
     idx_docs = {r["doc_id"] for r in spark.read.parquet(paths["index"]).collect()}
     assert idx_docs == kept_after_2
+
+
+def test_contamination_stream_matches_batch(spark, tmp_path):
+    """The per-batch contamination gate must flag exactly the documents the
+    batch operator flags over the same corpus and benchmark."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.pipeline import contamination_check
+    from dream_spark.sources.tables import load_table
+    from dream_spark.streaming.documents import contamination_stream
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+
+    src = str(tmp_path / "src")
+    train.write.parquet(src)
+    flagged_path = str(tmp_path / "flagged")
+    q = contamination_stream(
+        spark, src, bench, flagged_path, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["n_hits"]) for r in spark.read.parquet(flagged_path).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_hits"]) for r in contamination_check(train, bench).collect()
+    }
+    assert got == want and got
