@@ -496,17 +496,31 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = CONTAM_N
     degrades to a sid-keyed shuffle join.  The n-gram ids are the same
     Horner-packed integers the Jaccard/MinHash operators use, so the
     oracle replays them exactly."""
-    ts = token_ngram_sets(docs, n)
-    bs = token_ngram_sets(benchmark, n).select("sid").distinct().persist()
-    out = (
-        ts.join(broadcast_if_small(bs), on="sid")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .persist()
-    )
+    bs = benchmark_ngram_set(benchmark, n).persist()
+    out = contamination_probe(docs, bs, n).persist()
     out.count()
     bs.unpersist()
     return out
+
+
+def benchmark_ngram_set(benchmark: DataFrame, n: int = CONTAM_NGRAM) -> DataFrame:
+    """The DISTINCT word-``n``-gram id set of a benchmark/eval corpus — the
+    build-once artifact the contamination probes join against (a deployment
+    persists it; ``streaming/documents.contamination_stream`` writes it
+    under its checkpoint)."""
+    return token_ngram_sets(benchmark, n).select("sid").distinct()
+
+
+def contamination_probe(docs: DataFrame, benchmark_sids: DataFrame, n: int = CONTAM_NGRAM) -> DataFrame:
+    """The shared probe both the batch check and the streaming gate run:
+    explode the documents' n-grams, size-gated broadcast join against the
+    prepared benchmark sid set, partial-aggregated per-doc count."""
+    ts = token_ngram_sets(docs, n)
+    return (
+        ts.join(broadcast_if_small(benchmark_sids), on="sid")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
 
 
 def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

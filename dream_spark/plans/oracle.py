@@ -142,17 +142,28 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         g_where_sql = " AND ".join(g_where + [corr]) if g_where else corr
         kw = "EXISTS" if positive else "NOT EXISTS"
         filt_where.append(f"{kw} (SELECT 1 FROM {', '.join(g_aliases)} WHERE {g_where_sql})")
+    # BIND aliases project the source column / resolved constant — computed
+    # BEFORE the filter loop so a filter may reference a bind alias (the
+    # translator applies binds before filters, same ordering)
+    bind_expr = {
+        alias: (f"{src[s]}.{s}" if kind == "var" else f"CAST({resolve(s)} AS BIGINT)")
+        for kind, s, alias in query.binds
+    }
+
+    def _ref(v: str) -> str:
+        return bind_expr[v] if v in bind_expr else f"{src[v]}.{v}"
+
     for i, f in enumerate(query.filters):
-        lhs = f"{src[f.var]}.{f.var}"
+        lhs = _ref(f.var)
         if f.kind == "cmp":
-            rhs = f"{src[f.rhs_var]}.{f.rhs_var}" if f.rhs_var is not None else str(resolve(f.rhs_const))
+            rhs = _ref(f.rhs_var) if f.rhs_var is not None else str(resolve(f.rhs_const))
             op = {"=": "=", "!=": "<>"}.get(f.op, f.op)
             filt_where.append(f"{lhs} {op} {rhs}")
         elif f.kind == "in":
             ids = ", ".join(str(resolve(c)) for c in f.consts)
             filt_where.append(f"{lhs} IN ({ids})")
         elif f.kind == "in_rows":
-            cols = ", ".join(f"{src[v]}.{v}" for v in f.vars_)
+            cols = ", ".join(_ref(v) for v in f.vars_)
             rows = ", ".join(
                 "(" + ", ".join(str(resolve(c)) for c in row) + ")" for row in f.rows
             )
@@ -161,11 +172,6 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             joins.append(f"JOIN dict fr{i} ON fr{i}.id = {lhs}")
             filt_where.append(f"regexp_matches(fr{i}.lexical, '{f.pattern}')")
 
-    # BIND aliases project the source column / resolved constant
-    bind_expr = {
-        alias: (f"{src[s]}.{s}" if kind == "var" else f"CAST({resolve(s)} AS BIGINT)")
-        for kind, s, alias in query.binds
-    }
     proj_sel = ", ".join(
         f"{bind_expr[v]} AS {v}" if v in bind_expr else f"{src[v]}.{v} AS {v}"
         for v in query.projection

@@ -822,14 +822,25 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
     aliases_b = [alias for _, _, alias in q.binds]
     if len({a.lower() for a in aliases_b}) != len(aliases_b):
         raise SparqlSyntaxError("duplicate bind aliases")
-    pattern_vars = {v for v in known if v not in aliases_b}
+    # pattern-bound variables computed INDEPENDENTLY of the binds: an alias
+    # spelled exactly like a bound variable must be caught too (SPARQL 1.1
+    # makes rebinding an in-use variable a syntax error; the silent
+    # alternative overwrites the column identically on both engines, which
+    # the oracle cross-check could never catch)
+    base_vars: set[str] = set()
+    for grp in list(q.union_branches or [q.conditions]) + list(q.optionals):
+        for c in grp:
+            base_vars |= {v for v in c.variables() if not v.startswith("__seq")}
+    if q.subquery is not None:
+        base_vars |= set(q.subquery.projection)
+    agg_aliases = {a.alias.lower() for a in q.aggregates}
     for kind, src_v, alias in q.binds:
         # alias must be NEW (case-insensitively — Spark resolution)
-        if alias.lower() in {v.lower() for v in pattern_vars}:
+        if alias.lower() in {v.lower() for v in base_vars} or alias.lower() in agg_aliases:
             raise SparqlSyntaxError(
-                f"bind alias ?{alias} collides with a bound variable"
+                f"bind alias ?{alias} collides with a bound variable or aggregate alias"
             )
-        if kind == "var" and src_v not in pattern_vars:
+        if kind == "var" and src_v not in base_vars:
             raise SparqlSyntaxError(
                 f"bind source variable not bound in where clause: ?{src_v}"
             )

@@ -450,6 +450,15 @@ def translate(
             gplan.select(*shared), on=shared, how="left_semi" if positive else "left_anti"
         )
 
+    # BIND clauses: pure projections — a column alias or a resolved
+    # constant literal; zero data movement (SPARQL's expression BINDs are
+    # out of scope: id arithmetic is not meaningful on dictionary ids).
+    # Applied BEFORE filters so a filter may reference a bind alias.
+    for kind, src, alias in query.binds:
+        col = F.col(src) if kind == "var" else F.lit(store.resolve(src)).cast("long")
+        plan = plan.withColumn(alias, col)
+        bound.add(alias)
+
     # FILTER clauses: id-level comparisons stay on the encoded longs (the
     # dictionary is a bijection, so =/!= on ids ≡ on lexicals); regex
     # filters decode just the one column via a dict equi-join, then drop it.
@@ -496,14 +505,6 @@ def translate(
             ).drop(f"__flex_{i}")
         else:  # pragma: no cover
             raise ValueError(f"unknown filter kind {f.kind!r}")
-
-    # BIND clauses: pure projections — a column alias or a resolved
-    # constant literal; zero data movement (SPARQL's expression BINDs are
-    # out of scope: id arithmetic is not meaningful on dictionary ids).
-    for kind, src, alias in query.binds:
-        col = F.col(src) if kind == "var" else F.lit(store.resolve(src)).cast("long")
-        plan = plan.withColumn(alias, col)
-        bound.add(alias)
 
     # Aggregate projection: groupBy + count/count-distinct — Catalyst plans
     # partial aggregation, so only #groups rows shuffle.

@@ -146,27 +146,26 @@ def contamination_stream(
 
     This is the in-flight form of the decontamination pass: documents are
     screened the moment they land instead of in a corpus-wide sweep.  The
-    benchmark n-gram set is computed once up front and persisted — the
-    static small side of every per-batch broadcast join; per-batch work is
-    one n-gram explode of the new documents plus the broadcast-hash probe
-    (the exact scale shape of the batch operator, applied incrementally).
-    Exactly-once at the file-source level via the checkpoint; the parquet
-    append is at-least-once on retry (same foreachBatch caveat as the
-    incremental dedup sink — flags are idempotent per doc_id, so a replay
-    re-appends rows, never corrupts them)."""
-    from dream_spark.functions.textkernels import token_ngram_sets
-    from dream_spark.operators.pipeline import CONTAM_NGRAM
+    benchmark n-gram set is computed ONCE and written as a parquet
+    artifact under the checkpoint directory — durable (survives a stream
+    restart with the checkpoint), no session cache to leak, and the
+    per-batch probe is the SAME ``contamination_probe`` the batch operator
+    runs (size-gated broadcast, degrades to a sid-keyed shuffle join on an
+    oversized benchmark).  Exactly-once at the file-source level via the
+    checkpoint; the parquet append is at-least-once on retry (same
+    foreachBatch caveat as the incremental dedup sink — flags are
+    idempotent per doc_id, so a replay re-appends rows, never corrupts
+    them)."""
+    import os
 
-    bset = token_ngram_sets(benchmark, CONTAM_NGRAM).select("sid").distinct().persist()
-    bset.count()
+    from dream_spark.operators.pipeline import benchmark_ngram_set, contamination_probe
+
+    bpath = os.path.join(checkpoint_dir, "benchmark_sids")
+    benchmark_ngram_set(benchmark).write.mode("overwrite").parquet(bpath)
+    bset = spark.read.parquet(bpath)
 
     def _sink(batch_docs: DataFrame, batch_id: int) -> None:
-        ts = token_ngram_sets(batch_docs.select("doc_id", "text"), CONTAM_NGRAM)
-        flagged = (
-            ts.join(F.broadcast(bset), on="sid")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-        )
+        flagged = contamination_probe(batch_docs.select("doc_id", "text"), bset)
         flagged.write.mode("append").parquet(flagged_path)
 
     stream = (

@@ -1057,3 +1057,30 @@ def test_parse_bind():
 def test_bind_oracle(engine, duck, qtext, decode):
     q = parse_sparql(qtext)
     assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+def test_bind_exact_spelling_rebind_rejected():
+    """SPARQL 1.1: rebinding an in-use variable is a syntax error — the
+    silent alternative overwrites the column identically on both engines,
+    invisible to the oracle cross-check."""
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?C ?N where { ?C type Customer . ?C inNation ?N . bind(?C as ?N) }"
+        )
+    # colliding with an aggregate alias is equally invalid
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?N (count(?C) as ?X) where { ?C inNation ?N . bind(?C as ?X) }"
+            " group by ?N"
+        )
+
+
+def test_filter_on_bind_alias_works(engine, duck):
+    """Binds apply before filters on both engines, so a filter may
+    reference a bind alias."""
+    qtext = (
+        "select ?C ?HOME where { ?C type Customer . ?C inNation ?N ."
+        " bind(?N as ?HOME) . filter (?HOME != <nation:5>) }"
+    )
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
