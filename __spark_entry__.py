@@ -271,6 +271,13 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?C ?S where { ?C ^placedBy/status ?S . ?C mktsegment <BUILDING> }",
         False,
     ),
+    # negated property set (SPARQL 1.1 NegatedPropertySet): any predicate
+    # EXCEPT the listed ones — one scan with a NOT-IN residual filter
+    "sparql_neg_pred": (
+        "select ?C ?X where { ?C mktsegment <BUILDING> ."
+        " ?C !(mktsegment|type|name) ?X }",
+        False,
+    ),
     # BIND superset (expression-free subset: variable aliasing + constant
     # binding — id arithmetic is not meaningful on dictionary ids)
     "sparql_bind": (

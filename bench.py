@@ -98,6 +98,7 @@ HEADLINE = [
     "sparql_seq_path",
     "sparql_seq_inverse",
     "sparql_bind",
+    "sparql_neg_pred",
     "dedup_exact_docs",
     "dedup_minhash",
     "dedup_jaccard",

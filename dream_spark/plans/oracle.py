@@ -49,6 +49,9 @@ def _render_block(conditions, resolve, alias_start: int) -> tuple[list[str], lis
                     where.append(f"{ref} = {first_slot[term.var]}")
                 else:
                     first_slot[term.var] = ref
+            elif slot == "p" and term.is_negated:
+                ids = ", ".join(str(resolve(x)) for x in term.alternatives)
+                where.append(f"{ref} NOT IN ({ids})")
             elif slot == "p" and term.is_alternation:
                 ids = ", ".join(str(resolve(x)) for x in term.alternatives)
                 where.append(f"{ref} IN ({ids})")

@@ -99,13 +99,30 @@ class Term:
 
     @property
     def is_alternation(self) -> bool:
-        return (not self.is_var) and "|" in _mask_brackets(self.text)
+        return (not self.is_var) and "|" in _mask_brackets(self._negation_body)
+
+    @property
+    def is_negated(self) -> bool:
+        """SPARQL 1.1 NegatedPropertySet: ``!p`` / ``!(p1|p2)`` — match any
+        predicate EXCEPT the listed ones."""
+        return self.text.startswith("!")
+
+    @property
+    def _negation_body(self) -> str:
+        t = self.text
+        if t.startswith("!"):
+            t = t[1:]
+            if t.startswith("(") and t.endswith(")"):
+                t = t[1:-1]
+        return t
 
     @property
     def alternatives(self) -> tuple[str, ...]:
         """The lexical of each ``|`` alternative (a 1-tuple when the term
-        is a plain constant)."""
-        return tuple(Term(t).lexical for t in _split_outside_brackets(self.text, "|"))
+        is a plain constant; the excluded set for a negated term)."""
+        return tuple(
+            Term(t).lexical for t in _split_outside_brackets(self._negation_body, "|")
+        )
 
     @property
     def lexical(self) -> str:
@@ -750,6 +767,11 @@ def _parse_patterns_from(text_: str, start: int) -> list[Condition]:
                     "sequence-path rewriting"
                 )
         p = terms[1]
+        if p.startswith("!"):
+            # NegatedPropertySet — validated standalone; never a sequence
+            _check_pred_markers(p)
+            out.append(Condition(start + len(out), Term(terms[0]), Term(p), Term(terms[2])))
+            continue
         if "/" in _mask_brackets(p) and not p.startswith("?"):
             # SequencePath p1/p2/…: rewrite into chained patterns through
             # fresh internal variables (never projectable — see
@@ -779,6 +801,26 @@ def _check_pred_markers(p: str) -> None:
     """Validate the path-marker grammar of one predicate slot (or one hop
     of a sequence path).  All character tests run on the bracket-MASKED
     text, so operator characters inside ``<…>`` constants never trip them."""
+    if p.startswith("!"):
+        # NegatedPropertySet !p / !(p1|p2): constant predicates only, '|'
+        # the only operator inside
+        body = p[1:]
+        if body.startswith("(") != body.endswith(")"):
+            raise SparqlSyntaxError(f"malformed negated property set: {p!r}")
+        inner = body[1:-1] if body.startswith("(") else body
+        mi = _mask_brackets(inner)
+        if (
+            not inner
+            or "?" in mi
+            or any(x in mi for x in ("+", "^", "/", "(", ")", "!"))
+            or mi.startswith("|")
+            or mi.endswith("|")
+            or "||" in mi
+        ):
+            raise SparqlSyntaxError(
+                f"negated property sets contain constant predicates only: {p!r}"
+            )
+        return
     m = _mask_brackets(p)
     if p.startswith("?") and m.endswith("+"):
         raise SparqlSyntaxError("path '+' requires a constant predicate")

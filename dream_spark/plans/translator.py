@@ -112,6 +112,10 @@ def _condition_frame(store: TripleStore, cond: Condition) -> DataFrame:
             else:
                 seen[term.var] = slot
                 cols.append(F.col(slot).alias(term.var))
+        elif slot == "p" and term.is_negated:
+            # NegatedPropertySet: any predicate in the graph EXCEPT these —
+            # still one scan, a NOT-IN residual filter
+            df = df.where(~F.col(slot).isin([store.resolve(x) for x in term.alternatives]))
         elif slot == "p" and term.is_alternation:
             df = df.where(F.col(slot).isin([store.resolve(x) for x in term.alternatives]))
         else:
@@ -129,6 +133,14 @@ def _estimate(stats: TripleStats | None, store: TripleStore, cond: Condition) ->
     s_bound, o_bound = not cond.subj.is_var, not cond.obj.is_var
     if cond.pred.is_inverse:
         s_bound, o_bound = o_bound, s_bound
+    if cond.pred.is_negated:
+        # complement of the excluded predicates' edge sets
+        total = stats.pattern_cardinality(None, s_bound, o_bound)
+        excl = sum(
+            stats.pattern_cardinality(store.resolve(x), s_bound, o_bound)
+            for x in cond.pred.alternatives
+        )
+        return max(total - excl, 1.0)
     if cond.pred.is_alternation:
         # alternation scans the union of the predicates' edge sets
         return sum(
@@ -145,6 +157,9 @@ def _var_ndvs(stats: TripleStats | None, store: TripleStore, cond: Condition, ca
     if cond.pred.is_var:
         nds = ndo = max(card, 1.0) ** 0.5
         out[cond.pred.var] = max(len(stats.per_pred) if stats else 10, 1)
+    elif cond.pred.is_negated:
+        # heterogeneous complement set: no per-pred ndv applies
+        nds = ndo = max(card, 1.0) ** 0.5
     elif stats is not None and cond.pred.is_alternation:
         # union of edge sets: ndvs add (upper bound; card caps them below)
         sts = [stats.per_pred.get(store.resolve(x)) for x in cond.pred.alternatives]

@@ -1084,3 +1084,50 @@ def test_filter_on_bind_alias_works(engine, duck):
     )
     q = parse_sparql(qtext)
     assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
+# ---- negated property sets -------------------------------------------------
+def test_parse_negated_property_set():
+    q = parse_sparql("select ?X where { <customer:1> !(type|name) ?X }")
+    t = q.conditions[0].pred
+    assert t.is_negated and t.alternatives == ("type", "name")
+    q = parse_sparql("select ?X where { <customer:1> !type ?X }")
+    assert q.conditions[0].pred.is_negated and q.conditions[0].pred.alternatives == ("type",)
+    for bad in [
+        "select ?X where { ?C !(a|?p) ?X }",   # variable in the set
+        "select ?X where { ?C !(a ?X }",       # unbalanced parens
+        "select ?X where { ?C !a+ ?X }",       # combined with +
+        "select ?X where { ?C !(a/b) ?X }",    # sequence inside negation
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        ("select ?X where { <customer:1> !type ?X }", False),
+        (
+            "select ?C ?X where { ?C mktsegment <BUILDING> ."
+            " ?C !(mktsegment|type|name) ?X }",
+            False,
+        ),
+        ("select ?X where { <customer:1> !(type|name) ?X }", True),
+    ],
+)
+def test_negated_property_set_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+def test_negated_set_complements_alternation(engine):
+    """!(S) ∪ S over the same subject = the variable-predicate result."""
+    base = "select ?P ?X where { <customer:1> ?P ?X }"
+    all_rows = engine.sparql(base).count()
+    inset = engine.sparql(
+        "select ?X where { <customer:1> mktsegment|type ?X }"
+    ).count()
+    outset = engine.sparql(
+        "select ?X where { <customer:1> !(mktsegment|type) ?X }"
+    ).count()
+    assert inset + outset == all_rows
