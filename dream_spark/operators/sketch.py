@@ -39,27 +39,52 @@ KMV_K = 256
 _KMV_FN = 2
 
 
+def _nn_hash_sql(col: str, fn: int) -> str:
+    """Non-negative universal hash in [0, P): Spark and DuckDB ``%``
+    truncate toward zero, so a NEGATIVE input value yields a negative raw
+    hash — which would make the KMV order statistic h_(k) ≤ 0 and the
+    estimator (k−1)·P div h_(k) negative or NULL (silently, identically on
+    both engines — invisible to the oracle gate).  ``(h + P) % P`` maps
+    into [0, P) on both engines.  Inherent domain note: the 31-bit family
+    hashes x mod P, so x and x+P collide; callers' values must span less
+    than P (2^31−1) for the distinct-count contract to be exact."""
+    return f"((({hash_sql(col, fn)}) + {MERSENNE_P}) % {MERSENNE_P})"
+
+
+def _kmv_est(k: int):
+    """The shared KMV estimator column: exact below k, else (k−1)·P div
+    h_(k) — one definition for both Spark paths."""
+    return F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(f"({k} - 1) * {MERSENNE_P}L div kth_min")
+    )
+
+
+def _kmv_est_sql(k: int) -> str:
+    """The shared KMV estimator fragment for the oracle strings."""
+    return (
+        f"CAST(CASE WHEN n_kept < {k} THEN n_kept"
+        f" ELSE CAST({k - 1} AS BIGINT) * {MERSENNE_P} // kth_min END AS BIGINT)"
+    )
+
+
 def kmv_distinct(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
     """One-row distinct-count estimate of integer column ``col`` for ANY
     DataFrame: (k, n_kept, kth_min, est_distinct).
 
     ``est_distinct`` = exact count when fewer than ``k`` distinct hashes
     exist (the sketch has seen everything), else (k−1)·P div h_(k)."""
-    hv = df.select(F.expr(hash_sql(col, _KMV_FN)).alias("hv")).where(
+    hv = df.select(F.expr(_nn_hash_sql(col, _KMV_FN)).alias("hv")).where(
         F.col("hv").isNotNull()
     ).distinct()
     kept = hv.orderBy("hv").limit(k)
     agg = kept.agg(
         F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth_min")
     )
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_kept")
-    ).otherwise(F.expr(f"({k} - 1) * {MERSENNE_P}L div kth_min"))
     return agg.select(
         F.lit(k).cast("bigint").alias("k"),
         F.col("n_kept").cast("bigint").alias("n_kept"),
         F.col("kth_min").cast("bigint").alias("kth_min"),
-        est.cast("bigint").alias("est_distinct"),
+        _kmv_est(k).cast("bigint").alias("est_distinct"),
     )
 
 
@@ -69,16 +94,14 @@ def sketch_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SKETCH_KMV_SQL = f"""
-WITH h AS (SELECT DISTINCT {hash_sql("user_id", _KMV_FN)} AS hv
+WITH h AS (SELECT DISTINCT {_nn_hash_sql("user_id", _KMV_FN)} AS hv
            FROM events WHERE user_id IS NOT NULL),
 kept AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}),
 agg AS (SELECT COUNT(*) AS n_kept, MAX(hv) AS kth_min FROM kept)
 SELECT CAST({KMV_K} AS BIGINT) AS k,
        CAST(n_kept AS BIGINT) AS n_kept,
        CAST(kth_min AS BIGINT) AS kth_min,
-       CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
-                 ELSE CAST({KMV_K - 1} AS BIGINT) * {MERSENNE_P} // kth_min END AS BIGINT)
-         AS est_distinct
+       {_kmv_est_sql(KMV_K)} AS est_distinct
 FROM agg
 """.strip()
 
@@ -95,21 +118,23 @@ def grouped_quantiles(
     # containing a NULL would disagree on all its quantiles
     df = df.where(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    # reserved internal names: a user group/value column named v/r/n must
+    # not collide with the rank plumbing
     ranked = df.select(
         group_col,
-        F.col(value_col).alias("v"),
-        F.row_number().over(w).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n"),
+        F.col(value_col).alias("__gq_v"),
+        F.row_number().over(w).alias("__gq_r"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__gq_n"),
     )
     def at(q_num: int, q_den: int):
         # rank = ceil(q·n) with integer arithmetic
-        target = F.expr(f"cast((n * {q_num} + {q_den} - 1) div {q_den} as int)")
-        return F.max(F.when(F.col("r") == target, F.col("v")))
+        target = F.expr(f"cast((__gq_n * {q_num} + {q_den} - 1) div {q_den} as int)")
+        return F.max(F.when(F.col("__gq_r") == target, F.col("__gq_v")))
 
     return (
         ranked.groupBy(group_col)
         .agg(
-            F.max("n").cast("bigint").alias("n"),
+            F.max("__gq_n").cast("bigint").alias("n"),
             at(1, 4).cast("bigint").alias("p25"),
             at(1, 2).cast("bigint").alias("p50"),
             at(3, 4).cast("bigint").alias("p75"),
@@ -154,18 +179,27 @@ def sampled_quantiles(
 
     The sample is the ``k`` rows with the smallest ``h(id)`` per group
     (ties by id) — a uniform sample that is *mergeable* exactly like KMV:
-    the bottom-k of a union is the bottom-k of the per-partition bottom-ks,
-    so map-side combine bounds what shuffles at ≤ k rows per partition per
-    group.  The expensive value sort then sees k rows per group instead of
-    the group's full cardinality.  Same type-1 (no-interpolation) quantile
-    definition as the exact form, so the result is an actual data element
-    and both engines agree bit-for-bit on the same sample."""
-    ws = Window.partitionBy(group_col).orderBy(
-        F.expr(hash_sql(id_col, _AQ_FN)).asc(), F.col(id_col).asc()
-    )
+    the bottom-k of a union is the bottom-k of the per-sub-split bottom-ks.
+    The rank runs in TWO phases like :func:`kmv_distinct_by` — phase 1
+    ranks within (group, h mod S) sub-splits, S-way parallel, each keeping
+    ≤ k rows; phase 2 ranks the ≤ S·k survivors per group — so no single
+    task ever sorts a whole group's cardinality, which is the entire point
+    of sampling before the value sort.  NULL ids are excluded (Spark
+    orders NULL hashes first, DuckDB last — they would pick different
+    samples).  Same type-1 quantile definition as the exact form, so the
+    result is an actual data element and both engines agree bit-for-bit
+    on the same sample."""
+    S = 32
+    h = F.expr(_nn_hash_sql(id_col, _AQ_FN))
+    nn = df.where(F.col(id_col).isNotNull())
+    w1 = Window.partitionBy(
+        group_col, F.expr(f"({_nn_hash_sql(id_col, _AQ_FN)}) % {S}")
+    ).orderBy(h.asc(), F.col(id_col).asc())
+    pre = nn.withColumn("__aq_r1", F.row_number().over(w1)).where(F.col("__aq_r1") <= k)
+    ws = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     samp = (
-        df.withColumn("sr", F.row_number().over(ws))
-        .where(F.col("sr") <= k)
+        pre.withColumn("__aq_sr", F.row_number().over(ws))
+        .where(F.col("__aq_sr") <= k)
         .select(group_col, value_col)
     )
     return grouped_quantiles(samp, group_col, value_col)
@@ -182,8 +216,8 @@ WITH samp AS (
   SELECT source, n_chars FROM (
     SELECT source, n_chars,
            ROW_NUMBER() OVER (PARTITION BY source
-                              ORDER BY {hash_sql("doc_id", _AQ_FN)}, doc_id) AS sr
-    FROM documents
+                              ORDER BY {_nn_hash_sql("doc_id", _AQ_FN)}, doc_id) AS sr
+    FROM documents WHERE doc_id IS NOT NULL
   ) WHERE sr <= {AQ_K}
 ),
 ranked AS (
@@ -216,7 +250,7 @@ def kmv_distinct_by(
     S = 32  # sub-splits per group for the parallel pre-rank
     hv = (
         df.where(F.col(col).isNotNull())
-        .select(group_col, F.expr(hash_sql(col, _KMV_FN)).alias("hv"))
+        .select(group_col, F.expr(_nn_hash_sql(col, _KMV_FN)).alias("hv"))
         .distinct()
     )
     w1 = Window.partitionBy(group_col, F.expr(f"hv % {S}")).orderBy(F.col("hv").asc())
@@ -226,15 +260,12 @@ def kmv_distinct_by(
     agg = kept.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth_min")
     )
-    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
-        F.expr(f"({k} - 1) * {MERSENNE_P}L div kth_min")
-    )
     return agg.select(
         group_col,
         F.lit(k).cast("bigint").alias("k"),
         F.col("n_kept").cast("bigint").alias("n_kept"),
         F.col("kth_min").cast("bigint").alias("kth_min"),
-        est.cast("bigint").alias("est_distinct"),
+        _kmv_est(k).cast("bigint").alias("est_distinct"),
     )
 
 
@@ -244,7 +275,7 @@ def sketch_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SKETCH_KMV_BY_TYPE_SQL = f"""
-WITH h AS (SELECT DISTINCT event_type, {hash_sql("user_id", _KMV_FN)} AS hv
+WITH h AS (SELECT DISTINCT event_type, {_nn_hash_sql("user_id", _KMV_FN)} AS hv
            FROM events WHERE user_id IS NOT NULL),
 kept AS (
   SELECT event_type, hv FROM (
@@ -259,9 +290,7 @@ SELECT event_type,
        CAST({KMV_K} AS BIGINT) AS k,
        CAST(n_kept AS BIGINT) AS n_kept,
        CAST(kth_min AS BIGINT) AS kth_min,
-       CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
-                 ELSE CAST({KMV_K - 1} AS BIGINT) * {MERSENNE_P} // kth_min END AS BIGINT)
-         AS est_distinct
+       {_kmv_est_sql(KMV_K)} AS est_distinct
 FROM agg
 """.strip()
 
@@ -286,17 +315,29 @@ def cms_table(df: DataFrame, col: str, depth: int = CMS_DEPTH, width: int = CMS_
     (``cms_estimate``) take the min over the depth rows — always an
     overestimate, within ε·N with probability 1−δ.  Deterministic: the
     universal hash family is replayed verbatim by the oracle."""
-    rows = [
-        df.select(
-            F.lit(i).alias("row"),
-            F.expr(f"{hash_sql(col, _CMS_FN0 + i)} % {width}").alias("bucket"),
+    # ONE scan: each input row explodes into its depth (row, bucket) cells
+    # map-side — a union of depth per-row projections would scan the input
+    # depth times (Spark does not reuse scans across union branches).
+    # NULLs are excluded here (not only in wrappers): a NULL value hashes
+    # to NULL and would materialize counter cells no estimator ever probes.
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.expr(f"{hash_sql(col, _CMS_FN0 + i)} % {width}").alias("bucket"),
+                )
+                for i in range(depth)
+            ]
         )
-        for i in range(depth)
-    ]
-    u = rows[0]
-    for r in rows[1:]:
-        u = u.unionAll(r)
-    return u.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    ).alias("__c")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(cells)
+        .select(F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def _trunc_mod(a: int, b: int) -> int:

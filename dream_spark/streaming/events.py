@@ -323,17 +323,22 @@ def cms_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 ho
     from dream_spark.functions.hashing import hash_sql
 
     ev = events.where(F.col("user_id").isNotNull())
-    rows = [
-        ev.select(
-            "ts",
-            F.lit(i).alias("row"),
-            F.expr(f"{hash_sql('user_id', _CMS_FN0 + i)} % {CMS_WIDTH}").alias("bucket"),
+    # ONE pass per micro-batch: explode each event into its depth cells
+    # map-side (the union-of-projections form reads the source depth times)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.expr(f"{hash_sql('user_id', _CMS_FN0 + i)} % {CMS_WIDTH}").alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(CMS_DEPTH)
+            ]
         )
-        for i in range(CMS_DEPTH)
-    ]
-    u = rows[0]
-    for r in rows[1:]:
-        u = u.unionAll(r)
+    ).alias("__c")
+    u = ev.select("ts", cells).select("ts", F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
     return (
         u.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "row", "bucket")

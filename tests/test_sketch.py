@@ -157,3 +157,55 @@ def test_cms_estimate_handles_negative_values(spark):
     sketch = S.cms_table(df, "v").collect()
     assert S.cms_estimate(sketch, -5) >= 3
     assert S.cms_estimate(sketch, 7) >= 1
+
+
+def test_kmv_handles_negative_values(spark):
+    """Negative inputs hash into [0, P) — the estimator must stay positive
+    (raw truncated-% hashes went negative, making h_(k) <= 0 and the
+    estimate negative or NULL identically on both engines)."""
+    from dream_spark.operators.sketch import KMV_K, kmv_distinct
+
+    df = spark.range(1000).selectExpr("-(id + 1) as v")
+    row = kmv_distinct(df, "v").collect()[0]
+    assert row["kth_min"] > 0 and row["est_distinct"] > 0
+    # below-k branch stays exact
+    small = spark.range(10).selectExpr("-(id + 1) as v")
+    assert kmv_distinct(small, "v").collect()[0]["est_distinct"] == 10
+
+
+def test_sampled_quantiles_null_ids_excluded(spark):
+    """NULL ids must not enter the sample (Spark orders NULL hashes first,
+    DuckDB last — they would pick different sample sets)."""
+    from dream_spark.operators.sketch import sampled_quantiles
+
+    df = spark.createDataFrame(
+        [("g", 10, 1), ("g", 20, 2), ("g", 99, None)],
+        "grp string, val long, rid long",
+    )
+    rows = sampled_quantiles(df, "grp", "val", "rid").collect()
+    assert rows[0]["n"] == 2 and rows[0]["p75"] <= 20
+
+
+def test_grouped_quantiles_survives_colliding_column_names(spark):
+    """Internal rank plumbing must not collide with user columns named
+    v/r/n."""
+    from dream_spark.operators.sketch import grouped_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 5)], "v string, r long"
+    )
+    got = {x["v"]: (x["n"], x["p50"]) for x in grouped_quantiles(df, "v", "r").collect()}
+    assert got == {"a": (3, 2), "b": (1, 5)}
+
+
+def test_cms_single_scan_plan(spark):
+    """The sketch builds from ONE scan of the input (explode of depth
+    cells), never depth unioned scans."""
+    from dream_spark.operators.sketch import cms_table
+    from dream_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    df = cms_table(load_table(spark, SF_DIR, "events"), "user_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1 and "Union" not in plan
+    assert "Generate" in plan  # the explode
