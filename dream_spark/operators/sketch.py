@@ -320,7 +320,21 @@ def cms_table(df: DataFrame, col: str, depth: int = CMS_DEPTH, width: int = CMS_
     # depth times (Spark does not reuse scans across union branches).
     # NULLs are excluded here (not only in wrappers): a NULL value hashes
     # to NULL and would materialize counter cells no estimator ever probes.
-    cells = F.explode(
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(cms_cells(col, depth, width))
+        .select(F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_cells(col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """The ONE depth-cell explode expression both the batch sketch and the
+    streaming windowed sketch build from — a single definition so batch and
+    stream sketches merge and ``cms_estimate`` probes identical buckets.
+    Yields a generator column aliased ``__c`` with fields (row, bucket)."""
+    return F.explode(
         F.array(
             *[
                 F.struct(
@@ -331,13 +345,6 @@ def cms_table(df: DataFrame, col: str, depth: int = CMS_DEPTH, width: int = CMS_
             ]
         )
     ).alias("__c")
-    return (
-        df.where(F.col(col).isNotNull())
-        .select(cells)
-        .select(F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
-        .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
 
 
 def _trunc_mod(a: int, b: int) -> int:

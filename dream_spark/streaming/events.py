@@ -42,9 +42,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet.
 
     Watermarks require event time to be TIMESTAMP (Spark rejects
-    TIMESTAMP_NTZ: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the NTZ parquet
-    column is cast here — deterministic because the engine session pins
-    spark.sql.session.timeZone=UTC (session.py).
+    TIMESTAMP_NTZ: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  The conversion
+    goes through timezone-FREE integer arithmetic — NTZ epoch micros
+    (``epoch_micros_expr``) rebuilt as a UTC instant via
+    ``timestamp_micros`` — instead of a plain cast, which interprets the
+    naive value in the SESSION timezone and would silently shift every
+    window/gap under a caller-supplied non-UTC session (the engine's
+    any-session contract, sources/tables.py).
 
     Known limitation: the legacy NANOS-timestamp testdata generation (which
     the BATCH reader repairs via nanosAsLong + timestamp_micros,
@@ -59,7 +63,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    from dream_spark.functions.timeutils import epoch_micros_expr
+
+    return raw.withColumn(
+        "ts", F.timestamp_micros(epoch_micros_expr("ts", "timestamp_ntz"))
+    )
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -102,9 +110,18 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN, watermark: str = "2 hours"
+) -> DataFrame:
     """applyInPandasWithState sessionizer: per-user state carries the open
-    session; a gap > ``gap_min`` (or state timeout) closes and emits it."""
+    session; a gap > ``gap_min`` closes and emits it, and the EVENT-time
+    timeout (watermark-driven) closes sessions whose gap has provably
+    expired — a processing-time timeout would close sessions on wall-clock
+    lag or checkpoint restart, emitting split sessions the batch twin
+    contradicts.  Out-of-order arrival across micro-batches is handled by
+    extending the open session monotonically (``min`` start / ``max``
+    end): a late event inside the open session must never move its end
+    backward (a stale end would mis-measure every later gap)."""
     gap_us = gap_min * 60 * 1_000_000
 
     def fn(
@@ -128,12 +145,15 @@ def sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> Data
             ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
         ts_list.sort()
         out = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
+        # None sentinel for "no open session": a magic negative sentinel
+        # would misread legitimate pre-1970 (negative-µs) event times
+        start_us: int | None
         if state.exists:
             start_us, last_us, n = state.get
         else:
-            start_us, last_us, n = -1, -1, 0
+            start_us, last_us, n = None, 0, 0
         for t in ts_list:
-            if start_us < 0:
+            if start_us is None:
                 start_us, last_us, n = t, t, 1
             elif t - last_us > gap_us:
                 out["user_id"].append(user_id)
@@ -142,19 +162,24 @@ def sessionize_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> Data
                 out["n_events"].append(n)
                 start_us, last_us, n = t, t, 1
             else:
-                last_us, n = t, n + 1
-        if start_us >= 0:
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+                n += 1
+        if start_us is not None:
             state.update((start_us, last_us, n))
-            state.setTimeoutDuration(gap_us // 1000)
+            # close when the WATERMARK passes the gap horizon; clamp above
+            # the current watermark (setting a timeout at/below it raises)
+            timeout_ms = (last_us + gap_us) // 1000 + 1
+            state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         if out["user_id"]:
             yield pd.DataFrame(out)
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.withWatermark("ts", watermark).groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -261,8 +286,13 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> Dat
     the static side is re-planned per batch, so a small dimension
     broadcasts.  This is the standard enrichment shape (events × user
     profile / document metadata) and completes the streaming join
-    inventory alongside the watermarked stream-stream interval join."""
-    return events.join(F.broadcast(dim), on=on, how="left")
+    inventory alongside the watermarked stream-stream interval join.
+
+    No forced broadcast hint: a per-user profile dimension grows with the
+    user population, and an unconditional hint would re-ship it to every
+    executor per micro-batch and OOM past the broadcast cap — the
+    threshold/AQE decide, falling back to a shuffle join on a large dim."""
+    return events.join(dim, on=on, how="left")
 
 
 def user_profile_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,8 +313,16 @@ def user_profile_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id with bounded state: the watermark
     lets Spark drop dedup state older than the lateness horizon — the only
-    way exact dedup survives an unbounded stream."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    way exact dedup survives an unbounded stream.
+
+    ``dropDuplicatesWithinWatermark`` is the API that actually EVICTS:
+    plain ``dropDuplicates(["event_id"])`` only cleans state when the
+    event-time column is part of the key, so keyed on id alone it keeps
+    one state row per distinct id forever — the unbounded growth this
+    function exists to prevent."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def dedup_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,33 +350,22 @@ def cms_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 ho
     """Windowed count-min sketch over the stream: per tumbling window,
     the depth×width heavy-hitter counter table of ``user_id``.
 
-    Union of the depth bucket projections → ONE watermarked windowed
-    groupBy: streaming state is depth·width counters per open window
+    One depth-cell explode → ONE watermarked windowed groupBy: streaming state is depth·width counters per open window
     regardless of stream rate or cardinality — the bounded-state form of
     per-user counting (an exact per-user windowed count holds one state
     row per user per window; this holds 4096).  Counters merge across
     windows/streams by addition (operators/sketch.py::cms_estimate reads
     point estimates)."""
-    from dream_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, _CMS_FN0
-    from dream_spark.functions.hashing import hash_sql
+    from dream_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_cells
 
     ev = events.where(F.col("user_id").isNotNull())
-    # ONE pass per micro-batch: explode each event into its depth cells
-    # map-side (the union-of-projections form reads the source depth times)
-    cells = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    F.expr(f"{hash_sql('user_id', _CMS_FN0 + i)} % {CMS_WIDTH}").alias(
-                        "bucket"
-                    ),
-                )
-                for i in range(CMS_DEPTH)
-            ]
-        )
-    ).alias("__c")
-    u = ev.select("ts", cells).select("ts", F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
+    # ONE pass per micro-batch: the SAME depth-cell explode the batch
+    # sketch builds from (operators/sketch.py::cms_cells — one definition,
+    # so batch and stream sketches merge and probe identical buckets)
+
+    u = ev.select("ts", cms_cells("user_id", CMS_DEPTH, CMS_WIDTH)).select(
+        "ts", F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket")
+    )
     return (
         u.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "row", "bucket")
@@ -422,8 +449,12 @@ def funnel_stream(
                     new[et].append(int(t.value // 1000))
         cur = list(state.get) if state.exists else [[] for _ in steps]
         state.update(tuple(list(cur[i] or []) + new[steps[i]] for i in range(len(steps))))
-        # close just past the window end, driven by the event-time watermark
-        state.setTimeoutTimestamp((ws_us + win_us) // 1000 + 1)
+        # close just past the window end, driven by the event-time
+        # watermark; clamp above the CURRENT watermark — a late-but-
+        # admissible row for an old window otherwise sets a timeout at or
+        # below it, which raises and kills the query
+        timeout_ms = (ws_us + win_us) // 1000 + 1
+        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
 
     ev = (
         events.where(F.col("event_type").isin(steps))
