@@ -22,21 +22,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_TERM = r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w\-]+)?)'
-NT_PATTERN = rf"^\s*{_TERM}\s+{_TERM}\s+{_TERM}\s*\.\s*$"
+_IRI = r"<[^>]*>"
+_BLANK = r"_:\S+"
+_LITERAL = r'"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w\-]+)?'
+#: positional term classes per the W3C grammar: subject iri|blank,
+#: predicate iri ONLY, object any — a literal in subject/predicate position
+#: must not silently parse as a triple.  Stricter than spec in ONE way
+#: (documented): whitespace between terms is required here, optional in the
+#: grammar — spaceless lines are rejected, never mis-parsed.
+NT_PATTERN = rf"^\s*({_IRI}|{_BLANK})\s+({_IRI})\s+({_IRI}|{_BLANK}|{_LITERAL})\s*\.\s*$"
+
+#: sentinel for two-phase escape decoding: raw NUL cannot appear in
+#: conformant N-Triples text (control characters must be escaped)
+_ESC_SENTINEL = "\x00"
 
 
 def _lexical(col):
     """Strip IRI brackets / literal quotes+suffix from a raw N-Triples term,
-    and UNESCAPE literal bodies (\\" and \\\\) so the stored lexical is the
-    true string — write_ntriples re-escapes on the way out, keeping
-    read→write→read a fixed point."""
+    and UNESCAPE literal bodies (ECHAR subset: \\" \\\\ \\n \\t \\r) so the
+    stored lexical is the true string — write_ntriples re-escapes on the
+    way out, keeping read→write→read a fixed point.  (\\uXXXX numeric
+    escapes are not decoded — documented limitation; they round-trip as
+    their source text.)
+
+    Two-phase decode: ``\\\\`` is replaced FIRST with a sentinel so a
+    literal backslash followed by 'n' (source text ``\\\\n``) is never
+    misread as a newline escape."""
     c = F.col(col)
     body = F.regexp_extract(c, r'^"((?:[^"\\]|\\.)*)"', 1)
-    unescaped = F.regexp_replace(body, r'\\(["\\])', r"$1")
+    u = F.regexp_replace(body, r"\\\\", _ESC_SENTINEL)
+    u = F.regexp_replace(u, r'\\"', '"')
+    u = F.regexp_replace(u, r"\\n", "\n")
+    u = F.regexp_replace(u, r"\\t", "\t")
+    u = F.regexp_replace(u, r"\\r", "\r")
+    u = F.regexp_replace(u, _ESC_SENTINEL, r"\\")
     return (
         F.when(c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1))
-        .when(c.startswith('"'), unescaped)
+        .when(c.startswith('"'), u)
         .otherwise(c)
     )
 
@@ -97,16 +119,24 @@ def load_ntriples(spark: SparkSession, path: str, validate: bool = False):
 
 def _nt_term(col) -> "F.Column":
     """Render a lexical back to N-Triples syntax: IRI-looking terms (scheme
-    prefix) get angle brackets, blank-node labels pass through, everything
-    else becomes a quoted literal with minimal escaping."""
+    prefix, no '>' or whitespace — either would produce an unparseable
+    bracketed term) get angle brackets, blank-node labels pass through,
+    everything else becomes a quoted literal with ECHAR escaping
+    (backslash FIRST, then quote/newline/tab/CR — so escape sequences are
+    never double-escaped)."""
     c = F.col(col) if isinstance(col, str) else col
-    is_iri = c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
-    is_blank = c.startswith("_:")
-    quoted = F.concat(
-        F.lit('"'),
-        F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"'),
-        F.lit('"'),
+    is_iri = (
+        c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+        & ~c.contains(">")
+        & ~c.rlike(r"\s")
     )
+    is_blank = c.startswith("_:") & ~c.rlike(r"\s")
+    esc = F.regexp_replace(c, r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, '"', '\\\\"')
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    esc = F.regexp_replace(esc, "\t", r"\\t")
+    esc = F.regexp_replace(esc, "\r", r"\\r")
+    quoted = F.concat(F.lit('"'), esc, F.lit('"'))
     return (
         F.when(is_blank, c)
         .when(is_iri, F.concat(F.lit("<"), c, F.lit(">")))
@@ -127,6 +157,17 @@ def write_ntriples(store, path: str, mode: str = "overwrite", max_files: int = 0
     for slot in ("s", "p", "o"):
         lex = d.select(F.col("id").alias(slot), F.col("lexical").alias(f"{slot}_lex"))
         t = t.join(lex, on=slot, how="left").drop(slot)
+    # fail FAST on ids the dictionary cannot decode: concat_ws silently
+    # SKIPS nulls, which would emit a malformed 2-term line that the
+    # reader then silently drops — data loss with no error at either end
+    missing = t.where(
+        F.col("s_lex").isNull() | F.col("p_lex").isNull() | F.col("o_lex").isNull()
+    )
+    if missing.limit(1).count():
+        raise ValueError(
+            "write_ntriples: triples reference ids missing from the dictionary "
+            "(store integrity error — dictionary and triples are out of sync)"
+        )
     lines = t.select(
         F.concat_ws(
             " ", _nt_term("s_lex"), _nt_term("p_lex"), _nt_term("o_lex"), F.lit(".")

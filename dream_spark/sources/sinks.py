@@ -46,9 +46,23 @@ def write_partitioned(
     """Hive-style partitioned parquet: one directory tree level per
     partition column.  Readers filtering on those columns prune at plan
     time.  Choose LOW-cardinality columns (date, lang, source); a
-    high-cardinality partition column creates millions of directories."""
+    high-cardinality partition column creates millions of directories.
+
+    ``max_files_per_partition`` salts the shuffle: repartitioning by the
+    partition columns ALONE would hash each partition value to exactly one
+    task — one giant file per directory and write parallelism capped at
+    the distinct-value count, the straggler/OOM shape on a skewed
+    partition.  A deterministic per-row salt in [0, N) spreads each
+    directory's rows over up to N tasks/files."""
     if max_files_per_partition:
-        df = df.repartition(max_files_per_partition, *partition_cols)
+        salt = F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(max_files_per_partition)
+        )
+        df = (
+            df.withColumn("__sink_salt", salt)
+            .repartition(*partition_cols, F.col("__sink_salt"))
+            .drop("__sink_salt")
+        )
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 

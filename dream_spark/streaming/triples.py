@@ -29,9 +29,8 @@ every query surface (SPARQL, export, analytics) works on it unchanged.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
 
 from dream_spark.sources.ntriples import encode, parse_lines
 
@@ -51,14 +50,28 @@ def ingest_ntriples_stream(
     continuously."""
 
     def _sink(batch_lines: DataFrame, batch_id: int) -> None:
-        t, d = encode(parse_lines(batch_lines))
-        t.write.mode("append").parquet(triples_path)
+        # cache the parsed batch: the triples append plus the three-way
+        # term union would otherwise re-read and re-parse the source files
+        # four times per micro-batch
+        parsed = parse_lines(batch_lines).persist()
         try:
-            existing = spark.read.parquet(dict_path).select("id")
-        except Exception:  # first batch: no dictionary yet
-            existing = None
-        new_terms = d if existing is None else d.join(existing, on="id", how="left_anti")
-        new_terms.write.mode("append").parquet(dict_path)
+            t, d = encode(parsed)
+            t.write.mode("append").parquet(triples_path)
+            try:
+                existing = spark.read.parquet(dict_path).select("id")
+            except AnalysisException:  # first batch: no dictionary yet
+                # ONLY the missing-path error may skip the anti join — a
+                # transient read failure (broad `except`) would append the
+                # whole batch vocabulary unfiltered, permanently
+                # duplicating dictionary rows and fanning out every later
+                # decode join
+                existing = None
+            new_terms = (
+                d if existing is None else d.join(existing, on="id", how="left_anti")
+            )
+            new_terms.write.mode("append").parquet(dict_path)
+        finally:
+            parsed.unpersist()
 
     writer = (
         spark.readStream.text(src_path)
@@ -72,11 +85,14 @@ def ingest_ntriples_stream(
 
 def store(spark: SparkSession, triples_path: str, dict_path: str):
     """Reopen the streamed store as a TripleStore (dictionary constants
-    resolve via lookup — streamed stores have no arithmetic id scheme)."""
+    resolve via lookup — streamed stores have no arithmetic id scheme).
+
+    No driver-side path existence probe: ``os.path.exists`` only answers
+    for LOCAL paths and would reject a fully-present s3://hdfs:// store;
+    ``spark.read.parquet`` raises its own (filesystem-aware) error for a
+    genuinely missing path."""
     from dream_spark.sources.triples import TripleStore
 
-    if not os.path.exists(triples_path):
-        raise FileNotFoundError(triples_path)
     return TripleStore(
         spark,
         spark.read.parquet(triples_path),

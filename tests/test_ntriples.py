@@ -85,3 +85,65 @@ def test_write_roundtrip(nt_store, spark, tmp_path_factory):
         return sorted(map(tuple, t.collect()))
 
     assert lex_triples(back) == lex_triples(nt_store)
+
+
+def test_echar_escapes_roundtrip(spark, tmp_path):
+    """Literals with ECHAR escapes (\\n \\t \\r \\" \\\\) decode to the true
+    string and re-encode on export — read->write->read is a fixed point;
+    and a literal backslash before 'n' is NEVER misread as a newline."""
+    from dream_spark.sources.ntriples import load_ntriples, write_ntriples
+
+    src = tmp_path / "esc.nt"
+    src.write_text(
+        '<a:s> <a:p> "line1\\nline2" .\n'
+        '<a:s> <a:p> "tab\\there" .\n'
+        '<a:s> <a:p> "back\\\\nslash" .\n'
+    )
+    st = load_ntriples(spark, str(src))
+    lex = {r["lexical"] for r in st.dictionary.collect()}
+    assert "line1\nline2" in lex and "tab\there" in lex
+    assert "back\\nslash" in lex  # literal backslash + n, NOT a newline
+    out = tmp_path / "out"
+    write_ntriples(st, str(out))
+    st2 = load_ntriples(spark, str(out))
+    assert {tuple(r) for r in st2.triples.collect()} == {
+        tuple(r) for r in st.triples.collect()
+    }
+
+
+def test_literal_subject_rejected_and_iri_with_gt_quoted(spark, tmp_path):
+    """A literal in subject position must not parse as a triple; an
+    IRI-looking lexical containing '>' must export as a QUOTED literal (a
+    bracketed form would be unparseable and silently lost)."""
+    from dream_spark.sources.ntriples import load_ntriples, write_ntriples
+    from dream_spark.sources.triples import TripleStore
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "bad.nt"
+    src.write_text('"lit" <a:p> <a:o> .\n<a:s> <a:p> <a:o> .\n')
+    st = load_ntriples(spark, str(src))
+    assert st.triples.count() == 1  # the literal-subject line is rejected
+    # build a store whose OBJECT lexical is IRI-like but contains '>' —
+    # it must export as a quoted literal (bracketed would be unparseable)
+    d = spark.createDataFrame([(1, "a:s"), (2, "a:p"), (3, "a:b>c")], "id long, lexical string")
+    t = spark.createDataFrame([(1, 2, 3)], "s long, p long, o long")
+    out = tmp_path / "gt"
+    write_ntriples(TripleStore(spark, t, d, resolver=None), str(out))
+    st2 = load_ntriples(spark, str(out))
+    assert st2.triples.count() == 1  # survived as a quoted literal
+    assert "a:b>c" in {r["lexical"] for r in st2.dictionary.collect()}
+
+
+def test_write_ntriples_fails_fast_on_missing_dict_id(spark, tmp_path):
+    """Triples referencing ids absent from the dictionary are a store
+    integrity error: export must raise, not silently emit malformed lines
+    that a reader then silently drops."""
+    import pytest as _pytest
+
+    from dream_spark.sources.ntriples import write_ntriples
+    from dream_spark.sources.triples import TripleStore
+
+    d = spark.createDataFrame([(1, "a:s"), (2, "a:p")], "id long, lexical string")
+    t = spark.createDataFrame([(1, 2, 999)], "s long, p long, o long")  # 999 unknown
+    with _pytest.raises(ValueError):
+        write_ntriples(TripleStore(spark, t, d, resolver=None), str(tmp_path / "x"))
