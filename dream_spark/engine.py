@@ -78,13 +78,17 @@ class Engine:
     def parse(self, sparql_text: str) -> ParsedQuery:
         return parse_sparql(sparql_text)
 
+    def _ensure_open(self) -> None:
+        """Re-open the store if an external clearCache dropped its cache —
+        a ~ms storage-level lookup per query, nothing vs. silently
+        re-deriving the triple union under every pattern scan.  EVERY
+        query surface (sparql/sql/profile) goes through this, or the
+        open-store contract holds on one path and silently breaks on the
+        others."""
+        self.store.ensure_open()
+
     def sparql(self, sparql_text: str, decode: bool = False) -> DataFrame:
-        # re-open the store if an external clearCache dropped its cache —
-        # a ~ms storage-level lookup per query, nothing vs. silently
-        # re-deriving the triple union under every pattern scan
-        ensure = getattr(self.store, "ensure_open", None)
-        if ensure is not None:
-            ensure()
+        self._ensure_open()
         return translate(self.store, parse_sparql(sparql_text), self._stats, decode=decode)
 
     def sql(self, sql_text: str) -> DataFrame:
@@ -97,6 +101,7 @@ class Engine:
         Table views register lazily on first use — the SPARQL path stays
         independent of tables it never reads (store derivation registers
         only its own 7), while the SQL surface sees all of them."""
+        self._ensure_open()
         if not self._sql_tables_registered:
             if self._sf_dir is not None:
                 from dream_spark.sources.tables import register_tables
@@ -130,11 +135,24 @@ class Engine:
         is observable the way the reference's stat files made it."""
         from dream_spark.plans.translator import _condition_frame, _estimate
 
+        self._ensure_open()
         q = parse_sparql(sparql_text)
         patterns = []
         groups = list(q.union_branches) if q.union_branches else [q.conditions]
         all_conds = [c for grp in groups for c in grp]
-        for cond in all_conds + [c for grp in q.optionals for c in grp]:
+        # EVERY group kind contributes patterns: optional, minus, exists,
+        # and subquery groups are where estimate drift hides too
+        all_conds += [c for grp in q.optionals for c in grp]
+        all_conds += [c for grp in q.minuses for c in grp]
+        all_conds += [c for _, grp in q.exists_groups for c in grp]
+        if q.subquery is not None:
+            sub_groups = (
+                list(q.subquery.union_branches)
+                if q.subquery.union_branches
+                else [q.subquery.conditions]
+            )
+            all_conds += [c for grp in sub_groups for c in grp]
+        for cond in all_conds:
             t0 = time.perf_counter()
             n = _condition_frame(self.store, cond).count()
             patterns.append(

@@ -17,6 +17,7 @@ extracted by executing subqueries.
 
 from __future__ import annotations
 
+import getpass
 import hashlib
 import json
 import os
@@ -39,7 +40,11 @@ def default_stats_path(sf_dir: str) -> str:
         p = os.path.join(root, f"{name}.parquet")
         sig.append(f"{name}:{os.path.getmtime(p) if os.path.exists(p) else 0}")
     digest = hashlib.md5("|".join(sig).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"dream_spark_stats_{digest}.json")
+    # per-user filename: the shared temp dir's sticky bit makes a
+    # cross-user os.replace fail (silent in-memory degradation for the
+    # second user), and a predictable shared path could be pre-planted
+    user = getpass.getuser() if hasattr(getpass, "getuser") else str(os.getuid())
+    return os.path.join(tempfile.gettempdir(), f"dream_spark_stats_{user}_{digest}.json")
 
 
 @dataclass(frozen=True)
@@ -80,9 +85,18 @@ class TripleStats:
         # write-then-rename: concurrent engine constructions share the cache
         # path, and a reader must never see a half-written file
         tmp = f"{path}.{os.getpid()}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, path)
+        except BaseException:
+            # never leave the half-written scratch file behind (the caller
+            # may swallow the error; the litter would accumulate silently)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     @classmethod
     def load(cls, path: str) -> "TripleStats | None":
@@ -91,9 +105,17 @@ class TripleStats:
         try:
             with open(path) as f:
                 payload = json.load(f)
-            per = {int(p): PredStat(*v) for p, v in payload["per_pred"].items()}
-            return cls(per, payload["total"])
-        except (json.JSONDecodeError, KeyError, TypeError, OSError):
+            # validate values NOW (int() each field): a malformed entry
+            # must degrade to recollection here, not crash cardinality
+            # estimation at query-planning time
+            per = {
+                int(p): PredStat(int(v[0]), int(v[1]), int(v[2]))
+                for p, v in payload["per_pred"].items()
+            }
+            return cls(per, int(payload["total"]))
+        # ValueError covers json.JSONDecodeError (its subclass) AND bad
+        # int() casts — the documented contract is unreadable == no cache
+        except (ValueError, KeyError, TypeError, IndexError, OSError):
             return None  # unreadable cache == no cache: caller recollects
 
     # -- estimation ---------------------------------------------------------

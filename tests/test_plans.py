@@ -349,3 +349,23 @@ def test_funnel_windows_share_one_exchange(spark):
     )
     assert plan.count("Window") == 3
     assert plan.count("Exchange") <= 2, plan[:800]
+
+
+def test_stats_load_degrades_on_any_malformed_cache(tmp_path):
+    """Unreadable cache == no cache, for EVERY corruption shape — a planted
+    or drifted file must trigger recollection, never crash construction or
+    (worse) blow up later inside cardinality estimation."""
+    from dream_spark.plans.stats import TripleStats
+
+    cases = [
+        "not json at all",
+        '{"total": 5, "per_pred": {"x": [1, 1, 1]}}',      # non-int key
+        '{"total": 5, "per_pred": {"1": ["a", "b", "c"]}}',  # non-int stats
+        '{"total": 5, "per_pred": {"1": [1]}}',              # wrong arity
+        '{"total": "n", "per_pred": {}}',                    # non-int total
+        '{"per_pred": {}}',                                  # missing total
+    ]
+    for i, text in enumerate(cases):
+        p = tmp_path / f"c{i}.json"
+        p.write_text(text)
+        assert TripleStats.load(str(p)) is None, text
