@@ -38,13 +38,33 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _doc_sids(text: str, distinct: bool) -> np.ndarray:
-    """int64 shingle ids of one document (character 3-grams of lower())."""
+    """int64 shingle ids of one document (character 3-grams of lower()) —
+    the exact numpy replay of features.shingle_id_sql:
+
+    - the Horner pack applies the mod-P reduction at EVERY step, like the
+      SQL does: codepoints ≥ U+8000 push the unreduced pack past P, so a
+      direct base-256 pack diverges from the oracle on any CJK text (and
+      the unreduced ~2^32 sid then silently overflows A·sid in int64
+      inside the minhash);
+    - the shingle count and guard use the ORIGINAL text length, like the
+      SQL's ``sequence(1, length(text)-2)`` over ``lower(text)`` — Python
+      ``lower()`` can change a string's length (e.g. İ → i̇), which would
+      otherwise emit shingles for documents the oracle skips.  Positions
+      past the lowered string's end pack as 0, matching ``ascii('') = 0``.
+    """
     t = text.lower()
-    if len(t) < SHINGLE_LEN:
+    n_orig = len(text)
+    if n_orig < SHINGLE_LEN:
         return np.empty(0, dtype=np.int64)
     c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-    sids = c[:-2] * 65536 + c[1:-1] * 256 + c[2:]
-    return np.unique(sids) if distinct else sids
+    num = n_orig - (SHINGLE_LEN - 1)
+    need = num + SHINGLE_LEN - 1
+    if len(c) < need:
+        c = np.concatenate([c, np.zeros(need - len(c), dtype=np.int64)])
+    acc = c[0:num].copy()
+    for j in range(1, SHINGLE_LEN):
+        acc = (acc * 256 + c[j : num + j]) % MERSENNE_P
+    return np.unique(acc) if distinct else acc
 
 
 def _hash_rows(k: int) -> tuple[np.ndarray, np.ndarray]:

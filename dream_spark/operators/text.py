@@ -61,8 +61,15 @@ def features_of(docs: DataFrame) -> DataFrame:
     j = base.join(per_doc, on="doc_id", how="left").na.fill(
         {"n_ws_tokens": 0, "n_distinct_tokens": 0, "n_stop": 0}
     )
-    alpha_ratio = F.col("n_alpha").cast("double") / F.col("n_chars")
-    digit_ratio = F.col("n_digit").cast("double") / F.col("n_chars")
+    # zero-guard: Spark 4's default ANSI mode makes the bare division THROW
+    # DIVIDE_BY_ZERO on an empty document, killing the whole job; DuckDB's
+    # double division yields NULL — so return NULL explicitly on both
+    alpha_ratio = F.when(
+        F.col("n_chars") > 0, F.col("n_alpha").cast("double") / F.col("n_chars")
+    )
+    digit_ratio = F.when(
+        F.col("n_chars") > 0, F.col("n_digit").cast("double") / F.col("n_chars")
+    )
     stop_ratio = F.when(F.col("n_ws_tokens") > 0, F.col("n_stop").cast("double") / F.col("n_ws_tokens")).otherwise(F.lit(0.0))
     quality = (
         F.lit(0.4) * stop_ratio
@@ -185,7 +192,14 @@ def fingerprint_of(docs: DataFrame) -> DataFrame:
     Commutative integer summation makes it partition-order independent while
     still depending on token *positions* (unlike a bag hash)."""
     tk = tokens(docs, with_pos=True)
-    term = F.expr(f"({token_id_sql('tok')} % 65536) * {_pos_weight_sql('pos')}")
+    # per-term mod-P reduction BEFORE the sum: raw terms reach 65535·31^7
+    # (~1.8e15), so ~5k max-weight tokens overflow int64 — Spark's ANSI
+    # SUM throws ARITHMETIC_OVERFLOW on a big document while DuckDB sums
+    # exactly in HUGEINT.  Reduced terms are < P, congruent mod P, and
+    # int64-safe to 2^32 tokens per document; the final % P is unchanged.
+    term = F.expr(
+        f"(({token_id_sql('tok')} % 65536) * {_pos_weight_sql('pos')}) % {MERSENNE_P}"
+    )
     fp = tk.groupBy("doc_id").agg((F.sum(term) % MERSENNE_P).alias("fingerprint"))
     return docs.select("doc_id").join(fp, on="doc_id", how="left").na.fill({"fingerprint": 0})
 
@@ -249,7 +263,10 @@ ORDER BY df DESC, tok LIMIT {TOP_TERMS_K}
 #: first (a URL can contain an email in its userinfo; scrubbing the URL
 #: first makes the nested email part of ONE redacted span, not two).
 REDACT_RULES = [
-    ("<URL>", r"https?://[^\s]+"),
+    # explicit whitespace class: Java's \s includes \x0B, RE2's does not —
+    # [^\s] would redact different spans around a vertical tab on the two
+    # engines; the spelled-out class is identical in both dialects
+    ("<URL>", r"https?://[^ \t\n\x0B\f\r]+"),
     ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("<PHONE>", r"\+?[0-9][0-9()\- ]{7,}[0-9]"),
 ]
@@ -306,8 +323,11 @@ TEXT_REDACT_SQL = _redact_sql()
 #: h(token_id) mod dims, counts summed per bucket — vocabulary-free, fixed
 #: width, mergeable)
 HBOW_DIMS = 32
-#: hash-function index reserved for the feature hash
-_HBOW_FN = 16
+#: hash-function index reserved for the feature hash.  64 is genuinely
+#: free: dedup's LSH band combiner consumes MINHASH_K + b·BAND_ROWS + r =
+#: indices 16..31 (the previous value, 16, collided with band 0/row 0 —
+#: correlated hash draws if the two constructions ever co-occur)
+_HBOW_FN = 64
 #: document similarity search: query set + k
 TEXT_KNN_QUERIES = 10
 TEXT_KNN_K = 5

@@ -87,3 +87,48 @@ def test_redact_nested_spans_count_once(spark):
     r = redact(df).collect()[0]
     assert r["n_redactions"] == 1
     assert "<URL>" in r["text_clean"] and "<EMAIL>" not in r["text_clean"]
+
+
+def test_features_empty_text_yields_null_ratios_not_crash(spark):
+    """Spark 4's default ANSI mode throws DIVIDE_BY_ZERO on 0-char docs
+    without the guard; DuckDB's double division yields NULL — both engines
+    must return NULL ratios."""
+    docs = spark.createDataFrame([(1, "hello world"), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in T.features_of(docs).collect()}
+    assert rows[2]["alpha_ratio"] is None and rows[2]["digit_ratio"] is None
+    assert rows[1]["alpha_ratio"] is not None
+
+
+def test_fingerprint_survives_huge_document(spark):
+    """Per-term mod-P reduction: ~5k max-weight tokens overflowed int64
+    under the old unreduced sum (ANSI ARITHMETIC_OVERFLOW)."""
+    big = " ".join(["zzzzzzzz"] * 300_000)
+    docs = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    row = T.fingerprint_of(docs).collect()[0]
+    assert 0 <= row["fingerprint"] < 2_147_483_647
+
+
+def test_shingle_kernel_matches_sql_pack_on_cjk():
+    """The kernel must apply the mod-P reduction at every Horner step like
+    shingle_id_sql — codepoints >= U+8000 diverge without it."""
+    import duckdb
+
+    from dream_spark.functions.features import shingle_id_sql
+    from dream_spark.functions.textkernels import _doc_sids
+
+    # Not covered: characters whose case mapping itself differs between
+    # engines (e.g. İ: DuckDB lowers to 'i', Java/Python to 'i̇') — that
+    # divergence is in lower(), not the pack, and affects the SQL explode
+    # paths identically
+    for text in ["高高高", "안녕하세요", "abc高x"]:
+        kernel = sorted(int(x) for x in _doc_sids(text, distinct=True))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d AS SELECT ? AS text", [text])
+        sql = (
+            f"SELECT DISTINCT {shingle_id_sql('sh')} AS sid FROM ("
+            f"  SELECT unnest([substr(lower(text), CAST(i AS INT), 3)"
+            f"  FOR i IN range(1, length(text) - 1)]) AS sh FROM d"
+            f"  WHERE length(text) >= 3) ORDER BY sid"
+        )
+        oracle = [r[0] for r in con.execute(sql).fetchall()]
+        assert kernel == oracle, text
