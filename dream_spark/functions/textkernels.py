@@ -29,12 +29,21 @@ from dream_spark.functions.features import SHINGLE_LEN
 from dream_spark.functions.hashing import MERSENNE_P, hash_params
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition the (narrow) kernel input across the cluster.  A small
-    parquet table arrives as one input split, which would run the whole
-    Arrow kernel on a single core; at 100 TB inputs already span thousands
-    of splits and this is a no-op-sized shuffle either way."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+def spread_small(df: DataFrame) -> DataFrame:
+    """Spread the (narrow) kernel input across the cluster ONLY when it
+    arrives under-split: a small parquet table comes in as one input split,
+    which would run the whole Arrow kernel on a single core.  When the scan
+    already yields >= defaultParallelism splits (every real-scale input),
+    return the frame untouched — an unconditional ``repartition`` here is a
+    FULL shuffle of the raw (doc_id, text) corpus, which at 100 TB moves
+    the entire text payload the zero-shuffle kernels exist to avoid."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
+_spread = spread_small
 
 
 def _doc_sids(text: str, distinct: bool) -> np.ndarray:

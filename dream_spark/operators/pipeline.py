@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from dream_spark.functions.features import TOKEN_SPLIT_RE, duck_tokens_cte, tokens
 from dream_spark.functions.hashing import hash_sql
 from dream_spark.functions.joins import broadcast_if_small
-from dream_spark.functions.textkernels import token_ngram_sets
+from dream_spark.functions.textkernels import spread_small, token_ngram_sets
 from dream_spark.sources.tables import load_table
 
 #: (train, val, test) percentage weights for the deterministic split
@@ -145,10 +145,11 @@ def tfidf_topterms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
     ranking is exact integer arithmetic on every engine (a monotone
     transform of N/df preserves the idf ordering; only inter-term score
     *ratios* differ from ln-idf, which a top-k ranking never uses)."""
-    # spread the token explode across the cluster: a small parquet table
-    # arrives as one input split (at 100 TB inputs already span thousands,
-    # making this a no-op-sized shuffle)
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # spread the token explode across the cluster — gated: only when the
+    # input arrives under-split (small parquet = one split); at real scale
+    # the scan already spans the cluster and repartitioning would shuffle
+    # the whole raw corpus before the explode
+    docs = spread_small(docs)
     toks = tokens(docs)
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
@@ -497,9 +498,14 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = CONTAM_N
     Horner-packed integers the Jaccard/MinHash operators use, so the
     oracle replays them exactly."""
     bs = benchmark_ngram_set(benchmark, n).persist()
-    out = contamination_probe(docs, bs, n).persist()
-    out.count()
-    bs.unpersist()
+    try:
+        # localCheckpoint (eager) materializes the result AND cuts lineage,
+        # so the benchmark cache can be released before returning — unlike a
+        # returned .persist(), which would leak a cached frame per call
+        # (bench reruns accumulate them for the session's lifetime)
+        out = contamination_probe(docs, bs, n).localCheckpoint()
+    finally:
+        bs.unpersist()
     return out
 
 

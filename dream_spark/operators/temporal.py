@@ -45,31 +45,55 @@ def asof_join(
 
     Right-side column names must not collide with left's (rename before
     calling, as with any Spark join).  ``tiebreak`` breaks equal-timestamp
-    ties deterministically (DESC); always pass one when right_ts isn't
-    unique per key.  Scale shape: equi-shuffle both sides on ``on``,
-    evaluate the time bound in-group, top-1 per left row by window — the
-    window partitions by the join output's left row id, so Catalyst
-    pipelines it after the join without an extra shuffle."""
-    lid = "__asof_lid"
-    rkey = "__asof_rkey"
+    ties deterministically (highest value wins); always pass one when
+    right_ts isn't unique per key.
+
+    Scale shape — the distributed ``merge_asof``: tag and UNION both sides,
+    ONE shuffle+sort per key by (ts, side, tiebreak), then a running
+    ``last(right-payload-struct, ignorenulls)`` window carries the latest
+    right row forward onto each left row.  Linear in events per key — the
+    naive join-then-rank form materializes every (left × earlier-right)
+    pair per key first, an in-group quadratic that AQE skew-split cannot
+    fix (10⁵ clicks × 10⁴ purchases for one power user = 10⁹ intermediate
+    rows).  The right payload rides ONE struct column so all its fields
+    come from the same matched row atomically."""
+    us, side, pay, match = "__asof_us", "__asof_side", "__asof_r", "__asof_m"
+    right_cols = [c for c in right.columns if c != on]
     l_us = epoch_micros(left, left_ts)
     r_us = epoch_micros(right, right_ts)
-    lf = left.withColumn(lid, F.monotonically_increasing_id())
-    rf = right.withColumnRenamed(on, rkey)
-    joined = lf.join(
-        rf,
-        (F.col(on) == F.col(rkey)) & (r_us <= l_us),
-        "left_outer",
-    ).drop(rkey)
-    order = [F.col(right_ts).desc_nulls_last()]
-    if tiebreak is not None:
-        order.append(F.col(tiebreak).desc_nulls_last())
-    w = Window.partitionBy(lid).orderBy(*order)
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", lid)
+    # side 0 = right, 1 = left: at equal timestamps rights sort FIRST so
+    # right_ts == left_ts matches (the <= bound)
+    rs = right.select(
+        F.col(on),
+        r_us.alias(us),
+        F.lit(0).alias(side),
+        F.struct(*[F.col(c) for c in right_cols]).alias(pay),
     )
+    ls = left.select(*left.columns, l_us.alias(us), F.lit(1).alias(side))
+    u = ls.unionByName(rs, allowMissingColumns=True)
+    order = [F.col(us).asc(), F.col(side).asc()]
+    if tiebreak is not None:
+        # ascending + take-last == "highest tiebreak wins", matching the
+        # old rank-DESC pick; left rows sort after ALL rights at equal ts
+        # via the side key, so their NULL tiebreak never interleaves
+        order.append(F.col(pay)[tiebreak].asc_nulls_first())
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(match, F.last(pay, ignorenulls=True).over(w))
+    return matched.where(F.col(side) == 1).select(
+        *left.columns, *[F.col(match)[c].alias(c) for c in right_cols]
+    )
+
+
+def _time_bucket(us, width: int):
+    """Exact integer floor-division bucket of a microsecond column: the
+    always-nonnegative pmod remainder is subtracted first, so the double
+    division is exact for |us| < 2^53 (~year 2255) and negative (pre-1970)
+    times bucket with floor semantics, not truncate-toward-zero."""
+    return ((us - F.pmod(us, F.lit(width))) / F.lit(width)).cast("long")
 
 
 def range_join(
@@ -83,16 +107,34 @@ def range_join(
     """Generic RANGE (interval) join: right rows strictly after the left
     row's timestamp and within ``window_us`` microseconds, sharing the
     ``on`` key.  Inner semantics; one output row per qualifying pair.
-    Equi-keyed first — never a cross join; the band predicate evaluates
-    inside the key group."""
-    rkey = "__range_rkey"
+
+    Scale shape — bucketed band join: right rows carry their
+    ``floor(ts/window)`` bucket; each left row probes exactly the two
+    buckets its window can span (an exploded 2-row expansion), and the
+    join is EQUI on (key, bucket) with the exact band as a residual
+    filter.  In-group work is bounded by events-per-2-windows — keying on
+    the user alone would compare every (left × right) pair in a long-lived
+    key's history, an in-group quadratic.  Each qualifying pair matches in
+    exactly one bucket (the right row's bucket is fixed), so no dedup pass
+    is needed."""
+    rkey, rb, lb = "__range_rkey", "__range_rb", "__range_lb"
     l_us = epoch_micros(left, left_ts)
-    r_us = epoch_micros(right, right_ts)
     rf = right.withColumnRenamed(on, rkey)
-    return left.join(
+    r_us = epoch_micros(rf, right_ts)
+    rf = rf.withColumn(rb, _time_bucket(r_us, window_us))
+    lf = left.withColumn(
+        lb,
+        F.explode(
+            F.array(_time_bucket(l_us, window_us), _time_bucket(l_us, window_us) + 1)
+        ),
+    )
+    return lf.join(
         rf,
-        (F.col(on) == F.col(rkey)) & (r_us > l_us) & (r_us <= l_us + window_us),
-    ).drop(rkey)
+        (F.col(on) == F.col(rkey))
+        & (F.col(lb) == F.col(rb))
+        & (r_us > l_us)
+        & (r_us <= l_us + window_us),
+    ).drop(rkey, rb, lb)
 
 
 def _typed_events(spark: SparkSession, sf_dir: str, etype: str, prefix: str) -> DataFrame:

@@ -19,6 +19,7 @@ from dream_spark.functions.features import (
     tokens,
 )
 from dream_spark.functions.hashing import MERSENNE_P
+from dream_spark.functions.textkernels import spread_small
 from dream_spark.sources.tables import load_table
 
 # "BPE-ish" tokenizer regex: alpha runs, digit runs, single punctuation.
@@ -230,9 +231,10 @@ def topterms_of(docs: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
     itself) with total occurrence counts — the df/tf sketch a
     corpus-analysis pipeline starts from."""
     # spread the token explode across the cluster before the ~1000× row
-    # expansion: a small parquet table arrives as one input split (no-op at
-    # real scale where splits abound — same pattern as pipeline.tfidf)
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # expansion — gated: only when the input arrives under-split (small
+    # parquet = one split); at real scale the scan already spans the
+    # cluster and repartitioning would shuffle the whole raw corpus
+    docs = spread_small(docs)
     toks = tokens(docs)
     stats = toks.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("df"),

@@ -52,11 +52,17 @@ def write_partitioned(
     partition columns ALONE would hash each partition value to exactly one
     task — one giant file per directory and write parallelism capped at
     the distinct-value count, the straggler/OOM shape on a skewed
-    partition.  A deterministic per-row salt in [0, N) spreads each
-    directory's rows over up to N tasks/files."""
+    partition.  The salt is derived from ROW CONTENT (xxhash64 over every
+    column), so recomputed map tasks under partial stage retry or
+    speculative execution reassign each row to the SAME reduce partition —
+    a nondeterministic salt (e.g. monotonically_increasing_id) can
+    silently duplicate or drop rows on fetch-failure retry, the hazard
+    SPARK-23207 fixed for round-robin but not for user expressions.
+    (Identical rows co-locating in one file is acceptable skew: exact
+    duplicates are rare post-dedup, and the cap N still bounds files.)"""
     if max_files_per_partition:
         salt = F.pmod(
-            F.xxhash64(F.monotonically_increasing_id()), F.lit(max_files_per_partition)
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(max_files_per_partition)
         )
         df = (
             df.withColumn("__sink_salt", salt)

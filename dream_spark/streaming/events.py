@@ -110,6 +110,39 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def merge_session_islands(
+    items: list[tuple[int, int, int]], gap_us: int
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int] | None]:
+    """Interval-island merge over {new single-event intervals} ∪ {the open
+    session interval}: sort by start, chain any item starting within
+    ``gap_us`` of the running island's end.  Returns (closed islands in
+    time order, open last island or None).
+
+    This matches the batch twin's gaps-and-islands for in-run data,
+    INCLUDING a late event arriving more than a gap BEFORE the open
+    session's start — it forms its own earlier island instead of
+    stretching the open session backwards past the gap (a bare
+    min(start)/max(end) merge diverges from batch there).  All islands but
+    the LAST are separated from the next by > gap_us, so they are emitted
+    closed; the last stays open in state.  (An event in a FUTURE batch
+    could in principle land between two emitted islands — bounded state
+    cannot retract; the watermark bounds how late that can happen, the
+    same contract as the timeout path.)"""
+    if not items:
+        return [], None
+    items = sorted(items)
+    closed: list[tuple[int, int, int]] = []
+    start_us, last_us, n = items[0]
+    for s2, l2, n2 in items[1:]:
+        if s2 - last_us <= gap_us:
+            last_us = max(last_us, l2)
+            n += n2
+        else:
+            closed.append((start_us, last_us, n))
+            start_us, last_us, n = s2, l2, n2
+    return closed, (start_us, last_us, n)
+
+
 def sessionize_stream(
     events: DataFrame, gap_min: int = SESSION_GAP_MIN, watermark: str = "2 hours"
 ) -> DataFrame:
@@ -119,9 +152,10 @@ def sessionize_stream(
     expired — a processing-time timeout would close sessions on wall-clock
     lag or checkpoint restart, emitting split sessions the batch twin
     contradicts.  Out-of-order arrival across micro-batches is handled by
-    extending the open session monotonically (``min`` start / ``max``
-    end): a late event inside the open session must never move its end
-    backward (a stale end would mis-measure every later gap)."""
+    :func:`merge_session_islands`: late events within a gap of the open
+    session extend it (never moving its end backward); a late event MORE
+    than a gap before the open session's start closes as its own earlier
+    island, matching the batch twin's gaps-and-islands split."""
     gap_us = gap_min * 60 * 1_000_000
 
     def fn(
@@ -143,29 +177,19 @@ def sessionize_stream(
         ts_list: list[int] = []
         for pdf in pdfs:
             ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
-        ts_list.sort()
         out = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
-        # None sentinel for "no open session": a magic negative sentinel
-        # would misread legitimate pre-1970 (negative-µs) event times
-        start_us: int | None
+        items = [(t, t, 1) for t in ts_list]
         if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = None, 0, 0
-        for t in ts_list:
-            if start_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us > gap_us:
-                out["user_id"].append(user_id)
-                out["session_start"].append(pd.Timestamp(start_us, unit="us"))
-                out["session_end"].append(pd.Timestamp(last_us, unit="us"))
-                out["n_events"].append(n)
-                start_us, last_us, n = t, t, 1
-            else:
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
-        if start_us is not None:
+            items.append(tuple(state.get))
+        closed, open_sess = merge_session_islands(items, gap_us)
+        for s, l, c in closed:
+            out["user_id"].append(user_id)
+            out["session_start"].append(pd.Timestamp(s, unit="us"))
+            out["session_end"].append(pd.Timestamp(l, unit="us"))
+            out["n_events"].append(c)
+        start_us: int | None = None
+        if open_sess is not None:
+            start_us, last_us, n = open_sess
             state.update((start_us, last_us, n))
             # close when the WATERMARK passes the gap horizon; clamp above
             # the current watermark (setting a timeout at/below it raises)

@@ -256,3 +256,29 @@ def test_funnel_stream_matches_batch_windows(spark):
     assert got, "stream emitted no closed windows"
     mismatched = {k for k, v in got.items() if batch.get(k) != v}
     assert not mismatched, sorted(mismatched)[:5]
+
+
+def test_merge_session_islands_late_split():
+    """A late event more than a gap BEFORE the open session forms its own
+    closed earlier island (batch gaps-and-islands semantics) instead of
+    stretching the open session backwards past the gap."""
+    gap = 100
+    # open session [1000, 1200] (5 events); late lone event at 500
+    closed, open_sess = SE.merge_session_islands([(500, 500, 1), (1000, 1200, 5)], gap)
+    assert closed == [(500, 500, 1)]
+    assert open_sess == (1000, 1200, 5)
+    # within-gap late event still extends the open session backwards
+    closed, open_sess = SE.merge_session_islands([(950, 950, 1), (1000, 1200, 5)], gap)
+    assert closed == []
+    assert open_sess == (950, 1200, 6)
+    # chained late events bridge into the open session exactly like batch
+    closed, open_sess = SE.merge_session_islands(
+        [(700, 700, 1), (790, 790, 1), (880, 880, 1), (950, 1200, 5)], gap
+    )
+    assert closed == []
+    assert open_sess == (700, 1200, 8)
+    # forward gap still closes the earlier island
+    closed, open_sess = SE.merge_session_islands([(100, 150, 2), (400, 400, 1)], gap)
+    assert closed == [(100, 150, 2)]
+    assert open_sess == (400, 400, 1)
+    assert SE.merge_session_islands([], gap) == ([], None)
