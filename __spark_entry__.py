@@ -154,6 +154,18 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?N ?R where { ?N type Nation . ?N inRegion+ ?R }",
         False,
     ),
+    # ZeroOrMorePath (SPARQL 1.1 ``p*``): closure ∪ zero-length identity —
+    # every nation pairs with itself AND its region
+    "sparql_path_star": (
+        "select ?N ?R where { ?N type Nation . ?N inRegion* ?R }",
+        False,
+    ),
+    # ZeroOrOnePath (SPARQL 1.1 ``p?``): edge set ∪ identity — every
+    # supplier pairs with itself AND its nation
+    "sparql_path_opt": (
+        "select ?S ?X where { ?S type Supplier . ?S inNation? ?X }",
+        False,
+    ),
     # VALUES superset: single-variable inline bindings → IN-filter lowering
     "sparql_values": (
         "select ?C ?N where { ?C type Customer . ?C inNation ?N ."

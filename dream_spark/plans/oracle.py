@@ -32,8 +32,14 @@ def _render_block(conditions, resolve, alias_start: int) -> tuple[list[str], lis
     aliases: list[str] = []
     for i, cond in enumerate(conditions, start=alias_start):
         t = f"t{i}"
-        if cond.pred.is_transitive:
-            aliases.append(f"closure_{resolve(cond.pred.lexical)} {t}")
+        if cond.pred.is_path_closure:
+            pid = resolve(cond.pred.lexical)
+            cte = (
+                f"closure_{pid}"
+                if cond.pred.is_transitive
+                else f"pathstar_{pid}" if cond.pred.is_zero_or_more else f"pathopt_{pid}"
+            )
+            aliases.append(f"{cte} {t}")
             slot_terms = (("s", cond.subj), ("o", cond.obj))
         elif cond.pred.is_inverse:
             # ?x ^p ?y ≡ ?y p ?x: swap the slot bindings, keep one scan
@@ -60,24 +66,34 @@ def _render_block(conditions, resolve, alias_start: int) -> tuple[list[str], lis
     return aliases, where, first_slot
 
 
-def _transitive_pids(query: ParsedQuery, resolve) -> list[int]:
-    pids: set[int] = set()
+def _path_pids(query: ParsedQuery, resolve) -> tuple[list[int], list[int], list[int]]:
+    """(closure pids for + and *, ZeroOrMore pids, ZeroOrOne pids) across
+    every pattern group of the query."""
+    plus: set[int] = set()
+    star: set[int] = set()
+    opt: set[int] = set()
     groups = list(query.union_branches or [query.conditions])
     exists = [grp for _, grp in query.exists_groups]
     for grp in groups + list(query.optionals) + list(query.minuses) + exists:
         for c in grp:
             if c.pred.is_transitive:
-                pids.add(resolve(c.pred.lexical))
-    return sorted(pids)
+                plus.add(resolve(c.pred.lexical))
+            elif c.pred.is_zero_or_more:
+                star.add(resolve(c.pred.lexical))
+            elif c.pred.is_zero_or_one:
+                opt.add(resolve(c.pred.lexical))
+    return sorted(plus | star), sorted(star), sorted(opt)
 
 
 def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
-    """The WITH clause: triples, one recursive closure CTE per transitive
-    predicate (SPARQL OneOrMorePath = UNION-distinct reachability), and the
-    dict when decoding."""
-    pids = _transitive_pids(query, resolve)
+    """The WITH clause: triples, one recursive closure CTE per +/* path
+    predicate (SPARQL OneOrMorePath = UNION-distinct reachability), the
+    graph-node identity CTE plus a pathstar_/pathopt_ union CTE per */?
+    path predicate (ZeroOrMorePath / ZeroOrOnePath — zero-length paths
+    match every graph node to itself), and the dict when decoding."""
+    closure_pids, star_pids, opt_pids = _path_pids(query, resolve)
     parts = [f"triples AS (\n{TRIPLES_SQL}\n)"]
-    for pid in pids:
+    for pid in closure_pids:
         parts.append(
             f"closure_{pid}(s, o) AS (\n"
             f"  SELECT s, o FROM triples WHERE p = {pid}\n"
@@ -85,9 +101,33 @@ def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
             f"  SELECT c.s, t.o FROM closure_{pid} c JOIN triples t ON t.p = {pid} AND t.s = c.o\n"
             f")"
         )
+    # DISTINCT-over-UNION-ALL, not bare UNION: DuckDB 1.0 evaluates the
+    # set-UNION of a NON-recursive CTE inside a WITH RECURSIVE clause as
+    # UNION ALL (dedup silently skipped), so the identity rows would
+    # duplicate once per graph occurrence
+    if star_pids or opt_pids:
+        parts.append(
+            "graph_nodes(n) AS (\n"
+            "  SELECT DISTINCT n FROM (SELECT s AS n FROM triples UNION ALL SELECT o FROM triples)\n"
+            ")"
+        )
+    for pid in star_pids:
+        parts.append(
+            f"pathstar_{pid}(s, o) AS (\n"
+            f"  SELECT DISTINCT s, o FROM (\n"
+            f"    SELECT s, o FROM closure_{pid} UNION ALL SELECT n, n FROM graph_nodes)\n"
+            f")"
+        )
+    for pid in opt_pids:
+        parts.append(
+            f"pathopt_{pid}(s, o) AS (\n"
+            f"  SELECT DISTINCT s, o FROM (\n"
+            f"    SELECT s, o FROM triples WHERE p = {pid} UNION ALL SELECT n, n FROM graph_nodes)\n"
+            f")"
+        )
     if needs_dict:
         parts.append(f"dict AS (\n{DICT_SQL}\n)")
-    kw = "WITH RECURSIVE" if pids else "WITH"
+    kw = "WITH RECURSIVE" if closure_pids else "WITH"
     return f"{kw} " + ",\n".join(parts)
 
 

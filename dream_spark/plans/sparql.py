@@ -71,6 +71,11 @@ class Term:
 
     - a trailing ``+`` (OneOrMorePath): ``?x inRegion+ ?y`` matches pairs
       connected by 1..n hops — ``is_transitive``;
+    - a trailing ``*`` (ZeroOrMorePath): 0..n hops — ``is_zero_or_more``;
+      the zero-length path matches every node of the graph to itself
+      (nodes = distinct subjects ∪ objects, the usual engine reading of
+      the spec's "terms in the graph");
+    - a trailing ``?`` (ZeroOrOnePath): 0..1 hops — ``is_zero_or_one``;
     - a leading ``^`` (InversePath): ``?x ^placedBy ?o`` ≡ ``?o placedBy
       ?x`` — ``is_inverse``;
     - ``|`` alternation (PathAlternative): ``?s madeBy|placedBy ?e``
@@ -92,6 +97,20 @@ class Term:
     @property
     def is_transitive(self) -> bool:
         return (not self.is_var) and _mask_brackets(self.text).endswith("+")
+
+    @property
+    def is_zero_or_more(self) -> bool:
+        return (not self.is_var) and _mask_brackets(self.text).endswith("*")
+
+    @property
+    def is_zero_or_one(self) -> bool:
+        return (not self.is_var) and _mask_brackets(self.text).endswith("?")
+
+    @property
+    def is_path_closure(self) -> bool:
+        """Any of the hop-count path forms (+ / * / ?): the pattern scans a
+        derived pair frame instead of the raw triples."""
+        return self.is_transitive or self.is_zero_or_more or self.is_zero_or_one
 
     @property
     def is_inverse(self) -> bool:
@@ -129,7 +148,9 @@ class Term:
         t = self.text
         if t.startswith("^"):
             t = t[1:]
-        if t.endswith("+") and not t.startswith("?"):
+        if t.endswith(("+", "*")) and not t.startswith("?"):
+            t = t[:-1]
+        elif t.endswith("?") and not t.startswith("?"):
             t = t[:-1]
         return t[1:-1] if t.startswith("<") and t.endswith(">") else t
 
@@ -298,8 +319,8 @@ def parse_sparql(text: str) -> ParsedQuery:
         tpl = _parse_patterns_from(mc.group(1), 1)
         if not tpl:
             raise SparqlSyntaxError("construct template needs at least one pattern")
-        if any(c.pred.is_transitive for c in tpl):
-            raise SparqlSyntaxError("path '+' is not valid in a construct template")
+        if any(c.pred.is_path_closure for c in tpl):
+            raise SparqlSyntaxError("path '+'/'*'/'?' is not valid in a construct template")
         q = parse_sparql(f"select * where {{{mc.group(2)}}}")
         bound = set(q.all_variables())
         unbound = sorted(
@@ -756,7 +777,7 @@ def _parse_patterns_from(text_: str, start: int) -> list[Condition]:
             # contain any of them); on s/o slots only a path suffix/prefix
             # shape is plausibly a user mistake — reject those loudly
             sm = _mask_brackets(st)
-            if sm.endswith("+") or sm.startswith("^") or "|" in sm or "/" in sm:
+            if sm.endswith(("+", "*")) or sm.startswith("^") or "|" in sm or "/" in sm:
                 raise SparqlSyntaxError(
                     f"path markers are only valid on a predicate: {st!r}"
                 )
@@ -822,15 +843,21 @@ def _check_pred_markers(p: str) -> None:
             )
         return
     m = _mask_brackets(p)
-    if p.startswith("?") and m.endswith("+"):
-        raise SparqlSyntaxError("path '+' requires a constant predicate")
+    # split off a trailing hop-count marker first: a '?' PREFIX is a
+    # variable, a '?' SUFFIX on a constant is ZeroOrOnePath
+    suffix = None
+    if m.endswith(("+", "*")) or (not p.startswith("?") and m.endswith("?")):
+        suffix = m[-1]
+        m = m[:-1]
+    if suffix is not None and (p.startswith("?") or not m):
+        raise SparqlSyntaxError(f"path '{suffix}' requires a constant predicate")
     if ("^" in m or "|" in m) and ("?" in m):
         raise SparqlSyntaxError("path '^'/'|' require constant predicates")
     if ("^" in m and m.count("^") > 1) or m.startswith("|") or m.endswith("|") or "||" in m:
         raise SparqlSyntaxError(f"malformed property path: {p!r}")
-    if sum(x in m for x in ("+", "^", "|")) > 1:
+    if (suffix is not None) + ("^" in m) + ("|" in m) > 1:
         raise SparqlSyntaxError(
-            f"combined path operators are not supported (one of +/^/| per predicate): {p!r}"
+            f"combined path operators are not supported (one of +/*/?/^/| per predicate): {p!r}"
         )
     if "^" in m and not m.startswith("^"):
         raise SparqlSyntaxError(f"'^' must prefix the predicate: {p!r}")

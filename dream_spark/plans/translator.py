@@ -67,22 +67,58 @@ def _closure_frame(store: TripleStore, pid: int) -> DataFrame:
     return full
 
 
+def _node_frame(store: TripleStore) -> DataFrame:
+    """All graph nodes (distinct subjects ∪ objects) as identity pairs
+    (n, n) — the zero-length-path relation of SPARQL ``p*`` / ``p?``.
+    One distinct over two id columns; at scale this is a shuffle of ids
+    only (never payloads), and Catalyst prunes it entirely when the
+    pattern's constant ends make the identity side a point lookup."""
+    t = store.triples
+    nodes = (
+        t.select(F.col("s").alias("n"))
+        .unionByName(t.select(F.col("o").alias("n")))
+        .distinct()
+    )
+    return nodes.select(F.col("n").alias("s"), F.col("n").alias("o"))
+
+
+def _path_frame(store: TripleStore, pred) -> DataFrame:
+    """The (s, o) pair frame of a hop-count property path:
+
+    - ``p+`` → transitive closure (1..n hops, :func:`_closure_frame`);
+    - ``p*`` → closure ∪ identity over all graph nodes (0..n hops);
+    - ``p?`` → distinct edge set ∪ identity (0..1 hops).
+
+    The zero-length branch pairs every graph node with itself (SPARQL
+    ZeroLengthPath over the graph's terms), independent of whether the
+    node touches ``p`` — ``?n type Nation . ?n inRegion* ?r`` therefore
+    yields (n, n) even for a nation with no region edge, like the spec."""
+    pid = store.resolve(pred.lexical)
+    if pred.is_transitive:
+        return _closure_frame(store, pid)
+    if pred.is_zero_or_more:
+        base = _closure_frame(store, pid)
+    else:  # p? — 0..1 hops: the raw (distinct) edge set
+        base = store.triples.where(F.col("p") == F.lit(pid)).select("s", "o").distinct()
+    return base.unionByName(_node_frame(store)).distinct()
+
+
 def _condition_frame(store: TripleStore, cond: Condition) -> DataFrame:
     """One triple pattern → filtered/aliased scan.
 
     Constants become pushdown-able filters (reference O3,
     QueryPlanner.c:780-821); variables become column aliases.  A variable
     repeated inside one pattern (e.g. ``?x p ?x``) becomes a same-row equality
-    filter.  A ``pred+`` pattern scans the predicate's transitive closure
-    (``_closure_frame``) instead of the raw triples.  An inverse predicate
+    filter.  A ``pred+``/``pred*``/``pred?`` pattern scans the predicate's
+    derived pair frame (:func:`_path_frame`) instead of the raw triples.  An inverse predicate
     ``^p`` swaps the subject/object slot bindings (``?x ^p ?y`` ≡ ``?y p
     ?x`` — still one filtered scan, no join).  A ``p1|p2`` alternation
     becomes an IN filter on the predicate ids — one scan, and the IN list
     prunes partitions/row groups exactly like an equality under the
     p-partitioned layout.
     """
-    if cond.pred.is_transitive:
-        df = _closure_frame(store, store.resolve(cond.pred.lexical))
+    if cond.pred.is_path_closure:
+        df = _path_frame(store, cond.pred)
         slots = {"s": cond.subj, "o": cond.obj}
         seen: dict[str, str] = {}
         cols = []

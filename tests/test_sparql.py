@@ -535,6 +535,59 @@ def test_transitive_multihop_chain(spark):
     assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
 
 
+def test_parse_zero_paths():
+    q = parse_sparql("select ?N ?R where { ?N type Nation . ?N inRegion* ?R }")
+    p = q.conditions[1].pred
+    assert p.is_zero_or_more and p.is_path_closure and p.lexical == "inRegion"
+    assert not p.is_transitive and not p.is_zero_or_one
+    q = parse_sparql("select ?S ?X where { ?S type Supplier . ?S inNation? ?X }")
+    p = q.conditions[1].pred
+    assert p.is_zero_or_one and p.is_path_closure and p.lexical == "inNation"
+    for bad in [
+        "select ?X ?Y ?P where { ?X ?P* ?Y }",       # * on a variable
+        "select ?X ?Y where { ?X ^inRegion* ?Y }",   # combined operators
+        "select ?X ?Y where { ?X* inRegion ?Y }",    # * on a subject
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        ("select ?N ?R where { ?N type Nation . ?N inRegion* ?R }", False),
+        ("select ?N ?R where { ?N type Nation . ?N inRegion* ?R }", True),
+        ("select ?S ?X where { ?S type Supplier . ?S inNation? ?X }", False),
+        # constant object end: identity fires only for the constant itself
+        ("select ?N where { ?N inRegion* <region:1> }", False),
+    ],
+)
+def test_zero_path_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+def test_zero_or_more_multihop_chain(spark):
+    """p* over a 4-node chain = every reachable pair PLUS the identity on
+    every graph node (including node 4, which has no out-edge)."""
+    from dream_spark.plans.translator import translate
+    from dream_spark.sources.triples import TripleStore
+
+    triples = spark.createDataFrame([(1, 7, 2), (2, 7, 3), (3, 7, 4)], "s long, p long, o long")
+    dict_df = spark.createDataFrame(
+        [(i, f"n{i}") for i in (1, 2, 3, 4)] + [(7, "link")], "id long, lexical string"
+    )
+    st = TripleStore(spark, triples, dict_df, resolver=None)
+    q = parse_sparql("select ?X ?Y where { ?X link* ?Y }")
+    got = {(r["X"], r["Y"]) for r in translate(st, q, None).collect()}
+    reach = {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    ident = {(i, i) for i in (1, 2, 3, 4)}
+    assert got == reach | ident
+    q = parse_sparql("select ?X ?Y where { ?X link? ?Y }")
+    got = {(r["X"], r["Y"]) for r in translate(st, q, None).collect()}
+    assert got == {(1, 2), (2, 3), (3, 4)} | ident
+
+
 def test_transitive_cycle_terminates(spark):
     """A cyclic graph must converge (semi-naive anti-join drains the
     frontier) and include every connected ordered pair."""
