@@ -213,6 +213,14 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " filter (?C < <customer:100>) }",
         False,
     ),
+    # arithmetic FILTER on the typed-numeric-value layer: part sizes are
+    # numeric literals (id − 300000), so ?SZ + 5 > 30 compares VALUES, not
+    # ids — the expression-FILTER superset (non-numeric terms type-error
+    # to NULL and drop, per spec)
+    "sparql_filter_arith": (
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ + 5 > 30) }",
+        False,
+    ),
     # FILTER EXISTS superset: correlated semi-join — customers with at
     # least one finished order; group variables never bind out
     "sparql_exists": (

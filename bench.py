@@ -97,6 +97,9 @@ HEADLINE = [
     "sparql_subquery_topk",
     "sparql_seq_path",
     "sparql_seq_inverse",
+    "sparql_path_plus",
+    "sparql_path_star",
+    "sparql_path_opt",
     "sparql_bind",
     "sparql_neg_pred",
     "dedup_exact_docs",
@@ -156,19 +159,26 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "setup_sec": round(setup, 3),
-                "n_queries": len(timings),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "setup_sec": round(setup, 3),
+            "n_queries": len(timings),
+        }
     )
+    print(line)
+    # also land the full JSON in a file: the driver captures stdout with a
+    # bounded tail, which truncated the r3 per-query map mid-object —
+    # a whole-file copy keeps every timing machine-readable
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

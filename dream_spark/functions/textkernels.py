@@ -81,28 +81,46 @@ def _hash_rows(k: int) -> tuple[np.ndarray, np.ndarray]:
     return ab[:, 0:1], ab[:, 1:2]  # column vectors for broadcasting
 
 
+def _batch_segments(pdf: pd.DataFrame, distinct: bool):
+    """Flatten one Arrow batch's documents into a single shingle-id vector
+    with segment bookkeeping: (kept doc_ids, flat sids, per-doc lengths,
+    segment start offsets).  Documents with zero shingles are dropped.
+    Shingle extraction stays per-document (string work), but every
+    subsequent hash/reduce runs ONCE over the flat vector — batch-level
+    vectorization instead of a Python loop of tiny numpy calls per doc."""
+    sid_arrays = [_doc_sids(t, distinct=distinct) for t in pdf["text"]]
+    lens = np.array([len(s) for s in sid_arrays], dtype=np.int64)
+    keep = lens > 0
+    if not keep.any():
+        return None
+    doc_ids = pdf["doc_id"].to_numpy()[keep]
+    lens = lens[keep]
+    sids = np.concatenate([s for s in sid_arrays if len(s)])
+    starts = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)[:-1]])
+    return doc_ids, sids, lens, starts
+
+
 def minhash_signatures(docs: DataFrame, k: int) -> DataFrame:
     """(doc_id, sig0..sig{k-1}) for every document with ≥1 shingle.
-    One pass, no shuffle: sig_i = min over shingles of h_i(sid)."""
+    One pass, no shuffle: sig_i = min over shingles of h_i(sid), computed
+    as k whole-batch hash passes + ``minimum.reduceat`` segment-mins (one
+    O(total-shingles) vector op per hash fn, never a per-doc loop)."""
     A, B = _hash_rows(k)
     schema = "doc_id long, " + ", ".join(f"sig{i} long" for i in range(k))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                s = _doc_sids(text, distinct=False)
-                if not len(s):
-                    continue
-                ids.append(doc_id)
-                sigs.append(((A * s + B) % MERSENNE_P).min(axis=1))
-            out = np.array(sigs, dtype=np.int64).reshape(len(ids), k)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.asarray(ids, dtype=np.int64),
-                    **{f"sig{i}": out[:, i] for i in range(k)},
-                }
-            )
+            seg = _batch_segments(pdf, distinct=False)
+            if seg is None:
+                continue
+            doc_ids, sids, _lens, starts = seg
+            cols = {"doc_id": doc_ids}
+            # one hash fn at a time: peak extra memory is ONE flat int64
+            # vector, not a (k × total) matrix
+            for i in range(k):
+                h = (A[i, 0] * sids + B[i, 0]) % MERSENNE_P
+                cols[f"sig{i}"] = np.minimum.reduceat(h, starts)
+            yield pd.DataFrame(cols)
 
     return _spread(docs.select("doc_id", "text")).mapInPandas(run, schema=schema)
 
@@ -110,31 +128,25 @@ def minhash_signatures(docs: DataFrame, k: int) -> DataFrame:
 def simhash_fingerprints(docs: DataFrame, bits: int) -> DataFrame:
     """(doc_id, simhash) for every document with ≥1 shingle.  Bit j is the
     sign of Σ over the shingle *set* of (2·bit_j − 1), where bit_j is bit
-    (j mod 16) of h_{j//16}(sid) — the exact SQL the oracle runs."""
+    (j mod 16) of h_{j//16}(sid) — the exact SQL the oracle runs.  Per
+    hash fn: one whole-batch hash pass, then per bit an ``add.reduceat``
+    popcount per segment — no per-document Python loop."""
     n_fns = (bits + 15) // 16
     A, B = _hash_rows(n_fns)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fps = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                u = _doc_sids(text, distinct=True)
-                if not len(u):
-                    continue
-                h = (A * u + B) % MERSENNE_P  # (n_fns, n_shingles)
-                fp = 0
-                for j in range(bits):
-                    ones = int(((h[j // 16] >> (j % 16)) & 1).sum())
-                    if 2 * ones - len(u) > 0:  # Σ(2·bit−1) > 0
-                        fp |= 1 << j
-                ids.append(doc_id)
-                fps.append(fp)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.asarray(ids, dtype=np.int64),
-                    "simhash": np.asarray(fps, dtype=np.int64),
-                }
-            )
+            seg = _batch_segments(pdf, distinct=True)
+            if seg is None:
+                continue
+            doc_ids, sids, lens, starts = seg
+            fp = np.zeros(len(doc_ids), dtype=np.int64)
+            for f in range(n_fns):
+                h = (A[f, 0] * sids + B[f, 0]) % MERSENNE_P
+                for jj in range(min(16, bits - f * 16)):
+                    ones = np.add.reduceat((h >> jj) & 1, starts)
+                    fp |= ((2 * ones - lens) > 0).astype(np.int64) << (f * 16 + jj)
+            yield pd.DataFrame({"doc_id": doc_ids, "simhash": fp})
 
     return _spread(docs.select("doc_id", "text")).mapInPandas(run, schema="doc_id long, simhash long")
 

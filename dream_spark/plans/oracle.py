@@ -13,7 +13,7 @@ import dataclasses
 from collections.abc import Callable
 
 from dream_spark.plans.sparql import ParsedQuery
-from dream_spark.sources.triples import DICT_SQL, TRIPLES_SQL, resolve_lexical
+from dream_spark.sources.triples import DICT_SQL, TRIPLES_SQL, arith_filter_sql, resolve_lexical
 
 
 def _default_resolver(lexical: str) -> int:
@@ -202,6 +202,9 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             rhs = _ref(f.rhs_var) if f.rhs_var is not None else str(resolve(f.rhs_const))
             op = {"=": "=", "!=": "<>"}.get(f.op, f.op)
             filt_where.append(f"{lhs} {op} {rhs}")
+        elif f.kind == "arith":
+            # identical shared fragment the Spark plan applies via F.expr
+            filt_where.append(arith_filter_sql(lhs, f.lhs_op, f.lhs_num, f.op, f.rhs_num))
         elif f.kind == "in":
             ids = ", ".join(str(resolve(c)) for c in f.consts)
             filt_where.append(f"{lhs} IN ({ids})")

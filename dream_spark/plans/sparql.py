@@ -176,8 +176,11 @@ class Condition:
 class Filter:
     """A FILTER clause.  ``kind`` is ``cmp`` (``var op var-or-const`` with op
     in =/!=, evaluated on dictionary IDs — exact because the dictionary is a
-    bijection) or ``regex`` (``regex(?v, "pat")``, evaluated on the decoded
-    lexical)."""
+    bijection), ``regex`` (``regex(?v, "pat")``, evaluated on the decoded
+    lexical), or ``arith`` (``?v [±·n] op <integer>``: comparison/arithmetic
+    on the term's TYPED NUMERIC VALUE — sources/triples.numeric_value_sql —
+    NULL for non-numeric terms, which drops the row like SPARQL's
+    type-error contract)."""
 
     kind: str
     var: str
@@ -189,6 +192,11 @@ class Filter:
     # kind="in_rows": multi-variable VALUES — variables + constant rows
     vars_: tuple[str, ...] | None = None
     rows: tuple[tuple[str, ...], ...] | None = None
+    # kind="arith": optional lhs arithmetic (?v lhs_op lhs_num) and the
+    # integer rhs literal
+    lhs_op: str | None = None
+    lhs_num: int | None = None
+    rhs_num: int | None = None
 
 
 @dataclass(frozen=True)
@@ -551,6 +559,29 @@ def parse_sparql(text: str) -> ParsedQuery:
             filters.append(Filter(kind="cmp", var=var, op=op, rhs_const=Term(rhs).lexical))
         return " "
 
+    # arithmetic FILTER — must run BEFORE the generic cmp rule (whose rhs
+    # pattern would swallow a bare integer as an unresolvable constant):
+    # ``filter (?v > 10)`` / ``filter (?v + 5 <= 20)`` compare the TYPED
+    # NUMERIC VALUE of ?v (numeric-literal ids only; non-numeric terms →
+    # NULL → dropped, the SPARQL type-error contract)
+    def _grab_arith(m2: re.Match) -> str:
+        filters.append(
+            Filter(
+                kind="arith",
+                var=m2.group(1)[1:],
+                lhs_op=m2.group(2),
+                lhs_num=int(m2.group(3)) if m2.group(3) is not None else None,
+                op=m2.group(4),
+                rhs_num=int(m2.group(5)),
+            )
+        )
+        return " "
+
+    body = re.sub(
+        r"(?is)filter\s*\(\s*(\?\w+)\s*(?:([+*-])\s*(-?\d+)\s*)?(!=|<=|>=|<|>|=)\s*(-?\d+)\s*\)\s*\.?",
+        _grab_arith,
+        body,
+    )
     body = re.sub(r'(?is)filter\s+regex\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*\)\s*\.?', _grab_regex, body)
     # ordering comparisons operate on dictionary ids; the arithmetic id
     # scheme is order-preserving within an entity kind (customer:1 <

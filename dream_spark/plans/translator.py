@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from dream_spark.plans.sparql import Condition, Filter, ParsedQuery
 from dream_spark.plans.stats import TripleStats
-from dream_spark.sources.triples import TripleStore
+from dream_spark.sources.triples import TripleStore, arith_filter_sql
 
 
 _PATH_MAX_ITERS = 25
@@ -526,6 +526,16 @@ def translate(
                 ">=": lhs >= rhs,
             }[f.op]
             plan = plan.where(cmp)
+        elif f.kind == "arith":
+            # typed numeric FILTER: arithmetic/comparison on the term's
+            # NUMERIC VALUE via the shared SQL fragment (identical string
+            # in the DuckDB oracle, so semantics cannot drift); non-numeric
+            # ids value to NULL and the row drops, per the SPARQL
+            # type-error contract.  Pure row-local expression —
+            # whole-stage-codegen, pushdown-eligible, no shuffle.
+            plan = plan.where(
+                F.expr(arith_filter_sql(f.var, f.lhs_op, f.lhs_num, f.op, f.rhs_num))
+            )
         elif f.kind == "in":
             # VALUES lowering: an IN literal list on the encoded ids —
             # Catalyst pushes it into the pattern scans (partition-prunable

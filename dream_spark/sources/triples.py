@@ -225,6 +225,35 @@ _ENTITY_BASES = {
 }
 
 
+def numeric_value_sql(col: str) -> str:
+    """Shared ANSI fragment: the TYPED NUMERIC VALUE of a dictionary id —
+    the lexical-typed value layer for expression FILTERs.  Ids inside the
+    numeric-literal window [BASE_SIZE_LIT, BASE_SUPPLIER) carry the integer
+    value ``id − BASE_SIZE_LIT`` (the id scheme stores numeric literals
+    order-preservingly at a fixed offset); every other term is NOT a
+    number and yields NULL, which makes any comparison on it NULL → row
+    dropped — exactly SPARQL's type-error contract for FILTER arithmetic
+    on non-numeric terms.  Identical on Spark and DuckDB (plain CASE)."""
+    return (
+        f"(CASE WHEN {col} >= {BASE_SIZE_LIT} AND {col} < {BASE_SUPPLIER}"
+        f" THEN {col} - {BASE_SIZE_LIT} END)"
+    )
+
+
+def arith_filter_sql(
+    ref: str, lhs_op: str | None, lhs_num: int | None, op: str, rhs_num: int
+) -> str:
+    """One arithmetic FILTER as a shared SQL predicate: ``num(ref) [lhs_op
+    lhs_num] op rhs_num`` — the Spark plan applies it via ``F.expr`` and
+    the DuckDB oracle embeds the identical string, so the typed-value
+    semantics can never drift between engines."""
+    lhs = numeric_value_sql(ref)
+    if lhs_op is not None:
+        lhs = f"({lhs} {lhs_op} {lhs_num})"
+    sqlop = "<>" if op == "!=" else op
+    return f"{lhs} {sqlop} {rhs_num}"
+
+
 def resolve_lexical(lexical: str) -> int | None:
     """Driver-side lexical→id resolution: static vocab + arithmetic entity
     ids ('customer:42').  Returns None for lexicals only the dict knows

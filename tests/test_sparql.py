@@ -535,6 +535,43 @@ def test_transitive_multihop_chain(spark):
     assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
 
 
+def test_parse_arith_filter():
+    q = parse_sparql("select ?P ?SZ where { ?P size ?SZ . filter (?SZ + 5 > 30) }")
+    (f,) = q.filters
+    assert f.kind == "arith" and f.var == "SZ"
+    assert f.lhs_op == "+" and f.lhs_num == 5 and f.op == ">" and f.rhs_num == 30
+    q = parse_sparql("select ?P ?SZ where { ?P size ?SZ . filter (?SZ >= 10) }")
+    (f,) = q.filters
+    assert f.kind == "arith" and f.lhs_op is None and f.rhs_num == 10
+    # id comparison against a constant term still parses as cmp, not arith
+    q = parse_sparql("select ?C ?N where { ?C inNation ?N . filter (?C < <customer:100>) }")
+    assert q.filters[0].kind == "cmp"
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ > 25) }",
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ + 5 > 30) }",
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ * 2 <= 20) }",
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ != 25) }",
+    ],
+)
+def test_arith_filter_oracle(engine, duck, qtext):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
+def test_arith_filter_non_numeric_drops_rows(engine):
+    """FILTER arithmetic on a non-numeric term (entity ids are not
+    numbers) is a SPARQL type error: the comparison yields NULL and every
+    row drops — never a comparison on raw dictionary ids."""
+    got = engine.sparql(
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N . filter (?C > 0) }"
+    )
+    assert got.count() == 0
+
+
 def test_parse_zero_paths():
     q = parse_sparql("select ?N ?R where { ?N type Nation . ?N inRegion* ?R }")
     p = q.conditions[1].pred
