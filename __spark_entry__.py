@@ -333,67 +333,79 @@ def entry(spark: SparkSession) -> DataFrame:
     return _engine(spark, "/root/testdata/sf0.001").sparql(text, decode=False)
 
 
-# The driver adjudicates the FIRST 50 queries() entries (insertion order), so
-# the first 50 must contain ≥1 representative of every operator family.  This
-# list is exactly 50 names — current family breakdown (post-round-4
-# rotation): 14 SPARQL forms (incl. the 1.1 subquery), 11 relational,
-# 3 temporal (as-of/range/funnel), 3 text, 4 pipeline
-# (split/tfidf/shards/contamination), 6 dedup (one per algorithm), 3 kNN,
-# 1 sketch, 1 graph, 2 multimodal, 2 streaming.  Everything after position
-# 50 is a semantic variant of a checked entry (e.g. sparql_ground =
-# constant-anchored star, sparql_empty_join = O10 with a join on top,
-# simhash_docs = the fingerprint table dedup_simhash consumes, rel_except =
-# INTERSECT's set-op sibling) or a TPC-H analog whose family is already
-# represented.  KEEP THE SUM AT 50 when rotating.
+# The driver adjudicates the FIRST 50 queries() entries (insertion order).
+# This list is exactly 50 names.  KEEP THE SUM AT 50 when rotating.
 #
-# Round 3 rotates the pipeline-family slots: pipeline_chunks/pipeline_shards
-# (new this round) take the in-cap seats of pipeline_sample/pipeline_bigrams,
-# which went green in CORRECTNESS_r02 and are code-unchanged since — so every
-# pipeline operator has a driver-green row in SOME round while new operators
-# still get adjudicated.  All entries, in-cap or not, stay green in
-# scripts/check_entry.py (the driver-mirror pre-flight) every round.
+# ROTATION LEDGER (cumulative driver-green rows by round):
+#   r1+r2+r3 green (73 entries): every name NOT in the r4 list below except
+#   the 17 listed as "r5 queue".  All of those are code-unchanged since
+#   their green round unless re-listed here.
 #
-# Round 4 rotation: the sketch and graph families (added mid-r2, never yet
-# inside the cap) plus this round's funnel and contamination operators take
-# four seats from CORRECTNESS_r02-green, code-unchanged entries whose
-# family stays represented: rel_pivot (grouping-sets family — rel_cube
-# keeps the seat), pipeline_chunks (split/tfidf/shards + contamination hold
-# the pipeline seats), text_fingerprint (features/langid/topterms hold
-# text), media_frames (catalog/decode_stats hold multimodal).  The new
-# SPARQL 1.1 subquery form takes sparql_filter_ne's seat (simple =/!=
-# filters stay covered by sparql_minus/sparql_filter_samenation shapes and
-# filter_ne's green r02 row).
+# Round 4 rotation strategy — the CORRECTNESS_r03 file was 50/50 green, so
+# every r3-green, code-unchanged entry vacates its seat for one that has
+# NEVER had a driver-green row (57 existed at r4 start).  The 50 seats:
+#   * 7 re-verification seats for entries whose code changed this round:
+#     temporal_asof + temporal_range (merge_asof / bucketed-band reshape),
+#     text_topterms + pipeline_tfidf (gated spread), dedup_minhash +
+#     dedup_simhash (batch-vectorized kernels), pipeline_contamination
+#     (localCheckpoint ownership fix).
+#   * 3 seats for operators NEW this round: sparql_path_star,
+#     sparql_path_opt (zero-hop paths), sparql_filter_arith (typed-value
+#     arithmetic FILTER).
+#   * 40 seats for never-green entries: the 9 that errored on the r1
+#     session-conf bug and were rotated out before re-check
+#     (filter_samenation, optional_ground/_decode, filter_regex,
+#     count_distinct/_optional/_decode, minus_shared, union_hetero), the
+#     never-adjudicated SPARQL 1.1 algebra (exists, not_exists, seq_path,
+#     inverse, construct, ask_pos, path_plus, having), the TPC-H analogs
+#     (q2/q8/q9/q20/q21, events_rollup), text_knn/redact, dedup_exact_docs,
+#     the pipeline six (curate/chunks/mixture/repetition/vocab/oov), all
+#     four un-checked sketches, graph_ppr, media_knn/media_dedup, and
+#     streaming_funnel_batch.
+# Family coverage inside the cap: SPARQL 20, relational 6, temporal 2,
+# text 3, pipeline 8, dedup 3, sketch 4, graph 1, multimodal 2 (media_knn
+# doubles as the kNN shape; knn_bruteforce/lsh/ivf are r3-green and
+# code-unchanged), streaming 1.
+#
+# r5 queue (still never-green after this round, all semantic variants of
+# in-cap or previously-green shapes): sparql_paged, sparql_minmax,
+# sparql_values, sparql_values_rows, sparql_ask_neg,
+# sparql_construct_optional, sparql_describe, sparql_filter_range,
+# sparql_alt_pred, sparql_group_concat, sparql_sample,
+# sparql_subquery_topk, sparql_seq_inverse, sparql_neg_pred, sparql_bind,
+# pipeline_sample, pipeline_bigrams.
 PRIORITY_ORDER = [
-    # SPARQL — one per distinct plan shape (O1-O11, P1-P8 paths)
-    "sparql_star", "sparql_cycle5", "sparql_path", "sparql_varpred",
-    "sparql_empty", "sparql_distinct", "sparql_decode",
-    "sparql_topk", "sparql_disconnected", "sparql_optional",
-    "sparql_subquery", "sparql_count_group", "sparql_minus", "sparql_union",
-    # relational — every distinct operator shape
-    "rel_q1_pricing", "rel_q3_top10", "rel_q5_cycle", "rel_q12_priority",
-    "rel_anti", "rel_cube", "rel_window_top3", "rel_events_hourly",
-    "rel_json_props", "rel_sql_passthrough", "rel_intersect",
-    # temporal: as-of, range, ordered funnel
-    "temporal_asof", "temporal_range", "temporal_funnel",
-    # text (quality scoring is part of text_features)
-    "text_features", "text_langid", "text_topterms",
-    # training-pipeline: split / tf-idf / shard packing / contamination
-    # (sample + bigrams green r02; chunks rotated out this round)
-    "pipeline_split", "pipeline_tfidf", "pipeline_shards",
-    "pipeline_contamination",
-    # dedup — one per algorithm: exact, minhash-LSH, jaccard-PPJoin, simhash,
-    # embedding-cosine, connected-components (exact_docs = exact on another
-    # table, deferred past the cap)
-    "dedup_exact", "dedup_minhash", "dedup_jaccard",
-    "dedup_simhash", "dedup_embedding", "dedup_clusters",
-    # similarity
-    "knn_bruteforce", "knn_lsh", "knn_ivf",
-    # sketches + graph analytics (added mid-r2; first time inside the cap)
-    "sketch_kmv_users", "graph_pagerank",
-    # multimodal
-    "media_catalog", "media_decode_stats",
-    # streaming batch twins
-    "streaming_sessionize_batch", "streaming_dedup_batch",
+    # SPARQL — r1-blocked nine first, then never-checked 1.1 algebra,
+    # then this round's new operators
+    "sparql_filter_samenation", "sparql_optional_ground",
+    "sparql_optional_decode", "sparql_filter_regex",
+    "sparql_count_distinct", "sparql_count_optional", "sparql_count_decode",
+    "sparql_minus_shared", "sparql_union_hetero",
+    "sparql_exists", "sparql_not_exists", "sparql_seq_path",
+    "sparql_inverse", "sparql_construct", "sparql_ask_pos",
+    "sparql_path_plus", "sparql_having",
+    "sparql_path_star", "sparql_path_opt", "sparql_filter_arith",
+    # relational — the never-adjudicated TPC-H analogs
+    "rel_q2_mincost", "rel_q8_share", "rel_q9_profit",
+    "rel_q20_bulk", "rel_q21_waiting", "rel_events_rollup",
+    # temporal — reshaped this round, must re-verify
+    "temporal_asof", "temporal_range",
+    # text — topterms re-verifies the spread gate; knn/redact never checked
+    "text_topterms", "text_knn", "text_redact",
+    # pipeline — tfidf/contamination re-verify; the rest never checked
+    "pipeline_tfidf", "pipeline_contamination", "pipeline_curate",
+    "pipeline_chunks", "pipeline_mixture", "pipeline_repetition",
+    "pipeline_vocab", "pipeline_oov",
+    # dedup — minhash/simhash re-verify the vectorized kernels;
+    # exact_docs never checked
+    "dedup_minhash", "dedup_simhash", "dedup_exact_docs",
+    # sketches — none of these four ever adjudicated
+    "sketch_cms_users", "sketch_quantiles", "sketch_quantiles_sampled",
+    "sketch_kmv_by_type",
+    # graph + multimodal
+    "graph_ppr", "media_knn", "media_dedup",
+    # streaming — the stateful funnel's batch twin, never checked
+    "streaming_funnel_batch",
 ]
 
 
