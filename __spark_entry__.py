@@ -221,6 +221,19 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ + 5 > 30) }",
         False,
     ),
+    # typed numeric aggregates over the value layer: total and average
+    # part size shipped per supplier (sum = exact int; avg pinned to
+    # CAST(sum AS DOUBLE)/count so both engines divide identical operands)
+    "sparql_sum_group": (
+        "select ?S (sum(?SZ) as ?tot_size) (count(?SZ) as ?n_items)"
+        " where { ?L suppliedBy ?S . ?L ofPart ?P . ?P size ?SZ } group by ?S",
+        False,
+    ),
+    "sparql_avg_size": (
+        "select ?S (avg(?SZ) as ?avg_size) where { ?L suppliedBy ?S ."
+        " ?L ofPart ?P . ?P size ?SZ } group by ?S",
+        False,
+    ),
     # FILTER EXISTS superset: correlated semi-join — customers with at
     # least one finished order; group variables never bind out
     "sparql_exists": (
@@ -373,7 +386,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # sparql_construct_optional, sparql_describe, sparql_filter_range,
 # sparql_alt_pred, sparql_group_concat, sparql_sample,
 # sparql_subquery_topk, sparql_seq_inverse, sparql_neg_pred, sparql_bind,
-# pipeline_sample, pipeline_bigrams.
+# sparql_avg_size (sum_group's avg twin), sketch_quantiles_sampled
+# (sketch_quantiles' sampled variant), pipeline_sample, pipeline_bigrams.
 PRIORITY_ORDER = [
     # SPARQL — r1-blocked nine first, then never-checked 1.1 algebra,
     # then this round's new operators
@@ -399,9 +413,11 @@ PRIORITY_ORDER = [
     # dedup — minhash/simhash re-verify the vectorized kernels;
     # exact_docs never checked
     "dedup_minhash", "dedup_simhash", "dedup_exact_docs",
-    # sketches — none of these four ever adjudicated
-    "sketch_cms_users", "sketch_quantiles", "sketch_quantiles_sampled",
-    "sketch_kmv_by_type",
+    # typed numeric SUM/COUNT aggregate (new this round; avg_size and
+    # quantiles_sampled are its r5-queue variants)
+    "sparql_sum_group",
+    # sketches — never adjudicated before this round
+    "sketch_cms_users", "sketch_quantiles", "sketch_kmv_by_type",
     # graph + multimodal
     "graph_ppr", "media_knn", "media_dedup",
     # streaming — the stateful funnel's batch twin, never checked

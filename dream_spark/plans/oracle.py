@@ -13,7 +13,13 @@ import dataclasses
 from collections.abc import Callable
 
 from dream_spark.plans.sparql import ParsedQuery
-from dream_spark.sources.triples import DICT_SQL, TRIPLES_SQL, arith_filter_sql, resolve_lexical
+from dream_spark.sources.triples import (
+    DICT_SQL,
+    TRIPLES_SQL,
+    arith_filter_sql,
+    numeric_value_sql,
+    resolve_lexical,
+)
 
 
 def _default_resolver(lexical: str) -> int:
@@ -334,6 +340,17 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
     for a in query.aggregates:
         if a.fn in ("min", "max"):
             agg_sel.append(f"{a.fn.upper()}(q.{a.var}) AS {a.alias}")
+        elif a.fn == "sum":
+            # CAST: DuckDB SUM(BIGINT) widens to HUGEINT; Spark stays long
+            agg_sel.append(
+                f"CAST(SUM({numeric_value_sql(f'q.{a.var}')}) AS BIGINT) AS {a.alias}"
+            )
+        elif a.fn == "avg":
+            val = numeric_value_sql(f"q.{a.var}")
+            agg_sel.append(
+                f"(CASE WHEN COUNT({val}) > 0 THEN"
+                f" CAST(SUM({val}) AS DOUBLE) / COUNT({val}) END) AS {a.alias}"
+            )
         elif a.fn == "sample":
             # deterministic SAMPLE = MIN (plans/sparql.py contract)
             agg_sel.append(f"MIN(q.{a.var}) AS {a.alias}")

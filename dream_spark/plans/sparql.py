@@ -211,9 +211,13 @@ class Aggregate:
     the choice open; a distributed engine must pin it or two runs
     disagree).  group_concat emits the DECODED lexicals sorted ascending
     joined with ``,`` — same determinism reasoning (SPARQL leaves the
-    order open)."""
+    order open).  sum/avg operate on the TYPED NUMERIC VALUE
+    (sources/triples.numeric_value_sql): non-numeric terms contribute NULL
+    (skipped, the SPARQL error-term contract); avg is pinned to
+    CAST(sum AS DOUBLE)/count so both engines divide the same exact
+    integers."""
 
-    fn: str  # "count" | "min" | "max" | "sample" | "group_concat"
+    fn: str  # "count" | "min" | "max" | "sample" | "group_concat" | "sum" | "avg"
     var: str | None  # None => count(*)
     alias: str
     distinct: bool = False
@@ -393,13 +397,13 @@ def parse_sparql(text: str) -> ParsedQuery:
         fn = m2.group(1).lower()
         var = None if m2.group(3) == "*" else m2.group(3)[1:]
         distinct = bool(m2.group(2))
-        if fn in ("min", "max", "sample", "group_concat"):
+        if fn in ("min", "max", "sample", "group_concat", "sum", "avg"):
             if var is None:
                 raise SparqlSyntaxError(f"{fn}(*) is not valid — {fn} needs a variable")
             if distinct and fn in ("min", "max", "sample"):
                 raise SparqlSyntaxError(f"{fn}(distinct …) is redundant — drop distinct")
-            if distinct and fn == "group_concat":
-                raise SparqlSyntaxError("group_concat(distinct …) is not supported")
+            if distinct and fn in ("group_concat", "sum", "avg"):
+                raise SparqlSyntaxError(f"{fn}(distinct …) is not supported")
         if fn == "count" and distinct and var is None:
             raise SparqlSyntaxError("count(distinct *) is not supported")
         aggregates.append(
@@ -408,7 +412,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         return " "
 
     proj_src = re.sub(
-        r"(?is)\(\s*(count|min|max|sample|group_concat)\s*\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s+as\s+(\?\w+)\s*\)",
+        r"(?is)\(\s*(count|min|max|sample|group_concat|sum|avg)\s*\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s+as\s+(\?\w+)\s*\)",
         _grab_agg,
         proj_src,
     )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from dream_spark.plans.sparql import Condition, Filter, ParsedQuery
 from dream_spark.plans.stats import TripleStats
-from dream_spark.sources.triples import TripleStore, arith_filter_sql
+from dream_spark.sources.triples import TripleStore, arith_filter_sql, numeric_value_sql
 
 
 _PATH_MAX_ITERS = 25
@@ -585,6 +585,21 @@ def translate(
                 return F.min(a.var).alias(a.alias)
             if a.fn == "max":
                 return F.max(a.var).alias(a.alias)
+            if a.fn in ("sum", "avg"):
+                # typed numeric aggregation: the term's NUMERIC VALUE
+                # (non-numeric → NULL, skipped by both engines).  avg is
+                # pinned to exact-int sum ÷ exact-int count in DOUBLE so
+                # Spark and DuckDB divide identical operands (a native AVG
+                # could accumulate differently in the last ulp)
+                val = F.expr(numeric_value_sql(a.var))
+                if a.fn == "sum":
+                    return F.sum(val).alias(a.alias)
+                return (
+                    F.when(
+                        F.count(val) > 0,
+                        F.sum(val).cast("double") / F.count(val).cast("double"),
+                    ).alias(a.alias)
+                )
             if a.fn == "sample":
                 # deterministic SAMPLE: MIN over the ids (see plans/sparql.py)
                 return F.min(a.var).alias(a.alias)

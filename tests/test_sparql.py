@@ -535,6 +535,41 @@ def test_transitive_multihop_chain(spark):
     assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
 
 
+def test_parse_numeric_aggregates():
+    q = parse_sparql(
+        "select ?S (sum(?SZ) as ?tot) (avg(?SZ) as ?mean)"
+        " where { ?L suppliedBy ?S . ?L ofPart ?P . ?P size ?SZ } group by ?S"
+    )
+    assert [(a.fn, a.var, a.alias) for a in q.aggregates] == [
+        ("sum", "SZ", "tot"),
+        ("avg", "SZ", "mean"),
+    ]
+    for bad in [
+        "select (sum(*) as ?t) where { ?P size ?SZ }",
+        "select (sum(distinct ?SZ) as ?t) where { ?P size ?SZ }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        "select ?S (sum(?SZ) as ?tot_size) (count(?SZ) as ?n)"
+        " where { ?L suppliedBy ?S . ?L ofPart ?P . ?P size ?SZ } group by ?S",
+        "select ?S (avg(?SZ) as ?avg_size) where { ?L suppliedBy ?S ."
+        " ?L ofPart ?P . ?P size ?SZ } group by ?S",
+        # sum over a NON-numeric variable: every term values to NULL →
+        # SUM is NULL per group on both engines (the error-term contract)
+        "select ?N (sum(?C) as ?t) (count(?C) as ?cnt)"
+        " where { ?C type Customer . ?C inNation ?N } group by ?N",
+    ],
+)
+def test_numeric_aggregate_oracle(engine, duck, qtext):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
 def test_parse_arith_filter():
     q = parse_sparql("select ?P ?SZ where { ?P size ?SZ . filter (?SZ + 5 > 30) }")
     (f,) = q.filters
