@@ -170,9 +170,12 @@ def test_contamination_detects_shared_ngrams(spark):
 
 def test_contamination_train_side_never_shuffles_wide(spark):
     """The benchmark side carries the broadcast hint (eval sets are small);
-    the training side must not sort/exchange before the join."""
+    the training side must not sort/exchange before the join.  Inspect the
+    PROBE's plan: contamination_check returns a localCheckpoint-materialized
+    frame (cache-ownership contract), whose own plan is just an RDD scan."""
     train = load_table(spark, SF_DIR, "documents")
-    plan = P.contamination_check(train, train.limit(50))._jdf.queryExecution().executedPlan().toString()
+    bs = P.benchmark_ngram_set(train.limit(50))
+    plan = P.contamination_probe(train, bs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 
 
