@@ -100,6 +100,9 @@ HEADLINE = [
     "sparql_path_plus",
     "sparql_path_star",
     "sparql_path_opt",
+    "sparql_filter_arith",
+    "sparql_sum_group",
+    "sparql_avg_size",
     "sparql_bind",
     "sparql_neg_pred",
     "dedup_exact_docs",

@@ -117,18 +117,20 @@ def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
             "  SELECT DISTINCT n FROM (SELECT s AS n FROM triples UNION ALL SELECT o FROM triples)\n"
             ")"
         )
+    # disjoint UNION ALL (no outer dedup): identity holds every self-pair,
+    # so the closure/edge side drops its self-loops — mirrors the Spark plan
     for pid in star_pids:
         parts.append(
             f"pathstar_{pid}(s, o) AS (\n"
-            f"  SELECT DISTINCT s, o FROM (\n"
-            f"    SELECT s, o FROM closure_{pid} UNION ALL SELECT n, n FROM graph_nodes)\n"
+            f"  SELECT s, o FROM closure_{pid} WHERE s <> o\n"
+            f"  UNION ALL SELECT n, n FROM graph_nodes\n"
             f")"
         )
     for pid in opt_pids:
         parts.append(
             f"pathopt_{pid}(s, o) AS (\n"
-            f"  SELECT DISTINCT s, o FROM (\n"
-            f"    SELECT s, o FROM triples WHERE p = {pid} UNION ALL SELECT n, n FROM graph_nodes)\n"
+            f"  SELECT DISTINCT s, o FROM triples WHERE p = {pid} AND s <> o\n"
+            f"  UNION ALL SELECT n, n FROM graph_nodes\n"
             f")"
         )
     if needs_dict:

@@ -67,19 +67,31 @@ def _closure_frame(store: TripleStore, pid: int) -> DataFrame:
     return full
 
 
+#: session-lived cache of each store's materialized node-identity frame
+#: (the zero-length-path relation is query-independent; computing the
+#: corpus-wide distinct once per store mirrors the closure/stats artifacts)
+_NODE_FRAMES: dict[int, DataFrame] = {}
+
+
 def _node_frame(store: TripleStore) -> DataFrame:
     """All graph nodes (distinct subjects ∪ objects) as identity pairs
     (n, n) — the zero-length-path relation of SPARQL ``p*`` / ``p?``.
-    One distinct over two id columns; at scale this is a shuffle of ids
-    only (never payloads), and Catalyst prunes it entirely when the
-    pattern's constant ends make the identity side a point lookup."""
-    t = store.triples
-    nodes = (
-        t.select(F.col("s").alias("n"))
-        .unionByName(t.select(F.col("o").alias("n")))
-        .distinct()
-    )
-    return nodes.select(F.col("n").alias("s"), F.col("n").alias("o"))
+    One distinct over id columns only (never payloads), materialized via
+    localCheckpoint and cached per store so repeated path queries reuse
+    it; Catalyst prunes it to a point lookup when the pattern's constant
+    ends bind the identity side."""
+    key = id(store)
+    if key not in _NODE_FRAMES:
+        t = store.triples
+        nodes = (
+            t.select(F.col("s").alias("n"))
+            .unionByName(t.select(F.col("o").alias("n")))
+            .distinct()
+        )
+        _NODE_FRAMES[key] = nodes.select(
+            F.col("n").alias("s"), F.col("n").alias("o")
+        ).localCheckpoint()
+    return _NODE_FRAMES[key]
 
 
 def _path_frame(store: TripleStore, pred) -> DataFrame:
@@ -92,7 +104,12 @@ def _path_frame(store: TripleStore, pred) -> DataFrame:
     The zero-length branch pairs every graph node with itself (SPARQL
     ZeroLengthPath over the graph's terms), independent of whether the
     node touches ``p`` — ``?n type Nation . ?n inRegion* ?r`` therefore
-    yields (n, n) even for a nation with no region edge, like the spec."""
+    yields (n, n) even for a nation with no region edge, like the spec.
+
+    The union needs NO distinct: identity already contains every possible
+    self-pair, so dropping the base's self-loops (``s != o``) makes the
+    two sides disjoint by construction — a plain UNION ALL instead of a
+    corpus-wide dedup shuffle."""
     pid = store.resolve(pred.lexical)
     if pred.is_transitive:
         return _closure_frame(store, pid)
@@ -100,7 +117,7 @@ def _path_frame(store: TripleStore, pred) -> DataFrame:
         base = _closure_frame(store, pid)
     else:  # p? — 0..1 hops: the raw (distinct) edge set
         base = store.triples.where(F.col("p") == F.lit(pid)).select("s", "o").distinct()
-    return base.unionByName(_node_frame(store)).distinct()
+    return base.where(F.col("s") != F.col("o")).unionByName(_node_frame(store))
 
 
 def _condition_frame(store: TripleStore, cond: Condition) -> DataFrame:
