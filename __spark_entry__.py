@@ -234,6 +234,14 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " ?L ofPart ?P . ?P size ?SZ } group by ?S",
         False,
     ),
+    # BOUND test after OPTIONAL — the SPARQL negation-by-failure idiom:
+    # customers with NO urgent order (≡ the MINUS/NOT EXISTS shapes, via a
+    # NULL test on the left-joined variable instead of an anti-join)
+    "sparql_not_bound": (
+        "select ?C where { ?C type Customer . optional { ?O placedBy ?C ."
+        " ?O priority <1-URGENT> } . filter (!bound(?O)) }",
+        False,
+    ),
     # FILTER EXISTS superset: correlated semi-join — customers with at
     # least one finished order; group variables never bind out
     "sparql_exists": (
@@ -386,8 +394,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # sparql_construct_optional, sparql_describe, sparql_filter_range,
 # sparql_alt_pred, sparql_group_concat, sparql_sample,
 # sparql_subquery_topk, sparql_seq_inverse, sparql_neg_pred, sparql_bind,
-# sparql_avg_size (sum_group's avg twin), sketch_quantiles_sampled
-# (sketch_quantiles' sampled variant), pipeline_sample, pipeline_bigrams.
+# sparql_avg_size (sum_group's avg twin), sparql_not_bound (the
+# MINUS/NOT-EXISTS negation re-expressed via OPTIONAL+!bound),
+# sketch_quantiles_sampled (sketch_quantiles' sampled variant),
+# pipeline_sample, pipeline_bigrams.
 PRIORITY_ORDER = [
     # SPARQL — r1-blocked nine first, then never-checked 1.1 algebra,
     # then this round's new operators

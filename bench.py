@@ -103,6 +103,7 @@ HEADLINE = [
     "sparql_filter_arith",
     "sparql_sum_group",
     "sparql_avg_size",
+    "sparql_not_bound",
     "sparql_bind",
     "sparql_neg_pred",
     "dedup_exact_docs",

@@ -33,13 +33,21 @@ def spread_small(df: DataFrame) -> DataFrame:
     """Spread the (narrow) kernel input across the cluster ONLY when it
     arrives under-split: a small parquet table comes in as one input split,
     which would run the whole Arrow kernel on a single core.  When the scan
-    already yields >= defaultParallelism splits (every real-scale input),
-    return the frame untouched — an unconditional ``repartition`` here is a
-    FULL shuffle of the raw (doc_id, text) corpus, which at 100 TB moves
-    the entire text payload the zero-shuffle kernels exist to avoid."""
+    already spans >= defaultParallelism input files (every real-scale
+    input), return the frame untouched — an unconditional ``repartition``
+    here is a FULL shuffle of the raw (doc_id, text) corpus, which at
+    100 TB moves the entire text payload the zero-shuffle kernels exist to
+    avoid.  The gate reads ``inputFiles()`` (analysis-only, ~free) rather
+    than ``rdd.getNumPartitions()`` (full physical planning + RDD
+    conversion, ~1 s cold per call); file count under-estimates split
+    count for files above maxPartitionBytes, which only errs toward the
+    harmless small-input branch."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
-        return df
+    try:
+        if len(df.inputFiles()) >= par:
+            return df
+    except Exception:
+        pass
     return df.repartition(par)
 
 

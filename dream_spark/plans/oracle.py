@@ -210,6 +210,8 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             rhs = _ref(f.rhs_var) if f.rhs_var is not None else str(resolve(f.rhs_const))
             op = {"=": "=", "!=": "<>"}.get(f.op, f.op)
             filt_where.append(f"{lhs} {op} {rhs}")
+        elif f.kind == "bound":
+            filt_where.append(f"{lhs} IS {'NULL' if f.op == '!' else 'NOT NULL'}")
         elif f.kind == "arith":
             # identical shared fragment the Spark plan applies via F.expr
             filt_where.append(arith_filter_sql(lhs, f.lhs_op, f.lhs_num, f.op, f.rhs_num))

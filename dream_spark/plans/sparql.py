@@ -563,6 +563,20 @@ def parse_sparql(text: str) -> ParsedQuery:
             filters.append(Filter(kind="cmp", var=var, op=op, rhs_const=Term(rhs).lexical))
         return " "
 
+    # BOUND test — ``filter (bound(?v))`` / ``filter (!bound(?v))``: NULL
+    # test on an OPTIONAL-bound variable (the SPARQL negation-by-failure
+    # idiom; spec §17.4.1.1)
+    def _grab_bound(m2: re.Match) -> str:
+        filters.append(
+            Filter(kind="bound", var=m2.group(2)[1:], op=("!" if m2.group(1) else ""))
+        )
+        return " "
+
+    body = re.sub(
+        r"(?is)filter\s*\(\s*(!)?\s*bound\s*\(\s*(\?\w+)\s*\)\s*\)\s*\.?",
+        _grab_bound,
+        body,
+    )
     # arithmetic FILTER — must run BEFORE the generic cmp rule (whose rhs
     # pattern would swallow a bare integer as an unresolvable constant):
     # ``filter (?v > 10)`` / ``filter (?v + 5 <= 20)`` compare the TYPED

@@ -543,6 +543,12 @@ def translate(
                 ">=": lhs >= rhs,
             }[f.op]
             plan = plan.where(cmp)
+        elif f.kind == "bound":
+            # BOUND test: a NULL check on the (optional-joined) column —
+            # row-local, no join; !bound after OPTIONAL is the SPARQL
+            # negation-by-failure pattern (≡ anti-join)
+            col = F.col(f.var)
+            plan = plan.where(col.isNull() if f.op == "!" else col.isNotNull())
         elif f.kind == "arith":
             # typed numeric FILTER: arithmetic/comparison on the term's
             # NUMERIC VALUE via the shared SQL fragment (identical string

@@ -535,6 +535,50 @@ def test_transitive_multihop_chain(spark):
     assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
 
 
+def test_parse_bound_filter():
+    q = parse_sparql(
+        "select ?C where { ?C type Customer . optional { ?O placedBy ?C } ."
+        " filter (!bound(?O)) }"
+    )
+    (f,) = q.filters
+    assert f.kind == "bound" and f.var == "O" and f.op == "!"
+    q = parse_sparql(
+        "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } ."
+        " filter (bound(?O)) }"
+    )
+    assert q.filters[0].op == ""
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        # !bound after OPTIONAL ≡ anti-join (negation by failure)
+        "select ?C where { ?C type Customer . optional { ?O placedBy ?C ."
+        " ?O priority <1-URGENT> } . filter (!bound(?O)) }",
+        # positive bound ≡ inner-join survivors only
+        "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } ."
+        " filter (bound(?O)) }",
+    ],
+)
+def test_bound_filter_oracle(engine, duck, qtext):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
+def test_not_bound_equals_minus(engine):
+    """!bound-after-OPTIONAL must agree with the MINUS lowering of the
+    same negation (both = customers with no urgent order)."""
+    a = engine.sparql(
+        "select ?C where { ?C type Customer . optional { ?O placedBy ?C ."
+        " ?O priority <1-URGENT> } . filter (!bound(?O)) }"
+    )
+    b = engine.sparql(
+        "select ?C where { ?C type Customer ."
+        " minus { ?O placedBy ?C . ?O priority <1-URGENT> } }"
+    )
+    assert sorted(r["C"] for r in a.collect()) == sorted(r["C"] for r in b.collect())
+
+
 def test_parse_numeric_aggregates():
     q = parse_sparql(
         "select ?S (sum(?SZ) as ?tot) (avg(?SZ) as ?mean)"
