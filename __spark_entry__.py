@@ -90,6 +90,14 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C } }",
         True,
     ),
+    # FILTER inside an OPTIONAL group (SPARQL LeftJoin(P1, P2, E) with E
+    # over group-local vars): a customer whose every order fails the
+    # filter keeps a NULL-extended row — a top-level filter would drop it
+    "sparql_optional_filtered": (
+        "select ?C ?O ?ST where { ?C type Customer ."
+        " optional { ?O placedBy ?C . ?O status ?ST . filter (?ST != <F>) } }",
+        False,
+    ),
     # Aggregate superset: count/count-distinct with group by (SPARQL 1.1
     # shape; reference grammar has no aggregates, SURVEY.md §2.3)
     "sparql_count_group": (
@@ -396,6 +404,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # sparql_subquery_topk, sparql_seq_inverse, sparql_neg_pred, sparql_bind,
 # sparql_avg_size (sum_group's avg twin), sparql_not_bound (the
 # MINUS/NOT-EXISTS negation re-expressed via OPTIONAL+!bound),
+# sparql_optional_filtered (group-local LeftJoin-condition FILTER),
 # sketch_quantiles_sampled (sketch_quantiles' sampled variant),
 # pipeline_sample, pipeline_bigrams.
 PRIORITY_ORDER = [

@@ -104,6 +104,7 @@ HEADLINE = [
     "sparql_sum_group",
     "sparql_avg_size",
     "sparql_not_bound",
+    "sparql_optional_filtered",
     "sparql_bind",
     "sparql_neg_pred",
     "dedup_exact_docs",

@@ -139,6 +139,21 @@ def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
     return f"{kw} " + ",\n".join(parts)
 
 
+def _simple_filter_sql(f, ref, resolve) -> str:
+    """One cmp / arith / bound filter as a single SQL predicate; ``ref``
+    maps a variable name to its column reference (regex is rendered by the
+    callers, which own the dict join)."""
+    if f.kind == "bound":
+        return f"{ref(f.var)} IS {'NULL' if f.op == '!' else 'NOT NULL'}"
+    if f.kind == "arith":
+        # identical shared fragment the Spark plan applies via F.expr
+        return arith_filter_sql(ref(f.var), f.lhs_op, f.lhs_num, f.op, f.rhs_num)
+    assert f.kind == "cmp", f.kind
+    rhs = ref(f.rhs_var) if f.rhs_var is not None else str(resolve(f.rhs_const))
+    op = {"=": "=", "!=": "<>"}.get(f.op, f.op)
+    return f"{ref(f.var)} {op} {rhs}"
+
+
 def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     """Rendering path for FILTER/OPTIONAL queries: the required BGP and each
     optional group become flat subqueries composed with explicit LEFT JOINs,
@@ -166,6 +181,16 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     for k, grp in enumerate(query.optionals, start=1):
         g_aliases, g_where, g_slot = _render_block(grp, resolve, astart)
         astart += len(grp)
+        # group-local FILTERs render INSIDE the subquery (before the left
+        # join) — mirrors the translator's LeftJoin(P1, P2, E) lowering
+        gflts = query.optional_filters[k - 1] if k - 1 < len(query.optional_filters) else []
+        for j, f in enumerate(gflts):
+            if f.kind == "regex":
+                g_aliases.append(f"dict gfr{k}_{j}")
+                g_where.append(f"gfr{k}_{j}.id = {g_slot[f.var]}")
+                g_where.append(f"regexp_matches(gfr{k}_{j}.lexical, '{f.pattern}')")
+            else:
+                g_where.append(_simple_filter_sql(f, lambda v: g_slot[v], resolve))
         g_vars = list(g_slot)
         g_sel = ", ".join(f"{g_slot[v]} AS {v}" for v in g_vars)
         g_where_sql = " AND ".join(g_where) if g_where else "TRUE"
@@ -206,15 +231,8 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
 
     for i, f in enumerate(query.filters):
         lhs = _ref(f.var)
-        if f.kind == "cmp":
-            rhs = _ref(f.rhs_var) if f.rhs_var is not None else str(resolve(f.rhs_const))
-            op = {"=": "=", "!=": "<>"}.get(f.op, f.op)
-            filt_where.append(f"{lhs} {op} {rhs}")
-        elif f.kind == "bound":
-            filt_where.append(f"{lhs} IS {'NULL' if f.op == '!' else 'NOT NULL'}")
-        elif f.kind == "arith":
-            # identical shared fragment the Spark plan applies via F.expr
-            filt_where.append(arith_filter_sql(lhs, f.lhs_op, f.lhs_num, f.op, f.rhs_num))
+        if f.kind in ("cmp", "bound", "arith"):
+            filt_where.append(_simple_filter_sql(f, _ref, resolve))
         elif f.kind == "in":
             ids = ", ".join(str(resolve(c)) for c in f.consts)
             filt_where.append(f"{lhs} IN ({ids})")
@@ -236,7 +254,11 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     if filt_where:
         inner += "\nWHERE " + " AND ".join(filt_where)
 
-    needs_dict = decode or any(f.kind == "regex" for f in query.filters)
+    needs_dict = (
+        decode
+        or any(f.kind == "regex" for f in query.filters)
+        or any(f.kind == "regex" for fl in query.optional_filters for f in fl)
+    )
     distinct = "DISTINCT " if query.distinct else ""
     if decode:
         # LEFT JOIN (not inner): optional-group variables may be NULL

@@ -240,6 +240,11 @@ class ParsedQuery:
     having: tuple[Aggregate, str, int] | None = None
     filters: list[Filter] = field(default_factory=list)
     optionals: list[list[Condition]] = field(default_factory=list)
+    # per-optional-group filters (same index as ``optionals``): evaluated
+    # INSIDE the group before its left join — LeftJoin(P1, P2, E) for E
+    # over group-local variables (incl. shared ones, whose merged value
+    # equals the group value under the equi-join)
+    optional_filters: list[list[Filter]] = field(default_factory=list)
     minuses: list[list[Condition]] = field(default_factory=list)
     # FILTER [NOT] EXISTS { … } groups: (positive?, patterns).  Semi-join
     # (EXISTS) / anti-join (NOT EXISTS) on the shared variables; group
@@ -511,11 +516,15 @@ def parse_sparql(text: str) -> ParsedQuery:
     optional_bodies: list[str] = []
     minus_bodies: list[str] = []
 
-    # a FILTER nested INSIDE an optional/minus group must fail loudly: the
-    # exists grab below runs on the whole body, so without this guard a
-    # nested 'filter exists { … }' would be silently HOISTED to a top-level
-    # filter — changing semantics identically on both engines, which the
-    # oracle cross-check can therefore never catch
+    # a FILTER nested INSIDE a minus group — or a FILTER EXISTS nested
+    # inside an optional group — must fail loudly: the exists grab below
+    # runs on the whole body, so without this guard a nested 'filter
+    # exists { … }' would be silently HOISTED to a top-level filter —
+    # changing semantics identically on both engines, which the oracle
+    # cross-check can therefore never catch.  (Simple single-clause
+    # filters inside OPTIONAL are supported: they extract into the group's
+    # own filter list below and apply BEFORE the left join — the
+    # LeftJoin(P1, P2, E) semantics for E over group-local variables.)
     for gm in re.finditer(r"(?is)\b(optional|minus)\s*\{", body):
         depth, i = 0, gm.end() - 1
         while i < len(body):
@@ -526,18 +535,34 @@ def parse_sparql(text: str) -> ParsedQuery:
                 if depth == 0:
                     break
             i += 1
-        if re.search(r"(?i)\bfilter\b", body[gm.end() : i]):
+        inner = body[gm.end() : i]
+        kind_l = gm.group(1).lower()
+        if kind_l == "minus" and re.search(r"(?i)\bfilter\b", inner):
             raise SparqlSyntaxError(
-                f"filter inside an {gm.group(1).lower()} group is not supported "
+                "filter inside a minus group is not supported "
                 "(write it at the top level, where it applies after the join)"
+            )
+        if kind_l == "optional" and re.search(r"(?i)\bfilter\s+(not\s+)?exists\b", inner):
+            raise SparqlSyntaxError(
+                "filter [not] exists inside an optional group is not supported"
             )
 
     def _grab_exists(m2: re.Match) -> str:
         exists_raw.append((m2.group(1) is None, m2.group(2)))
         return " "
 
+    optional_filter_lists: list[list[Filter]] = []
+
     def _grab_optional(m2: re.Match) -> str:
-        optional_bodies.append(m2.group(1))
+        flts: list[Filter] = []
+        rem = _strip_simple_filters(m2.group(1), flts)
+        if re.search(r"(?i)\bfilter\b", rem):
+            raise SparqlSyntaxError(
+                "unsupported filter form inside an optional group (supported:"
+                " bound / arithmetic / regex / comparison single-clause filters)"
+            )
+        optional_bodies.append(rem)
+        optional_filter_lists.append(flts)
         return " "
 
     def _grab_minus(m2: re.Match) -> str:
@@ -548,68 +573,10 @@ def parse_sparql(text: str) -> ParsedQuery:
     body = re.sub(r"(?is)optional\s*\{([^{}]*)\}\s*\.?", _grab_optional, body)
     body = re.sub(r"(?is)minus\s*\{([^{}]*)\}\s*\.?", _grab_minus, body)
 
-    # then filter clauses
+    # then filter clauses (the single-clause forms shared with optional
+    # groups — bound / arith / regex / cmp, in that order)
     filters: list[Filter] = []
-
-    def _grab_regex(m2: re.Match) -> str:
-        filters.append(Filter(kind="regex", var=m2.group(1)[1:], pattern=m2.group(2)))
-        return " "
-
-    def _grab_cmp(m2: re.Match) -> str:
-        var, op, rhs = m2.group(1)[1:], m2.group(2), m2.group(3)
-        if rhs.startswith("?"):
-            filters.append(Filter(kind="cmp", var=var, op=op, rhs_var=rhs[1:]))
-        else:
-            filters.append(Filter(kind="cmp", var=var, op=op, rhs_const=Term(rhs).lexical))
-        return " "
-
-    # BOUND test — ``filter (bound(?v))`` / ``filter (!bound(?v))``: NULL
-    # test on an OPTIONAL-bound variable (the SPARQL negation-by-failure
-    # idiom; spec §17.4.1.1)
-    def _grab_bound(m2: re.Match) -> str:
-        filters.append(
-            Filter(kind="bound", var=m2.group(2)[1:], op=("!" if m2.group(1) else ""))
-        )
-        return " "
-
-    body = re.sub(
-        r"(?is)filter\s*\(\s*(!)?\s*bound\s*\(\s*(\?\w+)\s*\)\s*\)\s*\.?",
-        _grab_bound,
-        body,
-    )
-    # arithmetic FILTER — must run BEFORE the generic cmp rule (whose rhs
-    # pattern would swallow a bare integer as an unresolvable constant):
-    # ``filter (?v > 10)`` / ``filter (?v + 5 <= 20)`` compare the TYPED
-    # NUMERIC VALUE of ?v (numeric-literal ids only; non-numeric terms →
-    # NULL → dropped, the SPARQL type-error contract)
-    def _grab_arith(m2: re.Match) -> str:
-        filters.append(
-            Filter(
-                kind="arith",
-                var=m2.group(1)[1:],
-                lhs_op=m2.group(2),
-                lhs_num=int(m2.group(3)) if m2.group(3) is not None else None,
-                op=m2.group(4),
-                rhs_num=int(m2.group(5)),
-            )
-        )
-        return " "
-
-    body = re.sub(
-        r"(?is)filter\s*\(\s*(\?\w+)\s*(?:([+*-])\s*(-?\d+)\s*)?(!=|<=|>=|<|>|=)\s*(-?\d+)\s*\)\s*\.?",
-        _grab_arith,
-        body,
-    )
-    body = re.sub(r'(?is)filter\s+regex\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*\)\s*\.?', _grab_regex, body)
-    # ordering comparisons operate on dictionary ids; the arithmetic id
-    # scheme is order-preserving within an entity kind (customer:1 <
-    # customer:2), so same-kind range filters are meaningful — the caller
-    # owns kind-compatibility, as with any typed comparison
-    body = re.sub(
-        r"(?is)filter\s*\(\s*(\?\w+)\s*(!=|<=|>=|<|>|=)\s*(\?\w+|<[^>]*>|[^\s()]+)\s*\)\s*\.?",
-        _grab_cmp,
-        body,
-    )
+    body = _strip_simple_filters(body, filters)
 
     # values ?X { <c1> <c2> … } — single-variable inline binding, lowered
     # to an IN filter.  Duplicate constants are rejected: the IN lowering
@@ -780,6 +747,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         having=having,
         filters=filters,
         optionals=optionals,
+        optional_filters=optional_filter_lists,
         minuses=minuses,
         exists_groups=exists_groups,
         aggregates=aggregates,
@@ -867,6 +835,73 @@ def _parse_patterns_from(text_: str, start: int) -> list[Condition]:
     return out
 
 
+def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
+    """Extract the single-clause FILTER forms from ``body`` into
+    ``filters``, returning the remaining text.  Order matters:
+
+    - BOUND test ``filter ([!]bound(?v))`` — NULL test on an
+      OPTIONAL-bound variable (SPARQL negation-by-failure, §17.4.1.1);
+    - arithmetic FILTER ``filter (?v [±·n] op <int>)`` — BEFORE the
+      generic cmp rule (whose rhs pattern would swallow a bare integer as
+      an unresolvable constant); compares the TYPED NUMERIC VALUE
+      (non-numeric terms → NULL → dropped, the type-error contract);
+    - ``filter regex(?v, "pat")`` on the decoded lexical;
+    - ordering/equality comparisons on dictionary ids (the arithmetic id
+      scheme is order-preserving within an entity kind, so same-kind
+      range filters are meaningful — the caller owns kind-compatibility).
+
+    Shared by the top-level grammar and OPTIONAL group bodies."""
+
+    def _grab_bound(m2: re.Match) -> str:
+        filters.append(
+            Filter(kind="bound", var=m2.group(2)[1:], op=("!" if m2.group(1) else ""))
+        )
+        return " "
+
+    def _grab_arith(m2: re.Match) -> str:
+        filters.append(
+            Filter(
+                kind="arith",
+                var=m2.group(1)[1:],
+                lhs_op=m2.group(2),
+                lhs_num=int(m2.group(3)) if m2.group(3) is not None else None,
+                op=m2.group(4),
+                rhs_num=int(m2.group(5)),
+            )
+        )
+        return " "
+
+    def _grab_regex(m2: re.Match) -> str:
+        filters.append(Filter(kind="regex", var=m2.group(1)[1:], pattern=m2.group(2)))
+        return " "
+
+    def _grab_cmp(m2: re.Match) -> str:
+        var, op, rhs = m2.group(1)[1:], m2.group(2), m2.group(3)
+        if rhs.startswith("?"):
+            filters.append(Filter(kind="cmp", var=var, op=op, rhs_var=rhs[1:]))
+        else:
+            filters.append(Filter(kind="cmp", var=var, op=op, rhs_const=Term(rhs).lexical))
+        return " "
+
+    body = re.sub(
+        r"(?is)filter\s*\(\s*(!)?\s*bound\s*\(\s*(\?\w+)\s*\)\s*\)\s*\.?",
+        _grab_bound,
+        body,
+    )
+    body = re.sub(
+        r"(?is)filter\s*\(\s*(\?\w+)\s*(?:([+*-])\s*(-?\d+)\s*)?(!=|<=|>=|<|>|=)\s*(-?\d+)\s*\)\s*\.?",
+        _grab_arith,
+        body,
+    )
+    body = re.sub(r'(?is)filter\s+regex\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*\)\s*\.?', _grab_regex, body)
+    body = re.sub(
+        r"(?is)filter\s*\(\s*(\?\w+)\s*(!=|<=|>=|<|>|=)\s*(\?\w+|<[^>]*>|[^\s()]+)\s*\)\s*\.?",
+        _grab_cmp,
+        body,
+    )
+    return body
+
+
 def _check_pred_markers(p: str) -> None:
     """Validate the path-marker grammar of one predicate slot (or one hop
     of a sequence path).  All character tests run on the bracket-MASKED
@@ -937,6 +972,21 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
         unbound += [v for v in (f.vars_ or ()) if v not in known]
         if unbound:
             raise SparqlSyntaxError(f"filter variables not bound in where clause: {unbound}")
+    # optional-group filters must be GROUP-LOCAL: every referenced variable
+    # bound by the group's own patterns (the supported LeftJoin-condition
+    # subset; a filter over outer-only variables would need the full
+    # join-condition lowering)
+    for grp, flts in zip(q.optionals, q.optional_filters):
+        gvars = {v for c in grp for v in c.variables()}
+        for f in flts:
+            outside = [
+                v for v in (f.var, f.rhs_var) if v is not None and v not in gvars
+            ]
+            if outside:
+                raise SparqlSyntaxError(
+                    f"optional-group filter references variable(s) {outside} not "
+                    "bound inside the group — only group-local filters are supported"
+                )
     aliases_b = [alias for _, _, alias in q.binds]
     if len({a.lower() for a in aliases_b}) != len(aliases_b):
         raise SparqlSyntaxError("duplicate bind aliases")

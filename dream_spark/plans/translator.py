@@ -120,6 +120,77 @@ def _path_frame(store: TripleStore, pred) -> DataFrame:
     return base.where(F.col("s") != F.col("o")).unionByName(_node_frame(store))
 
 
+def _apply_filters(plan: DataFrame, filters, store: TripleStore, tag: str = "") -> DataFrame:
+    """Lower a list of FILTER clauses onto ``plan``.  Id-level comparisons
+    stay on the encoded longs (the dictionary is a bijection, so =/!= on
+    ids ≡ on lexicals); regex filters decode just the one column via a
+    dict equi-join, then drop it; arithmetic filters run the shared
+    typed-numeric-value CASE fragment (identical string in the DuckDB
+    oracle); bound tests are NULL checks.  Used for the top-level filter
+    list AND for optional-group-local filters (``tag`` keeps the regex
+    temp columns unique per group)."""
+    for i, f in enumerate(filters):
+        if f.kind == "cmp":
+            lhs = F.col(f.var)
+            rhs = F.col(f.rhs_var) if f.rhs_var is not None else F.lit(store.resolve(f.rhs_const))
+            cmp = {
+                "=": lhs == rhs,
+                "!=": lhs != rhs,
+                "<": lhs < rhs,
+                "<=": lhs <= rhs,
+                ">": lhs > rhs,
+                ">=": lhs >= rhs,
+            }[f.op]
+            plan = plan.where(cmp)
+        elif f.kind == "bound":
+            # BOUND test: a NULL check on the (optional-joined) column —
+            # row-local, no join; !bound after OPTIONAL is the SPARQL
+            # negation-by-failure pattern (≡ anti-join)
+            col = F.col(f.var)
+            plan = plan.where(col.isNull() if f.op == "!" else col.isNotNull())
+        elif f.kind == "arith":
+            # typed numeric FILTER: arithmetic/comparison on the term's
+            # NUMERIC VALUE via the shared SQL fragment (identical string
+            # in the DuckDB oracle, so semantics cannot drift); non-numeric
+            # ids value to NULL and the row drops, per the SPARQL
+            # type-error contract.  Pure row-local expression —
+            # whole-stage-codegen, pushdown-eligible, no shuffle.
+            plan = plan.where(
+                F.expr(arith_filter_sql(f.var, f.lhs_op, f.lhs_num, f.op, f.rhs_num))
+            )
+        elif f.kind == "in":
+            # VALUES lowering: an IN literal list on the encoded ids —
+            # Catalyst pushes it into the pattern scans (partition-prunable
+            # under the p-partitioned layout when the var is a predicate)
+            plan = plan.where(F.col(f.var).isin([store.resolve(c) for c in f.consts]))
+        elif f.kind == "in_rows":
+            # multi-variable VALUES: a row-IN predicate on the encoded id
+            # tuple — Catalyst folds the struct-literal list to a local
+            # filter; no join, no shuffle (bindings lists are tiny by
+            # construction)
+            cols = ", ".join(f.vars_)
+            lits = ", ".join(
+                "named_struct("
+                + ", ".join(
+                    f"'{v}', CAST({store.resolve(c)} AS BIGINT)"
+                    for v, c in zip(f.vars_, row)
+                )
+                + ")"
+                for row in f.rows
+            )
+            plan = plan.where(F.expr(f"struct({cols}) IN ({lits})"))
+        elif f.kind == "regex":
+            lex = store.dictionary.select(
+                F.col("id").alias(f.var), F.col("lexical").alias(f"__flex_{tag}{i}")
+            )
+            plan = plan.join(lex, on=f.var).where(
+                F.col(f"__flex_{tag}{i}").rlike(f.pattern)
+            ).drop(f"__flex_{tag}{i}")
+        else:  # pragma: no cover
+            raise ValueError(f"unknown filter kind {f.kind!r}")
+    return plan
+
+
 def _condition_frame(store: TripleStore, cond: Condition) -> DataFrame:
     """One triple pattern → filtered/aliased scan.
 
@@ -493,8 +564,16 @@ def translate(
     # OPTIONAL groups: each is a mini-BGP joined internally, then LEFT
     # OUTER joined onto the required part on the shared variables — the
     # standard SPARQL-OPTIONAL → left-join lowering.
-    for grp in query.optionals:
+    for gi, grp in enumerate(query.optionals):
         gplan, gbound = _join_group(store, grp, stats)
+        # group-local FILTERs apply INSIDE the group BEFORE the left join —
+        # LeftJoin(P1, P2, E) semantics for E over vars(P2): a left row
+        # whose every compatible group row fails E keeps NULL group columns
+        # (shared vars agree under the equi-join, so pre-filtering is exact)
+        gflts = (
+            query.optional_filters[gi] if gi < len(query.optional_filters) else []
+        )
+        gplan = _apply_filters(gplan, gflts, store, tag=f"o{gi}_")
         shared = sorted(bound & gbound)
         plan = plan.join(gplan, on=shared, how="left") if shared else plan.crossJoin(gplan)
         bound |= gbound
@@ -530,65 +609,7 @@ def translate(
     # FILTER clauses: id-level comparisons stay on the encoded longs (the
     # dictionary is a bijection, so =/!= on ids ≡ on lexicals); regex
     # filters decode just the one column via a dict equi-join, then drop it.
-    for i, f in enumerate(query.filters):
-        if f.kind == "cmp":
-            lhs = F.col(f.var)
-            rhs = F.col(f.rhs_var) if f.rhs_var is not None else F.lit(store.resolve(f.rhs_const))
-            cmp = {
-                "=": lhs == rhs,
-                "!=": lhs != rhs,
-                "<": lhs < rhs,
-                "<=": lhs <= rhs,
-                ">": lhs > rhs,
-                ">=": lhs >= rhs,
-            }[f.op]
-            plan = plan.where(cmp)
-        elif f.kind == "bound":
-            # BOUND test: a NULL check on the (optional-joined) column —
-            # row-local, no join; !bound after OPTIONAL is the SPARQL
-            # negation-by-failure pattern (≡ anti-join)
-            col = F.col(f.var)
-            plan = plan.where(col.isNull() if f.op == "!" else col.isNotNull())
-        elif f.kind == "arith":
-            # typed numeric FILTER: arithmetic/comparison on the term's
-            # NUMERIC VALUE via the shared SQL fragment (identical string
-            # in the DuckDB oracle, so semantics cannot drift); non-numeric
-            # ids value to NULL and the row drops, per the SPARQL
-            # type-error contract.  Pure row-local expression —
-            # whole-stage-codegen, pushdown-eligible, no shuffle.
-            plan = plan.where(
-                F.expr(arith_filter_sql(f.var, f.lhs_op, f.lhs_num, f.op, f.rhs_num))
-            )
-        elif f.kind == "in":
-            # VALUES lowering: an IN literal list on the encoded ids —
-            # Catalyst pushes it into the pattern scans (partition-prunable
-            # under the p-partitioned layout when the var is a predicate)
-            plan = plan.where(F.col(f.var).isin([store.resolve(c) for c in f.consts]))
-        elif f.kind == "in_rows":
-            # multi-variable VALUES: a row-IN predicate on the encoded id
-            # tuple — Catalyst folds the struct-literal list to a local
-            # filter; no join, no shuffle (bindings lists are tiny by
-            # construction)
-            cols = ", ".join(f.vars_)
-            lits = ", ".join(
-                "named_struct("
-                + ", ".join(
-                    f"'{v}', CAST({store.resolve(c)} AS BIGINT)"
-                    for v, c in zip(f.vars_, row)
-                )
-                + ")"
-                for row in f.rows
-            )
-            plan = plan.where(F.expr(f"struct({cols}) IN ({lits})"))
-        elif f.kind == "regex":
-            lex = store.dictionary.select(
-                F.col("id").alias(f.var), F.col("lexical").alias(f"__flex_{i}")
-            )
-            plan = plan.join(lex, on=f.var).where(
-                F.col(f"__flex_{i}").rlike(f.pattern)
-            ).drop(f"__flex_{i}")
-        else:  # pragma: no cover
-            raise ValueError(f"unknown filter kind {f.kind!r}")
+    plan = _apply_filters(plan, query.filters, store)
 
     # Aggregate projection: groupBy + count/count-distinct — Catalyst plans
     # partial aggregation, so only #groups rows shuffle.

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 from dream_spark.plans.oracle import bgp_to_sql
-from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+from dream_spark.plans.sparql import Filter, SparqlSyntaxError, parse_sparql
 from tests.conftest import assert_oracle_match
 
 Q_STAR = (
@@ -533,6 +533,72 @@ def test_transitive_multihop_chain(spark):
     q = parse_sparql("select ?X ?Y where { ?X link+ ?Y }")
     got = {(r["X"], r["Y"]) for r in translate(st, q, None).collect()}
     assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+
+def test_parse_optional_group_filter():
+    q = parse_sparql(
+        "select ?C ?O ?ST where { ?C type Customer ."
+        " optional { ?O placedBy ?C . ?O status ?ST . filter (?ST != <F>) } }"
+    )
+    assert q.filters == []
+    (gflts,) = q.optional_filters
+    (f,) = gflts
+    assert f.kind == "cmp" and f.var == "ST" and f.op == "!=" and f.rhs_const == "F"
+    # a group filter referencing an outer-only variable is rejected (only
+    # the group-local LeftJoin-condition subset is supported)
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?C ?N ?O where { ?C type Customer . ?C inNation ?N ."
+            " optional { ?O placedBy ?C . filter (?N != <nation:5>) } }"
+        )
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        # inequality inside the group: customers keep a row even when ALL
+        # their orders are filtered away (NULL-extended), unlike a
+        # top-level filter which would drop them
+        (
+            "select ?C ?O ?ST where { ?C type Customer ."
+            " optional { ?O placedBy ?C . ?O status ?ST . filter (?ST != <F>) } }",
+            False,
+        ),
+        # ordering comparison on ids inside the group
+        (
+            "select ?C ?O where { ?C type Customer ."
+            " optional { ?O placedBy ?C . filter (?O < <order:500>) } }",
+            False,
+        ),
+        # regex on the decoded lexical inside the group
+        (
+            'select ?C ?NM where { ?C type Customer .'
+            ' optional { ?C name ?NM . filter regex(?NM, "1$") } }',
+            False,
+        ),
+        # arithmetic typed-value filter inside the group
+        (
+            "select ?P ?SZ where { ?P type Part ."
+            " optional { ?P size ?SZ . filter (?SZ > 25) } }",
+            False,
+        ),
+    ],
+)
+def test_optional_group_filter_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+def test_optional_group_filter_keeps_unmatched_left():
+    """LeftJoin semantics: filtering inside the group must NULL-extend,
+    not drop, a left row whose every group row fails the filter."""
+    q1 = parse_sparql(
+        "select ?C ?O where { ?C type Customer ."
+        " optional { ?O placedBy ?C . filter (?O < <order:1>) } }"
+    )
+    assert q1.optional_filters == [[
+        Filter(kind="cmp", var="O", op="<", rhs_const="order:1")
+    ]]
 
 
 def test_parse_bound_filter():
