@@ -33,6 +33,12 @@ from dream_spark.sources.triples import TripleStore, arith_filter_sql, numeric_v
 _PATH_MAX_ITERS = 25
 
 
+#: session-lived cache of computed closures per (store, predicate): the
+#: closure is query-independent and already localCheckpoint-materialized,
+#: so repeated path queries over the same predicate reuse it for free
+_CLOSURE_FRAMES: dict[tuple[int, int], DataFrame] = {}
+
+
 def _closure_frame(store: TripleStore, pid: int) -> DataFrame:
     """Transitive closure of one predicate's edge set (SPARQL OneOrMorePath
     semantics: DISTINCT connected pairs, 1..n hops).
@@ -44,6 +50,9 @@ def _closure_frame(store: TripleStore, pid: int) -> DataFrame:
     per round (the plan tree would otherwise double every iteration); this
     makes translation eager for path patterns, which is documented and
     bounded by the predicate's (pruned) edge set size."""
+    key = (id(store), pid)
+    if key in _CLOSURE_FRAMES:
+        return _CLOSURE_FRAMES[key]
     e = (
         store.triples.where(F.col("p") == F.lit(pid))
         .select("s", "o")
@@ -64,6 +73,7 @@ def _closure_frame(store: TripleStore, pid: int) -> DataFrame:
             break
         full = full.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    _CLOSURE_FRAMES[key] = full
     return full
 
 

@@ -749,6 +749,21 @@ def test_zero_path_oracle(engine, duck, qtext, decode):
     assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
 
 
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        # sequence path whose SECOND hop is a zero-or-more: hop rewrite +
+        # path-closure frames compose
+        "select ?N ?X where { ?N type Nation . ?N inRegion/inRegion* ?X }",
+        # zero-or-one hop mid-sequence
+        "select ?L ?X where { ?L suppliedBy/inNation? ?X . ?L ofOrder <order:1> }",
+    ],
+)
+def test_seq_path_with_zero_hop_marker(engine, duck, qtext):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
 def test_zero_or_more_multihop_chain(spark):
     """p* over a 4-node chain = every reachable pair PLUS the identity on
     every graph node (including node 4, which has no out-edge)."""
