@@ -181,10 +181,18 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     for k, grp in enumerate(query.optionals, start=1):
         g_aliases, g_where, g_slot = _render_block(grp, resolve, astart)
         astart += len(grp)
-        # group-local FILTERs render INSIDE the subquery (before the left
-        # join) — mirrors the translator's LeftJoin(P1, P2, E) lowering
+        # group FILTERs — LeftJoin(P1, P2, E): group-local forms render
+        # INSIDE the subquery (before the left join); forms referencing
+        # outer variables render into the ON clause itself — mirrors the
+        # translator's two-way lowering
         gflts = query.optional_filters[k - 1] if k - 1 < len(query.optional_filters) else []
-        for j, f in enumerate(gflts):
+        local = [
+            f
+            for f in gflts
+            if all(v in g_slot for v in (f.var, f.rhs_var) if v is not None)
+        ]
+        cross = [f for f in gflts if f not in local]
+        for j, f in enumerate(local):
             if f.kind == "regex":
                 g_aliases.append(f"dict gfr{k}_{j}")
                 g_where.append(f"gfr{k}_{j}.id = {g_slot[f.var]}")
@@ -195,7 +203,18 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         g_sel = ", ".join(f"{g_slot[v]} AS {v}" for v in g_vars)
         g_where_sql = " AND ".join(g_where) if g_where else "TRUE"
         shared = [v for v in g_vars if v in src]
-        on = " AND ".join(f"{src[v]}.{v} = g{k}.{v}" for v in shared) or "TRUE"
+        on_parts = [f"{src[v]}.{v} = g{k}.{v}" for v in shared]
+        for f in cross:
+            # group vars reference the subquery alias, outer vars their
+            # original binder (parser guarantees cmp/arith only here)
+            on_parts.append(
+                _simple_filter_sql(
+                    f,
+                    lambda v: f"g{k}.{v}" if v in g_slot and v not in src else f"{src[v]}.{v}",
+                    resolve,
+                )
+            )
+        on = " AND ".join(on_parts) or "TRUE"
         joins.append(f"LEFT JOIN (SELECT {g_sel} FROM {', '.join(g_aliases)} WHERE {g_where_sql}) g{k} ON {on}")
         for v in g_vars:
             src.setdefault(v, f"g{k}")

@@ -972,21 +972,33 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
         unbound += [v for v in (f.vars_ or ()) if v not in known]
         if unbound:
             raise SparqlSyntaxError(f"filter variables not bound in where clause: {unbound}")
-    # optional-group filters must be GROUP-LOCAL: every referenced variable
-    # bound by the group's own patterns (the supported LeftJoin-condition
-    # subset; a filter over outer-only variables would need the full
-    # join-condition lowering)
+    # optional-group filters: group-local forms (all vars bound by the
+    # group's own patterns) lower to a pre-join filter; cmp/arith forms may
+    # also reference OUTER variables — they become part of the left-join
+    # condition (full LeftJoin(P1, P2, E)) — provided those variables are
+    # bound by the required patterns, the subquery, or an EARLIER group
+    # (a later group's column does not exist yet at join time)
+    prior = {v for c in q.conditions for v in c.variables() if not v.startswith("__seq")}
+    if q.subquery is not None:
+        prior |= set(q.subquery.projection)
     for grp, flts in zip(q.optionals, q.optional_filters):
         gvars = {v for c in grp for v in c.variables()}
         for f in flts:
             outside = [
                 v for v in (f.var, f.rhs_var) if v is not None and v not in gvars
             ]
-            if outside:
+            if outside and f.kind not in ("cmp", "arith"):
                 raise SparqlSyntaxError(
-                    f"optional-group filter references variable(s) {outside} not "
-                    "bound inside the group — only group-local filters are supported"
+                    f"only comparison/arithmetic optional-group filters may "
+                    f"reference outer variables (got {f.kind!r} over {outside})"
                 )
+            unbound = [v for v in outside if v not in prior]
+            if unbound:
+                raise SparqlSyntaxError(
+                    f"optional-group filter references variable(s) {unbound} not "
+                    "bound by the required patterns or an earlier group"
+                )
+        prior |= gvars
     aliases_b = [alias for _, _, alias in q.binds]
     if len({a.lower() for a in aliases_b}) != len(aliases_b):
         raise SparqlSyntaxError("duplicate bind aliases")

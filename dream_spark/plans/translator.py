@@ -576,16 +576,64 @@ def translate(
     # standard SPARQL-OPTIONAL → left-join lowering.
     for gi, grp in enumerate(query.optionals):
         gplan, gbound = _join_group(store, grp, stats)
-        # group-local FILTERs apply INSIDE the group BEFORE the left join —
-        # LeftJoin(P1, P2, E) semantics for E over vars(P2): a left row
-        # whose every compatible group row fails E keeps NULL group columns
-        # (shared vars agree under the equi-join, so pre-filtering is exact)
+        # group FILTERs — the SPARQL LeftJoin(P1, P2, E) condition:
+        # - E over group-local vars applies INSIDE the group BEFORE the
+        #   left join (shared vars agree under the equi-join, so
+        #   pre-filtering is exact and cheaper);
+        # - E referencing OUTER vars becomes part of the JOIN CONDITION
+        #   itself — a left row where E fails for every compatible group
+        #   row keeps NULL group columns (a post-join filter would drop it)
         gflts = (
             query.optional_filters[gi] if gi < len(query.optional_filters) else []
         )
-        gplan = _apply_filters(gplan, gflts, store, tag=f"o{gi}_")
+        local = [
+            f
+            for f in gflts
+            if all(v in gbound for v in (f.var, f.rhs_var) if v is not None)
+        ]
+        cross = [f for f in gflts if f not in local]
+        gplan = _apply_filters(gplan, local, store, tag=f"o{gi}_")
         shared = sorted(bound & gbound)
-        plan = plan.join(gplan, on=shared, how="left") if shared else plan.crossJoin(gplan)
+        if not cross:
+            plan = plan.join(gplan, on=shared, how="left") if shared else plan.crossJoin(gplan)
+        else:
+            # rename the shared columns on the group side so the join
+            # condition (and the cross filter exprs) reference each side
+            # unambiguously; the originals keep the outer value, which
+            # equals the group value whenever the join matched
+            ren = {v: f"__og{gi}_{v}" for v in shared}
+            g2 = gplan
+            for v, rv in ren.items():
+                g2 = g2.withColumnRenamed(v, rv)
+            cond = F.lit(True)
+            for v, rv in ren.items():
+                cond = cond & (F.col(v) == F.col(rv))
+            for f in cross:
+                # parser guarantees cmp/arith only; a shared group var
+                # reference resolves to the OUTER column (equal under the
+                # equi-conjunct whenever the row matches)
+                if f.kind == "arith":
+                    cond = cond & F.expr(
+                        arith_filter_sql(f.var, f.lhs_op, f.lhs_num, f.op, f.rhs_num)
+                    )
+                else:
+                    lhs = F.col(f.var)
+                    rhs = (
+                        F.col(f.rhs_var)
+                        if f.rhs_var is not None
+                        else F.lit(store.resolve(f.rhs_const))
+                    )
+                    cond = cond & {
+                        "=": lhs == rhs,
+                        "!=": lhs != rhs,
+                        "<": lhs < rhs,
+                        "<=": lhs <= rhs,
+                        ">": lhs > rhs,
+                        ">=": lhs >= rhs,
+                    }[f.op]
+            plan = plan.join(g2, cond, "left")
+            for rv in ren.values():
+                plan = plan.drop(rv)
         bound |= gbound
 
     # MINUS groups: anti join on the shared variables — rows with a

@@ -544,12 +544,26 @@ def test_parse_optional_group_filter():
     (gflts,) = q.optional_filters
     (f,) = gflts
     assert f.kind == "cmp" and f.var == "ST" and f.op == "!=" and f.rhs_const == "F"
-    # a group filter referencing an outer-only variable is rejected (only
-    # the group-local LeftJoin-condition subset is supported)
+    # a cmp filter referencing an OUTER variable is the join-condition
+    # case — accepted, classified by the lowering (not a parse error)
+    q = parse_sparql(
+        "select ?C ?N ?O where { ?C type Customer . ?C inNation ?N ."
+        " optional { ?O placedBy ?C . filter (?N != <nation:5>) } }"
+    )
+    assert q.optional_filters[0][0].var == "N"
+    # but a variable bound NOWHERE prior (here: only in a LATER group)
+    # is rejected — its column does not exist at join time
     with pytest.raises(SparqlSyntaxError):
         parse_sparql(
-            "select ?C ?N ?O where { ?C type Customer . ?C inNation ?N ."
-            " optional { ?O placedBy ?C . filter (?N != <nation:5>) } }"
+            "select ?C ?O ?X where { ?C type Customer ."
+            " optional { ?O placedBy ?C . filter (?X != <nation:5>) } ."
+            " optional { ?C inNation ?X } }"
+        )
+    # regex may not reference outer variables (cmp/arith only)
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?C ?NM ?O where { ?C type Customer . ?C name ?NM ."
+            ' optional { ?O placedBy ?C . filter regex(?NM, "1$") } }'
         )
 
 
@@ -580,6 +594,20 @@ def test_parse_optional_group_filter():
         (
             "select ?P ?SZ where { ?P type Part ."
             " optional { ?P size ?SZ . filter (?SZ > 25) } }",
+            False,
+        ),
+        # CROSS filter: the join condition references the OUTER ?N — a
+        # customer from nation:5 keeps a NULL-extended row (a top-level
+        # filter would drop the customer entirely)
+        (
+            "select ?C ?N ?O where { ?C type Customer . ?C inNation ?N ."
+            " optional { ?O placedBy ?C . filter (?N != <nation:5>) } }",
+            False,
+        ),
+        # cross filter comparing an outer var against a group var
+        (
+            "select ?C ?O where { ?C type Customer ."
+            " optional { ?O placedBy ?C . filter (?O > ?C) } }",
             False,
         ),
     ],
