@@ -334,6 +334,13 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " bind(?N as ?HOME) . bind(<BUILDING> as ?TAG) }",
         False,
     ),
+    # arithmetic BIND over the typed numeric value layer: the alias
+    # carries a computed NUMBER (size value + 100), not a dictionary id
+    "sparql_bind_arith": (
+        "select ?P ?SZ ?SZ2 where { ?P type Part . ?P size ?SZ ."
+        " bind(?SZ + 100 as ?SZ2) }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}
@@ -405,6 +412,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # sparql_avg_size (sum_group's avg twin), sparql_not_bound (the
 # MINUS/NOT-EXISTS negation re-expressed via OPTIONAL+!bound),
 # sparql_optional_filtered (group-local LeftJoin-condition FILTER),
+# sparql_bind_arith (typed-value arithmetic BIND),
 # sketch_quantiles_sampled (sketch_quantiles' sampled variant),
 # pipeline_sample, pipeline_bigrams.
 PRIORITY_ORDER = [

@@ -105,6 +105,7 @@ HEADLINE = [
     "sparql_avg_size",
     "sparql_not_bound",
     "sparql_optional_filtered",
+    "sparql_bind_arith",
     "sparql_bind",
     "sparql_neg_pred",
     "dedup_exact_docs",

@@ -240,10 +240,15 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     # BIND aliases project the source column / resolved constant — computed
     # BEFORE the filter loop so a filter may reference a bind alias (the
     # translator applies binds before filters, same ordering)
-    bind_expr = {
-        alias: (f"{src[s]}.{s}" if kind == "var" else f"CAST({resolve(s)} AS BIGINT)")
-        for kind, s, alias in query.binds
-    }
+    bind_expr = {}
+    for kind, s, alias in query.binds:
+        if kind == "var":
+            bind_expr[alias] = f"{src[s]}.{s}"
+        elif kind == "arith":
+            v, op, num = s
+            bind_expr[alias] = f"({numeric_value_sql(f'{src[v]}.{v}')} {op} {num})"
+        else:
+            bind_expr[alias] = f"CAST({resolve(s)} AS BIGINT)"
 
     def _ref(v: str) -> str:
         return bind_expr[v] if v in bind_expr else f"{src[v]}.{v}"

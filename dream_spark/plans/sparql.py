@@ -263,8 +263,10 @@ class ParsedQuery:
     # variables; inner aggregate aliases become plain outer columns
     subquery: "ParsedQuery | None" = None
     # BIND clauses: (kind, source, alias) with kind "var" (source = bound
-    # variable name) or "const" (source = constant lexical)
-    binds: list[tuple[str, str, str]] = field(default_factory=list)
+    # variable name), "const" (source = constant lexical), or "arith"
+    # (source = (var, op, int) over the typed numeric value layer; the
+    # alias carries a plain number, not a dictionary id)
+    binds: list[tuple[str, object, str]] = field(default_factory=list)
     # ASK form (SPARQL 1.1; superset of the reference grammar): the result
     # is a single boolean row — does any binding exist?
     ask: bool = False
@@ -626,9 +628,27 @@ def parse_sparql(text: str) -> ParsedQuery:
     body = re.sub(r"(?is)values\s+(\?\w+)\s*\{([^{}]*)\}\s*\.?", _grab_values, body)
 
     # bind(?src as ?alias) / bind(<const> as ?alias): variable aliasing and
-    # constant binding — the expression-free BIND subset that is meaningful
-    # over dictionary ids (id arithmetic is not)
-    binds: list[tuple[str, str, str]] = []
+    # constant binding; bind(?v ± n as ?alias) additionally computes over
+    # the TYPED NUMERIC VALUE layer (sources/triples.numeric_value_sql) —
+    # the alias carries a plain number, not a dictionary id (id arithmetic
+    # remains meaningless and is not offered)
+    binds: list[tuple[str, object, str]] = []
+
+    def _grab_bind_arith(m2: re.Match) -> str:
+        alias = m2.group(4)[1:]
+        if alias.startswith("__seq"):
+            raise SparqlSyntaxError(
+                "variable names starting with '__seq' are reserved for "
+                "sequence-path rewriting"
+            )
+        binds.append(("arith", (m2.group(1)[1:], m2.group(2), int(m2.group(3))), alias))
+        return " "
+
+    body = re.sub(
+        r"(?is)bind\s*\(\s*(\?\w+)\s*([+*-])\s*(-?\d+)\s+as\s+(\?\w+)\s*\)\s*\.?",
+        _grab_bind_arith,
+        body,
+    )
 
     def _grab_bind(m2: re.Match) -> str:
         src_t, alias = m2.group(1), m2.group(2)[1:]
@@ -1023,5 +1043,9 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
         if kind == "var" and src_v not in base_vars:
             raise SparqlSyntaxError(
                 f"bind source variable not bound in where clause: ?{src_v}"
+            )
+        if kind == "arith" and src_v[0] not in base_vars:
+            raise SparqlSyntaxError(
+                f"bind source variable not bound in where clause: ?{src_v[0]}"
             )
     return q

@@ -655,12 +655,16 @@ def translate(
             gplan.select(*shared), on=shared, how="left_semi" if positive else "left_anti"
         )
 
-    # BIND clauses: pure projections — a column alias or a resolved
-    # constant literal; zero data movement (SPARQL's expression BINDs are
-    # out of scope: id arithmetic is not meaningful on dictionary ids).
+    # BIND clauses: pure projections — a column alias, a resolved constant
+    # literal, or a typed-numeric-value arithmetic expression (the alias
+    # then carries a plain number; id arithmetic remains out of scope).
     # Applied BEFORE filters so a filter may reference a bind alias.
     for kind, src, alias in query.binds:
-        col = F.col(src) if kind == "var" else F.lit(store.resolve(src)).cast("long")
+        if kind == "arith":
+            var, op, num = src
+            col = F.expr(f"({numeric_value_sql(var)} {op} {num})")
+        else:
+            col = F.col(src) if kind == "var" else F.lit(store.resolve(src)).cast("long")
         plan = plan.withColumn(alias, col)
         bound.add(alias)
 
@@ -776,6 +780,13 @@ def translate(
         return plan
 
     if decode:
+        arith_aliases = {a for k, _, a in query.binds if k == "arith"}
+        if arith_aliases & set(query.projection):
+            raise ValueError(
+                "decode=True over arithmetic BIND aliases is not supported: "
+                f"{sorted(arith_aliases & set(query.projection))} carry plain "
+                "numbers with no dictionary entry"
+            )
         # Final dictionary decode — the id2name step (reference Proxy.c:211-224).
         # Melt the k projected id columns into (row, slot, id), decode with
         # ONE dict join, and pivot back: one shuffle of the dictionary

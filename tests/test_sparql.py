@@ -673,6 +673,40 @@ def test_not_bound_equals_minus(engine):
     assert sorted(r["C"] for r in a.collect()) == sorted(r["C"] for r in b.collect())
 
 
+def test_parse_bind_arith():
+    q = parse_sparql(
+        "select ?P ?SZ ?SZ2 where { ?P size ?SZ . bind(?SZ + 100 as ?SZ2) }"
+    )
+    assert q.binds == [("arith", ("SZ", "+", 100), "SZ2")]
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?X where { ?P size ?SZ . bind(?NOPE * 2 as ?X) }")
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        "select ?P ?SZ ?SZ2 where { ?P type Part . ?P size ?SZ ."
+        " bind(?SZ + 100 as ?SZ2) }",
+        "select ?P ?HALFISH where { ?P type Part . ?P size ?SZ ."
+        " bind(?SZ * -1 as ?HALFISH) }",
+        # arith bind over a NON-numeric var: value is NULL on both engines
+        "select ?C ?X where { ?C type Customer . bind(?C + 1 as ?X) }",
+    ],
+)
+def test_bind_arith_oracle(engine, duck, qtext):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
+def test_bind_arith_decode_rejected(engine):
+    with pytest.raises(ValueError):
+        engine.sparql(
+            "select ?P ?SZ2 where { ?P type Part . ?P size ?SZ ."
+            " bind(?SZ + 100 as ?SZ2) }",
+            decode=True,
+        ).collect()
+
+
 def test_parse_numeric_aggregates():
     q = parse_sparql(
         "select ?S (sum(?SZ) as ?tot) (avg(?SZ) as ?mean)"
