@@ -395,13 +395,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     never-adjudicated SPARQL 1.1 algebra (exists, not_exists, seq_path,
 #     inverse, construct, ask_pos, path_plus, having), the TPC-H analogs
 #     (q2/q8/q9/q20/q21, events_rollup), text_knn/redact, dedup_exact_docs,
-#     the pipeline six (curate/chunks/mixture/repetition/vocab/oov), all
-#     four un-checked sketches, graph_ppr, media_knn/media_dedup, and
-#     streaming_funnel_batch.
-# Family coverage inside the cap: SPARQL 20, relational 6, temporal 2,
-# text 3, pipeline 8, dedup 3, sketch 4, graph 1, multimodal 2 (media_knn
-# doubles as the kNN shape; knn_bruteforce/lsh/ivf are r3-green and
-# code-unchanged), streaming 1.
+#     the pipeline six (curate/chunks/mixture/repetition/vocab/oov), THREE
+#     of the four un-checked sketches (cms_users, quantiles, kmv_by_type —
+#     quantiles_sampled is the r5-queued variant), graph_ppr,
+#     media_knn/media_dedup, and streaming_funnel_batch.
+# Family coverage inside the cap (counted from the list, keep in sync):
+# SPARQL 21, relational 6, temporal 2, text 3, pipeline 8, dedup 3,
+# sketch 3, graph 1, multimodal 2 (media_knn doubles as the kNN shape;
+# knn_bruteforce/lsh/ivf are r3-green and code-unchanged), streaming 1.
 #
 # r5 queue (still never-green after this round, all semantic variants of
 # in-cap or previously-green shapes): sparql_paged, sparql_minmax,

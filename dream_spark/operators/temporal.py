@@ -62,8 +62,12 @@ def asof_join(
     l_us = epoch_micros(left, left_ts)
     r_us = epoch_micros(right, right_ts)
     # side 0 = right, 1 = left: at equal timestamps rights sort FIRST so
-    # right_ts == left_ts matches (the <= bound)
-    rs = right.select(
+    # right_ts == left_ts matches (the <= bound).  Rights with a NULL key
+    # or NULL timestamp are dropped up front — a join predicate never
+    # matches NULL, but an ascending sort would place NULL-us rows FIRST
+    # and the running last() would carry their payload onto every left row
+    # (and NULL keys would group together under partitionBy)
+    rs = right.where(F.col(on).isNotNull() & r_us.isNotNull()).select(
         F.col(on),
         r_us.alias(us),
         F.lit(0).alias(side),

@@ -139,15 +139,20 @@ def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
     return f"{kw} " + ",\n".join(parts)
 
 
-def _simple_filter_sql(f, ref, resolve) -> str:
+def _simple_filter_sql(f, ref, resolve, numeric_aliases=frozenset()) -> str:
     """One cmp / arith / bound filter as a single SQL predicate; ``ref``
     maps a variable name to its column reference (regex is rendered by the
-    callers, which own the dict join)."""
+    callers, which own the dict join).  ``numeric_aliases`` lists columns
+    that ALREADY hold plain numbers (arithmetic BIND aliases) — arith
+    filters over them skip the id→value wrap, like the Spark side."""
     if f.kind == "bound":
         return f"{ref(f.var)} IS {'NULL' if f.op == '!' else 'NOT NULL'}"
     if f.kind == "arith":
         # identical shared fragment the Spark plan applies via F.expr
-        return arith_filter_sql(ref(f.var), f.lhs_op, f.lhs_num, f.op, f.rhs_num)
+        return arith_filter_sql(
+            ref(f.var), f.lhs_op, f.lhs_num, f.op, f.rhs_num,
+            wrap=f.var not in numeric_aliases,
+        )
     assert f.kind == "cmp", f.kind
     rhs = ref(f.rhs_var) if f.rhs_var is not None else str(resolve(f.rhs_const))
     op = {"=": "=", "!=": "<>"}.get(f.op, f.op)
@@ -253,10 +258,13 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     def _ref(v: str) -> str:
         return bind_expr[v] if v in bind_expr else f"{src[v]}.{v}"
 
+    arith_bind_aliases = frozenset(a for k, _, a in query.binds if k == "arith")
     for i, f in enumerate(query.filters):
         lhs = _ref(f.var)
         if f.kind in ("cmp", "bound", "arith"):
-            filt_where.append(_simple_filter_sql(f, _ref, resolve))
+            filt_where.append(
+                _simple_filter_sql(f, _ref, resolve, numeric_aliases=arith_bind_aliases)
+            )
         elif f.kind == "in":
             ids = ", ".join(str(resolve(c)) for c in f.consts)
             filt_where.append(f"{lhs} IN ({ids})")
@@ -466,6 +474,17 @@ def bgp_to_sql(
     UNION queries render as UNION ALL over branch blocks.
     """
     resolve = resolver or _default_resolver
+    if decode:
+        # mirror the translator's guard: an arithmetic BIND alias carries a
+        # plain number; decoding would join the dict on that number, which
+        # can silently collide with a genuine small dictionary id
+        arith_aliases = {a for k, _, a in query.binds if k == "arith"}
+        if arith_aliases & set(query.projection):
+            raise ValueError(
+                "decode=True over arithmetic BIND aliases is not supported: "
+                f"{sorted(arith_aliases & set(query.projection))} carry plain "
+                "numbers with no dictionary entry"
+            )
     if query.describe_term is not None:
         tid = resolve(query.describe_term)
         return (

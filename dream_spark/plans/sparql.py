@@ -814,7 +814,16 @@ def _parse_patterns_from(text_: str, start: int) -> list[Condition]:
             # contain any of them); on s/o slots only a path suffix/prefix
             # shape is plausibly a user mistake — reject those loudly
             sm = _mask_brackets(st)
-            if sm.endswith(("+", "*")) or sm.startswith("^") or "|" in sm or "/" in sm:
+            # a trailing '?' on a CONSTANT is also a (misplaced) path
+            # marker — without this check Term.lexical would silently
+            # strip it and the typo'd query would run as if unmarked
+            if (
+                sm.endswith(("+", "*"))
+                or (not st.startswith("?") and sm.endswith("?"))
+                or sm.startswith("^")
+                or "|" in sm
+                or "/" in sm
+            ):
                 raise SparqlSyntaxError(
                     f"path markers are only valid on a predicate: {st!r}"
                 )
@@ -987,11 +996,25 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
     if bad_order:
         raise SparqlSyntaxError(f"order-by variables must be projected: {bad_order}")
     known = set(q.all_variables())
+    arith_aliases = {a for k, _, a in q.binds if k == "arith"}
     for f in q.filters:
         unbound = [v for v in (f.var, f.rhs_var) if v is not None and v not in known]
         unbound += [v for v in (f.vars_ or ()) if v not in known]
         if unbound:
             raise SparqlSyntaxError(f"filter variables not bound in where clause: {unbound}")
+        # an arithmetic BIND alias holds a plain NUMBER: only arithmetic
+        # filters compare it meaningfully — an id-level cmp/in/regex/bound
+        # over it would silently mix values with dictionary ids
+        misused = [
+            v
+            for v in [f.var, f.rhs_var, *(f.vars_ or ())]
+            if v in arith_aliases
+        ]
+        if misused and f.kind != "arith":
+            raise SparqlSyntaxError(
+                f"only arithmetic filters may reference arithmetic bind "
+                f"alias(es) {misused} (they carry numbers, not ids)"
+            )
     # optional-group filters: group-local forms (all vars bound by the
     # group's own patterns) lower to a pre-join filter; cmp/arith forms may
     # also reference OUTER variables — they become part of the left-join

@@ -33,10 +33,13 @@ from dream_spark.sources.triples import TripleStore, arith_filter_sql, numeric_v
 _PATH_MAX_ITERS = 25
 
 
-#: session-lived cache of computed closures per (store, predicate): the
-#: closure is query-independent and already localCheckpoint-materialized,
-#: so repeated path queries over the same predicate reuse it for free
-_CLOSURE_FRAMES: dict[tuple[int, int], DataFrame] = {}
+def _path_cache(store: TripleStore) -> dict:
+    """Per-STORE cache of derived path artifacts (closures by pid, the
+    node-identity frame).  Living on the store instance — not in a module
+    dict keyed by ``id(store)`` — means entries die WITH the store: a
+    module-level id key could be silently reused by a new store at the
+    same address after GC and serve the wrong dataset's closure."""
+    return store.__dict__.setdefault("_path_frame_cache", {})
 
 
 def _closure_frame(store: TripleStore, pid: int) -> DataFrame:
@@ -50,9 +53,10 @@ def _closure_frame(store: TripleStore, pid: int) -> DataFrame:
     per round (the plan tree would otherwise double every iteration); this
     makes translation eager for path patterns, which is documented and
     bounded by the predicate's (pruned) edge set size."""
-    key = (id(store), pid)
-    if key in _CLOSURE_FRAMES:
-        return _CLOSURE_FRAMES[key]
+    cache = _path_cache(store)
+    key = ("closure", pid)
+    if key in cache:
+        return cache[key]
     e = (
         store.triples.where(F.col("p") == F.lit(pid))
         .select("s", "o")
@@ -73,35 +77,29 @@ def _closure_frame(store: TripleStore, pid: int) -> DataFrame:
             break
         full = full.unionByName(nxt).localCheckpoint()
         frontier = nxt
-    _CLOSURE_FRAMES[key] = full
+    cache[key] = full
     return full
-
-
-#: session-lived cache of each store's materialized node-identity frame
-#: (the zero-length-path relation is query-independent; computing the
-#: corpus-wide distinct once per store mirrors the closure/stats artifacts)
-_NODE_FRAMES: dict[int, DataFrame] = {}
 
 
 def _node_frame(store: TripleStore) -> DataFrame:
     """All graph nodes (distinct subjects ∪ objects) as identity pairs
     (n, n) — the zero-length-path relation of SPARQL ``p*`` / ``p?``.
     One distinct over id columns only (never payloads), materialized via
-    localCheckpoint and cached per store so repeated path queries reuse
-    it; Catalyst prunes it to a point lookup when the pattern's constant
-    ends bind the identity side."""
-    key = id(store)
-    if key not in _NODE_FRAMES:
+    localCheckpoint and cached on the store (:func:`_path_cache`) so
+    repeated path queries reuse it; Catalyst prunes it to a point lookup
+    when the pattern's constant ends bind the identity side."""
+    cache = _path_cache(store)
+    if "nodes" not in cache:
         t = store.triples
         nodes = (
             t.select(F.col("s").alias("n"))
             .unionByName(t.select(F.col("o").alias("n")))
             .distinct()
         )
-        _NODE_FRAMES[key] = nodes.select(
+        cache["nodes"] = nodes.select(
             F.col("n").alias("s"), F.col("n").alias("o")
         ).localCheckpoint()
-    return _NODE_FRAMES[key]
+    return cache["nodes"]
 
 
 def _path_frame(store: TripleStore, pred) -> DataFrame:
@@ -130,7 +128,13 @@ def _path_frame(store: TripleStore, pred) -> DataFrame:
     return base.where(F.col("s") != F.col("o")).unionByName(_node_frame(store))
 
 
-def _apply_filters(plan: DataFrame, filters, store: TripleStore, tag: str = "") -> DataFrame:
+def _apply_filters(
+    plan: DataFrame,
+    filters,
+    store: TripleStore,
+    tag: str = "",
+    numeric_cols: frozenset[str] = frozenset(),
+) -> DataFrame:
     """Lower a list of FILTER clauses onto ``plan``.  Id-level comparisons
     stay on the encoded longs (the dictionary is a bijection, so =/!= on
     ids ≡ on lexicals); regex filters decode just the one column via a
@@ -166,7 +170,19 @@ def _apply_filters(plan: DataFrame, filters, store: TripleStore, tag: str = "") 
             # type-error contract.  Pure row-local expression —
             # whole-stage-codegen, pushdown-eligible, no shuffle.
             plan = plan.where(
-                F.expr(arith_filter_sql(f.var, f.lhs_op, f.lhs_num, f.op, f.rhs_num))
+                F.expr(
+                    arith_filter_sql(
+                        f.var,
+                        f.lhs_op,
+                        f.lhs_num,
+                        f.op,
+                        f.rhs_num,
+                        # an arithmetic BIND alias already holds the plain
+                        # number — wrapping it again would window-test the
+                        # VALUE and NULL every row
+                        wrap=f.var not in numeric_cols,
+                    )
+                )
             )
         elif f.kind == "in":
             # VALUES lowering: an IN literal list on the encoded ids —
@@ -671,7 +687,8 @@ def translate(
     # FILTER clauses: id-level comparisons stay on the encoded longs (the
     # dictionary is a bijection, so =/!= on ids ≡ on lexicals); regex
     # filters decode just the one column via a dict equi-join, then drop it.
-    plan = _apply_filters(plan, query.filters, store)
+    arith_bind_aliases = frozenset(a for k, _, a in query.binds if k == "arith")
+    plan = _apply_filters(plan, query.filters, store, numeric_cols=arith_bind_aliases)
 
     # Aggregate projection: groupBy + count/count-distinct — Catalyst plans
     # partial aggregation, so only #groups rows shuffle.

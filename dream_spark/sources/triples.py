@@ -241,13 +241,21 @@ def numeric_value_sql(col: str) -> str:
 
 
 def arith_filter_sql(
-    ref: str, lhs_op: str | None, lhs_num: int | None, op: str, rhs_num: int
+    ref: str,
+    lhs_op: str | None,
+    lhs_num: int | None,
+    op: str,
+    rhs_num: int,
+    wrap: bool = True,
 ) -> str:
     """One arithmetic FILTER as a shared SQL predicate: ``num(ref) [lhs_op
     lhs_num] op rhs_num`` — the Spark plan applies it via ``F.expr`` and
     the DuckDB oracle embeds the identical string, so the typed-value
-    semantics can never drift between engines."""
-    lhs = numeric_value_sql(ref)
+    semantics can never drift between engines.  ``wrap=False`` skips the
+    id→value CASE for references that ALREADY hold a plain number (an
+    arithmetic BIND alias) — wrapping those would window-test the value
+    itself and silently NULL every row."""
+    lhs = numeric_value_sql(ref) if wrap else f"({ref})"
     if lhs_op is not None:
         lhs = f"({lhs} {lhs_op} {lhs_num})"
     sqlop = "<>" if op == "!=" else op

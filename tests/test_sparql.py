@@ -698,6 +698,48 @@ def test_bind_arith_oracle(engine, duck, qtext):
     assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
 
 
+def test_arith_filter_over_arith_bind_alias(engine, duck):
+    """An arith filter over an arith bind alias compares the VALUE
+    directly — no double id→value wrap (which would NULL every row on
+    both engines, invisible to the oracle cross-check)."""
+    qtext = (
+        "select ?P ?SZ2 where { ?P type Part . ?P size ?SZ ."
+        " bind(?SZ + 100 as ?SZ2) . filter (?SZ2 > 130) }"
+    )
+    q = parse_sparql(qtext)
+    df = engine.sparql(qtext)
+    assert df.count() > 0, "double-wrapped value filter would return empty"
+    assert_oracle_match(df, duck, bgp_to_sql(q))
+    # id-level filter kinds over a numeric alias are rejected loudly
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?P ?SZ2 where { ?P size ?SZ . bind(?SZ + 1 as ?SZ2) ."
+            " filter (?SZ2 != <F>) }"
+        )
+
+
+def test_path_marker_on_object_constant_rejected():
+    """A trailing '?' on a subject/object constant is a misplaced path
+    marker and must fail loudly, not silently strip to the bare term."""
+    for bad in [
+        "select ?s where { ?s inNation <nation:5>? }",
+        "select ?s where { ?s inNation <nation:5>* }",
+        "select ?o where { <customer:1>? placedBy ?o }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+def test_oracle_decode_rejects_arith_bind_alias():
+    with pytest.raises(ValueError):
+        bgp_to_sql(
+            parse_sparql(
+                "select ?P ?SZ2 where { ?P size ?SZ . bind(?SZ + 100 as ?SZ2) }"
+            ),
+            decode=True,
+        )
+
+
 def test_bind_arith_decode_rejected(engine):
     with pytest.raises(ValueError):
         engine.sparql(

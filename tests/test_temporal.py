@@ -62,3 +62,30 @@ def test_funnel_monotone_and_sequential(spark):
     # user views at t10 but the only click is BEFORE it -> stage 2 empty,
     # so stage 3 (purchase after the stage-2 time) is empty too
     assert got == {"view": 1, "click": 0, "purchase": 0}
+
+
+def test_asof_join_ignores_null_right_rows(spark):
+    """Rights with NULL key or NULL timestamp must never match (join
+    semantics) — in the union-sort form they would otherwise sort first
+    and be carried onto every left row."""
+    from dream_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "p1"), (None, "2024-01-01 10:00:00", "p2")],
+        "u int, l_ts string, pid string",
+    ).selectExpr("u", "cast(l_ts as timestamp) l_ts", "pid")
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", "c_ok"),
+            (1, None, "c_null_ts"),
+            (None, "2024-01-01 09:30:00", "c_null_key"),
+        ],
+        "u int, r_ts string, cid string",
+    ).selectExpr("u", "cast(r_ts as timestamp) r_ts", "cid")
+    rows = {
+        r["pid"]: r["cid"]
+        for r in asof_join(
+            left, right, on="u", left_ts="l_ts", right_ts="r_ts", tiebreak="cid"
+        ).collect()
+    }
+    assert rows == {"p1": "c_ok", "p2": None}
