@@ -353,3 +353,87 @@ def test_funnel_matches_reference(spark, rows):
     )
     got = [r["n_users"] for r in funnel(ev).orderBy("stage_idx").collect()]
     assert got == _funnel_reference(rows)
+
+
+# ---------------------------------------------------------------------------
+# Spark: bucketed range join vs exhaustive reference
+# ---------------------------------------------------------------------------
+@given(_left_rows, _right_rows)
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_range_join_matches_reference(spark, left_rows, right_rows):
+    """The bucketed band join must emit EXACTLY the pairs with the same key
+    and lts < rts <= lts + W, each exactly once (bucket membership must
+    neither drop boundary pairs nor double-count)."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.temporal import range_join
+
+    W_US = 60 * 1_000_000  # 60 s window over second-granularity data
+    left = spark.createDataFrame(left_rows, "k long, lsec long").select(
+        "k", F.timestamp_seconds("lsec").alias("lts"), F.col("lsec")
+    )
+    right = spark.createDataFrame(right_rows, "k long, rsec long").select(
+        "k", F.timestamp_seconds("rsec").alias("rts"), F.col("rsec")
+    )
+    got = sorted(
+        (r["k"], r["lsec"], r["rsec"])
+        for r in range_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", window_us=W_US
+        ).collect()
+    )
+    want = sorted(
+        (lk, ls, rs)
+        for lk, ls in left_rows
+        for rk, rs in right_rows
+        if lk == rk and ls < rs <= ls + 60
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# driver-side: streaming session islands vs batch gaps-and-islands
+# ---------------------------------------------------------------------------
+_event_times = st.lists(st.integers(0, 1000), min_size=1, max_size=40)
+
+
+def _batch_islands(times, gap):
+    out = []
+    for t in sorted(times):
+        if out and t - out[-1][1] <= gap:
+            s, _l, n = out[-1]
+            out[-1] = (s, t, n + 1)
+        else:
+            out.append((t, t, 1))
+    return out
+
+
+@given(_event_times, st.integers(1, 50))
+@settings(max_examples=100, deadline=None)
+def test_merge_session_islands_matches_batch(times, gap):
+    """Feeding ALL events as single-event intervals must reproduce the
+    batch gaps-and-islands exactly: closed islands + the open last one."""
+    from dream_spark.streaming.events import merge_session_islands
+
+    closed, open_sess = merge_session_islands([(t, t, 1) for t in times], gap)
+    assert closed + [open_sess] == _batch_islands(times, gap)
+
+
+@given(_event_times, st.integers(1, 50), st.integers(0, 40))
+@settings(max_examples=100, deadline=None)
+def test_merge_session_islands_two_batch_split(times, gap, split):
+    """A time-ordered split of the same events across two micro-batches
+    (second batch arriving with the first batch's open island as state)
+    must emit the SAME island set as a single batch — the guaranteed-exact
+    case of the streaming contract (out-of-order arrivals within the span
+    an island already compressed are the documented approximation)."""
+    from dream_spark.streaming.events import merge_session_islands
+
+    b1 = sorted(times)[: split % (len(times) + 1)]
+    b2 = sorted(times)[split % (len(times) + 1) :]
+    closed1, open1 = merge_session_islands([(t, t, 1) for t in b1], gap)
+    items2 = [(t, t, 1) for t in b2]
+    if open1 is not None:
+        items2.append(open1)
+    closed2, open2 = merge_session_islands(items2, gap)
+    combined = closed1 + closed2 + ([open2] if open2 else [])
+    assert sorted(combined) == _batch_islands(times, gap)
