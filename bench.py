@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_jaccard",
     "simhash_docs",
+    "dedup_simhash",
     "dedup_embedding",
     "dedup_clusters",
     "knn_bruteforce",

@@ -1,0 +1,76 @@
+"""Compare two bench JSON outputs per query and flag regressions.
+
+Usage: python scripts/bench_compare.py NEW.json [OLD.json] [--threshold 1.3]
+
+NEW defaults to BENCH_LAST.json (written by bench.py alongside stdout);
+OLD defaults to the newest BENCH_r*.json with a parsable per-query map
+(the driver's stdout capture truncates long tails, so the "tail" field is
+regex-scavenged when "parsed" is null).  Exit code 1 when any query shared
+by both runs regressed beyond the threshold — the machine-checkable
+regression gate VERDICT r3 asked for.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_queries(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    # bench.py output: {"queries": {...}}; driver BENCH_r*.json: {"parsed":
+    # {...}} or a truncated "tail" string to scavenge
+    for key in ("queries", "parsed"):
+        node = doc.get(key)
+        if isinstance(node, dict):
+            q = node.get("queries", node)
+            if isinstance(q, dict) and q:
+                return {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
+    tail = doc.get("tail")
+    if isinstance(tail, str):
+        return {k: float(v) for k, v in re.findall(r'"(\w+)": ([0-9.]+)', tail)}
+    raise SystemExit(f"no per-query map found in {path}")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.3
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1]) if "=" in a else float(sys.argv[sys.argv.index(a) + 1])
+    new_path = args[0] if args else os.path.join(REPO, "BENCH_LAST.json")
+    if len(args) > 1:
+        old_path = args[1]
+    else:
+        cands = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), reverse=True)
+        old_path = next((c for c in cands if load_queries(c)), None)
+        if old_path is None:
+            raise SystemExit("no BENCH_r*.json with per-query timings found")
+    new, old = load_queries(new_path), load_queries(old_path)
+    shared = sorted(set(new) & set(old))
+    print(f"new={os.path.basename(new_path)} ({len(new)} queries)  "
+          f"old={os.path.basename(old_path)} ({len(old)} queries)  shared={len(shared)}")
+    print(f"sum over shared: {sum(old[k] for k in shared):.1f}s -> {sum(new[k] for k in shared):.1f}s")
+    regressed = []
+    for k in sorted(shared, key=lambda k: new[k] / old[k], reverse=True):
+        ratio = new[k] / old[k]
+        if ratio > thr and new[k] - old[k] > 0.15:  # ignore sub-noise absolutes
+            regressed.append(k)
+            print(f"  REGRESSED {k}: {old[k]:.2f}s -> {new[k]:.2f}s ({ratio:.2f}x)")
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        print(f"new-only queries ({len(only_new)}): " + ", ".join(only_new))
+    if regressed:
+        sys.exit(1)
+    print("no per-query regression beyond "
+          f"{thr}x (+0.15s absolute floor)")
+
+
+if __name__ == "__main__":
+    main()
