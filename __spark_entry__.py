@@ -215,6 +215,12 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
     ),
     # DESCRIBE superset: every triple touching a constant term
     "sparql_describe": ("describe <customer:1>", False),
+    # DESCRIBE ?v WHERE { … }: the graph around every DISTINCT matched
+    # term — two equi semi joins + distinct, never an OR-predicate join
+    "sparql_describe_where": (
+        "describe ?N where { ?N type Nation . ?N inRegion <region:1> }",
+        False,
+    ),
     # FILTER ordering comparison on the order-preserving id scheme
     "sparql_filter_range": (
         "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
@@ -414,6 +420,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # MINUS/NOT-EXISTS negation re-expressed via OPTIONAL+!bound),
 # sparql_optional_filtered (group-local LeftJoin-condition FILTER),
 # sparql_bind_arith (typed-value arithmetic BIND),
+# sparql_describe_where (pattern-driven DESCRIBE),
 # sketch_quantiles_sampled (sketch_quantiles' sampled variant),
 # pipeline_sample, pipeline_bigrams.
 PRIORITY_ORDER = [

@@ -106,6 +106,7 @@ HEADLINE = [
     "sparql_not_bound",
     "sparql_optional_filtered",
     "sparql_bind_arith",
+    "sparql_describe_where",
     "sparql_bind",
     "sparql_neg_pred",
     "dedup_exact_docs",

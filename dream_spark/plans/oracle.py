@@ -491,6 +491,22 @@ def bgp_to_sql(
             f"WITH triples AS ({TRIPLES_SQL})\n"
             f"SELECT s, p, o FROM triples WHERE s = {tid} OR o = {tid}"
         )
+    if query.describe_var is not None:
+        # DESCRIBE ?v WHERE { … }: semi-filter the triples by the body's
+        # DISTINCT matched term set through either slot (mirrors the
+        # translator's two-semi-join union + distinct)
+        body = bgp_to_sql(
+            dataclasses.replace(query, describe_var=None),
+            decode=False,
+            resolver=resolver,
+        )
+        v = query.describe_var
+        return (
+            f"WITH triples AS ({TRIPLES_SQL}),\n"
+            f"__dterms AS (SELECT DISTINCT {v} AS term FROM ({body}) __db)\n"
+            f"SELECT DISTINCT s, p, o FROM triples\n"
+            f"WHERE s IN (SELECT term FROM __dterms) OR o IN (SELECT term FROM __dterms)"
+        )
     if query.ask:
         inner = bgp_to_sql(
             dataclasses.replace(query, ask=False), decode=False, resolver=resolver

@@ -276,6 +276,10 @@ class ParsedQuery:
     # DESCRIBE form: a constant term — emit every triple with it as
     # subject or object
     describe_term: str | None = None
+    # DESCRIBE ?v WHERE { … } form: the body is this query's own
+    # conditions/filters with ``projection == [describe_var]``; the result
+    # is every triple touching any DISTINCT matched term
+    describe_var: str | None = None
     text: str = field(default="", repr=False)
 
     def all_variables(self) -> list[str]:
@@ -320,6 +324,13 @@ def parse_sparql(text: str) -> ParsedQuery:
     if re.match(r"(?is)^\s*ask\s*(?:where\s*)?\{", src):
         inner = re.sub(r"(?is)^\s*ask\s*(?:where\s*)?\{", "select * where {", src, count=1)
         return replace(parse_sparql(inner), ask=True, text=src)
+    # DESCRIBE ?v WHERE { … }: every triple touching any DISTINCT term the
+    # body binds to ?v (the body reuses the full select grammar)
+    mdv = re.match(r"(?is)^\s*describe\s+(\?\w+)\s+where\s*\{(.*)\}\s*$", src, re.DOTALL)
+    if mdv:
+        var = mdv.group(1)[1:]
+        body_q = parse_sparql(f"select {mdv.group(1)} where {{{mdv.group(2)}}}")
+        return replace(body_q, describe_var=var, text=src)
     # DESCRIBE <constant>: every triple touching the term
     md = re.match(r"(?is)^\s*describe\s+(<[^>]*>|[^\s?]+)\s*$", src)
     if md:

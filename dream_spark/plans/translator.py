@@ -468,14 +468,36 @@ def translate(
 ) -> DataFrame:
     """Compile a parsed BGP to a DataFrame plan (bag semantics, like the
     reference — SURVEY.md §2.3; ``distinct`` only when the query asks)."""
-    if query.describe_term is not None:
-        # DESCRIBE → every triple with the term as subject or object: one
-        # filtered scan of the open store (an OR predicate — both branches
-        # prune via the cache's batch stats / parquet min-max).
-        tid = store.resolve(query.describe_term)
-        plan = store.triples.where((F.col("s") == tid) | (F.col("o") == tid)).select(
-            "s", "p", "o"
-        )
+    if query.describe_term is not None or query.describe_var is not None:
+        if query.describe_term is not None:
+            # DESCRIBE <const> → every triple with the term as subject or
+            # object: one filtered scan of the open store (an OR predicate
+            # — both branches prune via parquet min-max).
+            tid = store.resolve(query.describe_term)
+            plan = store.triples.where((F.col("s") == tid) | (F.col("o") == tid)).select(
+                "s", "p", "o"
+            )
+        else:
+            # DESCRIBE ?v WHERE { … } → the DISTINCT matched terms, then
+            # every triple touching any of them.  TWO equi semi joins
+            # unioned + distinct, NOT one OR-predicate join: an OR defeats
+            # hash joins (nested-loop at scale), while each semi join here
+            # hash/broadcasts the (small, distinct) term set; the distinct
+            # dedups triples matched through both slots.
+            import dataclasses
+
+            body = dataclasses.replace(
+                query, describe_var=None, text=query.text
+            )
+            terms = (
+                translate(store, body, stats, decode=False)
+                .select(F.col(query.describe_var).alias("__dterm"))
+                .distinct()
+            )
+            t = store.triples
+            sem_s = t.join(terms, F.col("s") == F.col("__dterm"), "left_semi")
+            sem_o = t.join(terms, F.col("o") == F.col("__dterm"), "left_semi")
+            plan = sem_s.unionByName(sem_o).select("s", "p", "o").distinct()
         if decode:
             for slot in ("s", "p", "o"):
                 lex = store.dictionary.select(

@@ -673,6 +673,20 @@ def test_not_bound_equals_minus(engine):
     assert sorted(r["C"] for r in a.collect()) == sorted(r["C"] for r in b.collect())
 
 
+def test_describe_where_oracle(engine, duck):
+    qtext = "describe ?N where { ?N type Nation . ?N inRegion <region:1> }"
+    q = parse_sparql(qtext)
+    assert q.describe_var == "N" and q.projection == ["N"]
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+    # the described set is a GRAPH (set semantics): no duplicate triples
+    # even for terms reachable through both slots
+    df = engine.sparql(qtext)
+    assert df.count() == df.distinct().count()
+    # body grammar composes (filters etc.)
+    qtext2 = "describe ?C where { ?C type Customer . filter (?C < <customer:5>) }"
+    assert_oracle_match(engine.sparql(qtext2), duck, bgp_to_sql(parse_sparql(qtext2)))
+
+
 def test_parse_bind_arith():
     q = parse_sparql(
         "select ?P ?SZ ?SZ2 where { ?P size ?SZ . bind(?SZ + 100 as ?SZ2) }"
