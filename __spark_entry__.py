@@ -421,6 +421,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # sparql_optional_filtered (group-local LeftJoin-condition FILTER),
 # sparql_bind_arith (typed-value arithmetic BIND),
 # sparql_describe_where (pattern-driven DESCRIBE),
+# sketch_kmv_hourly (windowed KMV, the stream sketch's batch twin),
 # sketch_quantiles_sampled (sketch_quantiles' sampled variant),
 # pipeline_sample, pipeline_bigrams.
 PRIORITY_ORDER = [

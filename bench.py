@@ -74,6 +74,7 @@ HEADLINE = [
     "pipeline_vocab",
     "pipeline_oov",
     "sketch_kmv_users",
+    "sketch_kmv_hourly",
     "sketch_kmv_by_type",
     "sketch_quantiles",
     "sketch_quantiles_sampled",

@@ -106,6 +106,87 @@ FROM agg
 """.strip()
 
 
+#: tumbling window for the per-window KMV (hour, microseconds)
+KMV_WINDOW_US = 3_600_000_000
+
+
+def _window_bucket(us, width: int):
+    """Exact integer floor-division window bucket (pmod-subtract keeps the
+    double division exact for |us| < 2^53 and floors negatives)."""
+    return ((us - F.pmod(us, F.lit(width))) / F.lit(width)).cast("long")
+
+
+def kmv_distinct_by_window(
+    df: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    k: int = KMV_K,
+    window_us: int = KMV_WINDOW_US,
+) -> DataFrame:
+    """Per-tumbling-window KMV distinct-count estimates for ANY DataFrame
+    with an integer column and a timestamp: (hour_bucket, k, n_kept,
+    kth_min, est_distinct) — the batch twin of the bounded-state
+    streaming sketch (streaming/events.kmv_stream; identical hash, so the
+    closed stream windows equal these rows exactly).
+
+    Scale shape: distinct (bucket, hash) pairs partially aggregate before
+    the shuffle; the per-bucket rank touches at most the distinct hashes
+    of one window, and only k of them survive to the final aggregate."""
+    from dream_spark.functions.timeutils import epoch_micros
+
+    us = epoch_micros(df, ts_col)
+    hv = (
+        df.select(
+            _window_bucket(us, window_us).alias("hour_bucket"),
+            F.expr(_nn_hash_sql(col, _KMV_FN)).alias("hv"),
+        )
+        .where(F.col("hv").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("hour_bucket").orderBy("hv")
+    kept = hv.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    agg = kept.groupBy("hour_bucket").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth_min")
+    )
+    return agg.select(
+        F.col("hour_bucket").cast("bigint").alias("hour_bucket"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("kth_min").cast("bigint").alias("kth_min"),
+        _kmv_est(k).cast("bigint").alias("est_distinct"),
+    )
+
+
+def sketch_kmv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: hourly KMV distinct-user estimates."""
+    return kmv_distinct_by_window(load_table(spark, sf_dir, "events"), "user_id")
+
+
+SKETCH_KMV_HOURLY_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT
+         CAST((epoch_us(ts) - ((epoch_us(ts) % {KMV_WINDOW_US}) + {KMV_WINDOW_US}) % {KMV_WINDOW_US}) / {KMV_WINDOW_US} AS BIGINT) AS hour_bucket,
+         {_nn_hash_sql("user_id", _KMV_FN)} AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+kept AS (
+  SELECT hour_bucket, hv,
+         ROW_NUMBER() OVER (PARTITION BY hour_bucket ORDER BY hv) AS rn
+  FROM h
+),
+agg AS (
+  SELECT hour_bucket, COUNT(*) AS n_kept, MAX(hv) AS kth_min
+  FROM kept WHERE rn <= {KMV_K} GROUP BY hour_bucket
+)
+SELECT CAST(hour_bucket AS BIGINT) AS hour_bucket,
+       CAST({KMV_K} AS BIGINT) AS k,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(kth_min AS BIGINT) AS kth_min,
+       {_kmv_est_sql(KMV_K)} AS est_distinct
+FROM agg
+""".strip()
+
+
 def grouped_quantiles(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:
@@ -399,6 +480,7 @@ SKETCH_CMS_SQL = _cms_sql()
 
 QUERIES = {
     "sketch_kmv_users": sketch_kmv_users,
+    "sketch_kmv_hourly": sketch_kmv_hourly,
     "sketch_quantiles": sketch_quantiles,
     "sketch_quantiles_sampled": sketch_quantiles_sampled,
     "sketch_cms_users": sketch_cms_users,
@@ -407,6 +489,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_kmv_users": SKETCH_KMV_SQL,
+    "sketch_kmv_hourly": SKETCH_KMV_HOURLY_SQL,
     "sketch_quantiles": SKETCH_QUANTILES_SQL,
     "sketch_quantiles_sampled": SKETCH_QUANTILES_SAMPLED_SQL,
     "sketch_cms_users": SKETCH_CMS_SQL,

@@ -397,6 +397,91 @@ def cms_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 ho
     )
 
 
+_KMV_STATE_SCHEMA = T.StructType([T.StructField("hashes", T.ArrayType(T.LongType()))])
+
+KMV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("hour_bucket", T.LongType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("n_kept", T.LongType()),
+        T.StructField("kth_min", T.LongType()),
+        T.StructField("est_distinct", T.LongType()),
+    ]
+)
+
+
+def kmv_stream(
+    events: DataFrame,
+    window_min: int = 60,
+    k: int | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed KMV distinct-count sketch over the stream: per tumbling
+    window, the k smallest distinct universal hashes of ``user_id``
+    (bounded ORDER-STATISTIC state: ≤ k longs per open window, however
+    many distinct users flow through — the bounded-state form of windowed
+    COUNT DISTINCT).  Windows close on EVENT-time timeout when the
+    watermark passes the window end; a closed window's row is EXACTLY the
+    batch twin's (operators/sketch.kmv_distinct_by_window — same hash
+    constants, same estimator), so merged deployments can union batch and
+    stream sketches freely."""
+    from dream_spark.functions.hashing import MERSENNE_P, hash_params
+    from dream_spark.operators.sketch import _KMV_FN, KMV_K
+
+    if k is None:
+        k = KMV_K
+    A, B = hash_params(_KMV_FN)
+    win_us = window_min * 60 * 1_000_000
+
+    ev = events.where(F.col("user_id").isNotNull())
+    us = epoch_micros(ev, "ts")
+    wb = ((us - F.pmod(us, F.lit(win_us))) / F.lit(win_us)).cast("long")
+    keyed = ev.select(F.col("ts"), wb.alias("hour_bucket"), F.col("user_id"))
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        if state.hasTimedOut:
+            (hashes,) = state.get
+            hs = sorted(int(h) for h in hashes)
+            n = len(hs)
+            kth = hs[-1] if hs else None
+            est = n if n < k else (k - 1) * MERSENNE_P // kth
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "hour_bucket": [bucket],
+                    "k": [k],
+                    "n_kept": [n],
+                    "kth_min": [kth],
+                    "est_distinct": [est],
+                }
+            )
+            return
+        cur: set[int] = set()
+        if state.exists:
+            (hashes,) = state.get
+            cur = {int(h) for h in hashes}
+        for pdf in pdfs:
+            x = pdf["user_id"].to_numpy().astype("int64")
+            # the exact batch hash: (A·x + B) mod P mapped into [0, P)
+            h = ((A * x + B) % MERSENNE_P + MERSENNE_P) % MERSENNE_P
+            cur.update(int(v) for v in h)
+        kept = sorted(cur)[:k]
+        state.update((kept,))
+        end_ms = ((int(bucket) + 1) * win_us) // 1000 + 1
+        state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
+
+    return keyed.withWatermark("ts", watermark).groupBy("hour_bucket").applyInPandasWithState(
+        fn,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 #: tumbling funnel window (minutes); hour-aligned so the batch twin's
 #: date_trunc('hour') produces identical window starts
 FUNNEL_WINDOW_MIN = 60

@@ -282,3 +282,35 @@ def test_merge_session_islands_late_split():
     assert closed == [(100, 150, 2)]
     assert open_sess == (400, 400, 1)
     assert SE.merge_session_islands([], gap) == ([], None)
+
+
+@pytest.mark.slow
+def test_kmv_stream_matches_batch_windows(spark):
+    """Closed stream windows must equal the batch per-window KMV rows
+    EXACTLY (same hash constants, same estimator) — the merge contract
+    between the bounded-state stream sketch and its batch twin."""
+    from dream_spark.operators.sketch import kmv_distinct_by_window
+    from dream_spark.sources.tables import load_table
+
+    stream = SE.kmv_stream(SE.read_events_stream(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kmv_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["hour_bucket"]: (r["k"], r["n_kept"], r["kth_min"], r["est_distinct"])
+        for r in spark.sql("select * from kmv_sink").collect()
+    }
+    batch = {
+        r["hour_bucket"]: (r["k"], r["n_kept"], r["kth_min"], r["est_distinct"])
+        for r in kmv_distinct_by_window(
+            load_table(spark, SF_DIR, "events"), "user_id"
+        ).collect()
+    }
+    assert got, "stream emitted no closed windows"
+    mismatched = {b for b, v in got.items() if batch.get(b) != v}
+    assert not mismatched, sorted(mismatched)[:5]
