@@ -422,6 +422,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # sparql_bind_arith (typed-value arithmetic BIND),
 # sparql_describe_where (pattern-driven DESCRIBE),
 # sketch_kmv_hourly (windowed KMV, the stream sketch's batch twin),
+# pipeline_profile (single-pass per-column data profile),
 # sketch_quantiles_sampled (sketch_quantiles' sampled variant),
 # pipeline_sample, pipeline_bigrams.
 PRIORITY_ORDER = [

@@ -73,6 +73,7 @@ HEADLINE = [
     "pipeline_repetition",
     "pipeline_vocab",
     "pipeline_oov",
+    "pipeline_profile",
     "sketch_kmv_users",
     "sketch_kmv_hourly",
     "sketch_kmv_by_type",

@@ -748,8 +748,67 @@ GROUP BY doc_id
 """.strip()
 
 
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column data profile for ANY DataFrame — the ingest health check
+    every pipeline runs before training on a new dump: (col_name, n_rows,
+    n_nulls, n_distinct, min_str, max_str), one row per column.
+
+    min/max compare the STRING form (binary collation on both engines) —
+    deliberately: a single engine-agnostic ordering for every type beats a
+    per-type ordering the oracle could disagree on (so '10' < '9' for
+    numeric columns; the profile is a drift detector, not an aggregate).
+
+    Scale shape: ONE aggregation pass (Catalyst plans the multi-distinct
+    via expand — #cols passes over the scan, partial aggregation before
+    the shuffle, only one row moves), then a cols-sized stack unpivot."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"__nulls_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+        ]
+    a = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return a.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct, min_str, max_str)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+def pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: profile of the documents table."""
+    return profile(load_table(spark, sf_dir, "documents"))
+
+
+def _profile_sql(table: str, cols: list[str]) -> str:
+    parts = [
+        f"SELECT '{c}' AS col_name,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+        f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" MIN(CAST({c} AS VARCHAR)) AS min_str,"
+        f" MAX(CAST({c} AS VARCHAR)) AS max_str"
+        f" FROM {table}"
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+PIPELINE_PROFILE_SQL = _profile_sql(
+    "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+)
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
+    "pipeline_profile": pipeline_profile,
     "pipeline_sample": pipeline_sample,
     "pipeline_tfidf": pipeline_tfidf,
     "pipeline_bigrams": pipeline_bigrams,
@@ -765,6 +824,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_split": PIPELINE_SPLIT_SQL,
+    "pipeline_profile": PIPELINE_PROFILE_SQL,
     "pipeline_sample": PIPELINE_SAMPLE_SQL,
     "pipeline_tfidf": PIPELINE_TFIDF_SQL,
     "pipeline_bigrams": PIPELINE_BIGRAMS_SQL,

@@ -233,3 +233,20 @@ def test_vocab_window_touches_only_k_rows(spark):
     assert "TakeOrderedAndProject" in plan
     # the window consumes the take's k-row output (appears above it)
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_profile_generic_frame(spark):
+    """profile() on an arbitrary frame: exact row/null/distinct counts and
+    string-form min/max per column."""
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, None, 9.5), (3, "b", None)],
+        "id long, s string, v double",
+    )
+    rows = {r["col_name"]: r for r in P.profile(df).collect()}
+    assert set(rows) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert (rows["id"]["n_nulls"], rows["id"]["n_distinct"]) == (0, 3)
+    assert (rows["s"]["n_nulls"], rows["s"]["n_distinct"]) == (1, 2)
+    assert (rows["v"]["n_nulls"], rows["v"]["n_distinct"]) == (2, 2)
+    assert rows["id"]["min_str"] == "1" and rows["id"]["max_str"] == "3"
+    assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
