@@ -398,17 +398,22 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
     for a in query.aggregates:
         if a.fn in ("min", "max"):
             agg_sel.append(f"{a.fn.upper()}(q.{a.var}) AS {a.alias}")
-        elif a.fn == "sum":
-            # CAST: DuckDB SUM(BIGINT) widens to HUGEINT; Spark stays long
-            agg_sel.append(
-                f"CAST(SUM({numeric_value_sql(f'q.{a.var}')}) AS BIGINT) AS {a.alias}"
-            )
-        elif a.fn == "avg":
-            val = numeric_value_sql(f"q.{a.var}")
-            agg_sel.append(
-                f"(CASE WHEN COUNT({val}) > 0 THEN"
-                f" CAST(SUM({val}) AS DOUBLE) / COUNT({val}) END) AS {a.alias}"
-            )
+        elif a.fn in ("sum", "avg"):
+            # an arithmetic BIND alias already holds the plain number —
+            # skip the id→value wrap, mirroring the translator
+            arith_aliases = {al for k, _, al in query.binds if k == "arith"}
+            if a.var in arith_aliases:
+                val = f"q.{a.var}"
+            else:
+                val = numeric_value_sql(f"q.{a.var}")
+            if a.fn == "sum":
+                # CAST: DuckDB SUM(BIGINT) widens to HUGEINT; Spark stays long
+                agg_sel.append(f"CAST(SUM({val}) AS BIGINT) AS {a.alias}")
+            else:
+                agg_sel.append(
+                    f"(CASE WHEN COUNT({val}) > 0 THEN"
+                    f" CAST(SUM({val}) AS DOUBLE) / COUNT({val}) END) AS {a.alias}"
+                )
         elif a.fn == "sample":
             # deterministic SAMPLE = MIN (plans/sparql.py contract)
             agg_sel.append(f"MIN(q.{a.var}) AS {a.alias}")

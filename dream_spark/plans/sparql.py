@@ -844,6 +844,11 @@ def _parse_patterns_from(text_: str, start: int) -> list[Condition]:
                     "variable names starting with '__seq' are reserved for "
                     "sequence-path rewriting"
                 )
+            # a variable token must be ?\w+ exactly: '?N?' (a typo'd path
+            # marker on a variable) would otherwise silently parse as a
+            # DISTINCT variable named 'N?' that never joins with ?N
+            if t.startswith("?") and not re.fullmatch(r"\?\w+", t):
+                raise SparqlSyntaxError(f"malformed variable token: {t!r}")
         p = terms[1]
         if p.startswith("!"):
             # NegatedPropertySet — validated standalone; never a sequence
@@ -1026,6 +1031,15 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
                 f"only arithmetic filters may reference arithmetic bind "
                 f"alias(es) {misused} (they carry numbers, not ids)"
             )
+    # group_concat decodes its variable through the dictionary — an
+    # arithmetic bind alias is a plain number with no dictionary entry
+    # (sum/avg/min/max/sample/count over aliases aggregate the VALUE and
+    # are supported)
+    bad_gc = [a.alias for a in q.aggregates if a.fn == "group_concat" and a.var in arith_aliases]
+    if bad_gc:
+        raise SparqlSyntaxError(
+            f"group_concat over arithmetic bind alias(es) is not supported: {bad_gc}"
+        )
     # optional-group filters: group-local forms (all vars bound by the
     # group's own patterns) lower to a pre-join filter; cmp/arith forms may
     # also reference OUTER variables — they become part of the left-join

@@ -489,10 +489,14 @@ def translate(
             body = dataclasses.replace(
                 query, describe_var=None, text=query.text
             )
+            # localCheckpoint: BOTH semi joins consume this frame and Spark
+            # has no automatic subtree reuse across join branches — without
+            # materialization the arbitrarily expensive body runs twice
             terms = (
                 translate(store, body, stats, decode=False)
                 .select(F.col(query.describe_var).alias("__dterm"))
                 .distinct()
+                .localCheckpoint()
             )
             t = store.triples
             sem_s = t.join(terms, F.col("s") == F.col("__dterm"), "left_semi")
@@ -735,8 +739,14 @@ def translate(
                 # (non-numeric → NULL, skipped by both engines).  avg is
                 # pinned to exact-int sum ÷ exact-int count in DOUBLE so
                 # Spark and DuckDB divide identical operands (a native AVG
-                # could accumulate differently in the last ulp)
-                val = F.expr(numeric_value_sql(a.var))
+                # could accumulate differently in the last ulp).  An
+                # arithmetic BIND alias ALREADY holds the plain number —
+                # wrapping it again would window-test the value and NULL
+                # every row (identically on both engines, oracle-blind)
+                if a.var in arith_bind_aliases:
+                    val = F.col(a.var)
+                else:
+                    val = F.expr(numeric_value_sql(a.var))
                 if a.fn == "sum":
                     return F.sum(val).alias(a.alias)
                 return (

@@ -426,7 +426,7 @@ def kmv_stream(
     constants, same estimator), so merged deployments can union batch and
     stream sketches freely."""
     from dream_spark.functions.hashing import MERSENNE_P, hash_params
-    from dream_spark.operators.sketch import _KMV_FN, KMV_K
+    from dream_spark.operators.sketch import _KMV_FN, KMV_K, _window_bucket
 
     if k is None:
         k = KMV_K
@@ -435,8 +435,11 @@ def kmv_stream(
 
     ev = events.where(F.col("user_id").isNotNull())
     us = epoch_micros(ev, "ts")
-    wb = ((us - F.pmod(us, F.lit(win_us))) / F.lit(win_us)).cast("long")
-    keyed = ev.select(F.col("ts"), wb.alias("hour_bucket"), F.col("user_id"))
+    # the batch twin's bucket expression — ONE definition, so closed
+    # stream windows land in exactly the batch rows' buckets
+    keyed = ev.select(
+        F.col("ts"), _window_bucket(us, win_us).alias("hour_bucket"), F.col("user_id")
+    )
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -22,6 +22,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load_queries(path: str) -> dict[str, float]:
+    """Per-query timing map of one bench JSON, or {} when the file holds
+    none (a crashed round's record) — callers decide whether that is
+    fatal (an explicitly named file) or skippable (the fallback scan)."""
     with open(path) as f:
         doc = json.load(f)
     # bench.py output: {"queries": {...}}; driver BENCH_r*.json: {"parsed":
@@ -35,24 +38,44 @@ def load_queries(path: str) -> dict[str, float]:
     tail = doc.get("tail")
     if isinstance(tail, str):
         return {k: float(v) for k, v in re.findall(r'"(\w+)": ([0-9.]+)', tail)}
-    raise SystemExit(f"no per-query map found in {path}")
+    return {}
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # --threshold accepts both '--threshold 1.5' and '--threshold=1.5';
+    # the consumed value must NOT leak into the positional file args
     thr = 1.3
-    for a in sys.argv[1:]:
+    argv = list(sys.argv[1:])
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else float(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                thr = float(argv[i])
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown option {a!r}")
+        else:
+            args.append(a)
+        i += 1
     new_path = args[0] if args else os.path.join(REPO, "BENCH_LAST.json")
     if len(args) > 1:
         old_path = args[1]
     else:
+        # newest-first scan SKIPS unparsable records (a crashed round's
+        # {"rc":1, "parsed":null} file) instead of aborting on them
         cands = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), reverse=True)
         old_path = next((c for c in cands if load_queries(c)), None)
         if old_path is None:
             raise SystemExit("no BENCH_r*.json with per-query timings found")
     new, old = load_queries(new_path), load_queries(old_path)
+    if not new:
+        raise SystemExit(f"no per-query map found in {new_path}")
+    if not old:
+        raise SystemExit(f"no per-query map found in {old_path}")
     shared = sorted(set(new) & set(old))
     print(f"new={os.path.basename(new_path)} ({len(new)} queries)  "
           f"old={os.path.basename(old_path)} ({len(old)} queries)  shared={len(shared)}")

@@ -712,6 +712,37 @@ def test_bind_arith_oracle(engine, duck, qtext):
     assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
 
 
+def test_aggregates_over_arith_bind_alias(engine, duck):
+    """SUM/MIN/MAX over an arithmetic bind alias aggregate the VALUE (no
+    double id→value wrap, which NULL'd every row on both engines);
+    group_concat over one is rejected (numbers have no dictionary entry)."""
+    qtext = (
+        "select (sum(?SZ2) as ?S) (count(?SZ2) as ?CNT)"
+        " where { ?P type Part . ?P size ?SZ . bind(?SZ + 100 as ?SZ2) }"
+    )
+    df = engine.sparql(qtext)
+    row = df.collect()[0]
+    assert row["S"] is not None and row["S"] > 100 * row["CNT"]
+    assert_oracle_match(df, duck, bgp_to_sql(parse_sparql(qtext)))
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?P (group_concat(?SZ2) as ?G) where { ?P size ?SZ ."
+            " bind(?SZ + 1 as ?SZ2) } group by ?P"
+        )
+
+
+def test_malformed_variable_token_rejected():
+    """'?N?' (a typo'd path marker on a variable) must fail loudly, not
+    silently become a distinct variable named 'N?'."""
+    for bad in [
+        "select ?s where { ?s inNation ?N? }",
+        "select ?s where { ?s ?p? ?o }",
+        "select ?s where { ?s? inNation ?N }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
 def test_arith_filter_over_arith_bind_alias(engine, duck):
     """An arith filter over an arith bind alias compares the VALUE
     directly — no double id→value wrap (which would NULL every row on
