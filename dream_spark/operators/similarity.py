@@ -278,6 +278,7 @@ def knn_ivf_topk(
     nprobe: int = IVF_NPROBE,
     corpus_count: int | None = None,
     corpus_quantized: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k for ANY pair of ``(vec_id, embedding)`` DataFrames:
     corpus vectors live in their nearest-centroid cell (an inverted file,
@@ -286,7 +287,7 @@ def knn_ivf_topk(
     tradeoff."""
     qc = corpus_quantized if corpus_quantized is not None else quantize(corpus)
     qq = quantize(queries)
-    cents = _ivf_centroids(qc, n_cells)
+    cents = centroids if centroids is not None else _ivf_centroids(qc, n_cells)
     corpus_cells = _ivf_assign(qc, cents, 1).select(F.col("vec_id").alias("neighbor_id"), "cell")
     query_cells = _ivf_assign(qq, cents, nprobe).select(F.col("vec_id").alias("query_id"), "cell")
     cand = (
@@ -302,6 +303,35 @@ def knn_ivf_topk(
         broadcast_if_small(qb, known_count=corpus_count), on="neighbor_id"
     )
     return _topk(_scored(pairs), k)
+
+
+def save_vector_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the ANN index artifacts to parquet — the build-once
+    deployment step the session-shared artifacts stand in for: the
+    quantized corpus (vec_id, qe, nrm), the LSH bucket table written
+    PARTITIONED BY hash table so a probe prunes to its table directories,
+    and the trained IVF centroids.  ``load_vector_index`` + the
+    ``corpus_quantized``/``corpus_buckets``/``centroids`` parameters turn
+    serving into pure joins against these tables — no kernel re-runs, the
+    FAISS-style train/serve split as actual storage."""
+    qc = shared_quantized(spark, sf_dir)
+    qc.write.mode("overwrite").parquet(f"{path}/quantized")
+    shared_buckets(spark, sf_dir).write.mode("overwrite").partitionBy("tbl").parquet(
+        f"{path}/buckets"
+    )
+    _ivf_centroids(qc, IVF_K).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_vector_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(quantized, buckets, centroids) read back from
+    :func:`save_vector_index`'s layout."""
+    return (
+        spark.read.parquet(f"{path}/quantized"),
+        spark.read.parquet(f"{path}/buckets"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
 
 
 def warm_ivf_index(spark: SparkSession, sf_dir: str) -> None:

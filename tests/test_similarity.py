@@ -88,3 +88,48 @@ def test_ivf_kmeans_trains_and_memoizes(spark):
     got = {r["cell"]: list(r["ce"]) for r in trained.collect()}
     assert any(got[c] != seed[c] for c in got), "k-means did not move any centroid"
     assert _ivf_centroids(qc, IVF_K) is trained  # memo hit
+
+
+def test_vector_index_save_load_roundtrip(spark, tmp_path):
+    """Serving from the persisted index must return byte-identical results
+    to serving from the freshly built session artifacts — the train/serve
+    split as actual storage."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.similarity import (
+        N_QUERIES,
+        knn_ivf_topk,
+        knn_lsh_topk,
+        load_vector_index,
+        save_vector_index,
+    )
+    from dream_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "vidx")
+    save_vector_index(spark, SF_DIR, path)
+    ql, bl, cl = load_vector_index(spark, path)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+
+    fresh_lsh = sorted(map(tuple, knn_lsh_topk(emb, queries).collect()))
+    loaded_lsh = sorted(
+        map(
+            tuple,
+            knn_lsh_topk(
+                emb, queries, corpus_quantized=ql, corpus_buckets=bl
+            ).collect(),
+        )
+    )
+    assert loaded_lsh == fresh_lsh
+
+    fresh_ivf = sorted(map(tuple, knn_ivf_topk(emb, queries).collect()))
+    loaded_ivf = sorted(
+        map(
+            tuple,
+            knn_ivf_topk(
+                emb, queries, corpus_quantized=ql, centroids=cl
+            ).collect(),
+        )
+    )
+    assert loaded_ivf == fresh_ivf
