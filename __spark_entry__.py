@@ -423,6 +423,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # sparql_describe_where (pattern-driven DESCRIBE),
 # sketch_kmv_hourly (windowed KMV, the stream sketch's batch twin),
 # pipeline_profile (single-pass per-column data profile),
+# rel_window_delta (LAG/LEAD offset windows),
 # sketch_quantiles_sampled (sketch_quantiles' sampled variant),
 # pipeline_sample, pipeline_bigrams.
 PRIORITY_ORDER = [

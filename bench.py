@@ -52,6 +52,7 @@ HEADLINE = [
     "rel_intersect",
     "rel_except",
     "rel_window_top3",
+    "rel_window_delta",
     "rel_events_hourly",
     "rel_events_rollup",
     "temporal_asof",

@@ -211,6 +211,38 @@ FROM orders
 """.strip()
 
 
+def window_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions (LAG/LEAD): per customer, each order's
+    price delta vs the PREVIOUS order and days until the NEXT order — the
+    sequential-comparison window shape (rank and running-frame windows are
+    covered by their own queries; offset access is a distinct executor
+    path).  Deterministic ordering via the (date, key) composite; deltas
+    in exact DECIMAL before the final double cast; day difference as
+    integer date arithmetic, identical on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    price = _dec("o_totalprice", _PRICE)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (price - F.lag(price, 1).over(w)).cast("double").alias("price_delta"),
+        F.datediff(F.lead(F.col("o_orderdate"), 1).over(w), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_next"),
+    )
+
+
+WINDOW_DELTA_SQL = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(CAST(o_totalprice AS {_PRICE})
+            - LAG(CAST(o_totalprice AS {_PRICE}), 1) OVER w AS DOUBLE) AS price_delta,
+       CAST(DATE_DIFF('day', o_orderdate, LEAD(o_orderdate, 1) OVER w) AS BIGINT) AS days_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""".strip()
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation over the events stream table — the batch
     twin of streaming/events.py's windowed aggregation (same semantics the
@@ -1133,6 +1165,7 @@ QUERIES = {
     "rel_q5_cycle": q5_local_supplier_volume,
     "rel_window_top3": window_top_orders,
     "rel_window_running": window_running_spend,
+    "rel_window_delta": window_order_deltas,
     "rel_events_hourly": events_hourly,
     "rel_events_rollup": events_time_rollup,
     "rel_q4_semi": q4_semi_join,
@@ -1170,6 +1203,7 @@ ORACLES = {
     "rel_q5_cycle": Q5_SQL,
     "rel_window_top3": WINDOW_TOP_SQL,
     "rel_window_running": WINDOW_RUNNING_SQL,
+    "rel_window_delta": WINDOW_DELTA_SQL,
     "rel_events_hourly": EVENTS_HOURLY_SQL,
     "rel_events_rollup": EVENTS_ROLLUP_SQL,
     "rel_q4_semi": Q4_SEMI_SQL,
