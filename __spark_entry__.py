@@ -410,22 +410,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # sketch 3, graph 1, multimodal 2 (media_knn doubles as the kNN shape;
 # knn_bruteforce/lsh/ivf are r3-green and code-unchanged), streaming 1.
 #
-# r5 queue (still never-green after this round, all semantic variants of
-# in-cap or previously-green shapes): sparql_paged, sparql_minmax,
-# sparql_values, sparql_values_rows, sparql_ask_neg,
-# sparql_construct_optional, sparql_describe, sparql_filter_range,
-# sparql_alt_pred, sparql_group_concat, sparql_sample,
-# sparql_subquery_topk, sparql_seq_inverse, sparql_neg_pred, sparql_bind,
-# sparql_avg_size (sum_group's avg twin), sparql_not_bound (the
-# MINUS/NOT-EXISTS negation re-expressed via OPTIONAL+!bound),
-# sparql_optional_filtered (group-local LeftJoin-condition FILTER),
-# sparql_bind_arith (typed-value arithmetic BIND),
-# sparql_describe_where (pattern-driven DESCRIBE),
-# sketch_kmv_hourly (windowed KMV, the stream sketch's batch twin),
-# pipeline_profile (single-pass per-column data profile),
-# rel_window_delta (LAG/LEAD offset windows),
-# sketch_quantiles_sampled (sketch_quantiles' sampled variant),
-# pipeline_sample, pipeline_bigrams.
+# r5 queue — the 26 entries with no driver-green row after this round
+# (verify by recomputing: all entries − cumulative CORRECTNESS greens −
+# this cap).  Earlier-grammar variants of in-cap/previously-green shapes:
+# sparql_paged, sparql_minmax, sparql_values, sparql_values_rows,
+# sparql_ask_neg, sparql_construct_optional, sparql_describe,
+# sparql_filter_range, sparql_alt_pred, sparql_group_concat,
+# sparql_sample, sparql_subquery_topk, sparql_seq_inverse,
+# sparql_neg_pred, sparql_bind, pipeline_sample, pipeline_bigrams,
+# sketch_quantiles_sampled.  Operators NEW in round 4 (local-mirror-green,
+# never driver-adjudicated): sparql_avg_size (sum_group's avg twin),
+# sparql_not_bound (negation via OPTIONAL+!bound), sparql_optional_filtered
+# (LeftJoin-condition FILTER), sparql_bind_arith (typed-value BIND),
+# sparql_describe_where (pattern-driven DESCRIBE), sketch_kmv_hourly
+# (windowed KMV, the stream sketch's batch twin), pipeline_profile
+# (single-pass per-column profile), rel_window_delta (LAG/LEAD offsets).
 PRIORITY_ORDER = [
     # SPARQL — r1-blocked nine first, then never-checked 1.1 algebra,
     # then this round's new operators
