@@ -32,6 +32,11 @@ from dream_spark.sources.triples import TripleStore, arith_filter_sql, numeric_v
 
 _PATH_MAX_ITERS = 25
 
+#: DESCRIBE ?v term sets at or under this size inline as a literal IN
+#: predicate (single scan, zero shuffle); larger sets take the distributed
+#: two-semi-join path.  1024 longs ≈ 8 KB in the task closure.
+_DESCRIBE_INLINE_MAX = 1024
+
 
 def _path_cache(store: TripleStore) -> dict:
     """Per-STORE cache of derived path artifacts (closures by pid, the
@@ -102,17 +107,30 @@ def _node_frame(store: TripleStore) -> DataFrame:
     return cache["nodes"]
 
 
-def _path_frame(store: TripleStore, pred) -> DataFrame:
+def _path_frame(store: TripleStore, pred, identity_nodes: DataFrame | None = None) -> DataFrame:
     """The (s, o) pair frame of a hop-count property path:
 
     - ``p+`` → transitive closure (1..n hops, :func:`_closure_frame`);
-    - ``p*`` → closure ∪ identity over all graph nodes (0..n hops);
+    - ``p*`` → closure ∪ identity over graph nodes (0..n hops);
     - ``p?`` → distinct edge set ∪ identity (0..1 hops).
 
     The zero-length branch pairs every graph node with itself (SPARQL
     ZeroLengthPath over the graph's terms), independent of whether the
     node touches ``p`` — ``?n type Nation . ?n inRegion* ?r`` therefore
     yields (n, n) even for a nation with no region edge, like the spec.
+    ENGINE READING (documented deviation surface): the zero-length path
+    ranges over terms occurring in the graph as subject or object, so a
+    constant endpoint ABSENT from the graph (e.g. ``<x> p* <x>`` for a
+    query-only term) yields no row — the DuckDB oracle mirrors the same
+    reading (graph_nodes CTE).
+
+    ``identity_nodes`` (one column ``n``) restricts the identity side to a
+    caller-proven domain — a sibling pattern's value set or a constant's
+    presence probe (:func:`_identity_domain`).  Always sound: the caller
+    guarantees the domain (a) comes from triple scans, hence ⊆ graph
+    nodes, and (b) is a superset of the endpoint values that can survive
+    the enclosing join — so restricting identity changes nothing after
+    the join while skipping the corpus-wide node distinct.
 
     The union needs NO distinct: identity already contains every possible
     self-pair, so dropping the base's self-loops (``s != o``) makes the
@@ -125,7 +143,56 @@ def _path_frame(store: TripleStore, pred) -> DataFrame:
         base = _closure_frame(store, pid)
     else:  # p? — 0..1 hops: the raw (distinct) edge set
         base = store.triples.where(F.col("p") == F.lit(pid)).select("s", "o").distinct()
-    return base.where(F.col("s") != F.col("o")).unionByName(_node_frame(store))
+    if identity_nodes is not None:
+        ident = identity_nodes.select(F.col("n").alias("s"), F.col("n").alias("o"))
+    else:
+        ident = _node_frame(store)
+    return base.where(F.col("s") != F.col("o")).unionByName(ident)
+
+
+def _identity_domain(
+    store: TripleStore,
+    conditions: list[Condition],
+    est: dict[int, float],
+    cond: Condition,
+) -> DataFrame | None:
+    """Domain restriction for a ``p*``/``p?`` pattern's zero-length side:
+    a one-column (``n``) frame of the node ids the identity branch needs.
+
+    - A CONSTANT endpoint shrinks identity to a presence probe: one
+      pushdown-filtered scan emitting the constant iff it occurs in the
+      graph (the engine's documented ZeroLengthPath reading) — a point
+      lookup instead of materializing the corpus-wide node frame.
+    - A VARIABLE endpoint also bound by a sibling (non-path) pattern
+      restricts identity to that sibling's value set: the enclosing
+      equi-join drops every identity row outside it anyway
+      (spec-equivalent, see :func:`_path_frame`), and the sibling scan is
+      orders of magnitude smaller than all graph nodes.  The cheapest
+      such sibling (by the stats estimate) supplies the domain.
+    - Otherwise ``None`` → the cached corpus-wide node frame.
+    """
+    for term in (cond.subj, cond.obj):
+        if not term.is_var:
+            cid_ = store.resolve(term.lexical)
+            return (
+                store.triples.where((F.col("s") == cid_) | (F.col("o") == cid_))
+                .limit(1)
+                .select(F.lit(cid_).cast("long").alias("n"))
+            )
+    end_vars = {t.var for t in (cond.subj, cond.obj) if t.is_var}
+    best: tuple[Condition, str] | None = None
+    for c2 in conditions:
+        if c2.cid == cond.cid or c2.pred.is_path_closure:
+            continue
+        shared = sorted(end_vars & set(c2.variables()))
+        if not shared:
+            continue
+        if best is None or est.get(c2.cid, 1.0) < est.get(best[0].cid, 1.0):
+            best = (c2, shared[0])
+    if best is None:
+        return None
+    c2, v = best
+    return _condition_frame(store, c2).select(F.col(v).alias("n")).distinct()
 
 
 def _apply_filters(
@@ -217,7 +284,9 @@ def _apply_filters(
     return plan
 
 
-def _condition_frame(store: TripleStore, cond: Condition) -> DataFrame:
+def _condition_frame(
+    store: TripleStore, cond: Condition, identity_nodes: DataFrame | None = None
+) -> DataFrame:
     """One triple pattern → filtered/aliased scan.
 
     Constants become pushdown-able filters (reference O3,
@@ -232,7 +301,7 @@ def _condition_frame(store: TripleStore, cond: Condition) -> DataFrame:
     p-partitioned layout.
     """
     if cond.pred.is_path_closure:
-        df = _path_frame(store, cond.pred)
+        df = _path_frame(store, cond.pred, identity_nodes=identity_nodes)
         slots = {"s": cond.subj, "o": cond.obj}
         seen: dict[str, str] = {}
         cols = []
@@ -438,7 +507,10 @@ def _join_group(
     plan: DataFrame | None = None
     bound: set[str] = set()
     for cond in order:
-        cdf = _condition_frame(store, cond)
+        ident = None
+        if cond.pred.is_zero_or_more or cond.pred.is_zero_or_one:
+            ident = _identity_domain(store, conditions, est, cond)
+        cdf = _condition_frame(store, cond, identity_nodes=ident)
         if plan is None:
             plan = cdf
         else:
@@ -479,19 +551,16 @@ def translate(
             )
         else:
             # DESCRIBE ?v WHERE { … } → the DISTINCT matched terms, then
-            # every triple touching any of them.  TWO equi semi joins
-            # unioned + distinct, NOT one OR-predicate join: an OR defeats
-            # hash joins (nested-loop at scale), while each semi join here
-            # hash/broadcasts the (small, distinct) term set; the distinct
-            # dedups triples matched through both slots.
+            # every triple touching any of them.
             import dataclasses
 
             body = dataclasses.replace(
                 query, describe_var=None, text=query.text
             )
-            # localCheckpoint: BOTH semi joins consume this frame and Spark
-            # has no automatic subtree reuse across join branches — without
-            # materialization the arbitrarily expensive body runs twice
+            # localCheckpoint: every consumer below reads this frame ≥2
+            # times (inline probe + scan, or two semi joins) and Spark has
+            # no automatic subtree reuse across join branches — without
+            # materialization the arbitrarily expensive body runs per use
             terms = (
                 translate(store, body, stats, decode=False)
                 .select(F.col(query.describe_var).alias("__dterm"))
@@ -499,9 +568,31 @@ def translate(
                 .localCheckpoint()
             )
             t = store.triples
-            sem_s = t.join(terms, F.col("s") == F.col("__dterm"), "left_semi")
-            sem_o = t.join(terms, F.col("o") == F.col("__dterm"), "left_semi")
-            plan = sem_s.unionByName(sem_o).select("s", "p", "o").distinct()
+            # Small term sets (the common DESCRIBE shape: a handful of
+            # matched entities) inline as literal IN lists → ONE scan of
+            # the open store with a pushdown-able OR-of-INs predicate, no
+            # join, no shuffle.  The probe is bounded (collects at most
+            # _DESCRIBE_INLINE_MAX+1 ids from the already-materialized
+            # term frame; ≤ 8 KB of longs rides the task closure).  Past
+            # the gate: TWO equi semi joins unioned, NOT one OR-predicate
+            # join — an OR join condition defeats hash joins (nested-loop
+            # at scale), while each semi join hash/broadcasts the
+            # (distinct) term set.  Both paths end in a distinct: the
+            # derived triple union has bag duplicates (DICT_SQL note on
+            # lineitem entity-id collisions), and a triple matched through
+            # both slots would otherwise double under the union path.
+            probe = terms.limit(_DESCRIBE_INLINE_MAX + 1).collect()
+            if len(probe) <= _DESCRIBE_INLINE_MAX:
+                ids = [r["__dterm"] for r in probe]
+                plan = (
+                    t.where(F.col("s").isin(ids) | F.col("o").isin(ids))
+                    .select("s", "p", "o")
+                    .distinct()
+                )
+            else:
+                sem_s = t.join(terms, F.col("s") == F.col("__dterm"), "left_semi")
+                sem_o = t.join(terms, F.col("o") == F.col("__dterm"), "left_semi")
+                plan = sem_s.unionByName(sem_o).select("s", "p", "o").distinct()
         if decode:
             for slot in ("s", "p", "o"):
                 lex = store.dictionary.select(

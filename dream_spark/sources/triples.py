@@ -440,6 +440,15 @@ class TripleStore:
             if not (lvl.useMemory or lvl.useDisk):
                 self.triples = self.triples.cache()
                 self.triples.count()
+                # the derived path artifacts (predicate closures, the
+                # node-identity frame — plans/translator._path_cache) are
+                # localCheckpoint-materialized: a clearCache that dropped
+                # the triples cache may also have unpersisted their RDD
+                # blocks, and a non-reliable checkpoint with lost blocks
+                # FAILS on next use instead of recomputing.  Drop the
+                # cache so path frames re-derive from the re-opened store
+                # rather than erroring for the session's remainder.
+                self.__dict__.pop("_path_frame_cache", None)
         except Exception:
             pass  # storage level unavailable (e.g. Connect): stay lazy
 

@@ -37,7 +37,18 @@ def load_queries(path: str) -> dict[str, float]:
                 return {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
     tail = doc.get("tail")
     if isinstance(tail, str):
-        return {k: float(v) for k, v in re.findall(r'"(\w+)": ([0-9.]+)', tail)}
+        # scavenge ONLY the per-query map: scope the regex to the substring
+        # after '"queries": {' — an unscoped scan would also capture the
+        # top-level scalars (value, sf, setup_sec, n_queries) into the
+        # timing map and fabricate REGRESSED flags from e.g. setup drift
+        qpos = tail.find('"queries": {')
+        if qpos < 0:
+            return {}
+        qtail = tail[qpos + len('"queries": {'):]
+        end = qtail.find("}")
+        if end >= 0:
+            qtail = qtail[:end]
+        return {k: float(v) for k, v in re.findall(r'"(\w+)": ([0-9.]+)', qtail)}
     return {}
 
 

@@ -217,6 +217,25 @@ def test_cc_small_edges_conf_knob(spark):
     assert got_small == expect
 
 
+def test_ensure_open_drops_path_cache_with_store_cache(spark):
+    """localCheckpoint-materialized path frames (closures, node frame) have
+    no recompute path once their blocks are gone: after an external
+    clearCache forces ensure_open to re-cache the store, the path cache
+    must be dropped too, so later path queries re-derive instead of
+    failing on lost checkpoint blocks for the session's remainder."""
+    from dream_spark.plans.translator import _path_cache
+    from dream_spark.sources.triples import TripleStore
+
+    st = TripleStore.from_tpch(spark, SF_DIR, cache=True)
+    _path_cache(st)["closure_probe"] = object()
+    spark.catalog.clearCache()
+    st.ensure_open()
+    assert "_path_frame_cache" not in st.__dict__
+    lvl = st.triples.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # store re-opened
+    st.triples.unpersist()
+
+
 def test_stats_persist_across_engine_constructions(spark, tmp_path, monkeypatch):
     """Second construction must reload the stat file, running zero Spark
     jobs for statistics (reference startup stat reload, Main.c:146-161)."""

@@ -934,6 +934,59 @@ def test_zero_or_more_multihop_chain(spark):
     assert got == {(1, 2), (2, 3), (3, 4)} | ident
 
 
+def test_zero_path_constant_absent_from_graph_is_empty(engine, duck):
+    """ENGINE READING (documented, translator._path_frame): the zero-length
+    path ranges over terms occurring in the graph, so a constant endpoint
+    ABSENT from the graph yields no row — even though SPARQL 1.1's
+    ZeroLengthPath also ranges over terms mentioned only in the pattern.
+    The oracle mirrors the same reading (graph_nodes CTE), so this pins
+    the documented behavior on BOTH engines rather than leaving it
+    implicit."""
+    # nation:9999 resolves arithmetically but no such entity exists
+    qtext = "select ?N where { ?N inRegion* <nation:9999> }"
+    got = engine.sparql(qtext)
+    assert got.count() == 0
+    assert_oracle_match(got, duck, bgp_to_sql(parse_sparql(qtext)))
+
+
+def test_zero_path_sibling_domain_skips_node_frame(spark):
+    """When a ``p*``/``p?`` endpoint is bound by a sibling pattern (or is a
+    constant), the identity side derives from that domain instead of the
+    corpus-wide node frame — the store-level "nodes" cache entry must stay
+    unbuilt (the scale property: no all-graph distinct for bounded
+    queries)."""
+    from dream_spark.plans.translator import _path_cache, translate
+    from dream_spark.sources.triples import TripleStore
+
+    triples = spark.createDataFrame(
+        [(1, 7, 2), (2, 7, 3), (1, 8, 9), (5, 8, 9)], "s long, p long, o long"
+    )
+    dict_df = spark.createDataFrame(
+        [(7, "link"), (8, "tag"), (9, "Thing")], "id long, lexical string"
+    )
+    st = TripleStore(spark, triples, dict_df, resolver=None)
+    # ?X bound by the sibling tag pattern -> domain = {1, 5}
+    q = parse_sparql("select ?X ?Y where { ?X tag <Thing> . ?X link* ?Y }")
+    got = {(r["X"], r["Y"]) for r in translate(st, q, None).collect()}
+    # closure from 1: (1,2),(1,3); identity restricted to the tag domain
+    assert got == {(1, 2), (1, 3), (1, 1), (5, 5)}
+    assert "nodes" not in _path_cache(st), "corpus-wide node frame was built"
+    # constant endpoint: presence probe, still no node frame
+    q2 = parse_sparql("select ?Y where { <n1> link? ?Y }")
+
+    def resolve(lex):
+        return {"n1": 1}.get(lex)
+
+    st2 = TripleStore(spark, triples, dict_df, resolver=resolve)
+    got2 = {r["Y"] for r in translate(st2, q2, None).collect()}
+    assert got2 == {1, 2}
+    assert "nodes" not in _path_cache(st2)
+    # UNBOUNDED both ends: falls back to (and caches) the node frame
+    q3 = parse_sparql("select ?X ?Y where { ?X link? ?Y }")
+    translate(st, q3, None).count()
+    assert "nodes" in _path_cache(st)
+
+
 def test_transitive_cycle_terminates(spark):
     """A cyclic graph must converge (semi-naive anti-join drains the
     frontier) and include every connected ordered pair."""
