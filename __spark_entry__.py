@@ -347,6 +347,33 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " bind(?SZ + 100 as ?SZ2) }",
         False,
     ),
+    # SPARQL 1.1 string-function FILTERs over the decoded lexical (one
+    # dict equi-join per filter, literal — not regex — string tests):
+    # CONTAINS substring match on customer names
+    "sparql_filter_contains": (
+        'select ?C ?NM where { ?C type Customer . ?C name ?NM .'
+        ' filter contains(?NM, "00001") }',
+        False,
+    ),
+    # STRSTARTS prefix match on region names (AFRICA/AMERICA/ASIA pass)
+    "sparql_filter_strstarts": (
+        'select ?R ?NM where { ?R type Region . ?R name ?NM .'
+        ' filter strstarts(?NM, "A") }',
+        False,
+    ),
+    # STRLEN length comparison on nation names (NATION_0..9 pass, _10+ drop)
+    "sparql_filter_strlen": (
+        "select ?N ?NM where { ?N type Nation . ?N name ?NM ."
+        " filter (strlen(?NM) <= 8) }",
+        False,
+    ),
+    # multiplicative arithmetic FILTER on the typed numeric value layer
+    # (the lhs-op grammar covers + - *; division is excluded — integer
+    # vs float semantics differ across engines)
+    "sparql_filter_arith_mul": (
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ * 3 > 60) }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

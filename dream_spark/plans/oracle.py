@@ -139,6 +139,18 @@ def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
     return f"{kw} " + ",\n".join(parts)
 
 
+def _str_filter_sql(f, lex_ref: str) -> str:
+    """One str/strlen filter as a DuckDB predicate over an already-joined
+    lexical column — independent rendering of the SPARQL string functions
+    (contains/starts_with/ends_with are DuckDB's literal string tests, not
+    regex, matching the Spark Column.contains/startswith/endswith)."""
+    if f.kind == "strlen":
+        return f"LENGTH({lex_ref}) {'<>' if f.op == '!=' else f.op} {f.rhs_num}"
+    lit = f.pattern.replace("'", "''")
+    fn = {"contains": "contains", "strstarts": "starts_with", "strends": "ends_with"}[f.op]
+    return f"{fn}({lex_ref}, '{lit}')"
+
+
 def _simple_filter_sql(f, ref, resolve, numeric_aliases=frozenset()) -> str:
     """One cmp / arith / bound filter as a single SQL predicate; ``ref``
     maps a variable name to its column reference (regex is rendered by the
@@ -202,6 +214,10 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
                 g_aliases.append(f"dict gfr{k}_{j}")
                 g_where.append(f"gfr{k}_{j}.id = {g_slot[f.var]}")
                 g_where.append(f"regexp_matches(gfr{k}_{j}.lexical, '{f.pattern}')")
+            elif f.kind in ("str", "strlen"):
+                g_aliases.append(f"dict gfs{k}_{j}")
+                g_where.append(f"gfs{k}_{j}.id = {g_slot[f.var]}")
+                g_where.append(_str_filter_sql(f, f"gfs{k}_{j}.lexical"))
             else:
                 g_where.append(_simple_filter_sql(f, lambda v: g_slot[v], resolve))
         g_vars = list(g_slot)
@@ -274,6 +290,11 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
                 "(" + ", ".join(str(resolve(c)) for c in row) + ")" for row in f.rows
             )
             filt_where.append(f"({cols}) IN ({rows})")
+        elif f.kind in ("str", "strlen"):
+            # string functions decode one column via an inner dict join
+            # (drops NULLs like the engine's plan) and test the lexical
+            joins.append(f"JOIN dict fs{i} ON fs{i}.id = {lhs}")
+            filt_where.append(_str_filter_sql(f, f"fs{i}.lexical"))
         else:  # regex — inner dict join, drops NULLs like the engine's plan
             joins.append(f"JOIN dict fr{i} ON fr{i}.id = {lhs}")
             filt_where.append(f"regexp_matches(fr{i}.lexical, '{f.pattern}')")
@@ -288,8 +309,12 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
 
     needs_dict = (
         decode
-        or any(f.kind == "regex" for f in query.filters)
-        or any(f.kind == "regex" for fl in query.optional_filters for f in fl)
+        or any(f.kind in ("regex", "str", "strlen") for f in query.filters)
+        or any(
+            f.kind in ("regex", "str", "strlen")
+            for fl in query.optional_filters
+            for f in fl
+        )
     )
     distinct = "DISTINCT " if query.distinct else ""
     if decode:

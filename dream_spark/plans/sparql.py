@@ -10,8 +10,10 @@ exists as an always-NULL field, Structs.h:82); we additionally accept as
 documented supersets: a ``distinct`` marker, angle-bracketed constants
 ``<lexical>``, ``order by``/``limit``, ``optional { … }`` groups (left
 outer join semantics), ``filter`` clauses of the forms
-``filter (?X != ?Y)``, ``filter (?X = <const>)``, ``filter (?X != <const>)``
-and ``filter regex(?X, "pattern")``, ``filter [not] exists { … }`` groups
+``filter (?X != ?Y)``, ``filter (?X = <const>)``, ``filter (?X != <const>)``,
+``filter regex(?X, "pattern")``, string-function filters
+``filter contains/strstarts/strends(?X, "lit")`` and
+``filter (strlen(?X) op N)``, ``filter [not] exists { … }`` groups
 (semi/anti-join semantics on the shared variables), ``minus { … }`` groups
 (anti-join semantics on the shared variables), top-level
 ``{ BGP } union { BGP }`` alternation (bag-union semantics; variables
@@ -177,6 +179,10 @@ class Filter:
     """A FILTER clause.  ``kind`` is ``cmp`` (``var op var-or-const`` with op
     in =/!=, evaluated on dictionary IDs — exact because the dictionary is a
     bijection), ``regex`` (``regex(?v, "pat")``, evaluated on the decoded
+    lexical), ``str`` (``contains/strstarts/strends(?v, "lit")`` — literal
+    substring/prefix/suffix tests on the decoded lexical, ``op`` holds the
+    function name and ``pattern`` the literal), ``strlen``
+    (``strlen(?v) op <int>`` — character-length comparison on the decoded
     lexical), or ``arith`` (``?v [±·n] op <integer>``: comparison/arithmetic
     on the term's TYPED NUMERIC VALUE — sources/triples.numeric_value_sql —
     NULL for non-numeric terms, which drops the row like SPARQL's
@@ -890,12 +896,28 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
       generic cmp rule (whose rhs pattern would swallow a bare integer as
       an unresolvable constant); compares the TYPED NUMERIC VALUE
       (non-numeric terms → NULL → dropped, the type-error contract);
+    - string-function FILTERs ``filter [(]contains|strstarts|strends(?v,
+      "lit")[)]`` and ``filter (strlen(?v) op <int>)`` — evaluated on the
+      decoded lexical via a one-column dict join (SPARQL 1.1 CONTAINS /
+      STRSTARTS / STRENDS / STRLEN over simple literals);
     - ``filter regex(?v, "pat")`` on the decoded lexical;
     - ordering/equality comparisons on dictionary ids (the arithmetic id
       scheme is order-preserving within an entity kind, so same-kind
       range filters are meaningful — the caller owns kind-compatibility).
 
     Shared by the top-level grammar and OPTIONAL group bodies."""
+
+    def _grab_strfn(m2: re.Match) -> str:
+        filters.append(
+            Filter(kind="str", var=m2.group(2)[1:], op=m2.group(1).lower(), pattern=m2.group(3))
+        )
+        return " "
+
+    def _grab_strlen(m2: re.Match) -> str:
+        filters.append(
+            Filter(kind="strlen", var=m2.group(1)[1:], op=m2.group(2), rhs_num=int(m2.group(3)))
+        )
+        return " "
 
     def _grab_bound(m2: re.Match) -> str:
         filters.append(
@@ -928,6 +950,21 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
             filters.append(Filter(kind="cmp", var=var, op=op, rhs_const=Term(rhs).lexical))
         return " "
 
+    body = re.sub(
+        r'(?is)filter\s*(\bcontains|\bstrstarts|\bstrends)\s*\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*\)\s*\.?',
+        _grab_strfn,
+        body,
+    )
+    body = re.sub(
+        r'(?is)filter\s*\(\s*(contains|strstarts|strends)\s*\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*\)\s*\)\s*\.?',
+        _grab_strfn,
+        body,
+    )
+    body = re.sub(
+        r"(?is)filter\s*\(\s*strlen\s*\(\s*(\?\w+)\s*\)\s*(!=|<=|>=|<|>|=)\s*(\d+)\s*\)\s*\.?",
+        _grab_strlen,
+        body,
+    )
     body = re.sub(
         r"(?is)filter\s*\(\s*(!)?\s*bound\s*\(\s*(\?\w+)\s*\)\s*\)\s*\.?",
         _grab_bound,

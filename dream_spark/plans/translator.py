@@ -279,6 +279,35 @@ def _apply_filters(
             plan = plan.join(lex, on=f.var).where(
                 F.col(f"__flex_{tag}{i}").rlike(f.pattern)
             ).drop(f"__flex_{tag}{i}")
+        elif f.kind in ("str", "strlen"):
+            # SPARQL 1.1 string functions (CONTAINS/STRSTARTS/STRENDS/
+            # STRLEN) over simple literals: decode just the one column via
+            # a dict equi-join (broadcast-able — the dict is the bounded
+            # side), apply the LITERAL string predicate, drop the temp
+            # column.  Like regex, the inner join drops unbound (NULL)
+            # variables — a string function on an unbound term is a SPARQL
+            # type error, so the row drops on both engines.
+            lex = store.dictionary.select(
+                F.col("id").alias(f.var), F.col("lexical").alias(f"__fstr_{tag}{i}")
+            )
+            c = F.col(f"__fstr_{tag}{i}")
+            if f.kind == "strlen":
+                ln = F.length(c)
+                pred = {
+                    "=": ln == f.rhs_num,
+                    "!=": ln != f.rhs_num,
+                    "<": ln < f.rhs_num,
+                    "<=": ln <= f.rhs_num,
+                    ">": ln > f.rhs_num,
+                    ">=": ln >= f.rhs_num,
+                }[f.op]
+            else:
+                pred = {
+                    "contains": c.contains(f.pattern),
+                    "strstarts": c.startswith(f.pattern),
+                    "strends": c.endswith(f.pattern),
+                }[f.op]
+            plan = plan.join(lex, on=f.var).where(pred).drop(f"__fstr_{tag}{i}")
         else:  # pragma: no cover
             raise ValueError(f"unknown filter kind {f.kind!r}")
     return plan

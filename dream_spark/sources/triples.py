@@ -254,7 +254,15 @@ def arith_filter_sql(
     semantics can never drift between engines.  ``wrap=False`` skips the
     id→value CASE for references that ALREADY hold a plain number (an
     arithmetic BIND alias) — wrapping those would window-test the value
-    itself and silently NULL every row."""
+    itself and silently NULL every row.
+
+    Exact-integer contract (``+``/``-``/``*``; division is excluded —
+    integer vs float semantics differ across engines): numeric values live
+    in [0, BASE_SUPPLIER − BASE_SIZE_LIT) = [0, 700 000), and the literal
+    operand is a query-text integer, so the int64 result is exact for
+    |literal| < 2⁶³ / 700 000 ≈ 1.3·10¹³ — far beyond any plausible
+    filter constant; both engines evaluate the identical expression with
+    no possibility of rounding divergence."""
     lhs = numeric_value_sql(ref) if wrap else f"({ref})"
     if lhs_op is not None:
         lhs = f"({lhs} {lhs_op} {lhs_num})"

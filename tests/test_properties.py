@@ -311,6 +311,53 @@ def test_parser_alternation_alternatives(preds):
 
 
 # ---------------------------------------------------------------------------
+# Typed-value arithmetic FILTER fragment vs a pure-Python reference
+# ---------------------------------------------------------------------------
+@given(
+    st.sampled_from([None, "+", "-", "*"]),
+    st.integers(-1000, 1000),
+    st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+    st.integers(-2_000_000, 2_000_000),
+)
+@settings(max_examples=100, deadline=None)
+def test_arith_filter_fragment_matches_python(lhs_op, lhs_num, op, rhs_num):
+    """The shared arith SQL fragment (the exact string both engines run)
+    must agree with a pure-Python evaluation of the typed-value contract:
+    ids inside the numeric window carry value id − BASE_SIZE_LIT; every
+    other id values to NULL and its row drops (the SPARQL type-error
+    contract), for all of + − * and every comparison op."""
+    import duckdb
+
+    from dream_spark.sources.triples import BASE_SIZE_LIT, BASE_SUPPLIER, arith_filter_sql
+
+    ids = [5, 101, 2_003, BASE_SIZE_LIT, BASE_SIZE_LIT + 1, BASE_SIZE_LIT + 25,
+           BASE_SUPPLIER - 1, BASE_SUPPLIER, 100_000_001]
+    pred = arith_filter_sql("v", lhs_op, lhs_num if lhs_op else None, op, rhs_num)
+    vals = ", ".join(f"({i})" for i in ids)
+    got = {
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT v FROM (VALUES {vals}) t(v) WHERE {pred}")
+        .fetchall()
+    }
+    pyops = {
+        "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    }
+    want = set()
+    for i in ids:
+        if not (BASE_SIZE_LIT <= i < BASE_SUPPLIER):
+            continue  # non-numeric term: NULL comparison, row drops
+        val = i - BASE_SIZE_LIT
+        if lhs_op is not None:
+            val = {"+": val + lhs_num, "-": val - lhs_num, "*": val * lhs_num}[lhs_op]
+        if pyops[op](val, rhs_num):
+            want.add(i)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # Funnel semantics vs a pure-Python reference on random event streams
 # ---------------------------------------------------------------------------
 _events_strategy = st.lists(

@@ -287,6 +287,44 @@ def test_filter_optional_oracle(engine, duck, qtext, decode):
     assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
 
 
+def test_parse_string_filters():
+    q = parse_sparql(
+        'select ?C ?NM where { ?C name ?NM . filter contains(?NM, "x") .'
+        ' filter (strstarts(?NM, "Cu")) . filter (strlen(?NM) > 5) }'
+    )
+    kinds = sorted((f.kind, f.op) for f in q.filters)
+    assert kinds == [("str", "contains"), ("str", "strstarts"), ("strlen", ">")]
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql('select ?A where { ?A name ?NM . filter contains(?Z, "x") }')
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        # CONTAINS substring test on the decoded lexical
+        ('select ?C where { ?C type Customer . ?C name ?NM . filter contains(?NM, "00001") }', False),
+        # STRSTARTS and parenthesized form
+        ('select ?R ?NM where { ?R type Region . ?R name ?NM . filter (strstarts(?NM, "A")) }', False),
+        # STRENDS suffix
+        ('select ?N ?NM where { ?N type Nation . ?N name ?NM . filter strends(?NM, "1") }', False),
+        # STRLEN comparison; string filters compose with decode
+        ('select ?N ?NM where { ?N type Nation . ?N name ?NM . filter (strlen(?NM) <= 8) }', True),
+        # literal, NOT regex semantics: a regex metacharacter matches itself
+        ('select ?C where { ?C type Customer . ?C name ?NM . filter contains(?NM, "Customer#") }', False),
+        # string filter INSIDE an optional group: applies before the left
+        # join, unmatched lefts keep NULLs
+        (
+            "select ?C ?NM where { ?C type Customer ."
+            ' optional { ?C name ?NM . filter contains(?NM, "00001") } }',
+            False,
+        ),
+    ],
+)
+def test_string_filter_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
 def test_optional_unmatched_rows_are_null(engine):
     # orders are never placedBy a supplier, so the optional never matches:
     # every supplier must still appear, with a NULL ?O (left-join semantics)
@@ -848,6 +886,8 @@ def test_parse_arith_filter():
         "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ > 25) }",
         "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ + 5 > 30) }",
         "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ * 2 <= 20) }",
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ * 3 > 60) }",
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ - 5 >= 20) }",
         "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ != 25) }",
     ],
 )
