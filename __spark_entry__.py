@@ -406,86 +406,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # This list is exactly 50 names.  KEEP THE SUM AT 50 when rotating.
 #
 # ROTATION LEDGER (cumulative driver-green rows by round):
-#   r1+r2+r3 green (73 entries): every name NOT in the r4 list below except
-#   the 17 listed as "r5 queue".  All of those are code-unchanged since
-#   their green round unless re-listed here.
+#   After r4 (50/50 green), every entry EXCEPT the 26 queued below had a
+#   driver-green CORRECTNESS row; all are code-unchanged since their green
+#   round unless re-listed here as re-verification seats.
 #
-# Round 4 rotation strategy — the CORRECTNESS_r03 file was 50/50 green, so
-# every r3-green, code-unchanged entry vacates its seat for one that has
-# NEVER had a driver-green row (57 existed at r4 start).  The 50 seats:
-#   * 7 re-verification seats for entries whose code changed this round:
-#     temporal_asof + temporal_range (merge_asof / bucketed-band reshape),
-#     text_topterms + pipeline_tfidf (gated spread), dedup_minhash +
-#     dedup_simhash (batch-vectorized kernels), pipeline_contamination
-#     (localCheckpoint ownership fix).
-#   * 3 seats for operators NEW this round: sparql_path_star,
-#     sparql_path_opt (zero-hop paths), sparql_filter_arith (typed-value
-#     arithmetic FILTER).
-#   * 40 seats for never-green entries: the 9 that errored on the r1
-#     session-conf bug and were rotated out before re-check
-#     (filter_samenation, optional_ground/_decode, filter_regex,
-#     count_distinct/_optional/_decode, minus_shared, union_hetero), the
-#     never-adjudicated SPARQL 1.1 algebra (exists, not_exists, seq_path,
-#     inverse, construct, ask_pos, path_plus, having), the TPC-H analogs
-#     (q2/q8/q9/q20/q21, events_rollup), text_knn/redact, dedup_exact_docs,
-#     the pipeline six (curate/chunks/mixture/repetition/vocab/oov), THREE
-#     of the four un-checked sketches (cms_users, quantiles, kmv_by_type —
-#     quantiles_sampled is the r5-queued variant), graph_ppr,
-#     media_knn/media_dedup, and streaming_funnel_batch.
-# Family coverage inside the cap (counted from the list, keep in sync):
-# SPARQL 21, relational 6, temporal 2, text 3, pipeline 8, dedup 3,
-# sketch 3, graph 1, multimodal 2 (media_knn doubles as the kNN shape;
-# knn_bruteforce/lsh/ivf are r3-green and code-unchanged), streaming 1.
+# Round 5 rotation — closes the adjudication ledger.  The 50 seats:
+#   * 26 seats: the full never-green queue from the r4 ledger (18
+#     earlier-grammar variants + 8 r4-new operators).  After this round
+#     EVERY pre-r5 entry has had a driver-green row at least once.
+#   * 5 seats for entries NEW this round: the string-function FILTERs
+#     (sparql_filter_contains / _strstarts / _strlen — SPARQL 1.1
+#     CONTAINS/STRSTARTS/STRLEN over the decode-one-column join), the
+#     multiplicative typed-value filter (sparql_filter_arith_mul), and
+#     the persisted-ANN serve path (knn_lsh_served — loads the parquet
+#     index written by save_vector_index and probes it).
+#   * 2 re-verification seats for code changed this round:
+#     sparql_path_star + sparql_path_opt (the zero-length-path identity
+#     side is now domain-restricted to a sibling pattern's value set or a
+#     constant presence probe instead of the corpus-wide node frame).
+#   * 17 breadth/re-verification seats keeping every operator family
+#     inside the cap: temporal_asof, text_topterms, dedup_minhash,
+#     dedup_jaccard, graph_pagerank, media_dedup,
+#     streaming_sessionize_batch, pipeline_contamination,
+#     sketch_cms_users, rel_q9_profit, rel_q21_waiting, plus the heavy
+#     SPARQL shapes most adjacent to this round's translator diff
+#     (seq_path, filter_samenation, filter_regex, exists, construct,
+#     count_distinct).
 #
-# r5 queue — the 26 entries with no driver-green row after this round
-# (verify by recomputing: all entries − cumulative CORRECTNESS greens −
-# this cap).  Earlier-grammar variants of in-cap/previously-green shapes:
-# sparql_paged, sparql_minmax, sparql_values, sparql_values_rows,
-# sparql_ask_neg, sparql_construct_optional, sparql_describe,
-# sparql_filter_range, sparql_alt_pred, sparql_group_concat,
-# sparql_sample, sparql_subquery_topk, sparql_seq_inverse,
-# sparql_neg_pred, sparql_bind, pipeline_sample, pipeline_bigrams,
-# sketch_quantiles_sampled.  Operators NEW in round 4 (local-mirror-green,
-# never driver-adjudicated): sparql_avg_size (sum_group's avg twin),
-# sparql_not_bound (negation via OPTIONAL+!bound), sparql_optional_filtered
-# (LeftJoin-condition FILTER), sparql_bind_arith (typed-value BIND),
-# sparql_describe_where (pattern-driven DESCRIBE), sketch_kmv_hourly
-# (windowed KMV, the stream sketch's batch twin), pipeline_profile
-# (single-pass per-column profile), rel_window_delta (LAG/LEAD offsets).
+# r6 queue: EMPTY for pre-r5 entries — any entry without a green row after
+# this round is a regression, not a rotation artifact.
 PRIORITY_ORDER = [
-    # SPARQL — r1-blocked nine first, then never-checked 1.1 algebra,
-    # then this round's new operators
-    "sparql_filter_samenation", "sparql_optional_ground",
-    "sparql_optional_decode", "sparql_filter_regex",
-    "sparql_count_distinct", "sparql_count_optional", "sparql_count_decode",
-    "sparql_minus_shared", "sparql_union_hetero",
-    "sparql_exists", "sparql_not_exists", "sparql_seq_path",
-    "sparql_inverse", "sparql_construct", "sparql_ask_pos",
-    "sparql_path_plus", "sparql_having",
-    "sparql_path_star", "sparql_path_opt", "sparql_filter_arith",
-    # relational — the never-adjudicated TPC-H analogs
-    "rel_q2_mincost", "rel_q8_share", "rel_q9_profit",
-    "rel_q20_bulk", "rel_q21_waiting", "rel_events_rollup",
-    # temporal — reshaped this round, must re-verify
-    "temporal_asof", "temporal_range",
-    # text — topterms re-verifies the spread gate; knn/redact never checked
-    "text_topterms", "text_knn", "text_redact",
-    # pipeline — tfidf/contamination re-verify; the rest never checked
-    "pipeline_tfidf", "pipeline_contamination", "pipeline_curate",
-    "pipeline_chunks", "pipeline_mixture", "pipeline_repetition",
-    "pipeline_vocab", "pipeline_oov",
-    # dedup — minhash/simhash re-verify the vectorized kernels;
-    # exact_docs never checked
-    "dedup_minhash", "dedup_simhash", "dedup_exact_docs",
-    # typed numeric SUM/COUNT aggregate (new this round; avg_size and
-    # quantiles_sampled are its r5-queue variants)
-    "sparql_sum_group",
-    # sketches — never adjudicated before this round
-    "sketch_cms_users", "sketch_quantiles", "sketch_kmv_by_type",
-    # graph + multimodal
-    "graph_ppr", "media_knn", "media_dedup",
-    # streaming — the stateful funnel's batch twin, never checked
-    "streaming_funnel_batch",
+    # --- the 26-entry never-green queue (18 grammar variants) ---
+    "sparql_paged", "sparql_minmax", "sparql_values", "sparql_values_rows",
+    "sparql_ask_neg", "sparql_construct_optional", "sparql_describe",
+    "sparql_filter_range", "sparql_alt_pred", "sparql_group_concat",
+    "sparql_sample", "sparql_subquery_topk", "sparql_seq_inverse",
+    "sparql_neg_pred", "sparql_bind",
+    "pipeline_sample", "pipeline_bigrams", "sketch_quantiles_sampled",
+    # --- (8 r4-new operators, local-mirror-green, never adjudicated) ---
+    "sparql_avg_size", "sparql_not_bound", "sparql_optional_filtered",
+    "sparql_bind_arith", "sparql_describe_where",
+    "sketch_kmv_hourly", "pipeline_profile", "rel_window_delta",
+    # --- new this round (5) ---
+    "sparql_filter_contains", "sparql_filter_strstarts",
+    "sparql_filter_strlen", "sparql_filter_arith_mul", "knn_lsh_served",
+    # --- re-verify: zero-length-path identity domain restriction (2) ---
+    "sparql_path_star", "sparql_path_opt",
+    # --- breadth / family coverage (17) ---
+    "temporal_asof", "text_topterms", "dedup_minhash", "dedup_jaccard",
+    "graph_pagerank", "media_dedup", "streaming_sessionize_batch",
+    "pipeline_contamination", "sketch_cms_users",
+    "rel_q9_profit", "rel_q21_waiting",
+    "sparql_seq_path", "sparql_filter_samenation", "sparql_filter_regex",
+    "sparql_exists", "sparql_construct", "sparql_count_distinct",
 ]
 
 

@@ -19,116 +19,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "sparql_star",
-    "sparql_cycle5",
-    "sparql_path",
-    "sparql_decode",
-    "sparql_topk",
-    "sparql_disconnected",
-    "sparql_optional",
-    "sparql_filter_samenation",
-    "sparql_union",
-    "sparql_minus",
-    "rel_q1_pricing",
-    "rel_q3_top10",
-    "rel_q5_cycle",
-    "rel_q4_semi",
-    "rel_anti",
-    "rel_q13_outer",
-    "rel_q6_filter",
-    "rel_q18_having",
-    "rel_rollup",
-    "rel_json_props",
-    "rel_sql_passthrough",
-    "rel_q7_nations",
-    "rel_q14_promo",
-    "rel_q16_countd",
-    "rel_q17_corr",
-    "rel_q19_disjunct",
-    "rel_q22_idle",
-    "rel_cube",
-    "rel_pivot",
-    "rel_intersect",
-    "rel_except",
-    "rel_window_top3",
-    "rel_window_delta",
-    "rel_events_hourly",
-    "rel_events_rollup",
-    "temporal_asof",
-    "temporal_range",
-    "temporal_funnel",
-    "text_features",
-    "text_fingerprint",
-    "text_langid",
-    "text_topterms",
-    "text_knn",
-    "pipeline_split",
-    "pipeline_sample",
-    "pipeline_tfidf",
-    "pipeline_bigrams",
-    "pipeline_curate",
-    "pipeline_chunks",
-    "pipeline_shards",
-    "pipeline_contamination",
-    "pipeline_repetition",
-    "pipeline_vocab",
-    "pipeline_oov",
-    "pipeline_profile",
-    "sketch_kmv_users",
-    "sketch_kmv_hourly",
-    "sketch_kmv_by_type",
-    "sketch_quantiles",
-    "sketch_quantiles_sampled",
-    "sketch_cms_users",
-    "graph_pagerank",
-    "graph_ppr",
-    "media_knn",
-    "sparql_ask_pos",
-    "sparql_construct",
-    "sparql_having",
-    "sparql_minmax",
-    "sparql_values_rows",
-    "sparql_paged",
-    "sparql_exists",
-    "sparql_not_exists",
-    "sparql_alt_pred",
-    "sparql_inverse",
-    "sparql_group_concat",
-    "sparql_sample",
-    "sparql_subquery",
-    "sparql_subquery_topk",
-    "sparql_seq_path",
-    "sparql_seq_inverse",
-    "sparql_path_plus",
-    "sparql_path_star",
-    "sparql_path_opt",
-    "sparql_filter_arith",
-    "sparql_sum_group",
-    "sparql_avg_size",
-    "sparql_not_bound",
-    "sparql_optional_filtered",
-    "sparql_bind_arith",
-    "sparql_describe_where",
-    "sparql_bind",
-    "sparql_neg_pred",
-    "dedup_exact_docs",
-    "dedup_minhash",
-    "dedup_jaccard",
-    "simhash_docs",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_clusters",
-    "knn_bruteforce",
-    "knn_lsh",
-    "knn_ivf",
-    "media_catalog",
-    "media_decode_stats",
-    "media_frames",
-    "media_dedup",
-    "streaming_sessionize_batch",
-    "streaming_dedup_batch",
-    "streaming_funnel_batch",
+# The measured surface is EVERY queries() entry (VERDICT r4 task 2: a
+# regression in an unmeasured query is invisible to bench_compare), in the
+# entry module's insertion order — PRIORITY_ORDER first, then the rest —
+# so the per-query map stays stable across rounds as entries are added.
+# BASELINE_53 is the original r1 headline set (BENCH_r01.json's keys): its
+# subtotal is reported separately as the cross-round anchor vs BASELINE.md.
+BASELINE_53 = [
+    "dedup_clusters", "dedup_embedding", "dedup_exact_docs", "dedup_jaccard",
+    "dedup_minhash", "knn_bruteforce", "knn_ivf", "knn_lsh",
+    "media_catalog", "media_decode_stats", "media_frames",
+    "rel_anti", "rel_cube", "rel_events_hourly", "rel_except",
+    "rel_intersect", "rel_json_props", "rel_pivot", "rel_q13_outer",
+    "rel_q14_promo", "rel_q16_countd", "rel_q17_corr", "rel_q18_having",
+    "rel_q19_disjunct", "rel_q1_pricing", "rel_q22_idle", "rel_q3_top10",
+    "rel_q4_semi", "rel_q5_cycle", "rel_q6_filter", "rel_q7_nations",
+    "rel_rollup", "rel_sql_passthrough", "rel_window_top3", "simhash_docs",
+    "sparql_cycle5", "sparql_decode", "sparql_disconnected",
+    "sparql_filter_samenation", "sparql_minus", "sparql_optional",
+    "sparql_path", "sparql_star", "sparql_topk", "sparql_union",
+    "streaming_dedup_batch", "streaming_sessionize_batch",
+    "temporal_asof", "temporal_range", "text_features", "text_fingerprint",
+    "text_langid", "text_topterms",
 ]
 
 
@@ -162,7 +74,7 @@ def main() -> None:
     setup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in qs:
         fn = qs[name]
         t1 = time.perf_counter()
         n = fn(spark, sf_dir).count()
@@ -179,6 +91,11 @@ def main() -> None:
             "sf": sf,
             "setup_sec": round(setup, 3),
             "n_queries": len(timings),
+            # cross-round anchor: the r1 headline set's subtotal, compared
+            # against BASELINE.md's 46.98 s (2x gate)
+            "baseline53_sec": round(
+                sum(timings[n_] for n_ in BASELINE_53 if n_ in timings), 4
+            ),
         }
     )
     print(line)

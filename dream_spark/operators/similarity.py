@@ -334,6 +334,43 @@ def load_vector_index(
     )
 
 
+#: (session id, sf_dir) -> parquet path of the persisted vector index, so
+#: the serve-path entry builds the on-disk index once per session and every
+#: later probe only pays load+join (the deployment's economics).
+_SERVED_INDEX_PATHS: dict = {}
+
+
+def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (id(spark), sf_dir)
+    path = _SERVED_INDEX_PATHS.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="dream_spark_vecindex_")
+        save_vector_index(spark, sf_dir, path)
+        _SERVED_INDEX_PATHS[key] = path
+    return path
+
+
+def knn_lsh_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper for the SERVE path: probe the PERSISTED
+    parquet index (:func:`save_vector_index`'s quantized corpus + LSH
+    bucket table) instead of session-shared in-memory frames — serving is
+    pure joins against storage, the corpus-side hyperplane kernel never
+    re-runs, and the bucket scan prunes to the probed tbl= directories.
+    Same results as ``knn_lsh`` (the roundtrip preserves exact int64
+    quantities), so the LSH oracle replays identically."""
+    qc, buckets, _ = load_vector_index(spark, _served_index_path(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh_topk(
+        emb,
+        emb.where(F.col("vec_id") < N_QUERIES),
+        corpus_count=corpus_count(spark, sf_dir),
+        corpus_quantized=qc,
+        corpus_buckets=buckets,
+    )
+
+
 def warm_ivf_index(spark: SparkSession, sf_dir: str) -> None:
     """Train (or re-hit) the IVF coarse quantizer for the standard corpus —
     the build-the-index step a deployment runs once before serving queries
@@ -433,11 +470,15 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
+    "knn_lsh_served": knn_lsh_served,
     "knn_ivf": knn_ivf,
 }
 
 ORACLES = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_lsh": KNN_LSH_SQL,
+    # the serve path loads the persisted index; values are identical to the
+    # in-session LSH plan, so the same oracle replays it
+    "knn_lsh_served": KNN_LSH_SQL,
     "knn_ivf": KNN_IVF_SQL,
 }

@@ -12,10 +12,8 @@ from __future__ import annotations
 import __spark_entry__ as entry
 
 # One prefix per operator family that must land inside the driver's 50-entry
-# adjudication cap.  (Round 4: the knn_ prefix rotated out — all three
-# knn_* entries are r3 driver-green with unchanged code, and the kNN shape
-# stays represented in-cap by media_knn + text_knn; sketch_ and graph_
-# rotated IN for their first adjudication.)
+# adjudication cap.  (Round 5: knn_ is back in-cap via the new
+# knn_lsh_served serve-path entry.)
 FAMILIES = [
     "sparql_",
     "rel_",
@@ -27,6 +25,7 @@ FAMILIES = [
     "graph_",
     "media_",
     "streaming_",
+    "knn_",
 ]
 
 
