@@ -20,9 +20,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # The measured surface is EVERY queries() entry (VERDICT r4 task 2: a
-# regression in an unmeasured query is invisible to bench_compare), in the
-# entry module's insertion order — PRIORITY_ORDER first, then the rest —
-# so the per-query map stays stable across rounds as entries are added.
+# regression in an unmeasured query is invisible to bench_compare), run in
+# SORTED-NAME order: the adjudication rotation reshuffles the entry module's
+# insertion order every round, and per-query wall times are sensitive to
+# session warmth (which shared frames earlier queries materialized) — a
+# name-sorted order is identical across rounds, so bench_compare diffs
+# measure code, not session position.
 # BASELINE_53 is the original r1 headline set (BENCH_r01.json's keys): its
 # subtotal is reported separately as the cross-round anchor vs BASELINE.md.
 BASELINE_53 = [
@@ -74,7 +77,7 @@ def main() -> None:
     setup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
-    for name in qs:
+    for name in sorted(qs):
         fn = qs[name]
         t1 = time.perf_counter()
         n = fn(spark, sf_dir).count()

@@ -37,18 +37,25 @@ def load_queries(path: str) -> dict[str, float]:
                 return {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
     tail = doc.get("tail")
     if isinstance(tail, str):
-        # scavenge ONLY the per-query map: scope the regex to the substring
-        # after '"queries": {' — an unscoped scan would also capture the
-        # top-level scalars (value, sf, setup_sec, n_queries) into the
-        # timing map and fabricate REGRESSED flags from e.g. setup drift
+        # scavenge ONLY the per-query map: scope to the substring after
+        # '"queries": {' and before its closing '}' when the marker
+        # survived truncation; a tail cut AFTER the marker starts mid-map
+        # (the r4 record's shape), so then scavenge everything but DROP
+        # the known top-level scalars — either way non-query fields can't
+        # enter the timing map and fabricate REGRESSED flags from e.g.
+        # setup drift
         qpos = tail.find('"queries": {')
-        if qpos < 0:
-            return {}
-        qtail = tail[qpos + len('"queries": {'):]
-        end = qtail.find("}")
+        if qpos >= 0:
+            tail = tail[qpos + len('"queries": {'):]
+        end = tail.find("}")
         if end >= 0:
-            qtail = qtail[:end]
-        return {k: float(v) for k, v in re.findall(r'"(\w+)": ([0-9.]+)', qtail)}
+            tail = tail[:end]
+        scalars = {"value", "sf", "setup_sec", "n_queries", "baseline53_sec"}
+        return {
+            k: float(v)
+            for k, v in re.findall(r'"(\w+)": ([0-9.]+)', tail)
+            if k not in scalars
+        }
     return {}
 
 
