@@ -85,6 +85,12 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # the cross-round anchor must cover ALL 53 r1 names: silently summing a
+    # subset would shrink the 2x-gate denominator without any signal if an
+    # entry were ever renamed or removed — fail loudly instead
+    missing53 = [n_ for n_ in BASELINE_53 if n_ not in timings]
+    if missing53:
+        raise SystemExit(f"baseline-53 entries missing from queries(): {missing53}")
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -95,10 +101,9 @@ def main() -> None:
             "setup_sec": round(setup, 3),
             "n_queries": len(timings),
             # cross-round anchor: the r1 headline set's subtotal, compared
-            # against BASELINE.md's 46.98 s (2x gate)
-            "baseline53_sec": round(
-                sum(timings[n_] for n_ in BASELINE_53 if n_ in timings), 4
-            ),
+            # against BASELINE.md's 46.98 s (2x gate); completeness checked
+            # above, so this sum always covers exactly the 53 names
+            "baseline53_sec": round(sum(timings[n_] for n_ in BASELINE_53), 4),
         }
     )
     print(line)

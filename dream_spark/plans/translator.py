@@ -184,7 +184,14 @@ def _identity_domain(
     for c2 in conditions:
         if c2.cid == cond.cid or c2.pred.is_path_closure:
             continue
-        shared = sorted(end_vars & set(c2.variables()))
+        # only the sibling's SUBJECT/OBJECT slots qualify: their values are
+        # graph nodes by construction, but a variable bound via the
+        # sibling's PREDICATE slot ranges over predicate ids — which the
+        # zero-length path (terms occurring as subject or object) excludes,
+        # so a predicate-slot domain would invent identity rows the node
+        # frame and the oracle's graph_nodes CTE both reject
+        so_vars = {t.var for t in (c2.subj, c2.obj) if t.is_var}
+        shared = sorted(end_vars & so_vars)
         if not shared:
             continue
         if best is None or est.get(c2.cid, 1.0) < est.get(best[0].cid, 1.0):

@@ -1027,6 +1027,26 @@ def test_zero_path_sibling_domain_skips_node_frame(spark):
     assert "nodes" in _path_cache(st)
 
 
+def test_zero_path_predicate_slot_never_supplies_identity_domain(spark):
+    """A sibling that binds the path's endpoint variable only via its
+    PREDICATE slot must NOT supply the identity domain: predicate ids are
+    not graph nodes (the zero-length path ranges over subject/object
+    terms), so a predicate-derived domain would invent identity rows the
+    node frame — and the oracle's graph_nodes CTE — both exclude."""
+    from dream_spark.plans.translator import translate
+    from dream_spark.sources.triples import TripleStore
+
+    # id 7 ('link') occurs ONLY as a predicate, never as a subject/object
+    triples = spark.createDataFrame([(1, 7, 2), (2, 7, 3)], "s long, p long, o long")
+    dict_df = spark.createDataFrame([(7, "link")], "id long, lexical string")
+    st = TripleStore(spark, triples, dict_df, resolver=None)
+    q = parse_sparql("select ?P ?Y where { ?S ?P ?O . ?P link* ?Y }")
+    got = {(r["P"], r["Y"]) for r in translate(st, q, None).collect()}
+    # ?P = 7 is not a graph node: the identity side contributes nothing,
+    # and the closure side's subjects are {1, 2} ≠ 7 — zero rows
+    assert got == set()
+
+
 def test_transitive_cycle_terminates(spark):
     """A cyclic graph must converge (semi-naive anti-join drains the
     frontier) and include every connected ordered pair."""
