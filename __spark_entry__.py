@@ -374,6 +374,14 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter (?SZ * 3 > 60) }",
         False,
     ),
+    # COALESCE BIND: first non-NULL of the listed variables — the SPARQL
+    # fallback idiom after OPTIONAL (urgent-order id if one exists, else
+    # the customer's own id)
+    "sparql_bind_coalesce": (
+        "select ?C ?X where { ?C type Customer . optional { ?O placedBy ?C ."
+        " ?O priority <1-URGENT> } . bind(coalesce(?O, ?C) as ?X) }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}
@@ -414,24 +422,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * 26 seats: the full never-green queue from the r4 ledger (18
 #     earlier-grammar variants + 8 r4-new operators).  After this round
 #     EVERY pre-r5 entry has had a driver-green row at least once.
-#   * 5 seats for entries NEW this round: the string-function FILTERs
+#   * 6 seats for entries NEW this round: the string-function FILTERs
 #     (sparql_filter_contains / _strstarts / _strlen — SPARQL 1.1
 #     CONTAINS/STRSTARTS/STRLEN over the decode-one-column join), the
-#     multiplicative typed-value filter (sparql_filter_arith_mul), and
-#     the persisted-ANN serve path (knn_lsh_served — loads the parquet
-#     index written by save_vector_index and probes it).
+#     multiplicative typed-value filter (sparql_filter_arith_mul), the
+#     COALESCE BIND (sparql_bind_coalesce), and the persisted-ANN serve
+#     path (knn_lsh_served — loads the parquet index written by
+#     save_vector_index and probes it).
 #   * 2 re-verification seats for code changed this round:
 #     sparql_path_star + sparql_path_opt (the zero-length-path identity
 #     side is now domain-restricted to a sibling pattern's value set or a
 #     constant presence probe instead of the corpus-wide node frame).
-#   * 17 breadth/re-verification seats keeping every operator family
+#   * 16 breadth/re-verification seats keeping every operator family
 #     inside the cap: temporal_asof, text_topterms, dedup_minhash,
 #     dedup_jaccard, graph_pagerank, media_dedup,
 #     streaming_sessionize_batch, pipeline_contamination,
 #     sketch_cms_users, rel_q9_profit, rel_q21_waiting, plus the heavy
 #     SPARQL shapes most adjacent to this round's translator diff
-#     (seq_path, filter_samenation, filter_regex, exists, construct,
-#     count_distinct).
+#     (seq_path, filter_samenation, filter_regex, exists, construct).
 #
 # r6 queue: EMPTY for pre-r5 entries — any entry without a green row after
 # this round is a regression, not a rotation artifact.
@@ -447,18 +455,19 @@ PRIORITY_ORDER = [
     "sparql_avg_size", "sparql_not_bound", "sparql_optional_filtered",
     "sparql_bind_arith", "sparql_describe_where",
     "sketch_kmv_hourly", "pipeline_profile", "rel_window_delta",
-    # --- new this round (5) ---
+    # --- new this round (6) ---
     "sparql_filter_contains", "sparql_filter_strstarts",
-    "sparql_filter_strlen", "sparql_filter_arith_mul", "knn_lsh_served",
+    "sparql_filter_strlen", "sparql_filter_arith_mul",
+    "sparql_bind_coalesce", "knn_lsh_served",
     # --- re-verify: zero-length-path identity domain restriction (2) ---
     "sparql_path_star", "sparql_path_opt",
-    # --- breadth / family coverage (17) ---
+    # --- breadth / family coverage (16) ---
     "temporal_asof", "text_topterms", "dedup_minhash", "dedup_jaccard",
     "graph_pagerank", "media_dedup", "streaming_sessionize_batch",
     "pipeline_contamination", "sketch_cms_users",
     "rel_q9_profit", "rel_q21_waiting",
     "sparql_seq_path", "sparql_filter_samenation", "sparql_filter_regex",
-    "sparql_exists", "sparql_construct", "sparql_count_distinct",
+    "sparql_exists", "sparql_construct",
 ]
 
 

@@ -268,6 +268,8 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         elif kind == "arith":
             v, op, num = s
             bind_expr[alias] = f"({numeric_value_sql(f'{src[v]}.{v}')} {op} {num})"
+        elif kind == "coalesce":
+            bind_expr[alias] = "COALESCE(" + ", ".join(f"{src[v]}.{v}" for v in s) + ")"
         else:
             bind_expr[alias] = f"CAST({resolve(s)} AS BIGINT)"
 

@@ -269,7 +269,9 @@ class ParsedQuery:
     # variables; inner aggregate aliases become plain outer columns
     subquery: "ParsedQuery | None" = None
     # BIND clauses: (kind, source, alias) with kind "var" (source = bound
-    # variable name), "const" (source = constant lexical), or "arith"
+    # variable name), "const" (source = constant lexical), "coalesce"
+    # (source = tuple of bound variable names; alias = first non-NULL,
+    # the SPARQL fallback-after-OPTIONAL idiom), or "arith"
     # (source = (var, op, int) over the typed numeric value layer; the
     # alias carries a plain number, not a dictionary id)
     binds: list[tuple[str, object, str]] = field(default_factory=list)
@@ -650,6 +652,27 @@ def parse_sparql(text: str) -> ParsedQuery:
     # the alias carries a plain number, not a dictionary id (id arithmetic
     # remains meaningless and is not offered)
     binds: list[tuple[str, object, str]] = []
+
+    def _grab_bind_coalesce(m2: re.Match) -> str:
+        alias = m2.group(2)[1:]
+        if alias.startswith("__seq"):
+            raise SparqlSyntaxError(
+                "variable names starting with '__seq' are reserved for "
+                "sequence-path rewriting"
+            )
+        vars_ = tuple(v[1:] for v in re.findall(r"\?\w+", m2.group(1)))
+        binds.append(("coalesce", vars_, alias))
+        return " "
+
+    # bind(coalesce(?a, ?b, …) as ?x): first bound (non-NULL) argument —
+    # the standard fallback idiom after OPTIONAL (SPARQL 1.1 §17.4.1.3);
+    # grabbed BEFORE the plain-bind grammar, whose token rule would reject
+    # the parenthesized argument list
+    body = re.sub(
+        r"(?is)bind\s*\(\s*coalesce\s*\(\s*(\?\w+(?:\s*,\s*\?\w+)+)\s*\)\s+as\s+(\?\w+)\s*\)\s*\.?",
+        _grab_bind_coalesce,
+        body,
+    )
 
     def _grab_bind_arith(m2: re.Match) -> str:
         alias = m2.group(4)[1:]
@@ -1133,4 +1156,13 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
             raise SparqlSyntaxError(
                 f"bind source variable not bound in where clause: ?{src_v[0]}"
             )
+        if kind == "coalesce":
+            # pattern-bound id columns only: an arith alias (a plain
+            # number) mixed into COALESCE would silently blend value
+            # spaces; it is not in base_vars, so this check rejects it too
+            missing = [v for v in src_v if v not in base_vars]
+            if missing:
+                raise SparqlSyntaxError(
+                    f"coalesce source variable(s) not bound in where clause: {missing}"
+                )
     return q

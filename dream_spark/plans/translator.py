@@ -832,6 +832,10 @@ def translate(
         if kind == "arith":
             var, op, num = src
             col = F.expr(f"({numeric_value_sql(var)} {op} {num})")
+        elif kind == "coalesce":
+            # first non-NULL id column (SPARQL COALESCE over bound vars) —
+            # row-local, codegen-able, no join
+            col = F.coalesce(*[F.col(v) for v in src])
         else:
             col = F.col(src) if kind == "var" else F.lit(store.resolve(src)).cast("long")
         plan = plan.withColumn(alias, col)

@@ -339,6 +339,14 @@ class TripleStore:
         if cache:
             triples = triples.cache()
             triples.count()  # materialize now: queries must not race to fill it
+            # the dictionary is consulted by EVERY decode, regex, and
+            # string-function filter (one equi-join each): without its own
+            # cache each of those joins re-derives the 7-table union per
+            # query.  Materialized eagerly with the triples — tens of MB at
+            # bench SF, and the open-store analog of the bucketed dict
+            # table write_bucketed persists at warehouse scale.
+            dictionary = dictionary.cache()
+            dictionary.count()
         st = cls(spark, triples, dictionary)
         st._keep_open = cache
         return st
@@ -448,6 +456,10 @@ class TripleStore:
             if not (lvl.useMemory or lvl.useDisk):
                 self.triples = self.triples.cache()
                 self.triples.count()
+                dl = self.dictionary.storageLevel
+                if not (dl.useMemory or dl.useDisk):
+                    self.dictionary = self.dictionary.cache()
+                    self.dictionary.count()
                 # the derived path artifacts (predicate closures, the
                 # node-identity frame — plans/translator._path_cache) are
                 # localCheckpoint-materialized: a clearCache that dropped

@@ -832,6 +832,47 @@ def test_bind_arith_decode_rejected(engine):
         ).collect()
 
 
+def test_parse_bind_coalesce():
+    q = parse_sparql(
+        "select ?C ?X where { ?C type Customer . optional { ?O placedBy ?C } ."
+        " bind(coalesce(?O, ?C) as ?X) }"
+    )
+    assert q.binds == [("coalesce", ("O", "C"), "X")]
+    for bad in [
+        # unbound source variable
+        "select ?X where { ?C type Customer . bind(coalesce(?C, ?Z) as ?X) }",
+        # arith alias as a coalesce source (number mixed into id space)
+        "select ?X where { ?P size ?SZ . bind(?SZ + 1 as ?V) ."
+        " bind(coalesce(?V, ?SZ) as ?X) }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        # fallback after OPTIONAL: urgent-order id if any, else the customer
+        (
+            "select ?C ?X where { ?C type Customer . optional { ?O placedBy ?C ."
+            " ?O priority <1-URGENT> } . bind(coalesce(?O, ?C) as ?X) }",
+            False,
+        ),
+        # three-way chain over two optionals; alias decodes like any id
+        (
+            "select ?C ?X where { ?C type Customer ."
+            " optional { ?O placedBy ?C . ?O status <P> } ."
+            " optional { ?C mktsegment ?S } ."
+            " bind(coalesce(?O, ?S, ?C) as ?X) }",
+            True,
+        ),
+    ],
+)
+def test_bind_coalesce_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
 def test_parse_numeric_aggregates():
     q = parse_sparql(
         "select ?S (sum(?SZ) as ?tot) (avg(?SZ) as ?mean)"
