@@ -382,6 +382,28 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " ?O priority <1-URGENT> } . bind(coalesce(?O, ?C) as ?X) }",
         False,
     ),
+    # UCASE case-mapped equality on part names (lowercase in the data, so
+    # the fold is load-bearing: "RED PLATE" only matches through ucase)
+    "sparql_filter_ucase": (
+        'select ?P ?NM where { ?P type Part . ?P name ?NM .'
+        ' filter (ucase(?NM) = "RED PLATE") }',
+        False,
+    ),
+    # SUBSTR positional test on customer names (1-based like SPARQL
+    # §17.4.3.3; position 15 is the 6th digit of the zero-padded key)
+    "sparql_filter_substr": (
+        'select ?C ?NM where { ?C type Customer . ?C name ?NM .'
+        ' filter (substr(?NM, 15, 1) = "1") }',
+        False,
+    ),
+    # numeric IF BIND: flag parts above the size threshold; the alias
+    # carries a plain 0/1, and a non-numeric condition term would leave it
+    # unbound (SPARQL error propagation, sources/triples.if_numeric_sql)
+    "sparql_bind_if": (
+        "select ?P ?SZ ?BIG where { ?P type Part . ?P size ?SZ ."
+        " bind(if(?SZ > 25, 1, 0) as ?BIG) }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}
@@ -422,24 +444,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * 26 seats: the full never-green queue from the r4 ledger (18
 #     earlier-grammar variants + 8 r4-new operators).  After this round
 #     EVERY pre-r5 entry has had a driver-green row at least once.
-#   * 6 seats for entries NEW this round: the string-function FILTERs
-#     (sparql_filter_contains / _strstarts / _strlen — SPARQL 1.1
-#     CONTAINS/STRSTARTS/STRLEN over the decode-one-column join), the
-#     multiplicative typed-value filter (sparql_filter_arith_mul), the
-#     COALESCE BIND (sparql_bind_coalesce), and the persisted-ANN serve
-#     path (knn_lsh_served — loads the parquet index written by
+#   * 9 seats for entries NEW this round: the string-function FILTERs
+#     (sparql_filter_contains / _strstarts / _strlen / _ucase / _substr —
+#     SPARQL 1.1 CONTAINS/STRSTARTS/STRLEN/UCASE/LCASE/SUBSTR over the
+#     decode-one-column join), the multiplicative typed-value filter
+#     (sparql_filter_arith_mul), the COALESCE and numeric-IF BINDs
+#     (sparql_bind_coalesce / sparql_bind_if), and the persisted-ANN
+#     serve path (knn_lsh_served — loads the parquet index written by
 #     save_vector_index and probes it).
 #   * 2 re-verification seats for code changed this round:
 #     sparql_path_star + sparql_path_opt (the zero-length-path identity
 #     side is now domain-restricted to a sibling pattern's value set or a
 #     constant presence probe instead of the corpus-wide node frame).
-#   * 16 breadth/re-verification seats keeping every operator family
+#   * 13 breadth/re-verification seats keeping every operator family
 #     inside the cap: temporal_asof, text_topterms, dedup_minhash,
-#     dedup_jaccard, graph_pagerank, media_dedup,
-#     streaming_sessionize_batch, pipeline_contamination,
-#     sketch_cms_users, rel_q9_profit, rel_q21_waiting, plus the heavy
-#     SPARQL shapes most adjacent to this round's translator diff
-#     (seq_path, filter_samenation, filter_regex, exists, construct).
+#     dedup_jaccard, graph_pagerank, streaming_sessionize_batch,
+#     pipeline_contamination, sketch_cms_users, plus the heavy SPARQL
+#     shapes most adjacent to this round's translator/oracle diff —
+#     seq_path, filter_samenation, filter_regex, exists, construct
+#     (media_dedup / rel_q9_profit / rel_q21_waiting yielded their r4
+#     seats to the ucase/substr/bind_if additions; all three are green r4
+#     on unchanged code).
 #
 # r6 queue: EMPTY for pre-r5 entries — any entry without a green row after
 # this round is a regression, not a rotation artifact.
@@ -455,17 +480,18 @@ PRIORITY_ORDER = [
     "sparql_avg_size", "sparql_not_bound", "sparql_optional_filtered",
     "sparql_bind_arith", "sparql_describe_where",
     "sketch_kmv_hourly", "pipeline_profile", "rel_window_delta",
-    # --- new this round (6) ---
+    # --- new this round (9) ---
     "sparql_filter_contains", "sparql_filter_strstarts",
     "sparql_filter_strlen", "sparql_filter_arith_mul",
     "sparql_bind_coalesce", "knn_lsh_served",
+    "sparql_filter_ucase", "sparql_filter_substr", "sparql_bind_if",
     # --- re-verify: zero-length-path identity domain restriction (2) ---
     "sparql_path_star", "sparql_path_opt",
-    # --- breadth / family coverage (16) ---
+    # --- breadth / family coverage (13; the SPARQL seats also re-verify
+    #     this round's filter/bind/alias-set translator+oracle diff) ---
     "temporal_asof", "text_topterms", "dedup_minhash", "dedup_jaccard",
-    "graph_pagerank", "media_dedup", "streaming_sessionize_batch",
+    "graph_pagerank", "streaming_sessionize_batch",
     "pipeline_contamination", "sketch_cms_users",
-    "rel_q9_profit", "rel_q21_waiting",
     "sparql_seq_path", "sparql_filter_samenation", "sparql_filter_regex",
     "sparql_exists", "sparql_construct",
 ]

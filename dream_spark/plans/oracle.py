@@ -17,6 +17,7 @@ from dream_spark.sources.triples import (
     DICT_SQL,
     TRIPLES_SQL,
     arith_filter_sql,
+    if_numeric_sql,
     numeric_value_sql,
     resolve_lexical,
 )
@@ -147,6 +148,16 @@ def _str_filter_sql(f, lex_ref: str) -> str:
     if f.kind == "strlen":
         return f"LENGTH({lex_ref}) {'<>' if f.op == '!=' else f.op} {f.rhs_num}"
     lit = f.pattern.replace("'", "''")
+    if f.op in ("ucase", "lcase"):
+        fn = "upper" if f.op == "ucase" else "lower"
+        cmp = "<>" if f.lhs_op == "!=" else "="
+        return f"{fn}({lex_ref}) {cmp} '{lit}'"
+    if f.op == "substr":
+        args = f"{lex_ref}, {f.lhs_num}" + (
+            f", {f.rhs_num}" if f.rhs_num is not None else ""
+        )
+        cmp = "<>" if f.lhs_op == "!=" else "="
+        return f"substr({args}) {cmp} '{lit}'"
     fn = {"contains": "contains", "strstarts": "starts_with", "strends": "ends_with"}[f.op]
     return f"{fn}({lex_ref}, '{lit}')"
 
@@ -268,6 +279,10 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         elif kind == "arith":
             v, op, num = s
             bind_expr[alias] = f"({numeric_value_sql(f'{src[v]}.{v}')} {op} {num})"
+        elif kind == "if":
+            # identical shared fragment the Spark plan applies via F.expr
+            v, op, num, then_n, else_n = s
+            bind_expr[alias] = if_numeric_sql(f"{src[v]}.{v}", op, num, then_n, else_n)
         elif kind == "coalesce":
             bind_expr[alias] = "COALESCE(" + ", ".join(f"{src[v]}.{v}" for v in s) + ")"
         else:
@@ -276,7 +291,7 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     def _ref(v: str) -> str:
         return bind_expr[v] if v in bind_expr else f"{src[v]}.{v}"
 
-    arith_bind_aliases = frozenset(a for k, _, a in query.binds if k == "arith")
+    arith_bind_aliases = query.numeric_bind_aliases()
     for i, f in enumerate(query.filters):
         lhs = _ref(f.var)
         if f.kind in ("cmp", "bound", "arith"):
@@ -428,7 +443,7 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
         elif a.fn in ("sum", "avg"):
             # an arithmetic BIND alias already holds the plain number —
             # skip the id→value wrap, mirroring the translator
-            arith_aliases = {al for k, _, al in query.binds if k == "arith"}
+            arith_aliases = query.numeric_bind_aliases()
             if a.var in arith_aliases:
                 val = f"q.{a.var}"
             else:
@@ -510,7 +525,7 @@ def bgp_to_sql(
         # mirror the translator's guard: an arithmetic BIND alias carries a
         # plain number; decoding would join the dict on that number, which
         # can silently collide with a genuine small dictionary id
-        arith_aliases = {a for k, _, a in query.binds if k == "arith"}
+        arith_aliases = query.numeric_bind_aliases()
         if arith_aliases & set(query.projection):
             raise ValueError(
                 "decode=True over arithmetic BIND aliases is not supported: "

@@ -181,7 +181,10 @@ class Filter:
     bijection), ``regex`` (``regex(?v, "pat")``, evaluated on the decoded
     lexical), ``str`` (``contains/strstarts/strends(?v, "lit")`` — literal
     substring/prefix/suffix tests on the decoded lexical, ``op`` holds the
-    function name and ``pattern`` the literal), ``strlen``
+    function name and ``pattern`` the literal; also ``ucase``/``lcase``
+    — case-mapped =/!= against the literal, comparison operator in
+    ``lhs_op`` — and ``substr`` — 1-based ``substr(?v, lhs_num[,
+    rhs_num]) =/!= "lit"``), ``strlen``
     (``strlen(?v) op <int>`` — character-length comparison on the decoded
     lexical), or ``arith`` (``?v [±·n] op <integer>``: comparison/arithmetic
     on the term's TYPED NUMERIC VALUE — sources/triples.numeric_value_sql —
@@ -271,9 +274,11 @@ class ParsedQuery:
     # BIND clauses: (kind, source, alias) with kind "var" (source = bound
     # variable name), "const" (source = constant lexical), "coalesce"
     # (source = tuple of bound variable names; alias = first non-NULL,
-    # the SPARQL fallback-after-OPTIONAL idiom), or "arith"
+    # the SPARQL fallback-after-OPTIONAL idiom), "arith"
     # (source = (var, op, int) over the typed numeric value layer; the
-    # alias carries a plain number, not a dictionary id)
+    # alias carries a plain number, not a dictionary id), or "if"
+    # (source = (var, op, rhs, then, else): numeric conditional whose
+    # alias ALSO carries a plain number — see numeric_bind_aliases)
     binds: list[tuple[str, object, str]] = field(default_factory=list)
     # ASK form (SPARQL 1.1; superset of the reference grammar): the result
     # is a single boolean row — does any binding exist?
@@ -308,6 +313,14 @@ class ParsedQuery:
             if alias not in out:
                 out.append(alias)
         return out
+
+    def numeric_bind_aliases(self) -> frozenset[str]:
+        """Aliases of BINDs whose column holds a PLAIN NUMBER rather than
+        a dictionary id ("arith" and "if" kinds).  Single source of truth
+        for the translator and the DuckDB oracle, which both must (a) skip
+        the id→value wrap when filtering/aggregating over these columns
+        and (b) refuse to dictionary-decode them."""
+        return frozenset(a for k, _, a in self.binds if k in ("arith", "if"))
 
 
 _WS = re.compile(r"\s+")
@@ -674,6 +687,41 @@ def parse_sparql(text: str) -> ParsedQuery:
         body,
     )
 
+    def _grab_bind_if(m2: re.Match) -> str:
+        alias = m2.group(6)[1:]
+        if alias.startswith("__seq"):
+            raise SparqlSyntaxError(
+                "variable names starting with '__seq' are reserved for "
+                "sequence-path rewriting"
+            )
+        binds.append(
+            (
+                "if",
+                (
+                    m2.group(1)[1:],
+                    m2.group(2),
+                    int(m2.group(3)),
+                    int(m2.group(4)),
+                    int(m2.group(5)),
+                ),
+                alias,
+            )
+        )
+        return " "
+
+    # bind(if(?v op n, then, else) as ?x): numeric conditional over the
+    # TYPED NUMERIC VALUE — integer branches only, so the alias carries a
+    # plain number like the arithmetic binds; a non-numeric ?v is a
+    # condition type error and leaves the alias UNBOUND (SPARQL §17.4.1.2
+    # error propagation through IF), see sources/triples.if_numeric_sql.
+    # Grabbed BEFORE the plain-bind grammar (parenthesized argument list).
+    body = re.sub(
+        r"(?is)bind\s*\(\s*if\s*\(\s*(\?\w+)\s*(!=|<=|>=|<|>|=)\s*(-?\d+)\s*,"
+        r"\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s+as\s+(\?\w+)\s*\)\s*\.?",
+        _grab_bind_if,
+        body,
+    )
+
     def _grab_bind_arith(m2: re.Match) -> str:
         alias = m2.group(4)[1:]
         if alias.startswith("__seq"):
@@ -942,6 +990,40 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         )
         return " "
 
+    def _grab_strcase(m2: re.Match) -> str:
+        # ucase/lcase(?v) =/!= "lit": the comparison operator rides in
+        # lhs_op (op already names the function, like the other str forms)
+        filters.append(
+            Filter(
+                kind="str",
+                var=m2.group(2)[1:],
+                op=m2.group(1).lower(),
+                lhs_op=m2.group(3),
+                pattern=m2.group(4),
+            )
+        )
+        return " "
+
+    def _grab_substr(m2: re.Match) -> str:
+        # substr(?v, start[, len]) =/!= "lit" — 1-based start (SPARQL
+        # §17.4.3.3, identical in Spark substring and DuckDB substr);
+        # start ≥ 1 required: the grammar's \d+ admits no sign but does
+        # admit 0, whose semantics diverge across engines
+        if int(m2.group(2)) < 1:
+            raise SparqlSyntaxError("substr start position must be >= 1")
+        filters.append(
+            Filter(
+                kind="str",
+                var=m2.group(1)[1:],
+                op="substr",
+                lhs_num=int(m2.group(2)),
+                rhs_num=int(m2.group(3)) if m2.group(3) is not None else None,
+                lhs_op=m2.group(4),
+                pattern=m2.group(5),
+            )
+        )
+        return " "
+
     def _grab_bound(m2: re.Match) -> str:
         filters.append(
             Filter(kind="bound", var=m2.group(2)[1:], op=("!" if m2.group(1) else ""))
@@ -986,6 +1068,16 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
     body = re.sub(
         r"(?is)filter\s*\(\s*strlen\s*\(\s*(\?\w+)\s*\)\s*(!=|<=|>=|<|>|=)\s*(\d+)\s*\)\s*\.?",
         _grab_strlen,
+        body,
+    )
+    body = re.sub(
+        r'(?is)filter\s*\(\s*(ucase|lcase)\s*\(\s*(\?\w+)\s*\)\s*(!=|=)\s*"([^"]*)"\s*\)\s*\.?',
+        _grab_strcase,
+        body,
+    )
+    body = re.sub(
+        r'(?is)filter\s*\(\s*substr\s*\(\s*(\?\w+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*(!=|=)\s*"([^"]*)"\s*\)\s*\.?',
+        _grab_substr,
         body,
     )
     body = re.sub(
@@ -1072,7 +1164,7 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
     if bad_order:
         raise SparqlSyntaxError(f"order-by variables must be projected: {bad_order}")
     known = set(q.all_variables())
-    arith_aliases = {a for k, _, a in q.binds if k == "arith"}
+    arith_aliases = q.numeric_bind_aliases()
     for f in q.filters:
         unbound = [v for v in (f.var, f.rhs_var) if v is not None and v not in known]
         unbound += [v for v in (f.vars_ or ()) if v not in known]
@@ -1152,7 +1244,7 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
             raise SparqlSyntaxError(
                 f"bind source variable not bound in where clause: ?{src_v}"
             )
-        if kind == "arith" and src_v[0] not in base_vars:
+        if kind in ("arith", "if") and src_v[0] not in base_vars:
             raise SparqlSyntaxError(
                 f"bind source variable not bound in where clause: ?{src_v[0]}"
             )

@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 from dream_spark.plans.sparql import Condition, Filter, ParsedQuery
 from dream_spark.plans.stats import TripleStats
-from dream_spark.sources.triples import TripleStore, arith_filter_sql, numeric_value_sql
+from dream_spark.sources.triples import (
+    TripleStore,
+    arith_filter_sql,
+    if_numeric_sql,
+    numeric_value_sql,
+)
 
 
 _PATH_MAX_ITERS = 25
@@ -308,6 +313,21 @@ def _apply_filters(
                     ">": ln > f.rhs_num,
                     ">=": ln >= f.rhs_num,
                 }[f.op]
+            elif f.op in ("ucase", "lcase"):
+                # UCASE/LCASE(?v) =/!= "lit" — case-mapped equality on the
+                # decoded lexical (ASCII data; both engines apply Unicode
+                # simple case mapping identically)
+                folded = F.upper(c) if f.op == "ucase" else F.lower(c)
+                pred = folded == f.pattern if f.lhs_op == "=" else folded != f.pattern
+            elif f.op == "substr":
+                # SUBSTR(?v, start[, len]) =/!= "lit" — 1-based, same
+                # out-of-range → "" behavior as DuckDB substr
+                sub = (
+                    F.substring(c, f.lhs_num, f.rhs_num)
+                    if f.rhs_num is not None
+                    else F.expr(f"substring(__fstr_{tag}{i}, {f.lhs_num})")
+                )
+                pred = sub == f.pattern if f.lhs_op == "=" else sub != f.pattern
             else:
                 pred = {
                     "contains": c.contains(f.pattern),
@@ -832,6 +852,10 @@ def translate(
         if kind == "arith":
             var, op, num = src
             col = F.expr(f"({numeric_value_sql(var)} {op} {num})")
+        elif kind == "if":
+            # numeric conditional over the typed value — shared fragment,
+            # identical string in the oracle (triples.if_numeric_sql)
+            col = F.expr(if_numeric_sql(*src))
         elif kind == "coalesce":
             # first non-NULL id column (SPARQL COALESCE over bound vars) —
             # row-local, codegen-able, no join
@@ -844,7 +868,7 @@ def translate(
     # FILTER clauses: id-level comparisons stay on the encoded longs (the
     # dictionary is a bijection, so =/!= on ids ≡ on lexicals); regex
     # filters decode just the one column via a dict equi-join, then drop it.
-    arith_bind_aliases = frozenset(a for k, _, a in query.binds if k == "arith")
+    arith_bind_aliases = query.numeric_bind_aliases()
     plan = _apply_filters(plan, query.filters, store, numeric_cols=arith_bind_aliases)
 
     # Aggregate projection: groupBy + count/count-distinct — Catalyst plans
@@ -960,7 +984,7 @@ def translate(
         return plan
 
     if decode:
-        arith_aliases = {a for k, _, a in query.binds if k == "arith"}
+        arith_aliases = query.numeric_bind_aliases()
         if arith_aliases & set(query.projection):
             raise ValueError(
                 "decode=True over arithmetic BIND aliases is not supported: "

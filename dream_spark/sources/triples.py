@@ -270,6 +270,25 @@ def arith_filter_sql(
     return f"{lhs} {sqlop} {rhs_num}"
 
 
+def if_numeric_sql(
+    ref: str, op: str, rhs_num: int, then_num: int, else_num: int
+) -> str:
+    """``IF(num(ref) op rhs, then, else)`` as a shared SQL fragment — the
+    BIND(IF(...) AS ?x) lowering, applied verbatim on Spark (``F.expr``)
+    and in the DuckDB oracle.  SPARQL error propagation (§17.4.1.2): when
+    the condition raises a type error — here, a non-numeric term whose
+    VALUE is NULL — IF() itself errors and the BIND leaves the alias
+    UNBOUND, so the second WHEN arm keeps NULL-valued rows NULL instead of
+    funnelling them into the else branch the way a bare CASE would.  The
+    alias carries a plain int64, never a dictionary id."""
+    val = numeric_value_sql(ref)
+    sqlop = "<>" if op == "!=" else op
+    return (
+        f"(CASE WHEN {val} {sqlop} {rhs_num} THEN {then_num}"
+        f" WHEN {val} IS NOT NULL THEN {else_num} END)"
+    )
+
+
 def resolve_lexical(lexical: str) -> int | None:
     """Driver-side lexical→id resolution: static vocab + arithmetic entity
     ids ('customer:42').  Returns None for lexicals only the dict knows

@@ -325,6 +325,68 @@ def test_string_filter_oracle(engine, duck, qtext, decode):
     assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
 
 
+def test_parse_case_substr_filters():
+    q = parse_sparql(
+        'select ?C ?NM where { ?C name ?NM . filter (ucase(?NM) = "X") .'
+        ' filter (lcase(?NM) != "y") . filter (substr(?NM, 2, 3) = "abc") .'
+        ' filter (substr(?NM, 4) != "zz") }'
+    )
+    got = sorted(
+        (f.op, f.lhs_op, f.lhs_num, f.rhs_num, f.pattern) for f in q.filters
+    )
+    assert got == [
+        ("lcase", "!=", None, None, "y"),
+        ("substr", "!=", 4, None, "zz"),
+        ("substr", "=", 2, 3, "abc"),
+        ("ucase", "=", None, None, "X"),
+    ]
+    # SPARQL substr is 1-based; 0 would diverge across engines
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            'select ?A where { ?A name ?NM . filter (substr(?NM, 0, 2) = "ab") }'
+        )
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        # UCASE fold is load-bearing: part names are lowercase in the data
+        (
+            'select ?P ?NM where { ?P type Part . ?P name ?NM .'
+            ' filter (ucase(?NM) = "RED PLATE") }',
+            False,
+        ),
+        # LCASE over already-uppercase region names, negated
+        (
+            'select ?R ?NM where { ?R type Region . ?R name ?NM .'
+            ' filter (lcase(?NM) != "asia") }',
+            True,
+        ),
+        # 3-arg SUBSTR positional digit test (1-based, SPARQL §17.4.3.3)
+        (
+            'select ?C ?NM where { ?C type Customer . ?C name ?NM .'
+            ' filter (substr(?NM, 15, 1) = "1") }',
+            False,
+        ),
+        # 2-arg SUBSTR: start through end of string
+        (
+            'select ?N ?NM where { ?N type Nation . ?N name ?NM .'
+            ' filter (substr(?NM, 8) = "3") }',
+            False,
+        ),
+        # case filter INSIDE an optional group: pre-join, lefts keep NULLs
+        (
+            "select ?P ?NM where { ?P type Part ."
+            ' optional { ?P name ?NM . filter (ucase(?NM) = "RED PLATE") } }',
+            False,
+        ),
+    ],
+)
+def test_case_substr_filter_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
 def test_optional_unmatched_rows_are_null(engine):
     # orders are never placedBy a supplier, so the optional never matches:
     # every supplier must still appear, with a NULL ?O (left-join semantics)
@@ -830,6 +892,66 @@ def test_bind_arith_decode_rejected(engine):
             " bind(?SZ + 100 as ?SZ2) }",
             decode=True,
         ).collect()
+
+
+def test_parse_bind_if():
+    q = parse_sparql(
+        "select ?P ?SZ ?BIG where { ?P size ?SZ . bind(if(?SZ > 25, 1, 0) as ?BIG) }"
+    )
+    assert q.binds == [("if", ("SZ", ">", 25, 1, 0), "BIG")]
+    # the alias is a NUMERIC column like the arith binds
+    assert q.numeric_bind_aliases() == {"BIG"}
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?X where { ?P size ?SZ . bind(if(?NOPE > 1, 1, 0) as ?X) }")
+    # id-level filter kinds over an if alias are rejected like arith aliases
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?X where { ?P size ?SZ . bind(if(?SZ > 1, 1, 0) as ?X) ."
+            " filter (?X != <F>) }"
+        )
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        "select ?P ?SZ ?BIG where { ?P type Part . ?P size ?SZ ."
+        " bind(if(?SZ > 25, 1, 0) as ?BIG) }",
+        # negative branch values; <= operator
+        "select ?P ?D where { ?P type Part . ?P size ?SZ ."
+        " bind(if(?SZ <= 10, -1, 7) as ?D) }",
+        # IF over a NON-numeric var: condition is a type error, so the
+        # alias stays UNBOUND (NULL) on both engines — not the else branch
+        "select ?C ?X where { ?C type Customer . bind(if(?C > 1, 1, 0) as ?X) }",
+        # an arith FILTER over the if alias skips the id→value wrap
+        "select ?P ?BIG where { ?P type Part . ?P size ?SZ ."
+        " bind(if(?SZ > 25, 1, 0) as ?BIG) . filter (?BIG = 1) }",
+    ],
+)
+def test_bind_if_oracle(engine, duck, qtext):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
+def test_aggregate_over_bind_if_alias(engine, duck):
+    """SUM/COUNT over an if alias aggregate the plain number (no value
+    wrap) — the count is the number of rows with a NUMERIC condition."""
+    qtext = (
+        "select (sum(?BIG) as ?NBIG) (count(?BIG) as ?CNT)"
+        " where { ?P type Part . ?P size ?SZ . bind(if(?SZ > 25, 1, 0) as ?BIG) }"
+    )
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
+def test_bind_if_decode_rejected(engine):
+    qtext = (
+        "select ?P ?BIG where { ?P type Part . ?P size ?SZ ."
+        " bind(if(?SZ > 25, 1, 0) as ?BIG) }"
+    )
+    with pytest.raises(ValueError):
+        engine.sparql(qtext, decode=True).collect()
+    with pytest.raises(ValueError):
+        bgp_to_sql(parse_sparql(qtext), decode=True)
 
 
 def test_parse_bind_coalesce():
