@@ -57,6 +57,13 @@ def main() -> None:
     t0 = time.perf_counter()
     spark = get_spark("bench")
     qs = entrymod.queries()
+    # the cross-round anchor must cover ALL 53 r1 names: silently summing a
+    # subset would shrink the 2x-gate denominator without any signal if an
+    # entry were ever renamed or removed — fail loudly, and BEFORE the
+    # ~2-minute measurement loop burns for nothing
+    missing53 = [n_ for n_ in BASELINE_53 if n_ not in qs]
+    if missing53:
+        raise SystemExit(f"baseline-53 entries missing from queries(): {missing53}")
     # warm the engine (triples view + stats) once, like an open store
     entrymod._engine(spark, sf_dir)
     # fork+import the Arrow worker pool once too: a deployed engine's
@@ -85,12 +92,6 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    # the cross-round anchor must cover ALL 53 r1 names: silently summing a
-    # subset would shrink the 2x-gate denominator without any signal if an
-    # entry were ever renamed or removed — fail loudly instead
-    missing53 = [n_ for n_ in BASELINE_53 if n_ not in timings]
-    if missing53:
-        raise SystemExit(f"baseline-53 entries missing from queries(): {missing53}")
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",

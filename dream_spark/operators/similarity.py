@@ -334,32 +334,82 @@ def load_vector_index(
     )
 
 
+#: Persisted-index layout/parameter version: part of the cache digest, so
+#: a code change to anything index-defining (hyperplane scheme, bucket
+#: layout, quantization, IVF training) must BUMP this — otherwise an old
+#: on-disk index with a COMPLETE marker would keep serving buckets the
+#: NEW code (and the DuckDB oracle) no longer computes.
+_INDEX_FORMAT_VERSION = 2
+
+
 def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Deterministic on-disk location of the persisted vector index for
     ``sf_dir`` — built once, reused across sessions AND processes (the
     deployment's build-once economics, like :func:`default_stats_path` for
     statistics).  Keyed on the absolute data path + the embeddings parquet
-    mtime, so regenerated testdata never serves a stale index; a COMPLETE
-    marker (written only after every parquet lands) guards against a
-    half-written index from an interrupted build.  One directory per
-    (user, dataset version) — no per-session temp-dir growth, and no
-    id()-keyed session cache that a reused address could poison."""
+    mtime + the index format version and parameters, so neither
+    regenerated testdata nor changed index code ever serves a stale index.
+
+    Concurrency/safety shape (three hazards, three answers):
+
+    - *racing builders*: each process builds into its own ``.build-*``
+      temp dir and atomically ``os.rename``\\ s it into place; the loser's
+      rename fails (non-empty target), it discards its copy and uses the
+      winner's — a COMPLETE marker can never cover a mixed two-writer
+      index.
+    - *interrupted build*: the marker is written inside the temp dir
+      BEFORE the rename, so the installed directory is complete by
+      construction; a killed build leaves only an ignored temp dir.
+    - *pre-planted path*: everything lives under a per-user 0700 base
+      directory whose ownership is verified — another local user cannot
+      plant a poisoned index at the predictable location."""
     import getpass
     import hashlib
     import os
+    import shutil
     import tempfile
+    import uuid
 
     root = os.path.abspath(sf_dir)
     emb = os.path.join(root, "embeddings.parquet")
-    sig = f"{root}|{os.path.getmtime(emb) if os.path.exists(emb) else 0}"
+    sig = "|".join(
+        [
+            root,
+            str(os.path.getmtime(emb) if os.path.exists(emb) else 0),
+            f"v{_INDEX_FORMAT_VERSION}",
+            f"ivf{IVF_K}x{IVF_TRAIN_ITERS}",
+        ]
+    )
     digest = hashlib.md5(sig.encode()).hexdigest()[:16]
-    user = getpass.getuser() if hasattr(getpass, "getuser") else str(os.getuid())
-    path = os.path.join(tempfile.gettempdir(), f"dream_spark_vecindex_{user}_{digest}")
+    try:
+        user = getpass.getuser()
+    except Exception:  # no passwd entry / env in minimal containers
+        user = str(os.getuid())
+    base = os.path.join(tempfile.gettempdir(), f"dream_spark_vecindex_{user}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st = os.stat(base)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"vector-index cache dir {base!r} is owned by uid {st.st_uid}, "
+            f"not us ({os.getuid()}) — refusing to load an index another "
+            "user could have planted"
+        )
+    os.chmod(base, 0o700)  # exist_ok may have accepted weaker modes
+    path = os.path.join(base, digest)
     marker = os.path.join(path, "COMPLETE")
     if not os.path.exists(marker):
-        save_vector_index(spark, sf_dir, path)
-        with open(marker, "w") as f:
+        tmp = os.path.join(base, f".build-{digest}-{uuid.uuid4().hex[:8]}")
+        save_vector_index(spark, sf_dir, tmp)
+        with open(os.path.join(tmp, "COMPLETE"), "w") as f:
             f.write("ok\n")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost the install race: a concurrent builder renamed first.
+            # Its index is complete (marker precedes rename), so drop ours.
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
     return path
 
 

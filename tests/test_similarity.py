@@ -133,3 +133,52 @@ def test_vector_index_save_load_roundtrip(spark, tmp_path):
         )
     )
     assert loaded_ivf == fresh_ivf
+
+
+def test_served_index_path_install_reuse_and_versioning(spark, tmp_path, monkeypatch):
+    """The cross-process index cache must (a) build exactly once and serve
+    the marker-guarded copy afterwards, (b) key on the index format
+    version so changed index code never serves a stale layout, and (c)
+    refuse a cache base owned by another user (predictable-/tmp-path
+    poisoning)."""
+    import os
+    import tempfile
+
+    from dream_spark.operators import similarity as sim
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    p1 = sim._served_index_path(spark, SF_DIR)
+    marker = os.path.join(p1, "COMPLETE")
+    assert os.path.exists(marker)
+    built_at = os.path.getmtime(marker)
+
+    # a second call must reuse the installed index, never rebuild
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("save_vector_index re-ran despite COMPLETE marker")
+
+    monkeypatch.setattr(sim, "save_vector_index", _boom)
+    assert sim._served_index_path(spark, SF_DIR) == p1
+    assert os.path.getmtime(marker) == built_at
+
+    # bumping the format version must select a DIFFERENT directory (and
+    # hence rebuild — which the _boom stub turns into a loud failure)
+    monkeypatch.setattr(sim, "_INDEX_FORMAT_VERSION", sim._INDEX_FORMAT_VERSION + 1)
+    with pytest.raises(AssertionError, match="re-ran"):
+        sim._served_index_path(spark, SF_DIR)
+    monkeypatch.undo()
+
+    # an interrupted build's temp dir must not be mistaken for an index
+    assert not [d for d in os.listdir(os.path.dirname(p1)) if d.startswith(".build-")]
+
+    # ownership check: a base dir owned by someone else is refused
+    if os.getuid() == 0:  # chown needs privilege; skip otherwise
+        monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+        base = os.path.dirname(p1)
+        os.chown(base, 12345, 12345)
+        try:
+            with pytest.raises(RuntimeError, match="owned by uid"):
+                sim._served_index_path(spark, SF_DIR)
+        finally:
+            os.chown(base, 0, 0)
