@@ -404,6 +404,23 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " bind(if(?SZ > 25, 1, 0) as ?BIG) }",
         False,
     ),
+    # two-VARIABLE arithmetic FILTER (sources/triples.arith2_sql): pairs
+    # of lineitems within one order whose part sizes sum to the constant —
+    # both operands are typed numeric values, not literals
+    "sparql_filter_arith_vars": (
+        "select ?L1 ?L2 ?S1 ?S2 where { ?L1 ofOrder ?O . ?L2 ofOrder ?O ."
+        " ?L1 ofPart ?P1 . ?L2 ofPart ?P2 . ?P1 size ?S1 . ?P2 size ?S2 ."
+        " filter (?S1 + ?S2 = 100) }",
+        False,
+    ),
+    # two-variable arithmetic BIND: the size DIFFERENCE of the pair; the
+    # alias carries a plain (possibly negative) number the filter reuses
+    "sparql_bind_arith_vars": (
+        "select ?L1 ?L2 ?D where { ?L1 ofOrder ?O . ?L2 ofOrder ?O ."
+        " ?L1 ofPart ?P1 . ?L2 ofPart ?P2 . ?P1 size ?S1 . ?P2 size ?S2 ."
+        " bind(?S1 - ?S2 as ?D) . filter (?D > 45) }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}
@@ -444,27 +461,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * 26 seats: the full never-green queue from the r4 ledger (18
 #     earlier-grammar variants + 8 r4-new operators).  After this round
 #     EVERY pre-r5 entry has had a driver-green row at least once.
-#   * 9 seats for entries NEW this round: the string-function FILTERs
+#   * 11 seats for entries NEW this round: the string-function FILTERs
 #     (sparql_filter_contains / _strstarts / _strlen / _ucase / _substr —
 #     SPARQL 1.1 CONTAINS/STRSTARTS/STRLEN/UCASE/LCASE/SUBSTR over the
 #     decode-one-column join), the multiplicative typed-value filter
 #     (sparql_filter_arith_mul), the COALESCE and numeric-IF BINDs
-#     (sparql_bind_coalesce / sparql_bind_if), and the persisted-ANN
-#     serve path (knn_lsh_served — loads the parquet index written by
-#     save_vector_index and probes it).
+#     (sparql_bind_coalesce / sparql_bind_if), the two-variable
+#     arithmetic forms (sparql_filter_arith_vars /
+#     sparql_bind_arith_vars — (num(?a) op num(?b)) over the typed value
+#     layer), and the persisted-ANN serve path (knn_lsh_served — loads
+#     the parquet index written by save_vector_index and probes it).
 #   * 2 re-verification seats for code changed this round:
 #     sparql_path_star + sparql_path_opt (the zero-length-path identity
 #     side is now domain-restricted to a sibling pattern's value set or a
 #     constant presence probe instead of the corpus-wide node frame).
-#   * 13 breadth/re-verification seats keeping every operator family
+#   * 11 breadth/re-verification seats keeping every operator family
 #     inside the cap: temporal_asof, text_topterms, dedup_minhash,
 #     dedup_jaccard, graph_pagerank, streaming_sessionize_batch,
 #     pipeline_contamination, sketch_cms_users, plus the heavy SPARQL
 #     shapes most adjacent to this round's translator/oracle diff —
-#     seq_path, filter_samenation, filter_regex, exists, construct
-#     (media_dedup / rel_q9_profit / rel_q21_waiting yielded their r4
-#     seats to the ucase/substr/bind_if additions; all three are green r4
-#     on unchanged code).
+#     seq_path, filter_samenation, filter_regex, exists — plus
+#     media_dedup keeping the media_ family inside the cap
+#     (sparql_construct / rel_q9_profit / rel_q21_waiting yielded their
+#     r4 seats to the ucase/substr/bind_if additions; all three are green
+#     r4 on unchanged code, and rel_window_delta in the 26-queue keeps
+#     the rel_ family covered).
 #
 # r6 queue: EMPTY for pre-r5 entries — any entry without a green row after
 # this round is a regression, not a rotation artifact.
@@ -485,15 +506,16 @@ PRIORITY_ORDER = [
     "sparql_filter_strlen", "sparql_filter_arith_mul",
     "sparql_bind_coalesce", "knn_lsh_served",
     "sparql_filter_ucase", "sparql_filter_substr", "sparql_bind_if",
+    "sparql_filter_arith_vars", "sparql_bind_arith_vars",
     # --- re-verify: zero-length-path identity domain restriction (2) ---
     "sparql_path_star", "sparql_path_opt",
     # --- breadth / family coverage (13; the SPARQL seats also re-verify
     #     this round's filter/bind/alias-set translator+oracle diff) ---
-    "temporal_asof", "text_topterms", "dedup_minhash", "dedup_jaccard",
-    "graph_pagerank", "streaming_sessionize_batch",
-    "pipeline_contamination", "sketch_cms_users",
+    "temporal_asof", "text_topterms", "dedup_minhash",
+    "graph_pagerank", "media_dedup", "streaming_sessionize_batch",
+    "sketch_cms_users",
     "sparql_seq_path", "sparql_filter_samenation", "sparql_filter_regex",
-    "sparql_exists", "sparql_construct",
+    "sparql_exists",
 ]
 
 

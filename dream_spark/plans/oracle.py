@@ -16,6 +16,7 @@ from dream_spark.plans.sparql import ParsedQuery
 from dream_spark.sources.triples import (
     DICT_SQL,
     TRIPLES_SQL,
+    arith2_sql,
     arith_filter_sql,
     if_numeric_sql,
     numeric_value_sql,
@@ -176,6 +177,13 @@ def _simple_filter_sql(f, ref, resolve, numeric_aliases=frozenset()) -> str:
             ref(f.var), f.lhs_op, f.lhs_num, f.op, f.rhs_num,
             wrap=f.var not in numeric_aliases,
         )
+    if f.kind == "arith2":
+        expr = arith2_sql(
+            ref(f.var), f.lhs_op, ref(f.rhs_var),
+            wrap_a=f.var not in numeric_aliases,
+            wrap_b=f.rhs_var not in numeric_aliases,
+        )
+        return f"{expr} {'<>' if f.op == '!=' else f.op} {f.rhs_num}"
     assert f.kind == "cmp", f.kind
     rhs = ref(f.rhs_var) if f.rhs_var is not None else str(resolve(f.rhs_const))
     op = {"=": "=", "!=": "<>"}.get(f.op, f.op)
@@ -283,6 +291,9 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             # identical shared fragment the Spark plan applies via F.expr
             v, op, num, then_n, else_n = s
             bind_expr[alias] = if_numeric_sql(f"{src[v]}.{v}", op, num, then_n, else_n)
+        elif kind == "arith2":
+            va, op2, vb = s
+            bind_expr[alias] = arith2_sql(f"{src[va]}.{va}", op2, f"{src[vb]}.{vb}")
         elif kind == "coalesce":
             bind_expr[alias] = "COALESCE(" + ", ".join(f"{src[v]}.{v}" for v in s) + ")"
         else:
@@ -294,7 +305,7 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     arith_bind_aliases = query.numeric_bind_aliases()
     for i, f in enumerate(query.filters):
         lhs = _ref(f.var)
-        if f.kind in ("cmp", "bound", "arith"):
+        if f.kind in ("cmp", "bound", "arith", "arith2"):
             filt_where.append(
                 _simple_filter_sql(f, _ref, resolve, numeric_aliases=arith_bind_aliases)
             )

@@ -12,8 +12,12 @@ documented supersets: a ``distinct`` marker, angle-bracketed constants
 outer join semantics), ``filter`` clauses of the forms
 ``filter (?X != ?Y)``, ``filter (?X = <const>)``, ``filter (?X != <const>)``,
 ``filter regex(?X, "pattern")``, string-function filters
-``filter contains/strstarts/strends(?X, "lit")`` and
-``filter (strlen(?X) op N)``, ``filter [not] exists { … }`` groups
+``filter contains/strstarts/strends(?X, "lit")``,
+``filter (ucase|lcase(?X) =/!= "lit")``,
+``filter (substr(?X, start[, len]) =/!= "lit")`` and
+``filter (strlen(?X) op N)``, typed-numeric arithmetic
+``filter (?X [±·n] op N)`` and two-variable ``filter (?X ± ?Y op N)``,
+``filter [not] exists { … }`` groups
 (semi/anti-join semantics on the shared variables), ``minus { … }`` groups
 (anti-join semantics on the shared variables), top-level
 ``{ BGP } union { BGP }`` alternation (bag-union semantics; variables
@@ -186,10 +190,13 @@ class Filter:
     ``lhs_op`` — and ``substr`` — 1-based ``substr(?v, lhs_num[,
     rhs_num]) =/!= "lit"``), ``strlen``
     (``strlen(?v) op <int>`` — character-length comparison on the decoded
-    lexical), or ``arith`` (``?v [±·n] op <integer>``: comparison/arithmetic
+    lexical), ``arith`` (``?v [±·n] op <integer>``: comparison/arithmetic
     on the term's TYPED NUMERIC VALUE — sources/triples.numeric_value_sql —
     NULL for non-numeric terms, which drops the row like SPARQL's
-    type-error contract)."""
+    type-error contract), or ``arith2`` (``?a [+−×] ?b op <integer>``:
+    two-variable arithmetic over the typed values — ``lhs_op`` holds the
+    arithmetic operator, ``rhs_var`` the second operand,
+    sources/triples.arith2_sql)."""
 
     kind: str
     var: str
@@ -320,7 +327,9 @@ class ParsedQuery:
         for the translator and the DuckDB oracle, which both must (a) skip
         the id→value wrap when filtering/aggregating over these columns
         and (b) refuse to dictionary-decode them."""
-        return frozenset(a for k, _, a in self.binds if k in ("arith", "if"))
+        return frozenset(
+            a for k, _, a in self.binds if k in ("arith", "if", "arith2")
+        )
 
 
 _WS = re.compile(r"\s+")
@@ -722,6 +731,27 @@ def parse_sparql(text: str) -> ParsedQuery:
         body,
     )
 
+    def _grab_bind_arith2(m2: re.Match) -> str:
+        alias = m2.group(4)[1:]
+        if alias.startswith("__seq"):
+            raise SparqlSyntaxError(
+                "variable names starting with '__seq' are reserved for "
+                "sequence-path rewriting"
+            )
+        binds.append(
+            ("arith2", (m2.group(1)[1:], m2.group(2), m2.group(3)[1:]), alias)
+        )
+        return " "
+
+    # bind(?a [+−×] ?b as ?x): two-variable arithmetic over the typed
+    # numeric values — grabbed BEFORE the one-var arith grammar (whose rhs
+    # is a literal integer) and the plain-bind grammar
+    body = re.sub(
+        r"(?is)bind\s*\(\s*(\?\w+)\s*([+*-])\s*(\?\w+)\s+as\s+(\?\w+)\s*\)\s*\.?",
+        _grab_bind_arith2,
+        body,
+    )
+
     def _grab_bind_arith(m2: re.Match) -> str:
         alias = m2.group(4)[1:]
         if alias.startswith("__seq"):
@@ -1043,6 +1073,22 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         )
         return " "
 
+    def _grab_arith2(m2: re.Match) -> str:
+        # ?a [+−×] ?b cmp <int>: two-variable arithmetic over the typed
+        # numeric values (sources/triples.arith2_sql) — lhs_op carries the
+        # arithmetic operator, rhs_var the second operand
+        filters.append(
+            Filter(
+                kind="arith2",
+                var=m2.group(1)[1:],
+                lhs_op=m2.group(2),
+                rhs_var=m2.group(3)[1:],
+                op=m2.group(4),
+                rhs_num=int(m2.group(5)),
+            )
+        )
+        return " "
+
     def _grab_regex(m2: re.Match) -> str:
         filters.append(Filter(kind="regex", var=m2.group(1)[1:], pattern=m2.group(2)))
         return " "
@@ -1083,6 +1129,11 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
     body = re.sub(
         r"(?is)filter\s*\(\s*(!)?\s*bound\s*\(\s*(\?\w+)\s*\)\s*\)\s*\.?",
         _grab_bound,
+        body,
+    )
+    body = re.sub(
+        r"(?is)filter\s*\(\s*(\?\w+)\s*([+*-])\s*(\?\w+)\s*(!=|<=|>=|<|>|=)\s*(-?\d+)\s*\)\s*\.?",
+        _grab_arith2,
         body,
     )
     body = re.sub(
@@ -1178,7 +1229,7 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
             for v in [f.var, f.rhs_var, *(f.vars_ or ())]
             if v in arith_aliases
         ]
-        if misused and f.kind != "arith":
+        if misused and f.kind not in ("arith", "arith2"):
             raise SparqlSyntaxError(
                 f"only arithmetic filters may reference arithmetic bind "
                 f"alias(es) {misused} (they carry numbers, not ids)"
@@ -1248,6 +1299,12 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
             raise SparqlSyntaxError(
                 f"bind source variable not bound in where clause: ?{src_v[0]}"
             )
+        if kind == "arith2":
+            missing = [v for v in (src_v[0], src_v[2]) if v not in base_vars]
+            if missing:
+                raise SparqlSyntaxError(
+                    f"bind source variable(s) not bound in where clause: {missing}"
+                )
         if kind == "coalesce":
             # pattern-bound id columns only: an arith alias (a plain
             # number) mixed into COALESCE would silently blend value

@@ -29,6 +29,7 @@ from dream_spark.plans.sparql import Condition, Filter, ParsedQuery
 from dream_spark.plans.stats import TripleStats
 from dream_spark.sources.triples import (
     TripleStore,
+    arith2_sql,
     arith_filter_sql,
     if_numeric_sql,
     numeric_value_sql,
@@ -263,6 +264,18 @@ def _apply_filters(
                     )
                 )
             )
+        elif f.kind == "arith2":
+            # two-variable arithmetic FILTER: (num(a) op num(b)) cmp rhs —
+            # shared fragment (triples.arith2_sql), row-local, codegen-able
+            expr = arith2_sql(
+                f.var,
+                f.lhs_op,
+                f.rhs_var,
+                wrap_a=f.var not in numeric_cols,
+                wrap_b=f.rhs_var not in numeric_cols,
+            )
+            sqlop = "<>" if f.op == "!=" else f.op
+            plan = plan.where(F.expr(f"{expr} {sqlop} {f.rhs_num}"))
         elif f.kind == "in":
             # VALUES lowering: an IN literal list on the encoded ids —
             # Catalyst pushes it into the pattern scans (partition-prunable
@@ -856,6 +869,10 @@ def translate(
             # numeric conditional over the typed value — shared fragment,
             # identical string in the oracle (triples.if_numeric_sql)
             col = F.expr(if_numeric_sql(*src))
+        elif kind == "arith2":
+            # two-variable arithmetic: (num(a) op num(b)), plain number out
+            va, op2, vb = src
+            col = F.expr(arith2_sql(va, op2, vb))
         elif kind == "coalesce":
             # first non-NULL id column (SPARQL COALESCE over bound vars) —
             # row-local, codegen-able, no join

@@ -289,6 +289,22 @@ def if_numeric_sql(
     )
 
 
+def arith2_sql(ref_a: str, op: str, ref_b: str, wrap_a: bool = True, wrap_b: bool = True) -> str:
+    """Two-variable arithmetic over the typed numeric value layer:
+    ``(num(a) op num(b))`` — the expression core of ``bind(?a + ?b as
+    ?x)`` and ``filter (?a + ?b cmp n)``, applied verbatim on Spark and
+    DuckDB.  Either side being non-numeric makes its VALUE NULL, so the
+    whole expression is NULL — the alias stays unbound / the filter row
+    drops, SPARQL's type-error contract.  Same exact-int contract as
+    :func:`arith_filter_sql`: operands live in [0, 700 000), so +, −, and
+    × are all exact in int64 (max product < 5·10¹¹).  ``wrap_*=False``
+    skips the id→value CASE for a side that already holds a plain number
+    (a numeric BIND alias)."""
+    a = numeric_value_sql(ref_a) if wrap_a else f"({ref_a})"
+    b = numeric_value_sql(ref_b) if wrap_b else f"({ref_b})"
+    return f"({a} {op} {b})"
+
+
 def resolve_lexical(lexical: str) -> int | None:
     """Driver-side lexical→id resolution: static vocab + arithmetic entity
     ids ('customer:42').  Returns None for lexicals only the dict knows

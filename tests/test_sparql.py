@@ -954,6 +954,53 @@ def test_bind_if_decode_rejected(engine):
         bgp_to_sql(parse_sparql(qtext), decode=True)
 
 
+def test_parse_arith2():
+    q = parse_sparql(
+        "select ?A ?B where { ?A size ?S1 . ?B size ?S2 . filter (?S1 + ?S2 > 50) ."
+        " bind(?S1 * ?S2 as ?PRO) }"
+    )
+    (f,) = q.filters
+    assert (f.kind, f.var, f.lhs_op, f.rhs_var, f.op, f.rhs_num) == (
+        "arith2", "S1", "+", "S2", ">", 50,
+    )
+    assert q.binds == [("arith2", ("S1", "*", "S2"), "PRO")]
+    assert q.numeric_bind_aliases() == {"PRO"}
+    # sources must be pattern-bound
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?X where { ?A size ?S1 . bind(?S1 + ?NOPE as ?X) }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?A where { ?A size ?S1 . filter (?S1 + ?NOPE > 5) }")
+
+
+ARITH2_PAIR_BODY = (
+    "where { ?L1 ofOrder ?O . ?L2 ofOrder ?O . ?L1 ofPart ?P1 ."
+    " ?L2 ofPart ?P2 . ?P1 size ?S1 . ?P2 size ?S2 . "
+)
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        # sum of two sizes against a constant
+        "select ?L1 ?L2 ?S1 ?S2 " + ARITH2_PAIR_BODY + "filter (?S1 + ?S2 = 100) }",
+        # product form
+        "select ?P1 ?P2 " + ARITH2_PAIR_BODY + "filter (?S1 * ?S2 = 2500) }",
+        # difference BIND (negative values possible) reused by a filter
+        "select ?L1 ?L2 ?D " + ARITH2_PAIR_BODY + "bind(?S1 - ?S2 as ?D) ."
+        " filter (?D > 45) }",
+        # non-numeric operand: value NULL → no rows, identically on both
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter (?C + ?N > 0) }",
+        # numeric BIND alias as ONE operand (wrap only the pattern var)
+        "select ?L1 ?DB where { ?L1 ofPart ?P1 . ?P1 size ?S1 ."
+        " ?L1 suppliedBy ?SUP . bind(?S1 * 2 as ?DB) . filter (?DB + ?S1 > 140) }",
+    ],
+)
+def test_arith2_oracle(engine, duck, qtext):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
 def test_parse_bind_coalesce():
     q = parse_sparql(
         "select ?C ?X where { ?C type Customer . optional { ?O placedBy ?C } ."
