@@ -357,6 +357,91 @@ def test_arith_filter_fragment_matches_python(lhs_op, lhs_num, op, rhs_num):
     assert got == want
 
 
+@given(
+    st.sampled_from(["+", "-", "*"]),
+    st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+    st.integers(-2_000_000, 2_000_000),
+)
+@settings(max_examples=100, deadline=None)
+def test_arith2_fragment_matches_python(arith_op, cmp_op, rhs_num):
+    """The two-variable arithmetic fragment (arith2_sql — the exact
+    string both engines run) must agree with pure-Python over all id
+    pairs: either side outside the numeric window NULLs the expression
+    and the pair drops; inside, + − * are exact int64."""
+    import duckdb
+
+    from dream_spark.sources.triples import BASE_SIZE_LIT, BASE_SUPPLIER, arith2_sql
+
+    ids = [5, BASE_SIZE_LIT, BASE_SIZE_LIT + 7, BASE_SIZE_LIT + 699_999,
+           BASE_SUPPLIER, 100_000_001]
+    expr = arith2_sql("a", arith_op, "b")
+    sqlop = "<>" if cmp_op == "!=" else cmp_op
+    # CAST to BIGINT like the real triples columns: bare VALUES literals
+    # are INT32 in DuckDB and 699999² would overflow the test harness
+    rows = ", ".join(
+        f"(CAST({x} AS BIGINT), CAST({y} AS BIGINT))" for x in ids for y in ids
+    )
+    got = set(
+        duckdb.connect()
+        .execute(f"SELECT a, b FROM (VALUES {rows}) t(a, b) WHERE {expr} {sqlop} {rhs_num}")
+        .fetchall()
+    )
+    pyops = {
+        "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    }
+    want = set()
+    for x in ids:
+        for y in ids:
+            if not (BASE_SIZE_LIT <= x < BASE_SUPPLIER) or not (
+                BASE_SIZE_LIT <= y < BASE_SUPPLIER
+            ):
+                continue  # a non-numeric side NULLs the whole expression
+            vx, vy = x - BASE_SIZE_LIT, y - BASE_SIZE_LIT
+            val = {"+": vx + vy, "-": vx - vy, "*": vx * vy}[arith_op]
+            if pyops[cmp_op](val, rhs_num):
+                want.add((x, y))
+    assert got == want
+
+
+@given(
+    st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+    st.integers(-100, 100),
+    st.integers(-1000, 1000),
+    st.integers(-1000, 1000),
+)
+@settings(max_examples=100, deadline=None)
+def test_if_numeric_fragment_matches_python(op, rhs_num, then_num, else_num):
+    """The IF() BIND fragment (if_numeric_sql) must agree with Python:
+    non-numeric ids leave the alias NULL (condition type error), numeric
+    ids take then/else by the comparison."""
+    import duckdb
+
+    from dream_spark.sources.triples import BASE_SIZE_LIT, BASE_SUPPLIER, if_numeric_sql
+
+    ids = [5, BASE_SIZE_LIT, BASE_SIZE_LIT + 50, BASE_SUPPLIER - 1,
+           BASE_SUPPLIER, 100_000_001]
+    expr = if_numeric_sql("v", op, rhs_num, then_num, else_num)
+    vals = ", ".join(f"({i})" for i in ids)
+    got = dict(
+        duckdb.connect()
+        .execute(f"SELECT v, {expr} FROM (VALUES {vals}) t(v)")
+        .fetchall()
+    )
+    pyops = {
+        "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    }
+    for i in ids:
+        if not (BASE_SIZE_LIT <= i < BASE_SUPPLIER):
+            assert got[i] is None  # type error → unbound
+        else:
+            val = i - BASE_SIZE_LIT
+            assert got[i] == (then_num if pyops[op](val, rhs_num) else else_num)
+
+
 # ---------------------------------------------------------------------------
 # Funnel semantics vs a pure-Python reference on random event streams
 # ---------------------------------------------------------------------------
