@@ -421,6 +421,14 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " bind(?S1 - ?S2 as ?D) . filter (?D > 45) }",
         False,
     ),
+    # CONCAT string BIND: the alias carries "custname@nationname" — a
+    # DECODED STRING built from one left dict join per variable argument
+    # (string_bind_aliases value space; Spark concat() ≡ DuckDB ||)
+    "sparql_bind_concat": (
+        'select ?C ?TAG where { ?C type Customer . ?C name ?NM .'
+        ' ?C inNation ?N . ?N name ?NNM . bind(concat(?NM, "@", ?NNM) as ?TAG) }',
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}
@@ -461,7 +469,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * 26 seats: the full never-green queue from the r4 ledger (18
 #     earlier-grammar variants + 8 r4-new operators).  After this round
 #     EVERY pre-r5 entry has had a driver-green row at least once.
-#   * 11 seats for entries NEW this round: the string-function FILTERs
+#   * 12 seats for entries NEW this round: the string-function FILTERs
 #     (sparql_filter_contains / _strstarts / _strlen / _ucase / _substr —
 #     SPARQL 1.1 CONTAINS/STRSTARTS/STRLEN/UCASE/LCASE/SUBSTR over the
 #     decode-one-column join), the multiplicative typed-value filter
@@ -469,13 +477,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (sparql_bind_coalesce / sparql_bind_if), the two-variable
 #     arithmetic forms (sparql_filter_arith_vars /
 #     sparql_bind_arith_vars — (num(?a) op num(?b)) over the typed value
-#     layer), and the persisted-ANN serve path (knn_lsh_served — loads
-#     the parquet index written by save_vector_index and probes it).
+#     layer), the CONCAT/STR string BIND (sparql_bind_concat — decoded
+#     strings as a third alias value space), and the persisted-ANN serve
+#     path (knn_lsh_served — loads the parquet index written by
+#     save_vector_index and probes it).
 #   * 2 re-verification seats for code changed this round:
 #     sparql_path_star + sparql_path_opt (the zero-length-path identity
 #     side is now domain-restricted to a sibling pattern's value set or a
 #     constant presence probe instead of the corpus-wide node frame).
-#   * 11 breadth/re-verification seats keeping every operator family
+#   * 10 breadth/re-verification seats keeping every operator family
 #     inside the cap: temporal_asof, text_topterms, dedup_minhash,
 #     dedup_jaccard, graph_pagerank, streaming_sessionize_batch,
 #     pipeline_contamination, sketch_cms_users, plus the heavy SPARQL
@@ -507,13 +517,13 @@ PRIORITY_ORDER = [
     "sparql_bind_coalesce", "knn_lsh_served",
     "sparql_filter_ucase", "sparql_filter_substr", "sparql_bind_if",
     "sparql_filter_arith_vars", "sparql_bind_arith_vars",
+    "sparql_bind_concat",
     # --- re-verify: zero-length-path identity domain restriction (2) ---
     "sparql_path_star", "sparql_path_opt",
     # --- breadth / family coverage (13; the SPARQL seats also re-verify
     #     this round's filter/bind/alias-set translator+oracle diff) ---
     "temporal_asof", "text_topterms", "dedup_minhash",
     "graph_pagerank", "media_dedup", "streaming_sessionize_batch",
-    "sketch_cms_users",
     "sparql_seq_path", "sparql_filter_samenation", "sparql_filter_regex",
     "sparql_exists",
 ]

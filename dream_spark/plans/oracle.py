@@ -294,6 +294,22 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         elif kind == "arith2":
             va, op2, vb = s
             bind_expr[alias] = arith2_sql(f"{src[va]}.{va}", op2, f"{src[vb]}.{vb}")
+        elif kind == "concat":
+            # CONCAT/STR: one LEFT dict join per distinct variable arg;
+            # || NULL-propagates in DuckDB (an unbound arg leaves the
+            # alias NULL, like Spark concat()) — DuckDB's concat() would
+            # SKIP NULLs and silently diverge, so it is never used here
+            parts, seen = [], {}
+            for t, v in s:
+                if t == "l":
+                    parts.append("'" + v.replace("'", "''") + "'")
+                    continue
+                if v not in seen:
+                    ja = f"bs{len(joins)}_{v}"
+                    joins.append(f"LEFT JOIN dict {ja} ON {ja}.id = {src[v]}.{v}")
+                    seen[v] = ja
+                parts.append(f"{seen[v]}.lexical")
+            bind_expr[alias] = "(" + " || ".join(parts) + ")"
         elif kind == "coalesce":
             bind_expr[alias] = "COALESCE(" + ", ".join(f"{src[v]}.{v}" for v in s) + ")"
         else:
@@ -343,6 +359,7 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             for fl in query.optional_filters
             for f in fl
         )
+        or any(k == "concat" for k, _, _ in query.binds)
     )
     distinct = "DISTINCT " if query.distinct else ""
     if decode:
@@ -542,6 +559,13 @@ def bgp_to_sql(
                 "decode=True over arithmetic BIND aliases is not supported: "
                 f"{sorted(arith_aliases & set(query.projection))} carry plain "
                 "numbers with no dictionary entry"
+            )
+        str_aliases = query.string_bind_aliases()
+        if str_aliases & set(query.projection):
+            raise ValueError(
+                "decode=True over string BIND aliases is not supported: "
+                f"{sorted(str_aliases & set(query.projection))} are already "
+                "decoded strings with no dictionary entry"
             )
     if query.describe_term is not None:
         tid = resolve(query.describe_term)

@@ -331,6 +331,14 @@ class ParsedQuery:
             a for k, _, a in self.binds if k in ("arith", "if", "arith2")
         )
 
+    def string_bind_aliases(self) -> frozenset[str]:
+        """Aliases of BINDs whose column holds a DECODED STRING ("concat"
+        kind, which also backs str()) — a third value space next to ids
+        and plain numbers.  Id-level filters, aggregates, grouping, and
+        dictionary decode are all meaningless over these columns and are
+        rejected loudly by the validator on BOTH engines."""
+        return frozenset(a for k, _, a in self.binds if k == "concat")
+
 
 _WS = re.compile(r"\s+")
 
@@ -717,6 +725,57 @@ def parse_sparql(text: str) -> ParsedQuery:
             )
         )
         return " "
+
+    def _grab_bind_concat(m2: re.Match) -> str:
+        alias = m2.group(2)[1:]
+        if alias.startswith("__seq"):
+            raise SparqlSyntaxError(
+                "variable names starting with '__seq' are reserved for "
+                "sequence-path rewriting"
+            )
+        args: list[tuple[str, str]] = []
+        for tok in re.findall(r'\?\w+|"[^"]*"', m2.group(1)):
+            if tok.startswith("?"):
+                args.append(("v", tok[1:]))
+            else:
+                args.append(("l", tok[1:-1]))
+        if not any(k == "v" for k, _ in args):
+            raise SparqlSyntaxError(
+                "concat() must reference at least one variable"
+            )
+        binds.append(("concat", tuple(args), alias))
+        return " "
+
+    # bind(concat(arg, arg, …) as ?x) with args ?var | "literal": the
+    # alias carries the CONCATENATED DECODED LEXICALS — a STRING, not a
+    # dictionary id (see ParsedQuery.string_bind_aliases).  An unbound
+    # (OPTIONAL-miss) variable argument is a CONCAT type error, so the
+    # alias stays unbound for that row — NULL-propagating concatenation
+    # on both engines (Spark concat(), DuckDB ||).
+    body = re.sub(
+        r'(?is)bind\s*\(\s*concat\s*\(\s*((?:\?\w+|"[^"]*")(?:\s*,\s*(?:\?\w+|"[^"]*"))*)\s*\)'
+        r"\s+as\s+(\?\w+)\s*\)\s*\.?",
+        _grab_bind_concat,
+        body,
+    )
+
+    def _grab_bind_str(m2: re.Match) -> str:
+        alias = m2.group(2)[1:]
+        if alias.startswith("__seq"):
+            raise SparqlSyntaxError(
+                "variable names starting with '__seq' are reserved for "
+                "sequence-path rewriting"
+            )
+        binds.append(("concat", (("v", m2.group(1)[1:]),), alias))
+        return " "
+
+    # bind(str(?v) as ?x): the variable's decoded lexical as a STRING —
+    # the 1-argument degenerate of concat, same alias value space
+    body = re.sub(
+        r"(?is)bind\s*\(\s*str\s*\(\s*(\?\w+)\s*\)\s+as\s+(\?\w+)\s*\)\s*\.?",
+        _grab_bind_str,
+        body,
+    )
 
     # bind(if(?v op n, then, else) as ?x): numeric conditional over the
     # TYPED NUMERIC VALUE — integer branches only, so the alias carries a
@@ -1234,6 +1293,20 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
                 f"only arithmetic filters may reference arithmetic bind "
                 f"alias(es) {misused} (they carry numbers, not ids)"
             )
+        # a string BIND alias (concat/str) holds a decoded lexical: no
+        # filter form applies to it — id comparisons would mix value
+        # spaces and the string-function forms join the dict on what they
+        # assume is an id column
+        str_misused = [
+            v
+            for v in [f.var, f.rhs_var, *(f.vars_ or ())]
+            if v in q.string_bind_aliases()
+        ]
+        if str_misused:
+            raise SparqlSyntaxError(
+                f"filters over string bind alias(es) are not supported: "
+                f"{str_misused} (they carry strings, not ids)"
+            )
     # group_concat decodes its variable through the dictionary — an
     # arithmetic bind alias is a plain number with no dictionary entry
     # (sum/avg/min/max/sample/count over aliases aggregate the VALUE and
@@ -1242,6 +1315,17 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
     if bad_gc:
         raise SparqlSyntaxError(
             f"group_concat over arithmetic bind alias(es) is not supported: {bad_gc}"
+        )
+    # string bind aliases: aggregation, grouping, and ordering all assume
+    # id or numeric columns — reject every use beyond plain projection
+    str_aliases = q.string_bind_aliases()
+    bad_sagg = [a.alias for a in q.aggregates if a.var in str_aliases]
+    bad_sgrp = [v for v in q.group_by if v in str_aliases]
+    bad_sord = [v for v, _ in q.order if v in str_aliases]
+    if bad_sagg or bad_sgrp or bad_sord:
+        raise SparqlSyntaxError(
+            "aggregates/group-by/order-by over string bind aliases are not "
+            f"supported: {sorted(set(bad_sagg + bad_sgrp + bad_sord))}"
         )
     # optional-group filters: group-local forms (all vars bound by the
     # group's own patterns) lower to a pre-join filter; cmp/arith forms may
@@ -1301,6 +1385,12 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
             )
         if kind == "arith2":
             missing = [v for v in (src_v[0], src_v[2]) if v not in base_vars]
+            if missing:
+                raise SparqlSyntaxError(
+                    f"bind source variable(s) not bound in where clause: {missing}"
+                )
+        if kind == "concat":
+            missing = [v for t, v in src_v if t == "v" and v not in base_vars]
             if missing:
                 raise SparqlSyntaxError(
                     f"bind source variable(s) not bound in where clause: {missing}"

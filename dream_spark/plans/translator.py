@@ -877,6 +877,30 @@ def translate(
             # first non-NULL id column (SPARQL COALESCE over bound vars) —
             # row-local, codegen-able, no join
             col = F.coalesce(*[F.col(v) for v in src])
+        elif kind == "concat":
+            # CONCAT/STR: decode each variable argument via ONE left dict
+            # join (BIND never drops rows), concatenate lexicals and
+            # literals.  An unbound argument leaves its lexical NULL and
+            # Spark concat() NULL-propagates — exactly SPARQL's CONCAT
+            # type-error contract (alias unbound for that row).  The
+            # alias carries a STRING (ParsedQuery.string_bind_aliases).
+            parts, tmp_cols, seen = [], [], {}
+            for t, v in src:
+                if t == "l":
+                    parts.append(F.lit(v))
+                    continue
+                if v not in seen:
+                    tmpc = f"__bs_{alias}_{v}"
+                    lex = store.dictionary.select(
+                        F.col("id").alias(v), F.col("lexical").alias(tmpc)
+                    )
+                    plan = plan.join(lex, on=v, how="left")
+                    seen[v] = tmpc
+                    tmp_cols.append(tmpc)
+                parts.append(F.col(seen[v]))
+            plan = plan.withColumn(alias, F.concat(*parts)).drop(*tmp_cols)
+            bound.add(alias)
+            continue
         else:
             col = F.col(src) if kind == "var" else F.lit(store.resolve(src)).cast("long")
         plan = plan.withColumn(alias, col)
@@ -1007,6 +1031,13 @@ def translate(
                 "decode=True over arithmetic BIND aliases is not supported: "
                 f"{sorted(arith_aliases & set(query.projection))} carry plain "
                 "numbers with no dictionary entry"
+            )
+        str_aliases = query.string_bind_aliases()
+        if str_aliases & set(query.projection):
+            raise ValueError(
+                "decode=True over string BIND aliases is not supported: "
+                f"{sorted(str_aliases & set(query.projection))} are already "
+                "decoded strings with no dictionary entry"
             )
         # Final dictionary decode — the id2name step (reference Proxy.c:211-224).
         # Melt the k projected id columns into (row, slot, id), decode with

@@ -1001,6 +1001,65 @@ def test_arith2_oracle(engine, duck, qtext):
     assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
 
 
+def test_parse_bind_concat():
+    q = parse_sparql(
+        'select ?C ?T where { ?C name ?NM . ?C inNation ?N . ?N name ?NN .'
+        ' bind(concat(?NM, "@", ?NN) as ?T) }'
+    )
+    assert q.binds == [("concat", (("v", "NM"), ("l", "@"), ("v", "NN")), "T")]
+    assert q.string_bind_aliases() == {"T"}
+    # str() is the 1-argument degenerate, same value space
+    q2 = parse_sparql("select ?C ?T where { ?C name ?NM . bind(str(?NM) as ?T) }")
+    assert q2.binds == [("concat", (("v", "NM"),), "T")]
+    for bad in [
+        # unbound source variable
+        'select ?T where { ?C name ?NM . bind(concat(?NOPE, "x") as ?T) }',
+        # pure-literal concat references no variable
+        'select ?T where { ?C name ?NM . bind(concat("a", "b") as ?T) }',
+        # id-level filter over a string alias
+        'select ?T where { ?C name ?NM . bind(str(?NM) as ?T) . filter (?T != <F>) }',
+        # string-function filter over a string alias (would dict-join a string)
+        'select ?T where { ?C name ?NM . bind(str(?NM) as ?T) . filter (strlen(?T) > 3) }',
+        # aggregate / order-by over a string alias
+        'select (count(?T) as ?n) where { ?C name ?NM . bind(str(?NM) as ?T) }',
+        'select ?T where { ?C name ?NM . bind(str(?NM) as ?T) } order by ?T',
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        # two decoded names + literal separator
+        'select ?C ?TAG where { ?C type Customer . ?C name ?NM . ?C inNation ?N .'
+        ' ?N name ?NNM . bind(concat(?NM, "@", ?NNM) as ?TAG) }',
+        # str(): single-var decode to string
+        'select ?R ?RS where { ?R type Region . ?R name ?NM . bind(str(?NM) as ?RS) }',
+        # unbound OPTIONAL argument: CONCAT type error → alias NULL (the
+        # DuckDB || operator NULL-propagates identically; concat() there
+        # would skip NULLs and diverge — pinned by this case)
+        'select ?C ?TAG where { ?C type Customer . ?C name ?NM .'
+        ' optional { ?O placedBy ?C . ?O priority <1-URGENT> } .'
+        ' bind(concat(?NM, "#", ?O) as ?TAG) }',
+        # repeated variable argument: one dict join, used twice
+        'select ?R ?D where { ?R type Region . ?R name ?NM .'
+        ' bind(concat(?NM, "-", ?NM) as ?D) }',
+    ],
+)
+def test_bind_concat_oracle(engine, duck, qtext):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
+def test_bind_concat_decode_rejected(engine):
+    qtext = 'select ?C ?T where { ?C name ?NM . bind(str(?NM) as ?T) }'
+    with pytest.raises(ValueError):
+        engine.sparql(qtext, decode=True).collect()
+    with pytest.raises(ValueError):
+        bgp_to_sql(parse_sparql(qtext), decode=True)
+
+
 def test_parse_bind_coalesce():
     q = parse_sparql(
         "select ?C ?X where { ?C type Customer . optional { ?O placedBy ?C } ."
