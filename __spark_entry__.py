@@ -487,15 +487,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     constant presence probe instead of the corpus-wide node frame).
 #   * 10 breadth/re-verification seats keeping every operator family
 #     inside the cap: temporal_asof, text_topterms, dedup_minhash,
-#     dedup_jaccard, graph_pagerank, streaming_sessionize_batch,
-#     pipeline_contamination, sketch_cms_users, plus the heavy SPARQL
-#     shapes most adjacent to this round's translator/oracle diff —
-#     seq_path, filter_samenation, filter_regex, exists — plus
-#     media_dedup keeping the media_ family inside the cap
-#     (sparql_construct / rel_q9_profit / rel_q21_waiting yielded their
-#     r4 seats to the ucase/substr/bind_if additions; all three are green
-#     r4 on unchanged code, and rel_window_delta in the 26-queue keeps
-#     the rel_ family covered).
+#     graph_pagerank, media_dedup, streaming_sessionize_batch, plus the
+#     heavy SPARQL shapes most adjacent to this round's translator/oracle
+#     diff — seq_path, filter_samenation, filter_regex, exists.
+#     Seats YIELDED to the r5 additions (all green r4 on unchanged code):
+#     sparql_construct, rel_q9_profit, rel_q21_waiting, dedup_jaccard,
+#     pipeline_contamination, sketch_cms_users — rel_window_delta,
+#     pipeline_sample/bigrams/profile, and sketch_quantiles_sampled/
+#     kmv_hourly in the 26-queue keep the rel_, pipeline_, and sketch_
+#     families covered.
 #
 # r6 queue: EMPTY for pre-r5 entries — any entry without a green row after
 # this round is a regression, not a rotation artifact.
@@ -511,7 +511,7 @@ PRIORITY_ORDER = [
     "sparql_avg_size", "sparql_not_bound", "sparql_optional_filtered",
     "sparql_bind_arith", "sparql_describe_where",
     "sketch_kmv_hourly", "pipeline_profile", "rel_window_delta",
-    # --- new this round (9) ---
+    # --- new this round (12) ---
     "sparql_filter_contains", "sparql_filter_strstarts",
     "sparql_filter_strlen", "sparql_filter_arith_mul",
     "sparql_bind_coalesce", "knn_lsh_served",
@@ -520,7 +520,7 @@ PRIORITY_ORDER = [
     "sparql_bind_concat",
     # --- re-verify: zero-length-path identity domain restriction (2) ---
     "sparql_path_star", "sparql_path_opt",
-    # --- breadth / family coverage (13; the SPARQL seats also re-verify
+    # --- breadth / family coverage (10; the SPARQL seats also re-verify
     #     this round's filter/bind/alias-set translator+oracle diff) ---
     "temporal_asof", "text_topterms", "dedup_minhash",
     "graph_pagerank", "media_dedup", "streaming_sessionize_batch",

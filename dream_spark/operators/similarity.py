@@ -387,14 +387,23 @@ def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
         user = str(os.getuid())
     base = os.path.join(tempfile.gettempdir(), f"dream_spark_vecindex_{user}")
     os.makedirs(base, mode=0o700, exist_ok=True)
-    st = os.stat(base)
-    if st.st_uid != os.getuid():
-        raise RuntimeError(
-            f"vector-index cache dir {base!r} is owned by uid {st.st_uid}, "
-            f"not us ({os.getuid()}) — refusing to load an index another "
-            "user could have planted"
-        )
-    os.chmod(base, 0o700)  # exist_ok may have accepted weaker modes
+    # O_NOFOLLOW: a pre-planted SYMLINK at the predictable path must fail
+    # (ELOOP), never be followed — stat/chmod through a symlink would let
+    # another user redirect the ownership check and the chmod to a target
+    # of their choosing.  fstat/fchmod on the held fd close the TOCTOU
+    # window between check and chmod.
+    fd = os.open(base, os.O_RDONLY | os.O_NOFOLLOW | os.O_DIRECTORY)
+    try:
+        st = os.fstat(fd)
+        if st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"vector-index cache dir {base!r} is owned by uid "
+                f"{st.st_uid}, not us ({os.getuid()}) — refusing to load "
+                "an index another user could have planted"
+            )
+        os.fchmod(fd, 0o700)  # exist_ok may have accepted weaker modes
+    finally:
+        os.close(fd)
     path = os.path.join(base, digest)
     marker = os.path.join(path, "COMPLETE")
     if not os.path.exists(marker):

@@ -1275,6 +1275,7 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
         raise SparqlSyntaxError(f"order-by variables must be projected: {bad_order}")
     known = set(q.all_variables())
     arith_aliases = q.numeric_bind_aliases()
+    str_aliases = q.string_bind_aliases()
     for f in q.filters:
         unbound = [v for v in (f.var, f.rhs_var) if v is not None and v not in known]
         unbound += [v for v in (f.vars_ or ()) if v not in known]
@@ -1300,7 +1301,7 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
         str_misused = [
             v
             for v in [f.var, f.rhs_var, *(f.vars_ or ())]
-            if v in q.string_bind_aliases()
+            if v in str_aliases
         ]
         if str_misused:
             raise SparqlSyntaxError(
@@ -1318,7 +1319,6 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
         )
     # string bind aliases: aggregation, grouping, and ordering all assume
     # id or numeric columns — reject every use beyond plain projection
-    str_aliases = q.string_bind_aliases()
     bad_sagg = [a.alias for a in q.aggregates if a.var in str_aliases]
     bad_sgrp = [v for v in q.group_by if v in str_aliases]
     bad_sord = [v for v, _ in q.order if v in str_aliases]

@@ -182,3 +182,14 @@ def test_served_index_path_install_reuse_and_versioning(spark, tmp_path, monkeyp
                 sim._served_index_path(spark, SF_DIR)
         finally:
             os.chown(base, 0, 0)
+
+    # a pre-planted SYMLINK at the predictable base path must fail
+    # (O_NOFOLLOW → ELOOP), never be followed to an attacker target
+    link_root = tmp_path / "linked"
+    link_root.mkdir()
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(link_root))
+    target = tmp_path / "attacker_target"
+    target.mkdir()
+    os.symlink(str(target), str(link_root / os.path.basename(os.path.dirname(p1))))
+    with pytest.raises(OSError):
+        sim._served_index_path(spark, SF_DIR)
