@@ -434,6 +434,10 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
     needed variable, then aggregate outside (and decode group columns via
     inline dict joins — counts pass through undecoded)."""
     needed: list[str] = list(query.group_by)
+    hv = query.having[0].var if query.having is not None else None
+    if hv is not None and hv not in needed:
+        # a hidden having aggregate still needs its source column inside q
+        needed.append(hv)
     for a in query.aggregates:
         if a.var is not None and a.var not in needed:
             needed.append(a.var)
@@ -506,7 +510,14 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
         sql += "\nGROUP BY " + ", ".join(f"q.{v}" for v in query.group_by)
     if query.having is not None:
         ha, hop, hval = query.having
-        if ha.var is None:
+        if ha.fn == "sum":
+            # typed-value SUM, mirroring the projection aggregate: skip
+            # the id→value wrap for numeric BIND aliases
+            if ha.var in query.numeric_bind_aliases():
+                hexpr = f"SUM(q.{ha.var})"
+            else:
+                hexpr = f"SUM({numeric_value_sql(f'q.{ha.var}')})"
+        elif ha.var is None:
             hexpr = "COUNT(*)"
         elif ha.distinct:
             hexpr = f"COUNT(DISTINCT q.{ha.var})"

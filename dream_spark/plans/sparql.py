@@ -422,16 +422,30 @@ def parse_sparql(text: str) -> ParsedQuery:
             r"(?is)^\s*count\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s*(=|!=|<=|>=|<|>)\s*(\d+)\s*$",
             m.group(5),
         )
-        if not hm:
-            raise SparqlSyntaxError(
-                f"having must be 'count([distinct] ?v|*) op N': {m.group(5)!r}"
-            )
-        hvar = None if hm.group(2) == "*" else hm.group(2)[1:]
-        having = (
-            Aggregate(fn="count", var=hvar, alias="__having", distinct=bool(hm.group(1))),
-            hm.group(3),
-            int(hm.group(4)),
+        hs = re.match(
+            r"(?is)^\s*sum\(\s*(\?\w+)\s*\)\s*(=|!=|<=|>=|<|>)\s*(-?\d+)\s*$",
+            m.group(5),
         )
+        if hm:
+            hvar = None if hm.group(2) == "*" else hm.group(2)[1:]
+            having = (
+                Aggregate(fn="count", var=hvar, alias="__having", distinct=bool(hm.group(1))),
+                hm.group(3),
+                int(hm.group(4)),
+            )
+        elif hs:
+            # sum over the TYPED NUMERIC VALUE (non-numeric terms skip,
+            # like the SUM projection aggregate) against an int literal
+            having = (
+                Aggregate(fn="sum", var=hs.group(1)[1:], alias="__having"),
+                hs.group(2),
+                int(hs.group(3)),
+            )
+        else:
+            raise SparqlSyntaxError(
+                "having must be 'count([distinct] ?v|*) op N' or "
+                f"'sum(?v) op N': {m.group(5)!r}"
+            )
     order: list[tuple[str, bool]] = []
     if m.group(6):
         toks = _WS.split(m.group(6).strip())
@@ -1268,6 +1282,8 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
     if bad_group:
         raise SparqlSyntaxError(f"group-by variables not bound in where clause: {bad_group}")
     bad_agg = [a.var for a in q.aggregates if a.var is not None and a.var not in known]
+    if q.having is not None and q.having[0].var is not None and q.having[0].var not in known:
+        bad_agg.append(q.having[0].var)
     if bad_agg:
         raise SparqlSyntaxError(f"aggregate variables not bound in where clause: {bad_agg}")
     bad_order = [v for v, _ in q.order if v not in q.projection]
@@ -1320,6 +1336,8 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
     # string bind aliases: aggregation, grouping, and ordering all assume
     # id or numeric columns — reject every use beyond plain projection
     bad_sagg = [a.alias for a in q.aggregates if a.var in str_aliases]
+    if q.having is not None and q.having[0].var in str_aliases:
+        bad_sagg.append("__having")
     bad_sgrp = [v for v in q.group_by if v in str_aliases]
     bad_sord = [v for v, _ in q.order if v in str_aliases]
     if bad_sagg or bad_sgrp or bad_sord:

@@ -1001,6 +1001,48 @@ def test_arith2_oracle(engine, duck, qtext):
     assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
 
 
+def test_parse_having_sum():
+    q = parse_sparql(
+        "select ?S (sum(?SZ) as ?tot) where { ?L suppliedBy ?S . ?L ofPart ?P ."
+        " ?P size ?SZ } group by ?S having (sum(?SZ) > 100)"
+    )
+    ha, hop, hval = q.having
+    assert (ha.fn, ha.var, hop, hval) == ("sum", "SZ", ">", 100)
+    # having var must be bound; unknown aggregate fns still rejected
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?S (count(?L) as ?n) where { ?L suppliedBy ?S }"
+            " group by ?S having (sum(?NOPE) > 1)"
+        )
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?S (count(?L) as ?n) where { ?L suppliedBy ?S }"
+            " group by ?S having (avg(?L) > 1)"
+        )
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        # having-sum as a HIDDEN extra aggregate (not projected)
+        "select ?S (count(?L) as ?n) where { ?L suppliedBy ?S . ?L ofPart ?P ."
+        " ?P size ?SZ } group by ?S having (sum(?SZ) > 1500)",
+        # having-sum REUSING the projected sum column
+        "select ?S (sum(?SZ) as ?tot) where { ?L suppliedBy ?S . ?L ofPart ?P ."
+        " ?P size ?SZ } group by ?S having (sum(?SZ) > 1500)",
+        # sum over an arithmetic bind alias (no double value wrap)
+        "select ?S (count(?L) as ?n) where { ?L suppliedBy ?S . ?L ofPart ?P ."
+        " ?P size ?SZ . bind(?SZ + 1 as ?SZ1) } group by ?S having (sum(?SZ1) > 1500)",
+        # having var doubling as the GROUP KEY (inner projection dedup)
+        "select ?SZ (count(?P) as ?n) where { ?P size ?SZ } group by ?SZ"
+        " having (sum(?SZ) > 40)",
+    ],
+)
+def test_having_sum_oracle(engine, duck, qtext):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
 def test_parse_bind_concat():
     q = parse_sparql(
         'select ?C ?T where { ?C name ?NM . ?C inNation ?N . ?N name ?NN .'
@@ -1379,10 +1421,12 @@ def test_having_filters_groups(engine):
     assert kept2  # non-empty at this SF
     with pytest.raises(SparqlSyntaxError):
         parse_sparql("select ?N where { ?C inNation ?N } group by ?N having (count(?C) > 1)")
+    # sum-HAVING is now valid grammar (typed-value SUM); unsupported
+    # aggregate functions in HAVING still fail loudly
     with pytest.raises(SparqlSyntaxError):
         parse_sparql(
             "select ?N (count(?C) as ?c) where { ?C inNation ?N } group by ?N"
-            " having (sum(?C) > 1)"
+            " having (avg(?C) > 1)"
         )
 
 
