@@ -477,7 +477,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * 26 seats: the full never-green queue from the r4 ledger (18
 #     earlier-grammar variants + 8 r4-new operators).  After this round
 #     EVERY pre-r5 entry has had a driver-green row at least once.
-#   * 13 seats for entries NEW this round: the string-function FILTERs
+#   * 15 seats for entries NEW this round: the string-function FILTERs
 #     (sparql_filter_contains / _strstarts / _strlen / _ucase / _substr —
 #     SPARQL 1.1 CONTAINS/STRSTARTS/STRLEN/UCASE/LCASE/SUBSTR over the
 #     decode-one-column join), the multiplicative typed-value filter
@@ -487,24 +487,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #     sparql_bind_arith_vars — (num(?a) op num(?b)) over the typed value
 #     layer), the CONCAT/STR string BIND (sparql_bind_concat — decoded
 #     strings as a third alias value space), the typed-value SUM HAVING
-#     (sparql_having_sum), and the persisted-ANN serve path
+#     (sparql_having_sum), the cross-doc boilerplate and corpus-
+#     familiarity pipeline stats (pipeline_boilerplate /
+#     pipeline_familiarity), and the persisted-ANN serve path
 #     (knn_lsh_served — loads the parquet index written by
 #     save_vector_index and probes it).
 #   * 2 re-verification seats for code changed this round:
 #     sparql_path_star + sparql_path_opt (the zero-length-path identity
 #     side is now domain-restricted to a sibling pattern's value set or a
 #     constant presence probe instead of the corpus-wide node frame).
-#   * 9 breadth/re-verification seats keeping every operator family
+#   * 7 breadth/re-verification seats keeping every operator family
 #     inside the cap: temporal_asof, text_topterms, dedup_minhash,
-#     graph_pagerank, media_dedup, streaming_sessionize_batch, plus the
-#     heavy SPARQL shapes most adjacent to this round's translator/oracle
-#     diff — seq_path, filter_samenation, filter_regex.
+#     graph_pagerank, media_dedup, streaming_sessionize_batch, plus
+#     sparql_filter_samenation — the join-order-sensitive 5-pattern
+#     filter query most adjacent to this round's translator diff.
 #     Seats YIELDED to the r5 additions (all green r4 on unchanged code):
-#     sparql_construct, sparql_exists, rel_q9_profit, rel_q21_waiting,
+#     sparql_construct, sparql_exists, sparql_seq_path,
+#     sparql_filter_regex, rel_q9_profit, rel_q21_waiting,
 #     dedup_jaccard, pipeline_contamination, sketch_cms_users —
 #     rel_window_delta, pipeline_sample/bigrams/profile, and
 #     sketch_quantiles_sampled/kmv_hourly in the 26-queue keep the rel_,
-#     pipeline_, and sketch_ families covered.
+#     pipeline_, and sketch_ families covered, and the 13 new sparql_*
+#     entries exercise the same filter/bind machinery the yielded SPARQL
+#     seats re-verified.
 #
 # r6 queue: EMPTY for pre-r5 entries — any entry without a green row after
 # this round is a regression, not a rotation artifact.
@@ -520,20 +525,21 @@ PRIORITY_ORDER = [
     "sparql_avg_size", "sparql_not_bound", "sparql_optional_filtered",
     "sparql_bind_arith", "sparql_describe_where",
     "sketch_kmv_hourly", "pipeline_profile", "rel_window_delta",
-    # --- new this round (13) ---
+    # --- new this round (15) ---
     "sparql_filter_contains", "sparql_filter_strstarts",
     "sparql_filter_strlen", "sparql_filter_arith_mul",
     "sparql_bind_coalesce", "knn_lsh_served",
     "sparql_filter_ucase", "sparql_filter_substr", "sparql_bind_if",
     "sparql_filter_arith_vars", "sparql_bind_arith_vars",
     "sparql_bind_concat", "sparql_having_sum",
+    "pipeline_boilerplate", "pipeline_familiarity",
     # --- re-verify: zero-length-path identity domain restriction (2) ---
     "sparql_path_star", "sparql_path_opt",
-    # --- breadth / family coverage (9; the SPARQL seats also re-verify
+    # --- breadth / family coverage (7; the SPARQL seats also re-verify
     #     this round's filter/bind/alias-set translator+oracle diff) ---
     "temporal_asof", "text_topterms", "dedup_minhash",
     "graph_pagerank", "media_dedup", "streaming_sessionize_batch",
-    "sparql_seq_path", "sparql_filter_samenation", "sparql_filter_regex",
+    "sparql_filter_samenation",
 ]
 
 

@@ -806,6 +806,160 @@ PIPELINE_PROFILE_SQL = _profile_sql(
 )
 
 
+#: boilerplate geometry: word-n-gram order and the document-frequency
+#: fraction denominator — a gram occurring in ≥ n_docs/BOILER_FRAC_DEN
+#: distinct documents is boilerplate (C4/RefinedWeb-style cleaning signal)
+BOILER_N = 3
+BOILER_FRAC_DEN = 20
+
+
+def boilerplate_stats(docs: DataFrame, n: int = BOILER_N, frac_den: int = BOILER_FRAC_DEN) -> DataFrame:
+    """Per-document cross-corpus boilerplate statistics for ANY ``(doc_id,
+    text)`` DataFrame: ``(doc_id, n_grams, n_boiler)`` where ``n_grams``
+    counts the document's DISTINCT word ``n``-grams and ``n_boiler`` those
+    that occur in at least ``n_docs / frac_den`` distinct documents — the
+    C4-style repeated-template signal (navigation bars, license headers,
+    ad blocks share n-grams across many pages).  Ratio is left to the
+    consumer so the output stays exact-integer for the oracle.
+
+    Scale shape: one (doc_id, gram) distinct shuffle, one partial-agg
+    groupBy for gram document frequency; the BOILERPLATE set (grams above
+    the threshold) is tiny by construction — a corpus where 5% of grams
+    clear n_docs/20 is pathological — so the per-doc flag join
+    broadcasts.  ``n_docs`` is a metadata-only count.  Documents shorter
+    than ``n`` tokens keep a (doc_id, 0, 0) row via the left join."""
+    n_docs = docs.count()
+    tk = tokens(docs, with_pos=True)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # window expressions are select-only in Spark: materialize the n-1
+    # lookaheads as columns, then filter on the LAST one (non-null last
+    # lead ⟺ all earlier leads non-null ⟺ a full n-gram fits)
+    lead_cols = [F.lead("tok", i).over(w).alias(f"__t{i}") for i in range(1, n)]
+    grams = (
+        tk.select("doc_id", "tok", *lead_cols)
+        .where(F.col(f"__t{n - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "tok", *[f"__t{i}" for i in range(1, n)]).alias("g"),
+        )
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    boiler = dfreq.where(F.col("df") * frac_den >= F.lit(n_docs)).select("g")
+    per_total = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    per_boiler = (
+        grams.join(F.broadcast(boiler), on="g", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_total, on="doc_id", how="left")
+        .join(per_boiler, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+        )
+    )
+
+
+def pipeline_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``boilerplate_stats`` over documents."""
+    return boilerplate_stats(load_table(spark, sf_dir, "documents"))
+
+
+PIPELINE_BOILERPLATE_SQL = f"""
+WITH toks AS ({duck_tokens_cte(with_pos=True)}),
+grams AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS g
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY LEAD(tok, {BOILER_N - 1}) OVER w IS NOT NULL
+),
+ndocs AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+boiler AS (SELECT g FROM dfreq CROSS JOIN ndocs WHERE df * {BOILER_FRAC_DEN} >= n_docs),
+per_total AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+per_boiler AS (
+  SELECT doc_id, COUNT(*) AS n_boiler FROM grams
+  WHERE g IN (SELECT g FROM boiler) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per_total.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(per_boiler.n_boiler, 0) AS BIGINT) AS n_boiler
+FROM documents d
+LEFT JOIN per_total ON per_total.doc_id = d.doc_id
+LEFT JOIN per_boiler ON per_boiler.doc_id = d.doc_id
+""".strip()
+
+
+def familiarity_stats(docs: DataFrame) -> DataFrame:
+    """Per-document corpus-familiarity score for ANY ``(doc_id, text)``
+    DataFrame: ``(doc_id, fam_sum, n_bigrams)`` where ``fam_sum`` is the
+    sum over the document's consecutive-token bigrams (bag semantics) of
+    each bigram's CORPUS occurrence count — the integer-exact stand-in
+    for n-gram LM perplexity filtering (a document of corpus-common
+    bigrams scores high; rare/garbled text scores low).  Average is left
+    to the consumer so the output stays exact for the oracle.
+
+    Scale shape: bigram corpus counts are one partial-agg groupBy; the
+    per-doc join shuffles each bigram occurrence once with its count —
+    no collect, no driver state.  Documents with fewer than two tokens
+    keep a (doc_id, 0, 0) row via the left join."""
+    tk = tokens(docs, with_pos=True)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tk.withColumn("nxt", F.lead("tok", 1).over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+    )
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        bg.join(counts, on="bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("fam_sum"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("fam_sum", F.lit(0)).cast("bigint").alias("fam_sum"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
+def pipeline_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``familiarity_stats`` over documents."""
+    return familiarity_stats(load_table(spark, sf_dir, "documents"))
+
+
+PIPELINE_FAMILIARITY_SQL = f"""
+WITH toks AS ({duck_tokens_cte(with_pos=True)}),
+bg AS (
+  SELECT doc_id, tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM toks
+  QUALIFY bigram IS NOT NULL
+),
+counts AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram),
+per_doc AS (
+  SELECT bg.doc_id, SUM(counts.n) AS fam_sum, COUNT(*) AS n_bigrams
+  FROM bg JOIN counts USING (bigram) GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per_doc.fam_sum, 0) AS BIGINT) AS fam_sum,
+       CAST(COALESCE(per_doc.n_bigrams, 0) AS BIGINT) AS n_bigrams
+FROM documents d
+LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+""".strip()
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_profile": pipeline_profile,
@@ -820,6 +974,8 @@ QUERIES = {
     "pipeline_repetition": pipeline_repetition,
     "pipeline_vocab": pipeline_vocab,
     "pipeline_oov": pipeline_oov,
+    "pipeline_boilerplate": pipeline_boilerplate,
+    "pipeline_familiarity": pipeline_familiarity,
 }
 
 ORACLES = {
@@ -836,4 +992,6 @@ ORACLES = {
     "pipeline_repetition": PIPELINE_REPETITION_SQL,
     "pipeline_vocab": PIPELINE_VOCAB_SQL,
     "pipeline_oov": PIPELINE_OOV_SQL,
+    "pipeline_boilerplate": PIPELINE_BOILERPLATE_SQL,
+    "pipeline_familiarity": PIPELINE_FAMILIARITY_SQL,
 }

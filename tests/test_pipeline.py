@@ -250,3 +250,35 @@ def test_profile_generic_frame(spark):
     assert (rows["v"]["n_nulls"], rows["v"]["n_distinct"]) == (2, 2)
     assert rows["id"]["min_str"] == "1" and rows["id"]["max_str"] == "3"
     assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
+
+
+def test_boilerplate_flags_shared_template(spark):
+    """Documents sharing a repeated template n-gram get n_boiler > 0; a
+    document of unique text gets n_boiler = 0; a too-short document keeps
+    a zero row instead of disappearing."""
+    rows = [(i, "copyright footer text plus unique%d filler%d" % (i, i)) for i in range(10)]
+    rows.append((100, "entirely singular wording nothing shared here at all"))
+    rows.append((101, "tiny doc"))  # < 3 tokens after split -> no grams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in P.boilerplate_stats(docs, frac_den=2).collect()}
+    assert len(out) == 12
+    # "copyright footer text" (and the 3-grams inside the shared prefix)
+    # appear in 10/12 docs >= 12/2
+    assert all(out[i]["n_boiler"] > 0 for i in range(10))
+    assert out[100]["n_boiler"] == 0 and out[100]["n_grams"] > 0
+    assert out[101]["n_grams"] == 0 and out[101]["n_boiler"] == 0
+
+
+def test_familiarity_orders_common_vs_rare(spark):
+    """A document made of corpus-common bigrams scores a higher fam_sum
+    than an equally-long document of unique bigrams."""
+    rows = [(i, "the quick brown fox") for i in range(5)]
+    rows.append((50, "the quick brown fox"))       # all-common bigrams
+    rows.append((51, "zyx wvu tsr qpo"))           # all-unique bigrams
+    rows.append((52, "x"))                         # single token -> zero row
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in P.familiarity_stats(docs).collect()}
+    assert out[50]["n_bigrams"] == out[51]["n_bigrams"] == 3
+    assert out[50]["fam_sum"] > out[51]["fam_sum"]
+    assert out[51]["fam_sum"] == 3  # each unique bigram counts once
+    assert out[52]["fam_sum"] == 0 and out[52]["n_bigrams"] == 0
