@@ -286,9 +286,12 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
     ),
     # GROUP_CONCAT aggregate: decoded lexicals, sorted ascending, ','-joined
     # (the engine's determinism contract — SPARQL leaves the order open)
+    # GROUP_CONCAT with the SPARQL 1.1 SEPARATOR= scalar argument (sorted
+    # lexicals — the pinned determinism contract; default-comma form is
+    # covered by tests/test_sparql.py)
     "sparql_group_concat": (
-        "select ?R (group_concat(?NM) as ?names) where { ?N inRegion ?R ."
-        " ?N name ?NM } group by ?R",
+        'select ?R (group_concat(?NM; separator="; ") as ?names) where'
+        " { ?N inRegion ?R . ?N name ?NM } group by ?R",
         False,
     ),
     # SAMPLE aggregate: deterministically MIN over the ids (SPARQL leaves
@@ -429,6 +432,13 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         ' ?C inNation ?N . ?N name ?NNM . bind(concat(?NM, "@", ?NNM) as ?TAG) }',
         False,
     ),
+    # alternation-closure group (p1|p2)+: OneOrMorePath over the UNION
+    # edge set — customer reaches its nation (1 hop) AND its region (2
+    # hops, alternating predicates); NOT the union of per-pred closures
+    "sparql_path_group": (
+        "select ?C ?X where { ?C type Customer . ?C (inNation|inRegion)+ ?X }",
+        False,
+    ),
     # HAVING over a typed-value SUM: suppliers by total supplied part
     # size, keeping only the heavy ones (the count-HAVING twin is
     # sparql_having; this one filters on the numeric-value aggregate)
@@ -477,7 +487,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * 26 seats: the full never-green queue from the r4 ledger (18
 #     earlier-grammar variants + 8 r4-new operators).  After this round
 #     EVERY pre-r5 entry has had a driver-green row at least once.
-#   * 15 seats for entries NEW this round: the string-function FILTERs
+#   * 16 seats for entries NEW this round: the string-function FILTERs
 #     (sparql_filter_contains / _strstarts / _strlen / _ucase / _substr —
 #     SPARQL 1.1 CONTAINS/STRSTARTS/STRLEN/UCASE/LCASE/SUBSTR over the
 #     decode-one-column join), the multiplicative typed-value filter
@@ -489,27 +499,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #     strings as a third alias value space), the typed-value SUM HAVING
 #     (sparql_having_sum), the cross-doc boilerplate and corpus-
 #     familiarity pipeline stats (pipeline_boilerplate /
-#     pipeline_familiarity), and the persisted-ANN serve path
-#     (knn_lsh_served — loads the parquet index written by
-#     save_vector_index and probes it).
+#     pipeline_familiarity), the alternation-closure path group
+#     (sparql_path_group — (p1|p2)+ over the union edge set), and the
+#     persisted-ANN serve path (knn_lsh_served — loads the parquet index
+#     written by save_vector_index and probes it).
 #   * 2 re-verification seats for code changed this round:
 #     sparql_path_star + sparql_path_opt (the zero-length-path identity
 #     side is now domain-restricted to a sibling pattern's value set or a
 #     constant presence probe instead of the corpus-wide node frame).
-#   * 7 breadth/re-verification seats keeping every operator family
-#     inside the cap: temporal_asof, text_topterms, dedup_minhash,
-#     graph_pagerank, media_dedup, streaming_sessionize_batch, plus
-#     sparql_filter_samenation — the join-order-sensitive 5-pattern
-#     filter query most adjacent to this round's translator diff.
+#   * 6 breadth/re-verification seats — one per operator family without
+#     a representative in the 26-queue or the new-entry block:
+#     temporal_asof, text_topterms, dedup_minhash, graph_pagerank,
+#     media_dedup, streaming_sessionize_batch.
 #     Seats YIELDED to the r5 additions (all green r4 on unchanged code):
 #     sparql_construct, sparql_exists, sparql_seq_path,
-#     sparql_filter_regex, rel_q9_profit, rel_q21_waiting,
-#     dedup_jaccard, pipeline_contamination, sketch_cms_users —
-#     rel_window_delta, pipeline_sample/bigrams/profile, and
-#     sketch_quantiles_sampled/kmv_hourly in the 26-queue keep the rel_,
-#     pipeline_, and sketch_ families covered, and the 13 new sparql_*
-#     entries exercise the same filter/bind machinery the yielded SPARQL
-#     seats re-verified.
+#     sparql_filter_regex, sparql_filter_samenation, rel_q9_profit,
+#     rel_q21_waiting, dedup_jaccard, pipeline_contamination,
+#     sketch_cms_users — rel_window_delta, pipeline_sample/bigrams/
+#     profile, and sketch_quantiles_sampled/kmv_hourly in the 26-queue
+#     keep the rel_, pipeline_, and sketch_ families covered, and the 14
+#     new sparql_* entries exercise the filter/bind/path machinery the
+#     yielded SPARQL seats re-verified far more deeply.
 #
 # r6 queue: EMPTY for pre-r5 entries — any entry without a green row after
 # this round is a regression, not a rotation artifact.
@@ -525,21 +535,20 @@ PRIORITY_ORDER = [
     "sparql_avg_size", "sparql_not_bound", "sparql_optional_filtered",
     "sparql_bind_arith", "sparql_describe_where",
     "sketch_kmv_hourly", "pipeline_profile", "rel_window_delta",
-    # --- new this round (15) ---
+    # --- new this round (16) ---
     "sparql_filter_contains", "sparql_filter_strstarts",
     "sparql_filter_strlen", "sparql_filter_arith_mul",
     "sparql_bind_coalesce", "knn_lsh_served",
     "sparql_filter_ucase", "sparql_filter_substr", "sparql_bind_if",
     "sparql_filter_arith_vars", "sparql_bind_arith_vars",
     "sparql_bind_concat", "sparql_having_sum",
-    "pipeline_boilerplate", "pipeline_familiarity",
+    "pipeline_boilerplate", "pipeline_familiarity", "sparql_path_group",
     # --- re-verify: zero-length-path identity domain restriction (2) ---
     "sparql_path_star", "sparql_path_opt",
-    # --- breadth / family coverage (7; the SPARQL seats also re-verify
-    #     this round's filter/bind/alias-set translator+oracle diff) ---
+    # --- breadth / family coverage (6: one seat per family without a
+    #     representative in the queue above) ---
     "temporal_asof", "text_topterms", "dedup_minhash",
     "graph_pagerank", "media_dedup", "streaming_sessionize_batch",
-    "sparql_filter_samenation",
 ]
 
 

@@ -41,11 +41,12 @@ def _render_block(conditions, resolve, alias_start: int) -> tuple[list[str], lis
     for i, cond in enumerate(conditions, start=alias_start):
         t = f"t{i}"
         if cond.pred.is_path_closure:
-            pid = resolve(cond.pred.lexical)
+            pids = _pred_pids(cond.pred, resolve)
+            ptag = "_".join(str(x) for x in pids)
             cte = (
-                f"closure_{pid}"
+                f"closure_{ptag}"
                 if cond.pred.is_transitive
-                else f"pathstar_{pid}" if cond.pred.is_zero_or_more else f"pathopt_{pid}"
+                else f"pathstar_{ptag}" if cond.pred.is_zero_or_more else f"pathopt_{ptag}"
             )
             aliases.append(f"{cte} {t}")
             slot_terms = (("s", cond.subj), ("o", cond.obj))
@@ -74,22 +75,34 @@ def _render_block(conditions, resolve, alias_start: int) -> tuple[list[str], lis
     return aliases, where, first_slot
 
 
-def _path_pids(query: ParsedQuery, resolve) -> tuple[list[int], list[int], list[int]]:
-    """(closure pids for + and *, ZeroOrMore pids, ZeroOrOne pids) across
-    every pattern group of the query."""
-    plus: set[int] = set()
-    star: set[int] = set()
-    opt: set[int] = set()
+def _pred_pids(pred, resolve) -> tuple[int, ...]:
+    """The sorted pid tuple of a (possibly alternation-group) predicate —
+    a 1-tuple for plain ``p``, the union set for ``(p1|p2)+``."""
+    if pred.is_alternation:
+        return tuple(sorted(resolve(x) for x in pred.alternatives))
+    return (resolve(pred.lexical),)
+
+
+def _path_pids(
+    query: ParsedQuery, resolve
+) -> tuple[list[tuple[int, ...]], list[tuple[int, ...]], list[tuple[int, ...]]]:
+    """(closure pid-tuples for + and *, ZeroOrMore tuples, ZeroOrOne
+    tuples) across every pattern group of the query.  Tuples, not ints:
+    an alternation-closure group ``(p1|p2)+`` closes over the UNION edge
+    set, one CTE per distinct predicate set."""
+    plus: set[tuple[int, ...]] = set()
+    star: set[tuple[int, ...]] = set()
+    opt: set[tuple[int, ...]] = set()
     groups = list(query.union_branches or [query.conditions])
     exists = [grp for _, grp in query.exists_groups]
     for grp in groups + list(query.optionals) + list(query.minuses) + exists:
         for c in grp:
             if c.pred.is_transitive:
-                plus.add(resolve(c.pred.lexical))
+                plus.add(_pred_pids(c.pred, resolve))
             elif c.pred.is_zero_or_more:
-                star.add(resolve(c.pred.lexical))
+                star.add(_pred_pids(c.pred, resolve))
             elif c.pred.is_zero_or_one:
-                opt.add(resolve(c.pred.lexical))
+                opt.add(_pred_pids(c.pred, resolve))
     return sorted(plus | star), sorted(star), sorted(opt)
 
 
@@ -101,12 +114,14 @@ def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
     match every graph node to itself), and the dict when decoding."""
     closure_pids, star_pids, opt_pids = _path_pids(query, resolve)
     parts = [f"triples AS (\n{TRIPLES_SQL}\n)"]
-    for pid in closure_pids:
+    for pids in closure_pids:
+        ptag = "_".join(str(x) for x in pids)
+        pcond = f"= {pids[0]}" if len(pids) == 1 else f"IN ({', '.join(map(str, pids))})"
         parts.append(
-            f"closure_{pid}(s, o) AS (\n"
-            f"  SELECT s, o FROM triples WHERE p = {pid}\n"
+            f"closure_{ptag}(s, o) AS (\n"
+            f"  SELECT s, o FROM triples WHERE p {pcond}\n"
             f"  UNION\n"
-            f"  SELECT c.s, t.o FROM closure_{pid} c JOIN triples t ON t.p = {pid} AND t.s = c.o\n"
+            f"  SELECT c.s, t.o FROM closure_{ptag} c JOIN triples t ON t.p {pcond} AND t.s = c.o\n"
             f")"
         )
     # DISTINCT-over-UNION-ALL, not bare UNION: DuckDB 1.0 evaluates the
@@ -121,14 +136,17 @@ def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
         )
     # disjoint UNION ALL (no outer dedup): identity holds every self-pair,
     # so the closure/edge side drops its self-loops — mirrors the Spark plan
-    for pid in star_pids:
+    for pids in star_pids:
+        ptag = "_".join(str(x) for x in pids)
         parts.append(
-            f"pathstar_{pid}(s, o) AS (\n"
-            f"  SELECT s, o FROM closure_{pid} WHERE s <> o\n"
+            f"pathstar_{ptag}(s, o) AS (\n"
+            f"  SELECT s, o FROM closure_{ptag} WHERE s <> o\n"
             f"  UNION ALL SELECT n, n FROM graph_nodes\n"
             f")"
         )
-    for pid in opt_pids:
+    for pids in opt_pids:
+        # grammar: */? carry a single predicate (groups are +-only)
+        (pid,) = pids
         parts.append(
             f"pathopt_{pid}(s, o) AS (\n"
             f"  SELECT DISTINCT s, o FROM triples WHERE p = {pid} AND s <> o\n"
@@ -493,7 +511,8 @@ def _aggregate_sql(query: ParsedQuery, decode: bool, resolver) -> str:
             agg_sel.append(f"MIN(q.{a.var}) AS {a.alias}")
         elif a.fn == "group_concat":
             lex = gc_ref[a.var]
-            agg_sel.append(f"STRING_AGG({lex}, ',' ORDER BY {lex}) AS {a.alias}")
+            sep = a.sep.replace("'", "''")
+            agg_sel.append(f"STRING_AGG({lex}, '{sep}' ORDER BY {lex}) AS {a.alias}")
         elif a.var is None:
             agg_sel.append(f"COUNT(*) AS {a.alias}")
         elif a.distinct:

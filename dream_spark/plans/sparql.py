@@ -86,7 +86,11 @@ class Term:
       ?x`` — ``is_inverse``;
     - ``|`` alternation (PathAlternative): ``?s madeBy|placedBy ?e``
       matches via either predicate — ``is_alternation`` /
-      ``alternatives``.
+      ``alternatives``;
+    - a parenthesized alternation-closure group ``(p1|p2)+``
+      (OneOrMorePath over the UNION edge set): ``is_transitive`` AND
+      ``is_alternation`` both hold — the only combined form accepted
+      (``(…)*`` / ``(…)?`` are rejected loudly).
 
     ``lexical`` strips the path markers."""
 
@@ -124,7 +128,7 @@ class Term:
 
     @property
     def is_alternation(self) -> bool:
-        return (not self.is_var) and "|" in _mask_brackets(self._negation_body)
+        return (not self.is_var) and "|" in _mask_brackets(self._alt_body)
 
     @property
     def is_negated(self) -> bool:
@@ -142,11 +146,27 @@ class Term:
         return t
 
     @property
+    def _alt_body(self) -> str:
+        """The alternation list with any wrapping stripped: ``!``/parens
+        for a negated set, a trailing hop marker + parens for a closure
+        group ``(p1|p2)+``."""
+        if self.text.startswith("!"):
+            return self._negation_body
+        t = self.text
+        m = _mask_brackets(t)
+        if m.endswith(("+", "*")) or (not t.startswith("?") and m.endswith("?")):
+            t = t[:-1]
+        if t.startswith("(") and t.endswith(")"):
+            t = t[1:-1]
+        return t
+
+    @property
     def alternatives(self) -> tuple[str, ...]:
         """The lexical of each ``|`` alternative (a 1-tuple when the term
-        is a plain constant; the excluded set for a negated term)."""
+        is a plain constant; the excluded set for a negated term; the
+        union set for an alternation-closure group ``(p1|p2)+``)."""
         return tuple(
-            Term(t).lexical for t in _split_outside_brackets(self._negation_body, "|")
+            Term(t).lexical for t in _split_outside_brackets(self._alt_body, "|")
         )
 
     @property
@@ -226,7 +246,8 @@ class Aggregate:
     (sources/triples.py); sample is deterministically MIN (SPARQL leaves
     the choice open; a distributed engine must pin it or two runs
     disagree).  group_concat emits the DECODED lexicals sorted ascending
-    joined with ``,`` — same determinism reasoning (SPARQL leaves the
+    joined with ``sep`` (SPARQL 1.1 ``SEPARATOR=`` scalar argument,
+    default ``,``) — same determinism reasoning (SPARQL leaves the
     order open).  sum/avg operate on the TYPED NUMERIC VALUE
     (sources/triples.numeric_value_sql): non-numeric terms contribute NULL
     (skipped, the SPARQL error-term contract); avg is pinned to
@@ -237,6 +258,7 @@ class Aggregate:
     var: str | None  # None => count(*)
     alias: str
     distinct: bool = False
+    sep: str = ","  # group_concat separator (SPARQL SEPARATOR= argument)
 
 
 @dataclass
@@ -467,6 +489,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         fn = m2.group(1).lower()
         var = None if m2.group(3) == "*" else m2.group(3)[1:]
         distinct = bool(m2.group(2))
+        sep = m2.group(4)
         if fn in ("min", "max", "sample", "group_concat", "sum", "avg"):
             if var is None:
                 raise SparqlSyntaxError(f"{fn}(*) is not valid — {fn} needs a variable")
@@ -474,15 +497,24 @@ def parse_sparql(text: str) -> ParsedQuery:
                 raise SparqlSyntaxError(f"{fn}(distinct …) is redundant — drop distinct")
             if distinct and fn in ("group_concat", "sum", "avg"):
                 raise SparqlSyntaxError(f"{fn}(distinct …) is not supported")
+        if sep is not None and fn != "group_concat":
+            raise SparqlSyntaxError(f"separator= is only valid on group_concat, not {fn}")
         if fn == "count" and distinct and var is None:
             raise SparqlSyntaxError("count(distinct *) is not supported")
         aggregates.append(
-            Aggregate(fn=fn, var=var, alias=m2.group(4)[1:], distinct=distinct)
+            Aggregate(
+                fn=fn,
+                var=var,
+                alias=m2.group(5)[1:],
+                distinct=distinct,
+                sep="," if sep is None else sep,
+            )
         )
         return " "
 
     proj_src = re.sub(
-        r"(?is)\(\s*(count|min|max|sample|group_concat|sum|avg)\s*\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s+as\s+(\?\w+)\s*\)",
+        r'(?is)\(\s*(count|min|max|sample|group_concat|sum|avg)\s*\(\s*(distinct\s+)?(\?\w+|\*)'
+        r'\s*(?:;\s*separator\s*=\s*"([^"]*)")?\s*\)\s+as\s+(\?\w+)\s*\)',
         _grab_agg,
         proj_src,
     )
@@ -1256,6 +1288,29 @@ def _check_pred_markers(p: str) -> None:
         m = m[:-1]
     if suffix is not None and (p.startswith("?") or not m):
         raise SparqlSyntaxError(f"path '{suffix}' requires a constant predicate")
+    if m.startswith("(") and m.endswith(")"):
+        # parenthesized alternation-closure group: (p1|p2)+ ONLY — the
+        # union edge set's transitive closure; */? on a group would need
+        # the zero-length identity machinery per pid-SET and is rejected
+        if suffix != "+":
+            raise SparqlSyntaxError(
+                f"parenthesized path groups support only '+': {p!r}"
+            )
+        inner = m[1:-1]
+        if (
+            not inner
+            or "|" not in inner
+            or "?" in inner
+            or any(x in inner for x in ("+", "*", "^", "/", "(", ")", "!"))
+            or inner.startswith("|")
+            or inner.endswith("|")
+            or "||" in inner
+        ):
+            raise SparqlSyntaxError(
+                f"a path group must be a plain alternation of constant "
+                f"predicates: {p!r}"
+            )
+        return
     if ("^" in m or "|" in m) and ("?" in m):
         raise SparqlSyntaxError("path '^'/'|' require constant predicates")
     if ("^" in m and m.count("^") > 1) or m.startswith("|") or m.endswith("|") or "||" in m:

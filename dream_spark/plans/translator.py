@@ -53,9 +53,13 @@ def _path_cache(store: TripleStore) -> dict:
     return store.__dict__.setdefault("_path_frame_cache", {})
 
 
-def _closure_frame(store: TripleStore, pid: int) -> DataFrame:
-    """Transitive closure of one predicate's edge set (SPARQL OneOrMorePath
-    semantics: DISTINCT connected pairs, 1..n hops).
+def _closure_frame(store: TripleStore, pids: tuple[int, ...]) -> DataFrame:
+    """Transitive closure of a predicate SET's union edge scan (SPARQL
+    OneOrMorePath semantics: DISTINCT connected pairs, 1..n hops) — a
+    1-tuple for plain ``p+``, several pids for an alternation-closure
+    group ``(p1|p2)+`` (the closure of the UNION edge set, which is NOT
+    the union of the per-predicate closures — a path may alternate
+    predicates between hops).
 
     Semi-naive iteration: only the frontier (pairs new in the last round)
     joins the edge set each round, anti-joined against everything seen, so
@@ -63,13 +67,18 @@ def _closure_frame(store: TripleStore, pid: int) -> DataFrame:
     evaluation, O(diameter) rounds.  ``localCheckpoint`` truncates lineage
     per round (the plan tree would otherwise double every iteration); this
     makes translation eager for path patterns, which is documented and
-    bounded by the predicate's (pruned) edge set size."""
+    bounded by the predicates' (pruned) edge set size."""
     cache = _path_cache(store)
-    key = ("closure", pid)
+    key = ("closure", pids)
     if key in cache:
         return cache[key]
+    pred_filter = (
+        F.col("p") == F.lit(pids[0])
+        if len(pids) == 1
+        else F.col("p").isin(list(pids))
+    )
     e = (
-        store.triples.where(F.col("p") == F.lit(pid))
+        store.triples.where(pred_filter)
         .select("s", "o")
         .distinct()
         .localCheckpoint()
@@ -142,11 +151,16 @@ def _path_frame(store: TripleStore, pred, identity_nodes: DataFrame | None = Non
     self-pair, so dropping the base's self-loops (``s != o``) makes the
     two sides disjoint by construction — a plain UNION ALL instead of a
     corpus-wide dedup shuffle."""
-    pid = store.resolve(pred.lexical)
+    if pred.is_alternation:
+        pids = tuple(sorted(store.resolve(x) for x in pred.alternatives))
+    else:
+        pids = (store.resolve(pred.lexical),)
     if pred.is_transitive:
-        return _closure_frame(store, pid)
+        return _closure_frame(store, pids)
+    # grammar guarantees */? carry a single predicate (groups are +-only)
+    (pid,) = pids
     if pred.is_zero_or_more:
-        base = _closure_frame(store, pid)
+        base = _closure_frame(store, pids)
     else:  # p? — 0..1 hops: the raw (distinct) edge set
         base = store.triples.where(F.col("p") == F.lit(pid)).select("s", "o").distinct()
     if identity_nodes is not None:
@@ -960,7 +974,7 @@ def translate(
                 # SQL string_agg over zero non-null inputs
                 arr = F.array_sort(F.collect_list(f"__gc_{a.var}"))
                 return (
-                    F.when(F.size(arr) > 0, F.array_join(arr, ","))
+                    F.when(F.size(arr) > 0, F.array_join(arr, a.sep))
                     .otherwise(F.lit(None))
                     .alias(a.alias)
                 )

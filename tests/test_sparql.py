@@ -1616,10 +1616,18 @@ def test_parse_group_concat_sample():
     )
     fns = [a.fn for a in q.aggregates]
     assert fns == ["group_concat", "sample"]
+    # SEPARATOR= scalar argument (SPARQL 1.1); default is ","
+    qs = parse_sparql(
+        'select ?R (group_concat(?NM; separator="; ") as ?names)'
+        " where { ?N inRegion ?R . ?N name ?NM } group by ?R"
+    )
+    assert qs.aggregates[0].sep == "; " and q.aggregates[0].sep == ","
     for bad in [
         "select (group_concat(*) as ?x) where { ?N inRegion ?R }",
         "select (sample(*) as ?x) where { ?N inRegion ?R }",
         "select ?R (group_concat(distinct ?N) as ?x) where { ?N inRegion ?R } group by ?R",
+        # separator on a non-group_concat aggregate
+        'select ?R (count(?N; separator=",") as ?x) where { ?N inRegion ?R } group by ?R',
     ]:
         with pytest.raises(SparqlSyntaxError):
             parse_sparql(bad)
@@ -1631,6 +1639,12 @@ def test_parse_group_concat_sample():
         (
             "select ?R (group_concat(?NM) as ?names) where { ?N inRegion ?R ."
             " ?N name ?NM } group by ?R",
+            False,
+        ),
+        # custom SEPARATOR, including a quote-sensitive one
+        (
+            "select ?R (group_concat(?NM; separator=\"' \") as ?names)"
+            " where { ?N inRegion ?R . ?N name ?NM } group by ?R",
             False,
         ),
         (
@@ -1956,3 +1970,43 @@ def test_negated_set_complements_alternation(engine):
         "select ?X where { <customer:1> !(mktsegment|type) ?X }"
     ).count()
     assert inset + outset == all_rows
+
+
+def test_parse_path_group():
+    q = parse_sparql("select ?C ?X where { ?C (inNation|inRegion)+ ?X }")
+    t = q.conditions[0].pred
+    assert t.is_transitive and t.is_alternation and t.is_path_closure
+    assert t.alternatives == ("inNation", "inRegion")
+    for bad in [
+        # */? on a group need the identity machinery per pid-SET
+        "select ?C ?X where { ?C (inNation|inRegion)* ?X }",
+        "select ?C ?X where { ?C (inNation|inRegion)? ?X }",
+        # single-predicate parens add nothing over plain p+
+        "select ?C ?X where { ?C (inNation)+ ?X }",
+        # nested operators inside a group
+        "select ?C ?X where { ?C (inNation|^inRegion)+ ?X }",
+        "select ?C ?X where { ?C (inNation+|inRegion)+ ?X }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        # customer reaches its nation (1 hop) and region (2 hops with
+        # ALTERNATING predicates — not expressible as a per-pred closure)
+        ("select ?C ?X where { ?C type Customer . ?C (inNation|inRegion)+ ?X }", False),
+        # constant far end: pushdown through the closure CTE / pair frame
+        ("select ?C where { ?C type Customer . ?C (inNation|inRegion)+ <region:2> }", False),
+        # group closure inside an EXISTS body; decode composes
+        (
+            "select ?S where { ?S type Supplier ."
+            " filter exists { ?S (inNation|inRegion)+ <region:1> } }",
+            True,
+        ),
+    ],
+)
+def test_path_group_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
