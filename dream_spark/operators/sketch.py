@@ -478,6 +478,93 @@ FROM cells GROUP BY row, bucket
 SKETCH_CMS_SQL = _cms_sql()
 
 
+def kmv_overlap(
+    df: DataFrame, group_col: str, col: str, ga: str, gb: str, k: int = KMV_K
+) -> DataFrame:
+    """Distinct-value OVERLAP estimate between two groups from their KMV
+    sketches — the theta-sketch-style set intersection, kept exact-integer
+    for the oracle: one row ``(k, theta, n_common, est_common)``.
+
+    Per side, ``theta_side`` = P when the sketch is unsaturated (it holds
+    the side's ENTIRE distinct hash set) else its k-th minimum;
+    ``theta = min(theta_a, theta_b)``.  Every hash below ``theta`` is
+    inside BOTH bottom-k sets by construction, so ``n_common`` = |{h < θ:
+    h ∈ Sₐ ∧ h ∈ S_b}| is an exact count over a uniform θ/P fraction of
+    the hash space, giving ``est_common = n_common · P div θ`` — which
+    degrades to the EXACT intersection when both sketches are unsaturated
+    (θ = P).  Mergeability story at 100 TB: each side's bottom-k is a
+    two-phase parallel rank (like :func:`kmv_distinct_by`) and the
+    intersection runs on ≤ 2k rows — sketch sizes, never data sizes."""
+    hv = (
+        df.where(F.col(group_col).isin([ga, gb]) & F.col(col).isNotNull())
+        .select(group_col, F.expr(_nn_hash_sql(col, _KMV_FN)).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("hv").asc())
+    kept = hv.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    side = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth_min")
+    )
+    theta = side.agg(
+        F.min(
+            F.when(F.col("n_kept") < k, F.lit(MERSENNE_P)).otherwise(F.col("kth_min"))
+        ).alias("theta")
+    )
+    common = (
+        kept.where(F.col(group_col) == ga)
+        .select("hv")
+        .join(kept.where(F.col(group_col) == gb).select("hv"), on="hv")
+    )
+    n_common = common.crossJoin(F.broadcast(theta)).where(
+        F.col("hv") < F.col("theta")
+    ).agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        n_common.crossJoin(F.broadcast(theta))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("theta").cast("bigint").alias("theta"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.expr(f"n_common * {MERSENNE_P}L div theta").cast("bigint").alias("est_common"),
+        )
+    )
+
+
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: estimated distinct-user overlap between
+    the click and purchase event streams."""
+    return kmv_overlap(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id", "click", "purchase"
+    )
+
+
+SKETCH_KMV_OVERLAP_SQL = f"""
+WITH h AS (SELECT DISTINCT event_type, {_nn_hash_sql("user_id", _KMV_FN)} AS hv
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')),
+kept AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h
+  ) WHERE rn <= {KMV_K}
+),
+side AS (SELECT event_type, COUNT(*) AS n_kept, MAX(hv) AS kth_min
+         FROM kept GROUP BY event_type),
+th AS (SELECT MIN(CASE WHEN n_kept < {KMV_K} THEN {MERSENNE_P} ELSE kth_min END) AS theta
+       FROM side),
+common AS (
+  SELECT a.hv FROM (SELECT hv FROM kept WHERE event_type = 'click') a
+  JOIN (SELECT hv FROM kept WHERE event_type = 'purchase') b USING (hv)
+),
+nc AS (SELECT COUNT(*) AS n_common FROM common CROSS JOIN th WHERE hv < theta)
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       CAST(theta AS BIGINT) AS theta,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common * {MERSENNE_P} // theta AS BIGINT) AS est_common
+FROM nc CROSS JOIN th
+""".strip()
+
+
 QUERIES = {
     "sketch_kmv_users": sketch_kmv_users,
     "sketch_kmv_hourly": sketch_kmv_hourly,
@@ -485,6 +572,7 @@ QUERIES = {
     "sketch_quantiles_sampled": sketch_quantiles_sampled,
     "sketch_cms_users": sketch_cms_users,
     "sketch_kmv_by_type": sketch_kmv_by_type,
+    "sketch_kmv_overlap": sketch_kmv_overlap,
 }
 
 ORACLES = {
@@ -494,4 +582,5 @@ ORACLES = {
     "sketch_quantiles_sampled": SKETCH_QUANTILES_SAMPLED_SQL,
     "sketch_cms_users": SKETCH_CMS_SQL,
     "sketch_kmv_by_type": SKETCH_KMV_BY_TYPE_SQL,
+    "sketch_kmv_overlap": SKETCH_KMV_OVERLAP_SQL,
 }

@@ -209,3 +209,18 @@ def test_cms_single_scan_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1 and "Union" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_kmv_overlap_exact_when_unsaturated(spark):
+    """When BOTH sides' sketches are unsaturated (theta = P), the overlap
+    estimator degrades to the EXACT distinct intersection; otherwise it
+    lands within the ~1/sqrt(k) KMV band of it."""
+    ev = load_table(spark, SF_DIR, "events")
+    a = {r["user_id"] for r in ev.where("event_type = 'click'").select("user_id").distinct().collect()}
+    b = {r["user_id"] for r in ev.where("event_type = 'purchase'").select("user_id").distinct().collect()}
+    exact = len(a & b)
+    row = S.sketch_kmv_overlap(spark, SF_DIR).collect()[0]
+    if row["theta"] == S.MERSENNE_P:
+        assert row["est_common"] == exact
+    else:
+        assert abs(row["est_common"] - exact) <= max(5, 5 * exact / (S.KMV_K ** 0.5))
