@@ -447,6 +447,61 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " ?L ofPart ?P . ?P size ?SZ } group by ?S having (sum(?SZ) > 15000)",
         False,
     ),
+    # STRENDS suffix test on customer names (the contains/strstarts twin —
+    # same decode-one-column join, suffix predicate)
+    "sparql_filter_strends": (
+        'select ?C ?NM where { ?C type Customer . ?C name ?NM .'
+        ' filter strends(?NM, "7") }',
+        False,
+    ),
+    # FILTER (?v IN (...)): constant-membership on encoded ids — the
+    # expression-form twin of single-variable VALUES (§17.4.1.9)
+    "sparql_filter_in": (
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter (?N in (<nation:1>, <nation:7>, <nation:19>)) }",
+        False,
+    ),
+    # FILTER (?v NOT IN (...)): the negated membership form (§17.4.1.10) —
+    # orders in neither listed status, i.e. the P stragglers
+    "sparql_filter_not_in": (
+        "select ?O ?ST where { ?O type Order . ?O status ?ST ."
+        " filter (?ST not in (<F>, <O>)) }",
+        False,
+    ),
+    # STRAFTER separator extraction (§17.4.3.5): the customer whose
+    # zero-padded key follows the '#' — a point lookup through a string
+    # function on the decoded lexical
+    "sparql_filter_strafter": (
+        'select ?C ?NM where { ?C type Customer . ?C name ?NM .'
+        ' filter (strafter(?NM, "#") = "000000013") }',
+        False,
+    ),
+    # ABS over two-variable typed arithmetic (§17.4.4.4): same-order
+    # lineitem pairs whose part sizes differ by at least 45 — magnitude
+    # form of the arith_vars filter
+    "sparql_filter_abs": (
+        "select ?L1 ?L2 ?S1 ?S2 where { ?L1 ofOrder ?O . ?L2 ofOrder ?O ."
+        " ?L1 ofPart ?P1 . ?L2 ofPart ?P2 . ?P1 size ?S1 . ?P2 size ?S2 ."
+        " filter (abs(?S1 - ?S2) >= 45) }",
+        False,
+    ),
+    # ORDER BY DESC(?agg) function-call syntax (§18.2.5.1) over an
+    # aggregate alias, secondary key ascending — top-5 nations by
+    # customer count
+    "sparql_order_desc": (
+        "select ?N (count(?C) as ?cnt) where { ?C type Customer ."
+        " ?C inNation ?N } group by ?N order by desc(?cnt) ?N limit 5",
+        False,
+    ),
+    # SUM over an arithmetic BIND alias: the bound column already holds a
+    # plain number, so the aggregate must SKIP the id→value wrap on both
+    # engines (numeric_bind_aliases contract); deterministic under the
+    # (?tot, ?P) total order
+    "sparql_sum_bind": (
+        "select ?P (sum(?D) as ?tot) where { ?L ofPart ?P . ?P size ?SZ ."
+        " bind(?SZ * 3 as ?D) } group by ?P order by desc(?tot) ?P limit 10",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 from collections.abc import Callable
 
-from dream_spark.plans.sparql import ParsedQuery
+from dream_spark.plans.sparql import ParsedQuery, strslice_sql
 from dream_spark.sources.triples import (
     DICT_SQL,
     TRIPLES_SQL,
@@ -177,6 +177,13 @@ def _str_filter_sql(f, lex_ref: str) -> str:
         )
         cmp = "<>" if f.lhs_op == "!=" else "="
         return f"substr({args}) {cmp} '{lit}'"
+    if f.op in ("strbefore", "strafter"):
+        # the separator rides in f.pattern; the comparison target in
+        # f.rhs_const — the extraction is the SHARED fragment the Spark
+        # plan applies via F.expr (plans/sparql.strslice_sql)
+        cmp = "<>" if f.lhs_op == "!=" else "="
+        tgt = f.rhs_const.replace("'", "''")
+        return f"{strslice_sql(f.op, lex_ref, f.pattern)} {cmp} '{tgt}'"
     fn = {"contains": "contains", "strstarts": "starts_with", "strends": "ends_with"}[f.op]
     return f"{fn}({lex_ref}, '{lit}')"
 
@@ -201,6 +208,8 @@ def _simple_filter_sql(f, ref, resolve, numeric_aliases=frozenset()) -> str:
             wrap_a=f.var not in numeric_aliases,
             wrap_b=f.rhs_var not in numeric_aliases,
         )
+        if f.abs_fn:  # abs(?a op ?b) — same fragment as the Spark plan
+            expr = f"abs({expr})"
         return f"{expr} {'<>' if f.op == '!=' else f.op} {f.rhs_num}"
     assert f.kind == "cmp", f.kind
     rhs = ref(f.rhs_var) if f.rhs_var is not None else str(resolve(f.rhs_const))
@@ -345,7 +354,8 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             )
         elif f.kind == "in":
             ids = ", ".join(str(resolve(c)) for c in f.consts)
-            filt_where.append(f"{lhs} IN ({ids})")
+            neg = "NOT " if f.op == "!" else ""
+            filt_where.append(f"{lhs} {neg}IN ({ids})")
         elif f.kind == "in_rows":
             cols = ", ".join(_ref(v) for v in f.vars_)
             rows = ", ".join(

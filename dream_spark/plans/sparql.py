@@ -34,6 +34,28 @@ import re
 from dataclasses import dataclass, field, replace
 
 
+def strslice_sql(fn: str, ref: str, sep: str) -> str:
+    """SPARQL STRBEFORE/STRAFTER as ONE SQL fragment applied verbatim on
+    both engines (Spark ``F.expr`` and the DuckDB oracle — ``instr``,
+    ``substr``, ``length`` and ``CASE`` are identical in both dialects, so
+    the semantics cannot drift): the substring strictly before/after the
+    FIRST occurrence of ``sep``, and ``''`` when ``sep`` does not occur
+    (§17.4.3.4/.5).  ``sep`` must be non-empty — the grammar rejects the
+    empty separator whose spec result ("" / the whole string) differs
+    between the two functions and is never what a query means."""
+    lit = sep.replace("'", "''")
+    if fn == "strbefore":
+        return (
+            f"(CASE WHEN instr({ref}, '{lit}') > 0"
+            f" THEN substr({ref}, 1, instr({ref}, '{lit}') - 1) ELSE '' END)"
+        )
+    assert fn == "strafter", fn
+    return (
+        f"(CASE WHEN instr({ref}, '{lit}') > 0"
+        f" THEN substr({ref}, instr({ref}, '{lit}') + {len(sep)}) ELSE '' END)"
+    )
+
+
 def _mask_brackets(t: str) -> str:
     """Blank everything inside ``<…>`` (position-preserving): path-operator
     detection must only see characters OUTSIDE bracketed constants — an IRI
@@ -233,6 +255,9 @@ class Filter:
     lhs_op: str | None = None
     lhs_num: int | None = None
     rhs_num: int | None = None
+    # kind="arith2": True wraps the two-variable expression in ABS() —
+    # ``filter (abs(?a − ?b) cmp n)``, the magnitude-difference idiom
+    abs_fn: bool = False
 
 
 @dataclass(frozen=True)
@@ -425,7 +450,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         r"(?is)^\s*select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}\s*"
         r"(?:group\s+by\s+((?:\?\w+\s*)+))?"
         r"(?:having\s*\(([^()]*\([^()]*\)[^()]*)\)\s*)?"
-        r"(?:order\s+by\s+((?:\?\w+(?:\s+(?:asc|desc))?\s*)+))?"
+        r"(?:order\s+by\s+((?:(?:(?:asc|desc)\s*\(\s*\?\w+\s*\)|\?\w+(?:\s+(?:asc|desc))?)\s*)+))?"
         r"(?:limit\s+(\d+))?\s*"
         r"(?:offset\s+(\d+))?\s*$",
         src,
@@ -470,7 +495,13 @@ def parse_sparql(text: str) -> ParsedQuery:
             )
     order: list[tuple[str, bool]] = []
     if m.group(6):
-        toks = _WS.split(m.group(6).strip())
+        # normalize the SPARQL function-call ordering syntax DESC(?v) /
+        # ASC(?v) (§18.2.5.1 OrderCondition) to the postfix token form
+        # the loop below consumes — same semantics, two spellings
+        normalized = re.sub(
+            r"(?is)\b(asc|desc)\s*\(\s*(\?\w+)\s*\)", r"\2 \1", m.group(6)
+        )
+        toks = _WS.split(normalized.strip())
         i = 0
         while i < len(toks):
             var = toks[i]
@@ -1159,6 +1190,26 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         )
         return " "
 
+    def _grab_strslice(m2: re.Match) -> str:
+        # strbefore/strafter(?v, "sep") =/!= "lit" — separator extraction
+        # on the decoded lexical; both sides of the comparison are literals
+        # (sep in pattern, the target in rhs_const, comparator in lhs_op)
+        if m2.group(3) == "":
+            raise SparqlSyntaxError(
+                f"{m2.group(1).lower()} separator must be non-empty"
+            )
+        filters.append(
+            Filter(
+                kind="str",
+                var=m2.group(2)[1:],
+                op=m2.group(1).lower(),
+                pattern=m2.group(3),
+                lhs_op=m2.group(4),
+                rhs_const=m2.group(5),
+            )
+        )
+        return " "
+
     def _grab_bound(m2: re.Match) -> str:
         filters.append(
             Filter(kind="bound", var=m2.group(2)[1:], op=("!" if m2.group(1) else ""))
@@ -1190,6 +1241,48 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
                 rhs_var=m2.group(3)[1:],
                 op=m2.group(4),
                 rhs_num=int(m2.group(5)),
+            )
+        )
+        return " "
+
+    def _grab_arith2_abs(m2: re.Match) -> str:
+        # abs(?a [+−×] ?b) cmp <int>: the magnitude form of arith2 (ABS is
+        # SPARQL §17.4.4.4; the expression stays exact in int64 — |a op b|
+        # never exceeds the operands' product bound)
+        filters.append(
+            Filter(
+                kind="arith2",
+                var=m2.group(1)[1:],
+                lhs_op=m2.group(2),
+                rhs_var=m2.group(3)[1:],
+                op=m2.group(4),
+                rhs_num=int(m2.group(5)),
+                abs_fn=True,
+            )
+        )
+        return " "
+
+    def _grab_in(m2: re.Match) -> str:
+        # filter (?v [not] in (<c>, <c>, …)) — SPARQL 1.1 §17.4.1.9/.10:
+        # the same constant-membership lowering as single-variable VALUES
+        # (an IN literal list on the encoded ids), with op="!" marking the
+        # negated form.  NOT IN over a constant list has no NULL pitfall
+        # here: the tested column is a pattern-bound id, never NULL at
+        # filter time, and the list is ground by grammar.
+        items = [t for t in _split_outside_brackets(m2.group(3), ",") if t.strip()]
+        if not items:
+            raise SparqlSyntaxError("empty IN list")
+        lex = tuple(Term(t.strip()).lexical for t in items)
+        if any(t.strip().startswith("?") for t in items):
+            raise SparqlSyntaxError("IN list items must be constants")
+        if len(set(lex)) != len(lex):
+            raise SparqlSyntaxError("duplicate constants in IN list")
+        filters.append(
+            Filter(
+                kind="in",
+                var=m2.group(1)[1:],
+                op="!" if m2.group(2) else "",
+                consts=lex,
             )
         )
         return " "
@@ -1227,6 +1320,12 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         body,
     )
     body = re.sub(
+        r'(?is)filter\s*\(\s*(strbefore|strafter)\s*\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*\)'
+        r'\s*(!=|=)\s*"([^"]*)"\s*\)\s*\.?',
+        _grab_strslice,
+        body,
+    )
+    body = re.sub(
         r'(?is)filter\s*\(\s*substr\s*\(\s*(\?\w+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*(!=|=)\s*"([^"]*)"\s*\)\s*\.?',
         _grab_substr,
         body,
@@ -1237,6 +1336,11 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         body,
     )
     body = re.sub(
+        r"(?is)filter\s*\(\s*abs\s*\(\s*(\?\w+)\s*([+*-])\s*(\?\w+)\s*\)\s*(!=|<=|>=|<|>|=)\s*(-?\d+)\s*\)\s*\.?",
+        _grab_arith2_abs,
+        body,
+    )
+    body = re.sub(
         r"(?is)filter\s*\(\s*(\?\w+)\s*([+*-])\s*(\?\w+)\s*(!=|<=|>=|<|>|=)\s*(-?\d+)\s*\)\s*\.?",
         _grab_arith2,
         body,
@@ -1244,6 +1348,11 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
     body = re.sub(
         r"(?is)filter\s*\(\s*(\?\w+)\s*(?:([+*-])\s*(-?\d+)\s*)?(!=|<=|>=|<|>|=)\s*(-?\d+)\s*\)\s*\.?",
         _grab_arith,
+        body,
+    )
+    body = re.sub(
+        r"(?is)filter\s*\(\s*(\?\w+)\s+(not\s+)?in\s*\(([^()]*)\)\s*\)\s*\.?",
+        _grab_in,
         body,
     )
     body = re.sub(r'(?is)filter\s+regex\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*\)\s*\.?', _grab_regex, body)

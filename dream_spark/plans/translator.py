@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dream_spark.plans.sparql import Condition, Filter, ParsedQuery
+from dream_spark.plans.sparql import Condition, Filter, ParsedQuery, strslice_sql
 from dream_spark.plans.stats import TripleStats
 from dream_spark.sources.triples import (
     TripleStore,
@@ -288,13 +288,19 @@ def _apply_filters(
                 wrap_a=f.var not in numeric_cols,
                 wrap_b=f.rhs_var not in numeric_cols,
             )
+            if f.abs_fn:  # abs(?a op ?b) — same fragment, magnitude-wrapped
+                expr = f"abs({expr})"
             sqlop = "<>" if f.op == "!=" else f.op
             plan = plan.where(F.expr(f"{expr} {sqlop} {f.rhs_num}"))
         elif f.kind == "in":
-            # VALUES lowering: an IN literal list on the encoded ids —
-            # Catalyst pushes it into the pattern scans (partition-prunable
-            # under the p-partitioned layout when the var is a predicate)
-            plan = plan.where(F.col(f.var).isin([store.resolve(c) for c in f.consts]))
+            # VALUES / FILTER-IN lowering: an IN literal list on the
+            # encoded ids — Catalyst pushes it into the pattern scans
+            # (partition-prunable under the p-partitioned layout when the
+            # var is a predicate).  op="!" is FILTER (?v NOT IN (...)):
+            # the negation stays row-local (ids are never NULL here, so
+            # ~isin has no three-valued-logic surprise).
+            member = F.col(f.var).isin([store.resolve(c) for c in f.consts])
+            plan = plan.where(~member if f.op == "!" else member)
         elif f.kind == "in_rows":
             # multi-variable VALUES: a row-IN predicate on the encoded id
             # tuple — Catalyst folds the struct-literal list to a local
@@ -346,6 +352,16 @@ def _apply_filters(
                 # simple case mapping identically)
                 folded = F.upper(c) if f.op == "ucase" else F.lower(c)
                 pred = folded == f.pattern if f.lhs_op == "=" else folded != f.pattern
+            elif f.op in ("strbefore", "strafter"):
+                # separator extraction via the SHARED SQL fragment (the
+                # oracle renders the identical string — plans/sparql.py
+                # strslice_sql), compared against the target literal
+                sliced = F.expr(strslice_sql(f.op, f"__fstr_{tag}{i}", f.pattern))
+                pred = (
+                    sliced == f.rhs_const
+                    if f.lhs_op == "="
+                    else sliced != f.rhs_const
+                )
             elif f.op == "substr":
                 # SUBSTR(?v, start[, len]) =/!= "lit" — 1-based, same
                 # out-of-range → "" behavior as DuckDB substr

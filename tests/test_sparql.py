@@ -2010,3 +2010,115 @@ def test_parse_path_group():
 def test_path_group_oracle(engine, duck, qtext, decode):
     q = parse_sparql(qtext)
     assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+# ---- r5 grammar: IN lists, STRBEFORE/STRAFTER, ABS, DESC() ordering ------
+def test_parse_in_filters():
+    q = parse_sparql(
+        "select ?C ?N where { ?C inNation ?N ."
+        " filter (?N in (<nation:1>, <nation:2>)) ."
+        " filter (?C not in (<customer:9>)) }"
+    )
+    got = sorted((f.kind, f.op, f.var, f.consts) for f in q.filters)
+    assert got == [
+        ("in", "", "N", ("nation:1", "nation:2")),
+        ("in", "!", "C", ("customer:9",)),
+    ]
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql("select ?A where { ?A type Order . filter (?A in ()) }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?A where { ?A type Order . filter (?A in (<o:1>, <o:1>)) }"
+        )
+
+
+def test_parse_strslice_and_abs_filters():
+    q = parse_sparql(
+        'select ?C ?NM where { ?C name ?NM .'
+        ' filter (strbefore(?NM, "#") = "Customer") .'
+        ' filter (strafter(?NM, "#") != "000000001") .'
+        ' ?C size ?A . ?C retail ?B . filter (abs(?A - ?B) > 3) }'
+    )
+    strs = sorted(
+        (f.op, f.pattern, f.lhs_op, f.rhs_const)
+        for f in q.filters
+        if f.kind == "str"
+    )
+    assert strs == [
+        ("strafter", "#", "!=", "000000001"),
+        ("strbefore", "#", "=", "Customer"),
+    ]
+    (a2,) = [f for f in q.filters if f.kind == "arith2"]
+    assert (a2.abs_fn, a2.lhs_op, a2.op, a2.rhs_num) == (True, "-", ">", 3)
+    # empty separator diverges between STRBEFORE and STRAFTER per spec —
+    # rejected rather than silently picking one reading
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            'select ?A where { ?A name ?NM . filter (strbefore(?NM, "") = "x") }'
+        )
+
+
+def test_parse_order_desc_function_syntax():
+    q = parse_sparql(
+        "select ?A ?B where { ?A inNation ?B } order by desc(?B) ?A asc(?A)"
+    )
+    assert q.order == [("B", True), ("A", False), ("A", False)]
+
+
+@pytest.mark.parametrize(
+    "qtext,decode",
+    [
+        # IN-list membership on encoded ids (expression twin of VALUES)
+        (
+            "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+            " filter (?N in (<nation:1>, <nation:7>, <nation:19>)) }",
+            False,
+        ),
+        # NOT IN: the complement stays on ids, row-local
+        (
+            "select ?O ?ST where { ?O type Order . ?O status ?ST ."
+            " filter (?ST not in (<F>, <O>)) }",
+            True,
+        ),
+        # STRAFTER point lookup through the separator extraction
+        (
+            'select ?C ?NM where { ?C type Customer . ?C name ?NM .'
+            ' filter (strafter(?NM, "#") = "000000013") }',
+            False,
+        ),
+        # STRBEFORE prefix-class test (every supplier name)
+        (
+            'select ?S ?NM where { ?S type Supplier . ?S name ?NM .'
+            ' filter (strbefore(?NM, "#") = "Supplier") }',
+            False,
+        ),
+        # separator absent from the lexical -> '' on both engines
+        (
+            'select ?R ?NM where { ?R type Region . ?R name ?NM .'
+            ' filter (strbefore(?NM, "#") = "") }',
+            False,
+        ),
+        # ABS over two-variable typed arithmetic: magnitude of size delta
+        (
+            "select ?L1 ?L2 where { ?L1 ofOrder ?O . ?L2 ofOrder ?O ."
+            " ?L1 ofPart ?P1 . ?L2 ofPart ?P2 . ?P1 size ?S1 . ?P2 size ?S2 ."
+            " filter (abs(?S1 - ?S2) >= 45) }",
+            False,
+        ),
+        # DESC() ordering over an aggregate alias with a tiebreaker
+        (
+            "select ?N (count(?C) as ?cnt) where { ?C type Customer ."
+            " ?C inNation ?N } group by ?N order by desc(?cnt) ?N limit 5",
+            False,
+        ),
+        # SUM over an arithmetic BIND alias skips the id->value wrap
+        (
+            "select ?P (sum(?D) as ?tot) where { ?L ofPart ?P . ?P size ?SZ ."
+            " bind(?SZ * 3 as ?D) } group by ?P order by desc(?tot) ?P limit 10",
+            False,
+        ),
+    ],
+)
+def test_r5_filter_oracle(engine, duck, qtext, decode):
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
