@@ -839,10 +839,52 @@ SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
 """.strip()
 
 
+def cross_source_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash near-dup pairs whose two documents come from DIFFERENT
+    sources — the train/eval leakage detector (a benchmark doc mirrored
+    into a crawl source is exactly a cross-source near-dup).  Pipeline:
+    the standard banded candidate stream (ids only), then each side's
+    source joined back and unequal-source pairs kept with both sources in
+    the output.  The source table is a (doc_id, source) projection — tiny
+    relative to text, broadcast-able at any corpus size where the id list
+    fits an executor; past that it's two id-keyed equi-joins."""
+    pairs = minhash_pairs(docs)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .where(F.col("source_a") != F.col("source_b"))
+        .select("doc_a", "doc_b", "source_a", "source_b")
+    )
+
+
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: cross-source near-dup pairs over the
+    documents table."""
+    return cross_source_pairs(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_CROSS_SOURCE_SQL = f"""
+WITH {_duck_minhash_bands()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b, da.source AS source_a, db.source AS source_b
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+WHERE da.source <> db.source
+""".strip()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_minhash": dedup_minhash,
+    "dedup_cross_source": dedup_cross_source,
     "dedup_jaccard": dedup_jaccard,
     "simhash_docs": simhash_docs,
     "dedup_simhash": dedup_simhash,
@@ -854,6 +896,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_exact_docs": DEDUP_EXACT_DOCS_SQL,
     "dedup_minhash": DEDUP_MINHASH_SQL,
+    "dedup_cross_source": DEDUP_CROSS_SOURCE_SQL,
     "dedup_jaccard": DEDUP_JACCARD_SQL,
     "simhash_docs": SIMHASH_DOCS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

@@ -257,5 +257,50 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GRAPH_PPR_SQL = _pagerank_sql(PPR_SEED_SQL)
 
-QUERIES = {"graph_pagerank": graph_pagerank, "graph_ppr": graph_ppr}
-ORACLES = {"graph_pagerank": GRAPH_PAGERANK_SQL, "graph_ppr": GRAPH_PPR_SQL}
+
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree DISTRIBUTION of the entity graph — the first diagnostic
+    run on any new graph (skew detection: a heavy-tailed histogram says
+    which joins need salting before PageRank-style iteration is attempted).
+    Reuses the session's persisted ``degree_base`` artifact, so after any
+    rank query this is one small aggregate over #nodes rows; the histogram
+    itself is two partial-aggregated shuffles whose keys (node, then
+    outdeg) are both bounded by the node count — never edge-sized."""
+    _, deg = shared_entity_graph(spark, sf_dir)
+    return (
+        deg.groupBy(F.col("outdeg").cast("bigint").alias("outdeg"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def _degree_sql() -> str:
+    from dream_spark.sources.triples import resolve_lexical
+
+    pids = ", ".join(
+        str(resolve_lexical(p)) for p in _ENTITY_PREDS if resolve_lexical(p) is not None
+    )
+    return f"""
+WITH triples AS ({TRIPLES_SQL}),
+e AS (SELECT s AS src, o AS dst FROM triples WHERE p IN ({pids})),
+deg AS (
+  SELECT node, CAST(SUM(od) AS BIGINT) AS outdeg FROM (
+    SELECT src AS node, 1 AS od FROM e
+    UNION ALL SELECT dst AS node, 0 AS od FROM e
+  ) GROUP BY node
+)
+SELECT outdeg, COUNT(*) AS n_nodes FROM deg GROUP BY outdeg
+""".strip()
+
+
+GRAPH_DEGREE_SQL = _degree_sql()
+
+QUERIES = {
+    "graph_pagerank": graph_pagerank,
+    "graph_ppr": graph_ppr,
+    "graph_degree": graph_degree,
+}
+ORACLES = {
+    "graph_pagerank": GRAPH_PAGERANK_SQL,
+    "graph_ppr": GRAPH_PPR_SQL,
+    "graph_degree": GRAPH_DEGREE_SQL,
+}

@@ -960,6 +960,83 @@ LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
 """.strip()
 
 
+#: log2 length bucket as ONE shared integer fragment: LENGTH(BIN(n)) - 1 ==
+#: floor(log2 n) for n >= 1 on both engines (bin() renders the minimal
+#: binary string in Spark SQL and DuckDB alike) — no float log whose
+#: rounding could flip a power-of-2 boundary between engines.
+_LEN_BUCKET_SQL = "(LENGTH(BIN(n_chars)) - 1)"
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Doc-length distribution per language in log2 buckets — the
+    first-look corpus diagnostic (truncation cliffs, short-doc spam, and
+    per-language length skew all show up here before any curation
+    threshold is chosen).  Map-only bucket assignment + one
+    partial-aggregated shuffle keyed by (lang, bucket): at 100 TB the
+    shuffle carries #langs × ~40 bucket rows per partition, never docs."""
+    return (
+        docs.where(F.col("n_chars") >= 1)
+        .groupBy("lang", F.expr(_LEN_BUCKET_SQL).cast("bigint").alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def pipeline_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: log2 length histogram of the documents."""
+    return length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+PIPELINE_LENGTHS_SQL = f"""
+SELECT lang, CAST({_LEN_BUCKET_SQL} AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars >= 1
+GROUP BY lang, {_LEN_BUCKET_SQL}
+""".strip()
+
+
+def dup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate pressure per source: (source, n_docs, n_distinct,
+    n_dups) — the triage table that decides WHERE dedup effort goes (a
+    source at 40% dup rate gets cleaned; one at 0.1% gets passed through).
+    Distinctness is counted over the SHA-256 content digest, not the text:
+    the digest is computed map-side, so the distinct-aggregation shuffle
+    moves 32-byte digests instead of document bodies — the only shape that
+    survives 100 TB (same posture as multimodal payload dedup)."""
+    digest = F.sha2(F.col("text"), 256)
+    return (
+        docs.select("source", digest.alias("digest"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("digest").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dups"),
+        )
+    )
+
+
+def pipeline_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: per-source exact-dup stats."""
+    return dup_rate_by_source(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB sha256(VARCHAR) hashes the identical UTF-8 bytes Spark's
+# sha2(text, 256) does, and both render lowercase hex — value-equal digests
+PIPELINE_DUP_RATE_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT sha256(text)) AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dups
+FROM documents GROUP BY source
+""".strip()
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_profile": pipeline_profile,
@@ -976,6 +1053,8 @@ QUERIES = {
     "pipeline_oov": pipeline_oov,
     "pipeline_boilerplate": pipeline_boilerplate,
     "pipeline_familiarity": pipeline_familiarity,
+    "pipeline_lengths": pipeline_lengths,
+    "pipeline_dup_rate": pipeline_dup_rate,
 }
 
 ORACLES = {
@@ -994,4 +1073,6 @@ ORACLES = {
     "pipeline_oov": PIPELINE_OOV_SQL,
     "pipeline_boilerplate": PIPELINE_BOILERPLATE_SQL,
     "pipeline_familiarity": PIPELINE_FAMILIARITY_SQL,
+    "pipeline_lengths": PIPELINE_LENGTHS_SQL,
+    "pipeline_dup_rate": PIPELINE_DUP_RATE_SQL,
 }

@@ -730,6 +730,34 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """.strip()
 
 
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: the general form cube/rollup specialize —
+    per-returnflag and per-linestatus marginals plus the grand total, but
+    NOT the (flag, status) cross cells a CUBE would also emit.  One pass:
+    Catalyst expands the sets with a single Expand node over the scan, so
+    at 100 TB the cost is the same partial-aggregated scan as Q1 — the
+    expansion multiplies rows map-side (3× here) BEFORE the #groups-sized
+    shuffle, never re-reading the table per set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum(_dec("l_quantity", _QTY)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS {_QTY})) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""".strip()
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1183,6 +1211,7 @@ QUERIES = {
     "rel_q19_disjunct": q19_disjunctive,
     "rel_q22_idle": q22_idle_customers,
     "rel_cube": cube_pricing,
+    "rel_grouping_sets": grouping_sets_pricing,
     "rel_pivot": pivot_event_counts,
     "rel_intersect": intersect_segments,
     "rel_except": except_no_orders,
@@ -1221,6 +1250,7 @@ ORACLES = {
     "rel_q19_disjunct": Q19_SQL,
     "rel_q22_idle": Q22_SQL,
     "rel_cube": CUBE_SQL,
+    "rel_grouping_sets": GROUPING_SETS_SQL,
     "rel_pivot": PIVOT_SQL,
     "rel_intersect": INTERSECT_SQL,
     "rel_except": EXCEPT_SQL,

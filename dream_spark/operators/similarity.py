@@ -540,11 +540,53 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """.strip()
 
 
+#: metadata predicate of the filtered-search entry: corpus side restricted
+#: to this label BEFORE any distance work
+FILTER_LABEL = 3
+
+
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact top-k over ONLY the corpus vectors
+    satisfying a metadata predicate (``label = 3``) — the
+    pre-filter strategy.  The predicate applies to the embeddings SCAN
+    before quantization, so Catalyst pushes it into the parquet read and
+    the distance kernel touches the ~1/10 surviving fraction; the
+    post-filter alternative (search first, discard mismatches) breaks
+    top-k completeness and re-ranks k, which is why serious vector stores
+    pre-filter exactly like this.  Same broadcast-queries/no-corpus-shuffle
+    shape as ``knn_bruteforce``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_topk(
+        emb.where(F.col("label") == FILTER_LABEL),
+        emb.where(F.col("vec_id") < N_QUERIES),
+    )
+
+
+KNN_FILTERED_SQL = f"""
+WITH {_duck_quantized()},
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         a.qe AS qa, b.qe AS qb, a.nrm AS na, b.nrm AS nb
+  FROM qn a JOIN qn b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+  WHERE b.vec_id IN (SELECT vec_id FROM embeddings WHERE label = {FILTER_LABEL})
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_DUCK_COS} AS cos FROM pairs
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""".strip()
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "knn_lsh_served": knn_lsh_served,
     "knn_ivf": knn_ivf,
+    "knn_filtered": knn_filtered,
 }
 
 ORACLES = {
@@ -554,4 +596,5 @@ ORACLES = {
     # in-session LSH plan, so the same oracle replays it
     "knn_lsh_served": KNN_LSH_SQL,
     "knn_ivf": KNN_IVF_SQL,
+    "knn_filtered": KNN_FILTERED_SQL,
 }

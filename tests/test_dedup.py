@@ -118,3 +118,18 @@ def test_incremental_minhash_dedup_two_batches(spark):
     assert sorted(r["doc_id"] for r in kept2.collect()) == ref_kept2
     # the updated index holds exactly the kept documents' band rows
     assert {r["doc_id"] for r in idx2.collect()} == set(ref_kept2)
+
+
+def test_cross_source_pairs_are_minhash_subset(spark):
+    """Cross-source pairs are exactly the minhash pairs whose endpoint
+    sources differ — no pair invented, none lost."""
+    from dream_spark.sources.tables import load_table
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    }
+    all_pairs = {(r["doc_a"], r["doc_b"]) for r in D.dedup_minhash(spark, SF_DIR).collect()}
+    got = {(r["doc_a"], r["doc_b"]) for r in D.dedup_cross_source(spark, SF_DIR).collect()}
+    want = {(a, b) for a, b in all_pairs if src[a] != src[b]}
+    assert got == want

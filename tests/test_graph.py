@@ -33,3 +33,20 @@ def test_ppr_concentrates_on_seed_neighborhood(spark):
     seeds_zero = zero.where(F.expr(G.PPR_SEED_SQL)).count()
     assert seeds_zero == 0  # seeds always keep their teleport share
     assert zero.count() > 0  # far-from-seed nodes really get zero mass
+
+
+def test_degree_histogram_mass(spark):
+    """The histogram's masses reconcile with the graph itself: Σ n_nodes =
+    |nodes| and Σ outdeg·n_nodes = |edges| (no rows lost or double-counted
+    anywhere in the two aggregations)."""
+    e, _ = G.shared_entity_graph(spark, SF_DIR)
+    n_edges = e.count()
+    n_nodes = (
+        e.select(F.col("src").alias("n"))
+        .unionByName(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    rows = G.graph_degree(spark, SF_DIR).collect()
+    assert sum(r["n_nodes"] for r in rows) == n_nodes
+    assert sum(r["outdeg"] * r["n_nodes"] for r in rows) == n_edges

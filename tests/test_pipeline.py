@@ -282,3 +282,35 @@ def test_familiarity_orders_common_vs_rare(spark):
     assert out[50]["fam_sum"] > out[51]["fam_sum"]
     assert out[51]["fam_sum"] == 3  # each unique bigram counts once
     assert out[52]["fam_sum"] == 0 and out[52]["n_bigrams"] == 0
+
+
+def test_length_buckets_are_log2_floor(spark):
+    """len_bucket == floor(log2(n_chars)) for every doc, and per-bucket
+    totals reconcile with the raw table."""
+    import math
+
+    from dream_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("lang", "n_chars").collect()
+    want: dict = {}
+    for r in docs:
+        if r["n_chars"] >= 1:
+            key = (r["lang"], int(math.log2(r["n_chars"])))
+            n, tot = want.get(key, (0, 0))
+            want[key] = (n + 1, tot + r["n_chars"])
+    got = {
+        (r["lang"], r["len_bucket"]): (r["n_docs"], r["total_chars"])
+        for r in P.pipeline_lengths(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_dup_rate_reconciles(spark):
+    """n_dups = n_docs − n_distinct per source, and the n_docs column sums
+    to the table's row count."""
+    from dream_spark.sources.tables import load_table
+
+    total = load_table(spark, SF_DIR, "documents").count()
+    rows = P.pipeline_dup_rate(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert all(r["n_dups"] == r["n_docs"] - r["n_distinct"] >= 0 for r in rows)

@@ -193,3 +193,25 @@ def test_served_index_path_install_reuse_and_versioning(spark, tmp_path, monkeyp
     os.symlink(str(target), str(link_root / os.path.basename(os.path.dirname(p1))))
     with pytest.raises(OSError):
         sim._served_index_path(spark, SF_DIR)
+
+
+def test_filtered_neighbors_satisfy_predicate(spark):
+    """Every returned neighbor carries the filter label, and each of the
+    10 queries still gets a full top-k (the filtered corpus slice is
+    larger than k)."""
+    from dream_spark.sources.tables import load_table
+
+    ok = {
+        r["vec_id"]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .where(f"label = {S.FILTER_LABEL}")
+        .select("vec_id")
+        .collect()
+    }
+    rows = S.knn_filtered(spark, SF_DIR).collect()
+    assert {r["neighbor_id"] for r in rows} <= ok
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], 0)
+        per_q[r["query_id"]] += 1
+    assert all(n == S.TOP_K for n in per_q.values()) and len(per_q) == S.N_QUERIES
