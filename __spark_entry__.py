@@ -502,6 +502,15 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " bind(?SZ * 3 as ?D) } group by ?P order by desc(?tot) ?P limit 10",
         False,
     ),
+    # multi-variable VALUES with UNDEF (§10.2.2): the wildcard slot leaves
+    # ?PR unconstrained for F-status rows, so the lowering must switch
+    # from the struct row-IN to per-row conjunctions — every F order (any
+    # priority) plus exactly the urgent O orders
+    "sparql_values_undef": (
+        "select ?O ?ST ?PR where { ?O type Order . ?O status ?ST ."
+        " ?O priority ?PR . values (?ST ?PR) { (<F> UNDEF) (<O> <1-URGENT>) } }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

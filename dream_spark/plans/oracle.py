@@ -357,11 +357,24 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             neg = "NOT " if f.op == "!" else ""
             filt_where.append(f"{lhs} {neg}IN ({ids})")
         elif f.kind == "in_rows":
-            cols = ", ".join(_ref(v) for v in f.vars_)
-            rows = ", ".join(
-                "(" + ", ".join(str(resolve(c)) for c in row) + ")" for row in f.rows
-            )
-            filt_where.append(f"({cols}) IN ({rows})")
+            if any(c is None for row in f.rows for c in row):
+                # UNDEF rows: OR of per-row conjunctions omitting the
+                # unconstrained slots (mirrors the translator's lowering)
+                disj = []
+                for row in f.rows:
+                    conj = [
+                        f"({_ref(v)} = {resolve(c)})"
+                        for v, c in zip(f.vars_, row)
+                        if c is not None
+                    ]
+                    disj.append("(" + " AND ".join(conj) + ")" if conj else "TRUE")
+                filt_where.append("(" + " OR ".join(disj) + ")")
+            else:
+                cols = ", ".join(_ref(v) for v in f.vars_)
+                rows = ", ".join(
+                    "(" + ", ".join(str(resolve(c)) for c in row) + ")" for row in f.rows
+                )
+                filt_where.append(f"({cols}) IN ({rows})")
         elif f.kind in ("str", "strlen"):
             # string functions decode one column via an inner dict join
             # (drops NULLs like the engine's plan) and test the lexical

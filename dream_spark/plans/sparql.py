@@ -248,8 +248,9 @@ class Filter:
     pattern: str | None = None
     consts: tuple[str, ...] | None = None  # kind="in": VALUES constants
     # kind="in_rows": multi-variable VALUES — variables + constant rows
+    # (a None slot is UNDEF: that variable is unconstrained in the row)
     vars_: tuple[str, ...] | None = None
-    rows: tuple[tuple[str, ...], ...] | None = None
+    rows: tuple[tuple[str | None, ...], ...] | None = None
     # kind="arith": optional lhs arithmetic (?v lhs_op lhs_num) and the
     # integer rhs literal
     lhs_op: str | None = None
@@ -723,22 +724,29 @@ def parse_sparql(text: str) -> ParsedQuery:
 
     # values (?a ?b …) { (<c> <c> …) … } — multi-variable row bindings,
     # lowered to a row-IN predicate (inner-join semantics with a constant
-    # bindings table).  UNDEF and duplicate rows are rejected: the IN
-    # lowering can express neither partial bindings nor bag multiplicity.
+    # bindings table) when every slot is ground, or to an OR of per-row
+    # conjunctions when a row carries UNDEF (§10.2.2: an UNDEF slot leaves
+    # its variable unconstrained in that row — represented as None; the
+    # conjunction simply omits it).  Duplicate rows stay rejected: the
+    # predicate lowering cannot express bag multiplicity.
     def _grab_values_rows(m2: re.Match) -> str:
         vars_ = tuple(v[1:] for v in _WS.split(m2.group(1).strip()) if v)
         if len(set(vars_)) != len(vars_):
             raise SparqlSyntaxError("duplicate variables in values clause")
-        rows: list[tuple[str, ...]] = []
+        rows: list[tuple[str | None, ...]] = []
         for rm in re.finditer(r"\(([^()]*)\)", m2.group(2)):
             items = [t for t in _WS.split(rm.group(1).strip()) if t]
             if len(items) != len(vars_):
                 raise SparqlSyntaxError(
                     f"values row arity {len(items)} != variable count {len(vars_)}"
                 )
-            if any(t.startswith("?") or t.upper() == "UNDEF" for t in items):
-                raise SparqlSyntaxError("values rows must be ground constants")
-            rows.append(tuple(Term(t).lexical for t in items))
+            if any(t.startswith("?") for t in items):
+                raise SparqlSyntaxError("values rows must be constants or UNDEF")
+            rows.append(
+                tuple(
+                    None if t.upper() == "UNDEF" else Term(t).lexical for t in items
+                )
+            )
         if not rows:
             raise SparqlSyntaxError("empty values clause")
         if len(set(rows)) != len(rows):

@@ -305,18 +305,33 @@ def _apply_filters(
             # multi-variable VALUES: a row-IN predicate on the encoded id
             # tuple — Catalyst folds the struct-literal list to a local
             # filter; no join, no shuffle (bindings lists are tiny by
-            # construction)
-            cols = ", ".join(f.vars_)
-            lits = ", ".join(
-                "named_struct("
-                + ", ".join(
-                    f"'{v}', CAST({store.resolve(c)} AS BIGINT)"
-                    for v, c in zip(f.vars_, row)
+            # construction).  A row with an UNDEF (None) slot can't ride
+            # the struct-IN (it would demand equality on the wildcard), so
+            # any UNDEF switches to the equivalent OR of per-row
+            # conjunctions that simply omit the unconstrained slots —
+            # still a single row-local predicate.
+            if any(c is None for row in f.rows for c in row):
+                disj = []
+                for row in f.rows:
+                    conj = [
+                        f"({v} = CAST({store.resolve(c)} AS BIGINT))"
+                        for v, c in zip(f.vars_, row)
+                        if c is not None
+                    ]
+                    disj.append("(" + " AND ".join(conj) + ")" if conj else "TRUE")
+                plan = plan.where(F.expr(" OR ".join(disj)))
+            else:
+                cols = ", ".join(f.vars_)
+                lits = ", ".join(
+                    "named_struct("
+                    + ", ".join(
+                        f"'{v}', CAST({store.resolve(c)} AS BIGINT)"
+                        for v, c in zip(f.vars_, row)
+                    )
+                    + ")"
+                    for row in f.rows
                 )
-                + ")"
-                for row in f.rows
-            )
-            plan = plan.where(F.expr(f"struct({cols}) IN ({lits})"))
+                plan = plan.where(F.expr(f"struct({cols}) IN ({lits})"))
         elif f.kind == "regex":
             lex = store.dictionary.select(
                 F.col("id").alias(f.var), F.col("lexical").alias(f"__flex_{tag}{i}")

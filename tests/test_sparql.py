@@ -1373,8 +1373,9 @@ def test_transitive_cycle_terminates(spark):
 
 
 def test_values_rows_parse_and_reject():
-    """Multi-variable VALUES parses to an in_rows filter; arity mismatches,
-    UNDEF, variables in rows, and duplicate rows are rejected."""
+    """Multi-variable VALUES parses to an in_rows filter (UNDEF slots as
+    None); arity mismatches, variables in rows, and duplicate rows are
+    rejected."""
     q = parse_sparql(
         "select ?C ?PR where { ?O placedBy ?C . ?O priority ?PR ."
         " values (?C ?PR) { (<customer:1> <1-URGENT>) (<customer:2> <5-LOW>) } }"
@@ -1383,9 +1384,14 @@ def test_values_rows_parse_and_reject():
     assert f.kind == "in_rows"
     assert f.vars_ == ("C", "PR")
     assert f.rows == (("customer:1", "1-URGENT"), ("customer:2", "5-LOW"))
+    qu = parse_sparql(
+        "select ?C ?PR where { ?O placedBy ?C . ?O priority ?PR ."
+        " values (?C ?PR) { (<customer:1> UNDEF) (UNDEF <5-LOW>) } }"
+    )
+    (fu,) = qu.filters
+    assert fu.rows == (("customer:1", None), (None, "5-LOW"))
     for bad in (
         "values (?C ?PR) { (<customer:1>) }",  # arity
-        "values (?C ?PR) { (<customer:1> UNDEF) }",  # UNDEF
         "values (?C ?PR) { (<customer:1> ?X) }",  # variable
         "values (?C ?PR) { (<a> <b>) (<a> <b>) }",  # duplicate row
         "values (?C ?C) { (<a> <b>) }",  # duplicate var
@@ -1394,6 +1400,26 @@ def test_values_rows_parse_and_reject():
             parse_sparql(
                 "select ?C where { ?O placedBy ?C . ?O priority ?PR . " + bad + " }"
             )
+
+
+def test_values_undef_oracle(engine, duck):
+    """UNDEF wildcard rows: the F-status row leaves priority unconstrained,
+    the O-status row pins it — result equals the manual union of the two
+    constraints on both engines."""
+    q = (
+        "select ?O ?ST ?PR where { ?O type Order . ?O status ?ST ."
+        " ?O priority ?PR . values (?ST ?PR) { (<F> UNDEF) (<O> <1-URGENT>) } }"
+    )
+    assert_oracle_match(engine.sparql(q), duck, bgp_to_sql(parse_sparql(q)))
+    f_all = engine.sparql(
+        "select ?O ?ST ?PR where { ?O type Order . ?O status <F> ."
+        " ?O status ?ST . ?O priority ?PR }"
+    ).count()
+    o_urgent = engine.sparql(
+        "select ?O ?ST ?PR where { ?O type Order . ?O status <O> . ?O status ?ST ."
+        " ?O priority <1-URGENT> . ?O priority ?PR }"
+    ).count()
+    assert engine.sparql(q).count() == f_all + o_urgent
 
 
 def test_offset_paging_partitions_result(engine):
