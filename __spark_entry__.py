@@ -511,6 +511,17 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " ?O priority ?PR . values (?ST ?PR) { (<F> UNDEF) (<O> <1-URGENT>) } }",
         False,
     ),
+    # NESTED OPTIONAL (§18.2.2.6 LeftJoin(A, LeftJoin(B, …))): the
+    # customer→order→lineitem chain where each level may be missing — the
+    # inner group left-joins INSIDE the outer group before the outer
+    # group joins the customers, so a customer with orders but no
+    # lineitems keeps (C, O, NULL) and an order-less customer (C, NULL,
+    # NULL)
+    "sparql_nested_optional": (
+        "select ?C ?O ?L where { ?C type Customer ."
+        " optional { ?O placedBy ?C . optional { ?L ofOrder ?O } } }",
+        False,
+    ),
 }
 
 _ENGINES: dict[tuple[int, str], object] = {}

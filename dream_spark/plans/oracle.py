@@ -241,14 +241,32 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         joins.append(f"JOIN (\n{inner_sub}\n) sub ON {on}")
         for v in query.subquery.projection:
             src.setdefault(v, "sub")
-    for k, grp in enumerate(query.optionals, start=1):
-        g_aliases, g_where, g_slot = _render_block(grp, resolve, astart)
+    # nested OPTIONAL: children render INSIDE their parent's subquery as a
+    # LEFT JOIN on the group-shared variables (LeftJoin(A, LeftJoin(B, …)))
+    # — mirrors the translator's recursive assembly
+    opt_parents = (
+        query.optional_parent
+        if len(query.optional_parent) == len(query.optionals)
+        else [-1] * len(query.optionals)
+    )
+    opt_children: dict[int, list[int]] = {}
+    for ci, pi in enumerate(opt_parents):
+        opt_children.setdefault(pi, []).append(ci)
+    g_starts: list[int] = []
+    for grp in query.optionals:
+        g_starts.append(astart)
         astart += len(grp)
+
+    def _render_group(gi: int) -> tuple[str, list[str], list]:
+        """(subquery SQL, exported variables, cross filters) of optional
+        group gi with all descendants left-joined in."""
+        k = gi + 1
+        g_aliases, g_where, g_slot = _render_block(query.optionals[gi], resolve, g_starts[gi])
         # group FILTERs — LeftJoin(P1, P2, E): group-local forms render
         # INSIDE the subquery (before the left join); forms referencing
         # outer variables render into the ON clause itself — mirrors the
         # translator's two-way lowering
-        gflts = query.optional_filters[k - 1] if k - 1 < len(query.optional_filters) else []
+        gflts = query.optional_filters[gi] if gi < len(query.optional_filters) else []
         local = [
             f
             for f in gflts
@@ -269,6 +287,31 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         g_vars = list(g_slot)
         g_sel = ", ".join(f"{g_slot[v]} AS {v}" for v in g_vars)
         g_where_sql = " AND ".join(g_where) if g_where else "TRUE"
+        sql_g = f"SELECT {g_sel} FROM {', '.join(g_aliases)} WHERE {g_where_sql}"
+        for ci in opt_children.get(gi, []):
+            c_sql, c_vars, c_cross = _render_group(ci)
+            if c_cross:
+                raise ValueError(
+                    "filters referencing variables outside a nested optional "
+                    "group are not supported"
+                )
+            shared_c = [v for v in c_vars if v in g_vars]
+            on_c = " AND ".join(f"gp{gi}.{v} = gc{ci}.{v}" for v in shared_c) or "TRUE"
+            new_vars = [v for v in c_vars if v not in g_vars]
+            sel = ", ".join(
+                [f"gp{gi}.{v} AS {v}" for v in g_vars]
+                + [f"gc{ci}.{v} AS {v}" for v in new_vars]
+            )
+            sql_g = (
+                f"SELECT {sel} FROM (\n{sql_g}\n) gp{gi} "
+                f"LEFT JOIN (\n{c_sql}\n) gc{ci} ON {on_c}"
+            )
+            g_vars = g_vars + new_vars
+        return sql_g, g_vars, cross
+
+    for gi in opt_children.get(-1, []):
+        k = gi + 1
+        sql_g, g_vars, cross = _render_group(gi)
         shared = [v for v in g_vars if v in src]
         on_parts = [f"{src[v]}.{v} = g{k}.{v}" for v in shared]
         for f in cross:
@@ -277,12 +320,12 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
             on_parts.append(
                 _simple_filter_sql(
                     f,
-                    lambda v: f"g{k}.{v}" if v in g_slot and v not in src else f"{src[v]}.{v}",
+                    lambda v: f"g{k}.{v}" if v in g_vars and v not in src else f"{src[v]}.{v}",
                     resolve,
                 )
             )
         on = " AND ".join(on_parts) or "TRUE"
-        joins.append(f"LEFT JOIN (SELECT {g_sel} FROM {', '.join(g_aliases)} WHERE {g_where_sql}) g{k} ON {on}")
+        joins.append(f"LEFT JOIN (\n{sql_g}\n) g{k} ON {on}")
         for v in g_vars:
             src.setdefault(v, f"g{k}")
 

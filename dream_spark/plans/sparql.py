@@ -309,6 +309,11 @@ class ParsedQuery:
     # over group-local variables (incl. shared ones, whose merged value
     # equals the group value under the equi-join)
     optional_filters: list[list[Filter]] = field(default_factory=list)
+    # nested OPTIONAL: optional_parent[i] is the index of the group that
+    # lexically encloses group i, or -1 for a top-level group — group i
+    # then left-joins INSIDE its parent (LeftJoin(A, LeftJoin(B, …)))
+    # before the parent's own left join onto the required part
+    optional_parent: list[int] = field(default_factory=list)
     minuses: list[list[Condition]] = field(default_factory=list)
     # FILTER [NOT] EXISTS { … } groups: (positive?, patterns).  Semi-join
     # (EXISTS) / anti-join (NOT EXISTS) on the shared variables; group
@@ -682,6 +687,8 @@ def parse_sparql(text: str) -> ParsedQuery:
 
     optional_filter_lists: list[list[Filter]] = []
 
+    optional_parents: list[int] = []
+
     def _grab_optional(m2: re.Match) -> str:
         flts: list[Filter] = []
         rem = _strip_simple_filters(m2.group(1), flts)
@@ -690,16 +697,34 @@ def parse_sparql(text: str) -> ParsedQuery:
                 "unsupported filter form inside an optional group (supported:"
                 " bound / arithmetic / regex / comparison single-clause filters)"
             )
+        # nested OPTIONAL: inner groups were grabbed on an earlier pass of
+        # the innermost-first loop and left a marker in this body — claim
+        # them as children of THIS group (LeftJoin(A, LeftJoin(B, …))
+        # algebra, §18.2.2.6)
+        idx = len(optional_bodies)
+        for mk in re.findall(r"\x00OPT(\d+)\x00", rem):
+            optional_parents[int(mk)] = idx
+        rem = re.sub(r"\x00OPT\d+\x00", " ", rem)
         optional_bodies.append(rem)
         optional_filter_lists.append(flts)
-        return " "
+        optional_parents.append(-1)
+        return f" \x00OPT{idx}\x00 "
 
     def _grab_minus(m2: re.Match) -> str:
         minus_bodies.append(m2.group(1))
         return " "
 
     body = re.sub(r"(?is)filter\s+(not\s+)?exists\s*\{([^{}]*)\}\s*\.?", _grab_exists, body)
-    body = re.sub(r"(?is)optional\s*\{([^{}]*)\}\s*\.?", _grab_optional, body)
+    # innermost-first loop: the brace-free pattern only matches a group
+    # whose body holds no nested braces, so each pass peels one nesting
+    # level (inner groups replaced by \x00OPT{i}\x00 markers that the
+    # enclosing group claims on the next pass); markers surviving in the
+    # top-level body are root groups — stripped here, parent stays -1
+    while True:
+        body, n_subs = re.subn(r"(?is)optional\s*\{([^{}]*)\}\s*\.?", _grab_optional, body)
+        if n_subs == 0:
+            break
+    body = re.sub(r"\x00OPT\d+\x00\s*\.?", " ", body)
     body = re.sub(r"(?is)minus\s*\{([^{}]*)\}\s*\.?", _grab_minus, body)
 
     # then filter clauses (the single-clause forms shared with optional
@@ -1003,16 +1028,51 @@ def parse_sparql(text: str) -> ParsedQuery:
         exists_groups.append((positive, grp))
         next_cid += len(grp)
 
-    # a variable introduced by one optional group must not also be introduced
-    # by another (SPARQL allows it; our left-join translation does not)
+    # a variable introduced by one optional group must not also be
+    # introduced by another, UNLESS the two groups are ancestor/descendant
+    # (a child sharing its parent's variables is exactly how nesting
+    # correlates) — SPARQL allows sibling re-binding; our left-join
+    # translation does not
+    def _ancestors(i: int) -> set[int]:
+        out: set[int] = set()
+        while optional_parents[i] != -1:
+            i = optional_parents[i]
+            out.add(i)
+        return out
+
     required_vars = {v for c in conditions for v in c.variables()}
-    seen_opt: set[str] = set()
-    for grp in optionals:
-        new = {v for c in grp for v in c.variables()} - required_vars
-        clash = new & seen_opt
-        if clash:
-            raise SparqlSyntaxError(f"variable(s) bound in two optional groups: {sorted(clash)}")
-        seen_opt |= new
+    new_by_group: list[set[str]] = [
+        {v for c in grp for v in c.variables()} - required_vars for grp in optionals
+    ]
+    for i, new in enumerate(new_by_group):
+        related = _ancestors(i) | {j for j in range(len(optionals)) if i in _ancestors(j)}
+        for j in range(i):
+            if j in related:
+                continue
+            clash = new & new_by_group[j]
+            if clash:
+                raise SparqlSyntaxError(
+                    f"variable(s) bound in two optional groups: {sorted(clash)}"
+                )
+    # exactness guard for the nested lowering: every variable a child
+    # shares with scope OUTSIDE its parent chain must also occur in the
+    # parent chain's own patterns — otherwise the child-side column can be
+    # NULL inside the group result while bound on the base side, and the
+    # outer equi-join would drop rows SPARQL's compatibility keeps
+    for i, grp in enumerate(optionals):
+        if optional_parents[i] == -1:
+            continue
+        chain_vars: set[str] = set()
+        for j in _ancestors(i):
+            chain_vars |= {v for c in optionals[j] for v in c.variables()}
+        gvars = {v for c in grp for v in c.variables()}
+        loose = (gvars & required_vars) - chain_vars
+        if loose:
+            raise SparqlSyntaxError(
+                f"nested optional variable(s) {sorted(loose)} are bound in the "
+                "required patterns but not in the enclosing optional group — "
+                "the equi-join lowering cannot express that compatibility"
+            )
 
     if having is not None and not aggregates:
         raise SparqlSyntaxError(
@@ -1030,6 +1090,7 @@ def parse_sparql(text: str) -> ParsedQuery:
         filters=filters,
         optionals=optionals,
         optional_filters=optional_filter_lists,
+        optional_parent=optional_parents,
         minuses=minuses,
         exists_groups=exists_groups,
         aggregates=aggregates,

@@ -820,16 +820,25 @@ def translate(
 
     # OPTIONAL groups: each is a mini-BGP joined internally, then LEFT
     # OUTER joined onto the required part on the shared variables — the
-    # standard SPARQL-OPTIONAL → left-join lowering.
-    for gi, grp in enumerate(query.optionals):
-        gplan, gbound = _join_group(store, grp, stats)
-        # group FILTERs — the SPARQL LeftJoin(P1, P2, E) condition:
-        # - E over group-local vars applies INSIDE the group BEFORE the
-        #   left join (shared vars agree under the equi-join, so
-        #   pre-filtering is exact and cheaper);
-        # - E referencing OUTER vars becomes part of the JOIN CONDITION
-        #   itself — a left row where E fails for every compatible group
-        #   row keeps NULL group columns (a post-join filter would drop it)
+    # standard SPARQL-OPTIONAL → left-join lowering.  Nested groups
+    # (optional_parent[i] >= 0) left-join INSIDE their parent first —
+    # LeftJoin(A, LeftJoin(B, …)) — and the assembled parent then joins
+    # the required part; the parser's scoping guard ensures every
+    # child/base shared variable also occurs in the parent chain, so the
+    # inner equi-join keys are never NULL.
+    parents = (
+        query.optional_parent
+        if len(query.optional_parent) == len(query.optionals)
+        else [-1] * len(query.optionals)
+    )
+    child_idx: dict[int, list[int]] = {}
+    for ci, pi in enumerate(parents):
+        child_idx.setdefault(pi, []).append(ci)
+
+    def _build_optional(gi: int):
+        """(plan, bound vars, cross filters) of group gi with all its
+        descendants already left-joined in."""
+        gplan, gbound = _join_group(store, query.optionals[gi], stats)
         gflts = (
             query.optional_filters[gi] if gi < len(query.optional_filters) else []
         )
@@ -840,6 +849,31 @@ def translate(
         ]
         cross = [f for f in gflts if f not in local]
         gplan = _apply_filters(gplan, local, store, tag=f"o{gi}_")
+        for ci in child_idx.get(gi, []):
+            cplan, cbound, ccross = _build_optional(ci)
+            if ccross:
+                raise ValueError(
+                    "filters referencing variables outside a nested optional "
+                    "group are not supported"
+                )
+            shared_c = sorted(gbound & cbound)
+            gplan = (
+                gplan.join(cplan, on=shared_c, how="left")
+                if shared_c
+                else gplan.crossJoin(cplan)
+            )
+            gbound = gbound | cbound
+        return gplan, gbound, cross
+
+    for gi in child_idx.get(-1, []):
+        # group FILTERs — the SPARQL LeftJoin(P1, P2, E) condition:
+        # - E over group-local vars applies INSIDE the group BEFORE the
+        #   left join (shared vars agree under the equi-join, so
+        #   pre-filtering is exact and cheaper);
+        # - E referencing OUTER vars becomes part of the JOIN CONDITION
+        #   itself — a left row where E fails for every compatible group
+        #   row keeps NULL group columns (a post-join filter would drop it)
+        gplan, gbound, cross = _build_optional(gi)
         shared = sorted(bound & gbound)
         if not cross:
             plan = plan.join(gplan, on=shared, how="left") if shared else plan.crossJoin(gplan)

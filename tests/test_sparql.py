@@ -2148,3 +2148,80 @@ def test_parse_order_desc_function_syntax():
 def test_r5_filter_oracle(engine, duck, qtext, decode):
     q = parse_sparql(qtext)
     assert_oracle_match(engine.sparql(qtext, decode=decode), duck, bgp_to_sql(q, decode=decode))
+
+
+# ---- nested OPTIONAL -----------------------------------------------------
+def test_parse_nested_optional_parents():
+    q = parse_sparql(
+        "select ?C ?O ?L where { ?C type Customer ."
+        " optional { ?O placedBy ?C . optional { ?L ofOrder ?O } } }"
+    )
+    # innermost-first: group 0 is the inner {?L ofOrder ?O}, child of group 1
+    assert len(q.optionals) == 2
+    assert q.optional_parent == [1, -1]
+    inner = q.optionals[0]
+    assert {v for c in inner for v in c.variables()} == {"L", "O"}
+    # scoping guard: a child variable bound in the required patterns but
+    # absent from the enclosing group is rejected (NULL-compatible join
+    # keys are inexpressible in the equi-join lowering)
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?C ?X where { ?C type Customer . ?X type Supplier ."
+            " optional { ?O placedBy ?C . optional { ?X suppliedBy ?X } } }"
+        )
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        # two-level chain, each level may be missing
+        (
+            "select ?C ?O ?L where { ?C type Customer ."
+            " optional { ?O placedBy ?C . optional { ?L ofOrder ?O } } }"
+        ),
+        # local filter inside the inner group: an order whose every status
+        # fails keeps (C, O, NULL); order-less customers keep (C, NULL, NULL)
+        (
+            "select ?C ?O ?ST where { ?C type Customer ."
+            " optional { ?O placedBy ?C ."
+            " optional { ?O status ?ST . filter (?ST != <F>) } } }"
+        ),
+        # nested chain plus an independent flat sibling group
+        (
+            "select ?C ?N ?O ?L where { ?C type Customer ."
+            " optional { ?C inNation ?N } ."
+            " optional { ?O placedBy ?C . optional { ?L ofOrder ?O } } }"
+        ),
+        # three levels: customer -> order -> lineitem -> part
+        (
+            "select ?C ?O ?L ?P where { ?C type Customer ."
+            " optional { ?O placedBy ?C ."
+            " optional { ?L ofOrder ?O . optional { ?L ofPart ?P } } } }"
+        ),
+    ],
+)
+def test_nested_optional_oracle(engine, duck, qtext):
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(parse_sparql(qtext)))
+
+
+def test_nested_optional_null_extension(engine):
+    """Chain semantics: every customer appears; (C, O, NULL) exactly for
+    orders with no lineitem; (C, NULL, NULL) exactly for customers with
+    no order."""
+    rows = engine.sparql(
+        "select ?C ?O ?L where { ?C type Customer ."
+        " optional { ?O placedBy ?C . optional { ?L ofOrder ?O } } }"
+    ).collect()
+    all_customers = {
+        r["C"] for r in engine.sparql("select ?C where { ?C type Customer }").collect()
+    }
+    assert {r["C"] for r in rows} == all_customers
+    no_order = {r["C"] for r in rows if r["O"] is None}
+    assert all(r["L"] is None for r in rows if r["O"] is None)
+    with_orders = {
+        r["C"]
+        for r in engine.sparql(
+            "select ?C ?O where { ?C type Customer . ?O placedBy ?C }"
+        ).collect()
+    }
+    assert no_order == all_customers - with_orders
