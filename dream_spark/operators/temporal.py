@@ -322,14 +322,68 @@ def _funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
 FUNNEL_SQL = _funnel_sql()
 
 
+#: inactivity threshold for gap detection
+GAP_MIN = 60
+
+
+def inactivity_gaps(
+    events: DataFrame,
+    gap_min: int = GAP_MIN,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user inactivity gaps: consecutive-event pairs (by time, id
+    tiebreak) more than ``gap_min`` minutes apart — the dual of
+    sessionization (these pairs are exactly where a session-cut falls) and
+    the standard churn/outage probe.  ONE shuffle on the user key + a lag
+    window over that same exchange; the gap predicate is row-local, so
+    output size is bounded by #events and nothing quadratic exists in any
+    key group.  Integer-µs arithmetic end to end."""
+    us = epoch_micros(events, ts_col)
+    w = Window.partitionBy(user_col).orderBy(F.col("__us").asc(), F.col(id_col).asc())
+    gap = gap_min * 60 * 1_000_000
+    return (
+        events.select(user_col, id_col, us.alias("__us"))
+        .withColumn("__prev_id", F.lag(id_col).over(w))
+        .withColumn("__prev_us", F.lag("__us").over(w))
+        .where(F.col("__us") - F.col("__prev_us") > gap)
+        .select(
+            F.col(user_col),
+            F.col("__prev_id").alias("prev_event_id"),
+            F.col(id_col).alias("event_id"),
+            (F.col("__us") - F.col("__prev_us")).alias("gap_us"),
+        )
+    )
+
+
+def temporal_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: >60-minute inactivity gaps in events."""
+    return inactivity_gaps(load_table(spark, sf_dir, "events"))
+
+
+TEMPORAL_GAPS_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         LAG(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_event_id,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+)
+SELECT user_id, prev_event_id, event_id, us - prev_us AS gap_us
+FROM seq WHERE us - prev_us > {GAP_MIN * 60 * 1_000_000}
+""".strip()
+
+
 QUERIES = {
     "temporal_asof": asof_click_attribution,
     "temporal_range": range_join_attribution,
     "temporal_funnel": funnel_events,
+    "temporal_gaps": temporal_gaps,
 }
 
 ORACLES = {
     "temporal_asof": ASOF_SQL,
     "temporal_range": RANGE_SQL,
     "temporal_funnel": FUNNEL_SQL,
+    "temporal_gaps": TEMPORAL_GAPS_SQL,
 }

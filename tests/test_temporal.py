@@ -89,3 +89,29 @@ def test_asof_join_ignores_null_right_rows(spark):
         ).collect()
     }
     assert rows == {"p1": "c_ok", "p2": None}
+
+
+def test_gaps_are_consecutive_pairs(spark):
+    """Every reported gap pair is ADJACENT in the user's (ts, id)-ordered
+    event sequence, the gap exceeds the threshold, and the count equals a
+    driver-side replay."""
+    from dream_spark.operators.temporal import GAP_MIN, temporal_gaps
+    from dream_spark.functions.timeutils import epoch_micros
+    from dream_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    seq: dict = {}
+    for r in ev.select("user_id", "event_id", epoch_micros(ev, "ts").alias("us")).collect():
+        seq.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    thresh = GAP_MIN * 60 * 1_000_000
+    want = set()
+    for u, rows in seq.items():
+        rows.sort()
+        for (us0, id0), (us1, id1) in zip(rows, rows[1:]):
+            if us1 - us0 > thresh:
+                want.add((u, id0, id1, us1 - us0))
+    got = {
+        (r["user_id"], r["prev_event_id"], r["event_id"], r["gap_us"])
+        for r in temporal_gaps(spark, SF_DIR).collect()
+    }
+    assert got == want
