@@ -511,6 +511,14 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " ?O priority ?PR . values (?ST ?PR) { (<F> UNDEF) (<O> <1-URGENT>) } }",
         False,
     ),
+    # REPLACE regex rewrite (§17.4.3.15, global like Spark/SPARQL; the
+    # oracle passes DuckDB's 'g' flag): collapsing the zero-run maps
+    # exactly one customer name onto the probe literal
+    "sparql_filter_replace": (
+        'select ?C ?NM where { ?C type Customer . ?C name ?NM .'
+        ' filter (replace(?NM, "0+", "0") = "Customer#013") }',
+        False,
+    ),
     # NESTED OPTIONAL (§18.2.2.6 LeftJoin(A, LeftJoin(B, …))): the
     # customer→order→lineitem chain where each level may be missing — the
     # inner group left-joins INSIDE the outer group before the outer

@@ -177,6 +177,14 @@ def _str_filter_sql(f, lex_ref: str) -> str:
         )
         cmp = "<>" if f.lhs_op == "!=" else "="
         return f"substr({args}) {cmp} '{lit}'"
+    if f.op == "replace":
+        # DuckDB regexp_replace is first-match-only by default; the 'g'
+        # flag restores SPARQL/Spark's replace-every-match semantics
+        pat = f.pattern.replace("'", "''")
+        rep = f.rhs_var.replace("'", "''")
+        tgt = f.rhs_const.replace("'", "''")
+        cmp = "<>" if f.lhs_op == "!=" else "="
+        return f"regexp_replace({lex_ref}, '{pat}', '{rep}', 'g') {cmp} '{tgt}'"
     if f.op in ("strbefore", "strafter"):
         # the separator rides in f.pattern; the comparison target in
         # f.rhs_const — the extraction is the SHARED fragment the Spark
@@ -270,7 +278,11 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         local = [
             f
             for f in gflts
-            if all(v in g_slot for v in (f.var, f.rhs_var) if v is not None)
+            if all(
+                v in g_slot
+                for v in (f.var, None if f.kind == "str" else f.rhs_var)
+                if v is not None
+            )
         ]
         cross = [f for f in gflts if f not in local]
         for j, f in enumerate(local):

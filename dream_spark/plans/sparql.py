@@ -1259,6 +1259,25 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         )
         return " "
 
+    def _grab_replace(m2: re.Match) -> str:
+        # replace(?v, "pat", "rep") =/!= "lit" — SPARQL REPLACE
+        # (§17.4.3.15) is REGEX-based and global (every match); pat rides
+        # in pattern, rep in rhs_var (a spare slot — never a variable for
+        # str filters), the target literal in rhs_const, comparator in
+        # lhs_op
+        filters.append(
+            Filter(
+                kind="str",
+                var=m2.group(1)[1:],
+                op="replace",
+                pattern=m2.group(2),
+                rhs_var=m2.group(3),
+                lhs_op=m2.group(4),
+                rhs_const=m2.group(5),
+            )
+        )
+        return " "
+
     def _grab_strslice(m2: re.Match) -> str:
         # strbefore/strafter(?v, "sep") =/!= "lit" — separator extraction
         # on the decoded lexical; both sides of the comparison are literals
@@ -1395,6 +1414,12 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         body,
     )
     body = re.sub(
+        r'(?is)filter\s*\(\s*replace\s*\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*,\s*"([^"]*)"\s*\)'
+        r'\s*(!=|=)\s*"([^"]*)"\s*\)\s*\.?',
+        _grab_replace,
+        body,
+    )
+    body = re.sub(
         r'(?is)filter\s*\(\s*substr\s*\(\s*(\?\w+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*(!=|=)\s*"([^"]*)"\s*\)\s*\.?',
         _grab_substr,
         body,
@@ -1526,7 +1551,10 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
     arith_aliases = q.numeric_bind_aliases()
     str_aliases = q.string_bind_aliases()
     for f in q.filters:
-        unbound = [v for v in (f.var, f.rhs_var) if v is not None and v not in known]
+        # str-kind REPLACE stores its replacement LITERAL in rhs_var (the
+        # slot is never a variable for string-function filters)
+        rhs_ref = None if f.kind == "str" else f.rhs_var
+        unbound = [v for v in (f.var, rhs_ref) if v is not None and v not in known]
         unbound += [v for v in (f.vars_ or ()) if v not in known]
         if unbound:
             raise SparqlSyntaxError(f"filter variables not bound in where clause: {unbound}")
@@ -1535,7 +1563,7 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
         # over it would silently mix values with dictionary ids
         misused = [
             v
-            for v in [f.var, f.rhs_var, *(f.vars_ or ())]
+            for v in [f.var, rhs_ref, *(f.vars_ or ())]
             if v in arith_aliases
         ]
         if misused and f.kind not in ("arith", "arith2"):
@@ -1549,7 +1577,7 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
         # assume is an id column
         str_misused = [
             v
-            for v in [f.var, f.rhs_var, *(f.vars_ or ())]
+            for v in [f.var, rhs_ref, *(f.vars_ or ())]
             if v in str_aliases
         ]
         if str_misused:
@@ -1591,7 +1619,9 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
         gvars = {v for c in grp for v in c.variables()}
         for f in flts:
             outside = [
-                v for v in (f.var, f.rhs_var) if v is not None and v not in gvars
+                v
+                for v in (f.var, None if f.kind == "str" else f.rhs_var)
+                if v is not None and v not in gvars
             ]
             if outside and f.kind not in ("cmp", "arith"):
                 raise SparqlSyntaxError(

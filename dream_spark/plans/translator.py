@@ -367,6 +367,14 @@ def _apply_filters(
                 # simple case mapping identically)
                 folded = F.upper(c) if f.op == "ucase" else F.lower(c)
                 pred = folded == f.pattern if f.lhs_op == "=" else folded != f.pattern
+            elif f.op == "replace":
+                # REPLACE(?v, pat, rep) — regex-based, GLOBAL (Spark
+                # regexp_replace replaces every match; the oracle passes
+                # DuckDB's 'g' flag for the same semantics)
+                repl = F.regexp_replace(c, f.pattern, f.rhs_var)
+                pred = (
+                    repl == f.rhs_const if f.lhs_op == "=" else repl != f.rhs_const
+                )
             elif f.op in ("strbefore", "strafter"):
                 # separator extraction via the SHARED SQL fragment (the
                 # oracle renders the identical string — plans/sparql.py
@@ -845,7 +853,11 @@ def translate(
         local = [
             f
             for f in gflts
-            if all(v in gbound for v in (f.var, f.rhs_var) if v is not None)
+            if all(
+                v in gbound
+                for v in (f.var, None if f.kind == "str" else f.rhs_var)
+                if v is not None
+            )
         ]
         cross = [f for f in gflts if f not in local]
         gplan = _apply_filters(gplan, local, store, tag=f"o{gi}_")

@@ -2225,3 +2225,19 @@ def test_nested_optional_null_extension(engine):
         ).collect()
     }
     assert no_order == all_customers - with_orders
+
+
+def test_parse_replace_filter_and_oracle(engine, duck):
+    q = parse_sparql(
+        'select ?C ?NM where { ?C name ?NM .'
+        ' filter (replace(?NM, "a+", "b") != "x") }'
+    )
+    (f,) = q.filters
+    assert (f.kind, f.op, f.pattern, f.rhs_var, f.lhs_op, f.rhs_const) == (
+        "str", "replace", "a+", "b", "!=", "x",
+    )
+    qt = (
+        'select ?C ?NM where { ?C type Customer . ?C name ?NM .'
+        ' filter (replace(?NM, "0+", "0") = "Customer#013") }'
+    )
+    assert_oracle_match(engine.sparql(qt), duck, bgp_to_sql(parse_sparql(qt)))
