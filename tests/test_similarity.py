@@ -215,3 +215,23 @@ def test_filtered_neighbors_satisfy_predicate(spark):
         per_q.setdefault(r["query_id"], 0)
         per_q[r["query_id"]] += 1
     assert all(n == S.TOP_K for n in per_q.values()) and len(per_q) == S.N_QUERIES
+
+
+def test_lsh_measured_recall_at_k(spark):
+    """MEASURED recall@k of the LSH path against the brute-force ground
+    truth — quantifying the documented bucket-miss tradeoff instead of
+    only asserting subset-consistency.  Deterministic (fixed hyperplanes,
+    fixed corpus): measured mean recall@5 is 0.40 on the sf0.001 corpus
+    with 4 tables x 4 planes; the floor leaves margin for testdata
+    regeneration.  Recall here is a TUNING knob (tables x planes), not an
+    implementation-quality bound — the serve/scale story rests on the
+    bucket join shape, the exactness story on the rerank."""
+    bf: dict = {}
+    for r in S.knn_bruteforce(spark, SF_DIR).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ls: dict = {}
+    for r in S.knn_lsh(spark, SF_DIR).collect():
+        ls.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recs = [len(bf[q] & ls.get(q, set())) / len(bf[q]) for q in bf]
+    assert len(recs) == S.N_QUERIES
+    assert sum(recs) / len(recs) >= 0.25
