@@ -2241,3 +2241,32 @@ def test_parse_replace_filter_and_oracle(engine, duck):
         ' filter (replace(?NM, "0+", "0") = "Customer#013") }'
     )
     assert_oracle_match(engine.sparql(qt), duck, bgp_to_sql(parse_sparql(qt)))
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        # sequence path inside an OPTIONAL group
+        "select ?C ?R where { ?C type Customer . optional { ?C inNation/inRegion ?R } }",
+        # alternation-closure path inside FILTER EXISTS
+        "select ?C where { ?C type Customer . filter exists { ?C (inNation|inRegion)+ <region:1> } }",
+        # sequence path inside MINUS
+        "select ?C where { ?C type Customer . minus { ?C inNation/inRegion <region:1> } }",
+        # VALUES composed with a grouped aggregate
+        "select ?N (count(?C) as ?cnt) where { ?C inNation ?N ."
+        " values ?N { <nation:1> <nation:2> } } group by ?N",
+        # nested OPTIONAL under a grouped aggregate (counts NULL-extend to 0)
+        "select ?C (count(?L) as ?n) where { ?C type Customer ."
+        " optional { ?O placedBy ?C . optional { ?L ofOrder ?O } } } group by ?C",
+        # string filter + nested OPTIONAL in one query
+        'select ?C ?NM ?O where { ?C type Customer . ?C name ?NM .'
+        ' filter strends(?NM, "3") .'
+        " optional { ?O placedBy ?C . optional { ?O status <F> } } }",
+    ],
+)
+def test_feature_combinations_oracle(engine, duck, qtext):
+    """Cross-feature interactions (paths inside OPTIONAL/MINUS/EXISTS,
+    VALUES + aggregates, nested OPTIONAL + aggregates, string filters +
+    nesting) stay oracle-equal — the places where two lowerings could
+    interfere."""
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(parse_sparql(qtext)))
