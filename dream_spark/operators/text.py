@@ -10,7 +10,7 @@ built-in-function Spark SQL — no Python UDFs in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dream_spark.functions.features import (
@@ -435,7 +435,108 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 TEXT_KNN_SQL = _text_knn_sql()
 
 
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS selector)
+# --------------------------------------------------------------------------
+#: tokens per k-gram and winnow window width (guarantee: any token run of
+#: length >= WINNOW_W + WINNOW_K - 1 shared by two docs yields a shared
+#: selected fingerprint)
+WINNOW_K = 3
+WINNOW_W = 8
+
+
+def _kgram_sql(ids: tuple[str, str, str]) -> str:
+    """Positional polynomial over 3 consecutive token ids — each id is
+    already < 2^30 (Horner pack), weights 1/31/961 keep the sum < 2^40,
+    exact in int64; mod P normalizes into hash space."""
+    a, b, c = ids
+    return f"(({a}) + 31 * ({b}) + 961 * ({c})) % {MERSENNE_P}"
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Winnowed fingerprint SET of every document: (doc_id, fp, pos) — the
+    minimum k-gram hash of each w-window of consecutive k-grams, distinct.
+    The classic robust selection: total-coverage guarantee above (any
+    sufficiently long shared run is detected) with expected density
+    2/(w+1) — an ~80% reduction over all-grams at w=8.
+
+    Shape at 100 TB: ONE shuffle keyed by doc_id; the k-gram LEADs and the
+    w-window MIN/COUNT all run over that same per-doc sort (Catalyst
+    collapses the window specs into one exchange+sort).  Ties inside a
+    window break by position through the packed key (fp·2³¹ + pos —
+    deterministic, and both engines compare the identical integer).  Only
+    FULL windows select (COUNT(gram)=w over the frame), matching the
+    guarantee's preconditions."""
+    tk = tokens(docs, with_pos=True).select(
+        "doc_id", "pos", F.expr(token_id_sql("tok")).alias("tid")
+    )
+    per_doc = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tk.withColumn("__t1", F.lead("tid", 1).over(per_doc))
+        .withColumn("__t2", F.lead("tid", 2).over(per_doc))
+        .where(F.col("__t2").isNotNull())
+        .select("doc_id", "pos", F.expr(_kgram_sql(("tid", "__t1", "__t2"))).alias("gram"))
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    key = (F.col("gram") * (1 << 31) + F.col("pos"))
+    sel = (
+        grams.withColumn("__key", F.min(key).over(frame))
+        .withColumn("__n", F.count("gram").over(frame))
+        .where(F.col("__n") == w)
+        .select(
+            "doc_id",
+            F.expr(f"__key div {1 << 31}").cast("bigint").alias("fp"),
+            F.expr(f"__key % {1 << 31}").cast("bigint").alias("pos"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: per-doc winnow digest (count + integer
+    checksum of the selected fingerprint set) — the bounded summary; the
+    full (doc_id, fp, pos) set is the library surface above."""
+    sel = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        (F.sum("fp") % MERSENNE_P).cast("bigint").alias("fp_checksum"),
+    )
+
+
+TEXT_WINNOW_SQL = f"""
+WITH toks AS ({duck_tokens_cte(with_pos=True)}),
+tids AS (SELECT doc_id, pos, {token_id_sql('tok')} AS tid FROM toks),
+grams AS (
+  SELECT doc_id, pos, {_kgram_sql(('tid', 't1', 't2'))} AS gram FROM (
+    SELECT doc_id, pos, tid,
+           LEAD(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+           LEAD(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM tids
+  ) WHERE t2 IS NOT NULL
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         CAST(mk // {1 << 31} AS BIGINT) AS fp,
+         CAST(mk % {1 << 31} AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id,
+           MIN(gram * {1 << 31} + pos) OVER win AS mk,
+           COUNT(gram) OVER win AS n
+    FROM grams
+    WINDOW win AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+  ) WHERE n = {WINNOW_W}
+)
+SELECT doc_id, COUNT(*) AS n_fps,
+       CAST(SUM(fp) % {MERSENNE_P} AS BIGINT) AS fp_checksum
+FROM sel GROUP BY doc_id
+""".strip()
+
+
 QUERIES = {
+    "text_winnow": text_winnow,
     "text_features": text_features,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -447,6 +548,7 @@ QUERIES = {
 ORACLES = {
     "text_features": TEXT_FEATURES_SQL,
     "text_langid": TEXT_LANGID_SQL,
+    "text_winnow": TEXT_WINNOW_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_topterms": TEXT_TOPTERMS_SQL,
     "text_knn": TEXT_KNN_SQL,

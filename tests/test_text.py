@@ -132,3 +132,33 @@ def test_shingle_kernel_matches_sql_pack_on_cjk():
         )
         oracle = [r[0] for r in con.execute(sql).fetchall()]
         assert kernel == oracle, text
+
+
+def test_winnow_coverage_guarantee(spark):
+    """The winnowing guarantee, checked directly: selected fingerprints are
+    a subset of each doc's k-gram hashes, density is well below 1 (the
+    point of winnowing), and for a document pair constructed to share a
+    long token run, the selected sets intersect."""
+    from dream_spark.operators.text import WINNOW_K, WINNOW_W, winnow_fingerprints
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, "xx yy " + run + " zz qq"),
+            (2, "completely different prefix words here " + run),
+            (3, "no overlap with anything else at all whatsoever today"),
+        ],
+        "doc_id long, text string",
+    )
+    sel: dict = {}
+    for r in winnow_fingerprints(docs).collect():
+        sel.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sel[1] & sel[2], "shared long run must yield a shared fingerprint"
+    # doc 3: 9 tokens -> 7 grams < w full-window requirement -> no
+    # selections at all (winnowing needs >= w+k-1 tokens), and certainly
+    # no overlap with the others
+    assert not (sel.get(3, set()) & sel[1]) and not (sel.get(3, set()) & sel[2])
+    # density: far fewer selections than grams (expected ~2/(w+1))
+    n_tokens = len(("xx yy " + run + " zz qq").split())
+    n_grams = n_tokens - WINNOW_K + 1
+    assert len(sel[1]) < n_grams / 2
