@@ -2262,6 +2262,17 @@ def test_parse_replace_filter_and_oracle(engine, duck):
         'select ?C ?NM ?O where { ?C type Customer . ?C name ?NM .'
         ' filter strends(?NM, "3") .'
         " optional { ?O placedBy ?C . optional { ?O status <F> } } }",
+        # UNION under ORDER BY/LIMIT (total order over the bag union)
+        "select ?X where { { ?X type Region } union { ?X type Nation } }"
+        " order by ?X desc limit 10",
+        # DISTINCT over heterogeneous UNION branches
+        "select distinct ?X where { { ?X inRegion <region:1> } union { ?X type Nation } }",
+        # two MINUS groups stack (each an independent anti-join)
+        "select ?C where { ?C type Customer . minus { ?C inNation <nation:1> } ."
+        " minus { ?C inNation <nation:2> } }",
+        # EXISTS semi-join composed with MINUS anti-join
+        "select ?C where { ?C type Customer . filter exists { ?O placedBy ?C } ."
+        " minus { ?C inNation <nation:3> } }",
     ],
 )
 def test_feature_combinations_oracle(engine, duck, qtext):
