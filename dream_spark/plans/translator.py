@@ -310,6 +310,20 @@ def _apply_filters(
             # any UNDEF switches to the equivalent OR of per-row
             # conjunctions that simply omit the unconstrained slots —
             # still a single row-local predicate.
+            #
+            # Defense-in-depth + scan pruning: before the exact row
+            # predicate, push a per-variable membership filter for every
+            # variable that is never UNDEF across the rows (sound: the row
+            # predicate implies each such domain).  These single-column IN
+            # filters reach the pattern scans via Catalyst pushdown, so at
+            # scale the VALUES constraint shrinks the inputs instead of
+            # riding the final join as a residual only.
+            for vi, v in enumerate(f.vars_):
+                col_vals = [row[vi] for row in f.rows]
+                if all(c is not None for c in col_vals):
+                    plan = plan.where(
+                        F.col(v).isin([store.resolve(c) for c in set(col_vals)])
+                    )
             if any(c is None for row in f.rows for c in row):
                 disj = []
                 for row in f.rows:

@@ -40,7 +40,21 @@ def get_spark(app_name: str = "dream_spark", master: str | None = None) -> Spark
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
-        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # Catalyst's CostBasedJoinReorder is OFF, deliberately: the SPARQL
+        # translator already orders BGP joins with a Selinger DP over
+        # per-predicate triple stats (plans/translator.py), which beats
+        # generic CBO on one-table self-joins — and CostBasedJoinReorder
+        # treats ANY cross-relation predicate as a joinable edge, so a
+        # non-equi residual (multi-variable VALUES struct-IN, UNDEF
+        # disjunction, two-variable arithmetic FILTER) can get picked as
+        # the only "join condition" of a reordered pair, degrading an
+        # equi-join star to a CartesianProduct.  Observed: once the cached
+        # triples relation has rowCount stats, the reorderer paired the
+        # ?O status / ?O priority scans of sparql_values_undef on the
+        # struct-IN alone — a 150k x 150k cartesian (one straggler task
+        # writing GBs of shuffle).  cbo.enabled stays ON: stats still
+        # drive join *selection* (broadcast thresholds), just not order.
+        .config("spark.sql.cbo.joinReorder.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -39,6 +39,22 @@ def test_no_accidental_cartesian_products(spark, queries):
     assert not offenders, f"cartesian products in: {offenders}"
 
 
+def test_values_rows_residual_never_reorders_to_cartesian(spark, queries):
+    """Multi-variable VALUES lowers to a non-equi struct-IN / UNDEF-OR
+    residual on the top join.  With rowCount stats on the cached triples
+    relation, Catalyst's CostBasedJoinReorder treats that residual as the
+    only "join condition" of a reordered pair and emits a CartesianProduct
+    (observed at sf0.1: the ?O status x ?O priority scans of
+    sparql_values_undef, 150k x 150k, one straggler writing GBs of
+    shuffle).  session.get_spark pins joinReorder OFF; this guards
+    re-enablement under the executed (post-AQE) plan, cache materialized."""
+    assert spark.conf.get("spark.sql.cbo.joinReorder.enabled") == "false"
+    for name in ("sparql_values_rows", "sparql_values_undef"):
+        df = queries[name](spark, SF_DIR)
+        df.count()  # materialize the cache and finalize the AQE plan
+        assert "CartesianProduct" not in _plan(df), name
+
+
 def test_no_row_at_a_time_python_udfs(spark, queries):
     """Row-wise Python UDFs (BatchEvalPython) are the forbidden slow path
     (SCALE.md §4): the only Python allowed in any plan is Arrow-vectorized
