@@ -605,7 +605,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     yielded SPARQL seats re-verified far more deeply.
 #
 # r6 queue: EMPTY for pre-r5 entries — any pre-r5 entry without a green row
-# after this round is a regression, not a rotation artifact.  The 18
+# after this round is a regression, not a rotation artifact.  The 19
 # entries ADDED during r5 (after the cap below was frozen) form the entire
 # r6 rotation queue; every one is check_entry-green at sf0.01 this round
 # (the r5 full sweep was 172/172 ok, and the 4 added after it were checked
@@ -615,8 +615,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sparql_order_desc, sparql_sum_bind, sparql_values_undef,
 #   sparql_nested_optional, sparql_filter_replace, graph_degree,
 #   rel_grouping_sets, pipeline_lengths, pipeline_dup_rate,
-#   dedup_cross_source, knn_filtered, temporal_gaps
-# That leaves 32 spare r6 seats for re-verifying whatever r6 changes.
+#   dedup_cross_source, knn_filtered, temporal_gaps, text_winnow
+# That leaves 31 spare r6 seats for re-verifying whatever r6 changes.
 PRIORITY_ORDER = [
     # --- the 26-entry never-green queue (18 grammar variants) ---
     "sparql_paged", "sparql_minmax", "sparql_values", "sparql_values_rows",
