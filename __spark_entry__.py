@@ -519,6 +519,21 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         ' filter (replace(?NM, "0+", "0") = "Customer#013") }',
         False,
     ),
+    # ||/&& FILTER connectives (§17.4.1.5/.6) over row-local operands:
+    # the nation-membership disjunction (≡ the IN form, via OR)
+    "sparql_filter_or": (
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter (?N = <nation:1> || ?N = <nation:7>) }",
+        False,
+    ),
+    # typed-value band disjunction (outlier idiom: small OR large parts) —
+    # both operands run the shared numeric-value fragment; 3VL matches
+    # SPARQL §17.2 (non-numeric → NULL → non-TRUE → dropped)
+    "sparql_filter_or_arith": (
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ ."
+        " filter (?SZ < 10 || ?SZ > 40) }",
+        False,
+    ),
     # NESTED OPTIONAL (§18.2.2.6 LeftJoin(A, LeftJoin(B, …))): the
     # customer→order→lineitem chain where each level may be missing — the
     # inner group left-joins INSIDE the outer group before the outer
@@ -605,7 +620,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     yielded SPARQL seats re-verified far more deeply.
 #
 # r6 queue: EMPTY for pre-r5 entries — any pre-r5 entry without a green row
-# after this round is a regression, not a rotation artifact.  The 19
+# after this round is a regression, not a rotation artifact.  The 21
 # entries ADDED during r5 (after the cap below was frozen) form the entire
 # r6 rotation queue; every one is check_entry-green at sf0.01 this round
 # (the r5 full sweep was 172/172 ok, and the 4 added after it were checked
@@ -615,8 +630,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sparql_order_desc, sparql_sum_bind, sparql_values_undef,
 #   sparql_nested_optional, sparql_filter_replace, graph_degree,
 #   rel_grouping_sets, pipeline_lengths, pipeline_dup_rate,
-#   dedup_cross_source, knn_filtered, temporal_gaps, text_winnow
-# That leaves 31 spare r6 seats for re-verifying whatever r6 changes.
+#   dedup_cross_source, knn_filtered, temporal_gaps, text_winnow,
+#   sparql_filter_or, sparql_filter_or_arith
+# That leaves 29 spare r6 seats for re-verifying whatever r6 changes.
 PRIORITY_ORDER = [
     # --- the 26-entry never-green queue (18 grammar variants) ---
     "sparql_paged", "sparql_minmax", "sparql_values", "sparql_values_rows",

@@ -197,7 +197,7 @@ def _str_filter_sql(f, lex_ref: str) -> str:
 
 
 def _simple_filter_sql(f, ref, resolve, numeric_aliases=frozenset()) -> str:
-    """One cmp / arith / bound filter as a single SQL predicate; ``ref``
+    """One cmp / arith / bound / in / boolop filter as one SQL predicate; ``ref``
     maps a variable name to its column reference (regex is rendered by the
     callers, which own the dict join).  ``numeric_aliases`` lists columns
     that ALREADY hold plain numbers (arithmetic BIND aliases) — arith
@@ -219,6 +219,21 @@ def _simple_filter_sql(f, ref, resolve, numeric_aliases=frozenset()) -> str:
         if f.abs_fn:  # abs(?a op ?b) — same fragment as the Spark plan
             expr = f"abs({expr})"
         return f"{expr} {'<>' if f.op == '!=' else f.op} {f.rhs_num}"
+    if f.kind == "in":
+        ids = ", ".join(str(resolve(c)) for c in f.consts)
+        return f"{ref(f.var)} {'NOT ' if f.op == '!' else ''}IN ({ids})"
+    if f.kind == "boolop":
+        # ||/&& over row-local parts: SQL OR/AND three-valued logic over
+        # an unbound (NULL) operand matches SPARQL §17.2 error handling
+        conn = " OR " if f.op == "||" else " AND "
+        return (
+            "("
+            + conn.join(
+                _simple_filter_sql(p, ref, resolve, numeric_aliases=numeric_aliases)
+                for p in f.parts
+            )
+            + ")"
+        )
     assert f.kind == "cmp", f.kind
     rhs = ref(f.rhs_var) if f.rhs_var is not None else str(resolve(f.rhs_const))
     op = {"=": "=", "!=": "<>"}.get(f.op, f.op)
@@ -275,15 +290,7 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
         # outer variables render into the ON clause itself — mirrors the
         # translator's two-way lowering
         gflts = query.optional_filters[gi] if gi < len(query.optional_filters) else []
-        local = [
-            f
-            for f in gflts
-            if all(
-                v in g_slot
-                for v in (f.var, None if f.kind == "str" else f.rhs_var)
-                if v is not None
-            )
-        ]
+        local = [f for f in gflts if all(v in g_slot for v in f.refs())]
         cross = [f for f in gflts if f not in local]
         for j, f in enumerate(local):
             if f.kind == "regex":
@@ -402,15 +409,11 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
 
     arith_bind_aliases = query.numeric_bind_aliases()
     for i, f in enumerate(query.filters):
-        lhs = _ref(f.var)
-        if f.kind in ("cmp", "bound", "arith", "arith2"):
+        lhs = _ref(f.var) if f.var else None
+        if f.kind in ("cmp", "bound", "arith", "arith2", "in", "boolop"):
             filt_where.append(
                 _simple_filter_sql(f, _ref, resolve, numeric_aliases=arith_bind_aliases)
             )
-        elif f.kind == "in":
-            ids = ", ".join(str(resolve(c)) for c in f.consts)
-            neg = "NOT " if f.op == "!" else ""
-            filt_where.append(f"{lhs} {neg}IN ({ids})")
         elif f.kind == "in_rows":
             if any(c is None for row in f.rows for c in row):
                 # UNDEF rows: OR of per-row conjunctions omitting the

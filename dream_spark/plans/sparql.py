@@ -238,7 +238,18 @@ class Filter:
     type-error contract), or ``arith2`` (``?a [+−×] ?b op <integer>``:
     two-variable arithmetic over the typed values — ``lhs_op`` holds the
     arithmetic operator, ``rhs_var`` the second operand,
-    sources/triples.arith2_sql)."""
+    sources/triples.arith2_sql).
+
+    ``boolop`` combines row-local sub-filters with one SPARQL logical
+    connective (§17.4.1.5/.6): ``op`` is ``||`` or ``&&`` and ``parts``
+    the operand filters (kinds cmp / arith / arith2 / in / bound only —
+    forms that lower to a single row-local predicate; the join-backed
+    string/regex forms are rejected by the grammar).  Mixed connectives
+    require explicit grouping and are rejected rather than guessed.
+    Three-valued logic matches across engines: an unbound operand's
+    sub-predicate is SQL NULL, and SQL's NULL OR TRUE = TRUE / otherwise
+    non-TRUE mirrors SPARQL's error || true = true / error-drops
+    (§17.2), so WHERE keeps exactly the SPARQL solutions."""
 
     kind: str
     var: str
@@ -259,6 +270,19 @@ class Filter:
     # kind="arith2": True wraps the two-variable expression in ABS() —
     # ``filter (abs(?a − ?b) cmp n)``, the magnitude-difference idiom
     abs_fn: bool = False
+    # kind="boolop": the operand sub-filters (op holds "||" or "&&")
+    parts: tuple["Filter", ...] | None = None
+
+    def refs(self) -> tuple[str, ...]:
+        """Every variable this filter references (str-kind REPLACE stores
+        its replacement LITERAL in rhs_var, so that slot is skipped;
+        boolop unions over its parts)."""
+        if self.kind == "boolop":
+            return tuple(v for p in self.parts for v in p.refs())
+        rhs = None if self.kind == "str" else self.rhs_var
+        return tuple(
+            v for v in (self.var, rhs, *(self.vars_ or ())) if v is not None
+        )
 
 
 @dataclass(frozen=True)
@@ -1213,6 +1237,121 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
 
     Shared by the top-level grammar and OPTIONAL group bodies."""
 
+    def _parse_boolop_part(txt: str) -> Filter:
+        """One operand of a ``||`` / ``&&`` filter: the row-local forms
+        only (bound / arith / arith2[+abs] / in / cmp, tried in the same
+        order as the single-clause rules so e.g. ``?v = 5`` keeps its
+        typed-numeric-VALUE reading).  The join-backed forms (regex and
+        the string functions) cannot ride a disjunction — each would need
+        its dict join applied unconditionally — and are rejected."""
+        txt = txt.strip()
+        m2 = re.fullmatch(r"(?s)\((.*)\)", txt)
+        if m2 is not None and _balanced(m2.group(1)):
+            txt = m2.group(1).strip()
+        m2 = re.fullmatch(r"(?is)(!)?\s*bound\s*\(\s*(\?\w+)\s*\)", txt)
+        if m2:
+            return Filter(kind="bound", var=m2.group(2)[1:], op=("!" if m2.group(1) else ""))
+        m2 = re.fullmatch(
+            r"(?is)abs\s*\(\s*(\?\w+)\s*([+*-])\s*(\?\w+)\s*\)\s*(!=|<=|>=|<|>|=)\s*(-?\d+)", txt
+        )
+        if m2:
+            return Filter(
+                kind="arith2", var=m2.group(1)[1:], lhs_op=m2.group(2),
+                rhs_var=m2.group(3)[1:], op=m2.group(4), rhs_num=int(m2.group(5)),
+                abs_fn=True,
+            )
+        m2 = re.fullmatch(
+            r"(?is)(\?\w+)\s*([+*-])\s*(\?\w+)\s*(!=|<=|>=|<|>|=)\s*(-?\d+)", txt
+        )
+        if m2:
+            return Filter(
+                kind="arith2", var=m2.group(1)[1:], lhs_op=m2.group(2),
+                rhs_var=m2.group(3)[1:], op=m2.group(4), rhs_num=int(m2.group(5)),
+            )
+        m2 = re.fullmatch(
+            r"(?is)(\?\w+)\s*(?:([+*-])\s*(-?\d+)\s*)?(!=|<=|>=|<|>|=)\s*(-?\d+)", txt
+        )
+        if m2:
+            return Filter(
+                kind="arith", var=m2.group(1)[1:], lhs_op=m2.group(2),
+                lhs_num=int(m2.group(3)) if m2.group(3) is not None else None,
+                op=m2.group(4), rhs_num=int(m2.group(5)),
+            )
+        m2 = re.fullmatch(r"(?is)(\?\w+)\s+(not\s+)?in\s*\(([^()]*)\)", txt)
+        if m2:
+            items = [t.strip() for t in m2.group(3).split(",") if t.strip()]
+            if not items:
+                raise SparqlSyntaxError("empty IN list")
+            if any(t.startswith("?") for t in items):
+                raise SparqlSyntaxError("IN list items must be constants")
+            lex = tuple(Term(t).lexical for t in items)
+            if len(set(lex)) != len(lex):
+                raise SparqlSyntaxError("duplicate constants in IN list")
+            return Filter(kind="in", var=m2.group(1)[1:], op="!" if m2.group(2) else "", consts=lex)
+        m2 = re.fullmatch(r"(?is)(\?\w+)\s*(!=|<=|>=|<|>|=)\s*(\?\w+|<[^>]*>|[^\s()]+)", txt)
+        if m2:
+            var, op, rhs = m2.group(1)[1:], m2.group(2), m2.group(3)
+            if rhs.startswith("?"):
+                return Filter(kind="cmp", var=var, op=op, rhs_var=rhs[1:])
+            return Filter(kind="cmp", var=var, op=op, rhs_const=Term(rhs).lexical)
+        raise SparqlSyntaxError(
+            f"unsupported operand in ||/&& filter: {txt!r} (row-local forms "
+            "only: comparison / arithmetic / IN / bound)"
+        )
+
+    def _balanced(s: str) -> bool:
+        depth = 0
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+        return depth == 0
+
+    def _grab_boolop(m2: re.Match) -> str:
+        expr = m2.group(1)
+        # find top-level connectives (outside parentheses); no connective
+        # means some single-clause rule owns this filter — leave it intact
+        depth, in_str, conns, cuts = 0, False, [], []
+        i = 0
+        while i < len(expr):
+            ch = expr[i]
+            if ch == '"':
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0 and expr[i : i + 2] in ("||", "&&"):
+                    conns.append(expr[i : i + 2])
+                    cuts.append(i)
+                    i += 2
+                    continue
+            i += 1
+        if not conns:
+            return m2.group(0)
+        if len(set(conns)) > 1:
+            raise SparqlSyntaxError(
+                "mixed || and && in one filter require explicit grouping"
+            )
+        pieces, prev = [], 0
+        for c in cuts:
+            pieces.append(expr[prev:c])
+            prev = c + 2
+        pieces.append(expr[prev:])
+        filters.append(
+            Filter(
+                kind="boolop",
+                var="",
+                op=conns[0],
+                parts=tuple(_parse_boolop_part(p) for p in pieces),
+            )
+        )
+        return " "
+
     def _grab_strfn(m2: re.Match) -> str:
         filters.append(
             Filter(kind="str", var=m2.group(2)[1:], op=m2.group(1).lower(), pattern=m2.group(3))
@@ -1387,6 +1526,15 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
             filters.append(Filter(kind="cmp", var=var, op=op, rhs_const=Term(rhs).lexical))
         return " "
 
+    # ||/&& connectives FIRST: the rule matches any parenthesized filter
+    # body (<=1 nesting level) but rewrites ONLY when a top-level
+    # connective is present — everything else falls through verbatim to
+    # the single-clause rules below
+    body = re.sub(
+        r"(?is)filter\s*\(\s*((?:[^(){}]|\([^()]*\))*)\)\s*\.?",
+        _grab_boolop,
+        body,
+    )
     body = re.sub(
         r'(?is)filter\s*(\bcontains|\bstrstarts|\bstrends)\s*\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*\)\s*\.?',
         _grab_strfn,
@@ -1551,40 +1699,32 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
     arith_aliases = q.numeric_bind_aliases()
     str_aliases = q.string_bind_aliases()
     for f in q.filters:
-        # str-kind REPLACE stores its replacement LITERAL in rhs_var (the
-        # slot is never a variable for string-function filters)
-        rhs_ref = None if f.kind == "str" else f.rhs_var
-        unbound = [v for v in (f.var, rhs_ref) if v is not None and v not in known]
-        unbound += [v for v in (f.vars_ or ()) if v not in known]
+        unbound = [v for v in f.refs() if v not in known]
         if unbound:
             raise SparqlSyntaxError(f"filter variables not bound in where clause: {unbound}")
-        # an arithmetic BIND alias holds a plain NUMBER: only arithmetic
-        # filters compare it meaningfully — an id-level cmp/in/regex/bound
-        # over it would silently mix values with dictionary ids
-        misused = [
-            v
-            for v in [f.var, rhs_ref, *(f.vars_ or ())]
-            if v in arith_aliases
-        ]
-        if misused and f.kind not in ("arith", "arith2"):
-            raise SparqlSyntaxError(
-                f"only arithmetic filters may reference arithmetic bind "
-                f"alias(es) {misused} (they carry numbers, not ids)"
-            )
-        # a string BIND alias (concat/str) holds a decoded lexical: no
-        # filter form applies to it — id comparisons would mix value
-        # spaces and the string-function forms join the dict on what they
-        # assume is an id column
-        str_misused = [
-            v
-            for v in [f.var, rhs_ref, *(f.vars_ or ())]
-            if v in str_aliases
-        ]
-        if str_misused:
-            raise SparqlSyntaxError(
-                f"filters over string bind alias(es) are not supported: "
-                f"{str_misused} (they carry strings, not ids)"
-            )
+        # alias value-space checks apply PER OPERAND for boolop (each part
+        # has its own kind and therefore its own reading of the column)
+        for sub in f.parts if f.kind == "boolop" else (f,):
+            # an arithmetic BIND alias holds a plain NUMBER: only
+            # arithmetic filters compare it meaningfully — an id-level
+            # cmp/in/regex/bound over it would silently mix values with
+            # dictionary ids
+            misused = [v for v in sub.refs() if v in arith_aliases]
+            if misused and sub.kind not in ("arith", "arith2"):
+                raise SparqlSyntaxError(
+                    f"only arithmetic filters may reference arithmetic bind "
+                    f"alias(es) {misused} (they carry numbers, not ids)"
+                )
+            # a string BIND alias (concat/str) holds a decoded lexical: no
+            # filter form applies to it — id comparisons would mix value
+            # spaces and the string-function forms join the dict on what
+            # they assume is an id column
+            str_misused = [v for v in sub.refs() if v in str_aliases]
+            if str_misused:
+                raise SparqlSyntaxError(
+                    f"filters over string bind alias(es) are not supported: "
+                    f"{str_misused} (they carry strings, not ids)"
+                )
     # group_concat decodes its variable through the dictionary — an
     # arithmetic bind alias is a plain number with no dictionary entry
     # (sum/avg/min/max/sample/count over aliases aggregate the VALUE and
@@ -1618,11 +1758,7 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
     for grp, flts in zip(q.optionals, q.optional_filters):
         gvars = {v for c in grp for v in c.variables()}
         for f in flts:
-            outside = [
-                v
-                for v in (f.var, None if f.kind == "str" else f.rhs_var)
-                if v is not None and v not in gvars
-            ]
+            outside = [v for v in f.refs() if v not in gvars]
             if outside and f.kind not in ("cmp", "arith"):
                 raise SparqlSyntaxError(
                     f"only comparison/arithmetic optional-group filters may "

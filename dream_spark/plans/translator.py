@@ -222,6 +222,69 @@ def _identity_domain(
     return _condition_frame(store, c2).select(F.col(v).alias("n")).distinct()
 
 
+def _row_pred(f, store, numeric_cols: frozenset[str]):
+    """One row-local FILTER form as a Column predicate:
+
+    - ``cmp``: id-level comparison (exact — the dictionary is a bijection,
+      and the arithmetic id scheme is order-preserving within a kind);
+    - ``bound``: NULL test on the (optional-joined) column — !bound is the
+      SPARQL negation-by-failure pattern (≡ anti-join);
+    - ``arith``/``arith2``: the shared typed-numeric-value SQL fragments
+      (identical strings in the DuckDB oracle, so semantics cannot drift);
+      non-numeric ids value to NULL and the row drops, per the SPARQL
+      type-error contract.  ``numeric_cols`` lists arithmetic BIND aliases
+      that already hold plain numbers — wrapping those again would
+      value-window-test the VALUE and NULL every row;
+    - ``in``: an IN literal list on the encoded ids — Catalyst pushes it
+      into the pattern scans (partition-prunable under the p-partitioned
+      layout); op="!" negation stays row-local (pattern-bound ids are
+      never NULL, so ~isin has no three-valued-logic surprise);
+    - ``boolop``: the parts OR-ed / AND-ed into one predicate — SQL
+      three-valued logic over an unbound operand matches SPARQL §17.2
+      (NULL OR TRUE = TRUE ≡ error || true = true; non-TRUE drops).
+    """
+    if f.kind == "cmp":
+        lhs = F.col(f.var)
+        rhs = F.col(f.rhs_var) if f.rhs_var is not None else F.lit(store.resolve(f.rhs_const))
+        return {
+            "=": lhs == rhs,
+            "!=": lhs != rhs,
+            "<": lhs < rhs,
+            "<=": lhs <= rhs,
+            ">": lhs > rhs,
+            ">=": lhs >= rhs,
+        }[f.op]
+    if f.kind == "bound":
+        col = F.col(f.var)
+        return col.isNull() if f.op == "!" else col.isNotNull()
+    if f.kind == "arith":
+        return F.expr(
+            arith_filter_sql(
+                f.var, f.lhs_op, f.lhs_num, f.op, f.rhs_num,
+                wrap=f.var not in numeric_cols,
+            )
+        )
+    if f.kind == "arith2":
+        expr = arith2_sql(
+            f.var, f.lhs_op, f.rhs_var,
+            wrap_a=f.var not in numeric_cols,
+            wrap_b=f.rhs_var not in numeric_cols,
+        )
+        if f.abs_fn:  # abs(?a op ?b) — same fragment, magnitude-wrapped
+            expr = f"abs({expr})"
+        sqlop = "<>" if f.op == "!=" else f.op
+        return F.expr(f"{expr} {sqlop} {f.rhs_num}")
+    if f.kind == "in":
+        member = F.col(f.var).isin([store.resolve(c) for c in f.consts])
+        return ~member if f.op == "!" else member
+    assert f.kind == "boolop", f.kind
+    preds = [_row_pred(p, store, numeric_cols) for p in f.parts]
+    out = preds[0]
+    for p in preds[1:]:
+        out = (out | p) if f.op == "||" else (out & p)
+    return out
+
+
 def _apply_filters(
     plan: DataFrame,
     filters,
@@ -238,69 +301,11 @@ def _apply_filters(
     list AND for optional-group-local filters (``tag`` keeps the regex
     temp columns unique per group)."""
     for i, f in enumerate(filters):
-        if f.kind == "cmp":
-            lhs = F.col(f.var)
-            rhs = F.col(f.rhs_var) if f.rhs_var is not None else F.lit(store.resolve(f.rhs_const))
-            cmp = {
-                "=": lhs == rhs,
-                "!=": lhs != rhs,
-                "<": lhs < rhs,
-                "<=": lhs <= rhs,
-                ">": lhs > rhs,
-                ">=": lhs >= rhs,
-            }[f.op]
-            plan = plan.where(cmp)
-        elif f.kind == "bound":
-            # BOUND test: a NULL check on the (optional-joined) column —
-            # row-local, no join; !bound after OPTIONAL is the SPARQL
-            # negation-by-failure pattern (≡ anti-join)
-            col = F.col(f.var)
-            plan = plan.where(col.isNull() if f.op == "!" else col.isNotNull())
-        elif f.kind == "arith":
-            # typed numeric FILTER: arithmetic/comparison on the term's
-            # NUMERIC VALUE via the shared SQL fragment (identical string
-            # in the DuckDB oracle, so semantics cannot drift); non-numeric
-            # ids value to NULL and the row drops, per the SPARQL
-            # type-error contract.  Pure row-local expression —
-            # whole-stage-codegen, pushdown-eligible, no shuffle.
-            plan = plan.where(
-                F.expr(
-                    arith_filter_sql(
-                        f.var,
-                        f.lhs_op,
-                        f.lhs_num,
-                        f.op,
-                        f.rhs_num,
-                        # an arithmetic BIND alias already holds the plain
-                        # number — wrapping it again would window-test the
-                        # VALUE and NULL every row
-                        wrap=f.var not in numeric_cols,
-                    )
-                )
-            )
-        elif f.kind == "arith2":
-            # two-variable arithmetic FILTER: (num(a) op num(b)) cmp rhs —
-            # shared fragment (triples.arith2_sql), row-local, codegen-able
-            expr = arith2_sql(
-                f.var,
-                f.lhs_op,
-                f.rhs_var,
-                wrap_a=f.var not in numeric_cols,
-                wrap_b=f.rhs_var not in numeric_cols,
-            )
-            if f.abs_fn:  # abs(?a op ?b) — same fragment, magnitude-wrapped
-                expr = f"abs({expr})"
-            sqlop = "<>" if f.op == "!=" else f.op
-            plan = plan.where(F.expr(f"{expr} {sqlop} {f.rhs_num}"))
-        elif f.kind == "in":
-            # VALUES / FILTER-IN lowering: an IN literal list on the
-            # encoded ids — Catalyst pushes it into the pattern scans
-            # (partition-prunable under the p-partitioned layout when the
-            # var is a predicate).  op="!" is FILTER (?v NOT IN (...)):
-            # the negation stays row-local (ids are never NULL here, so
-            # ~isin has no three-valued-logic surprise).
-            member = F.col(f.var).isin([store.resolve(c) for c in f.consts])
-            plan = plan.where(~member if f.op == "!" else member)
+        if f.kind in ("cmp", "bound", "arith", "arith2", "in", "boolop"):
+            # every row-local form lowers to a single Column predicate
+            # (shared with the ||/&& connective combination) — pure
+            # whole-stage-codegen expressions, pushdown-eligible, no join
+            plan = plan.where(_row_pred(f, store, numeric_cols))
         elif f.kind == "in_rows":
             # multi-variable VALUES: a row-IN predicate on the encoded id
             # tuple — Catalyst folds the struct-literal list to a local
@@ -864,15 +869,7 @@ def translate(
         gflts = (
             query.optional_filters[gi] if gi < len(query.optional_filters) else []
         )
-        local = [
-            f
-            for f in gflts
-            if all(
-                v in gbound
-                for v in (f.var, None if f.kind == "str" else f.rhs_var)
-                if v is not None
-            )
-        ]
+        local = [f for f in gflts if all(v in gbound for v in f.refs())]
         cross = [f for f in gflts if f not in local]
         gplan = _apply_filters(gplan, local, store, tag=f"o{gi}_")
         for ci in child_idx.get(gi, []):

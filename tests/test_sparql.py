@@ -2281,3 +2281,76 @@ def test_feature_combinations_oracle(engine, duck, qtext):
     nesting) stay oracle-equal — the places where two lowerings could
     interfere."""
     assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(parse_sparql(qtext)))
+
+
+# ---- ||/&& boolean connectives (SPARQL §17.4.1.5/.6) ----------------------
+def test_boolop_parses_to_parts():
+    q = parse_sparql(
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter (?N = <nation:1> || ?N = <nation:7>) }"
+    )
+    (f,) = q.filters
+    assert f.kind == "boolop" and f.op == "||"
+    assert [p.kind for p in f.parts] == ["cmp", "cmp"]
+    assert f.refs() == ("N", "N")
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # mixed connectives require explicit grouping (no silent precedence)
+        "select ?C where { ?C type Customer . filter (?C = <customer:1>"
+        " || ?C = <customer:2> && ?C = <customer:3>) }",
+        # a join-backed operand (regex/string function) cannot ride a
+        # disjunction — its dict join would have to apply unconditionally
+        'select ?C ?NM where { ?C type Customer . ?C name ?NM .'
+        ' filter (regex(?NM, "x") || ?C = <customer:1>) }',
+        'select ?C ?NM where { ?C type Customer . ?C name ?NM .'
+        ' filter (contains(?NM, "x") && ?C = <customer:1>) }',
+    ],
+    ids=["mixed", "regex-part", "strfn-part"],
+)
+def test_boolop_rejections(bad):
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(bad)
+
+
+def test_boolop_connective_inside_literal_not_split():
+    """A '||' INSIDE a quoted literal is data, not a connective — the
+    scanner is quote-aware, so the single-clause ucase rule still owns
+    this filter."""
+    q = parse_sparql(
+        'select ?P ?NM where { ?P type Part . ?P name ?NM .'
+        ' filter (ucase(?NM) = "A||B") }'
+    )
+    (f,) = q.filters
+    assert f.kind == "str" and f.op == "ucase"
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        # id-membership disjunction
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter (?N = <nation:1> || ?N = <nation:7>) }",
+        # typed-numeric-value band (outlier idiom): both parts arith
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ ."
+        " filter (?SZ < 10 || ?SZ > 40) }",
+        # 3VL across an OPTIONAL: unbound ?O makes the cmp part NULL, and
+        # NULL OR TRUE = TRUE keeps the row exactly like SPARQL error||true
+        "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C ."
+        " ?O priority <1-URGENT> } . filter (!bound(?O) || ?C = <customer:1>) }",
+        # IN-membership conjoined with an id range
+        "select ?O ?ST where { ?O type Order . ?O status ?ST ."
+        " filter (?ST in (<F>, <O>) && ?O >= <order:100>) }",
+        # arithmetic on both sides of the disjunction
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ ."
+        " filter (?SZ * 2 >= 80 || ?SZ + 10 < 15) }",
+        # parenthesized operands
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter ((?N = <nation:1>) || (?N = <nation:7>)) }",
+    ],
+    ids=["or-cmp", "or-arith", "or-bound-3vl", "and-in-range", "or-arith2", "or-parens"],
+)
+def test_boolop_oracle_match(engine, duck, qtext):
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(parse_sparql(qtext)))
