@@ -534,6 +534,14 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " filter (?SZ < 10 || ?SZ > 40) }",
         False,
     ),
+    # logical negation !(…) (§17.4.1.7 fn:not) over a membership test —
+    # the fn:not twin of NOT IN; NOT over a NULL'd operand stays NULL on
+    # both engines (≡ SPARQL !(error) = error, the row drops)
+    "sparql_filter_not": (
+        "select ?O ?ST where { ?O type Order . ?O status ?ST ."
+        " filter (!(?ST in (<F>, <O>))) }",
+        False,
+    ),
     # NESTED OPTIONAL (§18.2.2.6 LeftJoin(A, LeftJoin(B, …))): the
     # customer→order→lineitem chain where each level may be missing — the
     # inner group left-joins INSIDE the outer group before the outer
@@ -620,7 +628,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     yielded SPARQL seats re-verified far more deeply.
 #
 # r6 queue: EMPTY for pre-r5 entries — any pre-r5 entry without a green row
-# after this round is a regression, not a rotation artifact.  The 21
+# after this round is a regression, not a rotation artifact.  The 22
 # entries ADDED during r5 (after the cap below was frozen) form the entire
 # r6 rotation queue; every one is check_entry-green at sf0.01 this round
 # (the r5 full sweep was 172/172 ok, and the 4 added after it were checked
@@ -631,8 +639,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sparql_nested_optional, sparql_filter_replace, graph_degree,
 #   rel_grouping_sets, pipeline_lengths, pipeline_dup_rate,
 #   dedup_cross_source, knn_filtered, temporal_gaps, text_winnow,
-#   sparql_filter_or, sparql_filter_or_arith
-# That leaves 29 spare r6 seats for re-verifying whatever r6 changes.
+#   sparql_filter_or, sparql_filter_or_arith, sparql_filter_not
+# That leaves 28 spare r6 seats for re-verifying whatever r6 changes.
 PRIORITY_ORDER = [
     # --- the 26-entry never-green queue (18 grammar variants) ---
     "sparql_paged", "sparql_minmax", "sparql_values", "sparql_values_rows",

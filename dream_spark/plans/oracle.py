@@ -223,8 +223,15 @@ def _simple_filter_sql(f, ref, resolve, numeric_aliases=frozenset()) -> str:
         ids = ", ".join(str(resolve(c)) for c in f.consts)
         return f"{ref(f.var)} {'NOT ' if f.op == '!' else ''}IN ({ids})"
     if f.kind == "boolop":
-        # ||/&& over row-local parts: SQL OR/AND three-valued logic over
-        # an unbound (NULL) operand matches SPARQL §17.2 error handling
+        # ||/&&/! over row-local parts: SQL OR/AND/NOT three-valued logic
+        # over an unbound (NULL) operand matches SPARQL §17.2 error
+        # handling (NOT NULL-the-value stays NULL → the row drops)
+        if f.op == "!":
+            return (
+                "(NOT "
+                + _simple_filter_sql(f.parts[0], ref, resolve, numeric_aliases=numeric_aliases)
+                + ")"
+            )
         conn = " OR " if f.op == "||" else " AND "
         return (
             "("

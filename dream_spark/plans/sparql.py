@@ -1248,6 +1248,14 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         m2 = re.fullmatch(r"(?s)\((.*)\)", txt)
         if m2 is not None and _balanced(m2.group(1)):
             txt = m2.group(1).strip()
+        # !(simple): logical negation (§17.4.1.7 fn:not) — one-operand
+        # boolop; NOT over a NULL'd operand stays NULL on both engines,
+        # matching SPARQL !(error) = error (the row drops either way)
+        if txt.startswith("!") and re.match(r"!\s*\(", txt):
+            return Filter(
+                kind="boolop", var="", op="!",
+                parts=(_parse_boolop_part(txt[1:]),),
+            )
         m2 = re.fullmatch(r"(?is)(!)?\s*bound\s*\(\s*(\?\w+)\s*\)", txt)
         if m2:
             return Filter(kind="bound", var=m2.group(2)[1:], op=("!" if m2.group(1) else ""))
@@ -1332,6 +1340,16 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
                     continue
             i += 1
         if not conns:
+            # no connective: claim only the standalone negation form
+            # ``filter (!(simple))`` — everything else falls through to
+            # the single-clause rules (including !bound, which has its
+            # own rule and reading)
+            e = expr.strip()
+            if e.startswith("!") and re.match(r"!\s*\(", e):
+                filters.append(
+                    Filter(kind="boolop", var="", op="!", parts=(_parse_boolop_part(e[1:]),))
+                )
+                return " "
             return m2.group(0)
         if len(set(conns)) > 1:
             raise SparqlSyntaxError(
@@ -1531,7 +1549,7 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
     # connective is present — everything else falls through verbatim to
     # the single-clause rules below
     body = re.sub(
-        r"(?is)filter\s*\(\s*((?:[^(){}]|\([^()]*\))*)\)\s*\.?",
+        r"(?is)filter\s*\(\s*((?:[^(){}]|\((?:[^(){}]|\([^()]*\))*\))*)\)\s*\.?",
         _grab_boolop,
         body,
     )
@@ -1702,9 +1720,17 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
         unbound = [v for v in f.refs() if v not in known]
         if unbound:
             raise SparqlSyntaxError(f"filter variables not bound in where clause: {unbound}")
-        # alias value-space checks apply PER OPERAND for boolop (each part
-        # has its own kind and therefore its own reading of the column)
-        for sub in f.parts if f.kind == "boolop" else (f,):
+        # alias value-space checks apply PER LEAF OPERAND for boolop (each
+        # leaf has its own kind and therefore its own reading of the
+        # column; negation nodes nest, so flatten recursively)
+        def _leaves(x):
+            if x.kind == "boolop":
+                for p in x.parts:
+                    yield from _leaves(p)
+            else:
+                yield x
+
+        for sub in _leaves(f):
             # an arithmetic BIND alias holds a plain NUMBER: only
             # arithmetic filters compare it meaningfully — an id-level
             # cmp/in/regex/bound over it would silently mix values with

@@ -279,6 +279,8 @@ def _row_pred(f, store, numeric_cols: frozenset[str]):
         return ~member if f.op == "!" else member
     assert f.kind == "boolop", f.kind
     preds = [_row_pred(p, store, numeric_cols) for p in f.parts]
+    if f.op == "!":  # §17.4.1.7 fn:not — NOT(NULL) stays NULL, like !(error)
+        return ~preds[0]
     out = preds[0]
     for p in preds[1:]:
         out = (out | p) if f.op == "||" else (out & p)

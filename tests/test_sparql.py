@@ -2354,3 +2354,38 @@ def test_boolop_connective_inside_literal_not_split():
 )
 def test_boolop_oracle_match(engine, duck, qtext):
     assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(parse_sparql(qtext)))
+
+
+def test_negation_parses_nested():
+    q = parse_sparql(
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ ."
+        " filter (!(?SZ > 10) || ?SZ > 40) }"
+    )
+    (f,) = q.filters
+    assert f.kind == "boolop" and f.op == "||"
+    assert f.parts[0].kind == "boolop" and f.parts[0].op == "!"
+    assert f.parts[0].parts[0].kind == "arith"
+    assert f.refs() == ("SZ", "SZ")
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        # standalone negation of an id comparison
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter (!(?N = <nation:1>)) }",
+        # negated IN (the expression-form NOT IN twin, via fn:not)
+        "select ?O ?ST where { ?O type Order . ?O status ?ST ."
+        " filter (!(?ST in (<F>, <O>))) }",
+        # negated arith operand inside a disjunction
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ ."
+        " filter (!(?SZ > 10) || ?SZ > 40) }",
+        # negation over an unbound OPTIONAL var: NOT(NULL cmp) stays NULL
+        # on both engines — the row drops, matching SPARQL !(error)=error
+        "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C ."
+        " ?O priority <1-URGENT> } . filter (!(?O = <order:1>)) }",
+    ],
+    ids=["not-cmp", "not-in", "not-arith-in-or", "not-3vl"],
+)
+def test_negation_oracle_match(engine, duck, qtext):
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(parse_sparql(qtext)))
