@@ -719,7 +719,8 @@ def parse_sparql(text: str) -> ParsedQuery:
         if re.search(r"(?i)\bfilter\b", rem):
             raise SparqlSyntaxError(
                 "unsupported filter form inside an optional group (supported:"
-                " bound / arithmetic / regex / comparison single-clause filters)"
+                " bound / arithmetic / regex / comparison single-clause"
+                " filters and ||/&&/! connectives over the row-local forms)"
             )
         # nested OPTIONAL: inner groups were grabbed on an earlier pass of
         # the innermost-first loop and left a marker in this body — claim
@@ -1287,7 +1288,11 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
             )
         m2 = re.fullmatch(r"(?is)(\?\w+)\s+(not\s+)?in\s*\(([^()]*)\)", txt)
         if m2:
-            items = [t.strip() for t in m2.group(3).split(",") if t.strip()]
+            items = [
+                t.strip()
+                for t in _split_outside_brackets(m2.group(3), ",")
+                if t.strip()
+            ]
             if not items:
                 raise SparqlSyntaxError("empty IN list")
             if any(t.startswith("?") for t in items):

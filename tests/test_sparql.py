@@ -2389,3 +2389,15 @@ def test_negation_parses_nested():
 )
 def test_negation_oracle_match(engine, duck, qtext):
     assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(parse_sparql(qtext)))
+
+
+def test_boolop_inside_optional_group(engine, duck):
+    """A ||/&& connective with group-local vars lowers INSIDE the optional
+    group before the left join, like the other group-local forms."""
+    qtext = (
+        "select ?C ?O ?PR where { ?C type Customer . optional { ?O placedBy ?C ."
+        " ?O priority ?PR . filter (?PR = <1-URGENT> || ?PR = <5-LOW>) } }"
+    )
+    q = parse_sparql(qtext)
+    assert any(f.kind == "boolop" for flts in q.optional_filters for f in flts)
+    assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
