@@ -843,6 +843,12 @@ def boilerplate_stats(docs: DataFrame, n: int = BOILER_N, frac_den: int = BOILER
             F.concat_ws(" ", "tok", *[f"__t{i}" for i in range(1, n)]).alias("g"),
         )
         .distinct()
+        # three consumers (dfreq / per_total / per_boiler) and Spark has no
+        # automatic subtree reuse across join branches: without a cut the
+        # tokenize explode, the per-doc lead-window sort, and the distinct
+        # shuffle all run three times (same hazard the DESCRIBE translator
+        # documents; localCheckpoint is the repo-standard materialization)
+        .localCheckpoint()
     )
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     boiler = dfreq.where(F.col("df") * frac_den >= F.lit(n_docs)).select("g")
@@ -914,6 +920,9 @@ def familiarity_stats(docs: DataFrame) -> DataFrame:
         tk.withColumn("nxt", F.lead("tok", 1).over(w))
         .where(F.col("nxt").isNotNull())
         .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        # consumed twice (corpus counts + the per-doc join): cut the
+        # lineage so the explode and window sort run once, not twice
+        .localCheckpoint()
     )
     counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     per_doc = (

@@ -17,6 +17,7 @@ from dream_spark.sources.triples import (
     DICT_SQL,
     TRIPLES_SQL,
     arith2_sql,
+    UNKNOWN_ID,
     arith_filter_sql,
     if_numeric_sql,
     numeric_value_sql,
@@ -27,7 +28,10 @@ from dream_spark.sources.triples import (
 def _default_resolver(lexical: str) -> int:
     rid = resolve_lexical(lexical)
     if rid is None:
-        raise KeyError(f"unknown lexical constant: {lexical!r}")
+        # mirror the store: an unknown term resolves to the shared
+        # sentinel (matches nothing, unequal to every bound id) so both
+        # engines answer identically instead of raising
+        return UNKNOWN_ID
     return rid
 
 

@@ -1079,24 +1079,41 @@ def parse_sparql(text: str) -> ParsedQuery:
                 raise SparqlSyntaxError(
                     f"variable(s) bound in two optional groups: {sorted(clash)}"
                 )
-    # exactness guard for the nested lowering: every variable a child
-    # shares with scope OUTSIDE its parent chain must also occur in the
-    # parent chain's own patterns — otherwise the child-side column can be
-    # NULL inside the group result while bound on the base side, and the
-    # outer equi-join would drop rows SPARQL's compatibility keeps
+    # exactness guard for the nested lowering: at every nesting level the
+    # child SUBTREE (the group plus all its descendants) joins into its
+    # parent on their shared variables.  A column the subtree carries only
+    # from a deeper descendant is NULL-able inside the subtree result, so
+    # every variable the subtree shares with ANY binding site outside
+    # itself (the required patterns, an ancestor's own patterns, or a
+    # disjoint group) must occur in the IMMEDIATE parent's own patterns —
+    # otherwise the equi-join key at some level can be NULL and drop rows
+    # SPARQL's compatibility keeps.  (Checking only required_vars against
+    # the whole ancestor chain — the previous form — missed a variable
+    # bound by a grandparent and re-used in a non-immediate descendant.)
+    group_vars = [{v for c in grp for v in c.variables()} for grp in optionals]
+    subtree_vars: list[set[str]] = [set(gv) for gv in group_vars]
+    # children fold into parents; iterate deepest-first (children always
+    # have larger indices than their parents in parse order)
+    for i in range(len(optionals) - 1, -1, -1):
+        p = optional_parents[i]
+        if p != -1:
+            subtree_vars[p] |= subtree_vars[i]
     for i, grp in enumerate(optionals):
-        if optional_parents[i] == -1:
+        p = optional_parents[i]
+        if p == -1:
             continue
-        chain_vars: set[str] = set()
-        for j in _ancestors(i):
-            chain_vars |= {v for c in optionals[j] for v in c.variables()}
-        gvars = {v for c in grp for v in c.variables()}
-        loose = (gvars & required_vars) - chain_vars
+        in_subtree = {i} | {j for j in range(len(optionals)) if i in _ancestors(j)}
+        outside_bound = set(required_vars)
+        for j in range(len(optionals)):
+            if j not in in_subtree:
+                outside_bound |= group_vars[j]
+        loose = (subtree_vars[i] & outside_bound) - group_vars[p]
         if loose:
             raise SparqlSyntaxError(
-                f"nested optional variable(s) {sorted(loose)} are bound in the "
-                "required patterns but not in the enclosing optional group — "
-                "the equi-join lowering cannot express that compatibility"
+                f"nested optional variable(s) {sorted(loose)} are bound both "
+                "inside this subtree and outside it, but not in the immediate "
+                "enclosing optional group — the equi-join lowering cannot "
+                "express that compatibility"
             )
 
     if having is not None and not aggregates:
@@ -1325,8 +1342,14 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
 
     def _grab_boolop(m2: re.Match) -> str:
         expr = m2.group(1)
-        # find top-level connectives (outside parentheses); no connective
-        # means some single-clause rule owns this filter — leave it intact
+        # find top-level connectives (outside parentheses, quoted strings,
+        # AND <…> bracketed constants — an IRI like <x||y> legally contains
+        # the connective characters, same hazard _mask_brackets documents).
+        # A bracketed constant is recognized ATOMICALLY (<, no whitespace,
+        # >) because a lone '<' is the less-than operator, not a bracket —
+        # ``?a < 5 || ?b > 3`` must still split.  No connective means some
+        # single-clause rule owns this filter — leave it intact.
+        _iri = re.compile(r"<[^<>\s]*>")
         depth, in_str, conns, cuts = 0, False, [], []
         i = 0
         while i < len(expr):
@@ -1334,7 +1357,12 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
             if ch == '"':
                 in_str = not in_str
             elif not in_str:
-                if ch == "(":
+                if ch == "<":
+                    mi = _iri.match(expr, i)
+                    if mi:
+                        i = mi.end()
+                        continue
+                elif ch == "(":
                     depth += 1
                 elif ch == ")":
                     depth -= 1
@@ -1786,10 +1814,19 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
     prior = {v for c in q.conditions for v in c.variables() if not v.startswith("__seq")}
     if q.subquery is not None:
         prior |= set(q.subquery.projection)
-    for grp, flts in zip(q.optionals, q.optional_filters):
+    parents = list(q.optional_parent or [-1] * len(q.optionals))
+    for gi, (grp, flts) in enumerate(zip(q.optionals, q.optional_filters)):
         gvars = {v for c in grp for v in c.variables()}
         for f in flts:
             outside = [v for v in f.refs() if v not in gvars]
+            # NESTED groups lower inside their parent's subtree where no
+            # outer column exists yet — both engines support group-local
+            # filters only there; reject at parse, not mid-translation
+            if outside and parents[gi] != -1:
+                raise SparqlSyntaxError(
+                    f"filters referencing variables outside a nested optional "
+                    f"group are not supported (got {sorted(outside)})"
+                )
             if outside and f.kind not in ("cmp", "arith"):
                 raise SparqlSyntaxError(
                     f"only comparison/arithmetic optional-group filters may "
@@ -1799,9 +1836,14 @@ def _validate(q: ParsedQuery) -> ParsedQuery:
             if unbound:
                 raise SparqlSyntaxError(
                     f"optional-group filter references variable(s) {unbound} not "
-                    "bound by the required patterns or an earlier group"
+                    "bound by the required patterns or an earlier top-level group"
                 )
-        prior |= gvars
+        # only TOP-LEVEL groups export columns to later ON clauses: a
+        # nested child renders inside its parent's subtree, and neither
+        # engine exposes its variables to a later group's join condition
+        # (parse order ≠ render order for nested children)
+        if parents[gi] == -1:
+            prior |= gvars
     aliases_b = [alias for _, _, alias in q.binds]
     if len({a.lower() for a in aliases_b}) != len(aliases_b):
         raise SparqlSyntaxError("duplicate bind aliases")

@@ -305,6 +305,17 @@ def arith2_sql(ref_a: str, op: str, ref_b: str, wrap_a: bool = True, wrap_b: boo
     return f"({a} {op} {b})"
 
 
+#: Reserved id for lexicals absent from the dictionary: a query mentioning
+#: an IRI/literal the data never saw is VALID SPARQL — the term simply
+#: matches no triple and compares unequal to every bound term — so both
+#: engines resolve it to this sentinel (far below every real id, which are
+#: nonnegative base+offset values) instead of raising.  Equality/IN against
+#: it is uniformly false, != is uniformly true for bound ids, and pattern
+#: scans on it prune to empty; the oracle resolver returns the SAME value,
+#: keeping the cross-check exact.
+UNKNOWN_ID = -(2**62)
+
+
 def resolve_lexical(lexical: str) -> int | None:
     """Driver-side lexical→id resolution: static vocab + arithmetic entity
     ids ('customer:42').  Returns None for lexicals only the dict knows
@@ -533,5 +544,8 @@ class TripleStore:
             return rid
         rows = self.dictionary.where(self.dictionary.lexical == lexical).select("id").limit(2).collect()
         if not rows:
-            raise KeyError(f"unknown lexical constant: {lexical!r}")
+            # unknown term: matches nothing, unequal to everything — never
+            # an error (SPARQL queries legally mention terms absent from
+            # the data); see UNKNOWN_ID
+            return UNKNOWN_ID
         return rows[0][0]

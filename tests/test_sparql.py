@@ -96,9 +96,11 @@ def test_ground_pattern(engine, duck):
     assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(parse_sparql(qtext)))
 
 
-def test_unknown_constant_raises(engine):
-    with pytest.raises(KeyError):
-        engine.sparql("select ?a where { ?a type <NoSuchThing> }")
+def test_unknown_constant_empty(engine):
+    """A term absent from the data matches nothing — valid SPARQL, empty
+    result, never an error (UNKNOWN_ID sentinel; the oracle-matched
+    variants live in test_unknown_constant_matches_nothing)."""
+    assert engine.sparql("select ?a where { ?a type <NoSuchThing> }").count() == 0
 
 
 # ---- planner behavior -----------------------------------------------------
@@ -2169,6 +2171,35 @@ def test_parse_nested_optional_parents():
             "select ?C ?X where { ?C type Customer . ?X type Supplier ."
             " optional { ?O placedBy ?C . optional { ?X suppliedBy ?X } } }"
         )
+    # same guard, deeper: a variable bound by the OUTERMOST group and
+    # re-used in a non-immediate descendant — the intermediate level would
+    # carry it only from its child (NULL-able join key), so the lowering
+    # cannot express SPARQL's compatibility; must reject, not mis-answer
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?x ?v ?w where { ?x type T . optional { ?x p ?v ."
+            " optional { ?x q ?w . optional { ?w r ?v } } } }"
+        )
+
+
+def test_parse_nested_optional_filter_scope_rejections():
+    """Accept-then-crash guards: forms the translators cannot lower must
+    fail at PARSE time as SparqlSyntaxError, never mid-translation."""
+    # outer-variable cmp filter inside a NESTED group (translator/oracle
+    # only support group-local filters there)
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?c ?o ?l where { ?c type Customer . optional {"
+            " ?o placedBy ?c . optional { ?l ofOrder ?o . filter (?l != ?c) } } }"
+        )
+    # a later group's filter over a variable bound only inside an EARLIER
+    # group's nested child: that column is not exported to later ON
+    # clauses (parse order != render order for nested children)
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(
+            "select ?x where { ?x type T . optional { ?p q ?x ."
+            " optional { ?b r ?p } } . optional { ?g s ?x . filter (?g != ?b) } }"
+        )
 
 
 @pytest.mark.parametrize(
@@ -2325,6 +2356,45 @@ def test_boolop_connective_inside_literal_not_split():
     )
     (f,) = q.filters
     assert f.kind == "str" and f.op == "ucase"
+
+
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        # unknown IRI in an equality filter: empty, never a KeyError
+        "select ?v where { ?v type Part . filter (?v = <never:seen>) }",
+        # unknown IRI as a pattern object: the scan prunes to empty
+        "select ?s where { ?s inNation <never:1> }",
+        # != unknown keeps every bound row (a term absent from the data is
+        # unequal to every bound term — SPARQL queries legally mention it)
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N . filter (?N != <ghost>) }",
+        # IN list with one unknown member: only the known member matches
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter (?N in (<nation:1>, <ghost>)) }",
+    ],
+    ids=["eq-empty", "pattern-empty", "neq-all", "in-partial"],
+)
+def test_unknown_constant_matches_nothing(engine, duck, qtext):
+    """Terms absent from the dictionary resolve to the shared UNKNOWN_ID
+    sentinel on BOTH engines: matches no triple, unequal to every bound
+    id — never an error (triples.py UNKNOWN_ID)."""
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=False), duck, bgp_to_sql(q, decode=False))
+
+
+def test_boolop_connective_inside_iri_not_split():
+    """A '||' INSIDE a <…> bracketed constant is part of the IRI (an IRI
+    legally contains every marker character), while a lone '<' is the
+    less-than operator — the scanner must skip only ATOMIC <nonspace>
+    constants and still split around real comparisons."""
+    q = parse_sparql("select ?v where { ?v type Part . filter (?v = <x||y>) }")
+    (f,) = q.filters
+    assert f.kind == "cmp" and f.rhs_const == "x||y"
+    q2 = parse_sparql(
+        "select ?v ?w where { ?v size ?a . ?w size ?b . filter (?a < 5 || ?b > 3) }"
+    )
+    (f2,) = q2.filters
+    assert f2.kind == "boolop" and f2.op == "||" and len(f2.parts) == 2
 
 
 @pytest.mark.parametrize(
