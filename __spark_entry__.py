@@ -542,6 +542,23 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " filter (!(?ST in (<F>, <O>))) }",
         False,
     ),
+    # recursive connective grammar, De Morgan form: NOT over a grouped
+    # disjunction (!(A || B) ≡ the complement of sparql_filter_or's row
+    # set over bound rows) — parts nest as boolop trees on both engines
+    "sparql_filter_not_or": (
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter (!(?N = <nation:1> || ?N = <nation:7>)) }",
+        False,
+    ),
+    # mixed connectives with explicit grouping: a grouped typed-value
+    # band disjunction under a conjunction — the form the flat grammar
+    # rejected ("mixed || and && require explicit grouping") now lowers
+    # to a nested boolop tree
+    "sparql_filter_grouped_bool": (
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ ."
+        " filter ((?SZ < 10 || ?SZ > 40) && ?SZ != 25) }",
+        False,
+    ),
     # NESTED OPTIONAL (§18.2.2.6 LeftJoin(A, LeftJoin(B, …))): the
     # customer→order→lineitem chain where each level may be missing — the
     # inner group left-joins INSIDE the outer group before the outer
@@ -639,7 +656,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sparql_nested_optional, sparql_filter_replace, graph_degree,
 #   rel_grouping_sets, pipeline_lengths, pipeline_dup_rate,
 #   dedup_cross_source, knn_filtered, temporal_gaps, text_winnow,
-#   sparql_filter_or, sparql_filter_or_arith, sparql_filter_not
+#   sparql_filter_or, sparql_filter_or_arith, sparql_filter_not,
+#   sparql_filter_not_or, sparql_filter_grouped_bool
 # That leaves 28 spare r6 seats for re-verifying whatever r6 changes.
 PRIORITY_ORDER = [
     # --- the 26-entry never-green queue (18 grammar variants) ---

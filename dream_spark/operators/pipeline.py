@@ -843,12 +843,14 @@ def boilerplate_stats(docs: DataFrame, n: int = BOILER_N, frac_den: int = BOILER
             F.concat_ws(" ", "tok", *[f"__t{i}" for i in range(1, n)]).alias("g"),
         )
         .distinct()
-        # three consumers (dfreq / per_total / per_boiler) and Spark has no
-        # automatic subtree reuse across join branches: without a cut the
-        # tokenize explode, the per-doc lead-window sort, and the distinct
-        # shuffle all run three times (same hazard the DESCRIBE translator
-        # documents; localCheckpoint is the repo-standard materialization)
-        .localCheckpoint()
+        # deliberately NOT materialized despite three consumers (dfreq /
+        # per_total / per_boiler): measured at sf0.1, localCheckpoint here
+        # is 2-5x SLOWER (0.73-0.88 s lazy vs 1.5-4.4 s checkpointed) —
+        # the distinct's shuffle files are reused across the consumers at
+        # stage level, so only the cheap pre-shuffle map side re-runs, and
+        # eagerly writing the corpus-sized gram frame costs more than that
+        # recompute.  At 100 TB the same holds a fortiori: the gram frame
+        # is the largest intermediate in the query.
     )
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     boiler = dfreq.where(F.col("df") * frac_den >= F.lit(n_docs)).select("g")
@@ -920,9 +922,10 @@ def familiarity_stats(docs: DataFrame) -> DataFrame:
         tk.withColumn("nxt", F.lead("tok", 1).over(w))
         .where(F.col("nxt").isNotNull())
         .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
-        # consumed twice (corpus counts + the per-doc join): cut the
-        # lineage so the explode and window sort run once, not twice
-        .localCheckpoint()
+        # deliberately NOT materialized despite two consumers — same
+        # measured result as boilerplate_stats' gram frame: the map-side
+        # recompute is cheaper than eagerly writing the corpus-sized
+        # bigram frame (localCheckpoint measured 3x slower at sf0.1)
     )
     counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     per_doc = (

@@ -73,6 +73,40 @@ def _mask_brackets(t: str) -> str:
     return "".join(out)
 
 
+def _scan_connectives(expr: str) -> tuple[list[str], list[int]]:
+    """Positions of top-level ``||`` / ``&&`` in a filter expression —
+    outside parentheses, quoted strings, and <…> bracketed constants (an
+    IRI like ``<x||y>`` legally contains the connective characters, same
+    hazard :func:`_mask_brackets` documents).  A bracketed constant is
+    recognized ATOMICALLY (``<``, no whitespace, ``>``) because a lone
+    ``<`` is the less-than operator, not a bracket — ``?a < 5 || ?b > 3``
+    must still split.  Returns (connectives, cut offsets)."""
+    iri = re.compile(r"<[^<>\s]*>")
+    depth, in_str, conns, cuts = 0, False, [], []
+    i = 0
+    while i < len(expr):
+        ch = expr[i]
+        if ch == '"':
+            in_str = not in_str
+        elif not in_str:
+            if ch == "<":
+                mi = iri.match(expr, i)
+                if mi:
+                    i = mi.end()
+                    continue
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and expr[i : i + 2] in ("||", "&&"):
+                conns.append(expr[i : i + 2])
+                cuts.append(i)
+                i += 2
+                continue
+        i += 1
+    return conns, cuts
+
+
 def _split_outside_brackets(t: str, sep: str) -> list[str]:
     """Split on ``sep`` occurrences outside ``<…>`` only."""
     parts, cur, depth = [], [], 0
@@ -1266,6 +1300,27 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         m2 = re.fullmatch(r"(?s)\((.*)\)", txt)
         if m2 is not None and _balanced(m2.group(1)):
             txt = m2.group(1).strip()
+        # nested connectives FIRST — this makes the grammar fully
+        # recursive: ``!(A || B)``, ``(A || B) && C``, and mixed
+        # connectives with explicit grouping ``A || (B && C)`` all lower
+        # to nested boolop trees (both renderers recurse on parts).  The
+        # scan must precede the ``!`` rule so ``!(A) || B`` reads as
+        # ``(!A) || B`` — unary ! binds tighter than the connectives.
+        conns, cuts = _scan_connectives(txt)
+        if conns:
+            if len(set(conns)) > 1:
+                raise SparqlSyntaxError(
+                    "mixed || and && in one filter require explicit grouping"
+                )
+            pieces, prev = [], 0
+            for c in cuts:
+                pieces.append(txt[prev:c])
+                prev = c + 2
+            pieces.append(txt[prev:])
+            return Filter(
+                kind="boolop", var="", op=conns[0],
+                parts=tuple(_parse_boolop_part(p) for p in pieces),
+            )
         # !(simple): logical negation (§17.4.1.7 fn:not) — one-operand
         # boolop; NOT over a NULL'd operand stays NULL on both engines,
         # matching SPARQL !(error) = error (the row drops either way)
@@ -1342,36 +1397,10 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
 
     def _grab_boolop(m2: re.Match) -> str:
         expr = m2.group(1)
-        # find top-level connectives (outside parentheses, quoted strings,
-        # AND <…> bracketed constants — an IRI like <x||y> legally contains
-        # the connective characters, same hazard _mask_brackets documents).
-        # A bracketed constant is recognized ATOMICALLY (<, no whitespace,
-        # >) because a lone '<' is the less-than operator, not a bracket —
-        # ``?a < 5 || ?b > 3`` must still split.  No connective means some
-        # single-clause rule owns this filter — leave it intact.
-        _iri = re.compile(r"<[^<>\s]*>")
-        depth, in_str, conns, cuts = 0, False, [], []
-        i = 0
-        while i < len(expr):
-            ch = expr[i]
-            if ch == '"':
-                in_str = not in_str
-            elif not in_str:
-                if ch == "<":
-                    mi = _iri.match(expr, i)
-                    if mi:
-                        i = mi.end()
-                        continue
-                elif ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                elif depth == 0 and expr[i : i + 2] in ("||", "&&"):
-                    conns.append(expr[i : i + 2])
-                    cuts.append(i)
-                    i += 2
-                    continue
-            i += 1
+        # find top-level connectives (see _scan_connectives for the quote/
+        # IRI/paren handling); no connective means some single-clause rule
+        # owns this filter — leave it intact
+        conns, cuts = _scan_connectives(expr)
         if not conns:
             # no connective: claim only the standalone negation form
             # ``filter (!(simple))`` — everything else falls through to

@@ -2397,6 +2397,32 @@ def test_boolop_connective_inside_iri_not_split():
     assert f2.kind == "boolop" and f2.op == "||" and len(f2.parts) == 2
 
 
+def test_boolop_nested_tree_shapes():
+    """The connective grammar is RECURSIVE: grouped sub-expressions and
+    !(…) parse to nested boolop trees, and ! binds tighter than the
+    connectives (``!(A) || B`` is ``(!A) || B``, not ``!(A || B)``)."""
+
+    def shape(f):
+        if f.kind == "boolop":
+            return (f.op, [shape(p) for p in f.parts])
+        return f.kind
+
+    def one(q):
+        (f,) = parse_sparql(q).filters
+        return shape(f)
+
+    base = "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter %s }"
+    assert one(base % "(!(?SZ < 10 || ?SZ > 40))") == ("!", [("||", ["arith", "arith"])])
+    assert one(base % "((?SZ < 10 || ?SZ > 40) && ?SZ != 25)") == (
+        "&&", [("||", ["arith", "arith"]), "arith"])
+    assert one(base % "(!(?SZ < 10) || ?SZ = 5)") == ("||", [("!", ["arith"]), "arith"])
+    # ungrouped mixed connectives stay rejected at every nesting level
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(base % "(?SZ < 10 || ?SZ > 40 && ?SZ != 45)")
+    with pytest.raises(SparqlSyntaxError):
+        parse_sparql(base % "(!(?SZ < 10 || ?SZ > 40 && ?SZ != 45))")
+
+
 @pytest.mark.parametrize(
     "qtext",
     [
@@ -2419,8 +2445,28 @@ def test_boolop_connective_inside_iri_not_split():
         # parenthesized operands
         "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
         " filter ((?N = <nation:1>) || (?N = <nation:7>)) }",
+        # De Morgan: NOT over a grouped disjunction
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter (!(?N = <nation:1> || ?N = <nation:7>)) }",
+        # grouped disjunction under a conjunction (mixed via grouping)
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ ."
+        " filter ((?SZ < 10 || ?SZ > 40) && ?SZ != 25) }",
+        # grouped conjunction as the second operand
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ ."
+        " filter (?SZ < 10 || (?SZ > 40 && ?SZ != 45)) }",
+        # negated operands inside a conjunction
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ ."
+        " filter (!(?SZ < 30) && !(?SZ > 35)) }",
+        # NOT over a conjunction with an OPTIONAL-unbound operand: SQL
+        # NOT(NULL AND …) 3VL matches SPARQL !(error && …) on both engines
+        "select ?C ?O where { ?C type Customer . optional { ?O placedBy ?C ."
+        " ?O priority <1-URGENT> } . filter (!(bound(?O) && ?C != <customer:1>)) }",
     ],
-    ids=["or-cmp", "or-arith", "or-bound-3vl", "and-in-range", "or-arith2", "or-parens"],
+    ids=[
+        "or-cmp", "or-arith", "or-bound-3vl", "and-in-range", "or-arith2",
+        "or-parens", "not-or", "group-and", "group-or", "not-and-not",
+        "not-over-and-3vl",
+    ],
 )
 def test_boolop_oracle_match(engine, duck, qtext):
     assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(parse_sparql(qtext)))
