@@ -612,6 +612,35 @@ _DP_MAX_CONDITIONS = 13
 #: estimated cardinality is under this many rows (≤ 3 longs/row → ≤ 24 MB)
 _BCAST_CARTESIAN_MAX_ROWS = 1_000_000
 
+#: broadcast-hint a pattern scan into its equi-join when its predicate edge
+#: set's EXACT count stays under this (≤ 2 longs/row → ≤ 16 MB build side)
+_BCAST_JOIN_MAX_ROWS = 1_000_000
+
+
+def _bcast_pattern_ok(stats: "TripleStats | None", store: TripleStore, cond: Condition) -> bool:
+    """Whether a pattern scan is SAFE to broadcast-hint into its equi-join.
+
+    Catalyst size-estimates every predicate-filtered scan of the open
+    triples relation at the WHOLE file (no column stats), so a 20 k-row
+    ``size`` pattern sort-merges — five shuffles in the pair queries —
+    unless the translator, which holds exact per-predicate counts (P7/P8
+    stats), hints the broadcast itself.  The gate is the predicate edge
+    set's EXACT count: an upper bound on the scan result under any
+    additional slot constant, so the hint is safe regardless of the
+    independence model's errors — and at growing data scale the count
+    crosses the threshold and the gate turns itself off.  Path-closure
+    patterns are excluded (the derived closure pair frame can exceed the
+    edge count); var/negated predicates have no small exact bound."""
+    if stats is None or cond.pred.is_var or cond.pred.is_negated or cond.pred.is_path_closure:
+        return False
+    preds = cond.pred.alternatives if cond.pred.is_alternation else (cond.pred.lexical,)
+    total = 0
+    for x in preds:
+        st = stats.per_pred.get(store.resolve(x))
+        if st is not None:
+            total += st.count
+    return total <= _BCAST_JOIN_MAX_ROWS
+
 
 def greedy_order(conditions: list[Condition], est: dict[int, float]) -> list[Condition]:
     """Smallest-first greedy: start at the cheapest pattern, then repeatedly
@@ -659,6 +688,8 @@ def _join_group(
         else:
             shared = sorted(bound & set(cond.variables()))
             if shared:
+                if _bcast_pattern_ok(stats, store, cond):
+                    cdf = F.broadcast(cdf)
                 plan = plan.join(cdf, on=shared)
             else:
                 # Disconnected component (reference O7: bag-union cross

@@ -101,6 +101,37 @@ def test_sparql_constant_predicate_pushdown(engine):
     assert "PushedFilters" in plan
 
 
+def test_sparql_pattern_broadcast_gate(engine):
+    """The translator broadcast-hints a pattern scan into its equi-join
+    when the predicate edge set's EXACT stats count is under
+    _BCAST_JOIN_MAX_ROWS (Catalyst sizes every filtered scan of the open
+    triples relation at the whole file, so it would sort-merge without
+    the hint), and withholds the hint above the bound or where no exact
+    bound exists (var predicate, path closure)."""
+    from dream_spark.plans.sparql import parse_sparql
+    from dream_spark.plans.stats import PredStat, TripleStats
+    from dream_spark.plans.translator import _bcast_pattern_ok
+
+    # physical assertion: the size-attach join of a pair query broadcasts
+    p = engine.sparql(
+        "select ?P ?SZ ?NM where { ?P size ?SZ . ?P name ?NM }", decode=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    # unit direction checks on the gate itself
+    store = engine.store
+    big = TripleStats({store.resolve("size"): PredStat(10_000_000, 1, 1)}, 10_000_000)
+    small = TripleStats({store.resolve("size"): PredStat(20_000, 1, 1)}, 20_000)
+    cond = parse_sparql("select ?P ?SZ where { ?P size ?SZ }").conditions[0]
+    assert _bcast_pattern_ok(small, store, cond)
+    assert not _bcast_pattern_ok(big, store, cond)       # above the bound
+    assert not _bcast_pattern_ok(None, store, cond)      # no stats
+    varp = parse_sparql("select ?P ?X ?O where { ?P ?X ?O }").conditions[0]
+    assert not _bcast_pattern_ok(small, store, varp)     # var pred: no bound
+    closure = parse_sparql("select ?A ?B where { ?A inRegion* ?B }").conditions[0]
+    assert not _bcast_pattern_ok(small, store, closure)  # closure > edges
+
+
 def test_knn_corpus_not_shuffled(spark, queries):
     """Brute-force kNN broadcasts the query side; the corpus scan must feed
     the join without an Exchange (no corpus shuffle at any scale)."""
