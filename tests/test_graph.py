@@ -50,3 +50,19 @@ def test_degree_histogram_mass(spark):
     rows = G.graph_degree(spark, SF_DIR).collect()
     assert sum(r["n_nodes"] for r in rows) == n_nodes
     assert sum(r["outdeg"] * r["n_nodes"] for r in rows) == n_edges
+
+
+def test_triangles_match_naive_enumeration(spark):
+    """Algorithmic cross-validation INSIDE Spark (independent of the
+    DuckDB oracle): the compact-forward degree-ordered count equals the
+    naive a<b<c three-way edge self-join, and the census totals reconcile
+    with the edge frame itself."""
+    e = G.copurchase_edges(spark, SF_DIR)
+    res = G.graph_triangles(spark, SF_DIR).collect()[0]
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    naive = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    assert res["n_triangles"] == naive
+    assert res["n_edges"] == e.count()
+    assert 3 * res["n_triangles"] <= res["n_wedges"]  # closed ≤ all wedges
