@@ -471,6 +471,89 @@ FROM quality q ANTI JOIN dropped d ON q.doc_id = d.doc_id
 PIPELINE_CURATE_SQL = _curate_sql()
 
 
+def canonicalize(docs: DataFrame) -> DataFrame:
+    """Quality-aware canonical selection per near-duplicate cluster, for
+    ANY ``(doc_id, text)`` DataFrame: every document maps to the surviving
+    representative of its cluster — the member with the HIGHEST composite
+    quality score (``text.features_of``), ties broken by lowest doc_id —
+    and unclustered documents map to themselves.  Output one row per
+    input document: ``(doc_id, canonical, kept)``, kept = 1 iff the
+    document IS its own canonical.  This is the keep-the-best-copy step a
+    training pipeline runs between near-dup clustering and tokenization
+    (``curate`` keeps min-doc_id instead — the cheap integer rule; this
+    operator trades one features pass for keeping the best-written copy).
+
+    The float quality_score is used ONLY as an ordering key: both engines
+    evaluate the identical IEEE expression (the shared fragment in
+    ``TEXT_FEATURES_SQL``) and ties fall back to doc_id, so the selection
+    is deterministic and the OUTPUT stays all-integer.
+
+    Scale shape: the cluster table is duplicate-set-sized (orders of
+    magnitude under the corpus), so the rank window partitions tiny
+    groups; the corpus-wide work is one features pass (token explode +
+    partial-agg) and one id-keyed left join whose build side (the mapped
+    duplicates) broadcasts at any realistic dup rate."""
+    from dream_spark.operators.dedup import duplicate_clusters
+    from dream_spark.operators.text import features_of
+
+    cc = duplicate_clusters(docs)
+    q = features_of(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    canon = (
+        cc.join(q, on="doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical"))
+    )
+    mapped = cc.join(canon, on="cluster_id").select("doc_id", "canonical")
+    out_canon = F.coalesce(F.col("canonical"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(mapped, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            out_canon.alias("canonical"),
+            F.when(out_canon == F.col("doc_id"), 1).otherwise(0).cast("bigint").alias("kept"),
+        )
+    )
+
+
+def pipeline_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``canonicalize`` over the documents table."""
+    return canonicalize(load_table(spark, sf_dir, "documents"))
+
+
+def _canonicalize_sql() -> str:
+    from dream_spark.operators.dedup import DEDUP_CLUSTERS_SQL
+    from dream_spark.operators.text import TEXT_FEATURES_SQL
+
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+feats AS ({TEXT_FEATURES_SQL}),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY f.quality_score DESC, c.doc_id
+         ) AS rk
+  FROM clusters c JOIN feats f USING (doc_id)
+),
+canon AS (SELECT cluster_id, doc_id AS canonical FROM ranked WHERE rk = 1),
+mapped AS (
+  SELECT c.doc_id, can.canonical FROM clusters c JOIN canon can USING (cluster_id)
+)
+SELECT d.doc_id,
+       COALESCE(m.canonical, d.doc_id) AS canonical,
+       CAST(CASE WHEN COALESCE(m.canonical, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM documents d LEFT JOIN mapped m ON m.doc_id = d.doc_id
+""".strip()
+
+
+PIPELINE_CANONICALIZE_SQL = _canonicalize_sql()
+
+
 #: benchmark-contamination n-gram order (word n-grams; 13 is the common
 #: eval-decontamination choice on natural text — 3 here because the
 #: synthetic docs are ~50 tokens over a tiny vocabulary)
@@ -1056,6 +1139,7 @@ QUERIES = {
     "pipeline_tfidf": pipeline_tfidf,
     "pipeline_bigrams": pipeline_bigrams,
     "pipeline_curate": pipeline_curate,
+    "pipeline_canonicalize": pipeline_canonicalize,
     "pipeline_chunks": pipeline_chunks,
     "pipeline_shards": pipeline_shards,
     "pipeline_mixture": pipeline_mixture,
@@ -1076,6 +1160,7 @@ ORACLES = {
     "pipeline_tfidf": PIPELINE_TFIDF_SQL,
     "pipeline_bigrams": PIPELINE_BIGRAMS_SQL,
     "pipeline_curate": PIPELINE_CURATE_SQL,
+    "pipeline_canonicalize": PIPELINE_CANONICALIZE_SQL,
     "pipeline_chunks": PIPELINE_CHUNKS_SQL,
     "pipeline_shards": PIPELINE_SHARDS_SQL,
     "pipeline_mixture": PIPELINE_MIXTURE_SQL,

@@ -121,6 +121,34 @@ def test_curate_invariants(spark):
     assert len(kept) == len(set(kept))
 
 
+def test_canonicalize_invariants(spark):
+    """Every document maps somewhere; canonicals map to themselves; within
+    a cluster the chosen canonical really has the (quality, -doc_id)-max
+    score; unclustered documents are their own canonical."""
+    from dream_spark.operators.dedup import duplicate_clusters
+    from dream_spark.operators.text import features_of
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = P.pipeline_canonicalize(spark, SF_DIR).collect()
+    assert len(rows) == docs.count()
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert (r["kept"] == 1) == (r["canonical"] == r["doc_id"])
+        # the canonical target is itself kept
+        assert by_id[r["canonical"]]["kept"] == 1
+    clusters = {}
+    for r in duplicate_clusters(docs).collect():
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    q = {r["doc_id"]: r["quality_score"] for r in features_of(docs).collect()}
+    for members in clusters.values():
+        canon = by_id[members[0]]["canonical"]
+        assert all(by_id[m]["canonical"] == canon for m in members)
+        best = sorted(members, key=lambda d: (-q[d], d))[0]
+        assert canon == best
+    unclustered = set(by_id) - {m for ms in clusters.values() for m in ms}
+    assert all(by_id[d]["canonical"] == d for d in unclustered)
+
+
 def test_mixture_sample_rates_and_determinism(spark):
     """Per-source keep decisions: rate-0 sources vanish, rate-1M sources
     survive whole, everything is a subset of the corpus, and two runs
