@@ -374,11 +374,67 @@ FROM seq WHERE us - prev_us > {GAP_MIN * 60 * 1_000_000}
 """.strip()
 
 
+#: one cohort/activity bucket in integer microseconds (7 days)
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly cohort retention: ``(cohort_week, week_offset, n_users)`` —
+    of the users whose FIRST event fell in ``cohort_week``, how many were
+    active again ``week_offset`` weeks later (offset 0 = the cohort size
+    itself).  The standard product-analytics retention triangle.
+
+    Weeks are ``epoch_µs div WEEK_US`` — plain integer buckets, NOT
+    calendar ISO weeks, so both engines bucket identically with no
+    timezone/week-numbering semantics in play.  Scale shape: one distinct
+    (user, week) shuffle (activity), one min-aggregate on user (cohorts),
+    then a user-keyed join (the cohort table is #users rows — far under
+    the event count and independent of history length) and one
+    partial-agg rollup to the at-most-#weeks² result."""
+    us = epoch_micros(events, ts_col)
+    act = (
+        events.select(F.col(user_col).alias("u"), us.alias("__us"))
+        # exact int64 division (`div`, mirroring DuckDB `//`): a double
+        # `/`-then-cast could round across a bucket boundary
+        .select("u", F.expr(f"__us div {WEEK_US}").alias("wk"))
+        .distinct()
+    )
+    cohort = act.groupBy("u").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(cohort, on="u")
+        .groupBy(
+            F.col("cohort_wk").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def temporal_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: weekly cohort retention over events."""
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+TEMPORAL_RETENTION_SQL = f"""
+WITH act AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // {WEEK_US} AS wk FROM events
+),
+cohort AS (SELECT u, MIN(wk) AS cohort_wk FROM act GROUP BY u)
+SELECT c.cohort_wk AS cohort_week, a.wk - c.cohort_wk AS week_offset,
+       COUNT(*) AS n_users
+FROM act a JOIN cohort c USING (u)
+GROUP BY cohort_week, week_offset
+""".strip()
+
+
 QUERIES = {
     "temporal_asof": asof_click_attribution,
     "temporal_range": range_join_attribution,
     "temporal_funnel": funnel_events,
     "temporal_gaps": temporal_gaps,
+    "temporal_retention": temporal_retention,
 }
 
 ORACLES = {
@@ -386,4 +442,5 @@ ORACLES = {
     "temporal_range": RANGE_SQL,
     "temporal_funnel": FUNNEL_SQL,
     "temporal_gaps": TEMPORAL_GAPS_SQL,
+    "temporal_retention": TEMPORAL_RETENTION_SQL,
 }

@@ -115,3 +115,22 @@ def test_gaps_are_consecutive_pairs(spark):
         for r in temporal_gaps(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_retention_triangle_invariants(spark):
+    """Offset-0 mass equals each cohort's size (every user is active in
+    their own first week by construction), every later offset is bounded
+    by it, and the user masses reconcile with the distinct-user count."""
+    from dream_spark.operators.temporal import temporal_retention
+    from dream_spark.sources.tables import load_table
+
+    rows = temporal_retention(spark, SF_DIR).collect()
+    base = {r["cohort_week"]: r["n_users"] for r in rows if r["week_offset"] == 0}
+    assert all(r["week_offset"] >= 0 for r in rows)
+    for r in rows:
+        assert r["cohort_week"] in base
+        assert r["n_users"] <= base[r["cohort_week"]]
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(base.values()) == n_users  # cohorts partition the user set
