@@ -559,6 +559,15 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " filter ((?SZ < 10 || ?SZ > 40) && ?SZ != 25) }",
         False,
     ),
+    # sameTerm (§17.4.1.8): syntactic term identity — over the bijective
+    # dictionary encoding it IS id equality, so it lowers like `=`; the
+    # negated form here is the common not-this-term idiom
+    "sparql_sameterm": (
+        "select ?L ?S ?C where { ?L suppliedBy ?S . ?L ofOrder ?O ."
+        " ?O placedBy ?C . ?C inNation ?N1 . ?S inNation ?N2 ."
+        " filter (sameTerm(?N1, ?N2)) }",
+        False,
+    ),
     # NESTED OPTIONAL (§18.2.2.6 LeftJoin(A, LeftJoin(B, …))): the
     # customer→order→lineitem chain where each level may be missing — the
     # inner group left-joins INSIDE the outer group before the outer
@@ -655,11 +664,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sparql_order_desc, sparql_sum_bind, sparql_values_undef,
 #   sparql_nested_optional, sparql_filter_replace, graph_degree,
 #   graph_triangles, pipeline_canonicalize, temporal_retention,
+#   sparql_sameterm, rel_window_ntile,
 #   rel_grouping_sets, pipeline_lengths, pipeline_dup_rate,
 #   dedup_cross_source, knn_filtered, temporal_gaps, text_winnow,
 #   sparql_filter_or, sparql_filter_or_arith, sparql_filter_not,
 #   sparql_filter_not_or, sparql_filter_grouped_bool, graph_triangles,
-#   pipeline_canonicalize, temporal_retention
+#   pipeline_canonicalize, temporal_retention, sparql_sameterm,
+#   rel_window_ntile
 # That leaves 28 spare r6 seats for re-verifying whatever r6 changes.
 PRIORITY_ORDER = [
     # --- the 26-entry never-green queue (18 grammar variants) ---

@@ -174,6 +174,46 @@ def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: per order-priority quartile population and exact
+    DECIMAL price boundaries — the percentile-bucket analysis SQL
+    analysts run before choosing skew thresholds.
+
+    NTILE(4) over a TOTAL order (DECIMAL price, key tiebreak) is
+    deterministic and identically defined on both engines (equal buckets,
+    remainder to the leading buckets); aggregating the buckets keeps the
+    output at 4 rows per priority with exact-decimal min/max boundaries,
+    so no float comparison exists anywhere.  One shuffle on the priority
+    key; the quartile aggregate is partial-agg on (priority, quartile)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        _dec("o_totalprice", _PRICE).asc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("q", F.ntile(4).over(w).cast("bigint"))
+        .groupBy("o_orderpriority", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(_dec("o_totalprice", _PRICE)).cast("double").alias("lo_price"),
+            F.max(_dec("o_totalprice", _PRICE)).cast("double").alias("hi_price"),
+        )
+    )
+
+
+WINDOW_NTILE_SQL = f"""
+SELECT o_orderpriority, q, COUNT(*) AS n_orders,
+       CAST(MIN(CAST(o_totalprice AS {_PRICE})) AS DOUBLE) AS lo_price,
+       CAST(MAX(CAST(o_totalprice AS {_PRICE})) AS DOUBLE) AS hi_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                             ORDER BY CAST(o_totalprice AS {_PRICE}), o_orderkey) AS BIGINT) AS q
+  FROM orders
+) t
+GROUP BY o_orderpriority, q
+""".strip()
+
+
 WINDOW_TOP_SQL = f"""
 SELECT o_custkey, o_orderkey,
        CAST(CAST(o_totalprice AS {_PRICE}) AS DOUBLE) AS totalprice, rk
@@ -1192,6 +1232,7 @@ QUERIES = {
     "rel_q3_top10": q3_shipping_priority,
     "rel_q5_cycle": q5_local_supplier_volume,
     "rel_window_top3": window_top_orders,
+    "rel_window_ntile": window_ntile_quartiles,
     "rel_window_running": window_running_spend,
     "rel_window_delta": window_order_deltas,
     "rel_events_hourly": events_hourly,
@@ -1231,6 +1272,7 @@ ORACLES = {
     "rel_q3_top10": Q3_SQL,
     "rel_q5_cycle": Q5_SQL,
     "rel_window_top3": WINDOW_TOP_SQL,
+    "rel_window_ntile": WINDOW_NTILE_SQL,
     "rel_window_running": WINDOW_RUNNING_SQL,
     "rel_window_delta": WINDOW_DELTA_SQL,
     "rel_events_hourly": EVENTS_HOURLY_SQL,

@@ -1373,6 +1373,17 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
             if len(set(lex)) != len(lex):
                 raise SparqlSyntaxError("duplicate constants in IN list")
             return Filter(kind="in", var=m2.group(1)[1:], op="!" if m2.group(2) else "", consts=lex)
+        # sameTerm as a connective atom — same id-equality lowering as the
+        # single-clause rule (dictionary bijection: sameTerm ≡ `=`)
+        m2 = re.fullmatch(
+            r"(?is)(!)?\s*sameterm\s*\(\s*(\?\w+)\s*,\s*(\?\w+|<[^>]*>|[^\s(),]+)\s*\)", txt
+        )
+        if m2:
+            var, rhs = m2.group(2)[1:], m2.group(3)
+            op = "!=" if m2.group(1) else "="
+            if rhs.startswith("?"):
+                return Filter(kind="cmp", var=var, op=op, rhs_var=rhs[1:])
+            return Filter(kind="cmp", var=var, op=op, rhs_const=Term(rhs).lexical)
         m2 = re.fullmatch(r"(?is)(\?\w+)\s*(!=|<=|>=|<|>|=)\s*(\?\w+|<[^>]*>|[^\s()]+)", txt)
         if m2:
             var, op, rhs = m2.group(1)[1:], m2.group(2), m2.group(3)
@@ -1678,6 +1689,26 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         body,
     )
     body = re.sub(r'(?is)filter\s+regex\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*\)\s*\.?', _grab_regex, body)
+
+    def _grab_sameterm(m2: re.Match) -> str:
+        # sameTerm(a, b) (§17.4.1.8): syntactic term identity.  The
+        # dictionary encoding is a bijection terms↔ids, so sameTerm IS id
+        # equality — same lowering as `=` (which, over this engine's
+        # all-IRI/plain-literal value space, never does the numeric
+        # type-promotion that distinguishes the two in full SPARQL).
+        var, rhs = m2.group(2)[1:], m2.group(3)
+        op = "!=" if m2.group(1) else "="
+        if rhs.startswith("?"):
+            filters.append(Filter(kind="cmp", var=var, op=op, rhs_var=rhs[1:]))
+        else:
+            filters.append(Filter(kind="cmp", var=var, op=op, rhs_const=Term(rhs).lexical))
+        return " "
+
+    body = re.sub(
+        r"(?is)filter\s*\(\s*(!)?\s*sameterm\s*\(\s*(\?\w+)\s*,\s*(\?\w+|<[^>]*>|[^\s(),]+)\s*\)\s*\)\s*\.?",
+        _grab_sameterm,
+        body,
+    )
     body = re.sub(
         r"(?is)filter\s*\(\s*(\?\w+)\s*(!=|<=|>=|<|>|=)\s*(\?\w+|<[^>]*>|[^\s()]+)\s*\)\s*\.?",
         _grab_cmp,

@@ -2397,6 +2397,29 @@ def test_boolop_connective_inside_iri_not_split():
     assert f2.kind == "boolop" and f2.op == "||" and len(f2.parts) == 2
 
 
+@pytest.mark.parametrize(
+    "qtext",
+    [
+        # variable-variable identity (the samenation query via sameTerm)
+        "select ?L ?S ?C where { ?L suppliedBy ?S . ?L ofOrder ?O ."
+        " ?O placedBy ?C . ?C inNation ?N1 . ?S inNation ?N2 ."
+        " filter (sameTerm(?N1, ?N2)) }",
+        # negated constant identity (the not-this-term idiom)
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter (!sameTerm(?N, <nation:5>)) }",
+        # sameTerm atoms under a connective
+        "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
+        " filter (sameTerm(?N, <nation:1>) || sameTerm(?N, <nation:7>)) }",
+    ],
+    ids=["var-var", "not-const", "or-atoms"],
+)
+def test_sameterm_oracle(engine, duck, qtext):
+    """sameTerm is id equality under the bijective dictionary encoding —
+    lowered exactly like `=` on both engines (§17.4.1.8)."""
+    q = parse_sparql(qtext)
+    assert_oracle_match(engine.sparql(qtext, decode=False), duck, bgp_to_sql(q, decode=False))
+
+
 def test_boolop_nested_tree_shapes():
     """The connective grammar is RECURSIVE: grouped sub-expressions and
     !(…) parse to nested boolop trees, and ! binds tighter than the
