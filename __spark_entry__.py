@@ -664,13 +664,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sparql_order_desc, sparql_sum_bind, sparql_values_undef,
 #   sparql_nested_optional, sparql_filter_replace, graph_degree,
 #   graph_triangles, pipeline_canonicalize, temporal_retention,
-#   sparql_sameterm, rel_window_ntile,
+#   sparql_sameterm, rel_window_ntile, sketch_bloom,
 #   rel_grouping_sets, pipeline_lengths, pipeline_dup_rate,
 #   dedup_cross_source, knn_filtered, temporal_gaps, text_winnow,
 #   sparql_filter_or, sparql_filter_or_arith, sparql_filter_not,
 #   sparql_filter_not_or, sparql_filter_grouped_bool, graph_triangles,
 #   pipeline_canonicalize, temporal_retention, sparql_sameterm,
-#   rel_window_ntile
+#   rel_window_ntile, sketch_bloom
 # That leaves 28 spare r6 seats for re-verifying whatever r6 changes.
 PRIORITY_ORDER = [
     # --- the 26-entry never-green queue (18 grammar variants) ---

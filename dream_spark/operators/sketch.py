@@ -565,7 +565,118 @@ FROM nc CROSS JOIN th
 """.strip()
 
 
+#: Bloom filter geometry: m bits, k hash functions.  m is a CONSTANT —
+#: the whole point of the sketch is state bounded independent of data size
+BLOOM_M = 4096
+BLOOM_K = 3
+#: universal-hash function indices reserved for the bloom positions
+_BLOOM_HASH_BASE = 7
+#: the build source (the "seen corpus" whose membership the filter answers)
+BLOOM_BUILD_SOURCE = "src0"
+#: document membership key: Horner pack of the text prefix (shared exact
+#: fragment on both engines; collisions are just part of the hash)
+_BLOOM_KEY_CHARS = 24
+
+
+def _bloom_positions_sql(key_expr: str) -> list[str]:
+    from dream_spark.functions.hashing import hash_sql as _h
+
+    return [f"({_h(key_expr, _BLOOM_HASH_BASE + i)} % {BLOOM_M})" for i in range(BLOOM_K)]
+
+
+def bloom_probe(docs: DataFrame) -> DataFrame:
+    """Bloom-filter membership probe: build an ``m``-bit / ``k``-hash Bloom
+    filter over the ``BLOOM_BUILD_SOURCE`` documents' content keys, probe
+    every OTHER source's documents against it, and report per-source
+    ``(n_docs, n_maybe_seen)`` — the have-we-crawled-this-before gate of a
+    dedup-at-ingest pipeline.
+
+    Both engines compute the identical universal-hash bit positions, so
+    even the FALSE POSITIVES are deterministic and the oracle hash-match
+    is exact — the cross-check proves implementation equality, and the
+    false-positive RATE follows from the standard (1-e^{-kn/m})^k bound.
+
+    Scale shape: the filter is the set of SET BIT POSITIONS — at most
+    ``m`` rows (a constant, here 4096) regardless of corpus size — so the
+    build side always broadcasts and merging filters is a distinct-union.
+    The probe side is map-only (k positions per doc) into a broadcast
+    semi-probe plus one partial-agg rollup; nothing corpus-sized ever
+    shuffles."""
+    from dream_spark.functions.features import pack_sql
+
+    key = pack_sql("text", _BLOOM_KEY_CHARS)
+    pos_sqls = _bloom_positions_sql(key)
+    pos_frames = [
+        docs.select("doc_id", "source", F.expr(p).alias("pos")) for p in pos_sqls
+    ]
+    pos = pos_frames[0]
+    for f in pos_frames[1:]:
+        pos = pos.unionByName(f)
+    pos = pos.distinct()  # a doc's duplicate positions collapse (bit set once)
+    bits = (
+        pos.where(F.col("source") == BLOOM_BUILD_SOURCE)
+        .select("pos")
+        .distinct()  # ≤ BLOOM_M rows — the broadcastable filter itself
+    )
+    probe = pos.where(F.col("source") != BLOOM_BUILD_SOURCE)
+    per_doc = (
+        probe.join(F.broadcast(bits.withColumnRenamed("pos", "hit_pos")),
+                   probe.pos == F.col("hit_pos"), "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.count("hit_pos").alias("n_hit"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_hit") == F.col("n_pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_maybe_seen"),
+        )
+    )
+
+
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``bloom_probe`` over the documents table."""
+    return bloom_probe(load_table(spark, sf_dir, "documents"))
+
+
+def _bloom_sql() -> str:
+    from dream_spark.functions.features import pack_sql
+
+    key = pack_sql("text", _BLOOM_KEY_CHARS)
+    pos_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, source, {p} AS pos FROM documents"
+        for p in _bloom_positions_sql(key)
+    )
+    return f"""
+WITH pos AS (
+  SELECT DISTINCT doc_id, source, pos FROM (
+{pos_union}
+  )
+),
+bits AS (SELECT DISTINCT pos FROM pos WHERE source = '{BLOOM_BUILD_SOURCE}'),
+per_doc AS (
+  SELECT p.doc_id, p.source,
+         COUNT(*) AS n_pos,
+         COUNT(b.pos) AS n_hit
+  FROM pos p LEFT JOIN bits b ON b.pos = p.pos
+  WHERE p.source <> '{BLOOM_BUILD_SOURCE}'
+  GROUP BY p.doc_id, p.source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe_seen
+FROM per_doc GROUP BY source
+""".strip()
+
+
+SKETCH_BLOOM_SQL = _bloom_sql()
+
 QUERIES = {
+    "sketch_bloom": sketch_bloom,
     "sketch_kmv_users": sketch_kmv_users,
     "sketch_kmv_hourly": sketch_kmv_hourly,
     "sketch_quantiles": sketch_quantiles,
@@ -576,6 +687,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch_bloom": SKETCH_BLOOM_SQL,
     "sketch_kmv_users": SKETCH_KMV_SQL,
     "sketch_kmv_hourly": SKETCH_KMV_HOURLY_SQL,
     "sketch_quantiles": SKETCH_QUANTILES_SQL,

