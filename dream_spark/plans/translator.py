@@ -875,6 +875,17 @@ def translate(
             )
         sub = translate(store, query.subquery, stats, decode=False)
         shared = sorted(bound & set(query.subquery.projection))
+        # the common analytic shape joins the #groups-sized aggregate with
+        # ONE dimension-like outer pattern: that pattern's exact edge count
+        # bounds the outer side, so hint the broadcast the same way
+        # _join_group does (a multi-pattern outer group has no cheap exact
+        # bound — joins can multiply — so it takes the keyed join)
+        if (
+            not query.union_branches
+            and len(query.conditions) == 1
+            and _bcast_pattern_ok(stats, store, query.conditions[0])
+        ):
+            plan = F.broadcast(plan)
         plan = plan.join(sub, on=shared)
         bound |= set(query.subquery.projection)
 
