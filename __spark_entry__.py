@@ -654,24 +654,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #     yielded SPARQL seats re-verified far more deeply.
 #
 # r6 queue: EMPTY for pre-r5 entries — any pre-r5 entry without a green row
-# after this round is a regression, not a rotation artifact.  The 22
+# after this round is a regression, not a rotation artifact.  The 30
 # entries ADDED during r5 (after the cap below was frozen) form the entire
 # r6 rotation queue; every one is check_entry-green at sf0.01 this round
-# (the r5 full sweep was 172/172 ok, and the 4 added after it were checked
-# individually):
+# (the r5 closing full sweep was 188/188 ok):
 #   sketch_kmv_overlap, sparql_filter_strends, sparql_filter_in,
 #   sparql_filter_not_in, sparql_filter_strafter, sparql_filter_abs,
 #   sparql_order_desc, sparql_sum_bind, sparql_values_undef,
 #   sparql_nested_optional, sparql_filter_replace, graph_degree,
-#   graph_triangles, pipeline_canonicalize, temporal_retention,
-#   sparql_sameterm, rel_window_ntile, sketch_bloom,
 #   rel_grouping_sets, pipeline_lengths, pipeline_dup_rate,
 #   dedup_cross_source, knn_filtered, temporal_gaps, text_winnow,
 #   sparql_filter_or, sparql_filter_or_arith, sparql_filter_not,
 #   sparql_filter_not_or, sparql_filter_grouped_bool, graph_triangles,
 #   pipeline_canonicalize, temporal_retention, sparql_sameterm,
 #   rel_window_ntile, sketch_bloom
-# That leaves 28 spare r6 seats for re-verifying whatever r6 changes.
+# That leaves 20 spare r6 seats for re-verifying whatever r6 changes.
 PRIORITY_ORDER = [
     # --- the 26-entry never-green queue (18 grammar variants) ---
     "sparql_paged", "sparql_minmax", "sparql_values", "sparql_values_rows",

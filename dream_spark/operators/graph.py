@@ -337,8 +337,9 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     neighbors under the (deg, id) DEGREE ORDERING (edges point from the
     lower-(deg,id) endpoint), which caps every array at O(√m) entries
     regardless of hub skew — the bound the compact-forward triangle count
-    rests on.  The degree table is node-count-sized and broadcasts into
-    both orientation attach joins."""
+    rests on.  The degree table is node-count-sized and size-gate-
+    broadcasts into both orientation attach joins (keyed join past the
+    gate)."""
     from dream_spark.operators.dedup import _shared_artifact
 
     key = (id(spark), sf_dir)
@@ -355,14 +356,23 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     )
 
     def _adj() -> DataFrame:
-        da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
-        db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+        from dream_spark.functions.joins import broadcast_if_small
+
+        n_nodes = deg.count()  # persisted artifact: cheap cached-scan count
+        da = broadcast_if_small(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("dega")),
+            known_count=n_nodes,
+        )
+        db = broadcast_if_small(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("degb")),
+            known_count=n_nodes,
+        )
         fwd = (F.col("dega") < F.col("degb")) | (
             (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
         )
         oriented = (
-            e.join(F.broadcast(da), on="a")
-            .join(F.broadcast(db), on="b")
+            e.join(da, on="a")
+            .join(db, on="b")
             .select(
                 F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
                 F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
@@ -386,27 +396,35 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointing at the other two (its lowest-(deg,id) corner), so the sum
     counts every triangle once.  Intermediates stay EDGE-sized (two
     O(√m)-bounded arrays ride each edge row); the Σ C(outdeg,2) wedge
-    stream is never enumerated as rows.  The adjacency table is
-    node-count-sized and size-gate-broadcast into both attach joins
-    (keyed edge-count shuffle past the gate — still never wedge-sized).
+    stream is never enumerated as rows.  The adjacency attach joins are
+    size-gate-broadcast on the EDGE count (the broadcast payload is the
+    total array-entry count, not the row count); past the gate they
+    degrade to keyed edge-count shuffles — still never wedge-sized.
     The oracle counts the same triangles with the plain a<b<c triple
     self-join — identical value, no orientation needed at oracle scale."""
     from dream_spark.functions.joins import broadcast_if_small
 
     e, deg, adj = _copurchase_graph(spark, sf_dir)
-    n_nodes = adj.count()  # persisted artifact: a cheap cached-scan count
+    # the gate must measure the broadcast PAYLOAD, which for adjacency is
+    # the total array-entry count = the EDGE count (each adj row carries an
+    # O(√m) array; a node-row gate would pass a many-nodes/more-edges graph
+    # whose arrays total far over the bound) — e is persisted, so this is a
+    # cheap cached-scan count
+    n_edges_gate = e.count()
     stats1 = deg.agg(
-        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges"),
+        F.coalesce((F.sum("deg") / 2).cast("bigint"), F.lit(0)).alias("n_edges"),
+        F.coalesce(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint"), F.lit(0)
+        ).alias("n_wedges"),
     )
     oriented = adj.select("src", F.explode("nb").alias("dst"))
     adj_u = broadcast_if_small(
         adj.select(F.col("src").alias("__u"), F.col("nb").alias("nu")),
-        known_count=n_nodes,
+        known_count=n_edges_gate,
     )
     adj_v = broadcast_if_small(
         adj.select(F.col("src").alias("__v"), F.col("nb").alias("nv")),
-        known_count=n_nodes,
+        known_count=n_edges_gate,
     )
     tri = (
         oriented

@@ -597,44 +597,39 @@ def bloom_probe(docs: DataFrame) -> DataFrame:
     false-positive RATE follows from the standard (1-e^{-kn/m})^k bound.
 
     Scale shape: the filter is the set of SET BIT POSITIONS — at most
-    ``m`` rows (a constant, here 4096) regardless of corpus size — so the
-    build side always broadcasts and merging filters is a distinct-union.
-    The probe side is map-only (k positions per doc) into a broadcast
-    semi-probe plus one partial-agg rollup; nothing corpus-sized ever
-    shuffles."""
+    ``m`` values (a constant, here 4096) regardless of corpus size — so
+    it collapses to a bounded driver-side literal (same bounded-collect
+    contract as the DESCRIBE inline-IN gate: ≤ 8·m bytes ride the task
+    closure) and merging filters is a distinct-union.  The build pass is
+    one distinct whose output is ≤ m rows (map-side partial distinct
+    reduces every partition to ≤ m values before the exchange); the probe
+    is then fully ROW-LOCAL — each doc's k positions live in one in-row
+    array tested against the literal with array_except — so the only
+    probe-side shuffle is the #sources-row partial-agg rollup.  Nothing
+    corpus-sized ever shuffles."""
     from dream_spark.functions.features import pack_sql
 
     key = pack_sql("text", _BLOOM_KEY_CHARS)
     pos_sqls = _bloom_positions_sql(key)
-    pos_frames = [
-        docs.select("doc_id", "source", F.expr(p).alias("pos")) for p in pos_sqls
-    ]
-    pos = pos_frames[0]
-    for f in pos_frames[1:]:
-        pos = pos.unionByName(f)
-    pos = pos.distinct()  # a doc's duplicate positions collapse (bit set once)
-    bits = (
-        pos.where(F.col("source") == BLOOM_BUILD_SOURCE)
-        .select("pos")
-        .distinct()  # ≤ BLOOM_M rows — the broadcastable filter itself
+    pos_arr = F.array_distinct(F.array(*[F.expr(p) for p in pos_sqls]))
+    bits = sorted(
+        r["pos"]
+        for r in docs.where(F.col("source") == BLOOM_BUILD_SOURCE)
+        .select(F.explode(pos_arr).alias("pos"))
+        .distinct()  # ≤ BLOOM_M distinct values: bounded collect
+        .collect()
     )
-    probe = pos.where(F.col("source") != BLOOM_BUILD_SOURCE)
-    per_doc = (
-        probe.join(F.broadcast(bits.withColumnRenamed("pos", "hit_pos")),
-                   probe.pos == F.col("hit_pos"), "left")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_pos"),
-            F.count("hit_pos").alias("n_hit"),
-        )
-    )
+    if bits:
+        hit = F.size(F.array_except(F.col("__ps"), F.lit(bits))) == 0
+    else:  # empty filter (no build docs): nothing is ever maybe-seen
+        hit = F.lit(False)
     return (
-        per_doc.groupBy("source")
+        docs.where(F.col("source") != BLOOM_BUILD_SOURCE)
+        .select("source", pos_arr.alias("__ps"))
+        .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("n_hit") == F.col("n_pos"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_maybe_seen"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_maybe_seen"),
         )
     )
 

@@ -1297,8 +1297,12 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         the string functions) cannot ride a disjunction — each would need
         its dict join applied unconditionally — and are rejected."""
         txt = txt.strip()
-        m2 = re.fullmatch(r"(?s)\((.*)\)", txt)
-        if m2 is not None and _balanced(m2.group(1)):
+        # strip ALL redundant outer paren layers (loop, not once): the
+        # recursive grammar legally produces ((A || B)) operands
+        while True:
+            m2 = re.fullmatch(r"(?s)\((.*)\)", txt)
+            if m2 is None or not _balanced(m2.group(1)):
+                break
             txt = m2.group(1).strip()
         # nested connectives FIRST — this makes the grammar fully
         # recursive: ``!(A || B)``, ``(A || B) && C``, and mixed

@@ -2439,6 +2439,9 @@ def test_boolop_nested_tree_shapes():
     assert one(base % "((?SZ < 10 || ?SZ > 40) && ?SZ != 25)") == (
         "&&", [("||", ["arith", "arith"]), "arith"])
     assert one(base % "(!(?SZ < 10) || ?SZ = 5)") == ("||", [("!", ["arith"]), "arith"])
+    # redundant DOUBLE parentheses around an operand: the strip loops
+    assert one(base % "(((?SZ < 10 || ?SZ > 40)) && ?SZ != 25)") == (
+        "&&", [("||", ["arith", "arith"]), "arith"])
     # ungrouped mixed connectives stay rejected at every nesting level
     with pytest.raises(SparqlSyntaxError):
         parse_sparql(base % "(?SZ < 10 || ?SZ > 40 && ?SZ != 45)")
