@@ -1062,6 +1062,94 @@ LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
 _LEN_BUCKET_SQL = "(LENGTH(BIN(n_chars)) - 1)"
 
 
+#: Gopher/C4-style rule thresholds (integer-exact forms: every ratio rule
+#: is cross-multiplied, so no float division reaches the oracle hash)
+RULE_MIN_WORDS = 10
+RULE_MAX_WORD_CHARS = 15
+RULE_MAX_SYMBOL_PCT = 20  # non-alphanumeric-non-space chars ≤ 20% of chars
+RULE_MAX_DIGIT_PCT = 20
+
+
+def quality_rules(docs: DataFrame) -> DataFrame:
+    """Gopher/C4-style heuristic rule battery for ANY ``(doc_id, text)``
+    DataFrame: per-document 0/1 flags for each rule plus the composite
+    gate — the explainable quality filter a curation pipeline runs before
+    any model-based scoring (each rule's pass rate is monitorable on its
+    own, unlike a single opaque score).
+
+    Rules (all INTEGER-exact — ratios are cross-multiplied):
+      r_minwords : ≥ RULE_MIN_WORDS whitespace tokens;
+      r_wordlen  : longest token ≤ RULE_MAX_WORD_CHARS chars;
+      r_symbol   : non-alphanumeric-non-space chars ≤ 20% of chars;
+      r_digit    : digit chars ≤ 20% of chars;
+      pass       : every rule holds.
+
+    Scale shape: one token explode with a per-doc partial aggregation
+    (count + max length — both map-side combinable) joined back to the
+    map-only char-class counters; the join is doc-keyed and 1:1.  Empty
+    documents fail r_minwords and keep a row (left join + coalesce)."""
+    toks = tokens(docs)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.max(F.length("tok")).alias("max_tok"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).cast("bigint").alias("n_sym"),
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("bigint").alias("n_digit"),
+    )
+    j = base.join(per_doc, on="doc_id", how="left").na.fill({"n_toks": 0, "max_tok": 0})
+    r_minwords = (F.col("n_toks") >= RULE_MIN_WORDS).cast("bigint")
+    r_wordlen = (F.col("max_tok") <= RULE_MAX_WORD_CHARS).cast("bigint")
+    r_symbol = (F.col("n_sym") * 100 <= F.col("n_chars") * RULE_MAX_SYMBOL_PCT).cast("bigint")
+    r_digit = (F.col("n_digit") * 100 <= F.col("n_chars") * RULE_MAX_DIGIT_PCT).cast("bigint")
+    return j.select(
+        "doc_id",
+        r_minwords.alias("r_minwords"),
+        r_wordlen.alias("r_wordlen"),
+        r_symbol.alias("r_symbol"),
+        r_digit.alias("r_digit"),
+        (r_minwords + r_wordlen + r_symbol + r_digit == 4).cast("bigint").alias("pass"),
+    )
+
+
+def pipeline_rulegate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``quality_rules`` over documents."""
+    return quality_rules(load_table(spark, sf_dir, "documents"))
+
+
+PIPELINE_RULEGATE_SQL = f"""
+WITH toks AS ({duck_tokens_cte()}),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_toks, MAX(LENGTH(tok)) AS max_tok
+  FROM toks GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym,
+         CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit
+  FROM documents
+),
+j AS (
+  SELECT b.doc_id, b.n_chars, b.n_sym, b.n_digit,
+         COALESCE(p.n_toks, 0) AS n_toks, COALESCE(p.max_tok, 0) AS max_tok
+  FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id
+)
+SELECT doc_id,
+       CAST(n_toks >= {RULE_MIN_WORDS} AS BIGINT) AS r_minwords,
+       CAST(max_tok <= {RULE_MAX_WORD_CHARS} AS BIGINT) AS r_wordlen,
+       CAST(n_sym * 100 <= n_chars * {RULE_MAX_SYMBOL_PCT} AS BIGINT) AS r_symbol,
+       CAST(n_digit * 100 <= n_chars * {RULE_MAX_DIGIT_PCT} AS BIGINT) AS r_digit,
+       CAST((CAST(n_toks >= {RULE_MIN_WORDS} AS INT)
+           + CAST(max_tok <= {RULE_MAX_WORD_CHARS} AS INT)
+           + CAST(n_sym * 100 <= n_chars * {RULE_MAX_SYMBOL_PCT} AS INT)
+           + CAST(n_digit * 100 <= n_chars * {RULE_MAX_DIGIT_PCT} AS INT)) = 4 AS BIGINT) AS pass
+FROM j
+""".strip()
+
+
 def length_histogram(docs: DataFrame) -> DataFrame:
     """Doc-length distribution per language in log2 buckets — the
     first-look corpus diagnostic (truncation cliffs, short-doc spam, and
@@ -1140,6 +1228,7 @@ QUERIES = {
     "pipeline_bigrams": pipeline_bigrams,
     "pipeline_curate": pipeline_curate,
     "pipeline_canonicalize": pipeline_canonicalize,
+    "pipeline_rulegate": pipeline_rulegate,
     "pipeline_chunks": pipeline_chunks,
     "pipeline_shards": pipeline_shards,
     "pipeline_mixture": pipeline_mixture,
@@ -1161,6 +1250,7 @@ ORACLES = {
     "pipeline_bigrams": PIPELINE_BIGRAMS_SQL,
     "pipeline_curate": PIPELINE_CURATE_SQL,
     "pipeline_canonicalize": PIPELINE_CANONICALIZE_SQL,
+    "pipeline_rulegate": PIPELINE_RULEGATE_SQL,
     "pipeline_chunks": PIPELINE_CHUNKS_SQL,
     "pipeline_shards": PIPELINE_SHARDS_SQL,
     "pipeline_mixture": PIPELINE_MIXTURE_SQL,

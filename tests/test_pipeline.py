@@ -342,3 +342,27 @@ def test_dup_rate_reconciles(spark):
     rows = P.pipeline_dup_rate(spark, SF_DIR).collect()
     assert sum(r["n_docs"] for r in rows) == total
     assert all(r["n_dups"] == r["n_docs"] - r["n_distinct"] >= 0 for r in rows)
+
+
+def test_rulegate_flags_recompute(spark):
+    """Each rule flag recomputes from the raw text, and the composite gate
+    is exactly the conjunction (no rule silently dominates another)."""
+    import re as _re
+
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, SF_DIR, "documents").collect()}
+    rows = P.pipeline_rulegate(spark, SF_DIR).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        text = docs[r["doc_id"]]
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        n_chars = len(text)
+        n_sym = len(_re.sub(r"[A-Za-z0-9 ]", "", text))
+        n_digit = len(_re.sub(r"[^0-9]", "", text))
+        assert r["r_minwords"] == int(len(toks) >= P.RULE_MIN_WORDS)
+        assert r["r_wordlen"] == int((max(map(len, toks)) if toks else 0) <= P.RULE_MAX_WORD_CHARS)
+        assert r["r_symbol"] == int(n_sym * 100 <= n_chars * P.RULE_MAX_SYMBOL_PCT)
+        assert r["r_digit"] == int(n_digit * 100 <= n_chars * P.RULE_MAX_DIGIT_PCT)
+        assert r["pass"] == int(
+            r["r_minwords"] and r["r_wordlen"] and r["r_symbol"] and r["r_digit"]
+        )
