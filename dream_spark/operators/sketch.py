@@ -578,6 +578,16 @@ BLOOM_BUILD_SOURCE = "src0"
 _BLOOM_KEY_CHARS = 24
 
 
+def bloom_position_array():
+    """The in-row bit-position array of one document's ``text`` column:
+    k universal-hash positions in [0, m), duplicates collapsed — the
+    shared kernel of the batch probe and the streaming ingest gate."""
+    from dream_spark.functions.features import pack_sql
+
+    key = pack_sql("text", _BLOOM_KEY_CHARS)
+    return F.array_distinct(F.array(*[F.expr(p) for p in _bloom_positions_sql(key)]))
+
+
 def _bloom_positions_sql(key_expr: str) -> list[str]:
     from dream_spark.functions.hashing import hash_sql as _h
 
@@ -607,11 +617,7 @@ def bloom_probe(docs: DataFrame) -> DataFrame:
     array tested against the literal with array_except — so the only
     probe-side shuffle is the #sources-row partial-agg rollup.  Nothing
     corpus-sized ever shuffles."""
-    from dream_spark.functions.features import pack_sql
-
-    key = pack_sql("text", _BLOOM_KEY_CHARS)
-    pos_sqls = _bloom_positions_sql(key)
-    pos_arr = F.array_distinct(F.array(*[F.expr(p) for p in pos_sqls]))
+    pos_arr = bloom_position_array()
     bits = sorted(
         r["pos"]
         for r in docs.where(F.col("source") == BLOOM_BUILD_SOURCE)

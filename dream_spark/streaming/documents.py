@@ -131,6 +131,73 @@ def curate_stream(
     return split_assign(deduped).select("doc_id", "n_tokens", "split")
 
 
+def bloom_stream_gate(
+    spark: SparkSession,
+    src_dir: str,
+    decisions_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming have-we-seen-it ingest gate: per micro-batch, probe each
+    arriving document's Bloom bit positions against the PERSISTED bit
+    set, append ``(doc_id, source, maybe_seen)`` decisions, then fold the
+    batch's positions into the set — the in-flight form of
+    ``operators.sketch.bloom_probe`` (identical position kernel, so a
+    batch doc marked maybe_seen would collide in the batch probe too).
+
+    State is the Bloom filter itself: AT MOST ``BLOOM_M`` (4096) set-bit
+    positions regardless of how much history has streamed past — the
+    bounded-state story other streaming operators get from watermarks,
+    here from the sketch's geometry.  The set is a parquet artifact under
+    the checkpoint dir (read → union driver-side ≤ m values → overwrite),
+    so a restart resumes with the accumulated filter.  First-seen wins
+    across batches (order-dependent by design, like incremental dedup);
+    decisions are idempotent per doc_id on foreachBatch replay."""
+    import os
+
+    from dream_spark.operators.sketch import bloom_position_array
+
+    bits_path = os.path.join(checkpoint_dir, "bloom_bits")
+
+    def _sink(batch_docs: DataFrame, batch_id: int) -> None:
+        try:
+            bits = sorted(r["pos"] for r in spark.read.parquet(bits_path).collect())
+        except Exception:
+            bits = []
+        pos = batch_docs.select(
+            "doc_id", "source", bloom_position_array().alias("__ps")
+        )
+        if bits:
+            hit = F.size(F.array_except(F.col("__ps"), F.lit(bits))) == 0
+        else:
+            hit = F.lit(False)
+        decided = pos.select(
+            "doc_id", "source", hit.cast("bigint").alias("maybe_seen")
+        )
+        # one pass: decisions out, new positions folded in.  The batch's
+        # positions collapse to ≤ m distinct values before the collect.
+        decided.write.mode("append").parquet(decisions_path)
+        new_bits = {
+            r["pos"]
+            for r in pos.select(F.explode("__ps").alias("pos")).distinct().collect()
+        } | set(bits)
+        spark.createDataFrame(
+            [(int(p),) for p in sorted(new_bits)], "pos bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(bits_path)
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .load(src_dir)
+    )
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def contamination_stream(
     spark: SparkSession,
     src_dir: str,

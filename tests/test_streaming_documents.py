@@ -127,3 +127,52 @@ def test_contamination_stream_matches_batch(spark, tmp_path):
         (r["doc_id"], r["n_hits"]) for r in contamination_check(train, bench).collect()
     }
     assert got == want and got
+
+
+def test_bloom_stream_gate_matches_sequential_probe(spark, tmp_path):
+    """Draining the stream batch-by-batch equals a hand-rolled sequential
+    Bloom simulation with the same position kernel: batch-1 docs are all
+    unseen (empty filter), batch-2 decisions probe exactly batch-1's
+    accumulated bit set, and the persisted set stays within BLOOM_M."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.sketch import BLOOM_M, bloom_position_array
+    from dream_spark.sources.tables import load_table
+    from dream_spark.streaming.documents import bloom_stream_gate
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    dec = str(tmp_path / "dec")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = bloom_stream_gate(spark, src, dec, ckpt)
+        q.awaitTermination()
+
+    b1.write.mode("append").parquet(src)
+    drain()
+    d1 = {r["doc_id"]: r["maybe_seen"] for r in spark.read.parquet(dec).collect()}
+    assert set(d1) == {r["doc_id"] for r in b1.collect()}
+    assert all(v == 0 for v in d1.values())  # empty filter: nothing seen
+
+    b2.write.mode("append").parquet(src)
+    drain()
+    rows = spark.read.parquet(dec).collect()
+    d2 = {r["doc_id"]: r["maybe_seen"] for r in rows if r["doc_id"] not in d1}
+    # sequential reference: batch-1 bit set, probed by batch-2 rows
+    bits1 = {
+        r["pos"]
+        for r in b1.select(F.explode(bloom_position_array()).alias("pos")).collect()
+    }
+    want = {
+        r["doc_id"]: int(set(r["ps"]) <= bits1)
+        for r in b2.select("doc_id", bloom_position_array().alias("ps")).collect()
+    }
+    assert d2 == want
+    import os
+    bits_path = os.path.join(ckpt, "bloom_bits")
+    n_bits = spark.read.parquet(bits_path).count()
+    assert n_bits <= BLOOM_M  # bounded state: the sketch's geometry
