@@ -1410,11 +1410,28 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
                     return False
         return depth == 0
 
-    def _grab_boolop(m2: re.Match) -> str:
-        expr = m2.group(1)
+    def _boolop_outcome(raw_expr: str) -> str | None:
+        """Process one balanced ``filter ( … )`` body for the connective
+        layer: returns ``" "`` when claimed (a Filter was appended), a
+        canonical re-emission string when redundant outer parens were
+        peeled off a single clause, or ``None`` to leave the original
+        text for the single-clause rules."""
+        expr = raw_expr.strip()
+        # peel redundant outer paren layers first: `filter ((A || B))` must
+        # scan the INNER expression (the outer layer hides the connectives
+        # at depth 1), and `filter ((A))` must reach the single-clause
+        # rules in their canonical one-paren form
+        peeled = False
+        while True:
+            m3 = re.fullmatch(r"(?s)\((.*)\)", expr)
+            if m3 is None or not _balanced(m3.group(1)):
+                break
+            expr = m3.group(1).strip()
+            peeled = True
         # find top-level connectives (see _scan_connectives for the quote/
         # IRI/paren handling); no connective means some single-clause rule
-        # owns this filter — leave it intact
+        # owns this filter — leave it intact (re-emitted in canonical form
+        # when layers were peeled, so those rules can match)
         conns, cuts = _scan_connectives(expr)
         if not conns:
             # no connective: claim only the standalone negation form
@@ -1427,7 +1444,12 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
                     Filter(kind="boolop", var="", op="!", parts=(_parse_boolop_part(e[1:]),))
                 )
                 return " "
-            return m2.group(0)
+            if peeled:
+                # canonical one-paren re-emission; the single-clause rules
+                # run after this pass and will claim it (the consumed
+                # separator dot, if any, was only the filter's own)
+                return f" filter ({e}) "
+            return None
         if len(set(conns)) > 1:
             raise SparqlSyntaxError(
                 "mixed || and && in one filter require explicit grouping"
@@ -1621,15 +1643,51 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
             filters.append(Filter(kind="cmp", var=var, op=op, rhs_const=Term(rhs).lexical))
         return " "
 
-    # ||/&& connectives FIRST: the rule matches any parenthesized filter
-    # body (<=1 nesting level) but rewrites ONLY when a top-level
-    # connective is present — everything else falls through verbatim to
-    # the single-clause rules below
-    body = re.sub(
-        r"(?is)filter\s*\(\s*((?:[^(){}]|\((?:[^(){}]|\([^()]*\))*\))*)\)\s*\.?",
-        _grab_boolop,
-        body,
-    )
+    # ||/&& connectives FIRST: a manual BALANCED-PAREN scan (a depth-capped
+    # regex would silently skip deeply nested connective trees and have a
+    # later rule reject them) that rewrites ONLY when a top-level
+    # connective or negation is present — everything else falls through
+    # verbatim to the single-clause rules below
+    _filter_open = re.compile(r"(?is)\bfilter\s*\(")
+    out_parts: list[str] = []
+    pos = 0
+    while True:
+        mo = _filter_open.search(body, pos)
+        if mo is None:
+            out_parts.append(body[pos:])
+            break
+        # match the opening paren to its balanced close (quote-aware)
+        depth, in_str, j = 0, False, mo.end() - 1
+        while j < len(body):
+            ch = body[j]
+            if ch == '"':
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            j += 1
+        if j >= len(body):  # unbalanced: leave for the later error report
+            out_parts.append(body[pos:])
+            break
+        outcome = _boolop_outcome(body[mo.end() : j])
+        if outcome is None:
+            # unclaimed: keep verbatim (including any separator dot)
+            out_parts.append(body[pos : j + 1])
+            pos = j + 1
+        else:
+            # claimed or re-emitted: also consume the filter's own
+            # optional trailing dot, exactly like the rule-regexes do
+            out_parts.append(body[pos : mo.start()])
+            out_parts.append(outcome)
+            k = j + 1
+            while k < len(body) and body[k] in " \t\n":
+                k += 1
+            pos = k + 1 if (k < len(body) and body[k] == ".") else j + 1
+    body = "".join(out_parts)
     body = re.sub(
         r'(?is)filter\s*(\bcontains|\bstrstarts|\bstrends)\s*\(\s*(\?\w+)\s*,\s*"([^"]*)"\s*\)\s*\.?',
         _grab_strfn,

@@ -569,3 +569,74 @@ def test_merge_session_islands_two_batch_split(times, gap, split):
     closed2, open2 = merge_session_islands(items2, gap)
     combined = closed1 + closed2 + ([open2] if open2 else [])
     assert sorted(combined) == _batch_islands(times, gap)
+
+
+# ---------------------------------------------------------------------------
+# driver-side: recursive boolean FILTER grammar — parse-shape round trip
+# ---------------------------------------------------------------------------
+_ATOMS = [
+    ("?SZ < 10", "arith"),
+    ("?SZ >= 25", "arith"),
+    ("?SZ * 2 = 40", "arith"),
+    ("bound(?SZ)", "bound"),
+    ("?P = <part:1>", "cmp"),
+    ("?P in (<part:1>, <part:2>)", "in"),
+    ("sameTerm(?P, <part:3>)", "cmp"),
+]
+
+bool_tree = st.recursive(
+    st.sampled_from(range(len(_ATOMS))),
+    lambda kids: st.tuples(
+        st.sampled_from(["||", "&&", "!"]),
+        st.lists(kids, min_size=1, max_size=3),
+    ),
+    max_leaves=8,
+)
+
+
+def _render(node) -> str:
+    if isinstance(node, int):
+        return _ATOMS[node][0]
+    op, kids = node
+    if op == "!":
+        return "!(" + _render(kids[0]) + ")"
+    return "(" + f" {op} ".join(_render(k) for k in kids) + ")"
+
+
+def _shape(node):
+    """Expected Filter shape: single-kid connectives collapse to the kid
+    (rendering one operand emits no connective), '!' keeps only its first
+    kid (the renderer drops the rest)."""
+    if isinstance(node, int):
+        return _ATOMS[node][1]
+    op, kids = node
+    if op == "!":
+        return ("!", [_shape(kids[0])])
+    if len(kids) == 1:
+        return _shape(kids[0])
+    return (op, [_shape(k) for k in kids])
+
+
+def _filter_shape(f):
+    if f.kind == "boolop":
+        return (f.op, [_filter_shape(p) for p in f.parts])
+    return f.kind
+
+
+@given(bool_tree)
+@settings(max_examples=100, deadline=None)
+def test_boolop_grammar_parse_shape_roundtrip(tree):
+    """Any explicitly-grouped boolean tree over the row-local atoms parses
+    to exactly the tree's boolop shape — the recursive-grammar contract
+    (connectives split at the right level, ! binds its group, atoms keep
+    their single-clause kinds)."""
+    from dream_spark.plans.sparql import parse_sparql
+
+    q = (
+        "select ?P ?SZ where { ?P type Part . ?P size ?SZ . filter ("
+        + _render(tree)
+        + ") }"
+    )
+    parsed = parse_sparql(q)
+    assert len(parsed.filters) == 1
+    assert _filter_shape(parsed.filters[0]) == _shape(tree)
