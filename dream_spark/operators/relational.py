@@ -214,6 +214,47 @@ GROUP BY o_orderpriority, q
 """.strip()
 
 
+def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE median order price per priority: the ceil(n/2)-th
+    value under the total (DECIMAL price, key) order — an actual data
+    value, so the result is decimal-exact with no interpolation (the
+    float-free percentile the oracle can hash; percentile_cont-style
+    interpolation would put engine-floating-point in the output).
+
+    One shuffle on the priority key; the rank window and the group count
+    share that exchange, and the pick is a row-local predicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        _dec("o_totalprice", _PRICE).asc(), F.col("o_orderkey")
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") * 2 == F.col("n") + (F.col("n") % 2))  # ceil(n/2)
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n_orders"),
+            _dec("o_totalprice", _PRICE).cast("double").alias("median_price"),
+        )
+    )
+
+
+MEDIAN_SQL = f"""
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(CAST(o_totalprice AS {_PRICE}) AS DOUBLE) AS median_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS {_PRICE}), o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+) t
+WHERE rn * 2 = n + (n % 2)
+""".strip()
+
+
 WINDOW_TOP_SQL = f"""
 SELECT o_custkey, o_orderkey,
        CAST(CAST(o_totalprice AS {_PRICE}) AS DOUBLE) AS totalprice, rk
@@ -1233,6 +1274,7 @@ QUERIES = {
     "rel_q5_cycle": q5_local_supplier_volume,
     "rel_window_top3": window_top_orders,
     "rel_window_ntile": window_ntile_quartiles,
+    "rel_median": median_price_by_priority,
     "rel_window_running": window_running_spend,
     "rel_window_delta": window_order_deltas,
     "rel_events_hourly": events_hourly,
@@ -1273,6 +1315,7 @@ ORACLES = {
     "rel_q5_cycle": Q5_SQL,
     "rel_window_top3": WINDOW_TOP_SQL,
     "rel_window_ntile": WINDOW_NTILE_SQL,
+    "rel_median": MEDIAN_SQL,
     "rel_window_running": WINDOW_RUNNING_SQL,
     "rel_window_delta": WINDOW_DELTA_SQL,
     "rel_events_hourly": EVENTS_HOURLY_SQL,
