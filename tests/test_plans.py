@@ -132,6 +132,17 @@ def test_sparql_pattern_broadcast_gate(engine):
     assert not _bcast_pattern_ok(small, store, closure)  # closure > edges
 
 
+def test_sparql_subquery_outer_pattern_broadcasts(engine):
+    """The analytic subquery shape (aggregate ⋈ one dimension-like outer
+    pattern) broadcasts the exact-count-bounded outer side instead of
+    sort-merging the #groups-sized aggregate."""
+    plan = engine.sparql(
+        "select ?N ?C ?cnt where { { select ?C (count(?O) as ?cnt) where"
+        " { ?O placedBy ?C } group by ?C } . ?C inNation ?N }"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_knn_corpus_not_shuffled(spark, queries):
     """Brute-force kNN broadcasts the query side; the corpus scan must feed
     the join without an Exchange (no corpus shuffle at any scale)."""
