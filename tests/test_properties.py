@@ -640,3 +640,106 @@ def test_boolop_grammar_parse_shape_roundtrip(tree):
     parsed = parse_sparql(q)
     assert len(parsed.filters) == 1
     assert _filter_shape(parsed.filters[0]) == _shape(tree)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: randomized BGPs vs the DuckDB oracle (join-order machinery)
+# ---------------------------------------------------------------------------
+# entity-linking predicates with their (subject kind, object kind) — the
+# generator chains them so every random BGP is CONNECTED and anchored,
+# keeping result sizes tractable at sf0.001
+_PRED_SIG = {
+    "inNation": ("CN", "N"),   # customer-or-supplier -> nation
+    "inRegion": ("N", "R"),
+    "placedBy": ("O", "C"),
+    "ofOrder": ("L", "O"),
+    "ofPart": ("L", "P"),
+    "suppliedBy": ("L", "S"),
+    "status": ("O", "ST"),
+    "priority": ("O", "PR"),
+    "size": ("P", "SZ"),
+    "mktsegment": ("C", "MS"),
+}
+_ANCHORS = ["<nation:3>", "<customer:17>", "<order:40>", "<part:5>"]
+_ANCHOR_KIND = {"<nation:3>": "N", "<customer:17>": "C", "<order:40>": "O", "<part:5>": "P"}
+
+
+@st.composite
+def _bgp(draw):
+    preds = draw(
+        st.lists(st.sampled_from(sorted(_PRED_SIG)), min_size=2, max_size=4)
+    )
+    # variable names by kind keep the chain connected: two patterns whose
+    # signatures share a kind share that variable
+    def var(kind: str) -> str:
+        return f"?V{kind}"
+
+    pats, used = [], set()
+    for p in preds:
+        sk, ok = _PRED_SIG[p]
+        sk = "C" if sk == "CN" and draw(st.booleans()) else ("S" if sk == "CN" else sk)
+        pats.append((var(sk), p, var(ok)))
+        used.update((var(sk), var(ok)))
+    # optionally ground ONE endpoint with a matching-kind constant
+    if draw(st.booleans()):
+        for const, kind in _ANCHOR_KIND.items():
+            if var(kind) in used:
+                i, (s, p, o) = next(
+                    (i, t) for i, t in enumerate(pats) if var(kind) in (t[0], t[2])
+                )
+                pats[i] = (const if s == var(kind) else s, p, const if o == var(kind) else o)
+                break
+    # connectivity check: union-find over shared variables (disconnected
+    # BGPs are legal but cross-product-sized — out of scope here)
+    comp = {}
+    def find(x):
+        while comp.get(x, x) != x:
+            x = comp[x]
+        return x
+    for i, (s, p, o) in enumerate(pats):
+        comp.setdefault(f"#{i}", f"#{i}")
+        for t in (s, o):
+            if t.startswith("?"):
+                comp.setdefault(t, t)
+                comp[find(t)] = find(f"#{i}")
+    roots = {find(f"#{i}") for i in range(len(pats))}
+    if len(roots) > 1:
+        # connect by merging the first variable of each extra component
+        # with the first component's subject — rewrite var names
+        base = pats[0][0] if pats[0][0].startswith("?") else pats[0][2]
+        fixed = []
+        seen_roots = {find(f"#0")}
+        for i, (s, p, o) in enumerate(pats):
+            r = find(f"#{i}")
+            if r not in seen_roots:
+                s2 = base if s.startswith("?") else s
+                fixed.append((s2, p, o))
+                seen_roots.add(r)
+            else:
+                fixed.append((s, p, o))
+        pats = fixed
+    return pats
+
+
+@given(_bgp())
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_bgp_matches_oracle(engine, duck, pats):
+    """Random connected BGPs over the entity vocabulary answer identically
+    on both engines — the DP join order, the exact-stats broadcast gate,
+    and AQE's runtime choices must never change the RESULT."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    proj = sorted({t for s, p, o in pats for t in (s, o) if t.startswith("?")})
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in pats)
+    q = f"select {' '.join(proj)} where {{ {body} }}"
+    parsed = parse_sparql(q)
+    df = engine.sparql(q, decode=False)
+    n = df.count()
+    if n > 300_000:  # pathological blowup guard: counts still compared
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({bgp_to_sql(parsed, decode=False)})"
+        ).fetchone()[0]
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
