@@ -762,6 +762,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(load_table(spark, sf_dir, "documents"))
 
 
+def cluster_size_histogram(docs: DataFrame) -> DataFrame:
+    """(cluster_size, n_clusters) distribution of the near-duplicate
+    clusters — the dedup health readout (a fat tail here means template
+    spam or a mirror site; all-2s means isolated copy pairs) that decides
+    whether canonical selection is worth a features pass.  Two partial-agg
+    shuffles over the duplicate-set-sized cluster table; output ≤ the
+    largest cluster size in rows."""
+    cc = duplicate_clusters(docs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: near-dup cluster size histogram."""
+    return cluster_size_histogram(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # incremental dedup: a persisted signature index + per-batch arrivals
 # --------------------------------------------------------------------------
@@ -839,6 +856,13 @@ SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
 """.strip()
 
 
+DEDUP_CLUSTER_SIZES_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY cluster_size
+""".strip()
+
+
 def cross_source_pairs(docs: DataFrame) -> DataFrame:
     """MinHash near-dup pairs whose two documents come from DIFFERENT
     sources — the train/eval leakage detector (a benchmark doc mirrored
@@ -890,6 +914,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
 }
 
 ORACLES = {
@@ -902,4 +927,5 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
 }

@@ -441,6 +441,24 @@ def knn_lsh_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper for the IVF SERVE path: probe the PERSISTED
+    parquet index (quantized corpus + trained centroids) instead of the
+    session-shared frames — the FAISS train/serve split as storage; no
+    quantize kernel and no k-means iteration at query time.  The roundtrip
+    preserves exact int64 quantities and the centroid training is
+    deterministic, so the IVF oracle replays identically."""
+    qc, _, cents = load_vector_index(spark, _served_index_path(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < N_QUERIES),
+        corpus_count=corpus_count(spark, sf_dir),
+        corpus_quantized=qc,
+        centroids=cents,
+    )
+
+
 def warm_ivf_index(spark: SparkSession, sf_dir: str) -> None:
     """Train (or re-hit) the IVF coarse quantizer for the standard corpus —
     the build-the-index step a deployment runs once before serving queries
@@ -585,6 +603,7 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "knn_lsh_served": knn_lsh_served,
+    "knn_ivf_served": knn_ivf_served,
     "knn_ivf": knn_ivf,
     "knn_filtered": knn_filtered,
 }
@@ -596,5 +615,6 @@ ORACLES = {
     # in-session LSH plan, so the same oracle replays it
     "knn_lsh_served": KNN_LSH_SQL,
     "knn_ivf": KNN_IVF_SQL,
+    "knn_ivf_served": KNN_IVF_SQL,
     "knn_filtered": KNN_FILTERED_SQL,
 }
