@@ -81,7 +81,6 @@ def _scan_connectives(expr: str) -> tuple[list[str], list[int]]:
     recognized ATOMICALLY (``<``, no whitespace, ``>``) because a lone
     ``<`` is the less-than operator, not a bracket — ``?a < 5 || ?b > 3``
     must still split.  Returns (connectives, cut offsets)."""
-    iri = re.compile(r"<[^<>\s]*>")
     depth, in_str, conns, cuts = 0, False, [], []
     i = 0
     while i < len(expr):
@@ -90,7 +89,7 @@ def _scan_connectives(expr: str) -> tuple[list[str], list[int]]:
             in_str = not in_str
         elif not in_str:
             if ch == "<":
-                mi = iri.match(expr, i)
+                mi = _IRI_ATOM.match(expr, i)
                 if mi:
                     i = mi.end()
                     continue
@@ -105,6 +104,35 @@ def _scan_connectives(expr: str) -> tuple[list[str], list[int]]:
                 continue
         i += 1
     return conns, cuts
+
+
+_IRI_ATOM = re.compile(r"<[^<>\s]*>")
+
+
+def _peel_outer_parens(expr: str) -> tuple[str, bool]:
+    """Strip ALL redundant outer paren layers from a filter expression;
+    returns ``(stripped, any_peeled)``.  Shared by the connective claim
+    pass and the operand parser so a future quoting fix lands in both."""
+    peeled = False
+    while True:
+        m = re.fullmatch(r"(?s)\((.*)\)", expr)
+        if m is None:
+            break
+        inner, depth = m.group(1), 0
+        ok = True
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    ok = False
+                    break
+        if not ok or depth != 0:
+            break
+        expr = inner.strip()
+        peeled = True
+    return expr, peeled
 
 
 def _split_outside_brackets(t: str, sep: str) -> list[str]:
@@ -1299,11 +1327,7 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         txt = txt.strip()
         # strip ALL redundant outer paren layers (loop, not once): the
         # recursive grammar legally produces ((A || B)) operands
-        while True:
-            m2 = re.fullmatch(r"(?s)\((.*)\)", txt)
-            if m2 is None or not _balanced(m2.group(1)):
-                break
-            txt = m2.group(1).strip()
+        txt, _ = _peel_outer_parens(txt)
         # nested connectives FIRST — this makes the grammar fully
         # recursive: ``!(A || B)``, ``(A || B) && C``, and mixed
         # connectives with explicit grouping ``A || (B && C)`` all lower
@@ -1399,16 +1423,6 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
             "only: comparison / arithmetic / IN / bound)"
         )
 
-    def _balanced(s: str) -> bool:
-        depth = 0
-        for ch in s:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth < 0:
-                    return False
-        return depth == 0
 
     def _boolop_outcome(raw_expr: str) -> str | None:
         """Process one balanced ``filter ( … )`` body for the connective
@@ -1416,18 +1430,11 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         canonical re-emission string when redundant outer parens were
         peeled off a single clause, or ``None`` to leave the original
         text for the single-clause rules."""
-        expr = raw_expr.strip()
         # peel redundant outer paren layers first: `filter ((A || B))` must
         # scan the INNER expression (the outer layer hides the connectives
         # at depth 1), and `filter ((A))` must reach the single-clause
         # rules in their canonical one-paren form
-        peeled = False
-        while True:
-            m3 = re.fullmatch(r"(?s)\((.*)\)", expr)
-            if m3 is None or not _balanced(m3.group(1)):
-                break
-            expr = m3.group(1).strip()
-            peeled = True
+        expr, peeled = _peel_outer_parens(raw_expr.strip())
         # find top-level connectives (see _scan_connectives for the quote/
         # IRI/paren handling); no connective means some single-clause rule
         # owns this filter — leave it intact (re-emitted in canonical form
@@ -1656,13 +1663,21 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         if mo is None:
             out_parts.append(body[pos:])
             break
-        # match the opening paren to its balanced close (quote-aware)
+        # match the opening paren to its balanced close — quote-aware AND
+        # IRI-aware: a '(' inside an atomic <…> constant must not derail
+        # the pairing for the rest of the body (same hazard
+        # _scan_connectives documents; an IRI legally contains parens)
         depth, in_str, j = 0, False, mo.end() - 1
         while j < len(body):
             ch = body[j]
             if ch == '"':
                 in_str = not in_str
             elif not in_str:
+                if ch == "<":
+                    mi = _IRI_ATOM.match(body, j)
+                    if mi:
+                        j = mi.end()
+                        continue
                 if ch == "(":
                     depth += 1
                 elif ch == ")":

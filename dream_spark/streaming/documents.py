@@ -145,14 +145,19 @@ def bloom_stream_gate(
     ``operators.sketch.bloom_probe`` (identical position kernel, so a
     batch doc marked maybe_seen would collide in the batch probe too).
 
-    State is the Bloom filter itself: AT MOST ``BLOOM_M`` (4096) set-bit
-    positions regardless of how much history has streamed past — the
-    bounded-state story other streaming operators get from watermarks,
-    here from the sketch's geometry.  The set is a parquet artifact under
-    the checkpoint dir (read → union driver-side ≤ m values → overwrite),
-    so a restart resumes with the accumulated filter.  First-seen wins
-    across batches (order-dependent by design, like incremental dedup);
-    decisions are idempotent per doc_id on foreachBatch replay."""
+    The filter's MEMBERSHIP SET stays within ``BLOOM_M`` (4096) positions
+    regardless of how much history has streamed past — the bounded-state
+    story other streaming operators get from watermarks, here from the
+    sketch's geometry.  Physically the positions live PER BATCH
+    (``bloom_bits/batch=N`` parquet dirs, ≤ m rows ≈ 32 KB each; the
+    union over batches is the filter) so that foreachBatch REPLAY is
+    exactly-once by construction: a replayed batch probes only the
+    batches BEFORE it — identical inputs, identical decisions — and
+    overwrites its own partition dirs, never corrupting earlier state or
+    re-probing its own positions.  Decisions are likewise written per
+    batch, so a replay rewrites the same rows instead of appending
+    contradictions.  First-seen wins across batches (order-dependent by
+    design, like incremental dedup)."""
     import os
 
     from dream_spark.operators.sketch import bloom_position_array
@@ -160,10 +165,15 @@ def bloom_stream_gate(
     bits_path = os.path.join(checkpoint_dir, "bloom_bits")
 
     def _sink(batch_docs: DataFrame, batch_id: int) -> None:
-        try:
-            bits = sorted(r["pos"] for r in spark.read.parquet(bits_path).collect())
-        except Exception:
-            bits = []
+        bits: list[int] = []
+        if os.path.exists(bits_path):
+            prior = spark.read.parquet(bits_path)
+            bits = sorted(
+                {
+                    r["pos"]
+                    for r in prior.where(F.col("batch") < batch_id).collect()
+                }
+            )
         pos = batch_docs.select(
             "doc_id", "source", bloom_position_array().alias("__ps")
         )
@@ -174,16 +184,16 @@ def bloom_stream_gate(
         decided = pos.select(
             "doc_id", "source", hit.cast("bigint").alias("maybe_seen")
         )
-        # one pass: decisions out, new positions folded in.  The batch's
-        # positions collapse to ≤ m distinct values before the collect.
-        decided.write.mode("append").parquet(decisions_path)
-        new_bits = {
-            r["pos"]
-            for r in pos.select(F.explode("__ps").alias("pos")).distinct().collect()
-        } | set(bits)
-        spark.createDataFrame(
-            [(int(p),) for p in sorted(new_bits)], "pos bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(bits_path)
+        decided.write.mode("overwrite").parquet(
+            os.path.join(decisions_path, f"batch={batch_id}")
+        )
+        (
+            pos.select(F.explode("__ps").alias("pos"))
+            .distinct()  # ≤ m rows per batch
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(bits_path, f"batch={batch_id}"))
+        )
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)

@@ -704,20 +704,27 @@ def _bgp(draw):
                 comp[find(t)] = find(f"#{i}")
     roots = {find(f"#{i}") for i in range(len(pats))}
     if len(roots) > 1:
-        # connect by merging the first variable of each extra component
-        # with the first component's subject — rewrite var names
+        # connect by renaming ONE variable of each extra component to a
+        # base-component variable — renamed at EVERY occurrence within
+        # its component, so the component stays internally connected
+        # (renaming just one pattern's slot would sever its siblings)
         base = pats[0][0] if pats[0][0].startswith("?") else pats[0][2]
-        fixed = []
-        seen_roots = {find(f"#0")}
+        base_root = find("#0")
+        rename: dict[str, str] = {}
         for i, (s, p, o) in enumerate(pats):
             r = find(f"#{i}")
-            if r not in seen_roots:
-                s2 = base if s.startswith("?") else s
-                fixed.append((s2, p, o))
-                seen_roots.add(r)
-            else:
-                fixed.append((s, p, o))
-        pats = fixed
+            if r == base_root or r in rename:
+                continue
+            v = s if s.startswith("?") else o  # every pattern has ≥1 var
+            rename[r] = v
+        pats = [
+            (
+                base if s == rename.get(find(f"#{i}")) else s,
+                p,
+                base if o == rename.get(find(f"#{i}")) else o,
+            )
+            for i, (s, p, o) in enumerate(pats)
+        ]
     return pats
 
 
@@ -730,6 +737,19 @@ def test_random_bgp_matches_oracle(engine, duck, pats):
     from dream_spark.plans.oracle import bgp_to_sql
     from dream_spark.plans.sparql import parse_sparql
     from tests.conftest import assert_oracle_match
+
+    # generator contract: the BGP is CONNECTED (cross products are out of
+    # scope here — they'd blow up result sizes, not exercise join order)
+    reach = {0}
+    grew = True
+    while grew:
+        grew = False
+        vs = {t for i in reach for t in (pats[i][0], pats[i][2]) if t.startswith("?")}
+        for i, (s, p, o) in enumerate(pats):
+            if i not in reach and ({s, o} & vs):
+                reach.add(i)
+                grew = True
+    assert reach == set(range(len(pats))), pats
 
     proj = sorted({t for s, p, o in pats for t in (s, o) if t.startswith("?")})
     body = " . ".join(f"{s} {p} {o}" for s, p, o in pats)

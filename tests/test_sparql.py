@@ -2420,6 +2420,17 @@ def test_sameterm_oracle(engine, duck, qtext):
     assert_oracle_match(engine.sparql(qtext, decode=False), duck, bgp_to_sql(q, decode=False))
 
 
+def test_filter_scan_survives_paren_inside_iri():
+    """A '(' inside an atomic <…> constant must not derail the balanced
+    filter scan: the LATER connective filter still parses (the unmatched
+    paren would otherwise make the scanner bail on the whole body)."""
+    q = parse_sparql(
+        "select ?P ?x ?y where { ?P name ?x . ?P size ?y ."
+        " filter (?P = <x:(a>) . filter (?x = 1 || ?y = 2) }"
+    )
+    assert sorted(f.kind for f in q.filters) == ["boolop", "cmp"]
+
+
 def test_boolop_nested_tree_shapes():
     """The connective grammar is RECURSIVE: grouped sub-expressions and
     !(…) parse to nested boolop trees, and ! binds tighter than the

@@ -174,5 +174,7 @@ def test_bloom_stream_gate_matches_sequential_probe(spark, tmp_path):
     assert d2 == want
     import os
     bits_path = os.path.join(ckpt, "bloom_bits")
-    n_bits = spark.read.parquet(bits_path).count()
-    assert n_bits <= BLOOM_M  # bounded state: the sketch's geometry
+    bits_df = spark.read.parquet(bits_path)
+    # bounded membership set (sketch geometry) + per-batch physical layout
+    assert bits_df.select("pos").distinct().count() <= BLOOM_M
+    assert {r["batch"] for r in bits_df.select("batch").distinct().collect()} == {0, 1}
