@@ -451,10 +451,13 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTIZED_MEMO: dict = {}
 
 
-def _shared_artifact(memo: dict, key, build) -> DataFrame:
+def _shared_artifact(memo: dict, key, build, eager: bool = True) -> DataFrame:
     """Memoized persisted session artifact: return the cached frame if its
     persist is still live, re-persist it if an external clearCache dropped
-    it, rebuild on a stale handle (dead session)."""
+    it, rebuild on a stale handle (dead session).  ``eager=False`` skips
+    the materializing count — for an artifact some downstream artifact's
+    own build consumes immediately (one job then fills every cache level
+    instead of one job per artifact)."""
     df = memo.get(key)
     if df is not None:
         try:
@@ -462,7 +465,8 @@ def _shared_artifact(memo: dict, key, build) -> DataFrame:
             if lvl.useMemory or lvl.useDisk:
                 return df
             df = df.persist()
-            df.count()
+            if eager:
+                df.count()
             return df
         except Exception:
             # stale handle (dead session) or un-probe-able storage level:
@@ -470,7 +474,8 @@ def _shared_artifact(memo: dict, key, build) -> DataFrame:
             # either crash at first use or quietly lose the memo's point
             memo.pop(key, None)
     df = build().persist()
-    df.count()
+    if eager:
+        df.count()
     memo[key] = df
     return df
 

@@ -343,11 +343,17 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     from dream_spark.operators.dedup import _shared_artifact
 
     key = (id(spark), sf_dir)
-    e = _shared_artifact(_COP_EDGES_MEMO, key, lambda: copurchase_edges(spark, sf_dir))
+    # e and deg persist LAZILY (eager=False): the adj build consumes both,
+    # so ONE materializing job fills all three cache levels instead of one
+    # job per artifact — first-call latency, not a semantic change
+    e = _shared_artifact(
+        _COP_EDGES_MEMO, key, lambda: copurchase_edges(spark, sf_dir), eager=False
+    )
     deg = _shared_artifact(
         _COP_DEG_MEMO,
         key,
-        lambda: (
+        eager=False,
+        build=lambda: (
             e.select(F.col("a").alias("node"))
             .unionByName(e.select(F.col("b").alias("node")))
             .groupBy("node")
