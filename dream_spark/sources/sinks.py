@@ -133,3 +133,62 @@ def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> Dat
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+#: compaction target: match the default reader split size so one output
+#: file ≈ one scan task (spark.sql.files.maxPartitionBytes default)
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_bytes: int = COMPACT_TARGET_BYTES
+) -> tuple[int, int]:
+    """Rewrite a (non-hive-partitioned) parquet dataset into ~target-sized
+    files, in place; returns ``(files_before, files_after)``.
+
+    The small-file problem is the standard failure mode of streaming /
+    micro-batch sinks at scale: thousands of KB-sized files thrash
+    directory listings and give every reader task almost nothing to do.
+    Compaction = read → repartition to ceil(bytes/target) → write beside →
+    swap.  ``repartition`` (a real shuffle) rather than ``coalesce``: a
+    maintenance pass runs once and SHOULD pay the shuffle to fix skew —
+    coalesce merges neighbors and keeps whatever imbalance the input had.
+
+    The swap is a rename pair (old → .pre-compact trash, new → path) — the
+    local-filesystem stand-in for a table format's atomic commit; there is
+    a reader-visible gap between the renames, so at scale this runs under
+    the same maintenance window (or table-format commit) any file-moving
+    operation needs.  Hive-partitioned trees are rejected: compacting one
+    would need per-directory passes that preserve the partition columns
+    dropped from the files themselves."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    files = []
+    for root, dirs, names in os.walk(path):
+        if any(seg.count("=") for seg in os.path.relpath(root, path).split(os.sep) if seg != "."):
+            raise ValueError(
+                f"compact_parquet: {path!r} is hive-partitioned; compact each "
+                "partition directory individually"
+            )
+        files += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    if len(files) <= n_out:
+        return len(files), len(files)  # already compact: no write, no swap
+    df = spark.read.parquet(path)
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    df.repartition(n_out).write.mode("errorifexists").parquet(tmp)
+    trash = f"{path}.pre-compact-{uuid.uuid4().hex[:8]}"
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash)
+    after = sum(
+        1
+        for root, _, names in os.walk(path)
+        for n in names
+        if n.endswith(".parquet")
+    )
+    return len(files), after

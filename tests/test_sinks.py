@@ -79,3 +79,28 @@ def test_time_partitioned_write_prunes_at_plan_time(spark, tmp_path):
     assert "PartitionFilters" in plan and "part_day" in plan.split("PartitionFilters")[1][:120]
     want = ev.where(F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd") == one_day).count()
     assert q.count() == want
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, docs, tmp_path_factory):
+    """Many tiny files → few target-sized files with the exact same rows;
+    an already-compact dataset is left untouched (no write, no swap)."""
+    import os
+
+    from dream_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path_factory.mktemp("compact") / "d")
+    docs.repartition(24).write.parquet(path)
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    nb, na = compact_parquet(spark, path, target_bytes=1 << 40)  # everything fits one file
+    assert nb == 24 and na == 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before_rows
+    # idempotent second pass: already compact
+    nb2, na2 = compact_parquet(spark, path, target_bytes=1 << 40)
+    assert (nb2, na2) == (1, 1)
+    # hive-partitioned trees are rejected
+    ppath = str(tmp_path_factory.mktemp("compactp") / "p")
+    docs.write.partitionBy("lang").parquet(ppath)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, ppath)
