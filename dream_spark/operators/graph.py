@@ -343,9 +343,10 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     from dream_spark.operators.dedup import _shared_artifact
 
     key = (id(spark), sf_dir)
-    # e and deg persist LAZILY (eager=False): the adj build consumes both,
-    # so ONE materializing job fills all three cache levels instead of one
-    # job per artifact — first-call latency, not a semantic change
+    # e and deg persist LAZILY (eager=False): the adj build's own actions
+    # (its gate count materializes e+deg; the artifact count materializes
+    # adj) fill all three cache levels in TWO jobs instead of one
+    # materializing job per artifact — first-call latency, not semantics
     e = _shared_artifact(
         _COP_EDGES_MEMO, key, lambda: copurchase_edges(spark, sf_dir), eager=False
     )
@@ -364,7 +365,10 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     def _adj() -> DataFrame:
         from dream_spark.functions.joins import broadcast_if_small
 
-        n_nodes = deg.count()  # persisted artifact: cheap cached-scan count
+        # the MATERIALIZING action for the lazy e+deg persists on first
+        # call (cheap cached scan afterwards) — the broadcast gate needs
+        # the node count either way
+        n_nodes = deg.count()
         da = broadcast_if_small(
             deg.select(F.col("node").alias("a"), F.col("deg").alias("dega")),
             known_count=n_nodes,

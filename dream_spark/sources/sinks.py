@@ -166,24 +166,48 @@ def compact_parquet(
     import shutil
     import uuid
 
-    files = []
+    path = os.path.normpath(path)  # a trailing slash would nest tmp INSIDE
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"compact_parquet: {path!r} does not exist — refusing to report "
+            "a missing dataset as already compact"
+        )
+    files, sizes = [], []
     for root, dirs, names in os.walk(path):
         if any(seg.count("=") for seg in os.path.relpath(root, path).split(os.sep) if seg != "."):
             raise ValueError(
                 f"compact_parquet: {path!r} is hive-partitioned; compact each "
                 "partition directory individually"
             )
-        files += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
-    total = sum(os.path.getsize(f) for f in files)
+        for n in names:
+            if n.endswith(".parquet"):
+                f = os.path.join(root, n)
+                files.append(f)
+                sizes.append(os.path.getsize(f))
+    total = sum(sizes)
     n_out = max(1, math.ceil(total / target_bytes))
-    if len(files) <= n_out:
-        return len(files), len(files)  # already compact: no write, no swap
-    df = spark.read.parquet(path)
+    # already compact = right COUNT and no oversized file (a count-only
+    # gate would skip the 255 MB + 1 MB skew case the rewrite exists for)
+    if len(files) <= n_out and (not sizes or max(sizes) <= target_bytes):
+        return len(files), len(files)  # no write, no swap
+    # mergeSchema: a schema-evolved dataset (older files missing newer
+    # columns — the micro-batch-sink norm) must rewrite the UNION schema;
+    # the default single-footer read would silently drop columns and the
+    # trash removal below would destroy the only copy
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
-    df.repartition(n_out).write.mode("errorifexists").parquet(tmp)
-    trash = f"{path}.pre-compact-{uuid.uuid4().hex[:8]}"
-    os.rename(path, trash)
-    os.rename(tmp, path)
+    try:
+        df.repartition(n_out).write.mode("errorifexists").parquet(tmp)
+        trash = f"{path}.pre-compact-{uuid.uuid4().hex[:8]}"
+        os.rename(path, trash)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            os.rename(trash, path)  # roll the first rename back: the
+            raise                   # dataset must never be left missing
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)  # no orphaned partials
+        raise
     shutil.rmtree(trash)
     after = sum(
         1
