@@ -104,3 +104,37 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, docs, tmp_path_fact
 
     with _pytest.raises(ValueError):
         compact_parquet(spark, ppath)
+
+
+def test_compact_parquet_guards_and_skew_gate(spark, docs, tmp_path_factory):
+    """Missing paths raise (a typo'd maintenance job must not report
+    success), trailing slashes are normalized, and an oversized file is
+    compacted even when the file COUNT already matches the target."""
+    import os
+
+    import pytest as _pytest
+
+    from dream_spark.sources.sinks import compact_parquet
+
+    with _pytest.raises(FileNotFoundError):
+        compact_parquet(spark, str(tmp_path_factory.mktemp("nope") / "missing"))
+
+    path = str(tmp_path_factory.mktemp("slash") / "d")
+    docs.repartition(6).write.parquet(path)
+    nb, na = compact_parquet(spark, path + "/", target_bytes=1 << 40)
+    assert nb == 6 and na == 1 and os.path.isdir(path)
+
+    # skew gate: two files, one far over target → still rewritten even
+    # though ceil(total/target) == 2 == file count
+    p2 = str(tmp_path_factory.mktemp("skew") / "d")
+    docs.limit(1).coalesce(1).write.parquet(p2)
+    docs.coalesce(1).write.mode("append").parquet(p2)
+    sizes = sorted(
+        os.path.getsize(os.path.join(p2, n))
+        for n in os.listdir(p2) if n.endswith(".parquet")
+    )
+    target = sizes[0] + 10  # small file fits; big file is oversized
+    before_rows = sorted(map(tuple, spark.read.parquet(p2).collect()))
+    nb2, na2 = compact_parquet(spark, p2, target_bytes=target)
+    assert nb2 == 2 and na2 >= 2  # rewritten, not skipped
+    assert sorted(map(tuple, spark.read.parquet(p2).collect())) == before_rows
