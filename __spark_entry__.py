@@ -654,7 +654,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     yielded SPARQL seats re-verified far more deeply.
 #
 # r6 queue: EMPTY for pre-r5 entries — any pre-r5 entry without a green row
-# after this round is a regression, not a rotation artifact.  The 34
+# after this round is a regression, not a rotation artifact.  The 35
 # entries ADDED during r5 (after the cap below was frozen) form the entire
 # r6 rotation queue; every one is check_entry-green at sf0.01 this round
 # (the r5 closing full sweep was 188/188 ok):
@@ -668,8 +668,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sparql_filter_not_or, sparql_filter_grouped_bool, graph_triangles,
 #   pipeline_canonicalize, temporal_retention, sparql_sameterm,
 #   rel_window_ntile, sketch_bloom, pipeline_rulegate, rel_median,
-#   knn_ivf_served, dedup_cluster_sizes
-# That leaves 16 spare r6 seats for re-verifying whatever r6 changes.
+#   knn_ivf_served, dedup_cluster_sizes, temporal_active
+# That leaves 15 spare r6 seats for re-verifying whatever r6 changes.
 PRIORITY_ORDER = [
     # --- the 26-entry never-green queue (18 grammar variants) ---
     "sparql_paged", "sparql_minmax", "sparql_values", "sparql_values_rows",

@@ -429,12 +429,82 @@ GROUP BY cohort_week, week_offset
 """.strip()
 
 
+#: one activity day in integer microseconds
+DAY_US = 86_400 * 1_000_000
+#: trailing window for WAU, in days
+WAU_DAYS = 7
+
+
+def active_users(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Daily and trailing-7-day active users per day: ``(day, dau, wau)``
+    — the standard product-activity metric pair (stickiness = dau/wau is
+    left to the consumer so the output stays exact-integer).
+
+    Days are ``epoch_µs div DAY_US`` integer buckets (no calendar/zone
+    semantics, identical on both engines).  WAU needs a trailing DISTINCT
+    over a sliding window, which no per-key window function gives exactly
+    — the lowering is a bounded RANGE self-join: each (user, active-day)
+    row joins the ≤7 observed days in its trailing window, then a
+    distinct-count per day.  Scale shape: the distinct (user, day)
+    activity frame is bounded by users × active-days; the day table it
+    range-joins is #days rows (broadcast), so the expansion is ≤7× the
+    activity frame and the final count is one partial-agg shuffle."""
+    us = epoch_micros(events, ts_col)
+    act = (
+        events.select(F.col(user_col).alias("u"), us.alias("__us"))
+        .select("u", F.expr(f"__us div {DAY_US}").alias("day"))
+        .distinct()
+    )
+    days = act.select("day").distinct()
+    trailing = act.alias("a").join(
+        F.broadcast(days.alias("d")),
+        (F.col("a.day") <= F.col("d.day"))
+        & (F.col("a.day") > F.col("d.day") - WAU_DAYS),
+    )
+    wau = (
+        trailing.groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("a.u").alias("wau"))
+    )
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, on="day").select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+    )
+
+
+def temporal_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: DAU/WAU over events."""
+    return active_users(load_table(spark, sf_dir, "events"))
+
+
+TEMPORAL_ACTIVE_SQL = f"""
+WITH act AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // {DAY_US} AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM act),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT a.u) AS wau
+  FROM act a JOIN days d ON a.day <= d.day AND a.day > d.day - {WAU_DAYS}
+  GROUP BY d.day
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM act GROUP BY day)
+SELECT CAST(dau.day AS BIGINT) AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau
+FROM dau JOIN wau ON wau.day = dau.day
+""".strip()
+
+
 QUERIES = {
     "temporal_asof": asof_click_attribution,
     "temporal_range": range_join_attribution,
     "temporal_funnel": funnel_events,
     "temporal_gaps": temporal_gaps,
     "temporal_retention": temporal_retention,
+    "temporal_active": temporal_active,
 }
 
 ORACLES = {
@@ -443,4 +513,5 @@ ORACLES = {
     "temporal_funnel": FUNNEL_SQL,
     "temporal_gaps": TEMPORAL_GAPS_SQL,
     "temporal_retention": TEMPORAL_RETENTION_SQL,
+    "temporal_active": TEMPORAL_ACTIVE_SQL,
 }

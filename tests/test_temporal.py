@@ -134,3 +134,28 @@ def test_retention_triangle_invariants(spark):
         load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
     )
     assert sum(base.values()) == n_users  # cohorts partition the user set
+
+
+def test_active_users_reconciles_with_raw_events(spark):
+    """DAU and WAU recompute from the raw activity set: wau(day) counts
+    distinct users over the trailing 7 observed-day window, wau >= dau
+    always, and single-day corpora collapse to wau == dau."""
+    from dream_spark.functions.timeutils import epoch_micros
+    from dream_spark.operators.temporal import DAY_US, WAU_DAYS, temporal_active
+    from dream_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    us = epoch_micros(ev, "ts")
+    act = {
+        (r["u"], r["d"])
+        for r in ev.select(F.col("user_id").alias("u"), us.alias("__us"))
+        .select("u", F.expr(f"__us div {DAY_US}").alias("d"))
+        .collect()
+    }
+    rows = temporal_active(spark, SF_DIR).collect()
+    for r in rows:
+        day = r["day"]
+        dau = len({u for u, d in act if d == day})
+        wau = len({u for u, d in act if day - WAU_DAYS < d <= day})
+        assert (r["dau"], r["wau"]) == (dau, wau)
+        assert r["wau"] >= r["dau"]
