@@ -657,7 +657,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # after this round is a regression, not a rotation artifact.  The 35
 # entries ADDED during r5 (after the cap below was frozen) form the entire
 # r6 rotation queue; every one is check_entry-green at sf0.01 this round
-# (the r5 closing full sweep was 188/188 ok):
+# (the r5 closing full sweeps were 192/192 ok in BOTH warm and
+# --clear-cache modes; the entries added after those sweeps —
+# rel_median, knn_ivf_served, dedup_cluster_sizes, temporal_active,
+# pipeline_rulegate, sparql_sameterm, rel_window_ntile — were each
+# check_entry-verified individually):
 #   sketch_kmv_overlap, sparql_filter_strends, sparql_filter_in,
 #   sparql_filter_not_in, sparql_filter_strafter, sparql_filter_abs,
 #   sparql_order_desc, sparql_sum_bind, sparql_values_undef,

@@ -463,15 +463,22 @@ def active_users(
         (F.col("a.day") <= F.col("d.day"))
         & (F.col("a.day") > F.col("d.day") - WAU_DAYS),
     )
-    wau = (
+    # ONE aggregation carries both counts: the trailing frame contains the
+    # same-day rows, so dau is the distinct count restricted to them — no
+    # second scan of the activity lineage, no day-keyed join afterwards
+    return (
         trailing.groupBy(F.col("d.day").alias("day"))
-        .agg(F.countDistinct("a.u").alias("wau"))
-    )
-    dau = act.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    return dau.join(wau, on="day").select(
-        F.col("day").cast("bigint").alias("day"),
-        F.col("dau").cast("bigint").alias("dau"),
-        F.col("wau").cast("bigint").alias("wau"),
+        .agg(
+            F.countDistinct(
+                F.when(F.col("a.day") == F.col("d.day"), F.col("a.u"))
+            ).alias("dau"),
+            F.countDistinct("a.u").alias("wau"),
+        )
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+        )
     )
 
 
@@ -484,17 +491,12 @@ TEMPORAL_ACTIVE_SQL = f"""
 WITH act AS (
   SELECT DISTINCT user_id AS u, epoch_us(ts) // {DAY_US} AS day FROM events
 ),
-days AS (SELECT DISTINCT day FROM act),
-wau AS (
-  SELECT d.day, COUNT(DISTINCT a.u) AS wau
-  FROM act a JOIN days d ON a.day <= d.day AND a.day > d.day - {WAU_DAYS}
-  GROUP BY d.day
-),
-dau AS (SELECT day, COUNT(*) AS dau FROM act GROUP BY day)
-SELECT CAST(dau.day AS BIGINT) AS day,
-       CAST(dau.dau AS BIGINT) AS dau,
-       CAST(wau.wau AS BIGINT) AS wau
-FROM dau JOIN wau ON wau.day = dau.day
+days AS (SELECT DISTINCT day FROM act)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(COUNT(DISTINCT CASE WHEN a.day = d.day THEN a.u END) AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT a.u) AS BIGINT) AS wau
+FROM act a JOIN days d ON a.day <= d.day AND a.day > d.day - {WAU_DAYS}
+GROUP BY d.day
 """.strip()
 
 

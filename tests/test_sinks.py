@@ -136,5 +136,13 @@ def test_compact_parquet_guards_and_skew_gate(spark, docs, tmp_path_factory):
     target = sizes[0] + 10  # small file fits; big file is oversized
     before_rows = sorted(map(tuple, spark.read.parquet(p2).collect()))
     nb2, na2 = compact_parquet(spark, p2, target_bytes=target)
-    assert nb2 == 2 and na2 >= 2  # rewritten, not skipped
+    # a skipped rewrite would return (2, 2): the rewrite splits the big
+    # file, so the output count must EXCEED the input count and the
+    # largest output file must shrink below the old maximum
+    assert nb2 == 2 and na2 > 2
+    new_max = max(
+        os.path.getsize(os.path.join(p2, n))
+        for n in os.listdir(p2) if n.endswith(".parquet")
+    )
+    assert new_max < sizes[-1]
     assert sorted(map(tuple, spark.read.parquet(p2).collect())) == before_rows

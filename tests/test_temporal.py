@@ -153,6 +153,9 @@ def test_active_users_reconciles_with_raw_events(spark):
         .collect()
     }
     rows = temporal_active(spark, SF_DIR).collect()
+    # coverage: one output row per active day (also kills a vacuous pass
+    # on an empty or day-dropping result)
+    assert {r["day"] for r in rows} == {d for _, d in act}
     for r in rows:
         day = r["day"]
         dau = len({u for u, d in act if d == day})
