@@ -763,3 +763,51 @@ def test_random_bgp_matches_oracle(engine, duck, pats):
         ).fetchone()[0]
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+@given(_bgp(), st.booleans())
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_bgp_with_optional_matches_oracle(engine, duck, pats, tail):
+    """The left-join lowering fuzzed: move one end pattern of a random
+    connected BGP into an OPTIONAL group (when the remainder stays
+    connected and shares a variable with it) and compare engines — the
+    NULL-extension semantics must agree row-for-row."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    if len(pats) < 3:
+        return
+    idx = len(pats) - 1 if tail else 1
+    opt, rest = pats[idx], pats[:idx] + pats[idx + 1 :]
+
+    def connected(ps):
+        reach = {0}
+        grew = True
+        while grew:
+            grew = False
+            vs = {t for i in reach for t in (ps[i][0], ps[i][2]) if t.startswith("?")}
+            for i, (s, p, o) in enumerate(ps):
+                if i not in reach and ({s, o} & vs):
+                    reach.add(i)
+                    grew = True
+        return reach == set(range(len(ps)))
+
+    rest_vars = {t for s, p, o in rest for t in (s, o) if t.startswith("?")}
+    opt_vars = {t for t in (opt[0], opt[2]) if t.startswith("?")}
+    if not connected(rest) or not (opt_vars & rest_vars):
+        return  # the split would change semantics class; skip this draw
+    proj = sorted(rest_vars | opt_vars)
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in rest)
+    q = (
+        f"select {' '.join(proj)} where {{ {body} ."
+        f" optional {{ {opt[0]} {opt[1]} {opt[2]} }} }}"
+    )
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return  # e.g. the optional's only NEW var duplicated elsewhere
+    df = engine.sparql(q, decode=False)
+    if df.count() > 300_000:
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
