@@ -174,6 +174,16 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         "select ?S ?X where { ?S type Supplier . ?S inNation? ?X }",
         False,
     ),
+    # constant-anchored ZeroLengthPath (SPARQL 1.1 §18.4): a constant
+    # endpoint self-pairs whether or not it occurs in the graph —
+    # nation:9999 has a dictionary id but no triples, so the zero-hop
+    # identity row is the ONLY result (engine: literal-row identity
+    # domain; oracle: anchored pathstar CTE).  New in r6, closing the
+    # r5 ADVICE (a) documented deviation.
+    "sparql_path_ground": (
+        "select ?N where { ?N inRegion* <nation:9999> }",
+        False,
+    ),
     # VALUES superset: single-variable inline bindings → IN-filter lowering
     "sparql_values": (
         "select ?C ?N where { ?C type Customer . ?C inNation ?N ."
@@ -611,95 +621,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # This list is exactly 50 names.  KEEP THE SUM AT 50 when rotating.
 #
 # ROTATION LEDGER (cumulative driver-green rows by round):
-#   After r4 (50/50 green), every entry EXCEPT the 26 queued below had a
-#   driver-green CORRECTNESS row; all are code-unchanged since their green
-#   round unless re-listed here as re-verification seats.
+#   After r5 (50/50 green, CORRECTNESS_r05), every entry EXCEPT the 35
+#   queued below had a driver-green CORRECTNESS row; the 35 were all added
+#   mid-r5 after the cap froze, and all 35 passed the judge's independent
+#   check_entry run at r5 close (VERDICT.md r5) plus the repo's own closing
+#   sweeps.  Any entry outside this list without a green row is a
+#   regression, not a rotation artifact.
 #
-# Round 5 rotation — closes the adjudication ledger.  The 50 seats:
-#   * 26 seats: the full never-green queue from the r4 ledger (18
-#     earlier-grammar variants + 8 r4-new operators).  After this round
-#     EVERY pre-r5 entry has had a driver-green row at least once.
-#   * 16 seats for entries NEW this round: the string-function FILTERs
-#     (sparql_filter_contains / _strstarts / _strlen / _ucase / _substr —
-#     SPARQL 1.1 CONTAINS/STRSTARTS/STRLEN/UCASE/LCASE/SUBSTR over the
-#     decode-one-column join), the multiplicative typed-value filter
-#     (sparql_filter_arith_mul), the COALESCE and numeric-IF BINDs
-#     (sparql_bind_coalesce / sparql_bind_if), the two-variable
-#     arithmetic forms (sparql_filter_arith_vars /
-#     sparql_bind_arith_vars — (num(?a) op num(?b)) over the typed value
-#     layer), the CONCAT/STR string BIND (sparql_bind_concat — decoded
-#     strings as a third alias value space), the typed-value SUM HAVING
-#     (sparql_having_sum), the cross-doc boilerplate and corpus-
-#     familiarity pipeline stats (pipeline_boilerplate /
-#     pipeline_familiarity), the alternation-closure path group
-#     (sparql_path_group — (p1|p2)+ over the union edge set), and the
-#     persisted-ANN serve path (knn_lsh_served — loads the parquet index
-#     written by save_vector_index and probes it).
-#   * 2 re-verification seats for code changed this round:
-#     sparql_path_star + sparql_path_opt (the zero-length-path identity
-#     side is now domain-restricted to a sibling pattern's value set or a
-#     constant presence probe instead of the corpus-wide node frame).
-#   * 6 breadth/re-verification seats — one per operator family without
-#     a representative in the 26-queue or the new-entry block:
-#     temporal_asof, text_topterms, dedup_minhash, graph_pagerank,
-#     media_dedup, streaming_sessionize_batch.
-#     Seats YIELDED to the r5 additions (all green r4 on unchanged code):
-#     sparql_construct, sparql_exists, sparql_seq_path,
-#     sparql_filter_regex, sparql_filter_samenation, rel_q9_profit,
-#     rel_q21_waiting, dedup_jaccard, pipeline_contamination,
-#     sketch_cms_users — rel_window_delta, pipeline_sample/bigrams/
-#     profile, and sketch_quantiles_sampled/kmv_hourly in the 26-queue
-#     keep the rel_, pipeline_, and sketch_ families covered, and the 14
-#     new sparql_* entries exercise the filter/bind/path machinery the
-#     yielded SPARQL seats re-verified far more deeply.
-#
-# r6 queue: EMPTY for pre-r5 entries — any pre-r5 entry without a green row
-# after this round is a regression, not a rotation artifact.  The 35
-# entries ADDED during r5 (after the cap below was frozen) form the entire
-# r6 rotation queue; every one is check_entry-green at sf0.01 this round
-# (the r5 closing full sweeps were 192/192 ok in BOTH warm and
-# --clear-cache modes; the entries added after those sweeps —
-# rel_median, knn_ivf_served, dedup_cluster_sizes, temporal_active,
-# pipeline_rulegate, sparql_sameterm, rel_window_ntile — were each
-# check_entry-verified individually):
-#   sketch_kmv_overlap, sparql_filter_strends, sparql_filter_in,
-#   sparql_filter_not_in, sparql_filter_strafter, sparql_filter_abs,
-#   sparql_order_desc, sparql_sum_bind, sparql_values_undef,
-#   sparql_nested_optional, sparql_filter_replace, graph_degree,
-#   rel_grouping_sets, pipeline_lengths, pipeline_dup_rate,
-#   dedup_cross_source, knn_filtered, temporal_gaps, text_winnow,
-#   sparql_filter_or, sparql_filter_or_arith, sparql_filter_not,
-#   sparql_filter_not_or, sparql_filter_grouped_bool, graph_triangles,
-#   pipeline_canonicalize, temporal_retention, sparql_sameterm,
-#   rel_window_ntile, sketch_bloom, pipeline_rulegate, rel_median,
-#   knn_ivf_served, dedup_cluster_sizes, temporal_active
-# That leaves 15 spare r6 seats for re-verifying whatever r6 changes.
+# Round 6 rotation — converts the judge-verified tail into driver-verified
+# rows and re-verifies this round's code changes.  The 50 seats:
+#   * 35 seats: the full r5-overflow queue (ledgered in r5's comment block,
+#     VERDICT.md r5 "What's missing" #1) — 14 FILTER grammar variants
+#     (string fns / IN / ABS / REPLACE / boolean connectives), 5 other
+#     grammar forms (values_undef, nested_optional, sameterm, order_desc,
+#     sum_bind), graph_degree/graph_triangles, rel_grouping_sets/
+#     rel_window_ntile/rel_median, pipeline_lengths/_dup_rate/
+#     _canonicalize/_rulegate, dedup_cross_source/_cluster_sizes,
+#     knn_filtered/knn_ivf_served, temporal_gaps/_retention/_active,
+#     text_winnow, sketch_kmv_overlap/sketch_bloom.
+#   * 3 seats for the r6 zero-length-path spec fix (closed r5 ADVICE (a)):
+#     sparql_path_ground (NEW — constant endpoint absent from the graph
+#     self-pairs, engine literal-row identity domain vs oracle anchored
+#     pathstar CTE) plus re-verification of sparql_path_star and
+#     sparql_path_opt (the identity-domain code path that changed).
+#   * 12 breadth/re-verification seats — families touched by r6 work or
+#     without a representative in the 35-queue: dedup_minhash /
+#     dedup_simhash / dedup_embedding / knn_lsh (the four LSH families the
+#     new recall property tests exercise), media_knn (multimodal — none in
+#     the queue), streaming_dedup_batch (streaming — none in the queue),
+#     graph_ppr (iterative-graph path), rel_q1_pricing (TPC-H anchor),
+#     sparql_seq_path (sequence-path rewrite composes with the changed
+#     zero-hop frames), sparql_star (flagship shape), sketch_kmv_users
+#     (sketch breadth), text_langid (text breadth).
 PRIORITY_ORDER = [
-    # --- the 26-entry never-green queue (18 grammar variants) ---
-    "sparql_paged", "sparql_minmax", "sparql_values", "sparql_values_rows",
-    "sparql_ask_neg", "sparql_construct_optional", "sparql_describe",
-    "sparql_filter_range", "sparql_alt_pred", "sparql_group_concat",
-    "sparql_sample", "sparql_subquery_topk", "sparql_seq_inverse",
-    "sparql_neg_pred", "sparql_bind",
-    "pipeline_sample", "pipeline_bigrams", "sketch_quantiles_sampled",
-    # --- (8 r4-new operators, local-mirror-green, never adjudicated) ---
-    "sparql_avg_size", "sparql_not_bound", "sparql_optional_filtered",
-    "sparql_bind_arith", "sparql_describe_where",
-    "sketch_kmv_hourly", "pipeline_profile", "rel_window_delta",
-    # --- new this round (16) ---
-    "sparql_filter_contains", "sparql_filter_strstarts",
-    "sparql_filter_strlen", "sparql_filter_arith_mul",
-    "sparql_bind_coalesce", "knn_lsh_served",
-    "sparql_filter_ucase", "sparql_filter_substr", "sparql_bind_if",
-    "sparql_filter_arith_vars", "sparql_bind_arith_vars",
-    "sparql_bind_concat", "sparql_having_sum",
-    "pipeline_boilerplate", "pipeline_familiarity", "sparql_path_group",
-    # --- re-verify: zero-length-path identity domain restriction (2) ---
-    "sparql_path_star", "sparql_path_opt",
-    # --- breadth / family coverage (6: one seat per family without a
-    #     representative in the queue above) ---
-    "temporal_asof", "text_topterms", "dedup_minhash",
-    "graph_pagerank", "media_dedup", "streaming_sessionize_batch",
+    # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
+    "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",
+    "sparql_filter_not_in", "sparql_filter_strafter", "sparql_filter_abs",
+    "sparql_order_desc", "sparql_sum_bind", "sparql_values_undef",
+    "sparql_nested_optional", "sparql_filter_replace", "graph_degree",
+    "rel_grouping_sets", "pipeline_lengths", "pipeline_dup_rate",
+    "dedup_cross_source", "knn_filtered", "temporal_gaps", "text_winnow",
+    "sparql_filter_or", "sparql_filter_or_arith", "sparql_filter_not",
+    "sparql_filter_not_or", "sparql_filter_grouped_bool", "graph_triangles",
+    "pipeline_canonicalize", "temporal_retention", "sparql_sameterm",
+    "rel_window_ntile", "sketch_bloom", "pipeline_rulegate", "rel_median",
+    "knn_ivf_served", "dedup_cluster_sizes", "temporal_active",
+    # --- r6 zero-length-path spec fix (1 new + 2 re-verify) ---
+    "sparql_path_ground", "sparql_path_star", "sparql_path_opt",
+    # --- breadth / r6-touched-family re-verification (12) ---
+    "dedup_minhash", "dedup_simhash", "dedup_embedding", "knn_lsh",
+    "media_knn", "streaming_dedup_batch", "graph_ppr", "rel_q1_pricing",
+    "sparql_seq_path", "sparql_star", "sketch_kmv_users", "text_langid",
 ]
 
 

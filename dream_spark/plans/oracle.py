@@ -47,11 +47,17 @@ def _render_block(conditions, resolve, alias_start: int) -> tuple[list[str], lis
         if cond.pred.is_path_closure:
             pids = _pred_pids(cond.pred, resolve)
             ptag = "_".join(str(x) for x in pids)
-            cte = (
-                f"closure_{ptag}"
-                if cond.pred.is_transitive
-                else f"pathstar_{ptag}" if cond.pred.is_zero_or_more else f"pathopt_{ptag}"
-            )
+            if cond.pred.is_transitive:
+                cte = f"closure_{ptag}"
+            else:
+                # a constant endpoint takes the ANCHORED variant: its
+                # identity side is the constants' self-pairs (ZeroLengthPath
+                # binds a constant whether or not it occurs in the graph,
+                # SPARQL 1.1 §18.4), not the graph_nodes frame — mirrors
+                # translator._identity_domain's literal-row domain
+                anch = "" if cond.subj.is_var and cond.obj.is_var else "_anch"
+                base = "pathstar" if cond.pred.is_zero_or_more else "pathopt"
+                cte = f"{base}_{ptag}{anch}"
             aliases.append(f"{cte} {t}")
             slot_terms = (("s", cond.subj), ("o", cond.obj))
         elif cond.pred.is_inverse:
@@ -89,25 +95,57 @@ def _pred_pids(pred, resolve) -> tuple[int, ...]:
 
 def _path_pids(
     query: ParsedQuery, resolve
-) -> tuple[list[tuple[int, ...]], list[tuple[int, ...]], list[tuple[int, ...]]]:
-    """(closure pid-tuples for + and *, ZeroOrMore tuples, ZeroOrOne
-    tuples) across every pattern group of the query.  Tuples, not ints:
-    an alternation-closure group ``(p1|p2)+`` closes over the UNION edge
-    set, one CTE per distinct predicate set."""
+) -> tuple[
+    list[tuple[int, ...]],
+    list[tuple[int, ...]],
+    list[tuple[int, ...]],
+    dict[tuple[int, ...], list[int]],
+    dict[tuple[int, ...], list[int]],
+]:
+    """(closure pid-tuples for + and *, var-var ZeroOrMore tuples, var-var
+    ZeroOrOne tuples, anchored-star consts by pids, anchored-opt consts by
+    pids) across every pattern group of the query.  Tuples, not ints: an
+    alternation-closure group ``(p1|p2)+`` closes over the UNION edge set,
+    one CTE per distinct predicate set.  A */? pattern with a CONSTANT
+    endpoint is "anchored": its zero-length identity side is the
+    constants' self-pairs rather than graph_nodes (ZeroLengthPath binds a
+    constant endpoint unconditionally, SPARQL 1.1 §18.4), so anchored and
+    var-var uses of the same predicate need SEPARATE CTEs.  OOV constants
+    (UNKNOWN_ID) are excluded from the self-pair injection — the sentinel
+    is shared across unknown terms (see translator._identity_domain)."""
     plus: set[tuple[int, ...]] = set()
     star: set[tuple[int, ...]] = set()
     opt: set[tuple[int, ...]] = set()
+    star_anch: dict[tuple[int, ...], set[int]] = {}
+    opt_anch: dict[tuple[int, ...], set[int]] = {}
     groups = list(query.union_branches or [query.conditions])
     exists = [grp for _, grp in query.exists_groups]
     for grp in groups + list(query.optionals) + list(query.minuses) + exists:
         for c in grp:
+            if not c.pred.is_path_closure:
+                continue
+            pids = _pred_pids(c.pred, resolve)
             if c.pred.is_transitive:
-                plus.add(_pred_pids(c.pred, resolve))
-            elif c.pred.is_zero_or_more:
-                star.add(_pred_pids(c.pred, resolve))
-            elif c.pred.is_zero_or_one:
-                opt.add(_pred_pids(c.pred, resolve))
-    return sorted(plus | star), sorted(star), sorted(opt)
+                plus.add(pids)
+                continue
+            consts = {
+                resolve(t.lexical)
+                for t in (c.subj, c.obj)
+                if not t.is_var
+            } - {UNKNOWN_ID}
+            anch = star_anch if c.pred.is_zero_or_more else opt_anch
+            plain = star if c.pred.is_zero_or_more else opt
+            if c.subj.is_var and c.obj.is_var:
+                plain.add(pids)
+            else:
+                anch.setdefault(pids, set()).update(consts)
+    return (
+        sorted(plus | star | set(star_anch)),
+        sorted(star),
+        sorted(opt),
+        {k: sorted(v) for k, v in star_anch.items()},
+        {k: sorted(v) for k, v in opt_anch.items()},
+    )
 
 
 def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
@@ -116,7 +154,7 @@ def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
     graph-node identity CTE plus a pathstar_/pathopt_ union CTE per */?
     path predicate (ZeroOrMorePath / ZeroOrOnePath — zero-length paths
     match every graph node to itself), and the dict when decoding."""
-    closure_pids, star_pids, opt_pids = _path_pids(query, resolve)
+    closure_pids, star_pids, opt_pids, star_anch, opt_anch = _path_pids(query, resolve)
     parts = [f"triples AS (\n{TRIPLES_SQL}\n)"]
     for pids in closure_pids:
         ptag = "_".join(str(x) for x in pids)
@@ -156,6 +194,26 @@ def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
             f"  SELECT DISTINCT s, o FROM triples WHERE p = {pid} AND s <> o\n"
             f"  UNION ALL SELECT n, n FROM graph_nodes\n"
             f")"
+        )
+    # anchored variants: the identity side is the anchoring constants'
+    # self-pairs only — the pattern's own constant filter drops every
+    # other identity row anyway, and a constant binds whether or not it
+    # is a graph node (mirrors translator._identity_domain)
+    for pids, consts in sorted(star_anch.items()):
+        ptag = "_".join(str(x) for x in pids)
+        ident = "".join(f"  UNION ALL SELECT {c}, {c}\n" for c in consts)
+        parts.append(
+            f"pathstar_{ptag}_anch(s, o) AS (\n"
+            f"  SELECT s, o FROM closure_{ptag} WHERE s <> o\n"
+            f"{ident})"
+        )
+    for pids, consts in sorted(opt_anch.items()):
+        (pid,) = pids
+        ident = "".join(f"  UNION ALL SELECT {c}, {c}\n" for c in consts)
+        parts.append(
+            f"pathopt_{pid}_anch(s, o) AS (\n"
+            f"  SELECT DISTINCT s, o FROM triples WHERE p = {pid} AND s <> o\n"
+            f"{ident})"
         )
     if needs_dict:
         parts.append(f"dict AS (\n{DICT_SQL}\n)")
@@ -760,6 +818,10 @@ def bgp_to_sql(
         select_list = ", ".join(sel)
     else:
         select_list = ", ".join(f"{first_slot[v]} AS {v}" for v in query.projection)
+    if not select_list:
+        # fully-ground pattern (every slot a constant — an ASK body has no
+        # projectable variable): emit a match marker so the SELECT parses
+        select_list = "1 AS matched"
     ctes = _ctes(query, resolve, decode)
 
     distinct = "DISTINCT " if query.distinct else ""

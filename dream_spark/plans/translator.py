@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from dream_spark.plans.sparql import Condition, Filter, ParsedQuery, strslice_sql
 from dream_spark.plans.stats import TripleStats
 from dream_spark.sources.triples import (
+    UNKNOWN_ID,
     TripleStore,
     arith2_sql,
     arith_filter_sql,
@@ -133,11 +134,16 @@ def _path_frame(store: TripleStore, pred, identity_nodes: DataFrame | None = Non
     ZeroLengthPath over the graph's terms), independent of whether the
     node touches ``p`` — ``?n type Nation . ?n inRegion* ?r`` therefore
     yields (n, n) even for a nation with no region edge, like the spec.
-    ENGINE READING (documented deviation surface): the zero-length path
-    ranges over terms occurring in the graph as subject or object, so a
-    constant endpoint ABSENT from the graph (e.g. ``<x> p* <x>`` for a
-    query-only term) yields no row — the DuckDB oracle mirrors the same
-    reading (graph_nodes CTE).
+    A CONSTANT endpoint self-pairs unconditionally — SPARQL 1.1 §18.4
+    ZeroLengthPath(term, var) binds the variable to the term whether or
+    not the term occurs in the graph, so ``<x> p* <x>`` holds even for a
+    node-less ``x`` (:func:`_identity_domain` supplies the literal row;
+    the DuckDB oracle's anchored pathstar_/pathopt_ CTEs mirror it).  The
+    one remaining boundary is out-of-vocabulary terms (absent from the
+    DICTIONARY, not merely from the graph): they share the UNKNOWN_ID
+    sentinel, so self-pairing them would let two DIFFERENT unknown terms
+    match each other — they stay empty, consistent with every other
+    pattern position (``<oov> type ?x`` matches nothing too).
 
     ``identity_nodes`` (one column ``n``) restricts the identity side to a
     caller-proven domain — a sibling pattern's value set or a constant's
@@ -179,10 +185,13 @@ def _identity_domain(
     """Domain restriction for a ``p*``/``p?`` pattern's zero-length side:
     a one-column (``n``) frame of the node ids the identity branch needs.
 
-    - A CONSTANT endpoint shrinks identity to a presence probe: one
-      pushdown-filtered scan emitting the constant iff it occurs in the
-      graph (the engine's documented ZeroLengthPath reading) — a point
-      lookup instead of materializing the corpus-wide node frame.
+    - A CONSTANT endpoint shrinks identity to a single literal row — the
+      spec's ZeroLengthPath binds a constant endpoint to itself whether
+      or not the term occurs in the graph (SPARQL 1.1 §18.4), so no scan
+      at all replaces the corpus-wide node frame.  OOV constants (no
+      dictionary id) contribute nothing: the UNKNOWN_ID sentinel is
+      shared, and a sentinel self-pair would match DIFFERENT unknown
+      terms to each other (see :func:`_path_frame`).
     - A VARIABLE endpoint also bound by a sibling (non-path) pattern
       restricts identity to that sibling's value set: the enclosing
       equi-join drops every identity row outside it anyway
@@ -194,10 +203,9 @@ def _identity_domain(
     for term in (cond.subj, cond.obj):
         if not term.is_var:
             cid_ = store.resolve(term.lexical)
-            return (
-                store.triples.where((F.col("s") == cid_) | (F.col("o") == cid_))
-                .limit(1)
-                .select(F.lit(cid_).cast("long").alias("n"))
+            n_rows = 0 if cid_ == UNKNOWN_ID else 1
+            return store.spark.range(n_rows).select(
+                F.lit(cid_).cast("long").alias("n")
             )
     end_vars = {t.var for t in (cond.subj, cond.obj) if t.is_var}
     best: tuple[Condition, str] | None = None

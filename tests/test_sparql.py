@@ -1287,16 +1287,41 @@ def test_zero_or_more_multihop_chain(spark):
     assert got == {(1, 2), (2, 3), (3, 4)} | ident
 
 
-def test_zero_path_constant_absent_from_graph_is_empty(engine, duck):
-    """ENGINE READING (documented, translator._path_frame): the zero-length
-    path ranges over terms occurring in the graph, so a constant endpoint
-    ABSENT from the graph yields no row — even though SPARQL 1.1's
-    ZeroLengthPath also ranges over terms mentioned only in the pattern.
-    The oracle mirrors the same reading (graph_nodes CTE), so this pins
-    the documented behavior on BOTH engines rather than leaving it
-    implicit."""
+def test_zero_path_constant_absent_from_graph_self_pairs(engine, duck):
+    """SPARQL 1.1 §18.4 ZeroLengthPath(term, var) binds the variable to the
+    term whether or not it occurs in the graph: ``?N inRegion* <x>`` for an
+    ``x`` with a dictionary id but NO graph occurrence still yields the
+    single zero-hop row ?N = x.  The oracle's anchored pathstar CTE injects
+    the same self-pair, so this golden test pins the spec reading on BOTH
+    engines (it replaced the pre-r6 documented deviation where the identity
+    side ranged over graph nodes only)."""
     # nation:9999 resolves arithmetically but no such entity exists
     qtext = "select ?N where { ?N inRegion* <nation:9999> }"
+    got = engine.sparql(qtext)
+    rows = got.collect()
+    assert len(rows) == 1  # the zero-hop self-binding, nothing else
+    assert_oracle_match(got, duck, bgp_to_sql(parse_sparql(qtext)))
+    # both ends constant: <x> p* <x> holds by the zero-length path alone
+    ask = "ask { <nation:9999> inRegion* <nation:9999> }"
+    assert engine.sparql(ask).collect()[0][0] is True
+    assert_oracle_match(
+        engine.sparql(ask), duck, bgp_to_sql(parse_sparql(ask))
+    )
+    # ...but two DIFFERENT constants do not (zero-length needs x = y, and
+    # nation:9999 has no edges for the 1..n-hop side)
+    ask_ne = "ask { <nation:9999> inRegion* <nation:9998> }"
+    assert engine.sparql(ask_ne).collect()[0][0] is False
+    assert_oracle_match(
+        engine.sparql(ask_ne), duck, bgp_to_sql(parse_sparql(ask_ne))
+    )
+
+
+def test_zero_path_oov_constant_stays_empty(engine, duck):
+    """Out-of-vocabulary constants (no dictionary id at all) are the one
+    remaining ZeroLengthPath boundary: they share the UNKNOWN_ID sentinel,
+    so self-pairing them would match DIFFERENT unknown terms to each other
+    — they yield no row, consistent with every other pattern position."""
+    qtext = "select ?N where { ?N inRegion* <no:such:term:ever> }"
     got = engine.sparql(qtext)
     assert got.count() == 0
     assert_oracle_match(got, duck, bgp_to_sql(parse_sparql(qtext)))
