@@ -1,0 +1,212 @@
+"""Statistical recall validation for the LSH operator families.
+
+VERDICT r5 "Next round" #3: the oracle hash_match rows prove cross-engine
+implementation EQUALITY of the LSH candidate generators, not statistical
+recall — that rested on the analytic band math in the docstrings
+(operators/dedup.py:46-74).  These tests convert those arguments into
+measured properties on seeded corpora with PLANTED near-duplicate pairs:
+
+- MinHash (2 bands x 8 rows): measured recall over planted pairs must meet
+  the per-pair analytic bound  1 - (1 - J^r)^b  computed from each pair's
+  TRUE character-3-gram Jaccard (driver-side replay of the shingle kernel).
+- SimHash (4 bands x 8 bits): pigeonhole-COMPLETE for hamming <= 3 — the
+  banded candidate join must return EXACTLY the brute-force pair set.
+- Embedding LSH (4 tables x 4 hyperplanes): measured recall over planted
+  cosine-similar pairs must meet  1 - (1 - (1 - theta/pi)^4)^4  from each
+  pair's true quantized cosine.
+- knn_lsh: planted queries must recover their true nearest neighbor at the
+  same analytic table-collision rate.
+
+Every corpus is seeded (numpy RandomState) so the measured numbers are
+deterministic: a failure means the band/table PARAMETERS drifted (e.g.
+2x8 -> 1x16 MinHash bands, or 4x4 -> 1x16 hyperplane tables), which is
+exactly what these tests exist to catch.  The slack below the analytic
+mean absorbs the deterministic-hash-family-vs-ideal-random gap only.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from dream_spark.functions.textkernels import _doc_sids
+from dream_spark.operators.dedup import (
+    BAND_ROWS,
+    N_BANDS,
+    SIMHASH_MAX_HAMMING,
+    minhash_pairs,
+    simhash_of,
+    simhash_pairs,
+)
+
+DIM = 64  # the hyperplane kernel's EMB_DIM (functions/vectors.py)
+
+
+# --------------------------------------------------------------------------
+# corpora
+# --------------------------------------------------------------------------
+def _text_corpus(n_pairs: int, doc_len: int, n_edits: int, seed: int):
+    """(rows, planted) — base docs of random lowercase text, each with one
+    near-dup variant produced by ``n_edits`` single-character substitutions
+    (an edit touches <= 3 shingles, so J stays high and MEASURABLE)."""
+    rng = np.random.RandomState(seed)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz      "))
+    rows, planted = [], []
+    for i in range(n_pairs):
+        base = "".join(rng.choice(letters, size=doc_len))
+        chars = list(base)
+        for pos in rng.choice(doc_len, size=n_edits, replace=False):
+            chars[pos] = chr(ord("a") + rng.randint(26))
+        variant = "".join(chars)
+        rows += [(i, base), (10_000 + i, variant)]
+        planted.append((i, 10_000 + i, base, variant))
+    return rows, planted
+
+
+def _true_jaccard(a: str, b: str) -> float:
+    sa = set(_doc_sids(a, distinct=True).tolist())
+    sb = set(_doc_sids(b, distinct=True).tolist())
+    return len(sa & sb) / len(sa | sb)
+
+
+def _vec_corpus(n_pairs: int, n_noise: int, noise_scale: float, seed: int):
+    """(rows, planted) — standard-normal base vectors (random pairs sit at
+    cos ~ 0), each with a planted variant at cos ~ 1/sqrt(1 + s^2)."""
+    rng = np.random.RandomState(seed)
+    rows, planted = [], []
+    for i in range(n_pairs):
+        v = rng.standard_normal(DIM)
+        w = v + noise_scale * rng.standard_normal(DIM)
+        rows += [(i, v.tolist()), (10_000 + i, w.tolist())]
+        planted.append((i, 10_000 + i, v, w))
+    for j in range(n_noise):
+        rows.append((20_000 + j, rng.standard_normal(DIM).tolist()))
+    return rows, planted
+
+
+def _quant_cos(a: np.ndarray, b: np.ndarray) -> float:
+    """The engines' exact integer cosine (quantize = floor(v * 1e6))."""
+    qa = np.floor(a * 1_000_000).astype(np.int64)
+    qb = np.floor(b * 1_000_000).astype(np.int64)
+    return float(qa @ qb) / (math.sqrt(float(qa @ qa)) * math.sqrt(float(qb @ qb)))
+
+
+def _hyperplane_recall(cos: float, tables: int = 4, planes: int = 4) -> float:
+    """P[>= 1 of ``tables`` bucket collisions] for a pair at angle
+    arccos(cos) under random-hyperplane LSH (Goemans-Williamson bit
+    agreement 1 - theta/pi per plane)."""
+    theta = math.acos(max(-1.0, min(1.0, cos)))
+    p_table = (1.0 - theta / math.pi) ** planes
+    return 1.0 - (1.0 - p_table) ** tables
+
+
+# --------------------------------------------------------------------------
+# MinHash
+# --------------------------------------------------------------------------
+def test_minhash_recall_meets_band_bound(spark):
+    rows, planted = _text_corpus(n_pairs=60, doc_len=300, n_edits=2, seed=7)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_pairs(docs).collect()
+    }
+    bounds = []
+    hits = 0
+    for a, b, ta, tb in planted:
+        j = _true_jaccard(ta, tb)
+        assert j >= 0.9, "fixture drift: edits cut Jaccard below the regime under test"
+        bounds.append(1.0 - (1.0 - j**BAND_ROWS) ** N_BANDS)
+        hits += (min(a, b), max(a, b)) in got
+    measured = hits / len(planted)
+    analytic = sum(bounds) / len(bounds)
+    # J ~ 0.96-0.99 -> analytic ~ 0.93+.  A 2x8 -> 1x16 band drift drops
+    # the expected recall to J^16 ~ 0.65, far below the floor.
+    assert measured >= analytic - 0.15, (
+        f"MinHash recall {measured:.3f} under analytic band bound "
+        f"{analytic:.3f} - 0.15 (bands={N_BANDS}x{BAND_ROWS})"
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash: banding is pigeonhole-COMPLETE for hamming <= 3 — exact equality
+# --------------------------------------------------------------------------
+def test_simhash_banding_complete_for_max_hamming(spark):
+    rows, _ = _text_corpus(n_pairs=55, doc_len=200, n_edits=1, seed=11)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_of(docs).collect()}
+    ids = sorted(fps)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if d <= SIMHASH_MAX_HAMMING:
+                want.add((a, b, d))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs).collect()
+    }
+    # recall 1.0 AND precision 1.0: the banded join with exact verify must
+    # equal brute force, not merely cover it
+    assert got == want
+    assert want, "fixture drift: no pair landed within the hamming budget"
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine LSH
+# --------------------------------------------------------------------------
+def test_embedding_lsh_recall_meets_hyperplane_bound(spark):
+    from dream_spark.operators.dedup import embedding_pairs
+
+    rows, planted = _vec_corpus(n_pairs=50, n_noise=40, noise_scale=0.45, seed=3)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["vec_a"], r["vec_b"]) for r in embedding_pairs(emb).collect()
+    }
+    bounds = []
+    hits = 0
+    for a, b, v, w in planted:
+        c = _quant_cos(v, w)
+        assert c >= 0.8, "fixture drift: noise pushed the pair out of the near-dup regime"
+        bounds.append(_hyperplane_recall(c))
+        hits += (min(a, b), max(a, b)) in got
+    measured = hits / len(planted)
+    analytic = sum(bounds) / len(bounds)
+    # cos ~ 0.91 -> analytic ~ 0.95.  A 4x4 -> 1x16 table drift drops the
+    # collision rate to ~0.10, far below the floor.
+    assert measured >= analytic - 0.15, (
+        f"embedding LSH recall {measured:.3f} under analytic hyperplane "
+        f"bound {analytic:.3f} - 0.15"
+    )
+
+
+def test_knn_lsh_recovers_planted_nearest_neighbor(spark):
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.similarity import knn_lsh_topk
+
+    rows, planted = _vec_corpus(n_pairs=30, n_noise=60, noise_scale=0.45, seed=19)
+    corpus_rows = [(i, v) for i, v in rows if i < 10_000 or i >= 20_000]
+    query_rows = [(i, v) for i, v in rows if 10_000 <= i < 20_000]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(query_rows, "vec_id long, embedding array<double>")
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in knn_lsh_topk(corpus, queries, k=3)
+        .where(F.col("rank") == 1)
+        .collect()
+    }
+    bounds = []
+    hits = 0
+    for base_id, q_id, v, w in planted:
+        bounds.append(_hyperplane_recall(_quant_cos(v, w)))
+        # the planted base sits at cos ~ 0.91; every other corpus vector is
+        # independent standard normal (cos ~ 0), so IF the bucket join
+        # surfaces the base it must rank first
+        hits += top1.get(q_id) == base_id
+    measured = hits / len(planted)
+    analytic = sum(bounds) / len(bounds)
+    assert measured >= analytic - 0.18, (
+        f"knn_lsh top-1 recall {measured:.3f} under analytic bound "
+        f"{analytic:.3f} - 0.18"
+    )
