@@ -652,7 +652,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     graph_ppr (iterative-graph path), rel_q1_pricing (TPC-H anchor),
 #     sparql_seq_path (sequence-path rewrite composes with the changed
 #     zero-hop frames), sparql_star (flagship shape), sketch_kmv_users
-#     (sketch breadth), text_langid (text breadth).
+#     (sketch breadth), maintenance_compact (NEW in r6 — the compaction
+#     roundtrip entry, VERDICT r5 task 4).
 PRIORITY_ORDER = [
     # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
     "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",
@@ -671,7 +672,8 @@ PRIORITY_ORDER = [
     # --- breadth / r6-touched-family re-verification (12) ---
     "dedup_minhash", "dedup_simhash", "dedup_embedding", "knn_lsh",
     "media_knn", "streaming_dedup_batch", "graph_ppr", "rel_q1_pricing",
-    "sparql_seq_path", "sparql_star", "sketch_kmv_users", "text_langid",
+    "sparql_seq_path", "sparql_star", "sketch_kmv_users",
+    "maintenance_compact",
 ]
 
 
@@ -692,10 +694,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from dream_spark.streaming import events as streaming_events
 
+    from dream_spark.sources import sinks
+
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (qtext, decode) in SPARQL_QUERIES.items():
         out[name] = _sparql_runner(qtext, decode)
-    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch, graph):
+    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch, graph, sinks):
         out.update(mod.QUERIES)
     return _ordered(out)
 
@@ -708,9 +712,11 @@ def oracle_sql() -> dict[str, str]:
     from dream_spark.plans.sparql import parse_sparql
     from dream_spark.streaming import events as streaming_events
 
+    from dream_spark.sources import sinks
+
     out: dict[str, str] = {}
     for name, (qtext, decode) in SPARQL_QUERIES.items():
         out[name] = bgp_to_sql(parse_sparql(qtext), decode=decode)
-    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch, graph):
+    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch, graph, sinks):
         out.update(mod.ORACLES)
     return _ordered(out)

@@ -216,3 +216,52 @@ def compact_parquet(
         if n.endswith(".parquet")
     )
     return len(files), after
+
+
+# --------------------------------------------------------------------------
+# driver-contract maintenance entry
+# --------------------------------------------------------------------------
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a measured end-to-end roundtrip: fragment
+    the documents table into 64 files (the micro-batch-sink failure mode),
+    :func:`compact_parquet` them back to ~target-sized files, re-read and
+    count.  The returned row cross-checks against the DuckDB oracle:
+
+    - ``n_rows`` — the post-compaction count must equal the table's true
+      count (compaction lost or duplicated nothing; this is the real
+      correctness claim, verified independently by the oracle);
+    - ``files_reduced`` — the engine-side assertion that the rewrite
+      actually shrank the file count (64 → ceil(bytes/128 MB)); the
+      oracle pins it TRUE, so a silently-skipped compaction fails the
+      value hash.
+
+    The staging dataset lives in a per-call temp dir and the result row is
+    computed EAGERLY so the dir can be removed before returning (the
+    caller's count()/collect() must not depend on scratch files).  Bench
+    therefore times write + compact + read as one maintenance row
+    (VERDICT r5 task 4: make the compaction work driver-visible)."""
+    import shutil
+    import tempfile
+
+    from dream_spark.sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="dream_spark_compact_")
+    path = f"{base}/documents"
+    try:
+        load_table(spark, sf_dir, "documents").repartition(64).write.parquet(path)
+        files_before, files_after = compact_parquet(spark, path)
+        n_rows = spark.read.parquet(path).count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_rows, files_after < files_before)],
+        "n_rows long, files_reduced boolean",
+    )
+
+
+MAINTENANCE_COMPACT_SQL = (
+    "SELECT COUNT(*) AS n_rows, TRUE AS files_reduced FROM documents"
+)
+
+QUERIES = {"maintenance_compact": maintenance_compact}
+ORACLES = {"maintenance_compact": MAINTENANCE_COMPACT_SQL}
