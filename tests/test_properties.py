@@ -15,6 +15,7 @@ checking the properties that matter most:
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -809,5 +810,138 @@ def test_random_bgp_with_optional_matches_oracle(engine, duck, pats, tail):
         return  # e.g. the optional's only NEW var duplicated elsewhere
     df = engine.sparql(q, decode=False)
     if df.count() > 300_000:
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: depth-3 boolean-connective FILTER trees vs the DuckDB oracle
+# ---------------------------------------------------------------------------
+# Constant pools by variable kind for comparison/IN leaves.  Deliberately
+# includes ids outside the data's range and lexicals that may not resolve:
+# an unknown term lowers to the shared UNKNOWN_ID sentinel on BOTH engines
+# (unequal to everything, never an error), so those draws probe the
+# boundary instead of breaking the comparison.
+_KIND_CONSTS = {
+    "N": ["<nation:1>", "<nation:7>", "<nation:19>", "<nation:3>", "<nation:9999>"],
+    "R": ["<region:0>", "<region:1>", "<region:4>"],
+    "ST": ["<F>", "<O>", "<P>"],
+    "PR": ["<1-URGENT>", "<2-HIGH>", "<3-MEDIUM>", "<5-LOW>"],
+    "C": ["<customer:17>", "<customer:1>", "<customer:5>"],
+    "O": ["<order:40>", "<order:1>", "<order:8>"],
+    "P": ["<part:5>", "<part:2>", "<part:9>"],
+    "S": ["<supplier:1>", "<supplier:3>"],
+    "MS": ["<BUILDING>", "<AUTOMOBILE>", "<MACHINERY>"],
+}
+_CMP_OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+
+@st.composite
+def _filter_leaf(draw, vars_by_kind: dict[str, str]):
+    """One row-local connective operand over the BGP's variables: id
+    comparison (const or var-var), sameTerm, IN / NOT IN, typed-numeric
+    arithmetic (single- and two-variable), or bound()."""
+    kinds = sorted(vars_by_kind)
+    pooled = [k for k in kinds if k in _KIND_CONSTS]
+    choices = ["varvar", "sameterm", "bound", "arith", "arith2"]
+    if pooled:
+        choices += ["cmp", "cmp", "in"]  # weight toward the id layer
+    form = draw(st.sampled_from(choices))
+    if form == "cmp":
+        k = draw(st.sampled_from(pooled))
+        return f"{vars_by_kind[k]} {draw(st.sampled_from(_CMP_OPS))} {draw(st.sampled_from(_KIND_CONSTS[k]))}"
+    if form == "in":
+        k = draw(st.sampled_from(pooled))
+        pool = _KIND_CONSTS[k]
+        n = draw(st.integers(2, min(3, len(pool))))
+        items = draw(st.permutations(pool))[:n]
+        neg = draw(st.sampled_from(["", "not "]))
+        return f"{vars_by_kind[k]} {neg}in ({', '.join(items)})"
+    if form == "varvar":
+        a, b = draw(st.sampled_from(kinds)), draw(st.sampled_from(kinds))
+        return f"{vars_by_kind[a]} {draw(st.sampled_from(_CMP_OPS))} {vars_by_kind[b]}"
+    if form == "sameterm":
+        a, b = draw(st.sampled_from(kinds)), draw(st.sampled_from(kinds))
+        neg = draw(st.sampled_from(["", "!"]))
+        return f"{neg}sameTerm({vars_by_kind[a]}, {vars_by_kind[b]})"
+    if form == "bound":
+        # every BGP var is bound (no OPTIONAL here) — a constant-outcome
+        # leaf, which is exactly what shakes out short-circuit bugs
+        neg = draw(st.sampled_from(["", "!"]))
+        return f"{neg}bound({vars_by_kind[draw(st.sampled_from(kinds))]})"
+    if form == "arith":
+        # typed-numeric value layer; a non-numeric id values to NULL and
+        # the row drops (the SPARQL type-error contract) on BOTH engines,
+        # so drawing a non-SZ var here probes the error path on purpose
+        k = "SZ" if "SZ" in vars_by_kind and draw(st.booleans()) else draw(st.sampled_from(kinds))
+        v = vars_by_kind[k]
+        op = draw(st.sampled_from(_CMP_OPS))
+        rhs = draw(st.integers(-10, 60))
+        if draw(st.booleans()):
+            return f"{v} {draw(st.sampled_from('+-*'))} {draw(st.integers(1, 9))} {op} {rhs}"
+        return f"{v} {op} {rhs}"
+    # arith2: (?a op ?b) cmp k, optionally abs-wrapped
+    a, b = draw(st.sampled_from(kinds)), draw(st.sampled_from(kinds))
+    expr = f"{vars_by_kind[a]} {draw(st.sampled_from('+-*'))} {vars_by_kind[b]}"
+    op = draw(st.sampled_from(_CMP_OPS))
+    rhs = draw(st.integers(-10, 60))
+    if draw(st.booleans()):
+        return f"abs({expr}) {'>=' if op in ('=', '!=') else op} {rhs}"
+    # grammar: the two-variable arithmetic operand is unparenthesized
+    # (?a + ?b cmp k); a parenthesized expression is not a filter form
+    return f"{expr} {op} {rhs}"
+
+
+@st.composite
+def _filter_tree(draw, vars_by_kind: dict[str, str], depth: int):
+    """Random boolean tree to ``depth``: leaves from :func:`_filter_leaf`,
+    inner nodes !/||/&& with explicit grouping (mixed connectives at one
+    level require parens, which the renderer always emits)."""
+    if depth == 0 or draw(st.integers(0, 2)) == 0:
+        return draw(_filter_leaf(vars_by_kind))
+    op = draw(st.sampled_from(["||", "&&", "!"]))
+    if op == "!":
+        return f"!({draw(_filter_tree(vars_by_kind, depth - 1))})"
+    n = draw(st.integers(2, 3))
+    parts = [draw(_filter_tree(vars_by_kind, depth - 1)) for _ in range(n)]
+    return "(" + f" {op} ".join(parts) + ")"
+
+
+@st.composite
+def _bgp_with_filter(draw):
+    pats = draw(_bgp())
+    vars_by_kind = {}
+    for s, p, o in pats:
+        for t in (s, o):
+            if t.startswith("?"):
+                vars_by_kind[t[2:]] = t  # kind = var name minus "?V"
+    tree = draw(_filter_tree(vars_by_kind, depth=3))
+    return pats, tree
+
+
+@pytest.mark.slow
+@given(_bgp_with_filter())
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_boolean_filter_matches_oracle(engine, duck, case):
+    """VERDICT r5 task 6: the boolean-connective FILTER layer fuzzed to
+    depth 3 — random ||/&&/!/IN/sameTerm/bound/arithmetic trees over random
+    typed-value and id operands on random connected BGPs must answer
+    identically on both engines (three-valued logic, the typed-numeric
+    NULL-drop contract, and unknown-term sentinels included)."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    pats, tree = case
+    proj = sorted({t for s, p, o in pats for t in (s, o) if t.startswith("?")})
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in pats)
+    q = f"select {' '.join(proj)} where {{ {body} . filter ({tree}) }}"
+    parsed = parse_sparql(q)
+    df = engine.sparql(q, decode=False)
+    n = df.count()
+    if n > 300_000:  # pathological BGP blowup guard: counts still compared
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({bgp_to_sql(parsed, decode=False)})"
+        ).fetchone()[0]
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
