@@ -651,9 +651,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the queue), streaming_dedup_batch (streaming — none in the queue),
 #     graph_ppr (iterative-graph path), rel_q1_pricing (TPC-H anchor),
 #     sparql_seq_path (sequence-path rewrite composes with the changed
-#     zero-hop frames), sparql_star (flagship shape), sketch_kmv_users
-#     (sketch breadth), maintenance_compact (NEW in r6 — the compaction
-#     roundtrip entry, VERDICT r5 task 4).
+#     zero-hop frames), dedup_spans + pipeline_dup_spans (NEW in r6 —
+#     exact substring-span dedup and its per-doc coverage gate),
+#     maintenance_compact (NEW in r6 — the compaction roundtrip entry,
+#     VERDICT r5 task 4).
 PRIORITY_ORDER = [
     # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
     "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",
@@ -672,7 +673,7 @@ PRIORITY_ORDER = [
     # --- breadth / r6-touched-family re-verification (12) ---
     "dedup_minhash", "dedup_simhash", "dedup_embedding", "knn_lsh",
     "media_knn", "streaming_dedup_batch", "graph_ppr", "rel_q1_pricing",
-    "sparql_seq_path", "sparql_star", "sketch_kmv_users",
+    "sparql_seq_path", "dedup_spans", "pipeline_dup_spans",
     "maintenance_compact",
 ]
 

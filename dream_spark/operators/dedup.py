@@ -909,6 +909,87 @@ WHERE da.source <> db.source
 """.strip()
 
 
+# --------------------------------------------------------------------------
+# exact substring-span dedup (cross-document duplicated token n-grams)
+# --------------------------------------------------------------------------
+# Span length in tokens.  Exact-substring dedup (the "dedup makes language
+# models better" recipe) flags long verbatim repeats ACROSS documents —
+# boilerplate, licenses, mirrored passages — that set-level Jaccard/MinHash
+# miss when the surrounding document differs.  8 consecutive tokens is long
+# enough that natural re-use is rare and short enough that every planted
+# near-dup shares many spans.
+SPAN_N = 8
+
+
+def span_frames(docs: DataFrame, n: int = SPAN_N) -> tuple[DataFrame, DataFrame]:
+    """(spans, dup) for ANY ``(doc_id, text)`` DataFrame: ``spans`` =
+    distinct (doc_id, sid) token ``n``-gram span ids from the zero-shuffle
+    Arrow kernel; ``dup`` = (sid, n_docs) for spans occurring in >= 2
+    DISTINCT documents.
+
+    Scale shape: the span stream is corpus-token-sized (one row per token
+    position, map-side), and the only shuffle is the sid-keyed count with
+    map-side partial aggregation — the canonical distributed form of
+    suffix-style exact-substring dedup, with the suffix array replaced by
+    fixed-length span hashing (no global sort, mergeable at any scale).
+    Only 16-byte id rows ever move."""
+    from dream_spark.functions.textkernels import token_ngram_sets
+
+    spans = token_ngram_sets(docs, n)
+    dup = (
+        spans.groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    return spans, dup
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: the cross-document duplicated span table
+    (span_id, n_docs) over ``documents`` — every 8-token sequence that
+    appears verbatim in two or more documents."""
+    _, dup = span_frames(load_table(spark, sf_dir, "documents"))
+    return dup.select(F.col("sid").alias("span_id"), "n_docs")
+
+
+DEDUP_SPANS_SQL = f"""
+WITH grams AS ({duck_token_ngram_ids_cte('documents', SPAN_N)})
+SELECT sid AS span_id, COUNT(*) AS n_docs
+FROM grams GROUP BY sid HAVING COUNT(*) >= 2
+""".strip()
+
+
+def pipeline_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: (doc_id, n_spans,
+    n_dup_spans) — how many of a document's distinct 8-token spans appear
+    verbatim in some OTHER document.  The per-doc quality gate built on
+    :func:`span_frames` (a curation pass drops or trims documents whose
+    coverage is high); documents shorter than 8 tokens have no spans and
+    no row, on both engines.
+
+    The flag join is sid-keyed (duplicated-span table vs the span stream);
+    the dup side is output-sized, far smaller than the corpus stream, and
+    Catalyst/AQE broadcasts it when it fits."""
+    spans, dup = span_frames(load_table(spark, sf_dir, "documents"))
+    flagged = spans.join(
+        dup.select("sid", F.lit(1).alias("is_dup")), on="sid", how="left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_spans"),
+    )
+
+
+PIPELINE_DUP_SPANS_SQL = f"""
+WITH grams AS ({duck_token_ngram_ids_cte('documents', SPAN_N)}),
+dup AS (SELECT sid FROM grams GROUP BY sid HAVING COUNT(*) >= 2)
+SELECT g.doc_id, COUNT(*) AS n_spans,
+       CAST(COUNT(d.sid) AS BIGINT) AS n_dup_spans
+FROM grams g LEFT JOIN dup d ON d.sid = g.sid
+GROUP BY g.doc_id
+""".strip()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_docs": dedup_exact_docs,
@@ -920,6 +1001,8 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "dedup_spans": dedup_spans,
+    "pipeline_dup_spans": pipeline_dup_spans,
 }
 
 ORACLES = {
@@ -933,4 +1016,6 @@ ORACLES = {
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
+    "dedup_spans": DEDUP_SPANS_SQL,
+    "pipeline_dup_spans": PIPELINE_DUP_SPANS_SQL,
 }

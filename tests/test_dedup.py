@@ -168,3 +168,44 @@ def test_minhash_measured_recall_vs_exact_jaccard(spark):
     r08, r07 = recall(0.8), recall(0.7)
     assert r08 is not None and r08 >= 0.9
     assert r07 is not None and r07 >= 0.7
+
+
+def test_span_dedup_semantics(spark):
+    """Exact substring-span dedup on a hand-built corpus: only the 8-token
+    run shared verbatim by docs 1 and 2 is flagged; the per-doc coverage
+    counts every distinct span and the shared ones."""
+    from dream_spark.operators.dedup import span_frames
+
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three"),
+            (2, f"zero {shared} four"),
+            (3, "totally different words that never repeat anywhere else at all"),
+            (4, "short doc"),  # < 8 tokens: no spans, no row
+        ],
+        "doc_id long, text string",
+    )
+    spans, dup = span_frames(docs)
+    flagged = {r["sid"]: r["n_docs"] for r in dup.collect()}
+    assert set(flagged.values()) == {2}
+    # doc 1: tokens 8+3 -> 4 spans; doc 2: 1+8+1 -> 3 spans; the SHARED
+    # span id must be among the duplicated ones in both docs
+    per_doc = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in spans.join(
+            dup.select("sid").withColumn("d", F.lit(1)), "sid", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).alias("n_dup_spans"),
+        )
+        .collect()
+    }
+    assert per_doc[1] == (4, 1)
+    assert per_doc[2] == (3, 1)
+    assert per_doc[3][1] == 0
+    assert 4 not in per_doc
