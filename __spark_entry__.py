@@ -486,6 +486,15 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         ' filter (strafter(?NM, "#") = "000000013") }',
         False,
     ),
+    # STRBEFORE (§17.4.3.4): prefix up to the FIRST occurrence of the
+    # separator — six zero digits before "13" selects exactly the
+    # customers whose key reads 00000013d (first-occurrence semantics:
+    # keys like 000001300 cut earlier and fail the equality)
+    "sparql_filter_strbefore": (
+        'select ?C ?NM where { ?C type Customer . ?C name ?NM .'
+        ' filter (strbefore(?NM, "13") = "Customer#000000") }',
+        False,
+    ),
     # ABS over two-variable typed arithmetic (§17.4.4.4): same-order
     # lineitem pairs whose part sizes differ by at least 45 — magnitude
     # form of the arith_vars filter
@@ -655,6 +664,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     exact substring-span dedup and its per-doc coverage gate),
 #     maintenance_compact (NEW in r6 — the compaction roundtrip entry,
 #     VERDICT r5 task 4).
+# r7 queue (entries added AFTER the 50-seat cap above froze; each is
+# check_entry-verified at sf0.01 when added — rotate into r7 seats):
+#   sparql_filter_strbefore, streaming_enrich_batch
 PRIORITY_ORDER = [
     # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
     "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",

@@ -331,6 +331,28 @@ def user_profile_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def enrich_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`enrich_stream` (identical join semantics — a
+    micro-batch IS a batch): every event left-joined with the per-user
+    profile dimension, projecting the attached profile count.  The
+    dimension is derived from the same events table, so the left join
+    always matches — the NULL-extension path is exercised by the streaming
+    runtime test's synthetic dim instead."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = user_profile_dim(spark, sf_dir).select("user_id", "n_events")
+    return enrich_stream(ev, dim).select(
+        "event_id", "user_id", "event_type", "n_events"
+    )
+
+
+ENRICH_EVENTS_SQL = """
+SELECT e.event_id, e.user_id, e.event_type, p.n_events
+FROM events e
+LEFT JOIN (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) p
+  ON p.user_id = e.user_id
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # streaming exact dedup
 # --------------------------------------------------------------------------
@@ -645,9 +667,11 @@ QUERIES = {
     "streaming_sessionize_batch": sessionize_batch,
     "streaming_dedup_batch": dedup_events_batch,
     "streaming_funnel_batch": funnel_windows_batch,
+    "streaming_enrich_batch": enrich_events_batch,
 }
 ORACLES = {
     "streaming_sessionize_batch": SESSIONIZE_BATCH_SQL,
     "streaming_dedup_batch": DEDUP_EVENTS_SQL,
     "streaming_funnel_batch": FUNNEL_WINDOWS_SQL,
+    "streaming_enrich_batch": ENRICH_EVENTS_SQL,
 }
