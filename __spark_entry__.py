@@ -666,7 +666,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     VERDICT r5 task 4).
 # r7 queue (entries added AFTER the 50-seat cap above froze; each is
 # check_entry-verified at sf0.01 when added — rotate into r7 seats):
-#   sparql_filter_strbefore, streaming_enrich_batch
+#   sparql_filter_strbefore, streaming_enrich_batch, temporal_concurrency
 PRIORITY_ORDER = [
     # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
     "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",

@@ -500,6 +500,96 @@ GROUP BY d.day
 """.strip()
 
 
+# --------------------------------------------------------------------------
+# peak session concurrency (sweep line, two-level prefix sum)
+# --------------------------------------------------------------------------
+def session_concurrency(sessions: DataFrame) -> DataFrame:
+    """(day, peak_concurrency) — the boundary-sampled peak number of
+    simultaneously open sessions per day, for ANY ``(session_start,
+    session_end)`` interval frame.
+
+    Sweep line: each session contributes +1 at its start and -1 at its
+    end; the running sum over boundaries ordered by (ts, delta) is the
+    live concurrency.  Ordering ends (-1) before starts (+1) at equal
+    timestamps makes the interval half-open [start, end): sessions that
+    merely touch never overlap.  "Boundary-sampled" = the peak is taken
+    over boundary instants falling WITHIN the day (concurrency only
+    changes at boundaries; a day whose sessions all carry over unchanged
+    reports the carry via its first boundary).
+
+    Scale shape — the textbook formulation is a running sum over ONE
+    unpartitioned window, which serializes the whole timeline through a
+    single task.  This is the two-level prefix sum instead: per-day
+    running sums (day-partitioned shuffle, parallel across days) plus a
+    day-level carry from the day-total table, which is calendar-sized
+    (365 rows/year) so its unpartitioned window is a non-issue at any
+    data scale."""
+    starts = sessions.select(F.col("session_start").alias("ts"), F.lit(1).alias("delta"))
+    ends = sessions.select(F.col("session_end").alias("ts"), F.lit(-1).alias("delta"))
+    both = starts.unionByName(ends)
+    # integer epoch-day buckets and integer-microsecond ordering (the
+    # module's exact-time contract; a DATE column would round-trip as
+    # python objects vs datetime64 across the engines)
+    us = epoch_micros(both, "ts")
+    deltas = both.select(
+        us.alias("us"), "delta", (us / F.lit(DAY_US)).cast("long").alias("day")
+    )
+    w_day = Window.partitionBy("day").orderBy("us", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    in_day = deltas.select("day", F.sum("delta").over(w_day).alias("run_in_day"))
+    peak = in_day.groupBy("day").agg(F.max("run_in_day").alias("in_day_max"))
+    day_tot = deltas.groupBy("day").agg(F.sum("delta").alias("day_total"))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carried = day_tot.select(
+        "day", F.coalesce(F.sum("day_total").over(w_days), F.lit(0)).alias("carry")
+    )
+    return peak.join(carried, on="day").select(
+        "day",
+        (F.col("carry") + F.col("in_day_max")).cast("long").alias("peak_concurrency"),
+    )
+
+
+def temporal_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: peak concurrent 30-minute-gap sessions per
+    day over the events table (sessions from the shared gaps-and-islands
+    sessionizer, streaming/events.sessionize_batch)."""
+    from dream_spark.streaming.events import sessionize_batch
+
+    return session_concurrency(sessionize_batch(spark, sf_dir))
+
+
+def _concurrency_sql() -> str:
+    from dream_spark.streaming.events import SESSIONIZE_BATCH_SQL
+
+    return f"""
+WITH sessions AS (
+{SESSIONIZE_BATCH_SQL}
+),
+deltas AS (
+  SELECT epoch_us(session_start) AS us, 1 AS delta,
+         epoch_us(session_start) // {DAY_US} AS day FROM sessions
+  UNION ALL
+  SELECT epoch_us(session_end) AS us, -1 AS delta,
+         epoch_us(session_end) // {DAY_US} AS day FROM sessions
+),
+run AS (
+  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY us, delta
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_in_day
+  FROM deltas
+),
+peak AS (SELECT day, MAX(run_in_day) AS in_day_max FROM run GROUP BY day),
+tot AS (SELECT day, SUM(delta) AS day_total FROM deltas GROUP BY day),
+carried AS (
+  SELECT day, COALESCE(SUM(day_total) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+  FROM tot
+)
+SELECT p.day, CAST(c.carry + p.in_day_max AS BIGINT) AS peak_concurrency
+FROM peak p JOIN carried c ON c.day = p.day
+""".strip()
+
+
 QUERIES = {
     "temporal_asof": asof_click_attribution,
     "temporal_range": range_join_attribution,
@@ -507,6 +597,7 @@ QUERIES = {
     "temporal_gaps": temporal_gaps,
     "temporal_retention": temporal_retention,
     "temporal_active": temporal_active,
+    "temporal_concurrency": temporal_concurrency,
 }
 
 ORACLES = {
@@ -516,4 +607,5 @@ ORACLES = {
     "temporal_gaps": TEMPORAL_GAPS_SQL,
     "temporal_retention": TEMPORAL_RETENTION_SQL,
     "temporal_active": TEMPORAL_ACTIVE_SQL,
+    "temporal_concurrency": _concurrency_sql(),
 }

@@ -162,3 +162,38 @@ def test_active_users_reconciles_with_raw_events(spark):
         wau = len({u for u, d in act if day - WAU_DAYS < d <= day})
         assert (r["dau"], r["wau"]) == (dau, wau)
         assert r["wau"] >= r["dau"]
+
+
+def test_session_concurrency_sweep_semantics(spark):
+    """Hand-built intervals pin the sweep-line contract: half-open
+    [start, end) — touching sessions never overlap — and the day-level
+    carry counts sessions spanning midnight into the next day's peak."""
+    import datetime as dt
+
+    from dream_spark.operators.temporal import session_concurrency
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def s(h0, m0, h1, m1, day_off0=0, day_off1=0):
+        return (
+            1,
+            d0 + dt.timedelta(days=day_off0, hours=h0, minutes=m0),
+            d0 + dt.timedelta(days=day_off1, hours=h1, minutes=m1),
+            1,
+        )
+
+    rows = [
+        s(9, 0, 11, 0),            # A 9-11
+        s(10, 0, 12, 0),           # B 10-12 (overlaps A -> 2)
+        s(10, 30, 10, 45),         # C inside both -> 3
+        s(12, 0, 13, 0),           # D starts exactly at B's end: touching, no overlap
+        s(23, 0, 1, 0, 0, 1),      # E spans midnight -> day-2 carry = 1
+        s(0, 30, 0, 45, 1, 1),     # F day 2, overlaps E's tail -> 2
+    ]
+    sess = spark.createDataFrame(
+        rows, "user_id long, session_start timestamp_ntz, session_end timestamp_ntz, n_events long"
+    )
+    got = {r["day"]: r["peak_concurrency"] for r in session_concurrency(sess).collect()}
+    day0 = (d0 - dt.datetime(1970, 1, 1)).days
+    assert got[day0] == 3       # A+B+C at 10:30-10:45
+    assert got[day0 + 1] == 2   # E carried over + F
