@@ -486,6 +486,16 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         ' filter (strafter(?NM, "#") = "000000013") }',
         False,
     ),
+    # isNumeric type introspection (§17.4.2.4) composed under || — over
+    # part:5's full predicate fan-out, keeps exactly the numeric-valued
+    # size row plus the type row named by the equality arm (the id
+    # scheme's numeric-literal window test; isIRI/isLiteral are NOT
+    # offered — the dictionary has no IRI-vs-literal tag to introspect)
+    "sparql_filter_isnumeric": (
+        "select ?P2 ?V where { <part:5> ?P2 ?V ."
+        " filter (isNumeric(?V) || ?V = <Part>) }",
+        False,
+    ),
     # STRBEFORE (§17.4.3.4): prefix up to the FIRST occurrence of the
     # separator — six zero digits before "13" selects exactly the
     # customers whose key reads 00000013d (first-occurrence semantics:
@@ -666,7 +676,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     VERDICT r5 task 4).
 # r7 queue (entries added AFTER the 50-seat cap above froze; each is
 # check_entry-verified at sf0.01 when added — rotate into r7 seats):
-#   sparql_filter_strbefore, streaming_enrich_batch, temporal_concurrency
+#   sparql_filter_strbefore, streaming_enrich_batch, temporal_concurrency,
+#   sparql_filter_isnumeric
 PRIORITY_ORDER = [
     # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
     "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",

@@ -266,6 +266,13 @@ def _simple_filter_sql(f, ref, resolve, numeric_aliases=frozenset()) -> str:
     filters over them skip the id→value wrap, like the Spark side."""
     if f.kind == "bound":
         return f"{ref(f.var)} IS {'NULL' if f.op == '!' else 'NOT NULL'}"
+    if f.kind == "isnum":
+        val = (
+            ref(f.var)
+            if f.var in numeric_aliases
+            else numeric_value_sql(ref(f.var))
+        )
+        return f"{val} IS {'NULL' if f.op == '!' else 'NOT NULL'}"
     if f.kind == "arith":
         # identical shared fragment the Spark plan applies via F.expr
         return arith_filter_sql(
@@ -479,7 +486,7 @@ def _extended_sql(query: ParsedQuery, decode: bool, resolve) -> str:
     arith_bind_aliases = query.numeric_bind_aliases()
     for i, f in enumerate(query.filters):
         lhs = _ref(f.var) if f.var else None
-        if f.kind in ("cmp", "bound", "arith", "arith2", "in", "boolop"):
+        if f.kind in ("cmp", "bound", "isnum", "arith", "arith2", "in", "boolop"):
             filt_where.append(
                 _simple_filter_sql(f, _ref, resolve, numeric_aliases=arith_bind_aliases)
             )

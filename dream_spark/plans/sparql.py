@@ -1360,6 +1360,9 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         m2 = re.fullmatch(r"(?is)(!)?\s*bound\s*\(\s*(\?\w+)\s*\)", txt)
         if m2:
             return Filter(kind="bound", var=m2.group(2)[1:], op=("!" if m2.group(1) else ""))
+        m2 = re.fullmatch(r"(?is)(!)?\s*isnumeric\s*\(\s*(\?\w+)\s*\)", txt)
+        if m2:
+            return Filter(kind="isnum", var=m2.group(2)[1:], op=("!" if m2.group(1) else ""))
         m2 = re.fullmatch(
             r"(?is)abs\s*\(\s*(\?\w+)\s*([+*-])\s*(\?\w+)\s*\)\s*(!=|<=|>=|<|>|=)\s*(-?\d+)", txt
         )
@@ -1567,6 +1570,17 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
         )
         return " "
 
+    def _grab_isnum(m2: re.Match) -> str:
+        # filter ([!]isNumeric(?v)) — SPARQL §17.4.2.4 type introspection,
+        # lowered to the typed-value window test (numeric_value_sql IS
+        # [NOT] NULL).  The store's one introspectable type axis: the id
+        # scheme has a numeric-literal window but no IRI-vs-string-literal
+        # tag, so isIRI/isLiteral are NOT offered rather than guessed.
+        filters.append(
+            Filter(kind="isnum", var=m2.group(2)[1:], op=("!" if m2.group(1) else ""))
+        )
+        return " "
+
     def _grab_arith(m2: re.Match) -> str:
         filters.append(
             Filter(
@@ -1743,6 +1757,11 @@ def _strip_simple_filters(body: str, filters: list[Filter]) -> str:
     body = re.sub(
         r"(?is)filter\s*\(\s*(!)?\s*bound\s*\(\s*(\?\w+)\s*\)\s*\)\s*\.?",
         _grab_bound,
+        body,
+    )
+    body = re.sub(
+        r"(?is)filter\s*\(\s*(!)?\s*isnumeric\s*\(\s*(\?\w+)\s*\)\s*\)\s*\.?",
+        _grab_isnum,
         body,
     )
     body = re.sub(

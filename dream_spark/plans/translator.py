@@ -265,6 +265,12 @@ def _row_pred(f, store, numeric_cols: frozenset[str]):
     if f.kind == "bound":
         col = F.col(f.var)
         return col.isNull() if f.op == "!" else col.isNotNull()
+    if f.kind == "isnum":
+        # §17.4.2.4 isNumeric: the typed-value window test on the id (a
+        # numeric BIND alias is a plain number, hence numeric by
+        # construction — test the value itself, mirroring the oracle)
+        val = F.col(f.var) if f.var in numeric_cols else F.expr(numeric_value_sql(f.var))
+        return val.isNull() if f.op == "!" else val.isNotNull()
     if f.kind == "arith":
         return F.expr(
             arith_filter_sql(
@@ -311,7 +317,7 @@ def _apply_filters(
     list AND for optional-group-local filters (``tag`` keeps the regex
     temp columns unique per group)."""
     for i, f in enumerate(filters):
-        if f.kind in ("cmp", "bound", "arith", "arith2", "in", "boolop"):
+        if f.kind in ("cmp", "bound", "isnum", "arith", "arith2", "in", "boolop"):
             # every row-local form lowers to a single Column predicate
             # (shared with the ||/&& connective combination) — pure
             # whole-stage-codegen expressions, pushdown-eligible, no join

@@ -843,7 +843,7 @@ def _filter_leaf(draw, vars_by_kind: dict[str, str]):
     arithmetic (single- and two-variable), or bound()."""
     kinds = sorted(vars_by_kind)
     pooled = [k for k in kinds if k in _KIND_CONSTS]
-    choices = ["varvar", "sameterm", "bound", "arith", "arith2"]
+    choices = ["varvar", "sameterm", "bound", "isnum", "arith", "arith2"]
     if pooled:
         choices += ["cmp", "cmp", "in"]  # weight toward the id layer
     form = draw(st.sampled_from(choices))
@@ -869,6 +869,11 @@ def _filter_leaf(draw, vars_by_kind: dict[str, str]):
         # leaf, which is exactly what shakes out short-circuit bugs
         neg = draw(st.sampled_from(["", "!"]))
         return f"{neg}bound({vars_by_kind[draw(st.sampled_from(kinds))]})"
+    if form == "isnum":
+        # type introspection: true only for ids in the numeric-literal
+        # window (SZ values), false for every entity/enum id
+        neg = draw(st.sampled_from(["", "!"]))
+        return f"{neg}isNumeric({vars_by_kind[draw(st.sampled_from(kinds))]})"
     if form == "arith":
         # typed-numeric value layer; a non-numeric id values to NULL and
         # the row drops (the SPARQL type-error contract) on BOTH engines,

@@ -2579,3 +2579,20 @@ def test_boolop_inside_optional_group(engine, duck):
     q = parse_sparql(qtext)
     assert any(f.kind == "boolop" for flts in q.optional_filters for f in flts)
     assert_oracle_match(engine.sparql(qtext), duck, bgp_to_sql(q))
+
+
+def test_isnumeric_filter(engine, duck):
+    """isNumeric (§17.4.2.4) lowers to the typed-value window test: over a
+    varpred fan-out only numeric-literal ids survive; the negation keeps
+    the complement; both compose under the connectives."""
+    pos = "select ?P2 ?V where { <part:5> ?P2 ?V . filter (isNumeric(?V)) }"
+    neg = "select ?P2 ?V where { <part:5> ?P2 ?V . filter (!isNumeric(?V)) }"
+    both = "select ?P2 ?V where { <part:5> ?P2 ?V }"
+    rows_pos = engine.sparql(pos).count()
+    rows_neg = engine.sparql(neg).count()
+    assert rows_pos == 1  # exactly the size literal
+    assert rows_pos + rows_neg == engine.sparql(both).count()
+    for q in (pos, neg,
+              "select ?P2 ?V where { <part:5> ?P2 ?V ."
+              " filter (isNumeric(?V) || ?V = <Part>) }"):
+        assert_oracle_match(engine.sparql(q), duck, bgp_to_sql(parse_sparql(q)))
