@@ -677,7 +677,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # r7 queue (entries added AFTER the 50-seat cap above froze; each is
 # check_entry-verified at sf0.01 when added — rotate into r7 seats):
 #   sparql_filter_strbefore, streaming_enrich_batch, temporal_concurrency,
-#   sparql_filter_isnumeric
+#   sparql_filter_isnumeric, rel_window_movavg, graph_components (rows-only
+#   by design — see operators/graph.py::graph_components)
 PRIORITY_ORDER = [
     # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
     "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",

@@ -720,6 +720,27 @@ def connected_components(
 
         pdf = pd.DataFrame(rows, columns=["node", "cluster"], dtype="int64")
         return spark.createDataFrame(pdf, schema="node long, cluster long")
+    # Right-size the iterative rounds, same contract as pagerank's loop: a
+    # conf-less session's 200 shuffle partitions make each min-label round
+    # pay hundreds of near-empty tasks, and the symmetrized union would
+    # otherwise persist as 2× the upstream partition count and re-scan
+    # them all every round.  Every round's frame is localCheckpoint-
+    # materialized, so restoring the caller's conf afterwards cannot
+    # change the returned plan.
+    spark = edges.sparkSession
+    restore_partitions = None
+    loop_par = None
+    try:
+        par = spark.sparkContext.defaultParallelism
+        loop_par = 2 * par
+        current = spark.conf.get("spark.sql.shuffle.partitions")
+        if int(current) > 4 * par:
+            restore_partitions = current
+            spark.conf.set("spark.sql.shuffle.partitions", str(loop_par))
+    except Exception:
+        pass  # locked confs (e.g. Connect): proceed with the session's value
+    if loop_par is not None and sym.rdd.getNumPartitions() > 2 * loop_par:
+        sym = sym.repartition(loop_par)
     sym = sym.persist()
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
@@ -749,6 +770,11 @@ def connected_components(
             break
     sym.unpersist()
     e.unpersist()
+    if restore_partitions is not None:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", restore_partitions)
+        except Exception:
+            pass
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 

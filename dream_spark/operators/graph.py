@@ -475,6 +475,35 @@ SELECT (SELECT COUNT(*) FROM e) AS n_edges,
 
 GRAPH_TRIANGLES_SQL = _triangles_sql()
 
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram ``(component_size, n_components)`` of the
+    co-purchase graph's edge-induced subgraph, via DISTRIBUTED min-label
+    propagation (``small_edges=0`` pins the scale path — the driver
+    union-find shortcut is the small-graph optimization, and this entry
+    exists to exercise the path a 100-TB graph actually takes:
+    O(diameter) join+min rounds, lineage-checkpointed per round).
+
+    NO DuckDB oracle: iterative CC on a dense graph is the documented
+    non-SQL-expressible case — the recursive reachability CTE the
+    dedup_clusters oracle uses materializes the closure, which is
+    n_component² rows (the co-purchase graph is one near-clique of every
+    active part).  Correctness is pinned instead by the A/B property test
+    (tests/test_graph.py): the distributed labels must EQUAL the driver
+    union-find labels on identical edges — two independent
+    implementations, both producing min-reachable-id labels — plus the
+    fixed-point invariant (no edge joins two labels).  The driver records
+    the weaker rows-only check for this entry, by design."""
+    from dream_spark.operators.dedup import connected_components
+
+    e, _deg, _adj = _copurchase_graph(spark, sf_dir)
+    labels = connected_components(e, src="a", dst="b", small_edges=0)
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("component_size"))
+    return sizes.groupBy("component_size").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )
+
+
+
 def warm_graph_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Pre-build the session-shared graph artifacts a deployment holds
     open: the entity graph (edges + degrees, PageRank/PPR iterate over it)
@@ -492,6 +521,7 @@ QUERIES = {
     "graph_ppr": graph_ppr,
     "graph_degree": graph_degree,
     "graph_triangles": graph_triangles,
+    "graph_components": graph_components,
 }
 ORACLES = {
     "graph_pagerank": GRAPH_PAGERANK_SQL,

@@ -1264,6 +1264,54 @@ WHERE s_suppkey IN (
 """.strip()
 
 
+def window_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over a sparse integer day axis: per order
+    priority, each active day's order count plus the trailing-7-DAY count
+    and revenue.  RANGE (value-based) vs ROWS (position-based) is the
+    point: on days with gaps, the frame must cover [day-6, day] by VALUE —
+    the previous 7 ROWS would silently reach back weeks.  The day axis is
+    integer epoch-days (the exact-time contract; DATE objects round-trip
+    differently across engines) and revenue aggregates in DECIMAL then
+    casts to double, like the other money windows."""
+    from dream_spark.functions.timeutils import epoch_micros
+
+    orders = load_table(spark, sf_dir, "orders")
+    day_us = 86_400 * 1_000_000
+    daily = (
+        orders.select(
+            "o_orderpriority",
+            (epoch_micros(orders, "o_orderdate") / F.lit(day_us)).cast("long").alias("day"),
+            _dec("o_totalprice", _PRICE).alias("price"),
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("price").alias("rev"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        "n_orders",
+        F.sum("n_orders").over(w).cast("long").alias("trailing_n"),
+        F.sum("rev").over(w).cast("double").alias("trailing_rev"),
+    )
+
+
+WINDOW_TRAILING_SQL = f"""
+WITH daily AS (
+  SELECT o_orderpriority, epoch_us(o_orderdate) // {86_400 * 1_000_000} AS day,
+         COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS {_PRICE})) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day, n_orders,
+       CAST(SUM(n_orders) OVER (PARTITION BY o_orderpriority ORDER BY day
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_n,
+       CAST(SUM(rev) OVER (PARTITION BY o_orderpriority ORDER BY day
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_rev
+FROM daily
+""".strip()
+
+
+
 QUERIES = {
     "rel_q1_pricing": q1_pricing_summary,
     "rel_q10_returns": q10_returned_items,
@@ -1277,6 +1325,7 @@ QUERIES = {
     "rel_median": median_price_by_priority,
     "rel_window_running": window_running_spend,
     "rel_window_delta": window_order_deltas,
+    "rel_window_movavg": window_trailing_week,
     "rel_events_hourly": events_hourly,
     "rel_events_rollup": events_time_rollup,
     "rel_q4_semi": q4_semi_join,
@@ -1318,6 +1367,7 @@ ORACLES = {
     "rel_median": MEDIAN_SQL,
     "rel_window_running": WINDOW_RUNNING_SQL,
     "rel_window_delta": WINDOW_DELTA_SQL,
+    "rel_window_movavg": WINDOW_TRAILING_SQL,
     "rel_events_hourly": EVENTS_HOURLY_SQL,
     "rel_events_rollup": EVENTS_ROLLUP_SQL,
     "rel_q4_semi": Q4_SEMI_SQL,

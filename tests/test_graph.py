@@ -10,7 +10,10 @@ from dream_spark.operators import graph as G
 from tests.conftest import SF_DIR, assert_oracle_match
 
 
-@pytest.mark.parametrize("name", sorted(G.QUERIES))
+# graph_components is the documented rows-only entry (iterative CC on a
+# dense graph has no tractable closure oracle); its correctness pin is the
+# A/B union-find test below
+@pytest.mark.parametrize("name", sorted(G.ORACLES))
 def test_graph_oracle(spark, duck, name):
     assert_oracle_match(G.QUERIES[name](spark, SF_DIR), duck, G.ORACLES[name])
 
@@ -79,3 +82,45 @@ def test_warm_graph_artifacts_fills_every_memo(spark):
         assert key in memo
     # the triangle census on a warmed session runs off the cached adjacency
     assert G.graph_triangles(spark, SF_DIR).count() == 1
+
+
+def test_components_distributed_matches_unionfind(spark):
+    """A/B pin for graph_components' scale path: the DISTRIBUTED min-label
+    propagation must produce EXACTLY the driver union-find labels on the
+    same random edges (two independent implementations, both defining a
+    component's label as its min node id), and the fixed point must hold —
+    no edge joins two different labels.  This is the oracle-equivalent for
+    the rows-only entry (dense-graph CC closure is not DuckDB-tractable)."""
+    import random
+
+    from dream_spark.operators.dedup import connected_components
+
+    rng = random.Random(41)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    dist = {
+        r["node"]: r["cluster"]
+        for r in connected_components(df, small_edges=0).collect()
+    }
+    driver = {
+        r["node"]: r["cluster"]
+        for r in connected_components(df, small_edges=10**9).collect()
+    }
+    assert dist == driver
+    for a, b in edges:
+        assert dist[a] == dist[b]
+
+
+def test_graph_components_histogram_reconciles(spark):
+    """The co-purchase component-size histogram must account for every
+    node of the edge-induced subgraph exactly once."""
+    e = G.copurchase_edges(spark, SF_DIR)
+    n_nodes = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .distinct()
+        .count()
+    )
+    hist = G.graph_components(spark, SF_DIR).collect()
+    assert sum(r["component_size"] * r["n_components"] for r in hist) == n_nodes
