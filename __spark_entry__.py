@@ -678,7 +678,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # check_entry-verified at sf0.01 when added — rotate into r7 seats):
 #   sparql_filter_strbefore, streaming_enrich_batch, temporal_concurrency,
 #   sparql_filter_isnumeric, rel_window_movavg, graph_components (rows-only
-#   by design — see operators/graph.py::graph_components)
+#   by design — see operators/graph.py::graph_components),
+#   media_audio_chunks, media_pair_gate
 PRIORITY_ORDER = [
     # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
     "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",

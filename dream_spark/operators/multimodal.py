@@ -395,7 +395,164 @@ GROUP BY sha256(text)
 """.strip()
 
 
+# --------------------------------------------------------------------------
+# audio modality (stubbed PCM decode, real windowed-segmentation plumbing)
+# --------------------------------------------------------------------------
+#: audio chunk length in seconds (training pipelines segment long audio
+#: into fixed windows before feature extraction)
+AUDIO_CHUNK_SEC = 5
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_chunks", T.LongType()),
+        T.StructField("last_chunk_samples", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def audio_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analog of :func:`media_catalog`: (doc_id, payload BINARY,
+    sample_rate, n_samples) — payload bytes stand in for mono PCM16, so
+    n_samples = n_bytes // 2; the sample rate comes from id arithmetic
+    like the image formats do.  The metadata predicate (minimum byte
+    length) prunes before any decode touches the payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 16000)
+        .otherwise(44100)
+    )
+    out = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        rate.cast("int").alias("sample_rate"),
+        (F.octet_length(F.encode(F.col("text"), "UTF-8")) / F.lit(2))
+        .cast("long")
+        .alias("n_samples"),
+    )
+    return out.where(F.col("n_samples") >= 16)
+
+
+_AUDIO_CATALOG_CTE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 8000
+            WHEN doc_id % 3 = 1 THEN 16000
+            ELSE 44100 END AS sample_rate,
+       octet_length(encode(text)) // 2 AS n_samples
+FROM documents
+WHERE octet_length(encode(text)) // 2 >= 16
+""".strip()
+
+
+def audio_chunk_stats(df: DataFrame) -> DataFrame:
+    """mapInPandas windowed segmentation: each clip splits into
+    AUDIO_CHUNK_SEC-second windows at ITS OWN sample rate — n_chunks =
+    ceil(n_samples / (rate·sec)), plus the ragged tail length.  The
+    decode call is stubbed (a real implementation decodes the container
+    and reads frames per window; the Arrow-batched plumbing, schema, and
+    per-batch memory bound are what this pins).  All compared outputs are
+    integer arithmetic, so the oracle replays them in SQL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_chunks, tails, oks = [], [], []
+            for payload, rate, n in zip(
+                pdf["payload"], pdf["sample_rate"], pdf["n_samples"]
+            ):
+                ok = len(bytes(payload)) > 0  # stub: a codec validates here
+                chunk = int(rate) * AUDIO_CHUNK_SEC
+                k = (int(n) + chunk - 1) // chunk if n else 0
+                n_chunks.append(k)
+                tails.append(int(n) - (k - 1) * chunk if k else 0)
+                oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pdf["sample_rate"],
+                    "n_samples": pdf["n_samples"],
+                    "n_chunks": n_chunks,
+                    "last_chunk_samples": tails,
+                    "decode_ok": oks,
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_CHUNK_SCHEMA)
+
+
+def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: per sample rate, clip count, total chunk
+    count, and the longest ragged tail — the segmentation summary a
+    feature-extraction stage is sized from."""
+    stats = audio_chunk_stats(audio_catalog(spark, sf_dir))
+    return stats.groupBy("sample_rate").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_chunks").alias("total_chunks"),
+        F.max("last_chunk_samples").alias("max_tail"),
+    )
+
+
+MEDIA_AUDIO_CHUNKS_SQL = f"""
+WITH cat AS ({_AUDIO_CATALOG_CTE}),
+chunks AS (
+  SELECT sample_rate, n_samples,
+         (n_samples + sample_rate * {AUDIO_CHUNK_SEC} - 1) // (sample_rate * {AUDIO_CHUNK_SEC}) AS n_chunks
+  FROM cat
+)
+SELECT sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+       CAST(MAX(n_samples - (n_chunks - 1) * sample_rate * {AUDIO_CHUNK_SEC}) AS BIGINT) AS max_tail
+FROM chunks GROUP BY sample_rate
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# image-text pair curation gate
+# --------------------------------------------------------------------------
+#: pair-gate bounds: captions outside [MIN, MAX] chars or images with
+#: aspect ratio beyond 2:1 are dropped (the standard web-pair filters)
+PAIR_CAPTION_MIN, PAIR_CAPTION_MAX = 100, 2000
+PAIR_MAX_ASPECT = 2
+
+
+def media_pair_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text PAIR curation (the web-scale pair-filtering shape): the
+    media catalog joined back to its caption text, keeping pairs whose
+    image passes the geometry gate (aspect ratio ≤ 2:1, exact integer
+    test max ≤ 2·min) AND whose caption passes the length gate.  One
+    equi-join on doc_id plus row-local predicates — the join prunes both
+    sides before any decode, so at scale this gates the expensive stages
+    rather than following them."""
+    cat = media_catalog(spark, sf_dir).drop("payload")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("caption_len")
+    )
+    paired = cat.join(docs, on="doc_id")
+    aspect_ok = (
+        F.greatest("width", "height") <= PAIR_MAX_ASPECT * F.least("width", "height")
+    )
+    caption_ok = F.col("caption_len").between(PAIR_CAPTION_MIN, PAIR_CAPTION_MAX)
+    return paired.where(aspect_ok & caption_ok).select(
+        "doc_id", "fmt", "width", "height", "caption_len"
+    )
+
+
+MEDIA_PAIR_GATE_SQL = f"""
+WITH cat AS ({MEDIA_CATALOG_META_SQL})
+SELECT c.doc_id, c.fmt, c.width, c.height, LENGTH(d.text) AS caption_len
+FROM cat c JOIN documents d ON d.doc_id = c.doc_id
+WHERE GREATEST(c.width, c.height) <= {PAIR_MAX_ASPECT} * LEAST(c.width, c.height)
+  AND LENGTH(d.text) BETWEEN {PAIR_CAPTION_MIN} AND {PAIR_CAPTION_MAX}
+""".strip()
+
+
 QUERIES = {
+    "media_audio_chunks": media_audio_chunks,
+    "media_pair_gate": media_pair_gate,
     "media_catalog": media_catalog_meta,
     "media_decode_stats": media_decode_stats,
     "media_frames": media_frame_stats,
@@ -403,6 +560,8 @@ QUERIES = {
     "media_dedup": media_dedup,
 }
 ORACLES = {
+    "media_audio_chunks": MEDIA_AUDIO_CHUNKS_SQL,
+    "media_pair_gate": MEDIA_PAIR_GATE_SQL,
     "media_catalog": MEDIA_CATALOG_META_SQL,
     "media_decode_stats": MEDIA_DECODE_STATS_SQL,
     "media_frames": MEDIA_FRAME_STATS_SQL,

@@ -79,3 +79,46 @@ def test_payload_dedup_never_shuffles_payload_bytes(spark):
     plan = media_dedup(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     exchange_inputs = plan.split("Exchange")[1] if "Exchange" in plan else ""
     assert "payload#" not in exchange_inputs.split("Scan")[0]
+
+
+def test_audio_chunk_segmentation_math(spark):
+    """Hand-built clips pin the windowing contract: ceil-division chunk
+    count at each clip's OWN sample rate, ragged tail length, and the
+    exact-multiple case (tail = one full chunk, never 0)."""
+    from dream_spark.operators.multimodal import AUDIO_CHUNK_SEC, audio_chunk_stats
+
+    rows = [
+        (1, b"x" * 100, 8000, 40_000),    # exactly one 5 s chunk at 8 kHz
+        (2, b"x" * 100, 8000, 40_001),    # one sample over -> 2 chunks, tail 1
+        (3, b"x" * 100, 16000, 200_000),  # 2.5 chunks at 16 kHz -> 3, tail 40k
+        (4, b"", 16000, 0),               # empty payload: decode_ok False
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, sample_rate int, n_samples long"
+    )
+    got = {r["doc_id"]: r for r in audio_chunk_stats(df).collect()}
+    assert (got[1]["n_chunks"], got[1]["last_chunk_samples"]) == (1, 40_000)
+    assert (got[2]["n_chunks"], got[2]["last_chunk_samples"]) == (2, 1)
+    assert (got[3]["n_chunks"], got[3]["last_chunk_samples"]) == (3, 40_000)
+    assert got[3]["n_chunks"] * 16000 * AUDIO_CHUNK_SEC >= 200_000
+    assert got[4]["decode_ok"] is False and got[4]["n_chunks"] == 0
+
+
+def test_pair_gate_bounds(spark):
+    """The pair gate keeps exactly the rows inside BOTH bounds: every
+    survivor has aspect <= 2:1 and caption length in [100, 2000], and the
+    survivors plus the single-gate failures account for the catalog."""
+    from dream_spark.operators.multimodal import (
+        PAIR_CAPTION_MAX,
+        PAIR_CAPTION_MIN,
+        PAIR_MAX_ASPECT,
+        media_catalog,
+        media_pair_gate,
+    )
+
+    out = media_pair_gate(spark, SF_DIR).collect()
+    assert out, "gate dropped everything — fixture drift"
+    for r in out:
+        assert max(r["width"], r["height"]) <= PAIR_MAX_ASPECT * min(r["width"], r["height"])
+        assert PAIR_CAPTION_MIN <= r["caption_len"] <= PAIR_CAPTION_MAX
+    assert len(out) < media_catalog(spark, SF_DIR).count()
