@@ -446,3 +446,47 @@ def test_stats_load_degrades_on_any_malformed_cache(tmp_path):
         p = tmp_path / f"c{i}.json"
         p.write_text(text)
         assert TripleStats.load(str(p)) is None, text
+
+
+def test_dup_spans_single_sid_shuffle(spark, queries):
+    """dedup_spans claims the canonical exact-substring shape: the only
+    shuffle in the plan is the sid-keyed count with MAP-SIDE partial
+    aggregation (one partial_count before the exchange), and no global
+    single-partition collapse anywhere."""
+    plan = _plan(queries["dedup_spans"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:2000]
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_temporal_concurrency_windows_are_day_partitioned(spark, queries):
+    """The sweep line must NOT run as one unpartitioned running-sum window
+    over the whole timeline: the per-boundary window partitions by day,
+    and the only single-partition stage is the day-level carry over the
+    calendar-sized day-total table (bounded rows by construction)."""
+    plan = _plan(queries["temporal_concurrency"](spark, SF_DIR))
+    # the in-day running sum window is keyed by day
+    assert "hashpartitioning(day" in plan, plan[:2000]
+    # exactly one SinglePartition exchange is tolerated: the day-level
+    # carry (365 rows/year); the boundary stream itself must never pass
+    # through it
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_window_movavg_is_range_frame(spark, queries):
+    """rel_window_movavg must execute a RANGE (value) frame, not a ROWS
+    frame — the sparse-day correctness property — partitioned by priority
+    (never a global window)."""
+    plan = _plan(queries["rel_window_movavg"](spark, SF_DIR))
+    assert "RangeFrame" in plan, plan[:2000]
+    assert "RowFrame" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pair_gate_prunes_before_join(spark, queries):
+    """media_pair_gate's caption-length and geometry predicates must reach
+    the scans (PushedFilters / pre-join Filter), and the doc_id equi-join
+    must not degrade to a cartesian."""
+    plan = _plan(queries["media_pair_gate"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
