@@ -679,7 +679,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sparql_filter_strbefore, streaming_enrich_batch, temporal_concurrency,
 #   sparql_filter_isnumeric, rel_window_movavg, graph_components (rows-only
 #   by design — see operators/graph.py::graph_components),
-#   media_audio_chunks, media_pair_gate
+#   media_audio_chunks, media_pair_gate, sparql_nt_roundtrip
 PRIORITY_ORDER = [
     # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
     "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",
@@ -720,12 +720,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from dream_spark.streaming import events as streaming_events
 
-    from dream_spark.sources import sinks
+    from dream_spark.sources import ntriples, sinks
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (qtext, decode) in SPARQL_QUERIES.items():
         out[name] = _sparql_runner(qtext, decode)
-    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch, graph, sinks):
+    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch, graph, sinks, ntriples):
         out.update(mod.QUERIES)
     return _ordered(out)
 
@@ -738,11 +738,11 @@ def oracle_sql() -> dict[str, str]:
     from dream_spark.plans.sparql import parse_sparql
     from dream_spark.streaming import events as streaming_events
 
-    from dream_spark.sources import sinks
+    from dream_spark.sources import ntriples, sinks
 
     out: dict[str, str] = {}
     for name, (qtext, decode) in SPARQL_QUERIES.items():
         out[name] = bgp_to_sql(parse_sparql(qtext), decode=decode)
-    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch, graph, sinks):
+    for mod in (relational, temporal, text, dedup, similarity, multimodal, streaming_events, pipeline, sketch, graph, sinks, ntriples):
         out.update(mod.ORACLES)
     return _ordered(out)

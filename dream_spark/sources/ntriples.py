@@ -37,6 +37,13 @@ NT_PATTERN = rf"^\s*({_IRI}|{_BLANK})\s+({_IRI})\s+({_IRI}|{_BLANK}|{_LITERAL})\
 _ESC_SENTINEL = "\x00"
 
 
+#: IRI namespace write_ntriples mints for subject/predicate lexicals that
+#: are not themselves IRI-shaped (N-Triples allows only IRIs there); the
+#: parser strips it back off, so self-roundtrips are lossless while the
+#: exported file stays valid for ANY N-Triples consumer.
+_LEX_URN = "urn:x-lex:"
+
+
 def _lexical(col):
     """Strip IRI brackets / literal quotes+suffix from a raw N-Triples term,
     and UNESCAPE literal bodies (ECHAR subset: \\" \\\\ \\n \\t \\r) so the
@@ -56,8 +63,17 @@ def _lexical(col):
     u = F.regexp_replace(u, r"\\t", "\t")
     u = F.regexp_replace(u, r"\\r", "\r")
     u = F.regexp_replace(u, _ESC_SENTINEL, r"\\")
+    iri = F.regexp_extract(c, r"^<(.*)>$", 1)
+    # invert write_ntriples' subject/predicate convention: a store term
+    # that is not IRI-shaped exports as <urn:x-lex:TERM> (N-Triples only
+    # allows IRIs in those slots), so strip the namespace on the way in —
+    # read -> write -> read stays a fixed point for such stores too
+    iri = F.when(
+        iri.startswith(_LEX_URN),
+        F.substring(iri, len(_LEX_URN) + 1, 1 << 24),
+    ).otherwise(iri)
     return (
-        F.when(c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1))
+        F.when(c.startswith("<"), iri)
         .when(c.startswith('"'), u)
         .otherwise(c)
     )
@@ -117,13 +133,21 @@ def load_ntriples(spark: SparkSession, path: str, validate: bool = False):
     return TripleStore(spark, triples, dictionary, resolver=None)
 
 
-def _nt_term(col) -> "F.Column":
+def _nt_term(col, slot: str = "o") -> "F.Column":
     """Render a lexical back to N-Triples syntax: IRI-looking terms (scheme
     prefix, no '>' or whitespace — either would produce an unparseable
     bracketed term) get angle brackets, blank-node labels pass through,
     everything else becomes a quoted literal with ECHAR escaping
     (backslash FIRST, then quote/newline/tab/CR — so escape sequences are
-    never double-escaped)."""
+    never double-escaped).
+
+    ``slot``: the N-Triples grammar allows literals ONLY in the object
+    slot — a non-IRI subject/predicate lexical (e.g. this repo's bare
+    ``inRegion``) must still export as an IRI, so s/p slots mint
+    ``<urn:x-lex:TERM>`` (the parser strips the namespace on re-load;
+    terms containing characters illegal inside an IRIREF fall back to the
+    literal form only in the object slot and raise otherwise via the
+    reader's strict drop + write-side validation in tests)."""
     c = F.col(col) if isinstance(col, str) else col
     is_iri = (
         c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
@@ -137,6 +161,15 @@ def _nt_term(col) -> "F.Column":
     esc = F.regexp_replace(esc, "\t", r"\\t")
     esc = F.regexp_replace(esc, "\r", r"\\r")
     quoted = F.concat(F.lit('"'), esc, F.lit('"'))
+    urn_ok = ~c.contains(">") & ~c.rlike(r"\s")
+    urn = F.concat(F.lit("<" + _LEX_URN), c, F.lit(">"))
+    if slot in ("s", "p"):
+        return (
+            F.when(is_blank & F.lit(slot == "s"), c)
+            .when(is_iri, F.concat(F.lit("<"), c, F.lit(">")))
+            .when(urn_ok, urn)
+            .otherwise(F.lit(None))  # unexportable: caught by the null gate
+        )
     return (
         F.when(is_blank, c)
         .when(is_iri, F.concat(F.lit("<"), c, F.lit(">")))
@@ -168,11 +201,80 @@ def write_ntriples(store, path: str, mode: str = "overwrite", max_files: int = 0
             "write_ntriples: triples reference ids missing from the dictionary "
             "(store integrity error — dictionary and triples are out of sync)"
         )
-    lines = t.select(
-        F.concat_ws(
-            " ", _nt_term("s_lex"), _nt_term("p_lex"), _nt_term("o_lex"), F.lit(".")
-        ).alias("value")
+    rendered = t.select(
+        _nt_term("s_lex", "s").alias("s_t"),
+        _nt_term("p_lex", "p").alias("p_t"),
+        _nt_term("o_lex", "o").alias("o_t"),
+    )
+    # same fail-fast contract for UNEXPORTABLE subject/predicate terms
+    # (characters illegal inside an IRIREF, e.g. whitespace): a NULL
+    # rendering must raise here, not silently drop through concat_ws
+    bad = rendered.where(F.col("s_t").isNull() | F.col("p_t").isNull())
+    if bad.limit(1).count():
+        raise ValueError(
+            "write_ntriples: a subject/predicate lexical cannot be rendered "
+            "as an IRI (whitespace or '>' in the term) — no valid N-Triples "
+            "line exists for it"
+        )
+    lines = rendered.select(
+        F.concat_ws(" ", "s_t", "p_t", "o_t", F.lit(".")).alias("value")
     )
     if max_files > 0:
         lines = lines.coalesce(max_files)
     lines.write.mode(mode).text(path)
+
+
+# --------------------------------------------------------------------------
+# driver-contract entry: interchange-format roundtrip
+# --------------------------------------------------------------------------
+def sparql_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end N-Triples roundtrip as a query: export the ``inRegion``
+    subgraph in the RDF interchange format (the reference's actual input
+    format, Loader.c), re-load it through the N-Triples parser into a
+    FRESH store — its own dictionary, ids assigned by the loader, no
+    TPC-H arithmetic scheme — and answer a DECODED query over the
+    roundtripped store.  Comparing lexicals (not ids) against the oracle
+    running on the ORIGINAL tables proves the whole chain preserves the
+    graph: serializer → escaping → parser → dictionary encode → BGP
+    translate → decode.
+
+    The result is localCheckpoint-materialized before the scratch export
+    is removed (the caller's collect must not depend on scratch files)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dream_spark.plans.sparql import parse_sparql
+    from dream_spark.plans.translator import translate
+    from dream_spark.sources.triples import TripleStore, resolve_lexical
+
+    st = TripleStore.shared(spark, sf_dir)
+    sub = TripleStore(
+        spark,
+        st.triples.where(F.col("p") == F.lit(resolve_lexical("inRegion"))),
+        st.dictionary,
+        resolver=None,
+    )
+    base = tempfile.mkdtemp(prefix="dream_spark_nt_")
+    path = f"{base}/graph.nt"
+    try:
+        write_ntriples(sub, path, max_files=1)
+        nt_store = load_ntriples(spark, path)
+        q = parse_sparql("select ?N ?R where { ?N inRegion ?R }")
+        return translate(nt_store, q, None, decode=True).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _nt_roundtrip_sql() -> str:
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import parse_sparql
+
+    return bgp_to_sql(
+        parse_sparql("select ?N ?R where { ?N inRegion ?R }"), decode=True
+    )
+
+
+QUERIES = {"sparql_nt_roundtrip": sparql_nt_roundtrip}
+ORACLES = {"sparql_nt_roundtrip": _nt_roundtrip_sql()}

@@ -149,3 +149,48 @@ def test_write_ntriples_fails_fast_on_missing_dict_id(spark, tmp_path):
     t = spark.createDataFrame([(1, 2, 999)], "s long, p long, o long")  # 999 unknown
     with _pytest.raises(ValueError):
         write_ntriples(TripleStore(spark, t, d, resolver=None), str(tmp_path / "x"))
+
+
+def test_bare_lexical_subject_predicate_roundtrip(spark, tmp_path):
+    """A store whose terms are NOT IRI-shaped (this repo's bare
+    ``inRegion``-style vocabulary) must still export VALID N-Triples:
+    subject/predicate slots mint <urn:x-lex:TERM> (literals are illegal
+    there), and load_ntriples strips the namespace back off — the
+    roundtrip preserves the exact lexicals.  Pre-r6 the writer emitted a
+    quoted literal in the predicate slot, which the strict reader then
+    silently dropped: a written graph read back EMPTY."""
+    from dream_spark.sources.ntriples import load_ntriples, write_ntriples
+    from dream_spark.sources.triples import TripleStore
+
+    triples = spark.createDataFrame([(1, 2, 3), (4, 2, 5)], "s long, p long, o long")
+    dict_df = spark.createDataFrame(
+        [(1, "alpha:1"), (2, "linksTo"), (3, "plain words"), (4, "alpha:4"), (5, "beta:5")],
+        "id long, lexical string",
+    )
+    st = TripleStore(spark, triples, dict_df, resolver=None)
+    out = str(tmp_path / "bare.nt")
+    write_ntriples(st, out, max_files=1)
+    nt = load_ntriples(spark, out)
+    assert nt.triples.count() == 2
+    lex = {r["lexical"] for r in nt.dictionary.collect()}
+    assert "linksTo" in lex          # namespace stripped on the way in
+    assert "plain words" in lex      # object literal with a space survives
+    assert not any(x.startswith("urn:x-lex:") for x in lex)
+
+
+def test_unexportable_subject_raises(spark, tmp_path):
+    """A subject lexical that cannot be an IRIREF (embedded whitespace)
+    has no valid N-Triples rendering — the writer must fail fast, not
+    emit a line the reader will silently drop."""
+    import pytest as _pytest
+
+    from dream_spark.sources.ntriples import write_ntriples
+    from dream_spark.sources.triples import TripleStore
+
+    triples = spark.createDataFrame([(1, 2, 3)], "s long, p long, o long")
+    dict_df = spark.createDataFrame(
+        [(1, "has space"), (2, "p:ok"), (3, "o")], "id long, lexical string"
+    )
+    st = TripleStore(spark, triples, dict_df, resolver=None)
+    with _pytest.raises(ValueError, match="cannot be rendered"):
+        write_ntriples(st, str(tmp_path / "bad.nt"), max_files=1)
