@@ -742,40 +742,47 @@ def connected_components(
     if loop_par is not None and sym.rdd.getNumPartitions() > 2 * loop_par:
         sym = sym.repartition(loop_par)
     sym = sym.persist()
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
-    for _ in range(_CC_MAX_ITERS):
-        nbr = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.node == nbr.a, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
-            )
+    # finally-block restore: a failed round (task failure, interrupt) must
+    # not leak the loop's shuffle-partition override — or the caches —
+    # into the session's unrelated later queries
+    try:
+        labels = (
+            sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if not changed:
-            break
-    sym.unpersist()
-    e.unpersist()
-    if restore_partitions is not None:
-        try:
-            spark.conf.set("spark.sql.shuffle.partitions", restore_partitions)
-        except Exception:
-            pass
-    return labels.select(F.col("node"), F.col("label").alias("cluster"))
+        for _ in range(_CC_MAX_ITERS):
+            nbr = (
+                sym.join(labels, sym.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, labels.node == nbr.a, "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+                )
+            ).localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if not changed:
+                break
+        # every kept frame is localCheckpoint-materialized, so the restore
+        # cannot change the returned plan
+        return labels.select(F.col("node"), F.col("label").alias("cluster"))
+    finally:
+        sym.unpersist()
+        e.unpersist()
+        if restore_partitions is not None:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", restore_partitions)
+            except Exception:
+                pass
 
 
 def duplicate_clusters(docs: DataFrame) -> DataFrame:

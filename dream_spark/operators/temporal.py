@@ -512,16 +512,19 @@ def session_concurrency(sessions: DataFrame) -> DataFrame:
     end; the running sum over boundaries ordered by (ts, delta) is the
     live concurrency.  Ordering ends (-1) before starts (+1) at equal
     timestamps makes the interval half-open [start, end): sessions that
-    merely touch never overlap.  "Boundary-sampled" = the peak is taken
-    over boundary instants falling WITHIN the day (concurrency only
-    changes at boundaries; a day whose sessions all carry over unchanged
-    reports the carry via its first boundary).
+    merely touch never overlap.  "Boundary-sampled" = concurrency is
+    evaluated at the day's START (the carry) and at every boundary
+    instant within the day: peak = carry + max(0, max in-day prefix sum).
+    The day axis is the full [first, last] boundary-day range, so a day
+    whose only activity is sessions carried over unchanged (no boundary
+    at all — e.g. the middle day of a 3-day session) still reports its
+    true peak, the carry.
 
     Scale shape — the textbook formulation is a running sum over ONE
     unpartitioned window, which serializes the whole timeline through a
     single task.  This is the two-level prefix sum instead: per-day
     running sums (day-partitioned shuffle, parallel across days) plus a
-    day-level carry from the day-total table, which is calendar-sized
+    day-level carry over the dense day table, which is calendar-sized
     (365 rows/year) so its unpartitioned window is a non-issue at any
     data scale."""
     starts = sessions.select(F.col("session_start").alias("ts"), F.lit(1).alias("delta"))
@@ -539,14 +542,26 @@ def session_concurrency(sessions: DataFrame) -> DataFrame:
     )
     in_day = deltas.select("day", F.sum("delta").over(w_day).alias("run_in_day"))
     peak = in_day.groupBy("day").agg(F.max("run_in_day").alias("in_day_max"))
+    # DENSE day axis [first, last]: boundary-less middle days of long
+    # sessions must still report their carry
+    bounds = deltas.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    all_days = bounds.select(F.explode(F.sequence("mn", "mx")).alias("day"))
     day_tot = deltas.groupBy("day").agg(F.sum("delta").alias("day_total"))
     w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-    carried = day_tot.select(
-        "day", F.coalesce(F.sum("day_total").over(w_days), F.lit(0)).alias("carry")
-    )
-    return peak.join(carried, on="day").select(
+    carried = all_days.join(day_tot, on="day", how="left").select(
         "day",
-        (F.col("carry") + F.col("in_day_max")).cast("long").alias("peak_concurrency"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("day_total"), F.lit(0))).over(w_days), F.lit(0)
+        ).alias("carry"),
+    )
+    return carried.join(peak, on="day", how="left").select(
+        "day",
+        (
+            F.col("carry")
+            + F.greatest(F.lit(0), F.coalesce(F.col("in_day_max"), F.lit(0)))
+        )
+        .cast("long")
+        .alias("peak_concurrency"),
     )
 
 
@@ -579,14 +594,16 @@ run AS (
   FROM deltas
 ),
 peak AS (SELECT day, MAX(run_in_day) AS in_day_max FROM run GROUP BY day),
+bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM deltas),
+days AS (SELECT UNNEST(generate_series(mn, mx)) AS day FROM bounds),
 tot AS (SELECT day, SUM(delta) AS day_total FROM deltas GROUP BY day),
 carried AS (
-  SELECT day, COALESCE(SUM(day_total) OVER (ORDER BY day
+  SELECT d.day, COALESCE(SUM(COALESCE(t.day_total, 0)) OVER (ORDER BY d.day
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
-  FROM tot
+  FROM days d LEFT JOIN tot t ON t.day = d.day
 )
-SELECT p.day, CAST(c.carry + p.in_day_max AS BIGINT) AS peak_concurrency
-FROM peak p JOIN carried c ON c.day = p.day
+SELECT c.day, CAST(c.carry + GREATEST(0, COALESCE(p.in_day_max, 0)) AS BIGINT) AS peak_concurrency
+FROM carried c LEFT JOIN peak p ON p.day = c.day
 """.strip()
 
 

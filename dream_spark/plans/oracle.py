@@ -267,12 +267,17 @@ def _simple_filter_sql(f, ref, resolve, numeric_aliases=frozenset()) -> str:
     if f.kind == "bound":
         return f"{ref(f.var)} IS {'NULL' if f.op == '!' else 'NOT NULL'}"
     if f.kind == "isnum":
+        # unbound argument = type error (NULL), mirroring the Spark side —
+        # see translator._row_pred's isnum branch
         val = (
             ref(f.var)
             if f.var in numeric_aliases
             else numeric_value_sql(ref(f.var))
         )
-        return f"{val} IS {'NULL' if f.op == '!' else 'NOT NULL'}"
+        return (
+            f"(CASE WHEN {ref(f.var)} IS NULL THEN NULL "
+            f"ELSE {val} IS {'NULL' if f.op == '!' else 'NOT NULL'} END)"
+        )
     if f.kind == "arith":
         # identical shared fragment the Spark plan applies via F.expr
         return arith_filter_sql(

@@ -268,9 +268,16 @@ def _row_pred(f, store, numeric_cols: frozenset[str]):
     if f.kind == "isnum":
         # §17.4.2.4 isNumeric: the typed-value window test on the id (a
         # numeric BIND alias is a plain number, hence numeric by
-        # construction — test the value itself, mirroring the oracle)
-        val = F.col(f.var) if f.var in numeric_cols else F.expr(numeric_value_sql(f.var))
-        return val.isNull() if f.op == "!" else val.isNotNull()
+        # construction — test the value itself, mirroring the oracle).
+        # UNBOUND argument = type error, not false: isNumeric over an
+        # OPTIONAL-null column yields NULL (the row drops, and negation /
+        # connectives propagate it as error per §17.2), never a truth
+        # value — (val IS NULL) alone would make !isNumeric(?v) KEEP
+        # unbound rows
+        base = F.col(f.var)
+        val = base if f.var in numeric_cols else F.expr(numeric_value_sql(f.var))
+        truth = val.isNull() if f.op == "!" else val.isNotNull()
+        return F.when(base.isNull(), F.lit(None).cast("boolean")).otherwise(truth)
     if f.kind == "arith":
         return F.expr(
             arith_filter_sql(

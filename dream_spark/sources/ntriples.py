@@ -39,8 +39,13 @@ _ESC_SENTINEL = "\x00"
 
 #: IRI namespace write_ntriples mints for subject/predicate lexicals that
 #: are not themselves IRI-shaped (N-Triples allows only IRIs there); the
-#: parser strips it back off, so self-roundtrips are lossless while the
-#: exported file stays valid for ANY N-Triples consumer.
+#: parser strips ONE layer back off, so self-roundtrips are lossless while
+#: the exported file stays valid N-Triples for ANY consumer.  A lexical
+#: that GENUINELY starts with the namespace exports with the prefix
+#: DOUBLED (in every slot), so stripping one layer restores it exactly —
+#: the namespace is reserved by this convention, which external producers
+#: would have to share for their urn:x-lex: terms to survive a load here
+#: (documented boundary; any fixed escape prefix has the same property).
 _LEX_URN = "urn:x-lex:"
 
 
@@ -64,10 +69,10 @@ def _lexical(col):
     u = F.regexp_replace(u, r"\\r", "\r")
     u = F.regexp_replace(u, _ESC_SENTINEL, r"\\")
     iri = F.regexp_extract(c, r"^<(.*)>$", 1)
-    # invert write_ntriples' subject/predicate convention: a store term
-    # that is not IRI-shaped exports as <urn:x-lex:TERM> (N-Triples only
-    # allows IRIs in those slots), so strip the namespace on the way in —
-    # read -> write -> read stays a fixed point for such stores too
+    # invert write_ntriples' convention: non-IRI-shaped s/p terms export
+    # as <urn:x-lex:TERM> and genuine urn:x-lex:* lexicals export with
+    # the prefix DOUBLED, so stripping exactly ONE layer restores every
+    # case — read -> write -> read stays a fixed point
     iri = F.when(
         iri.startswith(_LEX_URN),
         F.substring(iri, len(_LEX_URN) + 1, 1 << 24),
@@ -149,11 +154,11 @@ def _nt_term(col, slot: str = "o") -> "F.Column":
     literal form only in the object slot and raise otherwise via the
     reader's strict drop + write-side validation in tests)."""
     c = F.col(col) if isinstance(col, str) else col
-    is_iri = (
-        c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
-        & ~c.contains(">")
-        & ~c.rlike(r"\s")
-    )
+    # IRIREF-legal body: grammar forbids <>"{}|^`\ plus controls and
+    # space (chars 0x00-0x20) anywhere inside the brackets — emitting any
+    # of them would produce a line conformant external parsers reject
+    iriref_ok = ~c.rlike(r'[\x00-\x20<>"{}|^`\\]')
+    is_iri = c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:") & iriref_ok
     is_blank = c.startswith("_:") & ~c.rlike(r"\s")
     esc = F.regexp_replace(c, r"\\", r"\\\\")
     esc = F.regexp_replace(esc, '"', '\\\\"')
@@ -161,18 +166,23 @@ def _nt_term(col, slot: str = "o") -> "F.Column":
     esc = F.regexp_replace(esc, "\t", r"\\t")
     esc = F.regexp_replace(esc, "\r", r"\\r")
     quoted = F.concat(F.lit('"'), esc, F.lit('"'))
-    urn_ok = ~c.contains(">") & ~c.rlike(r"\s")
+    # the reserved namespace doubles on export (every slot) so the
+    # parser's strip-one-layer restores genuine urn:x-lex:* lexicals
+    reserved = c.startswith(_LEX_URN)
     urn = F.concat(F.lit("<" + _LEX_URN), c, F.lit(">"))
+    plain_iri = F.concat(F.lit("<"), c, F.lit(">"))
     if slot in ("s", "p"):
         return (
             F.when(is_blank & F.lit(slot == "s"), c)
-            .when(is_iri, F.concat(F.lit("<"), c, F.lit(">")))
-            .when(urn_ok, urn)
+            .when(is_iri & reserved, urn)
+            .when(is_iri, plain_iri)
+            .when(iriref_ok, urn)
             .otherwise(F.lit(None))  # unexportable: caught by the null gate
         )
     return (
         F.when(is_blank, c)
-        .when(is_iri, F.concat(F.lit("<"), c, F.lit(">")))
+        .when(is_iri & reserved, urn)
+        .when(is_iri, plain_iri)
         .otherwise(quoted)
     )
 
@@ -190,38 +200,45 @@ def write_ntriples(store, path: str, mode: str = "overwrite", max_files: int = 0
     for slot in ("s", "p", "o"):
         lex = d.select(F.col("id").alias(slot), F.col("lexical").alias(f"{slot}_lex"))
         t = t.join(lex, on=slot, how="left").drop(slot)
-    # fail FAST on ids the dictionary cannot decode: concat_ws silently
-    # SKIPS nulls, which would emit a malformed 2-term line that the
-    # reader then silently drops — data loss with no error at either end
-    missing = t.where(
-        F.col("s_lex").isNull() | F.col("p_lex").isNull() | F.col("o_lex").isNull()
-    )
-    if missing.limit(1).count():
-        raise ValueError(
-            "write_ntriples: triples reference ids missing from the dictionary "
-            "(store integrity error — dictionary and triples are out of sync)"
+    # the two fail-fast gates below plus the write itself each scan this
+    # frame — persist the 3-way decode join ONCE so the gates are cheap
+    # cached projections, not three full join evaluations
+    t = t.persist()
+    try:
+        # fail FAST on ids the dictionary cannot decode: concat_ws silently
+        # SKIPS nulls, which would emit a malformed 2-term line that the
+        # reader then silently drops — data loss with no error at either end
+        missing = t.where(
+            F.col("s_lex").isNull() | F.col("p_lex").isNull() | F.col("o_lex").isNull()
         )
-    rendered = t.select(
-        _nt_term("s_lex", "s").alias("s_t"),
-        _nt_term("p_lex", "p").alias("p_t"),
-        _nt_term("o_lex", "o").alias("o_t"),
-    )
-    # same fail-fast contract for UNEXPORTABLE subject/predicate terms
-    # (characters illegal inside an IRIREF, e.g. whitespace): a NULL
-    # rendering must raise here, not silently drop through concat_ws
-    bad = rendered.where(F.col("s_t").isNull() | F.col("p_t").isNull())
-    if bad.limit(1).count():
-        raise ValueError(
-            "write_ntriples: a subject/predicate lexical cannot be rendered "
-            "as an IRI (whitespace or '>' in the term) — no valid N-Triples "
-            "line exists for it"
+        if missing.limit(1).count():
+            raise ValueError(
+                "write_ntriples: triples reference ids missing from the dictionary "
+                "(store integrity error — dictionary and triples are out of sync)"
+            )
+        rendered = t.select(
+            _nt_term("s_lex", "s").alias("s_t"),
+            _nt_term("p_lex", "p").alias("p_t"),
+            _nt_term("o_lex", "o").alias("o_t"),
         )
-    lines = rendered.select(
-        F.concat_ws(" ", "s_t", "p_t", "o_t", F.lit(".")).alias("value")
-    )
-    if max_files > 0:
-        lines = lines.coalesce(max_files)
-    lines.write.mode(mode).text(path)
+        # same fail-fast contract for UNEXPORTABLE subject/predicate terms
+        # (characters illegal inside an IRIREF): a NULL rendering must
+        # raise here, not silently drop through concat_ws
+        bad = rendered.where(F.col("s_t").isNull() | F.col("p_t").isNull())
+        if bad.limit(1).count():
+            raise ValueError(
+                "write_ntriples: a subject/predicate lexical cannot be rendered "
+                "as an IRI (whitespace, control, or <>\"{}|^`\\ in the term) — "
+                "no valid N-Triples line exists for it"
+            )
+        lines = rendered.select(
+            F.concat_ws(" ", "s_t", "p_t", "o_t", F.lit(".")).alias("value")
+        )
+        if max_files > 0:
+            lines = lines.coalesce(max_files)
+        lines.write.mode(mode).text(path)
+    finally:
+        t.unpersist()
 
 
 # --------------------------------------------------------------------------

@@ -194,3 +194,54 @@ def test_unexportable_subject_raises(spark, tmp_path):
     st = TripleStore(spark, triples, dict_df, resolver=None)
     with _pytest.raises(ValueError, match="cannot be rendered"):
         write_ntriples(st, str(tmp_path / "bad.nt"), max_files=1)
+
+
+def test_reserved_namespace_lexicals_roundtrip(spark, tmp_path):
+    """A lexical that GENUINELY starts with urn:x-lex: must survive the
+    roundtrip: the writer doubles the reserved prefix (every slot), the
+    reader strips exactly one layer — without the doubling, loading our
+    own export would corrupt the term to its suffix."""
+    from dream_spark.sources.ntriples import load_ntriples, write_ntriples
+    from dream_spark.sources.triples import TripleStore
+
+    triples = spark.createDataFrame([(1, 2, 3)], "s long, p long, o long")
+    dict_df = spark.createDataFrame(
+        [(1, "urn:x-lex:subject"), (2, "linksTo"), (3, "urn:x-lex:object")],
+        "id long, lexical string",
+    )
+    st = TripleStore(spark, triples, dict_df, resolver=None)
+    out = str(tmp_path / "reserved.nt")
+    write_ntriples(st, out, max_files=1)
+    # on disk: doubled prefix for the genuine terms, single for the minted
+    import glob
+
+    line = [
+        ln
+        for f in glob.glob(out + "/part*")
+        if not f.endswith(".crc")
+        for ln in open(f).read().splitlines()
+    ][0]
+    assert "<urn:x-lex:urn:x-lex:subject>" in line
+    assert "<urn:x-lex:linksTo>" in line
+    nt = load_ntriples(spark, out)
+    lex = {r["lexical"] for r in nt.dictionary.collect()}
+    assert lex == {"urn:x-lex:subject", "linksTo", "urn:x-lex:object"}
+
+
+def test_iriref_illegal_object_renders_as_literal(spark, tmp_path):
+    """An IRI-shaped object containing an IRIREF-illegal character (a
+    double quote) must render as an escaped literal, not an invalid
+    bracketed IRI a conformant parser would reject."""
+    from dream_spark.sources.ntriples import load_ntriples, write_ntriples
+    from dream_spark.sources.triples import TripleStore
+
+    triples = spark.createDataFrame([(1, 2, 3)], "s long, p long, o long")
+    dict_df = spark.createDataFrame(
+        [(1, "a:subj"), (2, "b:pred"), (3, 'c:has"quote')], "id long, lexical string"
+    )
+    st = TripleStore(spark, triples, dict_df, resolver=None)
+    out = str(tmp_path / "illegal.nt")
+    write_ntriples(st, out, max_files=1)
+    nt = load_ntriples(spark, out)
+    lex = {r["lexical"] for r in nt.dictionary.collect()}
+    assert 'c:has"quote' in lex  # literal-escaped roundtrip, not <c:has"quote>

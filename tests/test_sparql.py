@@ -2596,3 +2596,20 @@ def test_isnumeric_filter(engine, duck):
               "select ?P2 ?V where { <part:5> ?P2 ?V ."
               " filter (isNumeric(?V) || ?V = <Part>) }"):
         assert_oracle_match(engine.sparql(q), duck, bgp_to_sql(parse_sparql(q)))
+
+
+def test_isnumeric_unbound_is_type_error(engine, duck):
+    """isNumeric over an OPTIONAL-unbound variable is a TYPE ERROR, not
+    false (§17.4.2.4 + §17.2): both the positive and the negated form
+    drop the unbound rows — (val IS NULL) alone would make !isNumeric
+    keep them.  Region rows have no size triple, so ?SZ is unbound for
+    every region under the OPTIONAL."""
+    base = "select ?X ?SZ where { ?X type Region . optional { ?X size ?SZ } }"
+    pos = base[:-2] + ". filter (isNumeric(?SZ)) }"
+    neg = base[:-2] + ". filter (!isNumeric(?SZ)) }"
+    n_base = engine.sparql(base).count()
+    assert n_base > 0
+    assert engine.sparql(pos).count() == 0  # unbound -> error -> drop
+    assert engine.sparql(neg).count() == 0  # negation propagates the error
+    for q in (pos, neg):
+        assert_oracle_match(engine.sparql(q), duck, bgp_to_sql(parse_sparql(q)))

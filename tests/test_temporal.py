@@ -189,6 +189,7 @@ def test_session_concurrency_sweep_semantics(spark):
         s(12, 0, 13, 0),           # D starts exactly at B's end: touching, no overlap
         s(23, 0, 1, 0, 0, 1),      # E spans midnight -> day-2 carry = 1
         s(0, 30, 0, 45, 1, 1),     # F day 2, overlaps E's tail -> 2
+        s(22, 0, 2, 0, 1, 3),      # G spans days 2-4: day 3 has NO boundary
     ]
     sess = spark.createDataFrame(
         rows, "user_id long, session_start timestamp_ntz, session_end timestamp_ntz, n_events long"
@@ -197,3 +198,8 @@ def test_session_concurrency_sweep_semantics(spark):
     day0 = (d0 - dt.datetime(1970, 1, 1)).days
     assert got[day0] == 3       # A+B+C at 10:30-10:45
     assert got[day0 + 1] == 2   # E carried over + F
+    # day 3 has no boundaries at all (G open throughout): peak = carry = 1
+    assert got[day0 + 2] == 1
+    # day 4's only boundary is G's end: the day-START carry (1) is the
+    # peak, not the post-decrement value (0)
+    assert got[day0 + 3] == 1
