@@ -134,6 +134,20 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " optional { ?O placedBy ?C } } group by ?C having (count(?O) > 5)",
         False,
     ),
+    # implicit-group aggregates (SPARQL 1.1 §11.1: aggregates with no
+    # GROUP BY form ONE group over the whole solution multiset)
+    "sparql_count_all": (
+        "select (count(*) as ?n) (count(distinct ?C) as ?nc)"
+        " where { ?O placedBy ?C }",
+        False,
+    ),
+    # multi-key ORDER BY with mixed directions; (?N desc, ?C asc) is a
+    # total order (customer ids unique), so the LIMIT page is deterministic
+    "sparql_order_multi": (
+        "select ?N ?C where { ?C type Customer . ?C inNation ?N }"
+        " order by ?N desc ?C limit 30",
+        False,
+    ),
     # MINUS superset: anti-join removal of compatible bindings
     "sparql_minus": (
         "select ?C where { ?C type Customer ."
@@ -679,7 +693,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sparql_filter_strbefore, streaming_enrich_batch, temporal_concurrency,
 #   sparql_filter_isnumeric, rel_window_movavg, graph_components (rows-only
 #   by design — see operators/graph.py::graph_components),
-#   media_audio_chunks, media_pair_gate, sparql_nt_roundtrip
+#   media_audio_chunks, media_pair_gate, sparql_nt_roundtrip,
+#   sparql_count_all, sparql_order_multi
 PRIORITY_ORDER = [
     # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
     "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",
