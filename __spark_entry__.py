@@ -148,6 +148,13 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " order by ?N desc ?C limit 30",
         False,
     ),
+    # ORDER BY an aggregate alias + LIMIT (top-k groups): the classic
+    # "top-5 nations by customer count", deterministic via the ?N tiebreak
+    "sparql_topk_agg": (
+        "select ?N (count(?C) as ?cnt) where { ?C type Customer ."
+        " ?C inNation ?N } group by ?N order by ?cnt desc ?N limit 5",
+        False,
+    ),
     # MINUS superset: anti-join removal of compatible bindings
     "sparql_minus": (
         "select ?C where { ?C type Customer ."
@@ -694,7 +701,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sparql_filter_isnumeric, rel_window_movavg, graph_components (rows-only
 #   by design — see operators/graph.py::graph_components),
 #   media_audio_chunks, media_pair_gate, sparql_nt_roundtrip,
-#   sparql_count_all, sparql_order_multi
+#   sparql_count_all, sparql_order_multi, sparql_topk_agg
 PRIORITY_ORDER = [
     # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
     "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",
