@@ -210,3 +210,31 @@ def test_knn_lsh_recovers_planted_nearest_neighbor(spark):
         f"knn_lsh top-1 recall {measured:.3f} under analytic bound "
         f"{analytic:.3f} - 0.18"
     )
+
+
+def test_knn_ivf_recovers_planted_nearest_neighbor(spark):
+    """IVF recall regression pin (seeded, deterministic — no clean closed
+    form like the hyperplane bound: recall is the cells-probed tradeoff,
+    a function of where Lloyd's centroids land).  A planted cos ~ 0.91
+    variant usually assigns to the same or an adjacent cell as its base,
+    so nprobe=4 of 16 cells must recover the true top-1 for a healthy
+    majority; a drop below the floor means the assignment or probe fan-out
+    drifted (e.g. nprobe silently becoming 1)."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.similarity import knn_ivf_topk
+
+    rows, planted = _vec_corpus(n_pairs=30, n_noise=90, noise_scale=0.45, seed=23)
+    corpus_rows = [(i, v) for i, v in rows if i < 10_000 or i >= 20_000]
+    query_rows = [(i, v) for i, v in rows if 10_000 <= i < 20_000]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(query_rows, "vec_id long, embedding array<double>")
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in knn_ivf_topk(corpus, queries, k=3, n_cells=16, nprobe=4)
+        .where(F.col("rank") == 1)
+        .collect()
+    }
+    hits = sum(top1.get(q) == b for b, q, _, _ in planted)
+    measured = hits / len(planted)
+    assert measured >= 0.6, f"IVF top-1 recall {measured:.2f} under the 0.6 floor"
