@@ -695,13 +695,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #     exact substring-span dedup and its per-doc coverage gate),
 #     maintenance_compact (NEW in r6 — the compaction roundtrip entry,
 #     VERDICT r5 task 4).
-# r7 queue (entries added AFTER the 50-seat cap above froze; each is
-# check_entry-verified at sf0.01 when added — rotate into r7 seats):
-#   sparql_filter_strbefore, streaming_enrich_batch, temporal_concurrency,
-#   sparql_filter_isnumeric, rel_window_movavg, graph_components (rows-only
-#   by design — see operators/graph.py::graph_components),
-#   media_audio_chunks, media_pair_gate, sparql_nt_roundtrip,
-#   sparql_count_all, sparql_order_multi, sparql_topk_agg
+# r7 queue (entries added AFTER the 50-seat cap froze and not promoted
+# into a seat below; each is check_entry-verified at sf0.01 when added —
+# rotate into r7 seats):
+#   sparql_filter_strbefore, sparql_filter_isnumeric, rel_window_movavg,
+#   graph_components (rows-only by design — see
+#   operators/graph.py::graph_components), media_pair_gate,
+#   sparql_nt_roundtrip, sparql_count_all, sparql_order_multi,
+#   sparql_topk_agg
+# (streaming_enrich_batch, temporal_concurrency, media_audio_chunks took
+# seats vacated by unchanged-code re-verifications: streaming_dedup_batch,
+# rel_q1_pricing, media_knn — all driver-green on unchanged code in
+# earlier rounds; graph_ppr yielded to dedup_clusters, whose CC loop
+# changed this round.)
 PRIORITY_ORDER = [
     # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
     "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",
@@ -717,9 +723,12 @@ PRIORITY_ORDER = [
     "knn_ivf_served", "dedup_cluster_sizes", "temporal_active",
     # --- r6 zero-length-path spec fix (1 new + 2 re-verify) ---
     "sparql_path_ground", "sparql_path_star", "sparql_path_opt",
-    # --- breadth / r6-touched-family re-verification (12) ---
+    # --- breadth / r6-touched re-verification (12): the four LSH
+    #     families the recall tests exercise, the r6-new operators, and
+    #     dedup_clusters (its connected_components loop changed in r6) ---
     "dedup_minhash", "dedup_simhash", "dedup_embedding", "knn_lsh",
-    "media_knn", "streaming_dedup_batch", "graph_ppr", "rel_q1_pricing",
+    "media_audio_chunks", "streaming_enrich_batch", "dedup_clusters",
+    "temporal_concurrency",
     "sparql_seq_path", "dedup_spans", "pipeline_dup_spans",
     "maintenance_compact",
 ]
