@@ -43,12 +43,25 @@ def test_every_family_inside_the_cap():
         assert any(n.startswith(fam) for n in first50), f"family {fam} outside the 50-cap"
 
 
+# Entries ALLOWED to lack an oracle_sql(): the driver records the weaker
+# rows-only check for these, by documented design (each must carry an
+# oracle-equivalent property test — see COVERAGE.md for the pin).
+ROWS_ONLY = {
+    # iterative CC on a dense graph: the closure-CTE oracle is
+    # n_component^2 on a near-clique; pinned by the A/B
+    # distributed-vs-union-find test (tests/test_graph.py)
+    "graph_components",
+}
+
+
 def test_every_query_has_an_oracle_with_matching_keys():
     qs, os_ = entry.queries(), entry.oracle_sql()
-    assert set(os_) == set(qs), (
-        f"oracle/query key mismatch: only-in-queries={sorted(set(qs) - set(os_))}, "
+    assert set(os_) == set(qs) - ROWS_ONLY, (
+        f"oracle/query key mismatch: only-in-queries="
+        f"{sorted(set(qs) - set(os_) - ROWS_ONLY)}, "
         f"only-in-oracles={sorted(set(os_) - set(qs))}"
     )
+    assert ROWS_ONLY <= set(qs), "rows-only allowlist names a missing entry"
 
 
 def test_oracle_sql_is_nonempty_text():
