@@ -950,3 +950,59 @@ def test_random_boolean_filter_matches_oracle(engine, duck, case):
         ).fetchone()[0]
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# N-Triples writer/parser roundtrip over arbitrary lexicals
+# ---------------------------------------------------------------------------
+# exportable lexicals: anything non-empty without unassigned surrogates;
+# subjects/predicates additionally need an IRIREF rendering (the writer
+# fails fast otherwise — that contract has its own test)
+_sp_ok = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters='\x00'),
+    min_size=1,
+    max_size=24,
+).filter(lambda s: not any(ch in ' \t\n\r<>"{}|^`\\' for ch in s) and not any(ord(c) <= 0x20 for c in s))
+_obj_ok = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters='\x00'),
+    min_size=1,
+    max_size=24,
+)
+
+
+@pytest.mark.slow
+@given(st.lists(st.tuples(_sp_ok, _sp_ok, _obj_ok), min_size=1, max_size=8, unique=True))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ntriples_roundtrip_preserves_arbitrary_lexicals(spark, triple_lexicals):
+    """write_ntriples -> load_ntriples preserves the triple multiset at
+    the LEXICAL level for arbitrary terms: ECHAR escaping, the urn:x-lex:
+    minting/doubling convention, and IRIREF validation must compose to a
+    lossless fixed point (blank-node-shaped subjects excluded — `_:x`
+    passes through as a label, a different, documented channel)."""
+    import tempfile
+
+    from dream_spark.sources.ntriples import load_ntriples, write_ntriples
+    from dream_spark.sources.triples import TripleStore
+
+    triple_lexicals = [
+        (s, p, o) for s, p, o in triple_lexicals if not s.startswith("_:")
+    ]
+    if not triple_lexicals:
+        return
+    lex = sorted({x for t in triple_lexicals for x in t})
+    ids = {x: i + 1 for i, x in enumerate(lex)}
+    triples = spark.createDataFrame(
+        [(ids[s], ids[p], ids[o]) for s, p, o in triple_lexicals],
+        "s long, p long, o long",
+    )
+    dict_df = spark.createDataFrame(list(ids.items()), "lexical string, id long")
+    store = TripleStore(spark, triples, dict_df.select("id", "lexical"), resolver=None)
+    with tempfile.TemporaryDirectory() as base:
+        out = f"{base}/fuzz.nt"
+        write_ntriples(store, out, max_files=1)
+        nt = load_ntriples(spark, out)
+        back = {r["id"]: r["lexical"] for r in nt.dictionary.collect()}
+        got = sorted(
+            (back[r["s"]], back[r["p"]], back[r["o"]]) for r in nt.triples.collect()
+        )
+        assert got == sorted(triple_lexicals)
