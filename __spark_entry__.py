@@ -148,13 +148,6 @@ SPARQL_QUERIES: dict[str, tuple[str, bool]] = {
         " order by ?N desc ?C limit 30",
         False,
     ),
-    # ORDER BY an aggregate alias + LIMIT (top-k groups): the classic
-    # "top-5 nations by customer count", deterministic via the ?N tiebreak
-    "sparql_topk_agg": (
-        "select ?N (count(?C) as ?cnt) where { ?C type Customer ."
-        " ?C inNation ?N } group by ?N order by ?cnt desc ?N limit 5",
-        False,
-    ),
     # MINUS superset: anti-join removal of compatible bindings
     "sparql_minus": (
         "select ?C where { ?C type Customer ."
@@ -687,14 +680,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * 12 breadth/re-verification seats — families touched by r6 work or
 #     without a representative in the 35-queue: dedup_minhash /
 #     dedup_simhash / dedup_embedding / knn_lsh (the four LSH families the
-#     new recall property tests exercise), media_knn (multimodal — none in
-#     the queue), streaming_dedup_batch (streaming — none in the queue),
-#     graph_ppr (iterative-graph path), rel_q1_pricing (TPC-H anchor),
-#     sparql_seq_path (sequence-path rewrite composes with the changed
-#     zero-hop frames), dedup_spans + pipeline_dup_spans (NEW in r6 —
-#     exact substring-span dedup and its per-doc coverage gate),
-#     maintenance_compact (NEW in r6 — the compaction roundtrip entry,
-#     VERDICT r5 task 4).
+#     new recall property tests exercise), media_audio_chunks (NEW in r6;
+#     multimodal — none in the queue), streaming_enrich_batch (NEW in r6;
+#     streaming — none in the queue), dedup_clusters (its
+#     connected_components loop changed in r6), temporal_concurrency (NEW
+#     in r6 with an in-round semantics fix), sparql_seq_path
+#     (sequence-path rewrite composes with the changed zero-hop frames),
+#     dedup_spans + pipeline_dup_spans (NEW in r6 — exact substring-span
+#     dedup and its per-doc coverage gate), maintenance_compact (NEW in
+#     r6 — the compaction roundtrip entry, VERDICT r5 task 4).
 # r7 queue (entries added AFTER the 50-seat cap froze and not promoted
 # into a seat below; each is check_entry-verified at sf0.01 when added —
 # rotate into r7 seats):
@@ -702,7 +696,6 @@ def entry(spark: SparkSession) -> DataFrame:
 #   graph_components (rows-only by design — see
 #   operators/graph.py::graph_components), media_pair_gate,
 #   sparql_nt_roundtrip, sparql_count_all, sparql_order_multi,
-#   sparql_topk_agg
 # (streaming_enrich_batch, temporal_concurrency, media_audio_chunks took
 # seats vacated by unchanged-code re-verifications: streaming_dedup_batch,
 # rel_q1_pricing, media_knn — all driver-green on unchanged code in

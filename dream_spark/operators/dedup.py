@@ -739,13 +739,14 @@ def connected_components(
             spark.conf.set("spark.sql.shuffle.partitions", str(loop_par))
     except Exception:
         pass  # locked confs (e.g. Connect): proceed with the session's value
-    if loop_par is not None and sym.rdd.getNumPartitions() > 2 * loop_par:
-        sym = sym.repartition(loop_par)
-    sym = sym.persist()
-    # finally-block restore: a failed round (task failure, interrupt) must
-    # not leak the loop's shuffle-partition override — or the caches —
-    # into the session's unrelated later queries
+    # finally-block restore: a failure ANYWHERE past the conf override —
+    # including the plan-to-RDD conversion and persist below, not just the
+    # iteration rounds — must not leak the loop's shuffle-partition
+    # override or the caches into the session's unrelated later queries
     try:
+        if loop_par is not None and sym.rdd.getNumPartitions() > 2 * loop_par:
+            sym = sym.repartition(loop_par)
+        sym = sym.persist()
         labels = (
             sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
         ).localCheckpoint()

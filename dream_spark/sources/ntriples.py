@@ -139,27 +139,35 @@ def load_ntriples(spark: SparkSession, path: str, validate: bool = False):
 
 
 def _nt_term(col, slot: str = "o") -> "F.Column":
-    """Render a lexical back to N-Triples syntax: IRI-looking terms (scheme
-    prefix, no '>' or whitespace — either would produce an unparseable
-    bracketed term) get angle brackets, blank-node labels pass through,
-    everything else becomes a quoted literal with ECHAR escaping
-    (backslash FIRST, then quote/newline/tab/CR — so escape sequences are
-    never double-escaped).
+    """Render a lexical back to N-Triples syntax:
+
+    - IRI-shaped terms (scheme prefix AND no IRIREF-illegal character —
+      the grammar forbids ``<>"{}|^`\``, space, and controls anywhere
+      inside the brackets) get angle brackets; a term in the RESERVED
+      ``urn:x-lex:`` namespace exports with the prefix doubled so the
+      parser's strip-one-layer restores it;
+    - blank-node labels matching a conservative BLANK_NODE_LABEL subset
+      (leading alnum/underscore, no trailing dot) pass through; labels
+      OUTSIDE the subset (empty ``_:``, embedded quotes, …) do NOT — they
+      take the urn minting like any other non-IRI term, because emitting
+      them raw produces lines conformant parsers (including this module's
+      own reader) silently drop;
+    - everything else becomes a quoted literal with ECHAR escaping
+      (backslash FIRST, then quote/newline/tab/CR — so escape sequences
+      are never double-escaped).
 
     ``slot``: the N-Triples grammar allows literals ONLY in the object
     slot — a non-IRI subject/predicate lexical (e.g. this repo's bare
     ``inRegion``) must still export as an IRI, so s/p slots mint
-    ``<urn:x-lex:TERM>`` (the parser strips the namespace on re-load;
-    terms containing characters illegal inside an IRIREF fall back to the
-    literal form only in the object slot and raise otherwise via the
-    reader's strict drop + write-side validation in tests)."""
+    ``<urn:x-lex:TERM>``; terms with no valid rendering at all render
+    NULL and the writer's fail-fast gate raises."""
     c = F.col(col) if isinstance(col, str) else col
     # IRIREF-legal body: grammar forbids <>"{}|^`\ plus controls and
     # space (chars 0x00-0x20) anywhere inside the brackets — emitting any
     # of them would produce a line conformant external parsers reject
     iriref_ok = ~c.rlike(r'[\x00-\x20<>"{}|^`\\]')
     is_iri = c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:") & iriref_ok
-    is_blank = c.startswith("_:") & ~c.rlike(r"\s")
+    is_blank = c.rlike(r"^_:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?$")
     esc = F.regexp_replace(c, r"\\", r"\\\\")
     esc = F.regexp_replace(esc, '"', '\\\\"')
     esc = F.regexp_replace(esc, "\n", r"\\n")

@@ -245,3 +245,35 @@ def test_iriref_illegal_object_renders_as_literal(spark, tmp_path):
     nt = load_ntriples(spark, out)
     lex = {r["lexical"] for r in nt.dictionary.collect()}
     assert 'c:has"quote' in lex  # literal-escaped roundtrip, not <c:has"quote>
+
+
+def test_blank_node_labels_outside_grammar_take_the_urn_path(spark, tmp_path):
+    """An empty blank label ``_:`` (or one with grammar-illegal chars) has
+    no valid BLANK_NODE_LABEL rendering — pre-review the writer emitted it
+    raw and the strict reader silently dropped the line (1 written, 0 read
+    back).  Such labels now take the urn minting (subject) / literal form
+    (object) and round-trip losslessly; LEGAL labels still pass through."""
+    from dream_spark.sources.ntriples import load_ntriples, write_ntriples
+    from dream_spark.sources.triples import TripleStore
+
+    triples = spark.createDataFrame(
+        [(1, 2, 3), (4, 2, 5)], "s long, p long, o long"
+    )
+    dict_df = spark.createDataFrame(
+        [(1, "_:"), (2, "p:link"), (3, "_:end."), (4, "_:ok1"), (5, "x:o")],
+        "id long, lexical string",
+    )
+    st = TripleStore(spark, triples, dict_df, resolver=None)
+    out = str(tmp_path / "blank.nt")
+    write_ntriples(st, out, max_files=1)
+    nt = load_ntriples(spark, out)
+    assert nt.triples.count() == 2  # nothing silently dropped
+    lex = {r["lexical"] for r in nt.dictionary.collect()}
+    assert lex == {"_:", "p:link", "_:end.", "_:ok1", "x:o"}
+    import glob
+
+    text = "".join(
+        open(f).read() for f in glob.glob(out + "/part*") if not f.endswith(".crc")
+    )
+    assert "<urn:x-lex:_:>" in text     # empty label minted, not raw
+    assert "_:ok1 " in text             # legal label passes through raw
