@@ -1006,3 +1006,72 @@ def test_ntriples_roundtrip_preserves_arbitrary_lexicals(spark, triple_lexicals)
             (back[r["s"]], back[r["p"]], back[r["o"]]) for r in nt.triples.collect()
         )
         assert got == sorted(triple_lexicals)
+
+
+@st.composite
+def _bgp_optional_with_filter(draw):
+    """Random connected BGP with one end pattern moved into OPTIONAL and a
+    depth-2 boolean tree over ALL variables — including the optional-only
+    ones, which can be UNBOUND: the three-valued-logic surface (bound /
+    isNumeric / comparisons over NULL) the all-bound fuzzer never reaches."""
+    pats = draw(_bgp())
+    if len(pats) < 3:
+        return None
+    idx = draw(st.sampled_from([1, len(pats) - 1]))
+    opt, rest = pats[idx], pats[:idx] + pats[idx + 1 :]
+
+    def connected(ps):
+        reach = {0}
+        grew = True
+        while grew:
+            grew = False
+            vs = {t for i in reach for t in (ps[i][0], ps[i][2]) if t.startswith("?")}
+            for i, (s, p, o) in enumerate(ps):
+                if i not in reach and ({s, o} & vs):
+                    reach.add(i)
+                    grew = True
+        return reach == set(range(len(ps)))
+
+    rest_vars = {t for s, p, o in rest for t in (s, o) if t.startswith("?")}
+    opt_vars = {t for t in (opt[0], opt[2]) if t.startswith("?")}
+    if not connected(rest) or not (opt_vars & rest_vars):
+        return None
+    vars_by_kind = {}
+    for s, p, o in rest + [opt]:
+        for t in (s, o):
+            if t.startswith("?"):
+                vars_by_kind[t[2:]] = t
+    tree = draw(_filter_tree(vars_by_kind, depth=2))
+    return rest, opt, tree
+
+
+@pytest.mark.slow
+@given(_bgp_optional_with_filter())
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_filter_over_optional_matches_oracle(engine, duck, case):
+    """Boolean trees over potentially-UNBOUND variables: the NULL rows an
+    OPTIONAL produces must flow through bound()/isNumeric()/comparisons/
+    connectives with identical three-valued outcomes on both engines."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    if case is None:
+        return
+    rest, opt, tree = case
+    proj = sorted(
+        {t for s, p, o in rest + [opt] for t in (s, o) if t.startswith("?")}
+    )
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in rest)
+    q = (
+        f"select {' '.join(proj)} where {{ {body} ."
+        f" optional {{ {opt[0]} {opt[1]} {opt[2]} }} . filter ({tree}) }}"
+    )
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return  # e.g. the optional's only new var duplicated elsewhere
+    df = engine.sparql(q, decode=False)
+    if df.count() > 300_000:
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
