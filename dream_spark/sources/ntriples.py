@@ -68,7 +68,11 @@ def _lexical(col):
     u = F.regexp_replace(u, r"\\t", "\t")
     u = F.regexp_replace(u, r"\\r", "\r")
     u = F.regexp_replace(u, _ESC_SENTINEL, r"\\")
-    iri = F.regexp_extract(c, r"^<(.*)>$", 1)
+    # negated class, NOT '.': Java regex '.' excludes the unicode line
+    # terminators (U+0085 NEL, U+2028, U+2029), which are IRIREF-legal —
+    # '.*' silently extracted "" for any bracketed term containing one
+    # (found by the lexical-roundtrip fuzzer)
+    iri = F.regexp_extract(c, r"^<([^>]*)>$", 1)
     # invert write_ntriples' convention: non-IRI-shaped s/p terms export
     # as <urn:x-lex:TERM> and genuine urn:x-lex:* lexicals export with
     # the prefix DOUBLED, so stripping exactly ONE layer restores every
