@@ -607,6 +607,84 @@ FROM carried c LEFT JOIN peak p ON p.day = c.day
 """.strip()
 
 
+# --------------------------------------------------------------------------
+# gap-filled resampling (dense time axis + forward fill)
+# --------------------------------------------------------------------------
+#: resample bucket width in integer microseconds (6 hours)
+RESAMPLE_US = 6 * 3600 * 1_000_000
+
+
+def resample_events(
+    events: DataFrame, bucket_us: int = RESAMPLE_US
+) -> DataFrame:
+    """Gap-FILLED resampling per event type: every ``bucket_us`` bucket on
+    the DENSE [first, last] axis gets a row — n_events (0 on empty
+    buckets) and last_seen_bucket, the most recent bucket with activity at
+    or before this one (forward fill).  The staleness gap
+    ``bucket - last_seen_bucket`` is the monitoring signal resampling
+    exists for: an aggregation over observed rows only CANNOT see a
+    silent source, because the empty buckets aren't rows.
+
+    Shape: observed buckets come from one partial-agg shuffle; the dense
+    axis is #types × #buckets rows (bounded by calendar time, not data —
+    e.g. 1460 rows/type/year at 6 h), built from a broadcast-joined
+    per-type [min, max] span; the forward fill is a last(ignorenulls)
+    running window PARTITIONED BY TYPE over that calendar-sized axis —
+    never over the event stream itself."""
+    us = epoch_micros(events, "ts")
+    obs = (
+        events.select(
+            "event_type", (us / F.lit(bucket_us)).cast("long").alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = obs.groupBy("event_type").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    dense = span.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("bucket")
+    )
+    filled = dense.join(obs, on=["event_type", "bucket"], how="left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    active = F.when(F.col("n_events").isNotNull(), F.col("bucket"))
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last(active, ignorenulls=True).over(w).alias("last_seen_bucket"),
+    )
+
+
+def temporal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: 6-hour gap-filled resample of events."""
+    return resample_events(load_table(spark, sf_dir, "events"))
+
+
+TEMPORAL_RESAMPLE_SQL = f"""
+WITH obs AS (
+  SELECT event_type, epoch_us(ts) // {RESAMPLE_US} AS bucket, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM obs GROUP BY event_type),
+dense AS (SELECT event_type, UNNEST(generate_series(mn, mx)) AS bucket FROM span),
+filled AS (
+  SELECT d.event_type, d.bucket, o.n_events
+  FROM dense d LEFT JOIN obs o ON o.event_type = d.event_type AND o.bucket = d.bucket
+)
+SELECT event_type, bucket,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       MAX(CASE WHEN n_events IS NOT NULL THEN bucket END)
+         OVER (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen_bucket
+FROM filled
+""".strip()
+
+
 QUERIES = {
     "temporal_asof": asof_click_attribution,
     "temporal_range": range_join_attribution,
@@ -615,6 +693,7 @@ QUERIES = {
     "temporal_retention": temporal_retention,
     "temporal_active": temporal_active,
     "temporal_concurrency": temporal_concurrency,
+    "temporal_resample": temporal_resample,
 }
 
 ORACLES = {
@@ -625,4 +704,5 @@ ORACLES = {
     "temporal_retention": TEMPORAL_RETENTION_SQL,
     "temporal_active": TEMPORAL_ACTIVE_SQL,
     "temporal_concurrency": _concurrency_sql(),
+    "temporal_resample": TEMPORAL_RESAMPLE_SQL,
 }

@@ -203,3 +203,37 @@ def test_session_concurrency_sweep_semantics(spark):
     # day 4's only boundary is G's end: the day-START carry (1) is the
     # peak, not the post-decrement value (0)
     assert got[day0 + 3] == 1
+
+
+def test_resample_fills_gaps_and_forward_fills(spark):
+    """Hand-built stream: the dense axis materializes empty buckets with
+    n_events=0, last_seen_bucket forward-fills across them, and each type
+    gets its own [first, last] span (no cross-type bleed)."""
+    import datetime as dt
+
+    from dream_spark.operators.temporal import RESAMPLE_US, resample_events
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, hours, typ):
+        return (i, d0 + dt.timedelta(hours=hours), 1, typ, 0.0, "{}")
+
+    rows = [
+        ev(1, 0, "click"),   # bucket 0 of the day
+        ev(2, 1, "click"),   # same 6h bucket
+        ev(3, 20, "click"),  # bucket +3: buckets +1,+2 are EMPTY
+        ev(4, 7, "view"),    # view spans just one bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    out = {
+        (r["event_type"], r["bucket"]): (r["n_events"], r["last_seen_bucket"])
+        for r in resample_events(df).collect()
+    }
+    b0 = int((d0 - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000) // RESAMPLE_US
+    assert out[("click", b0)] == (2, b0)
+    assert out[("click", b0 + 1)] == (0, b0)      # gap: zero + forward fill
+    assert out[("click", b0 + 2)] == (0, b0)
+    assert out[("click", b0 + 3)] == (1, b0 + 3)
+    assert [k for k in out if k[0] == "view"] == [("view", b0 + 1)]
