@@ -1075,3 +1075,50 @@ def test_random_filter_over_optional_matches_oracle(engine, duck, case):
     if df.count() > 300_000:
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: property-path markers fuzzed over random connected BGPs
+# ---------------------------------------------------------------------------
+@st.composite
+def _bgp_with_path(draw):
+    """Random connected BGP with ONE pattern's predicate upgraded to a
+    closure marker (+ / * / ?) — fuzzing the semi-naive closure, the
+    zero-length identity domains (sibling-restricted AND constant-
+    anchored, the machinery the r6 spec fix changed), and their
+    recursive/anchored oracle CTEs."""
+    pats = draw(_bgp())
+    idx = draw(st.integers(0, len(pats) - 1))
+    marker = draw(st.sampled_from(["+", "*", "?"]))
+    s, p, o = pats[idx]
+    pats = pats[:idx] + [(s, p + marker, o)] + pats[idx + 1 :]
+    return pats
+
+
+@pytest.mark.slow
+@given(_bgp_with_path())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_path_bgp_matches_oracle(engine, duck, pats):
+    """p+/p*/p? dropped into arbitrary join positions — variable-variable,
+    sibling-bound, and constant-anchored endpoints — must answer
+    identically on both engines (closure frame ∪ identity vs the
+    recursive + anchored CTEs)."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    proj = sorted({t for s, p, o in pats for t in (s, o) if t.startswith("?")})
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in pats)
+    q = f"select {' '.join(proj)} where {{ {body} }}"
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return  # e.g. a marker on a variable-predicate pattern
+    df = engine.sparql(q, decode=False)
+    n = df.count()
+    if n > 300_000:
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({bgp_to_sql(parsed, decode=False)})"
+        ).fetchone()[0]
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
