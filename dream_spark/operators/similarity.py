@@ -599,7 +599,88 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """.strip()
 
 
+# --------------------------------------------------------------------------
+# hybrid retrieval: lexical + vector rank fusion
+# --------------------------------------------------------------------------
+def borda_fuse(a: DataFrame, b: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Integer Borda fusion of two ``(query_id, neighbor_id, rank)``
+    rankings: candidate points = (k+1 − rank) from each list it appears
+    in, summed, re-ranked per query with the id tiebreak.  Borda rather
+    than reciprocal-rank fusion because it is EXACT in int64 — RRF's
+    1/(c+rank) sums are floats whose cross-engine comparison the repo's
+    determinism contract forbids — while ordering candidates the same way
+    for bounded k.  The join is (query, neighbor)-keyed over two
+    top-k-sized frames (≤ queries × k rows each): output-sized work, no
+    corpus access at all."""
+    pa = a.select(
+        "query_id", "neighbor_id", (F.lit(k + 1) - F.col("rank")).alias("pa")
+    )
+    pb = b.select(
+        "query_id", "neighbor_id", (F.lit(k + 1) - F.col("rank")).alias("pb")
+    )
+    fused = pa.join(pb, on=["query_id", "neighbor_id"], how="full")
+    scored = fused.select(
+        "query_id",
+        "neighbor_id",
+        (F.coalesce("pa", F.lit(0)) + F.coalesce("pb", F.lit(0)))
+        .cast("long")
+        .alias("borda"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("borda").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: hybrid retrieval over the SAME corpus ids
+    (documents.doc_id ≡ embeddings.vec_id in the fixtures, the usual
+    one-row-per-document layout) — hashed-BoW lexical top-k fused with the
+    LSH-bucketed vector top-k.  The modern retrieval shape: lexical
+    matching catches exact-term queries embeddings smooth over, vectors
+    catch paraphrases lexical misses; rank fusion needs no score
+    calibration between the two spaces."""
+    from dream_spark.operators.text import text_knn
+
+    return borda_fuse(text_knn(spark, sf_dir), knn_lsh(spark, sf_dir))
+
+
+def _hybrid_sql() -> str:
+    from dream_spark.operators.text import TEXT_KNN_SQL
+
+    k = TOP_K
+    return f"""
+WITH lex AS (
+{TEXT_KNN_SQL}
+),
+vec AS (
+{KNN_LSH_SQL}
+),
+pa AS (SELECT query_id, neighbor_id, {k + 1} - rank AS pa FROM lex),
+pb AS (SELECT query_id, neighbor_id, {k + 1} - rank AS pb FROM vec),
+fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         CAST(COALESCE(pa, 0) + COALESCE(pb, 0) AS BIGINT) AS borda
+  FROM pa a FULL JOIN pb b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+SELECT query_id, neighbor_id, borda,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY borda DESC, neighbor_id) AS BIGINT) AS rank
+FROM fused
+QUALIFY rank <= {k}
+""".strip()
+
+
+
 QUERIES = {
+    "hybrid_search": hybrid_search,
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "knn_lsh_served": knn_lsh_served,
@@ -609,6 +690,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hybrid_search": _hybrid_sql(),
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_lsh": KNN_LSH_SQL,
     # the serve path loads the persisted index; values are identical to the

@@ -235,3 +235,28 @@ def test_lsh_measured_recall_at_k(spark):
     recs = [len(bf[q] & ls.get(q, set())) / len(bf[q]) for q in bf]
     assert len(recs) == S.N_QUERIES
     assert sum(recs) / len(recs) >= 0.25
+
+
+def test_borda_fuse_math_and_missing_lists(spark):
+    """Hand-built rankings pin the fusion contract: points = (k+1 - rank)
+    summed across lists, candidates present in ONE list score that list's
+    points alone, ties break on neighbor id, and only top-k survive."""
+    from dream_spark.operators.similarity import borda_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    got = {
+        r["neighbor_id"]: (r["borda"], r["rank"])
+        for r in borda_fuse(lex, vec, k=3).collect()
+    }
+    # 11: (4-2)+(4-1)=5 ; 10: 3+0 ; 13: 0+2 ; 12: 1+0 -> top-3 cut drops 12
+    assert got[11] == (5, 1)
+    assert got[10] == (3, 2)
+    assert got[13] == (2, 3)
+    assert 12 not in got
