@@ -689,11 +689,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     dedup_spans + pipeline_dup_spans (NEW in r6 — exact substring-span
 #     dedup and its per-doc coverage gate), maintenance_compact (NEW in
 #     r6 — the compaction roundtrip entry, VERDICT r5 task 4).
-# r6 CLOSING state: the full 209-entry surface is check_entry-green at
+# r6 CLOSING state: the full entry surface is check_entry-green at
 # sf0.01 in BOTH session modes (warm shared-artifact run and
-# --clear-cache): 209 ok, 0 bad each; tests/ = 600 passed, 0 failed;
-# closing clean bench (sf0.1): 174.8 s total over all 209, 53-query
-# anchor 34.6 s = 0.74x of the r1 baseline.
+# --clear-cache) — dual 209/209 sweeps, then 210/210 after the final
+# hybrid_search addition; tests/ = 603 passed, 0 failed; closing clean
+# bench (sf0.1) over all entries: 53-query anchor 34.6-44.2 s =
+# 0.74-0.94x of the r1 baseline across three same-code runs (the
+# documented box drift band).
 #
 # r7 queue (entries added AFTER the 50-seat cap froze and not promoted
 # into a seat below; each is check_entry-verified at sf0.01 when added —
