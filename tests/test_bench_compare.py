@@ -1,0 +1,53 @@
+"""Unit tests for scripts/bench_compare.py's record loader — the r5 ADVICE
+(b) surface: the truncated-tail scavenger must never let top-level scalars
+(setup_sec, n_queries, …) into the per-query timing map, where they would
+fabricate REGRESSED flags from e.g. setup drift."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_compare",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "scripts", "bench_compare.py"),
+)
+bc = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bc)
+
+
+def _write(tmp_path, doc):
+    p = tmp_path / "bench.json"
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+def test_loads_plain_queries_map(tmp_path):
+    doc = {"value": 9.9, "queries": {"q1": 1.5, "q2": 0.25}, "setup_sec": 20.0}
+    assert bc.load_queries(_write(tmp_path, doc)) == {"q1": 1.5, "q2": 0.25}
+
+
+def test_tail_scavenge_scopes_to_the_queries_map(tmp_path):
+    # marker survived truncation: everything before '"queries": {' (the
+    # top-level scalars) and everything after its closing '}' must be
+    # ignored
+    tail = ('{"metric": "x", "value": 99.0, "queries": {"q1": 1.25, "q2": 0.5}'
+            ', "setup_sec": 23.5, "n_queries": 2')
+    got = bc.load_queries(_write(tmp_path, {"parsed": None, "tail": tail}))
+    assert got == {"q1": 1.25, "q2": 0.5}
+
+
+def test_tail_cut_after_marker_drops_known_scalars(tmp_path):
+    # the r4 record's shape: the tail STARTS mid-map (marker truncated
+    # away), so the fallback scan runs — known top-level scalars must
+    # still be excluded
+    tail = '"q7": 2.5, "q8": 0.75}, "sf": 0.1, "setup_sec": 23.0, "n_queries": 109'
+    got = bc.load_queries(_write(tmp_path, {"parsed": None, "tail": tail}))
+    assert got == {"q7": 2.5, "q8": 0.75}
+    assert "setup_sec" not in got and "n_queries" not in got
+
+
+def test_crashed_record_yields_empty_map(tmp_path):
+    assert bc.load_queries(_write(tmp_path, {"rc": 1, "parsed": None})) == {}
