@@ -704,7 +704,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   graph_components (rows-only by design — see
 #   operators/graph.py::graph_components), media_pair_gate,
 #   sparql_nt_roundtrip, sparql_count_all, sparql_order_multi,
-#   temporal_resample,
+#   temporal_resample, hybrid_search
 # (streaming_enrich_batch, temporal_concurrency, media_audio_chunks took
 # seats vacated by unchanged-code re-verifications: streaming_dedup_batch,
 # rel_q1_pricing, media_knn — all driver-green on unchanged code in

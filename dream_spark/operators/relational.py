@@ -1280,8 +1280,15 @@ def window_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         orders.select(
             "o_orderpriority",
-            (epoch_micros(orders, "o_orderdate") / F.lit(day_us)).cast("long").alias("day"),
+            epoch_micros(orders, "o_orderdate").alias("__us"),
             _dec("o_totalprice", _PRICE).alias("price"),
+        )
+        # exact int64 division — a float quotient rounds across bucket
+        # boundaries above 2^53 µs and diverges from the oracle's `//`
+        .select(
+            "o_orderpriority",
+            F.expr(f"__us div {day_us}").alias("day"),
+            "price",
         )
         .groupBy("o_orderpriority", "day")
         .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("price").alias("rev"))

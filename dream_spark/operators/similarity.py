@@ -612,10 +612,13 @@ def borda_fuse(a: DataFrame, b: DataFrame, k: int = TOP_K) -> DataFrame:
     for bounded k.  The join is (query, neighbor)-keyed over two
     top-k-sized frames (≤ queries × k rows each): output-sized work, no
     corpus access at all."""
-    pa = a.select(
+    # defensive truncation: a ranking deeper than k would otherwise score
+    # NEGATIVE points (k+1 - rank < 0) and rank BELOW absent candidates —
+    # silently, since both engines would apply the same wrong formula
+    pa = a.where(F.col("rank") <= k).select(
         "query_id", "neighbor_id", (F.lit(k + 1) - F.col("rank")).alias("pa")
     )
-    pb = b.select(
+    pb = b.where(F.col("rank") <= k).select(
         "query_id", "neighbor_id", (F.lit(k + 1) - F.col("rank")).alias("pb")
     )
     fused = pa.join(pb, on=["query_id", "neighbor_id"], how="full")
@@ -626,8 +629,6 @@ def borda_fuse(a: DataFrame, b: DataFrame, k: int = TOP_K) -> DataFrame:
         .cast("long")
         .alias("borda"),
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.col("borda").desc(), F.col("neighbor_id")
     )
@@ -661,8 +662,8 @@ WITH lex AS (
 vec AS (
 {KNN_LSH_SQL}
 ),
-pa AS (SELECT query_id, neighbor_id, {k + 1} - rank AS pa FROM lex),
-pb AS (SELECT query_id, neighbor_id, {k + 1} - rank AS pb FROM vec),
+pa AS (SELECT query_id, neighbor_id, {k + 1} - rank AS pa FROM lex WHERE rank <= {k}),
+pb AS (SELECT query_id, neighbor_id, {k + 1} - rank AS pb FROM vec WHERE rank <= {k}),
 fused AS (
   SELECT COALESCE(a.query_id, b.query_id) AS query_id,
          COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,

@@ -533,9 +533,15 @@ def session_concurrency(sessions: DataFrame) -> DataFrame:
     # integer epoch-day buckets and integer-microsecond ordering (the
     # module's exact-time contract; a DATE column would round-trip as
     # python objects vs datetime64 across the engines)
-    us = epoch_micros(both, "ts")
+    # exact int64 division (__us div N), NEVER float-divide-then-cast — a
+    # double quotient can round across a bucket boundary above 2^53 µs and
+    # diverge from the oracle's integer `//` (the module-wide contract)
     deltas = both.select(
-        us.alias("us"), "delta", (us / F.lit(DAY_US)).cast("long").alias("day")
+        epoch_micros(both, "ts").alias("__us"), "delta"
+    ).select(
+        F.col("__us").alias("us"),
+        "delta",
+        F.expr(f"__us div {DAY_US}").alias("day"),
     )
     w_day = Window.partitionBy("day").orderBy("us", "delta").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -627,15 +633,13 @@ def resample_events(
 
     Shape: observed buckets come from one partial-agg shuffle; the dense
     axis is #types × #buckets rows (bounded by calendar time, not data —
-    e.g. 1460 rows/type/year at 6 h), built from a broadcast-joined
-    per-type [min, max] span; the forward fill is a last(ignorenulls)
-    running window PARTITIONED BY TYPE over that calendar-sized axis —
-    never over the event stream itself."""
-    us = epoch_micros(events, "ts")
+    e.g. 1460 rows/type/year at 6 h), an explode over the per-type
+    [min, max] span rows (no join builds it); the gap-fill join and the
+    last(ignorenulls) forward-fill window then run over the two
+    calendar-bounded frames — never over the event stream itself."""
     obs = (
-        events.select(
-            "event_type", (us / F.lit(bucket_us)).cast("long").alias("bucket")
-        )
+        events.select("event_type", epoch_micros(events, "ts").alias("__us"))
+        .select("event_type", F.expr(f"__us div {bucket_us}").alias("bucket"))
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

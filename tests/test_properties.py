@@ -1014,11 +1014,10 @@ def _bgp_optional_with_filter(draw):
     depth-2 boolean tree over ALL variables — including the optional-only
     ones, which can be UNBOUND: the three-valued-logic surface (bound /
     isNumeric / comparisons over NULL) the all-bound fuzzer never reaches."""
+    from hypothesis import assume
+
     pats = draw(_bgp())
-    if len(pats) < 3:
-        return None
-    idx = draw(st.sampled_from([1, len(pats) - 1]))
-    opt, rest = pats[idx], pats[:idx] + pats[idx + 1 :]
+    assume(len(pats) >= 3)  # retry the draw, don't burn it as a vacuous pass
 
     def connected(ps):
         reach = {0}
@@ -1032,10 +1031,20 @@ def _bgp_optional_with_filter(draw):
                     grew = True
         return reach == set(range(len(ps)))
 
-    rest_vars = {t for s, p, o in rest for t in (s, o) if t.startswith("?")}
-    opt_vars = {t for t in (opt[0], opt[2]) if t.startswith("?")}
-    if not connected(rest) or not (opt_vars & rest_vars):
-        return None
+    # try EVERY split point before rejecting: most draws admit some valid
+    # (connected remainder, shared variable) split even when a random one
+    # does not — maximizing real (non-assumed) examples per run
+    first = draw(st.integers(1, len(pats) - 1))
+    opt = rest = None
+    for off in range(len(pats) - 1):
+        idx = 1 + (first - 1 + off) % (len(pats) - 1)
+        cand_opt, cand_rest = pats[idx], pats[:idx] + pats[idx + 1 :]
+        r_vars = {t for s, p, o in cand_rest for t in (s, o) if t.startswith("?")}
+        o_vars = {t for t in (cand_opt[0], cand_opt[2]) if t.startswith("?")}
+        if connected(cand_rest) and (o_vars & r_vars):
+            opt, rest = cand_opt, cand_rest
+            break
+    assume(opt is not None)
     vars_by_kind = {}
     for s, p, o in rest + [opt]:
         for t in (s, o):
@@ -1056,8 +1065,6 @@ def test_random_filter_over_optional_matches_oracle(engine, duck, case):
     from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
     from tests.conftest import assert_oracle_match
 
-    if case is None:
-        return
     rest, opt, tree = case
     proj = sorted(
         {t for s, p, o in rest + [opt] for t in (s, o) if t.startswith("?")}
