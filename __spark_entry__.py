@@ -692,7 +692,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r6 CLOSING state: the full entry surface is check_entry-green at
 # sf0.01 in BOTH session modes (warm shared-artifact run and
 # --clear-cache) — dual 209/209 sweeps, then 210/210 after the final
-# hybrid_search addition; tests/ = 603 passed, 0 failed; closing clean
+# hybrid_search addition; tests/ = 607 passed, 0 failed; closing clean
 # bench (sf0.1) over all entries: 53-query anchor 34.6-44.2 s =
 # 0.74-0.94x of the r1 baseline across three same-code runs (the
 # documented box drift band).
