@@ -71,19 +71,32 @@ def main() -> None:
     spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, schema="id long").count()
-    # build the vector index artifacts (quantized corpus, LSH buckets, IVF
-    # centroids) once, like a deployment does before serving: queries
-    # measure search latency, not index construction
-    from dream_spark.operators.similarity import warm_vector_indexes
+    # build the pre-serving artifacts CONCURRENTLY (VERDICT r6 task 6: the
+    # serial warm pass was 50 s at sf0.1) — the three families share no
+    # inputs, and Spark schedules jobs submitted from separate driver
+    # threads onto the same executor pool, so the wall cost is the slowest
+    # build, not the sum:
+    #   * vector indexes (quantized corpus, LSH buckets, IVF centroids,
+    #     persisted serve index) — queries measure search, not construction
+    #   * graph artifacts (entity edges + degrees, co-purchase adjacency) —
+    #     the adjacency build is ~9 s at sf0.1 that otherwise lands inside
+    #     the first graph_triangles row (VERDICT r5 task 5)
+    #   * the hashed-BoW corpus frame text_knn/hybrid_search score against
+    #     (VERDICT r6 task 2: hybrid_search was rebuilding it per call)
+    from concurrent.futures import ThreadPoolExecutor
 
-    warm_vector_indexes(spark, sf_dir)
-    # load the graph artifacts (entity edges + degrees, co-purchase edges +
-    # degree-oriented adjacency) once, like an open graph store — the
-    # adjacency build is ~9 s of setup at sf0.1 that otherwise lands inside
-    # the first graph_triangles row (VERDICT r5 task 5)
     from dream_spark.operators.graph import warm_graph_artifacts
+    from dream_spark.operators.similarity import warm_vector_indexes
+    from dream_spark.operators.text import shared_hbow
 
-    warm_graph_artifacts(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(warm_vector_indexes, spark, sf_dir),
+            pool.submit(warm_graph_artifacts, spark, sf_dir),
+            pool.submit(shared_hbow, spark, sf_dir),
+        ]
+        for f in futs:
+            f.result()
     setup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
@@ -95,30 +108,41 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "setup_sec": round(setup, 3),
-            "n_queries": len(timings),
-            # cross-round anchor: the r1 headline set's subtotal, compared
-            # against BASELINE.md's 46.98 s (2x gate); completeness checked
-            # above, so this sum always covers exactly the 53 names
-            "baseline53_sec": round(sum(timings[n_] for n_ in BASELINE_53), 4),
-        }
-    )
-    print(line)
-    # also land the full JSON in a file: the driver captures stdout with a
-    # bounded tail, which truncated the r3 per-query map mid-object —
-    # a whole-file copy keeps every timing machine-readable
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "setup_sec": round(setup, 3),
+        "n_queries": len(timings),
+        # cross-round anchor: the r1 headline set's subtotal, compared
+        # against BASELINE.md's 46.98 s (2x gate); completeness checked
+        # above, so this sum always covers exactly the 53 names
+        "baseline53_sec": round(sum(timings[n_] for n_ in BASELINE_53), 4),
+    }
+    line = json.dumps(summary)
+    # the full JSON goes to a file AND to stdout first: the driver captures
+    # stdout with a BOUNDED 2000-byte TAIL, and the 210-entry per-query map
+    # is ~6 KB — it can never fit, which is why BENCH_r06.json recorded
+    # `parsed: null` (VERDICT r6 task 3)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"), "w") as f:
             f.write(line + "\n")
     except OSError:
         pass
+    print(line)
+    # LAST stdout line = a compact summary guaranteed to fit the driver's
+    # tail capture in full: headline numbers + the 53-anchor per-query map
+    # (2-decimal), dropping anchor entries smallest-first if the line ever
+    # outgrows the budget.  The complete 210-entry map lives in the full
+    # line above and in BENCH_LAST.json (`queries_full` points there).
+    anchor = {n_: round(timings[n_], 2) for n_ in BASELINE_53}
+    compact = dict(summary, queries=anchor, queries_full="BENCH_LAST.json")
+    while len(json.dumps(compact)) > 1900 and anchor:
+        anchor.pop(min(anchor, key=lambda k: (anchor[k], k)))
+        compact = dict(compact, queries=anchor)
+    print(json.dumps(compact))
     spark.stop()
 
 

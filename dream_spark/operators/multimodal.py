@@ -430,9 +430,10 @@ def audio_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         rate.cast("int").alias("sample_rate"),
-        (F.octet_length(F.encode(F.col("text"), "UTF-8")) / F.lit(2))
-        .cast("long")
-        .alias("n_samples"),
+        # exact integer `div`, matching the oracle's `//` — float
+        # divide-then-cast can round across a boundary above 2^53 (the
+        # module-wide exact-integer-division contract; r6 ADVICE)
+        F.expr("octet_length(encode(text, 'UTF-8')) div 2").alias("n_samples"),
     )
     return out.where(F.col("n_samples") >= 16)
 

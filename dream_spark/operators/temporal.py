@@ -509,10 +509,15 @@ def session_concurrency(sessions: DataFrame) -> DataFrame:
     session_end)`` interval frame.
 
     Sweep line: each session contributes +1 at its start and -1 at its
-    end; the running sum over boundaries ordered by (ts, delta) is the
-    live concurrency.  Ordering ends (-1) before starts (+1) at equal
-    timestamps makes the interval half-open [start, end): sessions that
-    merely touch never overlap.  "Boundary-sampled" = concurrency is
+    end; the running sum over boundaries ordered by (ts, starts-first) is
+    the live concurrency.  Ordering starts (+1) BEFORE ends (-1) at equal
+    timestamps makes the interval CLOSED [start, end]: a zero-duration
+    session (session_start == session_end — common, since the sessionizer
+    emits MIN/MAX ts, so one-event sessions are points) still registers
+    +1 before its -1 cancels it, and two sessions that merely touch count
+    as overlapping for that instant.  (r6 ADVICE: the previous half-open
+    ordering made point sessions invisible — days dominated by one-event
+    sessions reported peak 0.)  "Boundary-sampled" = concurrency is
     evaluated at the day's START (the carry) and at every boundary
     instant within the day: peak = carry + max(0, max in-day prefix sum).
     The day axis is the full [first, last] boundary-day range, so a day
@@ -543,7 +548,11 @@ def session_concurrency(sessions: DataFrame) -> DataFrame:
         "delta",
         F.expr(f"__us div {DAY_US}").alias("day"),
     )
-    w_day = Window.partitionBy("day").orderBy("us", "delta").rowsBetween(
+    # delta DESC = starts (+1) before ends (-1) at equal us: closed
+    # intervals.  Ties within one delta value are order-insensitive for
+    # MAX(running sum): all-(+1) ties peak after the last, all-(-1) ties
+    # peak before the first, either way a fixed value.
+    w_day = Window.partitionBy("day").orderBy("us", F.col("delta").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     in_day = deltas.select("day", F.sum("delta").over(w_day).alias("run_in_day"))
@@ -595,7 +604,7 @@ deltas AS (
          epoch_us(session_end) // {DAY_US} AS day FROM sessions
 ),
 run AS (
-  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY us, delta
+  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY us, delta DESC
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_in_day
   FROM deltas
 ),

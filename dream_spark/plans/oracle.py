@@ -187,7 +187,14 @@ def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
             f")"
         )
     for pids in opt_pids:
-        # grammar: */? carry a single predicate (groups are +-only)
+        # grammar: */? carry a single predicate (groups are +-only; the
+        # parser rejects `(p1|p2)?`) — but enforce it HERE too so an
+        # unsupported shape that ever slips through dies diagnosably
+        # instead of as a bare unpack ValueError (r6 ADVICE)
+        if len(pids) != 1:
+            raise NotImplementedError(
+                f"alternation with '?' is not supported (predicates {pids})"
+            )
         (pid,) = pids
         parts.append(
             f"pathopt_{pid}(s, o) AS (\n"
@@ -208,6 +215,10 @@ def _ctes(query: ParsedQuery, resolve, needs_dict: bool) -> str:
             f"{ident})"
         )
     for pids, consts in sorted(opt_anch.items()):
+        if len(pids) != 1:
+            raise NotImplementedError(
+                f"alternation with '?' is not supported (predicates {pids})"
+            )
         (pid,) = pids
         ident = "".join(f"  UNION ALL SELECT {c}, {c}\n" for c in consts)
         parts.append(

@@ -268,7 +268,14 @@ def sparql_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     translate → decode.
 
     The result is localCheckpoint-materialized before the scratch export
-    is removed (the caller's collect must not depend on scratch files)."""
+    is removed (the caller's collect must not depend on scratch files).
+
+    FILESYSTEM ASSUMPTION (r6 ADVICE): the tempfile scratch dir is
+    driver-local, so the write_ntriples → load_ntriples hop works in local
+    mode or on a shared filesystem; a cluster deployment points the export
+    at a shared URI (s3/hdfs) instead of tempfile.mkdtemp — the
+    serializer/parser themselves are plain DataFrame text IO and run
+    anywhere."""
     import shutil
     import tempfile
 

@@ -160,7 +160,14 @@ def compact_parquet(
     the same maintenance window (or table-format commit) any file-moving
     operation needs.  Hive-partitioned trees are rejected: compacting one
     would need per-directory passes that preserve the partition columns
-    dropped from the files themselves."""
+    dropped from the files themselves.
+
+    FILESYSTEM ASSUMPTION: ``path`` must be visible at the same location
+    to the driver (os.walk/rename here) AND every executor (the Spark
+    read/write) — i.e. local mode or a shared filesystem mount (NFS,
+    FUSE-mounted object store).  On a real cluster the equivalent pass
+    lists and commits through the table format / HDFS API instead of
+    os.rename; this function is the single-namespace stand-in."""
     import math
     import os
     import shutil
@@ -235,9 +242,12 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle pins it TRUE, so a silently-skipped compaction fails the
       value hash.
 
-    The staging dataset lives in a per-call temp dir and the result row is
-    computed EAGERLY so the dir can be removed before returning (the
-    caller's count()/collect() must not depend on scratch files).  Bench
+    The staging dataset lives in a per-call DRIVER-LOCAL temp dir —
+    correct in local mode / shared-FS only (see the compact_parquet
+    filesystem note; a cluster run would stage under a shared URI) — and
+    the result row is computed EAGERLY so the dir can be removed before
+    returning (the caller's count()/collect() must not depend on scratch
+    files).  Bench
     therefore times write + compact + read as one maintenance row
     (VERDICT r5 task 4: make the compaction work driver-visible)."""
     import shutil
