@@ -124,3 +124,35 @@ def test_graph_components_histogram_reconciles(spark):
     )
     hist = G.graph_components(spark, SF_DIR).collect()
     assert sum(r["component_size"] * r["n_components"] for r in hist) == n_nodes
+
+
+def test_components_forest_matches_geography(spark):
+    """The forest CC entry's components must be exactly the regions: one
+    component per region, each sized 1 (region) + its nations + their
+    customers and suppliers — cross-checked against plain relational
+    counts over the same tables (independent of both the triple encoding
+    and the CC loop)."""
+    from dream_spark.sources.tables import load_table
+
+    nation = load_table(spark, SF_DIR, "nation")
+    per_region = {
+        r["n_regionkey"]: r["cnt"]
+        for r in nation.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    cust = {
+        r["n_regionkey"]: r["cnt"]
+        for r in load_table(spark, SF_DIR, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    supp = {
+        r["n_regionkey"]: r["cnt"]
+        for r in load_table(spark, SF_DIR, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    expected = sorted(
+        1 + per_region[k] + cust.get(k, 0) + supp.get(k, 0) for k in per_region
+    )
+    got = sorted(r["component_size"] for r in G.graph_components_forest(spark, SF_DIR).collect())
+    assert got == expected
