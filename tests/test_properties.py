@@ -1129,3 +1129,120 @@ def test_random_path_bgp_matches_oracle(engine, duck, pats):
         ).fetchone()[0]
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: aggregates + HAVING over OPTIONAL groups (VERDICT r6 task 7)
+# ---------------------------------------------------------------------------
+@st.composite
+def _bgp_optional_with_agg(draw):
+    """Random connected BGP with one end pattern moved into OPTIONAL, then
+    a random aggregate SELECT over it: group keys drawn from the always-
+    bound remainder vars (or NONE — the implicit group), 1–3 aggregates
+    (count / count distinct / count(*) / min / max / sum) whose argument is
+    weighted toward the optional-only variable (which can be UNBOUND — the
+    NULL-skipping layer), and optionally a HAVING over count/sum.  This is
+    the composition surface the per-entry queries only sample: implicit
+    groups, typed-value SUM over non-numeric ids (NULL contribution), and
+    three-valued HAVING all stacking on a left join."""
+    from hypothesis import assume
+
+    pats = draw(_bgp())
+    assume(len(pats) >= 3)
+
+    def connected(ps):
+        reach = {0}
+        grew = True
+        while grew:
+            grew = False
+            vs = {t for i in reach for t in (ps[i][0], ps[i][2]) if t.startswith("?")}
+            for i, (s, p, o) in enumerate(ps):
+                if i not in reach and ({s, o} & vs):
+                    reach.add(i)
+                    grew = True
+        return reach == set(range(len(ps)))
+
+    first = draw(st.integers(1, len(pats) - 1))
+    opt = rest = None
+    for off in range(len(pats) - 1):
+        idx = 1 + (first - 1 + off) % (len(pats) - 1)
+        cand_opt, cand_rest = pats[idx], pats[:idx] + pats[idx + 1 :]
+        r_vars = {t for s, p, o in cand_rest for t in (s, o) if t.startswith("?")}
+        o_vars = {t for t in (cand_opt[0], cand_opt[2]) if t.startswith("?")}
+        if connected(cand_rest) and (o_vars & r_vars):
+            opt, rest = cand_opt, cand_rest
+            break
+    assume(opt is not None)
+
+    rest_vars = sorted({t for s, p, o in rest for t in (s, o) if t.startswith("?")})
+    opt_only = sorted(
+        {t for t in (opt[0], opt[2]) if t.startswith("?")} - set(rest_vars)
+    )
+    all_vars = sorted(set(rest_vars) | set(opt_only))
+    # group keys: 0 (implicit group), 1 or 2 of the always-bound vars
+    n_keys = draw(st.integers(0, min(2, len(rest_vars))))
+    keys = sorted(draw(st.permutations(rest_vars))[:n_keys])
+
+    def agg_var():
+        # 50/50 the optional-only var (NULL surface) when one exists
+        if opt_only and draw(st.booleans()):
+            return draw(st.sampled_from(opt_only))
+        return draw(st.sampled_from(all_vars))
+
+    n_aggs = draw(st.integers(1, 3))
+    aggs, seen = [], set()
+    for i in range(n_aggs):
+        form = draw(st.sampled_from(
+            ["count", "count_distinct", "count_star", "min", "max", "sum"]
+        ))
+        v = agg_var()
+        if (form, v) in seen:
+            continue
+        seen.add((form, v))
+        alias = f"?a{i}"
+        if form == "count_star":
+            aggs.append(f"(count(*) as {alias})")
+        elif form == "count_distinct":
+            aggs.append(f"(count(distinct {v}) as {alias})")
+        else:
+            aggs.append(f"({form}({v}) as {alias})")
+    assume(aggs)
+
+    having = ""
+    if draw(st.booleans()):
+        hv = agg_var()
+        if draw(st.booleans()):
+            having = f" having (count({hv}) {draw(st.sampled_from(['>', '>=', '=']))} {draw(st.integers(0, 4))})"
+        else:
+            having = f" having (sum({hv}) {draw(st.sampled_from(['>', '>=', '<']))} {draw(st.integers(-5, 500))})"
+    return rest, opt, keys, aggs, having
+
+
+@pytest.mark.slow
+@given(_bgp_optional_with_agg())
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_agg_having_over_optional_matches_oracle(engine, duck, case):
+    """Aggregates and HAVING stacked on a left join must agree with the
+    oracle: COUNT skips the OPTIONAL's NULLs while COUNT(*) keeps them,
+    SUM reads the typed numeric value (non-numeric ids contribute NULL),
+    implicit groups aggregate the whole result, and HAVING filters groups
+    by either layer — all on random connected BGPs."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    rest, opt, keys, aggs, having = case
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in rest)
+    group = f" group by {' '.join(keys)}" if keys else ""
+    q = (
+        f"select {' '.join(keys + aggs)} where {{ {body} ."
+        f" optional {{ {opt[0]} {opt[1]} {opt[2]} }} }}{group}{having}"
+    )
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return  # a composition the grammar rejects (its own contract tests)
+    df = engine.sparql(q, decode=False)
+    if df.count() > 300_000:
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
