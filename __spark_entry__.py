@@ -653,86 +653,58 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver adjudicates the FIRST 50 queries() entries (insertion order).
 # This list is exactly 50 names.  KEEP THE SUM AT 50 when rotating.
 #
-# ROTATION LEDGER (cumulative driver-green rows by round):
-#   After r5 (50/50 green, CORRECTNESS_r05), every entry EXCEPT the 35
-#   queued below had a driver-green CORRECTNESS row; the 35 were all added
-#   mid-r5 after the cap froze, and all 35 passed the judge's independent
-#   check_entry run at r5 close (VERDICT.md r5) plus the repo's own closing
-#   sweeps.  Any entry outside this list without a green row is a
-#   regression, not a rotation artifact.
+# ROTATION LEDGER (one cumulative line, per the r6 verdict's task 8):
+#   Entering r7, 200 of the 211 entries have a driver-green CORRECTNESS
+#   row (r1-r6 cumulative; CORRECTNESS_r06 = 50/50).  The 11 without one
+#   are the 10-entry r7 queue below (added after the r6 cap froze; all 10
+#   judge-verified green via check_entry at r6 close, VERDICT.md r6) plus
+#   graph_components_forest (NEW in r7).  Any OTHER entry without a green
+#   row is a regression, not a rotation artifact.
 #
-# Round 6 rotation — converts the judge-verified tail into driver-verified
-# rows and re-verifies this round's code changes.  The 50 seats:
-#   * 35 seats: the full r5-overflow queue (ledgered in r5's comment block,
-#     VERDICT.md r5 "What's missing" #1) — 14 FILTER grammar variants
-#     (string fns / IN / ABS / REPLACE / boolean connectives), 5 other
-#     grammar forms (values_undef, nested_optional, sameterm, order_desc,
-#     sum_bind), graph_degree/graph_triangles, rel_grouping_sets/
-#     rel_window_ntile/rel_median, pipeline_lengths/_dup_rate/
-#     _canonicalize/_rulegate, dedup_cross_source/_cluster_sizes,
-#     knn_filtered/knn_ivf_served, temporal_gaps/_retention/_active,
-#     text_winnow, sketch_kmv_overlap/sketch_bloom.
-#   * 3 seats for the r6 zero-length-path spec fix (closed r5 ADVICE (a)):
-#     sparql_path_ground (NEW — constant endpoint absent from the graph
-#     self-pairs, engine literal-row identity domain vs oracle anchored
-#     pathstar CTE) plus re-verification of sparql_path_star and
-#     sparql_path_opt (the identity-domain code path that changed).
-#   * 12 breadth/re-verification seats — families touched by r6 work or
-#     without a representative in the 35-queue: dedup_minhash /
-#     dedup_simhash / dedup_embedding / knn_lsh (the four LSH families the
-#     new recall property tests exercise), media_audio_chunks (NEW in r6;
-#     multimodal — none in the queue), streaming_enrich_batch (NEW in r6;
-#     streaming — none in the queue), dedup_clusters (its
-#     connected_components loop changed in r6), temporal_concurrency (NEW
-#     in r6 with an in-round semantics fix), sparql_seq_path
-#     (sequence-path rewrite composes with the changed zero-hop frames),
-#     dedup_spans + pipeline_dup_spans (NEW in r6 — exact substring-span
-#     dedup and its per-doc coverage gate), maintenance_compact (NEW in
-#     r6 — the compaction roundtrip entry, VERDICT r5 task 4).
-# r6 CLOSING state: the full entry surface is check_entry-green at
-# sf0.01 in BOTH session modes (warm shared-artifact run and
-# --clear-cache) — dual 209/209 sweeps, then 210/210 after the final
-# hybrid_search addition; tests/ = 607 passed, 0 failed; closing clean
-# bench (sf0.1) over all entries: 53-query anchor 34.6-44.2 s =
-# 0.74-0.94x of the r1 baseline across three same-code runs (the
-# documented box drift band).
-#
-# r7 queue (entries added AFTER the 50-seat cap froze and not promoted
-# into a seat below; each is check_entry-verified at sf0.01 when added —
-# rotate into r7 seats):
-#   sparql_filter_strbefore, sparql_filter_isnumeric, rel_window_movavg,
-#   graph_components (rows-only by design — see
-#   operators/graph.py::graph_components), media_pair_gate,
-#   sparql_nt_roundtrip, sparql_count_all, sparql_order_multi,
-#   temporal_resample, hybrid_search
-# (streaming_enrich_batch, temporal_concurrency, media_audio_chunks took
-# seats vacated by unchanged-code re-verifications: streaming_dedup_batch,
-# rel_q1_pricing, media_knn — all driver-green on unchanged code in
-# earlier rounds; graph_ppr yielded to dedup_clusters, whose CC loop
-# changed this round.)
+# Round 7 rotation — the 50 seats:
+#   * 10 seats: the r7 queue — sparql_filter_strbefore,
+#     sparql_filter_isnumeric, rel_window_movavg, graph_components
+#     (rows-only by design — operators/graph.py::graph_components),
+#     media_pair_gate, sparql_nt_roundtrip, sparql_count_all,
+#     sparql_order_multi, temporal_resample, hybrid_search.
+#   * 7 seats: entries NEW or semantics-touched in r7 —
+#     graph_components_forest (NEW: CC over the geography forest, the
+#     cross-engine value-hash row for connected components),
+#     temporal_concurrency (closed-interval fix: point sessions now
+#     count — r6 ADVICE), media_audio_chunks (audio_catalog n_samples
+#     switched to exact integer div — r6 ADVICE), text_knn (now reads
+#     the session-shared hashed-BoW frame), and sparql_path_opt /
+#     sparql_path_star / sparql_path_ground (the oracle's path-CTE
+#     renderer gained the alternation-with-? guard — r6 ADVICE).
+#   * 33 breadth seats: long-stable entries whose green rows are the
+#     oldest, spread across every family (relational TPC-H analogs,
+#     SPARQL grammar, pipeline gates, sketches, streaming, temporal,
+#     dedup, ANN, media, text) — all driver-green on unchanged code in
+#     earlier rounds; re-greening them guards the shared layers (store,
+#     stats, value encoding) the r7 edits sit on.
 PRIORITY_ORDER = [
-    # --- the 35-entry r5-overflow queue (never driver-adjudicated) ---
-    "sketch_kmv_overlap", "sparql_filter_strends", "sparql_filter_in",
-    "sparql_filter_not_in", "sparql_filter_strafter", "sparql_filter_abs",
-    "sparql_order_desc", "sparql_sum_bind", "sparql_values_undef",
-    "sparql_nested_optional", "sparql_filter_replace", "graph_degree",
-    "rel_grouping_sets", "pipeline_lengths", "pipeline_dup_rate",
-    "dedup_cross_source", "knn_filtered", "temporal_gaps", "text_winnow",
-    "sparql_filter_or", "sparql_filter_or_arith", "sparql_filter_not",
-    "sparql_filter_not_or", "sparql_filter_grouped_bool", "graph_triangles",
-    "pipeline_canonicalize", "temporal_retention", "sparql_sameterm",
-    "rel_window_ntile", "sketch_bloom", "pipeline_rulegate", "rel_median",
-    "knn_ivf_served", "dedup_cluster_sizes", "temporal_active",
-    # --- r6 zero-length-path spec fix (1 new + 2 re-verify) ---
-    "sparql_path_ground", "sparql_path_star", "sparql_path_opt",
-    # --- breadth / r6-touched re-verification (12): the four LSH
-    #     families the recall tests exercise, the r6-new operators, and
-    #     dedup_clusters (its connected_components loop changed in r6) ---
-    "dedup_minhash", "dedup_simhash", "dedup_embedding", "knn_lsh",
-    "media_audio_chunks", "streaming_enrich_batch", "dedup_clusters",
-    "temporal_concurrency",
-    "sparql_seq_path", "dedup_spans", "pipeline_dup_spans",
-    "maintenance_compact",
+    # --- the 10-entry r7 queue (never driver-adjudicated) ---
+    "sparql_filter_strbefore", "sparql_filter_isnumeric",
+    "rel_window_movavg", "graph_components", "media_pair_gate",
+    "sparql_nt_roundtrip", "sparql_count_all", "sparql_order_multi",
+    "temporal_resample", "hybrid_search",
+    # --- r7 new / semantics-touched (7) ---
+    "graph_components_forest", "temporal_concurrency",
+    "media_audio_chunks", "text_knn",
+    "sparql_path_opt", "sparql_path_star", "sparql_path_ground",
+    # --- breadth re-verification (33) ---
+    "streaming_sessionize_batch", "streaming_funnel_batch",
+    "temporal_funnel", "temporal_asof",
+    "dedup_exact_docs", "dedup_jaccard", "simhash_docs",
+    "knn_bruteforce", "knn_ivf", "media_knn", "media_dedup",
+    "media_catalog",
+    "pipeline_tfidf", "pipeline_contamination", "pipeline_curate",
+    "pipeline_profile", "pipeline_chunks",
+    "sketch_cms_users", "sketch_quantiles", "sketch_kmv_hourly",
+    "rel_q2_mincost", "rel_q8_share", "rel_q9_profit", "rel_q20_bulk",
+    "rel_q21_waiting", "rel_window_delta", "rel_cube",
+    "sparql_cycle5", "sparql_decode", "sparql_exists",
+    "sparql_group_concat", "sparql_subquery", "sparql_describe_where",
 ]
 
 
