@@ -1,6 +1,7 @@
 """Compare two bench JSON outputs per query and flag regressions.
 
 Usage: python scripts/bench_compare.py NEW.json [OLD.json] [--threshold 1.3]
+       python scripts/bench_compare.py --min-of A.json,B.json,C.json [OLD.json]
 
 NEW defaults to BENCH_LAST.json (written by bench.py alongside stdout);
 OLD defaults to the newest BENCH_r*.json with a parsable per-query map
@@ -8,6 +9,12 @@ OLD defaults to the newest BENCH_r*.json with a parsable per-query map
 regex-scavenged when "parsed" is null).  Exit code 1 when any query shared
 by both runs regressed beyond the threshold — the machine-checkable
 regression gate VERDICT r3 asked for.
+
+``--min-of`` implements the BASELINE.md min-of-N protocol (adopted r7):
+the NEW side becomes the per-query MINIMUM across the listed runs — load
+noise on this box is strictly additive on a fixed workload, so the
+minimum is the least-contaminated estimate of the code's cost, and a
+real regression cannot hide inside one noisy sample.
 """
 
 from __future__ import annotations
@@ -63,6 +70,7 @@ def main() -> None:
     # --threshold accepts both '--threshold 1.5' and '--threshold=1.5';
     # the consumed value must NOT leak into the positional file args
     thr = 1.3
+    min_of: list[str] = []
     argv = list(sys.argv[1:])
     args: list[str] = []
     i = 0
@@ -74,6 +82,12 @@ def main() -> None:
             else:
                 i += 1
                 thr = float(argv[i])
+        elif a.startswith("--min-of"):
+            if "=" in a:
+                min_of = a.split("=", 1)[1].split(",")
+            else:
+                i += 1
+                min_of = argv[i].split(",")
         elif a.startswith("--"):
             raise SystemExit(f"unknown option {a!r}")
         else:
@@ -89,7 +103,21 @@ def main() -> None:
         old_path = next((c for c in cands if load_queries(c)), None)
         if old_path is None:
             raise SystemExit("no BENCH_r*.json with per-query timings found")
-    new, old = load_queries(new_path), load_queries(old_path)
+    if min_of:
+        # per-query minimum across the listed runs; a query missing from
+        # some run still contributes the min over the runs that have it
+        maps = [(p, load_queries(p)) for p in min_of]
+        for p, m in maps:
+            if not m:
+                raise SystemExit(f"no per-query map found in {p}")
+        new = {}
+        for _, m in maps:
+            for k, v in m.items():
+                new[k] = min(v, new.get(k, v))
+        new_path = f"min-of-{len(maps)}({','.join(os.path.basename(p) for p in min_of)})"
+    else:
+        new = load_queries(new_path)
+    old = load_queries(old_path)
     if not new:
         raise SystemExit(f"no per-query map found in {new_path}")
     if not old:

@@ -51,3 +51,30 @@ def test_tail_cut_after_marker_drops_known_scalars(tmp_path):
 
 def test_crashed_record_yields_empty_map(tmp_path):
     assert bc.load_queries(_write(tmp_path, {"rc": 1, "parsed": None})) == {}
+
+
+def test_min_of_takes_per_query_minimum(tmp_path, monkeypatch, capsys):
+    """--min-of (the BASELINE.md r7 protocol): the NEW side is the
+    per-query minimum across the listed runs, so one noisy sample cannot
+    fabricate a regression; a query missing from some run still
+    contributes the min over the runs that have it."""
+    import sys
+
+    runs = []
+    for i, q in enumerate([
+        {"q1": 2.0, "q2": 0.5},
+        {"q1": 1.0, "q2": 0.9, "q3": 4.0},
+        {"q1": 3.0, "q2": 0.4},
+    ]):
+        p = tmp_path / f"run{i}.json"
+        p.write_text(json.dumps({"queries": q}))
+        runs.append(str(p))
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps({"queries": {"q1": 1.0, "q2": 0.5, "q3": 4.0}}))
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench_compare.py", "--min-of", ",".join(runs), str(old)],
+    )
+    bc.main()  # min map {q1:1.0, q2:0.4, q3:4.0} vs old: no regression
+    out = capsys.readouterr().out
+    assert "min-of-3" in out and "no per-query regression" in out
