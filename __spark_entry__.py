@@ -654,12 +654,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # This list is exactly 50 names.  KEEP THE SUM AT 50 when rotating.
 #
 # ROTATION LEDGER (one cumulative line, per the r6 verdict's task 8):
-#   Entering r7, 200 of the 211 entries have a driver-green CORRECTNESS
-#   row (r1-r6 cumulative; CORRECTNESS_r06 = 50/50).  The 11 without one
+#   Entering r7, 200 of the 212 entries have a driver-green CORRECTNESS
+#   row (r1-r6 cumulative; CORRECTNESS_r06 = 50/50).  The 12 without one
 #   are the 10-entry r7 queue below (added after the r6 cap froze; all 10
 #   judge-verified green via check_entry at r6 close, VERDICT.md r6) plus
-#   graph_components_forest (NEW in r7).  Any OTHER entry without a green
-#   row is a regression, not a rotation artifact.
+#   the two r7-new entries graph_components_forest and knn_ivf_pruned
+#   (both check_entry-green at sf0.01 when added).  Any OTHER entry
+#   without a green row is a regression, not a rotation artifact.
 #
 # Round 7 rotation — the 50 seats:
 #   * 10 seats: the r7 queue — sparql_filter_strbefore,
@@ -667,16 +668,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (rows-only by design — operators/graph.py::graph_components),
 #     media_pair_gate, sparql_nt_roundtrip, sparql_count_all,
 #     sparql_order_multi, temporal_resample, hybrid_search.
-#   * 7 seats: entries NEW or semantics-touched in r7 —
+#   * 8 seats: entries NEW or semantics-touched in r7 —
 #     graph_components_forest (NEW: CC over the geography forest, the
 #     cross-engine value-hash row for connected components),
-#     temporal_concurrency (closed-interval fix: point sessions now
-#     count — r6 ADVICE), media_audio_chunks (audio_catalog n_samples
-#     switched to exact integer div — r6 ADVICE), text_knn (now reads
-#     the session-shared hashed-BoW frame), and sparql_path_opt /
-#     sparql_path_star / sparql_path_ground (the oracle's path-CTE
-#     renderer gained the alternation-with-? guard — r6 ADVICE).
-#   * 33 breadth seats: long-stable entries whose green rows are the
+#     knn_ivf_pruned (NEW: cell-partitioned inverted file served with
+#     real partition pruning, SCALE.md §6.3 closed), temporal_concurrency
+#     (closed-interval fix: point sessions now count — r6 ADVICE),
+#     media_audio_chunks (audio_catalog n_samples switched to exact
+#     integer div — r6 ADVICE), text_knn (now reads the session-shared
+#     hashed-BoW frame), and sparql_path_opt / sparql_path_star /
+#     sparql_path_ground (the oracle's path-CTE renderer gained the
+#     alternation-with-? guard — r6 ADVICE).
+#   * 32 breadth seats: long-stable entries whose green rows are the
 #     oldest, spread across every family (relational TPC-H analogs,
 #     SPARQL grammar, pipeline gates, sketches, streaming, temporal,
 #     dedup, ANN, media, text) — all driver-green on unchanged code in
@@ -688,11 +691,11 @@ PRIORITY_ORDER = [
     "rel_window_movavg", "graph_components", "media_pair_gate",
     "sparql_nt_roundtrip", "sparql_count_all", "sparql_order_multi",
     "temporal_resample", "hybrid_search",
-    # --- r7 new / semantics-touched (7) ---
-    "graph_components_forest", "temporal_concurrency",
+    # --- r7 new / semantics-touched (8) ---
+    "graph_components_forest", "knn_ivf_pruned", "temporal_concurrency",
     "media_audio_chunks", "text_knn",
     "sparql_path_opt", "sparql_path_star", "sparql_path_ground",
-    # --- breadth re-verification (33) ---
+    # --- breadth re-verification (32) ---
     "streaming_sessionize_batch", "streaming_funnel_batch",
     "temporal_funnel", "temporal_asof",
     "dedup_exact_docs", "dedup_jaccard", "simhash_docs",
@@ -704,7 +707,7 @@ PRIORITY_ORDER = [
     "rel_q2_mincost", "rel_q8_share", "rel_q9_profit", "rel_q20_bulk",
     "rel_q21_waiting", "rel_window_delta", "rel_cube",
     "sparql_cycle5", "sparql_decode", "sparql_exists",
-    "sparql_group_concat", "sparql_subquery", "sparql_describe_where",
+    "sparql_group_concat", "sparql_subquery",
 ]
 
 

@@ -319,7 +319,18 @@ def save_vector_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     shared_buckets(spark, sf_dir).write.mode("overwrite").partitionBy("tbl").parquet(
         f"{path}/buckets"
     )
-    _ivf_centroids(qc, IVF_K).write.mode("overwrite").parquet(f"{path}/centroids")
+    cents = _ivf_centroids(qc, IVF_K)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    # the INVERTED FILE as storage: corpus vectors written PARTITIONED BY
+    # their nearest-centroid cell, so a probe reads only its nprobe cell
+    # directories (SCALE.md §6.3's open item — at 100 TB this is the
+    # difference between scanning the corpus and scanning nprobe/n_cells
+    # of it; Spark's partition pruning does the skipping from a plain
+    # `cell IN (...)` filter, no custom reader)
+    cells = _ivf_assign(qc, cents, 1).select("vec_id", "cell")
+    qc.join(cells, on="vec_id").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
 
 
 def load_vector_index(
@@ -339,7 +350,7 @@ def load_vector_index(
 #: layout, quantization, IVF training) must BUMP this — otherwise an old
 #: on-disk index with a COMPLETE marker would keep serving buckets the
 #: NEW code (and the DuckDB oracle) no longer computes.
-_INDEX_FORMAT_VERSION = 2
+_INDEX_FORMAT_VERSION = 3  # v3: + cell-partitioned inverted file (/cells)
 
 
 def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
@@ -457,6 +468,46 @@ def knn_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_quantized=qc,
         centroids=cents,
     )
+
+
+def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serve with real PARTITION PRUNING: the persisted index's
+    cell-partitioned inverted file (``save_vector_index`` writes the
+    quantized corpus ``partitionBy("cell")``) is filtered with a literal
+    ``cell IN (probed)`` predicate, so the parquet scan reads ONLY the
+    nprobe cell directories each query probes — at 100 TB the corpus scan
+    shrinks by nprobe/n_cells with zero custom reader code (closes
+    SCALE.md §6.3's open item).  The probed-cell collect is bounded by
+    N_QUERIES x IVF_NPROBE ints (the bounded-collect contract).  Candidate
+    set, rerank, and tiebreaks are identical to ``knn_ivf``, so the IVF
+    oracle replays byte-identically."""
+    path = _served_index_path(spark, sf_dir)
+    cents = spark.read.parquet(f"{path}/centroids")
+    inverted = spark.read.parquet(f"{path}/cells")  # (vec_id, qe, nrm, cell)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qq = quantize(emb.where(F.col("vec_id") < N_QUERIES))
+    qcells = _ivf_assign(qq, cents, IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    probed = sorted(r["cell"] for r in qcells.select("cell").distinct().collect())
+    pruned = inverted.where(F.col("cell").isin(probed))
+    qa = qq.select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na")
+    )
+    qside = qcells.join(qa, on="query_id")  # <= N_QUERIES x nprobe rows
+    # each corpus vector lives in exactly ONE cell and a query probes
+    # DISTINCT cells, so the cell join yields every candidate pair at most
+    # once — no distinct needed before the exact rerank
+    pairs = F.broadcast(qside).join(
+        pruned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qe").alias("qb"),
+            F.col("nrm").alias("nb"),
+            "cell",
+        ),
+        on="cell",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    return _topk(_scored(pairs), TOP_K)
 
 
 def warm_ivf_index(spark: SparkSession, sf_dir: str) -> None:
@@ -686,6 +737,7 @@ QUERIES = {
     "knn_lsh": knn_lsh,
     "knn_lsh_served": knn_lsh_served,
     "knn_ivf_served": knn_ivf_served,
+    "knn_ivf_pruned": knn_ivf_pruned,
     "knn_ivf": knn_ivf,
     "knn_filtered": knn_filtered,
 }
@@ -699,5 +751,9 @@ ORACLES = {
     "knn_lsh_served": KNN_LSH_SQL,
     "knn_ivf": KNN_IVF_SQL,
     "knn_ivf_served": KNN_IVF_SQL,
+    # the pruned serve path reads only the probed cell directories; the
+    # candidate set and exact rerank are the same, so the IVF oracle
+    # replays identically
+    "knn_ivf_pruned": KNN_IVF_SQL,
     "knn_filtered": KNN_FILTERED_SQL,
 }

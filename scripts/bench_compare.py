@@ -33,7 +33,24 @@ def load_queries(path: str) -> dict[str, float]:
     none (a crashed round's record) — callers decide whether that is
     fatal (an explicitly named file) or skippable (the fallback scan)."""
     with open(path) as f:
-        doc = json.load(f)
+        text = f.read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        # a captured bench stdout holds TWO JSON lines (full map first,
+        # compact tail-fitting summary last — bench.py r7); prefer the
+        # line with the most per-query timings
+        docs = []
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    docs.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+        if not docs:
+            raise
+        doc = max(docs, key=lambda d: len(d.get("queries", {}) or {}))
     # bench.py output: {"queries": {...}}; driver BENCH_r*.json: {"parsed":
     # {...}} or a truncated "tail" string to scavenge
     for key in ("queries", "parsed"):

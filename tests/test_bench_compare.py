@@ -78,3 +78,15 @@ def test_min_of_takes_per_query_minimum(tmp_path, monkeypatch, capsys):
     bc.main()  # min map {q1:1.0, q2:0.4, q3:4.0} vs old: no regression
     out = capsys.readouterr().out
     assert "min-of-3" in out and "no per-query regression" in out
+
+
+def test_two_line_stdout_capture_prefers_the_full_map(tmp_path):
+    """bench.py stdout now holds TWO JSON lines (full per-query map, then
+    the compact tail-fitting summary); the loader must pick the full map,
+    not fail on 'Extra data' and not settle for the 53-entry subset."""
+    p = tmp_path / "stdout.json"
+    p.write_text(
+        json.dumps({"queries": {"q1": 1.0, "q2": 2.0, "q3": 3.0}}) + "\n"
+        + json.dumps({"queries": {"q1": 1.0}, "queries_full": "BENCH_LAST.json"}) + "\n"
+    )
+    assert bc.load_queries(str(p)) == {"q1": 1.0, "q2": 2.0, "q3": 3.0}

@@ -490,3 +490,23 @@ def test_pair_gate_prunes_before_join(spark, queries):
     must not degrade to a cartesian."""
     plan = _plan(queries["media_pair_gate"](spark, SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_pruned_scan_reads_only_probed_cells(spark, queries):
+    """The cell-partitioned IVF serve path must PARTITION-PRUNE: the
+    inverted-file parquet scan's plan must carry a partition filter on
+    `cell` (Spark prunes the unprobed cell directories from the file
+    listing), and the pruned scan must not degrade to a full-corpus read.
+    This pins SCALE.md §6.3's closed item — at scale the corpus scan is
+    nprobe/n_cells of the data, enforced by layout + a literal IN filter,
+    not custom reader code."""
+    plan = _plan(queries["knn_ivf_pruned"](spark, SF_DIR))
+    # scope to the inverted-file scan (other scans carry their own empty
+    # PartitionFilters), then require a literal IN over cell in ITS entry
+    cells_segs = [
+        seg for seg in plan.split("Scan parquet")[1:]
+        if "/cells" in seg[:600]
+    ]
+    assert cells_segs, "no scan over the cell-partitioned inverted file"
+    pf = cells_segs[0].split("PartitionFilters")[1][:300]
+    assert "cell" in pf and " IN (" in pf
