@@ -42,6 +42,8 @@ SHOWCASE = [
     ("temporal_concurrency", "sweep line: per-day windows keyed hashpartitioning(day); the only SinglePartition exchange is the calendar-sized day-carry"),
     ("rel_window_movavg", "RANGE frame (RangeFrame in the Window node, never RowFrame); day-level pre-aggregation below the window; partitioned by priority"),
     ("media_pair_gate", "pair gate: caption-length/geometry predicates below the doc_id equi-join; no cartesian; payload column pruned out"),
+    ("knn_ivf_pruned", "IVF partition pruning: the /cells scan carries PartitionFilters [cell IN (probed)] — only the probed cell directories are listed/read; query side broadcast"),
+    ("text_knn", "lexical kNN over the session-shared hashed-BoW frame: InMemoryTableScan (no tokenize/hash recompute), broadcast 10-row query side, single pass over the corpus vectors"),
 ]
 
 
