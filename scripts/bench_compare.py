@@ -93,13 +93,15 @@ def main() -> None:
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--threshold"):
+        # exact flag names only (with or without '='): startswith would
+        # silently accept a typo like --min-of3 and consume the next token
+        if a == "--threshold" or a.startswith("--threshold="):
             if "=" in a:
                 thr = float(a.split("=", 1)[1])
             else:
                 i += 1
                 thr = float(argv[i])
-        elif a.startswith("--min-of"):
+        elif a == "--min-of" or a.startswith("--min-of="):
             if "=" in a:
                 min_of = a.split("=", 1)[1].split(",")
             else:
@@ -110,13 +112,36 @@ def main() -> None:
         else:
             args.append(a)
         i += 1
-    new_path = args[0] if args else os.path.join(REPO, "BENCH_LAST.json")
-    if len(args) > 1:
-        old_path = args[1]
+    # positional layout: [NEW] [OLD] normally; [OLD] only under --min-of
+    # (the NEW side IS the min-of file list — binding a positional to the
+    # discarded NEW slot would silently compare against the wrong OLD)
+    if min_of:
+        new_path = None
+        old_args = args
+    else:
+        new_path = args[0] if args else os.path.join(REPO, "BENCH_LAST.json")
+        old_args = args[1:]
+    if old_args:
+        if len(old_args) > 1:
+            raise SystemExit(f"unexpected extra arguments: {old_args[1:]}")
+        old_path = old_args[0]
     else:
         # newest-first scan SKIPS unparsable records (a crashed round's
-        # {"rc":1, "parsed":null} file) instead of aborting on them
-        cands = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), reverse=True)
+        # {"rc":1, "parsed":null} file) instead of aborting on them.
+        # BENCH_FULL_r*.json snapshots (the committed full per-query maps;
+        # the driver's BENCH_r*.json tail capture holds only the compact
+        # 53-anchor line from r7 on) are preferred within the same round —
+        # without them the gate would silently narrow to the anchor set.
+        def round_key(p: str) -> tuple[int, int]:
+            m = re.search(r"_r(\d+)\.json$", p)
+            return (int(m.group(1)) if m else -1, 1 if "FULL" in p else 0)
+
+        cands = sorted(
+            glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            + glob.glob(os.path.join(REPO, "BENCH_FULL_r*.json")),
+            key=round_key,
+            reverse=True,
+        )
         old_path = next((c for c in cands if load_queries(c)), None)
         if old_path is None:
             raise SystemExit("no BENCH_r*.json with per-query timings found")

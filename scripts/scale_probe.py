@@ -97,10 +97,15 @@ SELECT l_orderkey + {k * SHIFT['orderkey']} AS l_orderkey,
 SELECT event_id + {k * SHIFT['event_id']} AS event_id, ts,
        user_id + {k * SHIFT['user_id']} AS user_id,
        event_type, value, props FROM '{SRC}/events.parquet'""")
+    # n_chars is derived (== length(text)): recompute it after the
+    # per-copy suffix so the fixture invariant holds for every row —
+    # stale counts would skew any length-gated entry's selectivity at 10x
     write("documents", lambda k: f"""
 SELECT doc_id + {k * SHIFT['doc_id']} AS doc_id,
        {"text" if k == 0 else f"text || ' copyv{k}'"} AS text,
-       lang, source, n_chars FROM '{SRC}/documents.parquet'""")
+       lang, source,
+       CAST(length({"text" if k == 0 else f"text || ' copyv{k}'"}) AS BIGINT) AS n_chars
+FROM '{SRC}/documents.parquet'""")
     # jitter: +/- 0.0009 per dim, sign/magnitude a function of (copy, dim)
     write("embeddings", lambda k: f"""
 SELECT vec_id + {k * SHIFT['vec_id']} AS vec_id,
@@ -137,10 +142,17 @@ def main() -> None:
     out_dir = "/tmp/dream_spark_scale10"
     for i, a in enumerate(sys.argv):
         if a == "--out":
+            if i + 1 >= len(sys.argv):
+                raise SystemExit("--out requires a directory argument")
             out_dir = sys.argv[i + 1]
-    if "--rebuild" in sys.argv or not os.path.isdir(out_dir):
+    # a COMPLETE marker gates reuse (same pattern as the persisted vector
+    # index): a crashed partial build must rebuild, not get measured
+    marker = os.path.join(out_dir, "COMPLETE")
+    if "--rebuild" in sys.argv or not os.path.exists(marker):
         print(f"building 10x dataset at {out_dir}", file=sys.stderr)
         build(out_dir)
+        with open(marker, "w") as f:
+            f.write("ok\n")
     base = measure(SRC)
     # fresh process-level state matters less than session state; measure()
     # stops its session, so the 10x run starts cold like the sf0.1 one

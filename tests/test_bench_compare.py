@@ -56,8 +56,10 @@ def test_crashed_record_yields_empty_map(tmp_path):
 def test_min_of_takes_per_query_minimum(tmp_path, monkeypatch, capsys):
     """--min-of (the BASELINE.md r7 protocol): the NEW side is the
     per-query minimum across the listed runs, so one noisy sample cannot
-    fabricate a regression; a query missing from some run still
-    contributes the min over the runs that have it."""
+    fabricate a regression; the positional argument is the OLD baseline
+    and MUST be honored (the review found it silently discarded, which
+    made the gate compare against the wrong record); a query missing from
+    some run still contributes the min over the runs that have it."""
     import sys
 
     runs = []
@@ -78,6 +80,28 @@ def test_min_of_takes_per_query_minimum(tmp_path, monkeypatch, capsys):
     bc.main()  # min map {q1:1.0, q2:0.4, q3:4.0} vs old: no regression
     out = capsys.readouterr().out
     assert "min-of-3" in out and "no per-query regression" in out
+    # the named OLD was really used: all three of its queries compared
+    assert "old=old.json" in out and "shared=3" in out
+
+
+def test_min_of_regression_against_named_old_fails(tmp_path, monkeypatch, capsys):
+    """A genuine regression vs the NAMED old baseline must exit 1 under
+    --min-of — the exact scenario the discarded-positional bug passed."""
+    import sys
+
+    import pytest
+
+    run = tmp_path / "run.json"
+    run.write_text(json.dumps({"queries": {"q1": 5.0}}))
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps({"queries": {"q1": 1.0}}))
+    monkeypatch.setattr(
+        sys, "argv", ["bench_compare.py", "--min-of", str(run), str(old)]
+    )
+    with pytest.raises(SystemExit) as exc:
+        bc.main()
+    assert exc.value.code == 1
+    assert "REGRESSED q1" in capsys.readouterr().out
 
 
 def test_two_line_stdout_capture_prefers_the_full_map(tmp_path):
