@@ -756,21 +756,22 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("label").alias("nbr_min"))
             )
-            new_labels = (
+            # carry the OLD label through the checkpointed frame so the
+            # convergence probe is a filter over already-materialized
+            # partitions instead of a third node-keyed join per round
+            # (the probe join was ~1/3 of each round's work)
+            merged = (
                 labels.join(nbr, labels.node == nbr.a, "left")
                 .select(
                     "node",
+                    F.col("label").alias("__old"),
                     F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
                 )
             ).localCheckpoint()
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="node")
-                .where(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
+                merged.where(F.col("label") != F.col("__old")).limit(1).count()
             )
-            labels = new_labels
+            labels = merged.select("node", "label")
             if not changed:
                 break
         # every kept frame is localCheckpoint-materialized, so the restore
