@@ -1246,3 +1246,72 @@ def test_random_agg_having_over_optional_matches_oracle(engine, duck, case):
     if df.count() > 300_000:
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: MINUS over random connected BGPs (set-difference semantics)
+# ---------------------------------------------------------------------------
+@st.composite
+def _bgp_with_minus(draw):
+    """Random connected BGP with one end pattern moved into MINUS.  Unlike
+    the OPTIONAL fuzzers this does NOT require the moved pattern to share
+    a variable with the remainder: per SPARQL §8.3.3 a MINUS group with a
+    DISJOINT domain removes nothing (no shared bindings to be compatible
+    on), and that spec corner is exactly what a fuzzer should reach —
+    both engines must agree on the nothing-removed outcome as well as on
+    the shared-variable anti-join."""
+    from hypothesis import assume
+
+    pats = draw(_bgp())
+    assume(len(pats) >= 3)
+
+    def connected(ps):
+        reach = {0}
+        grew = True
+        while grew:
+            grew = False
+            vs = {t for i in reach for t in (ps[i][0], ps[i][2]) if t.startswith("?")}
+            for i, (s, p, o) in enumerate(ps):
+                if i not in reach and ({s, o} & vs):
+                    reach.add(i)
+                    grew = True
+        return reach == set(range(len(ps)))
+
+    first = draw(st.integers(1, len(pats) - 1))
+    m = rest = None
+    for off in range(len(pats) - 1):
+        idx = 1 + (first - 1 + off) % (len(pats) - 1)
+        cand_m, cand_rest = pats[idx], pats[:idx] + pats[idx + 1 :]
+        if connected(cand_rest):
+            m, rest = cand_m, cand_rest
+            break
+    assume(m is not None)
+    return rest, m
+
+
+@pytest.mark.slow
+@given(_bgp_with_minus())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_minus_matches_oracle(engine, duck, case):
+    """MINUS dropped at arbitrary join positions — shared-variable
+    anti-join removal and the disjoint-domain nothing-removed corner —
+    must answer identically on both engines."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    rest, m = case
+    proj = sorted({t for s, p, o in rest for t in (s, o) if t.startswith("?")})
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in rest)
+    q = (
+        f"select {' '.join(proj)} where {{ {body} ."
+        f" minus {{ {m[0]} {m[1]} {m[2]} }} }}"
+    )
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    if df.count() > 300_000:
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
