@@ -453,7 +453,8 @@ def cms_estimate(sketch_rows: list, col_value: int, depth: int = CMS_DEPTH, widt
 def sketch_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper: CMS of event user_ids (the heavy-hitter
     profile of the stream in depth×width bounded state)."""
-    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    # NULL exclusion is cms_table's own first step — no wrapper-side guard
+    ev = load_table(spark, sf_dir, "events")
     return cms_table(ev, "user_id").select(
         F.col("row").cast("bigint").alias("row"),
         F.col("bucket").cast("bigint").alias("bucket"),
@@ -622,6 +623,10 @@ def bloom_probe(docs: DataFrame) -> DataFrame:
         r["pos"]
         for r in docs.where(F.col("source") == BLOOM_BUILD_SOURCE)
         .select(F.explode(pos_arr).alias("pos"))
+        # a NULL-text build doc yields pos=NULL, which would TypeError
+        # inside sorted() against ints; the oracle's join never matches
+        # NULL, so dropping it here keeps the engines aligned (r7 review)
+        .where(F.col("pos").isNotNull())
         .distinct()  # ≤ BLOOM_M distinct values: bounded collect
         .collect()
     )

@@ -78,14 +78,19 @@ def dedup_stream_incremental(
     retried, the batch would collide with its own band rows and silently
     drop every document; with this order a replay re-appends duplicates
     (the documented at-least-once behavior), never loses data."""
-    import os
+    from pyspark.sql.utils import AnalysisException
 
     from dream_spark.operators.dedup import incremental_minhash_dedup
 
     def _sink(batch_docs: DataFrame, batch_id: int) -> None:
-        idx = None
-        if os.path.exists(index_path):
+        # no os.path.exists probe: it only answers for LOCAL paths and
+        # would report a fully-present s3://... index as absent on every
+        # batch — silently disabling the against-all-history check (the
+        # same trap streaming/triples.py::store documents; r7 review)
+        try:
             idx = spark.read.parquet(index_path)
+        except AnalysisException:  # first batch: no index yet
+            idx = None
         kept_ids, kept_bands = incremental_minhash_dedup(
             batch_docs.select("doc_id", "text"), idx
         )
@@ -115,9 +120,13 @@ def curate_stream(
     — the same schema as the batch ``curate`` so a consumer can read
     either layer."""
     # token count matching functions.features.tokens: non-empty lowercase
-    # alnum runs.  filter(x -> x != '') keeps the count JVM-side.
+    # alnum runs.  filter(x -> x != '') keeps the count JVM-side.  The
+    # SHARED regex constant, not a duplicated literal — a TOKEN_SPLIT_RE
+    # change must move the streaming gate with the batch gate (r7 review).
+    from dream_spark.functions.features import TOKEN_SPLIT_RE
+
     n_tokens = F.size(
-        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+        F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE), lambda x: x != "")
     ).cast("bigint")
     gated = (
         docs.withColumn("n_tokens", n_tokens)
@@ -160,23 +169,35 @@ def bloom_stream_gate(
     design, like incremental dedup)."""
     import os
 
+    from pyspark.sql.utils import AnalysisException
+
     from dream_spark.operators.sketch import bloom_position_array
 
     bits_path = os.path.join(checkpoint_dir, "bloom_bits")
 
     def _sink(batch_docs: DataFrame, batch_id: int) -> None:
+        # read-gated by try/except, not os.path.exists (local-only; would
+        # silently report an s3:// bit set absent forever — r7 review);
+        # DISTINCT positions before the collect, so the driver pull is
+        # bounded by BLOOM_M regardless of batch count (the raw per-batch
+        # rows grow with history), and NULL positions (NULL-text docs)
+        # never reach the sort
         bits: list[int] = []
-        if os.path.exists(bits_path):
+        try:
             prior = spark.read.parquet(bits_path)
             bits = sorted(
-                {
-                    r["pos"]
-                    for r in prior.where(F.col("batch") < batch_id).collect()
-                }
+                r["pos"]
+                for r in prior.where(F.col("batch") < batch_id)
+                .select("pos")
+                .where(F.col("pos").isNotNull())
+                .distinct()
+                .collect()
             )
+        except AnalysisException:  # first batch: no bit set yet
+            pass
         pos = batch_docs.select(
             "doc_id", "source", bloom_position_array().alias("__ps")
-        )
+        ).persist()
         if bits:
             hit = F.size(F.array_except(F.col("__ps"), F.lit(bits))) == 0
         else:
@@ -194,6 +215,10 @@ def bloom_stream_gate(
             .write.mode("overwrite")
             .parquet(os.path.join(bits_path, f"batch={batch_id}"))
         )
+        # persisted because TWO actions consume pos (decisions + bit set):
+        # unpersisted, the source re-read and the Horner pack x 3 hashes
+        # would run twice per micro-batch (r7 review)
+        pos.unpersist()
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)

@@ -155,7 +155,15 @@ def sessionize_stream(
     :func:`merge_session_islands`: late events within a gap of the open
     session extend it (never moving its end backward); a late event MORE
     than a gap before the open session's start closes as its own earlier
-    island, matching the batch twin's gaps-and-islands split."""
+    island, matching the batch twin's gaps-and-islands split.
+
+    TIMEZONE DOMAIN: all arithmetic runs on ``__us`` — instant epoch
+    micros computed JVM-side (``unix_micros``) — never on the pandas
+    ``ts`` column, which Arrow delivers SESSION-timezone-naive: its
+    ``.value`` is instant+offset under a non-UTC session, and comparing
+    that against ``getCurrentWatermarkMs()`` (instant domain) would shift
+    every timeout by the session offset (r7 review finding).  Emitted
+    timestamps are tz-aware UTC for the same reason."""
     gap_us = gap_min * 60 * 1_000_000
 
     def fn(
@@ -168,15 +176,15 @@ def sessionize_stream(
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "session_start": [pd.Timestamp(start_us, unit="us", tz="UTC")],
+                    "session_end": [pd.Timestamp(last_us, unit="us", tz="UTC")],
                     "n_events": [n],
                 }
             )
             return
         ts_list: list[int] = []
         for pdf in pdfs:
-            ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+            ts_list.extend(int(v) for v in pdf["__us"])
         out = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
         items = [(t, t, 1) for t in ts_list]
         if state.exists:
@@ -184,8 +192,8 @@ def sessionize_stream(
         closed, open_sess = merge_session_islands(items, gap_us)
         for s, l, c in closed:
             out["user_id"].append(user_id)
-            out["session_start"].append(pd.Timestamp(s, unit="us"))
-            out["session_end"].append(pd.Timestamp(l, unit="us"))
+            out["session_start"].append(pd.Timestamp(s, unit="us", tz="UTC"))
+            out["session_end"].append(pd.Timestamp(l, unit="us", tz="UTC"))
             out["n_events"].append(c)
         start_us: int | None = None
         if open_sess is not None:
@@ -198,7 +206,8 @@ def sessionize_stream(
         if out["user_id"]:
             yield pd.DataFrame(out)
 
-    return events.withWatermark("ts", watermark).groupBy("user_id").applyInPandasWithState(
+    src = events.withColumn("__us", F.unix_micros("ts")).withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
@@ -544,7 +553,14 @@ def funnel_stream(
     — not a running min — is what makes out-of-order arrival exact: a
     late stage-1 event can retroactively qualify an earlier-seen stage-2
     time, which a running-min state would have already discarded.  Emits
-    once per closed window (append semantics)."""
+    once per closed window (append semantics).
+
+    TIMEZONE DOMAIN: the grouping key is ``__ws_us`` (instant epoch
+    micros of the window start, computed JVM-side) and event times come
+    from ``__us`` — a timestamp KEY would arrive session-timezone-naive
+    in the pandas UDF, shifting the window-close timeout by the session
+    offset under a non-UTC session (r7 review finding; same fix as
+    sessionize_stream)."""
     from dream_spark.operators.temporal import FUNNEL_STEPS
 
     steps = list(FUNNEL_STEPS)
@@ -553,8 +569,8 @@ def funnel_stream(
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        user_id, win_start = key
-        ws_us = int(pd.Timestamp(win_start).value // 1000)
+        user_id, ws_us = key
+        ws_us = int(ws_us)
         if state.hasTimedOut:
             lists = state.get
             state.remove()
@@ -570,7 +586,7 @@ def funnel_stream(
                 stage, s_prev = i + 1, cand
             yield pd.DataFrame(
                 {
-                    "window_start": [pd.Timestamp(ws_us, unit="us")],
+                    "window_start": [pd.Timestamp(ws_us, unit="us", tz="UTC")],
                     "user_id": [user_id],
                     "stage_reached": [stage],
                 }
@@ -578,9 +594,9 @@ def funnel_stream(
             return
         new: dict[str, list[int]] = {s: [] for s in steps}
         for pdf in pdfs:
-            for t, et in zip(pd.to_datetime(pdf["ts"]), pdf["event_type"]):
+            for t, et in zip(pdf["__us"], pdf["event_type"]):
                 if et in new:
-                    new[et].append(int(t.value // 1000))
+                    new[et].append(int(t))
         cur = list(state.get) if state.exists else [[] for _ in steps]
         state.update(tuple(list(cur[i] or []) + new[steps[i]] for i in range(len(steps))))
         # close just past the window end, driven by the event-time
@@ -598,9 +614,11 @@ def funnel_stream(
             "event_type",
             F.window("ts", f"{window_min} minutes").start.alias("win_start"),
         )
+        .withColumn("__us", F.unix_micros("ts"))
+        .withColumn("__ws_us", F.unix_micros("win_start"))
         .withWatermark("ts", watermark)
     )
-    return ev.groupBy("user_id", "win_start").applyInPandasWithState(
+    return ev.groupBy("user_id", "__ws_us").applyInPandasWithState(
         fn,
         outputStructType=FUNNEL_OUT_SCHEMA,
         stateStructType=_FUNNEL_STATE_SCHEMA,

@@ -14,10 +14,12 @@ plan -> count, artifacts pre-warmed per dir exactly like bench.py setup)
 and prints the observed ratio per entry.  A ratio near 10 = linear in
 rows; near 1 = fixed-cost-dominated; >> 10 = superlinear, an r8 task.
 
-Usage: python scripts/scale_probe.py [--rebuild] [--out DIR]
-Scratch default: /tmp/dream_spark_scale10 (driver-local, like the repo's
+Usage: python scripts/scale_probe.py [--rebuild] [--out DIR] [--copies N]
+Scratch default: /tmp/dream_spark_scale{N} (driver-local, like the repo's
 other scratch paths — local-mode/shared-FS assumption documented in
-sources/sinks.py).
+sources/sinks.py).  ``--copies 100`` measures a second decade (sf10
+equivalent) — two decades of observed slope pin the scaling class far
+better than one.
 """
 
 from __future__ import annotations
@@ -54,12 +56,12 @@ HEAVY = [
 ]
 
 
-def build(out: str) -> None:
+def build(out: str, copies_n: int = COPIES) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    copies = range(COPIES)
+    copies = range(copies_n)
 
     def write(name: str, select_per_copy) -> None:
         union = "\nUNION ALL\n".join(select_per_copy(k) for k in copies)
@@ -139,7 +141,13 @@ def measure(sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    out_dir = "/tmp/dream_spark_scale10"
+    copies_n = COPIES
+    for i, a in enumerate(sys.argv):
+        if a == "--copies":
+            if i + 1 >= len(sys.argv):
+                raise SystemExit("--copies requires an integer argument")
+            copies_n = int(sys.argv[i + 1])
+    out_dir = f"/tmp/dream_spark_scale{copies_n}"
     for i, a in enumerate(sys.argv):
         if a == "--out":
             if i + 1 >= len(sys.argv):
@@ -149,8 +157,8 @@ def main() -> None:
     # index): a crashed partial build must rebuild, not get measured
     marker = os.path.join(out_dir, "COMPLETE")
     if "--rebuild" in sys.argv or not os.path.exists(marker):
-        print(f"building 10x dataset at {out_dir}", file=sys.stderr)
-        build(out_dir)
+        print(f"building {copies_n}x dataset at {out_dir}", file=sys.stderr)
+        build(out_dir, copies_n)
         with open(marker, "w") as f:
             f.write("ok\n")
     base = measure(SRC)
@@ -158,7 +166,8 @@ def main() -> None:
     # stops its session, so the 10x run starts cold like the sf0.1 one
     big = measure(out_dir)
     ratios = {k: round(big[k] / base[k], 2) if base[k] else None for k in HEAVY}
-    print(json.dumps({"sf0.1_sec": base, "x10_sec": big, "ratio": ratios}))
+    print(json.dumps({"copies": copies_n, "sf0.1_sec": base,
+                      f"x{copies_n}_sec": big, "ratio": ratios}))
 
 
 if __name__ == "__main__":
