@@ -203,13 +203,100 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
     t_num, t_den = threshold
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be a fraction in (0, 1], got {threshold}")
-    # one kernel pass builds each document's sorted n-gram-set array
-    docsets = token_ngram_arrays(docs, JACCARD_NGRAM).persist()
+    # one kernel pass builds each document's n-gram-set array, then the
+    # rarest-first reorder (see _df_ordered — exactness is order-blind,
+    # candidate precision is not)
+    docsets = _df_ordered(token_ngram_arrays(docs, JACCARD_NGRAM)).persist()
     # materialize the cache NOW: the three downstream subtrees (prefix
     # stream, both verification joins) otherwise race to compute the
-    # kernel concurrently before the cache is populated — and the count
-    # doubles as the broadcast size gate
-    n_docs = docsets.count()
+    # kernel concurrently before the cache is populated — and the stats
+    # double as the broadcast size gate
+    n_docs, total_sids = _docset_stats(docsets)
+    cand = _jaccard_candidates(docsets, threshold)
+    # persist AND materialize the (tiny) verified-pair output:
+    # materializing here lets the (large) per-doc set-array cache be
+    # RELEASED before returning — the library must not pin corpus-sized
+    # caches for the caller's session lifetime (only the
+    # threshold-surviving pair set, which is orders of magnitude smaller,
+    # stays cached for repeat consumers).
+    out = _jaccard_verify(cand, docsets, n_docs, threshold, total_sids).persist()
+    out.count()
+    docsets.unpersist()
+    return out
+
+
+# Verification build-side broadcast cap in ARRAY ELEMENTS, not rows: the
+# docset rows carry the full n-gram arrays, so the generic ~0.5 KB/row
+# budget behind DEFAULT_BROADCAST_MAX_ROWS under-counts them by an order
+# of magnitude (500k docs × ~100 sids × 8 B ≈ 400 MB — measured GC-thrash
+# on the 100× probe corpus under the row gate alone).  16M int64 elements
+# ≈ 128 MB per side keeps two concurrent build sides comfortably inside
+# a local-mode heap; past it the verify join degrades to a keyed shuffle.
+_VERIFY_BC_MAX_ELEMS = 16_000_000
+
+
+def _docset_stats(docsets: DataFrame) -> tuple[int, int]:
+    """One materializing action over the persisted set-array frame:
+    (row count, total array elements) — count gates row-bounded
+    broadcasts, the element total gates the fat verify build side."""
+    row = docsets.agg(
+        F.count(F.lit(1)).alias("c"), F.coalesce(F.sum("n"), F.lit(0)).alias("s")
+    ).first()
+    return int(row["c"]), int(row["s"])
+
+
+def _df_ordered(docsets: DataFrame) -> DataFrame:
+    """Re-sort each document's sid array RAREST-FIRST — ascending
+    (document frequency, sid) — the classic PPJoin global order.
+
+    Prefix filtering is exact under ANY global total order, so the
+    verified-pair output (and the DuckDB oracle, which keeps plain
+    ascending sid) is bit-identical; what changes is candidate PRECISION.
+    Under ascending sid, a corpus-wide boilerplate n-gram ("all rights
+    reserved", a mirror's footer) lands in ~20% of prefixes by luck and
+    pairs up everything containing it — measured 472M candidates for 500k
+    docs (~300M false) on the 100× probe corpus, which plants exactly such
+    a shared suffix.  Rarest-first pushes high-df n-grams into the suffix,
+    where they can never generate a candidate, collapsing the FP stream.
+
+    Cost: one df aggregation + one occurrence-keyed join + one per-doc
+    re-collect — all linear in Σn with map-side combine; AQE broadcasts
+    the vocabulary side when it is small.  Documents with empty n-gram
+    sets drop out (they can never be candidates or verified pairs, so the
+    output is unaffected)."""
+    occ = docsets.select("doc_id", F.explode("sids").alias("sid"))
+    df_tbl = occ.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        occ.join(df_tbl, on="sid")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("df"), F.col("sid")))
+                ),
+                lambda s: s["sid"],
+            ).alias("sids")
+        )
+        .select("doc_id", F.size("sids").alias("n"), "sids")
+    )
+
+
+def _jaccard_candidates(
+    docsets: DataFrame, threshold: tuple[int, int], with_cost: bool = False
+) -> DataFrame:
+    """PPJoin candidate id-pairs ``(doc_a < doc_b)`` from a persisted
+    ``(doc_id, n, sids)`` set-array frame — WITH multiplicity (one row per
+    surviving shared prefix token): deduping here would shuffle the whole
+    candidate stream; consumers dedup whatever (small) subset they verify.
+    Callers pass a :func:`_df_ordered` frame — any consistent total order
+    is EXACT, rarest-first is the one with usable candidate precision.
+
+    ``with_cost`` adds ``__cost`` = sum of the two matched prefix
+    positions: under rarest-first order a TRUE near-dup shares each doc's
+    very rarest n-grams (cost ≈ 2) while a false positive matches on some
+    mid-prefix collision — the cluster assembly's star pass picks its
+    verification partner by it."""
+    t_num, t_den = threshold
     # ⌈t·n⌉ with exact integer arithmetic: (T_NUM·n + T_DEN − 1) div T_DEN
     prefix_len = (
         F.col("n") - F.floor((F.lit(t_num) * F.col("n") + t_den - 1) / F.lit(float(t_den))) + 1
@@ -225,7 +312,10 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
     #   suffixes must still allow overlap α = ⌈t/(1+t)·(n_a+n_b)⌉
     na, nb = F.col("a.n"), F.col("b.n")
     alpha = F.ceil(F.lit(t_num) * (na + nb) / F.lit(float(t_num + t_den)))
-    cand = (
+    cols = [F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")]
+    if with_cost:
+        cols.append((F.col("a.pos") + F.col("b.pos")).alias("__cost"))
+    return (
         pref.alias("a")
         .join(pref.alias("b"), on="sid")
         .where(
@@ -234,22 +324,40 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
             & (F.lit(t_num) * na <= F.lit(t_den) * nb)
             & (F.least(na - F.col("a.pos"), nb - F.col("b.pos")) + 1 >= alpha)
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(*cols)
     )
-    # verify by joining the per-doc set arrays onto the candidate pairs and
-    # counting the intersection JVM-side (array_intersect — no pair×shingle
-    # row blowup, no Python transfer of the pair stream).  The docset table
-    # grows with the corpus, so the broadcast is size-gated: below the row
-    # threshold the (large) pair stream is never shuffled; above it this
-    # degrades to a keyed shuffle join.  Candidates are NOT deduped first:
-    # re-verifying a duplicate pair is cheaper than shuffling the whole
-    # candidate stream for distinct — dedup runs on the verified
-    # (threshold-surviving) output instead.
+
+
+def _jaccard_verify(
+    cand: DataFrame,
+    docsets: DataFrame,
+    n_docs: int,
+    threshold: tuple[int, int],
+    total_elems: int | None = None,
+) -> DataFrame:
+    """Exact ``|∩|/|∪|`` over candidate id-pairs → deduped
+    ``(doc_a, doc_b, jaccard)`` rows with J ≥ t.
+
+    Verification joins the per-doc set arrays onto the candidate pairs and
+    counts the intersection JVM-side (array_intersect — no pair×shingle
+    row blowup, no Python transfer of the pair stream).  The docset table
+    grows with the corpus, so the broadcast is size-gated: below the row
+    threshold the (large) pair stream is never shuffled; above it this
+    degrades to a keyed shuffle join.  Candidates are NOT deduped first:
+    re-verifying a duplicate pair is cheaper than shuffling the whole
+    candidate stream for distinct — dedup runs on the verified
+    (threshold-surviving) output instead.  (Callers that already hold a
+    SMALL candidate subset — e.g. the cluster assembly's star pass — dedup
+    before calling, which is then a cheap shuffle.)"""
+    t_num, t_den = threshold
     sa = docsets.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sa"), F.col("n").alias("n_a"))
     sb = docsets.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sb"), F.col("n").alias("n_b"))
-    pairs = cand.join(broadcast_if_small(sa, known_count=n_docs), on="doc_a").join(
-        broadcast_if_small(sb, known_count=n_docs), on="doc_b"
-    )
+    if total_elems is not None and total_elems > _VERIFY_BC_MAX_ELEMS:
+        pairs = cand.join(sa, on="doc_a").join(sb, on="doc_b")
+    else:
+        pairs = cand.join(broadcast_if_small(sa, known_count=n_docs), on="doc_a").join(
+            broadcast_if_small(sb, known_count=n_docs), on="doc_b"
+        )
     pairs = pairs.withColumn("n_inter", F.size(F.array_intersect("sa", "sb")).cast("long"))
     jac = pairs.select(
         "doc_a",
@@ -259,22 +367,9 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         ).alias("jaccard"),
     )
-    # persist AND materialize the (tiny) verified-pair output:
-    # dedup_clusters' edge list is this exact plan, so the cache manager
-    # serves it from the first evaluation instead of re-running the
-    # candidate join + verification.  Materializing here lets the (large)
-    # per-doc set-array cache be RELEASED before returning — the library
-    # must not pin corpus-sized caches for the caller's session lifetime
-    # (only the threshold-surviving pair set, which is orders of magnitude
-    # smaller, stays cached for cluster assembly).
-    out = (
-        jac.where(F.col("jaccard") >= F.lit(t_num) / F.lit(float(t_den)))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .persist()
+    return jac.where(F.col("jaccard") >= F.lit(t_num) / F.lit(float(t_den))).dropDuplicates(
+        ["doc_a", "doc_b"]
     )
-    out.count()
-    docsets.unpersist()
-    return out
 
 
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,7 +855,7 @@ def connected_components(
             # convergence probe is a filter over already-materialized
             # partitions instead of a third node-keyed join per round
             # (the probe join was ~1/3 of each round's work)
-            merged = (
+            half = (
                 labels.join(nbr, labels.node == nbr.a, "left")
                 .select(
                     "node",
@@ -768,12 +863,33 @@ def connected_components(
                     F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
                 )
             ).localCheckpoint()
+            # pointer doubling: label ← label(label).  Neighbor-min alone
+            # converges in O(diameter) rounds — a 100-long path component
+            # (exactly what a per-doc min-partner star pass emits for a
+            # 100-wide dup cluster) would need 100 rounds and silently
+            # overrun _CC_MAX_ITERS.  The label-keyed self-join shortcuts
+            # reach exponentially → O(log diameter) rounds for ANY graph
+            # shape; it is node-keyed (cheap next to the edge-keyed nbr
+            # join) and runs on the already-checkpointed frame, so the
+            # subtree is never computed twice.  Labels stay monotone
+            # min-reachable ids, so plain coalesce (no least) is exact.
+            lk = half.select(F.col("node").alias("__ln"), F.col("label").alias("__ll"))
+            merged = (
+                half.join(lk, half["label"] == lk["__ln"], "left")
+                .select("node", "__old", F.coalesce("__ll", "label").alias("label"))
+            ).localCheckpoint()
             changed = (
                 merged.where(F.col("label") != F.col("__old")).limit(1).count()
             )
             labels = merged.select("node", "label")
             if not changed:
                 break
+        else:
+            # 2^25 ≫ any real diameter: reaching here means a logic bug,
+            # and unconverged labels are WRONG answers — fail loud.
+            raise RuntimeError(
+                f"connected_components failed to converge in {_CC_MAX_ITERS} rounds"
+            )
         # every kept frame is localCheckpoint-materialized, so the restore
         # cannot change the returned plan
         return labels.select(F.col("node"), F.col("label").alias("cluster"))
@@ -791,9 +907,66 @@ def duplicate_clusters(docs: DataFrame) -> DataFrame:
     """The full dedup pipeline for ANY ``(doc_id, text)`` DataFrame: group
     the verified (J ≥ 0.8) near-duplicate pairs into clusters; canonical
     keeper = min doc_id.  Output: (doc_id, cluster_id) for every clustered
-    document."""
-    edges = jaccard_pairs(docs).select("doc_a", "doc_b")
-    cc = connected_components(edges, "doc_a", "doc_b")
+    document.
+
+    LABEL-PRUNED VERIFICATION — exactly the components of "CC over ALL
+    verified candidate pairs" (the oracle's definition) without ever
+    verifying the quadratic pair set.  On a corpus with k-wide near-dup
+    clusters (template spam, mirrors — exactly what 100-TB web data looks
+    like) the candidate/verified pair set grows as Σk²; the 100× scale
+    probe measured the naive all-pairs form at 125× wall for 100× rows.
+    Connectivity doesn't need every edge:
+
+    1. STAR pass: per doc, verify only its minimum candidate partner.
+       The groupBy's map-side partial min combines the quadratic candidate
+       stream before the shuffle, so at most one row per (doc, partition)
+       moves; a k-clique resolves into one component from its k−1 chain
+       edges.
+    2. Components over the verified star edges.
+    3. REMAINDER pass: verify only candidates whose endpoints still sit in
+       DIFFERENT phase-1 components (label join is broadcast-gated — the
+       quadratic candidate stream is filtered map-side, never shuffled;
+       the surviving remainder is small, so ITS distinct is cheap).
+
+    Equality proof: every verified pair (a,b) is a candidate; if phase 1
+    already connected a and b, dropping (a,b) can't change components; if
+    not, (a,b) is in the remainder and gets verified.  Hence
+    CC(star ∪ remainder) = CC(all verified pairs), for any data."""
+    t = (_T_NUM, _T_DEN)
+    docsets = _df_ordered(token_ngram_arrays(docs, JACCARD_NGRAM)).persist()
+    n_docs, total_sids = _docset_stats(docsets)
+    cand = _jaccard_candidates(docsets, t).persist()
+    # star partner = the min-id candidate.  (A "smarter" min-(matched-
+    # position) key was measured 3× SLOWER end-to-end on the 100× probe
+    # corpus: it half-merges each cluster into chain blobs, which makes
+    # the final CC's graph shape worse without shrinking the remainder —
+    # the remainder is FP-dominated and FPs are never prunable under
+    # exact semantics.  Keep the cheap key; phase 1 is an opportunistic
+    # optimization, phase 2 guarantees exactness either way.)
+    star = cand.groupBy("doc_a").agg(F.min("doc_b").alias("doc_b"))
+    e1 = _jaccard_verify(star, docsets, n_docs, t, total_sids).select("doc_a", "doc_b").persist()
+    e1.count()  # materialize: e1 feeds BOTH the phase-1 CC and the final union
+    labels = connected_components(e1, "doc_a", "doc_b")
+    # an unlabeled doc's implicit cluster is itself; that can't collide
+    # with a real label (cluster ids are member ids, so label(b) == a
+    # implies a is labeled)
+    la = labels.select(F.col("node").alias("doc_a"), F.col("cluster").alias("__ca"))
+    lb = labels.select(F.col("node").alias("doc_b"), F.col("cluster").alias("__cb"))
+    rem = (
+        cand.join(broadcast_if_small(la), on="doc_a", how="left")
+        .join(broadcast_if_small(lb), on="doc_b", how="left")
+        .where(
+            F.coalesce(F.col("__ca"), F.col("doc_a"))
+            != F.coalesce(F.col("__cb"), F.col("doc_b"))
+        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    e2 = _jaccard_verify(rem, docsets, n_docs, t, total_sids).select("doc_a", "doc_b")
+    cc = connected_components(e1.unionAll(e2), "doc_a", "doc_b")
+    docsets.unpersist()
+    cand.unpersist()
+    e1.unpersist()
     return cc.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
 
 
