@@ -654,13 +654,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # This list is exactly 50 names.  KEEP THE SUM AT 50 when rotating.
 #
 # ROTATION LEDGER (one cumulative line, per the r6 verdict's task 8):
-#   Entering r7, 200 of the 212 entries have a driver-green CORRECTNESS
-#   row (r1-r6 cumulative; CORRECTNESS_r06 = 50/50).  The 12 without one
+#   Entering r7, 200 of the 213 entries have a driver-green CORRECTNESS
+#   row (r1-r6 cumulative; CORRECTNESS_r06 = 50/50).  The 13 without one
 #   are the 10-entry r7 queue below (added after the r6 cap froze; all 10
 #   judge-verified green via check_entry at r6 close, VERDICT.md r6) plus
-#   the two r7-new entries graph_components_forest and knn_ivf_pruned
-#   (both check_entry-green at sf0.01 when added).  Any OTHER entry
-#   without a green row is a regression, not a rotation artifact.
+#   the three r7-new entries graph_components_forest, knn_ivf_pruned and
+#   dedup_clusters_lsh (each check_entry-green at sf0.01 when added).
+#   All 13 hold r7 seats.  Any OTHER entry without a green row is a
+#   regression, not a rotation artifact.
 #
 # Round 7 rotation — the 50 seats:
 #   * 10 seats: the r7 queue — sparql_filter_strbefore,
@@ -679,12 +680,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     hashed-BoW frame), and sparql_path_opt / sparql_path_star /
 #     sparql_path_ground (the oracle's path-CTE renderer gained the
 #     alternation-with-? guard — r6 ADVICE).
-#   * 32 breadth seats: long-stable entries whose green rows are the
-#     oldest, spread across every family (relational TPC-H analogs,
-#     SPARQL grammar, pipeline gates, sketches, streaming, temporal,
-#     dedup, ANN, media, text) — all driver-green on unchanged code in
-#     earlier rounds; re-greening them guards the shared layers (store,
-#     stats, value encoding) the r7 edits sit on.
+#   * 8 seats: entries whose code changed in the r7 clustering/streaming
+#     hardening — dedup_clusters + dedup_cluster_sizes (label-pruned
+#     verification, rarest-first prefix order, pointer-doubled CC),
+#     dedup_clusters_lsh (NEW: bucket-star LSH clustering, the linear
+#     100-TB cluster path; check_entry-green at sf0.01 when added),
+#     pipeline_canonicalize + pipeline_dup_rate (consume
+#     duplicate_clusters), sketch_bloom (NULL-position guard),
+#     streaming_dedup_batch + streaming_enrich_batch (try/except index
+#     probes, tz-domain fix layer).
+#   * 24 breadth seats: long-stable entries with the oldest green rows,
+#     spread across every family; re-greening them guards the shared
+#     layers (store, stats, value encoding) the r7 edits sit on.
 PRIORITY_ORDER = [
     # --- the 10-entry r7 queue (never driver-adjudicated) ---
     "sparql_filter_strbefore", "sparql_filter_isnumeric",
@@ -695,7 +702,11 @@ PRIORITY_ORDER = [
     "graph_components_forest", "knn_ivf_pruned", "temporal_concurrency",
     "media_audio_chunks", "text_knn",
     "sparql_path_opt", "sparql_path_star", "sparql_path_ground",
-    # --- breadth re-verification (32) ---
+    # --- r7 clustering/streaming hardening (8) ---
+    "dedup_clusters", "dedup_cluster_sizes", "dedup_clusters_lsh",
+    "pipeline_canonicalize", "pipeline_dup_rate", "sketch_bloom",
+    "streaming_dedup_batch", "streaming_enrich_batch",
+    # --- breadth re-verification (24) ---
     "streaming_sessionize_batch", "streaming_funnel_batch",
     "temporal_funnel", "temporal_asof",
     "dedup_exact_docs", "dedup_jaccard", "simhash_docs",
@@ -704,10 +715,8 @@ PRIORITY_ORDER = [
     "pipeline_tfidf", "pipeline_contamination", "pipeline_curate",
     "pipeline_profile", "pipeline_chunks",
     "sketch_cms_users", "sketch_quantiles", "sketch_kmv_hourly",
-    "rel_q2_mincost", "rel_q8_share", "rel_q9_profit", "rel_q20_bulk",
-    "rel_q21_waiting", "rel_window_delta", "rel_cube",
-    "sparql_cycle5", "sparql_decode", "sparql_exists",
-    "sparql_group_concat", "sparql_subquery",
+    "rel_q2_mincost", "rel_cube",
+    "sparql_cycle5", "sparql_group_concat",
 ]
 
 

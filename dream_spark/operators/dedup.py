@@ -992,6 +992,71 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_size_histogram(load_table(spark, sf_dir, "documents"))
 
 
+def lsh_duplicate_clusters(docs: DataFrame) -> DataFrame:
+    """Duplicate clusters at the 100-TB operating point: connected
+    components of "shares any MinHash band bucket", assembled from
+    per-bucket STAR edges — (bucket-min doc, other doc) — instead of all
+    bucket pairs.  Stars span each bucket, so the components are
+    IDENTICAL to the all-pairs-in-bucket graph while the edge list stays
+    ≤ N_BANDS rows per document: linear by construction, no verification
+    stage, no Σ(cluster width)² term anywhere.
+
+    This is the deliberate semantic trade against
+    :func:`duplicate_clusters` (exact J ≥ 0.8 components): membership
+    here is banding-probabilistic (P[bucket hit] = 1−(1−J^R)^B — the
+    measured-recall band in tests/test_recall.py), which is what
+    production web-dedup pipelines run, because the exact operator's
+    verification work is Ω(distinct candidate pairs) and on a corpus of
+    k-wide template clusters any pair-verified definition costs Σk².
+    Output: (doc_id, cluster_id = min member id) for every document that
+    shares a bucket with at least one other document."""
+    cc = connected_components(_lsh_star_edges(docs), "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
+
+
+def _lsh_star_edges(docs: DataFrame) -> DataFrame:
+    """Per-bucket star edge list (bucket-min doc → member doc), distinct.
+    One window shuffle keyed by (band, bh) and NO join anywhere — the
+    plan-shape contrast to :func:`minhash_pairs`' bucket self-join is
+    what makes this the linear path (tests/test_plans.py pins it)."""
+    from pyspark.sql import Window
+
+    bands = _band_frame(minhash_signatures(docs, MINHASH_K))
+    w = Window.partitionBy("band", "bh")
+    return (
+        bands.withColumn("__root", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("__root"))
+        .select(F.col("__root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: ``lsh_duplicate_clusters`` over documents."""
+    return lsh_duplicate_clusters(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_CLUSTERS_LSH_SQL = f"""
+WITH RECURSIVE {_duck_minhash_bands()},
+edges AS (
+  SELECT DISTINCT MIN(doc_id) OVER (PARTITION BY band, bh) AS a, doc_id AS b
+  FROM bands
+  QUALIFY b != a
+),
+sym AS (
+  SELECT a, b FROM edges
+  UNION ALL
+  SELECT b AS a, a AS b FROM edges
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.a, r.r FROM sym s JOIN reach r ON r.node = s.b
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # incremental dedup: a persisted signature index + per-batch arrivals
 # --------------------------------------------------------------------------
@@ -1209,6 +1274,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "dedup_clusters_lsh": dedup_clusters_lsh,
     "dedup_spans": dedup_spans,
     "pipeline_dup_spans": pipeline_dup_spans,
 }
@@ -1224,6 +1290,7 @@ ORACLES = {
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
+    "dedup_clusters_lsh": DEDUP_CLUSTERS_LSH_SQL,
     "dedup_spans": DEDUP_SPANS_SQL,
     "pipeline_dup_spans": PIPELINE_DUP_SPANS_SQL,
 }

@@ -44,6 +44,7 @@ SHOWCASE = [
     ("media_pair_gate", "pair gate: caption-length/geometry predicates below the doc_id equi-join; no cartesian; payload column pruned out"),
     ("knn_ivf_pruned", "IVF partition pruning: the /cells scan carries PartitionFilters [cell IN (probed)] — only the probed cell directories are listed/read; query side broadcast"),
     ("text_knn", "lexical kNN over the session-shared hashed-BoW frame: InMemoryTableScan (no tokenize/hash recompute), broadcast 10-row query side, single pass over the corpus vectors"),
+    ("dedup_clusters_lsh", "bucket-star clustering: the edge list is ONE window pass keyed hashpartitioning(band, bh) — NO bucket self-join anywhere (the final frame shown is the CC output; the joinless edge derivation is pinned by tests/test_plans.py::test_lsh_cluster_star_edges_are_joinless)"),
 ]
 
 

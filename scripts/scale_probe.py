@@ -51,6 +51,7 @@ HEAVY = [
     "graph_triangles",
     "hybrid_search",
     "dedup_cluster_sizes",
+    "dedup_clusters_lsh",
     "maintenance_compact",
     "graph_components_forest",
 ]

@@ -209,3 +209,33 @@ def test_span_dedup_semantics(spark):
     assert per_doc[2] == (3, 1)
     assert per_doc[3][1] == 0
     assert 4 not in per_doc
+
+
+def test_lsh_cluster_star_edges_match_allpairs_components(spark):
+    """The per-bucket STAR edge list must produce exactly the components of
+    the all-pairs-in-bucket graph (stars span each bucket), and a chain of
+    length ≫ _CC_MAX_ITERS must still converge on the distributed path
+    (pointer doubling — plain neighbor-min would need diameter rounds)."""
+    from dream_spark.operators.dedup import (
+        connected_components,
+        lsh_duplicate_clusters,
+        minhash_pairs,
+    )
+    from dream_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in lsh_duplicate_clusters(docs).collect()
+    }
+    allpairs = {
+        (r["node"], r["cluster"])
+        for r in connected_components(minhash_pairs(docs), "doc_a", "doc_b").collect()
+    }
+    assert star == allpairs
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], ["src", "dst"]
+    )
+    got = connected_components(chain, small_edges=0).collect()
+    assert {(r["node"], r["cluster"]) for r in got} == {(i, 0) for i in range(121)}

@@ -510,3 +510,18 @@ def test_ivf_pruned_scan_reads_only_probed_cells(spark, queries):
     assert cells_segs, "no scan over the cell-partitioned inverted file"
     pf = cells_segs[0].split("PartitionFilters")[1][:300]
     assert "cell" in pf and " IN (" in pf
+
+
+def test_lsh_cluster_star_edges_are_joinless(spark):
+    """The 100-TB cluster path's edge list must come from ONE window pass
+    over the band frame — no bucket self-join anywhere (that is exactly
+    the Σ(bucket size)² shape dedup_minhash pays for pair OUTPUT, which a
+    cluster assembly never needs), and the window shuffle is keyed by the
+    bucket, not a global sort."""
+    from dream_spark.operators.dedup import _lsh_star_edges
+    from dream_spark.sources.tables import load_table
+
+    plan = _plan(_lsh_star_edges(load_table(spark, SF_DIR, "documents")))
+    assert "Join" not in plan, plan[:2000]
+    assert "hashpartitioning(band" in plan, plan[:2000]
+    assert "Exchange SinglePartition" not in plan
