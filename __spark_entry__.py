@@ -686,9 +686,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     dedup_clusters_lsh (NEW: bucket-star LSH clustering, the linear
 #     100-TB cluster path; check_entry-green at sf0.01 when added),
 #     pipeline_canonicalize + pipeline_dup_rate (consume
-#     duplicate_clusters), sketch_bloom (NULL-position guard),
-#     streaming_dedup_batch + streaming_enrich_batch (try/except index
-#     probes, tz-domain fix layer).
+#     duplicate_clusters), sketch_bloom (NULL-position guard), plus
+#     streaming_dedup_batch + streaming_enrich_batch as extra breadth
+#     over the events layer.  NOTE the r7 streaming fixes themselves
+#     (tz-domain state keys in sessionize_stream/funnel_stream, the
+#     try/except index probes in the documents.py sinks) have no
+#     oracle entries — the _batch entries are semantics TWINS, and the
+#     stream-vs-twin equivalence is pinned by tests/test_streaming*.py,
+#     which is where that coverage lives.
 #   * 24 breadth seats: long-stable entries with the oldest green rows,
 #     spread across every family; re-greening them guards the shared
 #     layers (store, stats, value encoding) the r7 edits sit on.

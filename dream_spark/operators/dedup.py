@@ -194,11 +194,15 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
     is a sorted array; its join prefix is simply the first n − ⌈t·n⌉ + 1
     elements: any pair with J ≥ t MUST share a prefix element (pigeonhole
     on the shared global order), so the candidate join loses no recall.
-    Prefix filtering is exact under ANY global feature order — ascending
-    sid costs a few % more candidates than rarest-first but needs zero
-    extra shuffles (no document-frequency pass, no per-doc ranking window).
-    Exact |∩|/|∪| verifies candidates; dedup happens on the (tiny)
-    verified output, not the (large) candidate stream.
+    Prefix filtering is exact under ANY global feature order; the order
+    used is RAREST-FIRST (ascending document frequency — see
+    :func:`_df_ordered`): plain ascending sid let corpus-wide boilerplate
+    n-grams into ~20% of prefixes, which paired up every document
+    containing them (measured ~300M false candidates for 500k docs on the
+    100× probe corpus) — the df pass is one linear aggregation and pays
+    for itself immediately.  Exact |∩|/|∪| verifies candidates; dedup
+    happens on the (tiny) verified output, not the (large) candidate
+    stream.
     """
     t_num, t_den = threshold
     if not (0 < t_num <= t_den):
@@ -281,21 +285,13 @@ def _df_ordered(docsets: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_candidates(
-    docsets: DataFrame, threshold: tuple[int, int], with_cost: bool = False
-) -> DataFrame:
+def _jaccard_candidates(docsets: DataFrame, threshold: tuple[int, int]) -> DataFrame:
     """PPJoin candidate id-pairs ``(doc_a < doc_b)`` from a persisted
     ``(doc_id, n, sids)`` set-array frame — WITH multiplicity (one row per
     surviving shared prefix token): deduping here would shuffle the whole
     candidate stream; consumers dedup whatever (small) subset they verify.
     Callers pass a :func:`_df_ordered` frame — any consistent total order
-    is EXACT, rarest-first is the one with usable candidate precision.
-
-    ``with_cost`` adds ``__cost`` = sum of the two matched prefix
-    positions: under rarest-first order a TRUE near-dup shares each doc's
-    very rarest n-grams (cost ≈ 2) while a false positive matches on some
-    mid-prefix collision — the cluster assembly's star pass picks its
-    verification partner by it."""
+    is EXACT, rarest-first is the one with usable candidate precision."""
     t_num, t_den = threshold
     # ⌈t·n⌉ with exact integer arithmetic: (T_NUM·n + T_DEN − 1) div T_DEN
     prefix_len = (
@@ -312,9 +308,6 @@ def _jaccard_candidates(
     #   suffixes must still allow overlap α = ⌈t/(1+t)·(n_a+n_b)⌉
     na, nb = F.col("a.n"), F.col("b.n")
     alpha = F.ceil(F.lit(t_num) * (na + nb) / F.lit(float(t_num + t_den)))
-    cols = [F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")]
-    if with_cost:
-        cols.append((F.col("a.pos") + F.col("b.pos")).alias("__cost"))
     return (
         pref.alias("a")
         .join(pref.alias("b"), on="sid")
@@ -324,7 +317,7 @@ def _jaccard_candidates(
             & (F.lit(t_num) * na <= F.lit(t_den) * nb)
             & (F.least(na - F.col("a.pos"), nb - F.col("b.pos")) + 1 >= alpha)
         )
-        .select(*cols)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
 
 
@@ -747,6 +740,11 @@ WHERE {_DUCK_COS_AB} >= {EMB_COS_THRESHOLD}
 # duplicate-cluster assembly (connected components)
 # --------------------------------------------------------------------------
 _CC_MAX_ITERS = 25
+# rounds before the min-label loop starts pointer doubling: 3 neighbor-min
+# rounds resolve any component of diameter <= 3 (the dup-clique shape)
+# without doubling's extra join; past that, doubling covers diameter
+# ~2^(25-3) before the cap — effectively any graph
+_CC_DOUBLE_FROM = 3
 
 
 # collect-to-driver threshold; conf-overridable via CC_SMALL_EDGES_CONF
@@ -845,7 +843,7 @@ def connected_components(
         labels = (
             sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
         ).localCheckpoint()
-        for _ in range(_CC_MAX_ITERS):
+        for it in range(_CC_MAX_ITERS):
             nbr = (
                 sym.join(labels, sym.b == labels.node)
                 .groupBy("a")
@@ -863,21 +861,28 @@ def connected_components(
                     F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
                 )
             ).localCheckpoint()
-            # pointer doubling: label ← label(label).  Neighbor-min alone
-            # converges in O(diameter) rounds — a 100-long path component
-            # (exactly what a per-doc min-partner star pass emits for a
-            # 100-wide dup cluster) would need 100 rounds and silently
-            # overrun _CC_MAX_ITERS.  The label-keyed self-join shortcuts
-            # reach exponentially → O(log diameter) rounds for ANY graph
-            # shape; it is node-keyed (cheap next to the edge-keyed nbr
-            # join) and runs on the already-checkpointed frame, so the
-            # subtree is never computed twice.  Labels stay monotone
-            # min-reachable ids, so plain coalesce (no least) is exact.
-            lk = half.select(F.col("node").alias("__ln"), F.col("label").alias("__ll"))
-            merged = (
-                half.join(lk, half["label"] == lk["__ln"], "left")
-                .select("node", "__old", F.coalesce("__ll", "label").alias("label"))
-            ).localCheckpoint()
+            if it < _CC_DOUBLE_FROM:
+                merged = half
+            else:
+                # pointer doubling: label ← label(label).  Neighbor-min
+                # alone converges in O(diameter) rounds — a 100-long path
+                # component (exactly what a per-doc min-partner star pass
+                # emits for a 100-wide dup cluster) would need 100 rounds
+                # and silently overrun _CC_MAX_ITERS.  The label-keyed
+                # self-join shortcuts reach exponentially → O(log
+                # diameter) rounds for ANY shape; it runs on the already-
+                # checkpointed frame, so the subtree is never computed
+                # twice.  Labels stay monotone min-reachable ids, so
+                # plain coalesce (no least) is exact.  Doubling is purely
+                # an ACCELERATOR, so the first _CC_DOUBLE_FROM rounds
+                # skip it: low-diameter graphs (the near-dup clique case)
+                # break the loop on neighbor-min alone without paying the
+                # extra join + checkpoint per round.
+                lk = half.select(F.col("node").alias("__ln"), F.col("label").alias("__ll"))
+                merged = (
+                    half.join(lk, half["label"] == lk["__ln"], "left")
+                    .select("node", "__old", F.coalesce("__ll", "label").alias("label"))
+                ).localCheckpoint()
             changed = (
                 merged.where(F.col("label") != F.col("__old")).limit(1).count()
             )

@@ -183,8 +183,16 @@ def bloom_stream_gate(
         # rows grow with history), and NULL positions (NULL-text docs)
         # never reach the sort
         bits: list[int] = []
+        # the try wraps ONLY the read: a missing path is the legitimate
+        # first-batch case, but an AnalysisException from the filter/
+        # select chain (schema drift, foreign data at bits_path) must
+        # propagate — swallowing it would silently reset the bit set and
+        # discard all accumulated history
         try:
             prior = spark.read.parquet(bits_path)
+        except AnalysisException:  # first batch: no bit set yet
+            prior = None
+        if prior is not None:
             bits = sorted(
                 r["pos"]
                 for r in prior.where(F.col("batch") < batch_id)
@@ -193,8 +201,6 @@ def bloom_stream_gate(
                 .distinct()
                 .collect()
             )
-        except AnalysisException:  # first batch: no bit set yet
-            pass
         pos = batch_docs.select(
             "doc_id", "source", bloom_position_array().alias("__ps")
         ).persist()

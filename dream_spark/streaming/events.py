@@ -560,7 +560,14 @@ def funnel_stream(
     from ``__us`` — a timestamp KEY would arrive session-timezone-naive
     in the pandas UDF, shifting the window-close timeout by the session
     offset under a non-UTC session (r7 review finding; same fix as
-    sessionize_stream)."""
+    sessionize_stream).
+
+    STATE MIGRATION: the r7 key change (timestamp ``win_start`` →
+    long ``__ws_us``) changed the state-store key schema.  A query
+    restarted against a checkpoint written by the pre-r7 code fails at
+    start with a key-schema incompatibility — point it at a FRESH
+    checkpointLocation (and replay the source from the desired offset);
+    there is no in-place upgrade for state-store key schemas."""
     from dream_spark.operators.temporal import FUNNEL_STEPS
 
     steps = list(FUNNEL_STEPS)

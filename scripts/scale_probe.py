@@ -11,8 +11,10 @@ vectors would stack every LSH bucket 10 deep).
 
 Then runs the heavy entries at sf0.1 and at 10x (bench timer semantics:
 plan -> count, artifacts pre-warmed per dir exactly like bench.py setup)
-and prints the observed ratio per entry.  A ratio near 10 = linear in
-rows; near 1 = fixed-cost-dominated; >> 10 = superlinear, an r8 task.
+and prints the observed ratio per entry.  A ratio near the copy count
+(10 by default, N under ``--copies N``) = linear in rows; near 1 =
+fixed-cost-dominated; well past the copy count = superlinear, a
+next-round task.
 
 Usage: python scripts/scale_probe.py [--rebuild] [--out DIR] [--copies N]
 Scratch default: /tmp/dream_spark_scale{N} (driver-local, like the repo's
