@@ -195,27 +195,19 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
     elements: any pair with J ≥ t MUST share a prefix element (pigeonhole
     on the shared global order), so the candidate join loses no recall.
     Prefix filtering is exact under ANY global feature order; the order
-    used is RAREST-FIRST (ascending document frequency — see
-    :func:`_df_ordered`): plain ascending sid let corpus-wide boilerplate
-    n-grams into ~20% of prefixes, which paired up every document
+    is size-adaptive (see :func:`_prepared_docsets`): ascending sid below
+    the corpus gate (zero extra shuffles), RAREST-FIRST document
+    frequency above it — plain ascending sid lets corpus-wide boilerplate
+    n-grams into ~20% of prefixes, which pairs up every document
     containing them (measured ~300M false candidates for 500k docs on the
-    100× probe corpus) — the df pass is one linear aggregation and pays
-    for itself immediately.  Exact |∩|/|∪| verifies candidates; dedup
+    100× probe corpus).  Exact |∩|/|∪| verifies candidates; dedup
     happens on the (tiny) verified output, not the (large) candidate
     stream.
     """
     t_num, t_den = threshold
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be a fraction in (0, 1], got {threshold}")
-    # one kernel pass builds each document's n-gram-set array, then the
-    # rarest-first reorder (see _df_ordered — exactness is order-blind,
-    # candidate precision is not)
-    docsets = _df_ordered(token_ngram_arrays(docs, JACCARD_NGRAM)).persist()
-    # materialize the cache NOW: the three downstream subtrees (prefix
-    # stream, both verification joins) otherwise race to compute the
-    # kernel concurrently before the cache is populated — and the stats
-    # double as the broadcast size gate
-    n_docs, total_sids = _docset_stats(docsets)
+    docsets, n_docs, total_sids, _big = _prepared_docsets(docs)
     cand = _jaccard_candidates(docsets, threshold)
     # persist AND materialize the (tiny) verified-pair output:
     # materializing here lets the (large) per-doc set-array cache be
@@ -237,6 +229,35 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
 # ≈ 128 MB per side keeps two concurrent build sides comfortably inside
 # a local-mode heap; past it the verify join degrades to a keyed shuffle.
 _VERIFY_BC_MAX_ELEMS = 16_000_000
+
+# Corpus-size gate for the Jaccard machinery's scale path (docs).  At or
+# below it: ascending-sid prefix order + single-phase verify-everything —
+# the fewest fixed actions, right when the candidate stream is small
+# anyway.  Above it: rarest-first reorder + label-pruned verification,
+# whose extra linear passes buy back the measured FP/cluster-width
+# blowups.  Both paths produce IDENTICAL results (prefix filtering is
+# order-exact, label pruning is connectivity-exact); the gate is a
+# physical choice, same philosophy as broadcast-vs-shuffle and the CC
+# smallEdges gate, and tests force the scale path via the conf.
+JACCARD_SMALL_DOCS_CONF = "spark.dream_spark.jaccard.smallDocs"
+_JACCARD_SMALL_DOCS = 20_000
+
+
+def _prepared_docsets(docs: DataFrame) -> tuple[DataFrame, int, int, bool]:
+    """Kernel pass + size-adaptive prefix order → (persisted docsets,
+    n_docs, total array elements, scale_path).  The returned frame is
+    persisted AND materialized (the stats aggregation) so the downstream
+    subtrees (prefix stream, verification joins) never race to compute
+    the kernel before the cache is populated; callers unpersist it."""
+    raw = token_ngram_arrays(docs, JACCARD_NGRAM).persist()
+    n_docs, total_sids = _docset_stats(raw)
+    thr = conf_int(docs.sparkSession, JACCARD_SMALL_DOCS_CONF, _JACCARD_SMALL_DOCS)
+    if n_docs <= thr:
+        return raw, n_docs, total_sids, False
+    ordered = _df_ordered(raw).persist()
+    ordered.count()  # materialize before releasing the raw kernel cache
+    raw.unpersist()
+    return ordered, n_docs, total_sids, True
 
 
 def _docset_stats(docsets: DataFrame) -> tuple[int, int]:
@@ -936,10 +957,25 @@ def duplicate_clusters(docs: DataFrame) -> DataFrame:
     Equality proof: every verified pair (a,b) is a candidate; if phase 1
     already connected a and b, dropping (a,b) can't change components; if
     not, (a,b) is in the remainder and gets verified.  Hence
-    CC(star ∪ remainder) = CC(all verified pairs), for any data."""
+    CC(star ∪ remainder) = CC(all verified pairs), for any data.
+
+    Below the JACCARD_SMALL_DOCS_CONF gate the two-phase split is pure
+    fixed-action overhead (the candidate stream is small anyway), so the
+    small path is exactly ``CC(jaccard_pairs(docs))`` — which also keeps
+    the verified-pair set plan-cache-shared with ``dedup_jaccard`` and
+    every other consumer in the session, the way repeat bench/pipeline
+    calls rely on.  Same components either way (tests force the scale
+    path through the conf and oracle-match it)."""
     t = (_T_NUM, _T_DEN)
-    docsets = _df_ordered(token_ngram_arrays(docs, JACCARD_NGRAM)).persist()
-    n_docs, total_sids = _docset_stats(docsets)
+    spark = docs.sparkSession
+    thr = conf_int(spark, JACCARD_SMALL_DOCS_CONF, _JACCARD_SMALL_DOCS)
+    # cheap decider: row count of the input frame (no kernel run); the
+    # kernel-level stats still gate the verify broadcast inside each path
+    if docs.count() <= thr:
+        edges = jaccard_pairs(docs, t).select("doc_a", "doc_b")
+        cc = connected_components(edges, "doc_a", "doc_b")
+        return cc.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
+    docsets, n_docs, total_sids, _big = _prepared_docsets(docs)
     cand = _jaccard_candidates(docsets, t).persist()
     # star partner = the min-id candidate.  (A "smarter" min-(matched-
     # position) key was measured 3× SLOWER end-to-end on the 100× probe

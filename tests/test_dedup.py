@@ -239,3 +239,21 @@ def test_lsh_cluster_star_edges_match_allpairs_components(spark):
     )
     got = connected_components(chain, small_edges=0).collect()
     assert {(r["node"], r["cluster"]) for r in got} == {(i, 0) for i in range(121)}
+
+
+def test_jaccard_scale_path_matches_oracle(spark, duck):
+    """Force the scale path (rarest-first order + label-pruned two-phase
+    clustering) at test SF via the conf gate and oracle-match it — the
+    exactness claim (order-blind prefix filtering, connectivity-blind
+    pair pruning) as a cross-engine value hash, not just a proof sketch."""
+    from dream_spark.operators.dedup import JACCARD_SMALL_DOCS_CONF
+    from tests.conftest import assert_oracle_match
+
+    spark.catalog.clearCache()  # evict small-path cached pair sets
+    spark.conf.set(JACCARD_SMALL_DOCS_CONF, "0")
+    try:
+        assert_oracle_match(D.dedup_jaccard(spark, SF_DIR), duck, D.DEDUP_JACCARD_SQL)
+        assert_oracle_match(D.dedup_clusters(spark, SF_DIR), duck, D.DEDUP_CLUSTERS_SQL)
+    finally:
+        spark.conf.unset(JACCARD_SMALL_DOCS_CONF)
+        spark.catalog.clearCache()
