@@ -1315,3 +1315,42 @@ def test_random_minus_matches_oracle(engine, duck, case):
     if df.count() > 300_000:
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# Spark: cluster assembly path equality (small vs scale vs brute force)
+# ---------------------------------------------------------------------------
+def _brute_force_clusters(corpus, threshold=0.8):
+    pairs = _brute_force_pairs(corpus, threshold)
+    return set(_bfs_components(list(pairs)))
+
+
+@given(_corpus)
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicate_clusters_paths_agree(spark, corpus):
+    """duplicate_clusters must return the components of the brute-force
+    J ≥ 0.8 pair graph on BOTH physical paths: the small path
+    (CC(jaccard_pairs), ascending-sid order) and the conf-forced scale
+    path (rarest-first order + star/remainder label-pruned verification).
+    This is the randomized form of the label-pruning equality proof —
+    the paths may verify very different pair subsets, the components may
+    not differ."""
+    from dream_spark.operators.dedup import JACCARD_SMALL_DOCS_CONF, duplicate_clusters
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    want = _brute_force_clusters(corpus)
+    spark.catalog.clearCache()  # drop pair sets cached by other examples
+    small = {
+        (r["doc_id"], r["cluster_id"]) for r in duplicate_clusters(docs).collect()
+    }
+    assert small == want
+    spark.catalog.clearCache()
+    spark.conf.set(JACCARD_SMALL_DOCS_CONF, "0")
+    try:
+        scale = {
+            (r["doc_id"], r["cluster_id"]) for r in duplicate_clusters(docs).collect()
+        }
+    finally:
+        spark.conf.unset(JACCARD_SMALL_DOCS_CONF)
+        spark.catalog.clearCache()
+    assert scale == want
