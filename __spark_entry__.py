@@ -654,14 +654,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # This list is exactly 50 names.  KEEP THE SUM AT 50 when rotating.
 #
 # ROTATION LEDGER (one cumulative line, per the r6 verdict's task 8):
-#   Entering r7, 200 of the 213 entries have a driver-green CORRECTNESS
-#   row (r1-r6 cumulative; CORRECTNESS_r06 = 50/50).  The 13 without one
+#   Entering r7, 200 of the 214 entries have a driver-green CORRECTNESS
+#   row (r1-r6 cumulative; CORRECTNESS_r06 = 50/50).  The 14 without one
 #   are the 10-entry r7 queue below (added after the r6 cap froze; all 10
 #   judge-verified green via check_entry at r6 close, VERDICT.md r6) plus
-#   the three r7-new entries graph_components_forest, knn_ivf_pruned and
-#   dedup_clusters_lsh (each check_entry-green at sf0.01 when added).
-#   All 13 hold r7 seats.  Any OTHER entry without a green row is a
-#   regression, not a rotation artifact.
+#   the four r7-new entries graph_components_forest, knn_ivf_pruned,
+#   dedup_clusters_lsh and knn_ivf_refreshed (each check_entry-green at
+#   sf0.01 when added).  All 14 hold r7 seats.  Any OTHER entry without
+#   a green row is a regression, not a rotation artifact.
 #
 # Round 7 rotation — the 50 seats:
 #   * 10 seats: the r7 queue — sparql_filter_strbefore,
@@ -686,9 +686,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     dedup_clusters_lsh (NEW: bucket-star LSH clustering, the linear
 #     100-TB cluster path; check_entry-green at sf0.01 when added),
 #     pipeline_canonicalize + pipeline_dup_rate (consume
-#     duplicate_clusters), sketch_bloom (NULL-position guard), plus
-#     streaming_dedup_batch + streaming_enrich_batch as extra breadth
-#     over the events layer.  NOTE the r7 streaming fixes themselves
+#     duplicate_clusters), sketch_bloom (NULL-position guard),
+#     knn_ivf_refreshed (NEW: IVF refresh-on-append maintenance;
+#     check_entry-green at sf0.01 when added), plus
+#     streaming_dedup_batch as extra breadth over the events layer.
+#     NOTE the r7 streaming fixes themselves
 #     (tz-domain state keys in sessionize_stream/funnel_stream, the
 #     try/except index probes in the documents.py sinks) have no
 #     oracle entries — the _batch entries are semantics TWINS, and the
@@ -709,14 +711,13 @@ PRIORITY_ORDER = [
     "sparql_path_opt", "sparql_path_star", "sparql_path_ground",
     # --- r7 clustering/streaming hardening (8) ---
     "dedup_clusters", "dedup_cluster_sizes", "dedup_clusters_lsh",
-    "pipeline_canonicalize", "pipeline_dup_rate", "sketch_bloom",
-    "streaming_dedup_batch", "streaming_enrich_batch",
+    "knn_ivf_refreshed", "pipeline_canonicalize", "pipeline_dup_rate",
+    "sketch_bloom", "streaming_dedup_batch",
     # --- breadth re-verification (24) ---
     "streaming_sessionize_batch", "streaming_funnel_batch",
-    "temporal_funnel", "temporal_asof",
+    "streaming_enrich_batch", "temporal_funnel", "temporal_asof",
     "dedup_exact_docs", "dedup_jaccard", "simhash_docs",
     "knn_bruteforce", "knn_ivf", "media_knn", "media_dedup",
-    "media_catalog",
     "pipeline_tfidf", "pipeline_contamination", "pipeline_curate",
     "pipeline_profile", "pipeline_chunks",
     "sketch_cms_users", "sketch_quantiles", "sketch_kmv_hourly",

@@ -486,6 +486,13 @@ def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted = spark.read.parquet(f"{path}/cells")  # (vec_id, qe, nrm, cell)
     emb = load_table(spark, sf_dir, "embeddings")
     qq = quantize(emb.where(F.col("vec_id") < N_QUERIES))
+    return _probe_inverted(cents, inverted, qq)
+
+
+def _probe_inverted(cents: DataFrame, inverted: DataFrame, qq: DataFrame) -> DataFrame:
+    """Serve quantized queries against a cell-partitioned inverted file:
+    probe each query's nprobe nearest cells, partition-prune the file scan
+    with a literal ``cell IN (probed)``, exact-rerank, top-k."""
     qcells = _ivf_assign(qq, cents, IVF_NPROBE).select(
         F.col("vec_id").alias("query_id"), "cell"
     )
@@ -508,6 +515,81 @@ def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="cell",
     ).where(F.col("query_id") != F.col("neighbor_id"))
     return _topk(_scored(pairs), TOP_K)
+
+
+def refresh_vector_index(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
+    """Index MAINTENANCE: append new vectors into a persisted IVF index
+    WITHOUT retraining — quantize, assign each to its nearest EXISTING
+    centroid, and append into the cell-partitioned inverted file and flat
+    quantized table.  Centroids are immutable post-training (the FAISS
+    add-after-train contract): at 100 TB you do not re-run Lloyd on every
+    ingest batch; recall for appended vectors degrades only as the data
+    distribution drifts from the trained centroids, and a retrain is an
+    explicit rebuild (``save_vector_index``).  Because assignment is the
+    same argmin the builder uses, a refreshed index is INDISTINGUISHABLE
+    from one built with the union corpus under the same centroids —
+    serving needs no special casing and the oracle replays one combined
+    assignment."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    qn = quantize(new_vectors)
+    cells = _ivf_assign(qn, cents, 1).select("vec_id", "cell")
+    qn.write.mode("append").parquet(f"{path}/quantized")
+    qn.join(cells, on="vec_id").write.mode("append").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+
+
+def knn_ivf_refreshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper for the REFRESH path, measured end-to-end
+    like ``maintenance_compact``: build an IVF index on HALF the corpus
+    (even vec_ids), :func:`refresh_vector_index` the odd half in (no
+    retrain), then serve the standard query set from the refreshed
+    cell-partitioned file.  Queries and neighbors span both halves, so
+    the row pins (a) appended vectors are findable, (b) assignment parity
+    between builder and refresher, (c) the centroid set is the
+    base-trained one (the oracle trains on the even half only — a sneaky
+    retrain-on-append would fail the value hash).  Scratch is a per-call
+    driver-local temp dir (local-mode/shared-FS note in sinks.py); the
+    result is materialized eagerly so the dir can be removed before
+    returning."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    base_dir = tempfile.mkdtemp(prefix="dream_spark_ivfrefresh_")
+    path = f"{base_dir}/index"
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qb = quantize(emb.where(F.col("vec_id") % 2 == 0))
+        cents = _ivf_centroids(qb, IVF_K)
+        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        base_cells = _ivf_assign(qb, cents, 1).select("vec_id", "cell")
+        qb.write.mode("overwrite").parquet(f"{path}/quantized")
+        qb.join(base_cells, on="vec_id").write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/cells"
+        )
+        refresh_vector_index(spark, path, emb.where(F.col("vec_id") % 2 != 0))
+        qq = quantize(emb.where(F.col("vec_id") < N_QUERIES))
+        out = _probe_inverted(
+            spark.read.parquet(f"{path}/centroids"),
+            spark.read.parquet(f"{path}/cells"),
+            qq,
+        )
+        rows = out.collect()  # eager: the scratch dir dies with this call
+        pdf = pd.DataFrame(
+            {
+                "query_id": pd.Series([r["query_id"] for r in rows], dtype="int64"),
+                "neighbor_id": pd.Series([r["neighbor_id"] for r in rows], dtype="int64"),
+                "cos": pd.Series([r["cos"] for r in rows], dtype="float64"),
+                "rank": pd.Series([r["rank"] for r in rows], dtype="int64"),
+            }
+        )
+        return spark.createDataFrame(
+            pdf, schema="query_id long, neighbor_id long, cos double, rank long"
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
 
 
 def warm_ivf_index(spark: SparkSession, sf_dir: str) -> None:
@@ -545,10 +627,18 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_D2 = f"(a.nrm + c.nrm - 2 * {dot_sql('a.qe', 'c.qe', duck=True)})"
 
 
-def _duck_ivf_training(iters: int = IVF_TRAIN_ITERS) -> str:
+def _duck_ivf_training(iters: int = IVF_TRAIN_ITERS, src: str = "qn", seed: str | None = None) -> str:
     """Unrolled k-means rounds as CTEs — the DuckDB twin of
-    _ivf_centroids (identical seed, assignment order, and integer means)."""
-    parts = [f"cents0 AS (SELECT vec_id AS cell, qe, nrm FROM qn WHERE vec_id < {IVF_K})"]
+    _ivf_centroids (identical seed, assignment order, and integer means).
+
+    ``src`` is the quantized-corpus CTE to train on; the default ``seed``
+    (``vec_id < IVF_K``) is the n-lowest-ids shortcut valid only when the
+    training corpus contains ids 0..IVF_K-1 — callers training on a
+    SUBSET (the refresh entry's even half) pass the general
+    ORDER BY/LIMIT form instead."""
+    if seed is None:
+        seed = f"SELECT vec_id AS cell, qe, nrm FROM {src} WHERE vec_id < {IVF_K}"
+    parts = [f"cents0 AS ({seed})"]
     d2 = f"(a.nrm + c.nrm - 2 * {dot_sql('a.qe', 'c.qe', duck=True)})"
     for r in range(1, iters + 1):
         parts.append(
@@ -556,7 +646,7 @@ def _duck_ivf_training(iters: int = IVF_TRAIN_ITERS) -> str:
   SELECT vec_id, cell FROM (
     SELECT a.vec_id, c.cell,
            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {d2}, c.cell) AS rr
-    FROM qn a CROSS JOIN cents{r - 1} c
+    FROM {src} a CROSS JOIN cents{r - 1} c
   ) WHERE rr = 1
 )"""
         )
@@ -564,7 +654,7 @@ def _duck_ivf_training(iters: int = IVF_TRAIN_ITERS) -> str:
             f"""m_t{r} AS (
   SELECT cell, dim, CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
   FROM (SELECT s.cell, unnest(a.qe) AS v, generate_subscripts(a.qe, 1) AS dim
-        FROM asgn_t{r} s JOIN qn a ON a.vec_id = s.vec_id)
+        FROM asgn_t{r} s JOIN {src} a ON a.vec_id = s.vec_id)
   GROUP BY cell, dim
 )"""
         )
@@ -607,6 +697,44 @@ SELECT query_id, neighbor_id, cos, rank FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """.strip()
+
+
+KNN_IVF_REFRESHED_SQL = f"""
+WITH {_duck_quantized()},
+qnb AS (SELECT * FROM qn WHERE vec_id % 2 = 0),
+{_duck_ivf_training(src="qnb", seed=f"SELECT vec_id AS cell, qe, nrm FROM qnb ORDER BY vec_id LIMIT {IVF_K}")},
+asgn AS (
+  SELECT vec_id, cell, crank FROM (
+    SELECT a.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_DUCK_D2}, c.cell) AS crank
+    FROM qn a CROSS JOIN cents c
+  )
+),
+corpus_cells AS (SELECT vec_id AS neighbor_id, cell FROM asgn WHERE crank = 1),
+query_cells AS (SELECT vec_id AS query_id, cell FROM asgn
+                WHERE crank <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM query_cells JOIN corpus_cells USING (cell)
+  WHERE query_id <> neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {cos_sql(dot_sql("qa.qe", "qb.qe", duck=True), "qa.nrm", "qb.nrm")} AS cos
+  FROM cand JOIN qn qa ON qa.vec_id = query_id JOIN qn qb ON qb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""".strip()
+# The builder assigns the even half and the refresher assigns the odd half
+# with the SAME argmin over the SAME (base-trained) centroids, so the
+# oracle's one combined assignment over qn IS the refreshed index — while
+# the centroids come from qnb only: an implementation that retrained on
+# append, or assigned the delta against different centroids, fails this
+# value hash.
 
 
 #: metadata predicate of the filtered-search entry: corpus side restricted
@@ -738,6 +866,7 @@ QUERIES = {
     "knn_lsh_served": knn_lsh_served,
     "knn_ivf_served": knn_ivf_served,
     "knn_ivf_pruned": knn_ivf_pruned,
+    "knn_ivf_refreshed": knn_ivf_refreshed,
     "knn_ivf": knn_ivf,
     "knn_filtered": knn_filtered,
 }
@@ -755,5 +884,6 @@ ORACLES = {
     # candidate set and exact rerank are the same, so the IVF oracle
     # replays identically
     "knn_ivf_pruned": KNN_IVF_SQL,
+    "knn_ivf_refreshed": KNN_IVF_REFRESHED_SQL,
     "knn_filtered": KNN_FILTERED_SQL,
 }

@@ -260,3 +260,47 @@ def test_borda_fuse_math_and_missing_lists(spark):
     assert got[10] == (3, 2)
     assert got[13] == (2, 3)
     assert 12 not in got
+
+
+def test_refresh_vector_index_matches_union_build(spark, tmp_path):
+    """An index built on half the corpus then REFRESHED with the other
+    half (refresh_vector_index: assign-to-existing-centroids append, no
+    retrain) must be indistinguishable from one combined assignment of
+    the full corpus under the same base-trained centroids — the
+    maintenance contract knn_ivf_refreshed's oracle relies on."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.dedup import quantize
+    from dream_spark.operators.similarity import (
+        IVF_K,
+        _ivf_assign,
+        _ivf_centroids,
+        refresh_vector_index,
+    )
+    from dream_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 != 0)
+    qb = quantize(base)
+    cents = _ivf_centroids(qb, IVF_K)
+    path = str(tmp_path / "idx")
+    cents.write.parquet(f"{path}/centroids")
+    qb.write.parquet(f"{path}/quantized")
+    cells0 = _ivf_assign(qb, cents, 1).select("vec_id", "cell")
+    qb.join(cells0, on="vec_id").write.partitionBy("cell").parquet(f"{path}/cells")
+
+    refresh_vector_index(spark, path, delta)
+
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{path}/cells").select("vec_id", "cell").collect()
+    }
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in _ivf_assign(quantize(emb), cents, 1).select("vec_id", "cell").collect()
+    }
+    assert got == want
+    n_q = spark.read.parquet(f"{path}/quantized").count()
+    assert n_q == emb.count()
