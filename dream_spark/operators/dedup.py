@@ -207,7 +207,7 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
     t_num, t_den = threshold
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be a fraction in (0, 1], got {threshold}")
-    docsets, n_docs, total_sids, _big = _prepared_docsets(docs)
+    docsets, n_docs, total_sids = _prepared_docsets(docs)
     cand = _jaccard_candidates(docsets, threshold)
     # persist AND materialize the (tiny) verified-pair output:
     # materializing here lets the (large) per-doc set-array cache be
@@ -230,34 +230,36 @@ def jaccard_pairs(docs: DataFrame, threshold: tuple[int, int] = (_T_NUM, _T_DEN)
 # a local-mode heap; past it the verify join degrades to a keyed shuffle.
 _VERIFY_BC_MAX_ELEMS = 16_000_000
 
-# Corpus-size gate for the Jaccard machinery's scale path (docs).  At or
-# below it: ascending-sid prefix order + single-phase verify-everything —
-# the fewest fixed actions, right when the candidate stream is small
-# anyway.  Above it: rarest-first reorder + label-pruned verification,
-# whose extra linear passes buy back the measured FP/cluster-width
-# blowups.  Both paths produce IDENTICAL results (prefix filtering is
-# order-exact, label pruning is connectivity-exact); the gate is a
-# physical choice, same philosophy as broadcast-vs-shuffle and the CC
-# smallEdges gate, and tests force the scale path via the conf.
+# Corpus-size gate for the Jaccard machinery's scale path, in KERNEL
+# n-gram-set rows (docs with a non-empty set).  At or below it:
+# ascending-sid prefix order + single-phase verify-everything — the
+# fewest fixed actions, and a bounded worst case (≤ thr²/2 candidate
+# pairs even on an all-boilerplate corpus).  Above it: rarest-first
+# reorder + label-pruned verification, whose extra linear passes buy
+# back the measured FP/cluster-width blowups.  Both paths produce
+# IDENTICAL results (prefix filtering is order-exact, label pruning is
+# connectivity-exact); the gate is a physical choice, same philosophy as
+# broadcast-vs-shuffle and the CC smallEdges gate, and tests force the
+# scale path via the conf.
 JACCARD_SMALL_DOCS_CONF = "spark.dream_spark.jaccard.smallDocs"
-_JACCARD_SMALL_DOCS = 20_000
+_JACCARD_SMALL_DOCS = 8_192
 
 
-def _prepared_docsets(docs: DataFrame) -> tuple[DataFrame, int, int, bool]:
+def _prepared_docsets(docs: DataFrame) -> tuple[DataFrame, int, int]:
     """Kernel pass + size-adaptive prefix order → (persisted docsets,
-    n_docs, total array elements, scale_path).  The returned frame is
-    persisted AND materialized (the stats aggregation) so the downstream
-    subtrees (prefix stream, verification joins) never race to compute
-    the kernel before the cache is populated; callers unpersist it."""
+    n_docs, total array elements).  The returned frame is persisted AND
+    materialized (the stats aggregation) so the downstream subtrees
+    (prefix stream, verification joins) never race to compute the kernel
+    before the cache is populated; callers unpersist it."""
     raw = token_ngram_arrays(docs, JACCARD_NGRAM).persist()
     n_docs, total_sids = _docset_stats(raw)
     thr = conf_int(docs.sparkSession, JACCARD_SMALL_DOCS_CONF, _JACCARD_SMALL_DOCS)
     if n_docs <= thr:
-        return raw, n_docs, total_sids, False
+        return raw, n_docs, total_sids
     ordered = _df_ordered(raw).persist()
     ordered.count()  # materialize before releasing the raw kernel cache
     raw.unpersist()
-    return ordered, n_docs, total_sids, True
+    return ordered, n_docs, total_sids
 
 
 def _docset_stats(docsets: DataFrame) -> tuple[int, int]:
@@ -967,15 +969,22 @@ def duplicate_clusters(docs: DataFrame) -> DataFrame:
     calls rely on.  Same components either way (tests force the scale
     path through the conf and oracle-match it)."""
     t = (_T_NUM, _T_DEN)
-    spark = docs.sparkSession
-    thr = conf_int(spark, JACCARD_SMALL_DOCS_CONF, _JACCARD_SMALL_DOCS)
-    # cheap decider: row count of the input frame (no kernel run); the
-    # kernel-level stats still gate the verify broadcast inside each path
-    if docs.count() <= thr:
+    # gate on the SAME measure jaccard_pairs gates on — kernel n-gram-set
+    # rows — so the two operators can never take opposite physical paths
+    # on one corpus (the cross-entry cache sharing below depends on that)
+    raw = token_ngram_arrays(docs, JACCARD_NGRAM).persist()
+    n_docs, total_sids = _docset_stats(raw)
+    thr = conf_int(docs.sparkSession, JACCARD_SMALL_DOCS_CONF, _JACCARD_SMALL_DOCS)
+    if n_docs <= thr:
+        # jaccard_pairs' internal kernel frame is plan-identical to `raw`,
+        # so it is served from this cache rather than recomputed
         edges = jaccard_pairs(docs, t).select("doc_a", "doc_b")
         cc = connected_components(edges, "doc_a", "doc_b")
+        raw.unpersist()
         return cc.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
-    docsets, n_docs, total_sids, _big = _prepared_docsets(docs)
+    docsets = _df_ordered(raw).persist()
+    docsets.count()  # materialize before releasing the raw kernel cache
+    raw.unpersist()
     cand = _jaccard_candidates(docsets, t).persist()
     # star partner = the min-id candidate.  (A "smarter" min-(matched-
     # position) key was measured 3× SLOWER end-to-end on the 100× probe

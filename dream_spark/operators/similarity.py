@@ -315,18 +315,24 @@ def save_vector_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     serving into pure joins against these tables — no kernel re-runs, the
     FAISS-style train/serve split as actual storage."""
     qc = shared_quantized(spark, sf_dir)
-    qc.write.mode("overwrite").parquet(f"{path}/quantized")
     shared_buckets(spark, sf_dir).write.mode("overwrite").partitionBy("tbl").parquet(
         f"{path}/buckets"
     )
-    cents = _ivf_centroids(qc, IVF_K)
+    _write_ivf_index(path, qc, _ivf_centroids(qc, IVF_K))
+
+
+def _write_ivf_index(path: str, qc: DataFrame, cents: DataFrame) -> None:
+    """The IVF half of the index layout, shared by the deployment builder
+    (:func:`save_vector_index`) and the refresh entry so a layout change
+    (_INDEX_FORMAT_VERSION bump) happens in one place: the flat quantized
+    table, the trained centroids, and the INVERTED FILE as storage —
+    corpus vectors written PARTITIONED BY their nearest-centroid cell, so
+    a probe reads only its nprobe cell directories (SCALE.md §6.3; at
+    100 TB this is the difference between scanning the corpus and
+    scanning nprobe/n_cells of it; Spark's partition pruning does the
+    skipping from a plain ``cell IN (...)`` filter, no custom reader)."""
+    qc.write.mode("overwrite").parquet(f"{path}/quantized")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    # the INVERTED FILE as storage: corpus vectors written PARTITIONED BY
-    # their nearest-centroid cell, so a probe reads only its nprobe cell
-    # directories (SCALE.md §6.3's open item — at 100 TB this is the
-    # difference between scanning the corpus and scanning nprobe/n_cells
-    # of it; Spark's partition pruning does the skipping from a plain
-    # `cell IN (...)` filter, no custom reader)
     cells = _ivf_assign(qc, cents, 1).select("vec_id", "cell")
     qc.join(cells, on="vec_id").write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/cells"
@@ -518,25 +524,54 @@ def _probe_inverted(cents: DataFrame, inverted: DataFrame, qq: DataFrame) -> Dat
 
 
 def refresh_vector_index(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
-    """Index MAINTENANCE: append new vectors into a persisted IVF index
+    """Index MAINTENANCE: append new vectors into a persisted index
     WITHOUT retraining — quantize, assign each to its nearest EXISTING
-    centroid, and append into the cell-partitioned inverted file and flat
-    quantized table.  Centroids are immutable post-training (the FAISS
-    add-after-train contract): at 100 TB you do not re-run Lloyd on every
-    ingest batch; recall for appended vectors degrades only as the data
-    distribution drifts from the trained centroids, and a retrain is an
-    explicit rebuild (``save_vector_index``).  Because assignment is the
-    same argmin the builder uses, a refreshed index is INDISTINGUISHABLE
-    from one built with the union corpus under the same centroids —
-    serving needs no special casing and the oracle replays one combined
-    assignment."""
+    centroid, and append into the cell-partitioned inverted file, the
+    flat quantized table, and (when the index carries one —
+    ``save_vector_index`` layouts do) the LSH bucket table, so every
+    serve path sees the appended vectors.  Centroids are immutable
+    post-training (the FAISS add-after-train contract): at 100 TB you do
+    not re-run Lloyd on every ingest batch; recall for appended vectors
+    degrades only as the data distribution drifts from the trained
+    centroids, and a retrain is an explicit rebuild
+    (``save_vector_index``).  Because assignment is the same argmin the
+    builder uses, a refreshed index is INDISTINGUISHABLE from one built
+    with the union corpus under the same centroids — serving needs no
+    special casing and the oracle replays one combined assignment.
+
+    IDEMPOTENT per location: each artifact append anti-joins the batch
+    against the vec_ids already present THERE, so re-running a partially
+    failed or duplicate refresh converges instead of appending duplicate
+    rows (a duplicated vec_id would take two of the k ranks in
+    ``_probe_inverted``'s no-dedup top-k and silently evict a genuine
+    neighbor).  Concurrent refreshers are NOT coordinated — like
+    compaction, this is a single-writer maintenance pass."""
+    from pyspark.sql.utils import AnalysisException
+
     cents = spark.read.parquet(f"{path}/centroids")
     qn = quantize(new_vectors)
-    cells = _ivf_assign(qn, cents, 1).select("vec_id", "cell")
-    qn.write.mode("append").parquet(f"{path}/quantized")
-    qn.join(cells, on="vec_id").write.mode("append").partitionBy("cell").parquet(
-        f"{path}/cells"
-    )
+
+    def _have(sub: str) -> DataFrame | None:
+        # read-probe, not a path check (os.path.exists answers only for
+        # LOCAL paths — the streaming/documents.py trap)
+        try:
+            return spark.read.parquet(f"{path}/{sub}").select("vec_id").distinct()
+        except AnalysisException:
+            return None
+
+    def _fresh(sub: str) -> DataFrame:
+        have = _have(sub)
+        return qn if have is None else qn.join(have, on="vec_id", how="left_anti")
+
+    _fresh("quantized").write.mode("append").parquet(f"{path}/quantized")
+    fc = _fresh("cells")
+    fc.join(_ivf_assign(fc, cents, 1).select("vec_id", "cell"), on="vec_id").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/cells")
+    have_b = _have("buckets")
+    if have_b is not None:  # IVF-only layouts carry no bucket table
+        fb = qn.join(have_b, on="vec_id", how="left_anti")
+        _bucket_ids(fb).write.mode("append").partitionBy("tbl").parquet(f"{path}/buckets")
 
 
 def knn_ivf_refreshed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,13 +597,7 @@ def knn_ivf_refreshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         emb = load_table(spark, sf_dir, "embeddings")
         qb = quantize(emb.where(F.col("vec_id") % 2 == 0))
-        cents = _ivf_centroids(qb, IVF_K)
-        cents.write.mode("overwrite").parquet(f"{path}/centroids")
-        base_cells = _ivf_assign(qb, cents, 1).select("vec_id", "cell")
-        qb.write.mode("overwrite").parquet(f"{path}/quantized")
-        qb.join(base_cells, on="vec_id").write.mode("overwrite").partitionBy("cell").parquet(
-            f"{path}/cells"
-        )
+        _write_ivf_index(path, qb, _ivf_centroids(qb, IVF_K))
         refresh_vector_index(spark, path, emb.where(F.col("vec_id") % 2 != 0))
         qq = quantize(emb.where(F.col("vec_id") < N_QUERIES))
         out = _probe_inverted(

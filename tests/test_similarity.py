@@ -304,3 +304,10 @@ def test_refresh_vector_index_matches_union_build(spark, tmp_path):
     assert got == want
     n_q = spark.read.parquet(f"{path}/quantized").count()
     assert n_q == emb.count()
+
+    # idempotency: re-refreshing the same batch (the retry-after-partial-
+    # failure case) must converge, not append duplicate vec_id rows — a
+    # duplicate would take two of the k ranks in the no-dedup top-k
+    refresh_vector_index(spark, path, delta)
+    assert spark.read.parquet(f"{path}/cells").count() == emb.count()
+    assert spark.read.parquet(f"{path}/quantized").count() == emb.count()
