@@ -56,6 +56,8 @@ HEAVY = [
     "dedup_clusters_lsh",
     "maintenance_compact",
     "graph_components_forest",
+    "knn_ivf_pruned",
+    "knn_ivf_refreshed",
 ]
 
 

@@ -1354,3 +1354,40 @@ def test_duplicate_clusters_paths_agree(spark, corpus):
         spark.conf.unset(JACCARD_SMALL_DOCS_CONF)
         spark.catalog.clearCache()
     assert scale == want
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: FILTER [NOT] EXISTS over random connected BGPs
+# ---------------------------------------------------------------------------
+@pytest.mark.slow
+@given(_bgp_with_minus(), st.booleans())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_exists_matches_oracle(engine, duck, case, positive):
+    """FILTER EXISTS / NOT EXISTS at arbitrary join positions — the
+    semi/anti-join lowering with shared variables, plus the
+    disjoint-domain corner where the group shares nothing with the outer
+    bindings and the filter is constant true-iff-nonempty for every row
+    (the substitution semantics of SPARQL §8.1.1 degenerate to an
+    uncorrelated subquery there) — must answer identically on both
+    engines.  Reuses the MINUS split strategy: same shape, different
+    algebra (EXISTS keeps multiplicity, MINUS is set-difference)."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    rest, m = case
+    proj = sorted({t for s, p, o in rest for t in (s, o) if t.startswith("?")})
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in rest)
+    kw = "exists" if positive else "not exists"
+    q = (
+        f"select {' '.join(proj)} where {{ {body} ."
+        f" filter {kw} {{ {m[0]} {m[1]} {m[2]} }} }}"
+    )
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    if df.count() > 300_000:
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
