@@ -654,14 +654,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # This list is exactly 50 names.  KEEP THE SUM AT 50 when rotating.
 #
 # ROTATION LEDGER (one cumulative line, per the r6 verdict's task 8):
-#   Entering r7, 200 of the 214 entries have a driver-green CORRECTNESS
-#   row (r1-r6 cumulative; CORRECTNESS_r06 = 50/50).  The 14 without one
+#   Entering r7, 200 of the 215 entries have a driver-green CORRECTNESS
+#   row (r1-r6 cumulative; CORRECTNESS_r06 = 50/50).  The 15 without one
 #   are the 10-entry r7 queue below (added after the r6 cap froze; all 10
 #   judge-verified green via check_entry at r6 close, VERDICT.md r6) plus
-#   the four r7-new entries graph_components_forest, knn_ivf_pruned,
-#   dedup_clusters_lsh and knn_ivf_refreshed (each check_entry-green at
-#   sf0.01 when added).  All 14 hold r7 seats.  Any OTHER entry without
-#   a green row is a regression, not a rotation artifact.
+#   the five r7-new entries graph_components_forest, knn_ivf_pruned,
+#   dedup_clusters_lsh, knn_ivf_refreshed and pipeline_sample_alloc
+#   (each check_entry-green at sf0.01 when added).  All 15 hold r7
+#   seats.  Any OTHER entry without a green row is a regression, not a
+#   rotation artifact.
 #
 # Round 7 rotation — the 50 seats:
 #   * 10 seats: the r7 queue — sparql_filter_strbefore,
@@ -709,18 +710,19 @@ PRIORITY_ORDER = [
     "graph_components_forest", "knn_ivf_pruned", "temporal_concurrency",
     "media_audio_chunks", "text_knn",
     "sparql_path_opt", "sparql_path_star", "sparql_path_ground",
-    # --- r7 clustering/streaming hardening (8) ---
+    # --- r7 clustering/streaming hardening + new ops (9) ---
     "dedup_clusters", "dedup_cluster_sizes", "dedup_clusters_lsh",
-    "knn_ivf_refreshed", "pipeline_canonicalize", "pipeline_dup_rate",
+    "knn_ivf_refreshed", "pipeline_sample_alloc",
+    "pipeline_canonicalize", "pipeline_dup_rate",
     "sketch_bloom", "streaming_dedup_batch",
-    # --- breadth re-verification (24) ---
+    # --- breadth re-verification (23) ---
     "streaming_sessionize_batch", "streaming_funnel_batch",
     "streaming_enrich_batch", "temporal_funnel", "temporal_asof",
     "dedup_exact_docs", "dedup_jaccard", "simhash_docs",
     "knn_bruteforce", "knn_ivf", "media_knn", "media_dedup",
     "pipeline_tfidf", "pipeline_contamination", "pipeline_curate",
     "pipeline_profile", "pipeline_chunks",
-    "sketch_cms_users", "sketch_quantiles", "sketch_kmv_hourly",
+    "sketch_cms_users", "sketch_quantiles",
     "rel_q2_mincost", "rel_cube",
     "sparql_cycle5", "sparql_group_concat",
 ]

@@ -136,6 +136,96 @@ SELECT lang, doc_id, samp_rank FROM (
 """.strip()
 
 
+#: total budget of the PROPORTIONAL stratified sample (largest-remainder
+#: allocation across strata; a stratum smaller than its allocation simply
+#: contributes all of itself — the rank filter caps at the stratum size)
+SAMPLE_BUDGET = 200
+
+
+def stratified_alloc_sample(
+    docs: DataFrame, stratum: str, budget: int = SAMPLE_BUDGET
+) -> DataFrame:
+    """Proportional stratified sample with EXACT integer largest-remainder
+    allocation — the mixture-preserving sampler a training-data pipeline
+    uses to cut a corpus to a token/document budget without skewing the
+    source mix (fixed per-group quotas — :func:`stratified_sample` — keep
+    rare strata over-represented; proportional floats drift across
+    engines; largest-remainder is the standard exact apportionment).
+
+    Allocation: n_s = ⌊budget·c_s/N⌋, then the budget − Σ⌊…⌋ leftover
+    seats go to the largest remainders (ties by stratum key).  Every
+    quantity is int64 arithmetic, so both engines compute identical
+    quotas.  Selection within a stratum is the deterministic hash rank
+    (same as the fixed sampler).
+
+    Scale shape: the allocation is computed over the strata-COUNT table
+    (one partial-agg shuffle of counters; the windows on it are
+    single-partition but bounded by stratum cardinality, never corpus
+    size — the temporal day-carry pattern), then broadcast-joined onto
+    the per-stratum hash-rank window.  No corpus-sized global window
+    anywhere."""
+    counts = docs.groupBy(stratum).agg(F.count(F.lit(1)).alias("c"))
+    w_all = Window.partitionBy()
+    alloc0 = counts.select(
+        stratum,
+        (F.lit(budget) * F.col("c")).alias("bc"),
+        F.sum("c").over(w_all).alias("n"),
+    ).select(
+        stratum,
+        F.expr("bc div n").alias("base"),
+        (F.col("bc") % F.col("n")).alias("rem"),
+    )
+    w_rem = Window.orderBy(F.col("rem").desc(), F.col(stratum))
+    alloc = (
+        alloc0.withColumn("extra", F.lit(budget) - F.sum("base").over(w_all))
+        .withColumn("rr", F.row_number().over(w_rem))
+        .select(
+            stratum,
+            (F.col("base") + (F.col("rr") <= F.col("extra")).cast("long")).alias("n_alloc"),
+        )
+    )
+    w_rank = Window.partitionBy(stratum).orderBy(F.expr(hash_sql("doc_id", 1)), "doc_id")
+    ranked = docs.withColumn("samp_rank", F.row_number().over(w_rank).cast("long"))
+    return ranked.join(F.broadcast(alloc), on=stratum).where(
+        F.col("samp_rank") <= F.col("n_alloc")
+    )
+
+
+def pipeline_sample_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: SAMPLE_BUDGET documents proportionally
+    allocated across sources by exact largest remainder."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_alloc_sample(docs, "source").select(
+        "source", "doc_id", "samp_rank", "n_alloc"
+    )
+
+
+PIPELINE_SAMPLE_ALLOC_SQL = f"""
+WITH counts AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+alloc0 AS (
+  SELECT source, ({SAMPLE_BUDGET} * c) // n AS base, ({SAMPLE_BUDGET} * c) % n AS rem
+  FROM counts, tot
+),
+extra AS (SELECT CAST({SAMPLE_BUDGET} - SUM(base) AS BIGINT) AS e FROM alloc0),
+alloc AS (
+  SELECT source,
+         CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source) <= e
+                          THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+  FROM alloc0, extra
+),
+ranked AS (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY {hash_sql("doc_id", 1)}, doc_id) AS BIGINT) AS samp_rank
+  FROM documents
+)
+SELECT r.source, r.doc_id, r.samp_rank, a.n_alloc
+FROM ranked r JOIN alloc a USING (source)
+WHERE r.samp_rank <= a.n_alloc
+""".strip()
+
+
 def tfidf_topterms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
     """Top-``k`` terms per document by integer-quantized TF-IDF for ANY
     ``(doc_id, text)`` DataFrame.
@@ -1224,6 +1314,7 @@ QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_profile": pipeline_profile,
     "pipeline_sample": pipeline_sample,
+    "pipeline_sample_alloc": pipeline_sample_alloc,
     "pipeline_tfidf": pipeline_tfidf,
     "pipeline_bigrams": pipeline_bigrams,
     "pipeline_curate": pipeline_curate,
@@ -1246,6 +1337,7 @@ ORACLES = {
     "pipeline_split": PIPELINE_SPLIT_SQL,
     "pipeline_profile": PIPELINE_PROFILE_SQL,
     "pipeline_sample": PIPELINE_SAMPLE_SQL,
+    "pipeline_sample_alloc": PIPELINE_SAMPLE_ALLOC_SQL,
     "pipeline_tfidf": PIPELINE_TFIDF_SQL,
     "pipeline_bigrams": PIPELINE_BIGRAMS_SQL,
     "pipeline_curate": PIPELINE_CURATE_SQL,

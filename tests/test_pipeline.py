@@ -366,3 +366,30 @@ def test_rulegate_flags_recompute(spark):
         assert r["pass"] == int(
             r["r_minwords"] and r["r_wordlen"] and r["r_symbol"] and r["r_digit"]
         )
+
+
+def test_stratified_alloc_sample_exact_apportionment(spark):
+    """Largest-remainder allocation: quotas sum to the budget exactly
+    (when the corpus is large enough), every stratum gets within 1 of its
+    exact proportional share, and the per-stratum sample size equals the
+    quota."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.pipeline import SAMPLE_BUDGET, stratified_alloc_sample
+    from dream_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    counts = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    out = stratified_alloc_sample(docs, "source").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+        assert r["samp_rank"] <= r["n_alloc"]
+    assert sum(len(v) for v in got.values()) == min(SAMPLE_BUDGET, total)
+    for src, n in counts.items():
+        exact = SAMPLE_BUDGET * n / total
+        assert math.floor(exact) <= len(got.get(src, set())) <= math.floor(exact) + 1
