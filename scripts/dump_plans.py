@@ -45,6 +45,7 @@ SHOWCASE = [
     ("knn_ivf_pruned", "IVF partition pruning: the /cells scan carries PartitionFilters [cell IN (probed)] — only the probed cell directories are listed/read; query side broadcast"),
     ("text_knn", "lexical kNN over the session-shared hashed-BoW frame: InMemoryTableScan (no tokenize/hash recompute), broadcast 10-row query side, single pass over the corpus vectors"),
     ("dedup_clusters_lsh", "bucket-star clustering: the edge list is ONE window pass keyed hashpartitioning(band, bh) — NO bucket self-join anywhere (the final frame shown is the CC output; the joinless edge derivation is pinned by tests/test_plans.py::test_lsh_cluster_star_edges_are_joinless)"),
+    ("pipeline_sample_alloc", "proportional stratified sample: per-doc rank window keyed hashpartitioning(source); the exact largest-remainder allocation broadcasts onto it; the only SinglePartition exchange is over the strata-COUNT table (strata-sized, never the corpus)"),
 ]
 
 

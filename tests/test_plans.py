@@ -525,3 +525,15 @@ def test_lsh_cluster_star_edges_are_joinless(spark):
     assert "Join" not in plan, plan[:2000]
     assert "hashpartitioning(band" in plan, plan[:2000]
     assert "Exchange SinglePartition" not in plan
+
+
+def test_sample_alloc_windows_are_strata_bounded(spark, queries):
+    """The proportional sampler's per-doc rank window must be keyed by the
+    stratum (hashpartitioning(source)), the allocation side must
+    broadcast onto it, and the only SinglePartition exchange is the
+    allocation computation over the strata-COUNT table (strata-sized by
+    construction) — the corpus stream never collapses to one task."""
+    plan = _plan(queries["pipeline_sample_alloc"](spark, SF_DIR))
+    assert "hashpartitioning(source" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
