@@ -62,6 +62,34 @@ def dot_sql(ca: str, cb: str, dim: int = EMB_DIM, duck: bool = False) -> str:
     ) + ")"
 
 
+def l2_sql(ca: str, cb: str, dim: int = EMB_DIM, duck: bool = False) -> str:
+    """SQL for the integer squared-L2 distance of two BIGINT array columns.
+    Used on 8-bit SQ codes: diffs |d| <= 255, 64 squares of <= 65025 sum
+    < 2^23 — exact in int64 on both engines."""
+    return "(" + " + ".join(
+        f"({_elem(ca, i, duck)} - {_elem(cb, i, duck)})"
+        f" * ({_elem(ca, i, duck)} - {_elem(cb, i, duck)})"
+        for i in range(1, dim + 1)
+    ) + ")"
+
+
+def l2_col(ca, cb):
+    """JVM-side exact int64 squared-L2 distance of two BIGINT array
+    columns: ``aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, +)`` —
+    same pair-scoring posture as :func:`dot_col` (whole stage in the JVM,
+    zero Python in the per-pair path)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    a = F.col(ca) if isinstance(ca, str) else ca
+    b = F.col(cb) if isinstance(cb, str) else cb
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def plane_dot_sql(col: str, p: int, dim: int = EMB_DIM, duck: bool = False) -> str:
     """SQL for <qe, w_p> with literal integer weights."""
     return "(" + " + ".join(

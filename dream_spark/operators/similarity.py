@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dream_spark.functions.joins import broadcast_if_small
-from dream_spark.functions.vectors import cos_sql, dot_col, dot_sql, dot_udf
+from dream_spark.functions.vectors import cos_sql, dot_col, dot_sql, dot_udf, l2_col, l2_sql
 from dream_spark.operators.dedup import (
     _bucket_ids,
     _duck_buckets,
@@ -814,6 +814,130 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 
 
 # --------------------------------------------------------------------------
+# scalar quantization (SQ8): the embedding-COMPRESSION layer
+# --------------------------------------------------------------------------
+#: SQ8 code levels (8-bit codes in [0, 255])
+SQ8_LEVELS = 255
+#: candidates per query surviving the code-space scan into the exact rerank
+SQ8_RERANK = 4 * TOP_K
+
+
+def sq8_stats(qn: DataFrame) -> DataFrame:
+    """Per-dimension ``(mns: array<bigint>, mxs: array<bigint>)`` min/max
+    of a quantized ``(vec_id, qe)`` corpus, as ONE row — the SQ8
+    "codebook" (FAISS ``ScalarQuantizer.train`` analog).  posexplode →
+    64-group partial aggregate → re-assemble sorted arrays: map-side
+    combine makes the shuffle 64 rows per partition regardless of corpus
+    size, and the result broadcasts to the encode pass — the codebook
+    never touches the driver."""
+    ex = qn.select(F.posexplode("qe").alias("pos", "v"))
+    st = ex.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    return st.groupBy().agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)").alias("mns"),
+        F.expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)").alias("mxs"),
+    )
+
+
+def sq8_encode(qn: DataFrame, stats: DataFrame) -> DataFrame:
+    """8-bit scalar-quantize ANY quantized ``(vec_id, qe)`` frame against
+    a corpus codebook: ``code[i] = ((qe[i] − mn[i]) · 255) div max(mx[i] −
+    mn[i], 1)`` — exact integer arithmetic end-to-end (qe ranges < 2^22,
+    ×255 < 2^30), so both engines emit bit-identical codes.  Map-only
+    after the broadcast codebook attach; at 100 TB this is the compression
+    pass that shrinks a resident vector corpus 8× (64×int64 → 64 bytes)
+    before it ever meets a distance kernel."""
+    code = F.expr(
+        f"transform(qe, (x, i) -> CAST(((x - element_at(mns, i + 1)) * {SQ8_LEVELS})"
+        " div greatest(element_at(mxs, i + 1) - element_at(mns, i + 1), 1) AS BIGINT))"
+    )
+    return qn.crossJoin(F.broadcast(stats)).select("vec_id", code.alias("code"))
+
+
+def knn_sq8_topk(
+    corpus_quantized: DataFrame,
+    k: int = TOP_K,
+    r: int = SQ8_RERANK,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Compressed-domain ANN: scan 8-bit SQ codes for the r nearest
+    candidates per query (integer squared-L2 in code space, JVM-side
+    ``l2_col``), then exact-rerank the candidates with the full-precision
+    int64 cosine.  The classic memory/recall trade every large vector
+    store ships (FAISS ``SQ8``): the hot scan touches 1/8 the bytes of
+    the raw vectors and stays exact-integer, so the candidate set — and
+    therefore the hash-verified result — is deterministic across engines
+    and partition orders.  Queries broadcast; the corpus never shuffles
+    (same posture as ``knn_bruteforce``); the rerank join is
+    candidate-sized (≤ queries × r rows)."""
+    st = sq8_stats(corpus_quantized)
+    codes = sq8_encode(corpus_quantized, st)
+    qcodes = codes.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("ca")
+    )
+    pairs = F.broadcast(qcodes).crossJoin(
+        codes.select(F.col("vec_id").alias("neighbor_id"), F.col("code").alias("cb"))
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id"))
+    cand = (
+        pairs.withColumn("d2", l2_col("ca", "cb"))
+        .withColumn("rr", F.row_number().over(w))
+        .where(F.col("rr") <= r)
+        .select("query_id", "neighbor_id")
+    )
+    qa = corpus_quantized.select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na")
+    )
+    qb = corpus_quantized.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb")
+    )
+    reranked = cand.join(F.broadcast(qa), on="query_id").join(qb, on="neighbor_id")
+    return _topk(_scored(reranked), k)
+
+
+def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: SQ8 compressed-domain scan + exact rerank
+    with the first N_QUERIES corpus vectors as the query set."""
+    return knn_sq8_topk(shared_quantized(spark, sf_dir))
+
+
+KNN_SQ8_SQL = f"""
+WITH {_duck_quantized()},
+st AS (
+  SELECT pos, MIN(v) AS mn, MAX(v) AS mx
+  FROM (SELECT unnest(qe) AS v, generate_subscripts(qe, 1) AS pos FROM qn)
+  GROUP BY pos
+),
+codes AS (
+  SELECT vec_id,
+         list(((v - mn) * {SQ8_LEVELS}) // GREATEST(mx - mn, 1) ORDER BY pos) AS code
+  FROM (SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS pos FROM qn) e
+  JOIN st USING (pos)
+  GROUP BY vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {l2_sql("a.code", "b.code", duck=True)}, b.vec_id) AS rr
+    FROM codes a JOIN codes b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+  ) WHERE rr <= {SQ8_RERANK}
+),
+pairs AS (
+  SELECT c.query_id, c.neighbor_id, a.qe AS qa, b.qe AS qb, a.nrm AS na, b.nrm AS nb
+  FROM cand c JOIN qn a ON a.vec_id = c.query_id JOIN qn b ON b.vec_id = c.neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_DUCK_COS} AS cos FROM pairs
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""".strip()
+
+
+# --------------------------------------------------------------------------
 # hybrid retrieval: lexical + vector rank fusion
 # --------------------------------------------------------------------------
 def borda_fuse(a: DataFrame, b: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -904,6 +1028,7 @@ QUERIES = {
     "knn_ivf_refreshed": knn_ivf_refreshed,
     "knn_ivf": knn_ivf,
     "knn_filtered": knn_filtered,
+    "knn_sq8": knn_sq8,
 }
 
 ORACLES = {
@@ -921,4 +1046,5 @@ ORACLES = {
     "knn_ivf_pruned": KNN_IVF_SQL,
     "knn_ivf_refreshed": KNN_IVF_REFRESHED_SQL,
     "knn_filtered": KNN_FILTERED_SQL,
+    "knn_sq8": KNN_SQ8_SQL,
 }

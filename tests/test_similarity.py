@@ -311,3 +311,35 @@ def test_refresh_vector_index_matches_union_build(spark, tmp_path):
     refresh_vector_index(spark, path, delta)
     assert spark.read.parquet(f"{path}/cells").count() == emb.count()
     assert spark.read.parquet(f"{path}/quantized").count() == emb.count()
+
+
+def test_sq8_codes_bounded_and_recall(spark):
+    """SQ8 codes must lie in [0, 255]; the compressed-domain scan with
+    exact rerank must (a) report the same exact cosine as brute force for
+    every pair both return, and (b) recover most of the true top-k — the
+    rerank makes rank-1 especially robust."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.dedup import shared_quantized
+    from tests.conftest import SF_DIR
+
+    qn = shared_quantized(spark, SF_DIR)
+    codes = S.sq8_encode(qn, S.sq8_stats(qn))
+    bad = codes.where(
+        F.expr("exists(code, x -> x < 0 OR x > 255)")
+    ).count()
+    assert bad == 0
+
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in S.knn_bruteforce(spark, SF_DIR).collect()
+    }
+    sq = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in S.knn_sq8(spark, SF_DIR).collect()
+    }
+    for key, c in sq.items():
+        if key in bf:
+            assert abs(bf[key] - c) < 1e-12
+    recall = len(set(sq) & set(bf)) / len(bf)
+    assert recall >= 0.6, f"SQ8 recall@{S.TOP_K} = {recall}"
