@@ -273,5 +273,182 @@ MAINTENANCE_COMPACT_SQL = (
     "SELECT COUNT(*) AS n_rows, TRUE AS files_reduced FROM documents"
 )
 
-QUERIES = {"maintenance_compact": maintenance_compact}
-ORACLES = {"maintenance_compact": MAINTENANCE_COMPACT_SQL}
+
+# --------------------------------------------------------------------------
+# Z-order clustering maintenance (multi-column data skipping)
+# --------------------------------------------------------------------------
+#: bits per dimension (codes in [0, 255]; z in [0, 65536))
+ZORDER_BITS = 8
+#: z-range width of one layout bucket: 65536 / 16 = 16 output buckets
+ZORDER_BUCKET_WIDTH = 4096
+
+
+def _q8_sql(col: str, mn: str, mx: str, duck: bool) -> str:
+    """8-bit min/max linear quantization, exact integer arithmetic (same
+    formula as similarity.sq8_encode)."""
+    d = "//" if duck else "div"
+    return f"((({col}) - ({mn})) * 255) {d} GREATEST(({mx}) - ({mn}), 1)"
+
+
+def _z16_sql(xq: str, yq: str, duck: bool) -> str:
+    """Interleave two 8-bit codes into a 16-bit Morton (Z-order) key —
+    pure integer arithmetic, identical on both engines (no engine bit-op
+    dialect differences)."""
+    d = "//" if duck else "div"
+    return "(" + " + ".join(
+        f"((({xq}) {d} {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        f" + ((({yq}) {d} {1 << b}) % 2) * {1 << (2 * b)}"
+        for b in range(ZORDER_BITS)
+    ) + ")"
+
+
+def zorder_bucket(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
+    """Attach ``zbucket`` (Morton-key range bucket) over two BIGINT
+    columns of ANY DataFrame — the layout key for multi-column data
+    skipping (Delta/Iceberg ``OPTIMIZE ZORDER BY`` analog).
+
+    A sort on a single column clusters min/max file stats for that column
+    only; the Z-order key interleaves the bits of both dimensions so rows
+    close in EITHER dimension land in the same bucket, and a reader
+    filtering on either (or both) prunes most buckets.  The per-dimension
+    8-bit codes come from a global min/max linear quantization — one
+    partial-aggregate pass, broadcast back as a one-row codebook (never
+    through the driver), then the bucket assignment is map-only.  At
+    100 TB this is the once-per-window maintenance shuffle that makes
+    every later scan cheap; rank-based (ntile) normalization would balance
+    buckets better but costs a global sort — min/max scaling is the
+    deterministic, shuffle-free choice."""
+    st = df.groupBy().agg(
+        F.min(xcol).alias("_mnx"), F.max(xcol).alias("_mxx"),
+        F.min(ycol).alias("_mny"), F.max(ycol).alias("_mxy"),
+    )
+    xq = _q8_sql(xcol, "_mnx", "_mxx", duck=False)
+    yq = _q8_sql(ycol, "_mny", "_mxy", duck=False)
+    z = _z16_sql(xq, yq, duck=False)
+    return (
+        df.crossJoin(F.broadcast(st))
+        .withColumn("zbucket", F.expr(f"CAST({z} div {ZORDER_BUCKET_WIDTH} AS BIGINT)"))
+        .drop("_mnx", "_mxx", "_mny", "_mxy")
+    )
+
+
+def _zprobe_bounds_sql(mn: str, mx: str, duck: bool) -> tuple[str, str]:
+    """The fixed probe box in RANGE-RELATIVE integer terms: [min + range/4,
+    min + range/2] per dimension — meaningful at every scale factor, exact
+    integer on both engines."""
+    d = "//" if duck else "div"
+    return (
+        f"(({mn}) + ((({mx}) - ({mn})) {d} 4))",
+        f"(({mn}) + ((({mx}) - ({mn})) {d} 2))",
+    )
+
+
+def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout maintenance as a measured end-to-end roundtrip:
+    bucket events by the Morton key over (user_id, event time), WRITE the
+    table ``partitionBy(zbucket)`` to scratch (the OPTIMIZE ZORDER
+    rewrite), re-read, and emit the per-bucket data-skipping index —
+    ``(zbucket, n_rows, min/max user, min/max event-time micros)`` — plus
+    ``probe_hit``: whether the fixed probe box (middle quarter of each
+    dimension's range) overlaps the bucket's stats, i.e. whether a reader
+    running that query would scan the bucket at all.  The oracle replays
+    the identical integer bucket assignment from the RAW table, so a
+    write that lost/duplicated rows or scrambled the assignment fails the
+    value hash; the skipping CLAIM is pinned by probe_hit (most buckets
+    must be FALSE) and the pruning plan itself by
+    tests/test_sinks.py::test_zorder_partition_pruning.  Scratch is a
+    per-call driver-local temp dir (same local-mode/shared-FS note as
+    compact_parquet); the result is materialized eagerly."""
+    import shutil
+    import tempfile
+
+    from dream_spark.functions.timeutils import epoch_micros
+    from dream_spark.sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="dream_spark_zorder_")
+    path = f"{base}/events"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        keyed = ev.select(
+            "event_id", "user_id", epoch_micros(ev, "ts").cast("long").alias("tsu")
+        )
+        zorder_bucket(keyed, "user_id", "tsu").write.partitionBy("zbucket").parquet(path)
+        back = spark.read.parquet(path)
+        stats = back.groupBy(F.col("zbucket").cast("long").alias("zbucket")).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("tsu").alias("min_tsu"),
+            F.max("tsu").alias("max_tsu"),
+        )
+        gl = back.groupBy().agg(
+            F.min("user_id").alias("_gmnu"), F.max("user_id").alias("_gmxu"),
+            F.min("tsu").alias("_gmnt"), F.max("tsu").alias("_gmxt"),
+        )
+        ulo, uhi = _zprobe_bounds_sql("_gmnu", "_gmxu", duck=False)
+        tlo, thi = _zprobe_bounds_sql("_gmnt", "_gmxt", duck=False)
+        out = stats.crossJoin(F.broadcast(gl)).select(
+            "zbucket", "n_rows", "min_user", "max_user", "min_tsu", "max_tsu",
+            F.expr(
+                f"max_user >= {ulo} AND min_user <= {uhi}"
+                f" AND max_tsu >= {tlo} AND min_tsu <= {thi}"
+            ).alias("probe_hit"),
+        )
+        rows = out.collect()  # eager: the scratch dir dies with this call
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "zbucket long, n_rows long, min_user long, max_user long, "
+        "min_tsu long, max_tsu long, probe_hit boolean",
+    )
+
+
+def _zorder_sql() -> str:
+    xq = _q8_sql("user_id", "_mnx", "_mxx", duck=True)
+    yq = _q8_sql("tsu", "_mny", "_mxy", duck=True)
+    z = _z16_sql(xq, yq, duck=True)
+    ulo, uhi = _zprobe_bounds_sql("_gmnu", "_gmxu", duck=True)
+    tlo, thi = _zprobe_bounds_sql("_gmnt", "_gmxt", duck=True)
+    return f"""
+WITH keyed AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+),
+st AS (
+  SELECT MIN(user_id) AS _mnx, MAX(user_id) AS _mxx,
+         MIN(tsu) AS _mny, MAX(tsu) AS _mxy
+  FROM keyed
+),
+b AS (
+  SELECT event_id, user_id, tsu,
+         CAST({z} // {ZORDER_BUCKET_WIDTH} AS BIGINT) AS zbucket
+  FROM keyed CROSS JOIN st
+),
+stats AS (
+  SELECT zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+         MIN(tsu) AS min_tsu, MAX(tsu) AS max_tsu
+  FROM b GROUP BY zbucket
+),
+gl AS (
+  SELECT MIN(user_id) AS _gmnu, MAX(user_id) AS _gmxu,
+         MIN(tsu) AS _gmnt, MAX(tsu) AS _gmxt
+  FROM b
+)
+SELECT zbucket, n_rows, min_user, max_user, min_tsu, max_tsu,
+       (max_user >= {ulo} AND min_user <= {uhi}
+        AND max_tsu >= {tlo} AND min_tsu <= {thi}) AS probe_hit
+FROM stats CROSS JOIN gl
+""".strip()
+
+
+MAINTENANCE_ZORDER_SQL = _zorder_sql()
+
+QUERIES = {
+    "maintenance_compact": maintenance_compact,
+    "maintenance_zorder": maintenance_zorder,
+}
+ORACLES = {
+    "maintenance_compact": MAINTENANCE_COMPACT_SQL,
+    "maintenance_zorder": MAINTENANCE_ZORDER_SQL,
+}

@@ -146,3 +146,32 @@ def test_compact_parquet_guards_and_skew_gate(spark, docs, tmp_path_factory):
     )
     assert new_max < sizes[-1]
     assert sorted(map(tuple, spark.read.parquet(p2).collect())) == before_rows
+
+
+def test_zorder_partition_pruning_and_skipping(spark, tmp_path):
+    """The z-ordered layout must (a) partition-prune a zbucket filter at
+    plan time, (b) cluster both dimensions (most buckets miss the probe
+    box), (c) preserve every row through the write roundtrip."""
+    from dream_spark.functions.timeutils import epoch_micros
+
+    ev = load_table(spark, SF_DIR, "events")
+    keyed = ev.select(
+        "event_id", "user_id", epoch_micros(ev, "ts").cast("long").alias("tsu")
+    )
+    path = str(tmp_path / "zorder")
+    sinks.zorder_bucket(keyed, "user_id", "tsu").write.partitionBy("zbucket").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == keyed.count()
+
+    pruned = back.where(F.col("zbucket") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "zbucket" in plan
+    n_buckets = back.select("zbucket").distinct().count()
+    assert 1 < n_buckets <= 16
+    # the pruned scan must read strictly fewer partition dirs than exist
+    assert pruned.count() < back.count()
+
+    # skipping effectiveness: the fixed probe box hits a minority of buckets
+    out = sinks.maintenance_zorder(spark, SF_DIR).collect()
+    hits = sum(1 for r in out if r["probe_hit"])
+    assert 0 < hits < len(out) / 2, (hits, len(out))
