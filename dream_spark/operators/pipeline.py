@@ -1310,6 +1310,73 @@ FROM documents GROUP BY source
 """.strip()
 
 
+# --------------------------------------------------------------------------
+# unigram surprisal: integer-exact LM quality score
+# --------------------------------------------------------------------------
+def surprisal_stats(docs: DataFrame) -> DataFrame:
+    """Per-document unigram-LM surprisal over ANY ``(doc_id, text)``
+    DataFrame: ``(doc_id, n_tokens, sum_surprisal, avg_surprisal_x100)``
+    — the quality signal behind perplexity-based corpus filters (rare-
+    token-heavy docs score high; boilerplate scores low), kept INTEGER-
+    EXACT so the cross-engine hash holds: per-token surprisal is
+    ``floor(log2(total/freq))`` computed as ``length(bin(total div
+    freq)) − 1`` (binary digit count — no libm, whose last-ulp log()
+    differences across engines would poison a float average), and the
+    doc average ships as an exact ``(100·sum) div n`` fixed-point.
+
+    Shape at 100 TB: token counts are one partial-aggregated shuffle
+    (map-side combine bounds it by vocab per partition); the scoring join
+    is tokens ⋈ vocab — the vocab side broadcasts when provably small,
+    else it's a standard shuffle join whose stop-word skew AQE's skew
+    split handles (values this frequent are LOW-surprisal, so a salted
+    variant changes nothing semantically); the per-doc rollup is the
+    second and final shuffle."""
+    tk = tokens(docs)
+    tf = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    tot = tf.groupBy().agg(F.sum("freq").cast("bigint").alias("total"))
+    scored = (
+        tk.join(broadcast_if_small(tf), on="tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.expr("CAST(length(bin(total div freq)) - 1 AS BIGINT)").alias("surp"))
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("surp").cast("bigint").alias("sum_surprisal"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "sum_surprisal",
+        F.expr("CAST((100 * sum_surprisal) div n_tokens AS BIGINT)").alias(
+            "avg_surprisal_x100"
+        ),
+    )
+
+
+def pipeline_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: unigram surprisal scores over documents."""
+    return surprisal_stats(load_table(spark, sf_dir, "documents"))
+
+
+PIPELINE_SURPRISAL_SQL = f"""
+WITH tk AS ({duck_tokens_cte()}),
+tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY tok),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf),
+sc AS (
+  SELECT doc_id, CAST(length(bin(total // freq)) - 1 AS BIGINT) AS surp
+  FROM tk JOIN tf USING (tok) CROSS JOIN tot
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(surp) AS BIGINT) AS sum_surprisal
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_surprisal,
+       CAST((100 * sum_surprisal) // n_tokens AS BIGINT) AS avg_surprisal_x100
+FROM per
+""".strip()
+
+
 QUERIES = {
     "pipeline_split": pipeline_split,
     "pipeline_profile": pipeline_profile,
@@ -1331,6 +1398,7 @@ QUERIES = {
     "pipeline_familiarity": pipeline_familiarity,
     "pipeline_lengths": pipeline_lengths,
     "pipeline_dup_rate": pipeline_dup_rate,
+    "pipeline_surprisal": pipeline_surprisal,
 }
 
 ORACLES = {
@@ -1354,4 +1422,5 @@ ORACLES = {
     "pipeline_familiarity": PIPELINE_FAMILIARITY_SQL,
     "pipeline_lengths": PIPELINE_LENGTHS_SQL,
     "pipeline_dup_rate": PIPELINE_DUP_RATE_SQL,
+    "pipeline_surprisal": PIPELINE_SURPRISAL_SQL,
 }

@@ -393,3 +393,28 @@ def test_stratified_alloc_sample_exact_apportionment(spark):
     for src, n in counts.items():
         exact = SAMPLE_BUDGET * n / total
         assert math.floor(exact) <= len(got.get(src, set())) <= math.floor(exact) + 1
+
+
+def test_surprisal_python_parity(spark):
+    """surprisal_stats must reproduce the exact floor-log2 reference math
+    on a hand-checkable corpus: surp(tok) = (total // freq).bit_length()-1."""
+    from collections import Counter
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the the"),
+        (3, "quantum flux capacitor"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in P.surprisal_stats(df).collect()}
+
+    toks = {d: t.lower().split() for d, t in docs}
+    freq = Counter(t for ts in toks.values() for t in ts)
+    total = sum(freq.values())
+    for d, ts in toks.items():
+        surps = [(total // freq[t]).bit_length() - 1 for t in ts]
+        assert got[d]["n_tokens"] == len(ts)
+        assert got[d]["sum_surprisal"] == sum(surps)
+        assert got[d]["avg_surprisal_x100"] == (100 * sum(surps)) // len(ts)
+    # rare-token doc must outscore the repetitive doc
+    assert got[3]["avg_surprisal_x100"] > got[2]["avg_surprisal_x100"]
