@@ -664,6 +664,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #   seats.  Any OTHER entry without a green row is a regression, not a
 #   rotation artifact.
 #
+# R8 QUEUE (entries added after the r7 seat cap froze; each
+#   check_entry-green at sf0.01 when added and re-verified together at r7
+#   close — rotate these into the r8 seats): knn_sq8 (SQ8 scalar-quantized
+#   ANN with exact rerank), maintenance_zorder (Z-order layout + verified
+#   data-skipping index), pipeline_surprisal (integer-exact unigram
+#   surprisal quality score), sketch_heavyhitters, text_bm25,
+#   sketch_hll_registers.  Total entries: 224 = 218 driver-known at the
+#   r7 bench snapshot + these last three.
+#
 # Round 7 rotation — the 50 seats:
 #   * 10 seats: the r7 queue — sparql_filter_strbefore,
 #     sparql_filter_isnumeric, rel_window_movavg, graph_components

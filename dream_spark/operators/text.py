@@ -458,6 +458,138 @@ TEXT_KNN_SQL = _text_knn_sql()
 
 
 # --------------------------------------------------------------------------
+# BM25 retrieval (Robertson/Spärck Jones), integer-exact quantized form
+# --------------------------------------------------------------------------
+#: results per query
+BM25_K = 5
+#: idf quantization scale (the BM25 idf (N−df+½)/(df+½) replayed as the
+#: exact rational (2(N−df)+1)/(2df+1), scaled)
+BM25_IDF_Q = 4096
+#: idf saturation cap: keeps idf·sat products inside int64 even when a
+#: term's df is vanishingly rare relative to N (cap binds at N/df > 2^18)
+BM25_IDF_CAP = 1 << 30
+#: fixed-point scale for the tf-saturation factor (range (0, 2.2))
+BM25_SAT_Q = 1 << 20
+
+
+def _bm25_idf_sql(n: str, df: str) -> str:
+    """Quantized BM25 idf: LEAST(Q·(2(N−df)+1) div (2df+1), CAP).  A
+    monotone rational surrogate for ln((N−df+½)/(df+½)): the standard
+    idf's negative range (df > N/2) maps to 0 here via integer division —
+    the same floor-at-zero convention Lucene applies.  Document-frequency
+    ORDER is preserved exactly; only the rare-term growth curve is steeper
+    than ln, a documented property of the quantization (the oracle gate
+    needs replayable arithmetic, which float ln is not)."""
+    return (
+        f"LEAST(CAST({BM25_IDF_Q} AS BIGINT) * (2 * (({n}) - ({df})) + 1)"
+        f" {{d}} (2 * ({df}) + 1), {BM25_IDF_CAP})"
+    )
+
+
+def _bm25_sat_sql(tf: str, dl: str, avgdl: str) -> str:
+    """Quantized BM25 tf-saturation tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    with k1 = 1.2, b = 0.75: multiplying through by 20·avgdl clears every
+    fraction — numerator 44·tf·avgdl, denominator 20·tf·avgdl + 6·avgdl +
+    18·dl — then fixed-point scaled by SAT_Q.  int64-exact while
+    tf·avgdl·SAT_Q < 2^62, i.e. for documents up to ~2^17 tokens."""
+    return (
+        f"(44 * ({tf}) * ({avgdl}) * {BM25_SAT_Q})"
+        f" {{d}} (20 * ({tf}) * ({avgdl}) + 6 * ({avgdl}) + 18 * ({dl}))"
+    )
+
+
+def bm25_topk(docs: DataFrame, n_queries: int = TEXT_KNN_QUERIES, k: int = BM25_K) -> DataFrame:
+    """BM25 top-``k`` retrieval: the query documents' token sets score
+    every OTHER document that shares at least one term (docs sharing no
+    term score 0 and are omitted — inverted-index semantics), summing the
+    per-term idf·saturation products.  All arithmetic is exact int64, so
+    scores AND tie-breaks replay identically on the oracle.
+
+    Scale shape: tf/df/dl are one partially-aggregated shuffle each over
+    the token stream; the query-term table (n_queries documents' distinct
+    terms) broadcasts, so the scoring join is the classic postings-list
+    probe — the corpus-sized tf table is filtered map-side by the
+    broadcast hash join, never re-shuffled, and only matching (query,
+    candidate) partials flow into the final sum.  At real scale tf/df/dl
+    are materialized index artifacts; the plan from there on is
+    unchanged."""
+    toks = tokens(spread_small(docs))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scal = toks.agg(
+        F.expr("count(1) div count(distinct doc_id)").alias("avgdl"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    qterms = (
+        tf.where(F.col("doc_id") < n_queries)
+        .select(F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"))
+        .distinct()
+    )
+    idf = _bm25_idf_sql("n_docs", "df").format(d="div")
+    sat = _bm25_sat_sql("tf", "dl", "avgdl").format(d="div")
+    scored = (
+        tf.join(F.broadcast(qterms), (tf["tok"] == qterms["qtok"]) & (tf["doc_id"] != qterms["query_id"]))
+        .join(dfreq, on="tok")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.expr(f"({idf}) * ({sat})").alias("term_score"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: BM25 top-k over the documents table, query
+    docs = doc_id < TEXT_KNN_QUERIES (the text_knn convention)."""
+    return bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+def _text_bm25_sql() -> str:
+    idf = _bm25_idf_sql("n_docs", "df").format(d="//")
+    sat = _bm25_sat_sql("tf", "dl", "avgdl").format(d="//")
+    return f"""
+WITH toks AS ({duck_tokens_cte()}),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+scal AS (SELECT CAST(COUNT(*) // COUNT(DISTINCT doc_id) AS BIGINT) AS avgdl,
+                COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+qterms AS (SELECT DISTINCT doc_id AS query_id, tok AS qtok FROM tf
+           WHERE doc_id < {TEXT_KNN_QUERIES}),
+scored AS (
+  SELECT q.query_id, t.doc_id AS neighbor_id,
+         CAST(SUM(({idf}) * ({sat})) AS BIGINT) AS score
+  FROM tf t
+  JOIN qterms q ON t.tok = q.qtok AND t.doc_id <> q.query_id
+  JOIN dfreq f ON f.tok = t.tok
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN scal
+  GROUP BY q.query_id, t.doc_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT query_id, neighbor_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {BM25_K}
+""".strip()
+
+
+TEXT_BM25_SQL = _text_bm25_sql()
+
+
+# --------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS selector)
 # --------------------------------------------------------------------------
 #: tokens per k-gram and winnow window width (guarantee: any token run of
@@ -565,6 +697,7 @@ QUERIES = {
     "text_topterms": text_topterms,
     "text_knn": text_knn,
     "text_redact": text_redact,
+    "text_bm25": text_bm25,
 }
 
 ORACLES = {
@@ -575,4 +708,5 @@ ORACLES = {
     "text_topterms": TEXT_TOPTERMS_SQL,
     "text_knn": TEXT_KNN_SQL,
     "text_redact": TEXT_REDACT_SQL,
+    "text_bm25": TEXT_BM25_SQL,
 }

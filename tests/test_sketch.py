@@ -262,3 +262,108 @@ def test_bloom_probe_invariants(spark):
     by_src = {r["source"]: r["n_maybe_seen"] for r in rows}
     for src, n_true in per_src_true.items():
         assert by_src[src] >= n_true
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra–Gries two-pass)
+# ---------------------------------------------------------------------------
+def test_heavy_hitters_matches_exact_groupby(spark):
+    """The two-pass result must equal the brute-force exact answer — the
+    MG pass may only bound what gets recounted, never change the result."""
+    from dream_spark.functions.features import tokens
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = tokens(docs)
+    total = toks.count()
+    truth = {
+        (r["tok"], r["cnt"])
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * S.HH_K >= total)
+        .collect()
+    }
+    got = {(r["term"], r["cnt"]) for r in S.heavy_hitters(toks).collect()}
+    assert got == truth and all(c * S.HH_K >= total for _, c in got)
+
+
+def test_heavy_hitters_partitioning_independent(spark):
+    """Exactness must hold under ANY partitioning of the token stream —
+    the completeness argument is per-partition pigeonhole, so shuffling
+    the stream around cannot change the recounted answer."""
+    from dream_spark.functions.features import tokens
+
+    toks = tokens(load_table(spark, SF_DIR, "documents"))
+    a = {tuple(r) for r in S.heavy_hitters(toks.repartition(1)).collect()}
+    b = {tuple(r) for r in S.heavy_hitters(toks.repartition(13, "tok")).collect()}
+    c = {tuple(r) for r in S.heavy_hitters(toks.repartition(32)).collect()}
+    assert a == b == c and len(a) > 0
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    """Per-partition MG state is ≤ k terms, and the candidate union
+    contains every true heavy hitter (the guarantee the recount relies
+    on)."""
+    from dream_spark.functions.features import tokens
+
+    k = 10  # tight budget to make the bound bite
+    toks = tokens(load_table(spark, SF_DIR, "documents")).repartition(4)
+    per_part = (
+        S.misra_gries_candidates(toks, k)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= k for r in per_part)
+    cands = {r["term"] for r in S.misra_gries_candidates(toks, k).collect()}
+    total = toks.count()
+    truth = {
+        r["tok"]
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * k >= total)
+        .collect()
+    }
+    assert truth <= cands
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers
+# ---------------------------------------------------------------------------
+def test_hll_registers_match_python(spark):
+    """Every (bucket, register) row replays bit-for-bit against a pure
+    Python evaluation of the same universal hash and rho."""
+    from dream_spark.functions.hashing import MERSENNE_P, hash_params
+
+    ev = load_table(spark, SF_DIR, "events")
+    uids = [r[0] for r in ev.select("user_id").where(F.col("user_id").isNotNull()).collect()]
+    a, b = hash_params(S._HLL_FN)
+    a2, b2 = hash_params(S._HLL_FN2)
+    regs: dict[int, int] = {}
+    for u in uids:
+        h = ((a * u + b) % MERSENNE_P + MERSENNE_P) % MERSENNE_P
+        h = (h * h % MERSENNE_P + a2 * h + b2) % MERSENNE_P
+        bucket, w = h % S.HLL_M, h // S.HLL_M
+        rho = S._HLL_RHO_MAX if w == 0 else S._HLL_RHO_MAX - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    got = {r["bucket"]: r["register"] for r in S.hll_registers(ev, "user_id").collect()}
+    assert got == regs
+
+
+def test_hll_estimate_error_bound(spark):
+    """Raw HLL estimate lands within a generous 5-sigma of truth on a
+    100k-distinct range (sigma ≈ 1.04/sqrt(256) ≈ 6.5%)."""
+    n = 100_000
+    df = spark.range(1, n + 1).select(F.col("id").alias("v"))
+    est = S.hll_registers(df, "v").select("est").first()["est"]
+    assert abs(est - n) / n < 5 * 1.04 / (S.HLL_M ** 0.5), est
+
+
+def test_hll_duplicates_are_free(spark):
+    """max() idempotence: duplicating the input leaves every register —
+    and therefore the estimate — unchanged (the merge-without-dedup
+    property that makes HLL one-pass at scale)."""
+    df = spark.range(1, 5_000).select(F.col("id").alias("v"))
+    once = sorted(map(tuple, S.hll_registers(df, "v").collect()))
+    tripled = sorted(map(tuple, S.hll_registers(df.union(df).union(df), "v").collect()))
+    assert once == tripled

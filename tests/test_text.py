@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from dream_spark.operators import text as T
+from dream_spark.sources.tables import load_table
 from tests.conftest import SF_DIR, assert_oracle_match
 
 
@@ -162,3 +163,66 @@ def test_winnow_coverage_guarantee(spark):
     n_tokens = len(("xx yy " + run + " zz qq").split())
     n_grams = n_tokens - WINNOW_K + 1
     assert len(sel[1]) < n_grams / 2
+
+
+# ---------------------------------------------------------------------------
+# BM25 (quantized integer form)
+# ---------------------------------------------------------------------------
+def test_bm25_matches_python_reference(spark):
+    """Integer BM25 scores replay exactly against a pure-Python mirror of
+    the quantized formula on a hand-built corpus."""
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "apple apple apple apple banana"),
+        (2, "banana cherry durian durian"),
+        (3, "cherry cherry cherry apple"),
+        (4, "durian elderberry fig grape"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in T.bm25_topk(docs, n_queries=1, k=10).collect()
+    }
+    # python mirror
+    toks = {d: t.split() for d, t in rows}
+    n_docs = len(rows)
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) // n_docs
+    df_ = {}
+    for t in toks.values():
+        for w in set(t):
+            df_[w] = df_.get(w, 0) + 1
+    expect = {}
+    for nb in range(1, n_docs):
+        s = 0
+        for w in set(toks[0]):
+            tf = toks[nb].count(w)
+            if tf == 0:
+                continue
+            idf = min(
+                T.BM25_IDF_Q * (2 * (n_docs - df_[w]) + 1) // (2 * df_[w] + 1),
+                T.BM25_IDF_CAP,
+            )
+            sat = (44 * tf * avgdl * T.BM25_SAT_Q) // (
+                20 * tf * avgdl + 6 * avgdl + 18 * dl[nb]
+            )
+            s += idf * sat
+        if s > 0:
+            expect[(0, nb)] = s
+    assert got == expect
+
+
+def test_bm25_rank_contract(spark):
+    """Self never retrieved; ranks are 1..k dense per query; scores
+    non-increasing within a query."""
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = T.bm25_topk(docs).collect()
+    assert rows and all(r["query_id"] != r["neighbor_id"] for r in rows)
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
