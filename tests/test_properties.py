@@ -1391,3 +1391,47 @@ def test_random_exists_matches_oracle(engine, duck, case, positive):
     if df.count() > 300_000:
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: UNION over pairs of random connected BGPs
+# ---------------------------------------------------------------------------
+@pytest.mark.slow
+@given(_bgp(), _bgp(), st.booleans())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_union_matches_oracle(engine, duck, pats_a, pats_b, distinct):
+    """{A} UNION {B} over two independently drawn connected BGPs — bag
+    UNION ALL semantics, NULL-padding of variables only one branch binds
+    (the kind-derived variable names make branches overlap on SOME
+    variables and differ on others, so both the aligned-column and the
+    typed-NULL paths are exercised), and the DISTINCT-over-union variant
+    — must answer identically on both engines."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    proj = sorted(
+        {
+            t
+            for pats in (pats_a, pats_b)
+            for s, p, o in pats
+            for t in (s, o)
+            if t.startswith("?")
+        }
+    )
+    body_a = " . ".join(f"{s} {p} {o}" for s, p, o in pats_a)
+    body_b = " . ".join(f"{s} {p} {o}" for s, p, o in pats_b)
+    kw = "select distinct" if distinct else "select"
+    q = f"{kw} {' '.join(proj)} where {{ {{ {body_a} }} union {{ {body_b} }} }}"
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    n = df.count()
+    if n > 300_000:  # pathological blowup guard: counts still compared
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({bgp_to_sql(parsed, decode=False)}) __c"
+        ).fetchone()[0]
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
