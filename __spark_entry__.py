@@ -670,8 +670,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   ANN with exact rerank), maintenance_zorder (Z-order layout + verified
 #   data-skipping index), pipeline_surprisal (integer-exact unigram
 #   surprisal quality score), sketch_heavyhitters, text_bm25,
-#   sketch_hll_registers.  Total entries: 221 = 215 at the r7 cap freeze
-#   + these six.
+#   sketch_hll_registers, text_bm25_served (persisted postings-index
+#   serve).  Total entries: 222 = 215 at the r7 cap freeze + these seven.
 #
 # Round 7 rotation — the 50 seats:
 #   * 10 seats: the r7 queue — sparql_filter_strbefore,

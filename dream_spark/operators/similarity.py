@@ -367,25 +367,13 @@ def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
     mtime + the index format version and parameters, so neither
     regenerated testdata nor changed index code ever serves a stale index.
 
-    Concurrency/safety shape (three hazards, three answers):
-
-    - *racing builders*: each process builds into its own ``.build-*``
-      temp dir and atomically ``os.rename``\\ s it into place; the loser's
-      rename fails (non-empty target), it discards its copy and uses the
-      winner's — a COMPLETE marker can never cover a mixed two-writer
-      index.
-    - *interrupted build*: the marker is written inside the temp dir
-      BEFORE the rename, so the installed directory is complete by
-      construction; a killed build leaves only an ignored temp dir.
-    - *pre-planted path*: everything lives under a per-user 0700 base
-      directory whose ownership is verified — another local user cannot
-      plant a poisoned index at the predictable location."""
-    import getpass
-    import hashlib
+    Concurrency/safety shape: see
+    :func:`dream_spark.functions.artifacts.build_once_path` (racing
+    builders, interrupted builds, and pre-planted paths are all handled
+    there; this function only computes the signature)."""
     import os
-    import shutil
-    import tempfile
-    import uuid
+
+    from dream_spark.functions.artifacts import build_once_path
 
     root = os.path.abspath(sf_dir)
     emb = os.path.join(root, "embeddings.parquet")
@@ -397,46 +385,7 @@ def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
             f"ivf{IVF_K}x{IVF_TRAIN_ITERS}",
         ]
     )
-    digest = hashlib.md5(sig.encode()).hexdigest()[:16]
-    try:
-        user = getpass.getuser()
-    except Exception:  # no passwd entry / env in minimal containers
-        user = str(os.getuid())
-    base = os.path.join(tempfile.gettempdir(), f"dream_spark_vecindex_{user}")
-    os.makedirs(base, mode=0o700, exist_ok=True)
-    # O_NOFOLLOW: a pre-planted SYMLINK at the predictable path must fail
-    # (ELOOP), never be followed — stat/chmod through a symlink would let
-    # another user redirect the ownership check and the chmod to a target
-    # of their choosing.  fstat/fchmod on the held fd close the TOCTOU
-    # window between check and chmod.
-    fd = os.open(base, os.O_RDONLY | os.O_NOFOLLOW | os.O_DIRECTORY)
-    try:
-        st = os.fstat(fd)
-        if st.st_uid != os.getuid():
-            raise RuntimeError(
-                f"vector-index cache dir {base!r} is owned by uid "
-                f"{st.st_uid}, not us ({os.getuid()}) — refusing to load "
-                "an index another user could have planted"
-            )
-        os.fchmod(fd, 0o700)  # exist_ok may have accepted weaker modes
-    finally:
-        os.close(fd)
-    path = os.path.join(base, digest)
-    marker = os.path.join(path, "COMPLETE")
-    if not os.path.exists(marker):
-        tmp = os.path.join(base, f".build-{digest}-{uuid.uuid4().hex[:8]}")
-        save_vector_index(spark, sf_dir, tmp)
-        with open(os.path.join(tmp, "COMPLETE"), "w") as f:
-            f.write("ok\n")
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            # lost the install race: a concurrent builder renamed first.
-            # Its index is complete (marker precedes rename), so drop ours.
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(marker):
-                raise
-    return path
+    return build_once_path(sig, "vecindex", lambda tmp: save_vector_index(spark, sf_dir, tmp))
 
 
 def knn_lsh_served(spark: SparkSession, sf_dir: str) -> DataFrame:

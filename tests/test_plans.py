@@ -537,3 +537,20 @@ def test_sample_alloc_windows_are_strata_bounded(spark, queries):
     assert "hashpartitioning(source" in plan, plan[:2000]
     assert "BroadcastExchange" in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_bm25_served_scan_pushes_query_terms(spark, queries):
+    """The persisted-postings serve path must push the literal query-term
+    IN predicate into the tok-sorted postings scan (PushedFilters carries
+    `In(tok, ...)`), so parquet min/max row-group stats skip everything
+    but the probed terms' postings ranges — the Spark-native analog of
+    reading only the query terms' postings lists."""
+    plan = _plan(queries["text_bm25_served"](spark, SF_DIR))
+    postings_segs = [
+        seg for seg in plan.split("Scan parquet")[1:]
+        if "/postings" in seg[:600]
+    ]
+    assert postings_segs, "no scan over the persisted postings file"
+    seg = postings_segs[0]
+    pf = seg.split("PushedFilters")[1][:400]
+    assert "In(tok" in pf or "In(tok, " in pf, pf

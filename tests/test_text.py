@@ -226,3 +226,12 @@ def test_bm25_rank_contract(spark):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_served_matches_inline(spark):
+    """The persisted-index serve path returns exactly the inline result —
+    the parquet roundtrip preserves every int64 statistic and the scoring
+    join is the shared definition."""
+    inline = sorted(map(tuple, T.text_bm25(spark, SF_DIR).collect()))
+    served = sorted(map(tuple, T.text_bm25_served(spark, SF_DIR).collect()))
+    assert inline == served and len(inline) > 0
