@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dream_spark.functions.features import (
+    TOKEN_SPLIT_RE,
     duck_tokens_cte,
     token_id_sql,
     tokens,
@@ -474,12 +475,13 @@ BM25_SAT_Q = 1 << 20
 
 def _bm25_idf_sql(n: str, df: str) -> str:
     """Quantized BM25 idf: LEAST(Q·(2(N−df)+1) div (2df+1), CAP).  A
-    monotone rational surrogate for ln((N−df+½)/(df+½)): the standard
-    idf's negative range (df > N/2) maps to 0 here via integer division —
-    the same floor-at-zero convention Lucene applies.  Document-frequency
-    ORDER is preserved exactly; only the rare-term growth curve is steeper
-    than ln, a documented property of the quantization (the oracle gate
-    needs replayable arithmetic, which float ln is not)."""
+    monotone rational surrogate for ln((N−df+½)/(df+½)): never negative
+    (unlike raw ln-idf for df > N/2 — common terms here keep a small
+    positive weight, flooring to 0 only when the rational drops below
+    1/Q, i.e. df within ~1/(2Q) of N).  Document-frequency ORDER is
+    preserved exactly; only the rare-term growth curve is steeper than
+    ln, a documented property of the quantization (the oracle gate needs
+    replayable arithmetic, which float ln is not)."""
     return (
         f"LEAST(CAST({BM25_IDF_Q} AS BIGINT) * (2 * (({n}) - ({df})) + 1)"
         f" {{d}} (2 * ({df}) + 1), {BM25_IDF_CAP})"
@@ -513,20 +515,43 @@ def bm25_topk(docs: DataFrame, n_queries: int = TEXT_KNN_QUERIES, k: int = BM25_
     candidate) partials flow into the final sum.  At real scale tf/df/dl
     are materialized index artifacts; the plan from there on is
     unchanged."""
-    toks = tokens(spread_small(docs))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf, dfreq, dl, scal = _bm25_stats(tokens(spread_small(docs)))
+    return _bm25_score(tf, dfreq, dl, scal, _bm25_qterms(tf, n_queries), k)
+
+
+def _bm25_stats(toks: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(tf, dfreq, dl, scal) — the four BM25 corpus statistics, ONE
+    definition shared by the inline path and the index builder so the two
+    entries (and their shared oracle) cannot drift.  dl/dfreq/scal all
+    derive from tf: dl = Σtf per doc is the doc's token count, and the
+    scalars aggregate the same sums."""
+    return _bm25_stats_from_tf(
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _bm25_stats_from_tf(
+    tf: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The dfreq/dl/scal derivations from an existing (doc_id, tok, tf)
+    table — used directly by the index builder over the materialized
+    postings parquet."""
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scal = toks.agg(
-        F.expr("count(1) div count(distinct doc_id)").alias("avgdl"),
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    scal = tf.agg(
+        F.expr("sum(tf) div count(distinct doc_id)").alias("avgdl"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    qterms = (
+    return tf, dfreq, dl, scal
+
+
+def _bm25_qterms(tf: DataFrame, n_queries: int) -> DataFrame:
+    """(query_id, qtok) — the query documents' distinct terms."""
+    return (
         tf.where(F.col("doc_id") < n_queries)
         .select(F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"))
         .distinct()
     )
-    return _bm25_score(tf, dfreq, dl, scal, qterms, k)
 
 
 def _bm25_score(
@@ -633,16 +658,16 @@ def save_postings_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/postings")
     )
-    tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).write.mode("overwrite").parquet(
-        f"{path}/lexicon"
+    # derive the statistics tables from the JUST-WRITTEN postings (one
+    # tokenize+aggregate pass total — each .write action would otherwise
+    # re-execute the full corpus tokenization lineage), using the shared
+    # _bm25_stats definitions over the materialized tf
+    _, dfreq, dl, scal = _bm25_stats_from_tf(
+        spark.read.parquet(f"{path}/postings")
     )
-    toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/doclens")
-    toks.agg(
-        F.expr("count(1) div count(distinct doc_id)").alias("avgdl"),
-        F.countDistinct("doc_id").alias("n_docs"),
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    dfreq.write.mode("overwrite").parquet(f"{path}/lexicon")
+    dl.write.mode("overwrite").parquet(f"{path}/doclens")
+    scal.write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def load_postings_index(
@@ -668,12 +693,15 @@ def _postings_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     root = os.path.abspath(sf_dir)
     doc = os.path.join(root, "documents.parquet")
+    # keyed on what DEFINES the stored artifact: the tokenizer regex and
+    # the layout (scoring constants like BM25_IDF_Q apply at serve time —
+    # they neither invalidate nor rebuild the index)
     sig = "|".join(
         [
             root,
             str(os.path.getmtime(doc) if os.path.exists(doc) else 0),
             f"v{_POSTINGS_FORMAT_VERSION}",
-            f"bm25-{BM25_IDF_Q}-{BM25_SAT_Q}-p{POSTINGS_PARTS}",
+            f"tok[{TOKEN_SPLIT_RE}]-p{POSTINGS_PARTS}",
         ]
     )
     return build_once_path(sig, "lexindex", lambda tmp: save_postings_index(spark, sf_dir, tmp))
@@ -685,18 +713,28 @@ def warm_postings_index(spark: SparkSession, sf_dir: str) -> None:
     _postings_index_path(spark, sf_dir)
 
 
-def bm25_serve(spark: SparkSession, path: str, qterms: DataFrame, k: int = BM25_K) -> DataFrame:
+def bm25_serve(
+    spark: SparkSession,
+    path: str,
+    qterms: DataFrame | None = None,
+    n_queries: int = TEXT_KNN_QUERIES,
+    k: int = BM25_K,
+) -> DataFrame:
     """Serve BM25 queries from the PERSISTED postings index: no
     tokenization, no corpus statistics pass — scoring is pure joins
-    against storage.  For small query-term sets (≤ _BM25_INLINE_TERMS) a
-    literal ``tok IN (...)`` predicate is pushed into the tok-sorted
-    postings scan, so parquet row-group min/max statistics skip everything
-    but the probed terms' postings ranges — at 100 TB that is the
-    difference between scanning the index and scanning the probed lists.
-    Results are identical to the inline :func:`bm25_topk` (the roundtrip
-    preserves exact int64 quantities), so the BM25 oracle replays
-    byte-identically."""
+    against storage.  ``qterms`` is any (query_id, qtok) table; when
+    omitted, the first ``n_queries`` indexed documents' term sets are the
+    queries (the text_knn convention).  For small query-term sets
+    (≤ _BM25_INLINE_TERMS) a literal ``tok IN (...)`` predicate is pushed
+    into the tok-sorted postings scan, so parquet row-group min/max
+    statistics skip everything but the probed terms' postings ranges —
+    at 100 TB that is the difference between scanning the index and
+    scanning the probed lists.  Results are identical to the inline
+    :func:`bm25_topk` (the roundtrip preserves exact int64 quantities),
+    so the BM25 oracle replays byte-identically."""
     postings, lex, dl, stats = load_postings_index(spark, path)
+    if qterms is None:
+        qterms = _bm25_qterms(postings, n_queries)
     terms = [
         r["qtok"]
         for r in qterms.select("qtok").distinct().limit(_BM25_INLINE_TERMS + 1).collect()
@@ -711,14 +749,7 @@ def text_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper for the SERVE path: same query set and
     results as ``text_bm25`` (same oracle), probed against the persisted
     index."""
-    path = _postings_index_path(spark, sf_dir)
-    postings = spark.read.parquet(f"{path}/postings")
-    qterms = (
-        postings.where(F.col("doc_id") < TEXT_KNN_QUERIES)
-        .select(F.col("doc_id").alias("query_id"), F.col("tok").alias("qtok"))
-        .distinct()
-    )
-    return bm25_serve(spark, path, qterms)
+    return bm25_serve(spark, _postings_index_path(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

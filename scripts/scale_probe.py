@@ -58,6 +58,10 @@ HEAVY = [
     "graph_components_forest",
     "knn_ivf_pruned",
     "knn_ivf_refreshed",
+    "sketch_heavyhitters",
+    "sketch_hll_registers",
+    "text_bm25",
+    "text_bm25_served",
 ]
 
 
@@ -127,7 +131,7 @@ def measure(sf_dir: str) -> dict[str, float]:
     from dream_spark import get_spark
     from dream_spark.operators.graph import warm_graph_artifacts
     from dream_spark.operators.similarity import warm_vector_indexes
-    from dream_spark.operators.text import shared_hbow
+    from dream_spark.operators.text import shared_hbow, warm_postings_index
 
     spark = get_spark("scale-probe")
     qs = entrymod.queries()
@@ -135,6 +139,7 @@ def measure(sf_dir: str) -> dict[str, float]:
     warm_vector_indexes(spark, sf_dir)
     warm_graph_artifacts(spark, sf_dir)
     shared_hbow(spark, sf_dir)
+    warm_postings_index(spark, sf_dir)
     out = {}
     for name in HEAVY:
         t0 = time.perf_counter()
