@@ -671,7 +671,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   data-skipping index), pipeline_surprisal (integer-exact unigram
 #   surprisal quality score), sketch_heavyhitters, text_bm25,
 #   sketch_hll_registers, text_bm25_served (persisted postings-index
-#   serve).  Total entries: 222 = 215 at the r7 cap freeze + these seven.
+#   serve), pipeline_sample_weighted (deterministic weighted Bernoulli
+#   sample).  Total entries: 223 = 215 at the r7 cap freeze + these
+#   eight.
 #
 # Round 7 rotation — the 50 seats:
 #   * 10 seats: the r7 queue — sparql_filter_strbefore,

@@ -105,6 +105,72 @@ FROM documents
 """.strip()
 
 
+# --------------------------------------------------------------------------
+# Quality-weighted Bernoulli sampling (deterministic per-document coin)
+# --------------------------------------------------------------------------
+#: fixed-point scale for keep probabilities (micro-units)
+WS_PSCALE = 1_000_000
+#: saturation point of the length-derived weight: p grows linearly with
+#: n_chars and flattens here (longer is better evidence of substance, but
+#: unboundedly long is not unboundedly better)
+WS_SAT_CHARS = 800
+#: maximum keep probability in micro-units (docs at/over saturation keep
+#: with p = 0.6)
+WS_RATE_MICRO = 600_000
+#: hash-function index reserved for the sampling coin (outside the
+#: minhash signature range 0-15 and the HBOW band range)
+_WS_FN = 33
+
+
+def _ws_p_micro_sql(weight_expr: str) -> str:
+    """Keep probability in micro-units: RATE · LEAST(w, SAT) div SAT.
+    ``{d}`` is the integer-division operator (`div` on Spark, `//` on
+    DuckDB) — format before use."""
+    return f"({WS_RATE_MICRO} * LEAST({weight_expr}, {WS_SAT_CHARS}) {{d}} {WS_SAT_CHARS})"
+
+
+def _ws_coin_sql(id_expr: str) -> str:
+    """The per-id coin in [0, PSCALE): a universal-hash draw reduced mod
+    PSCALE.  P mod PSCALE ≠ 0, so the reduction carries a ~5·10⁻⁴
+    relative modulo bias — deterministic and identical on both engines,
+    and orders of magnitude below the binomial noise of any real sample;
+    documented rather than engineered away."""
+    return f"({hash_sql(id_expr, _WS_FN)} % {WS_PSCALE})"
+
+
+def weighted_sample(df: DataFrame, weight_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted Bernoulli sample for ANY DataFrame with an
+    integer id column: keep row i iff h(id_i) mod PSCALE < p_i, where the
+    keep probability p_i is proportional to the (saturated) weight column
+    — the quality-proportional subsampling step of a data-curation
+    pipeline (keep more of what scores well, a deterministic fraction of
+    the rest), with the reproducibility contract of ``split_assign``: the
+    same id draws the same coin on every engine, run, and cluster size.
+
+    Scale shape: MAP-ONLY — the weight is a row-local expression and the
+    coin is a hash of the id, so the decision is a projection+filter on
+    the scan; nothing shuffles at any corpus size."""
+    p = F.expr(_ws_p_micro_sql(weight_col).format(d="div"))
+    coin = F.expr(_ws_coin_sql(id_col))
+    return df.withColumn("p_micro", p).where(coin < F.col("p_micro"))
+
+
+def pipeline_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: length-weighted deterministic sample of
+    documents (weight = n_chars saturated at WS_SAT_CHARS)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs.select("doc_id", "source", "n_chars"), "n_chars").select(
+        "doc_id", "source", F.col("p_micro").cast("bigint")
+    )
+
+
+PIPELINE_SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, source, CAST({_ws_p_micro_sql("n_chars").format(d="//")} AS BIGINT) AS p_micro
+FROM documents
+WHERE {_ws_coin_sql("doc_id")} < {_ws_p_micro_sql("n_chars").format(d="//")}
+""".strip()
+
+
 def stratified_sample(
     df: DataFrame, group_col: str, id_col: str = "doc_id", n: int = SAMPLE_PER_GROUP
 ) -> DataFrame:
@@ -1382,6 +1448,7 @@ QUERIES = {
     "pipeline_profile": pipeline_profile,
     "pipeline_sample": pipeline_sample,
     "pipeline_sample_alloc": pipeline_sample_alloc,
+    "pipeline_sample_weighted": pipeline_sample_weighted,
     "pipeline_tfidf": pipeline_tfidf,
     "pipeline_bigrams": pipeline_bigrams,
     "pipeline_curate": pipeline_curate,
@@ -1406,6 +1473,7 @@ ORACLES = {
     "pipeline_profile": PIPELINE_PROFILE_SQL,
     "pipeline_sample": PIPELINE_SAMPLE_SQL,
     "pipeline_sample_alloc": PIPELINE_SAMPLE_ALLOC_SQL,
+    "pipeline_sample_weighted": PIPELINE_SAMPLE_WEIGHTED_SQL,
     "pipeline_tfidf": PIPELINE_TFIDF_SQL,
     "pipeline_bigrams": PIPELINE_BIGRAMS_SQL,
     "pipeline_curate": PIPELINE_CURATE_SQL,

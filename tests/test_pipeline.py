@@ -418,3 +418,32 @@ def test_surprisal_python_parity(spark):
         assert got[d]["avg_surprisal_x100"] == (100 * sum(surps)) // len(ts)
     # rare-token doc must outscore the repetitive doc
     assert got[3]["avg_surprisal_x100"] > got[2]["avg_surprisal_x100"]
+
+
+# ---------------------------------------------------------------------------
+# Weighted Bernoulli sampling
+# ---------------------------------------------------------------------------
+def test_weighted_sample_is_calibrated_and_deterministic(spark):
+    """The realized sample size lands within binomial noise of the exact
+    expectation Σp_i, inclusion is EXACTLY the documented predicate (coin
+    < p), and the decision is partitioning-independent (map-only)."""
+    from dream_spark.functions.hashing import hash_params
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "n_chars")
+    kept = {r["doc_id"]: r["p_micro"] for r in P.pipeline_sample_weighted(spark, SF_DIR).collect()}
+    a, b = hash_params(P._WS_FN)
+    exp, var = 0.0, 0.0
+    for r in docs.collect():
+        p_micro = P.WS_RATE_MICRO * min(r["n_chars"], P.WS_SAT_CHARS) // P.WS_SAT_CHARS
+        coin = ((a * r["doc_id"] + b) % 2_147_483_647) % P.WS_PSCALE
+        assert (r["doc_id"] in kept) == (coin < p_micro)
+        if r["doc_id"] in kept:
+            assert kept[r["doc_id"]] == p_micro
+        p = p_micro / P.WS_PSCALE
+        exp += p
+        var += p * (1 - p)
+    # 5-sigma binomial band around the exact expectation
+    assert abs(len(kept) - exp) <= 5 * max(var, 1.0) ** 0.5
+    # partitioning independence: same ids survive under a repartition
+    re = P.weighted_sample(docs.repartition(13), "n_chars")
+    assert {r["doc_id"] for r in re.collect()} == set(kept)
