@@ -672,8 +672,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   surprisal quality score), sketch_heavyhitters, text_bm25,
 #   sketch_hll_registers, text_bm25_served (persisted postings-index
 #   serve), pipeline_sample_weighted (deterministic weighted Bernoulli
-#   sample).  Total entries: 223 = 215 at the r7 cap freeze + these
-#   eight.
+#   sample), sketch_hll_union (per-group HLL sketches max-merged into a
+#   lossless union estimate).  Total entries: 224 = 215 at the r7 cap
+#   freeze + these nine.
 #
 # Round 7 rotation — the 50 seats:
 #   * 10 seats: the r7 queue — sparql_filter_strbefore,

@@ -779,6 +779,57 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(load_table(spark, sf_dir, "events"), "user_id")
 
 
+def hll_merge_union(df: DataFrame, col: str, group_col: str) -> DataFrame:
+    """THE operation HLL exists for: per-group sketches merged into a
+    union estimate WITHOUT touching the raw values again.  Builds one
+    register set per group (partial-aggregated MAX, ≤ m rows per group),
+    then merges ALL groups by elementwise register MAX — the union
+    sketch — and reports per-group estimates next to the merged-union
+    estimate.  At 100 TB this is the cross-partition / cross-day /
+    cross-source rollup: sketches built independently (per partition, per
+    ingest batch) union losslessly because max is associative,
+    commutative, and idempotent; no re-scan, no distinct.
+
+    Output: one row per group (group, est_group, est_union) — est_union
+    identical on every row, computed purely from the merged registers.
+    The whole computation is replayable, so the oracle hash-checks the
+    merge itself, not just the estimates."""
+    h = _hll_mix_sql(col)
+    hashed = df.where(F.col(col).isNotNull() & F.col(group_col).isNotNull()).selectExpr(
+        f"{group_col} AS grp",
+        f"{h} % {HLL_M} AS bucket",
+        f"{_hll_rho_sql(f'{h} div {HLL_M}')} AS rho",
+    )
+    regs = hashed.groupBy("grp", "bucket").agg(F.max("rho").alias("register"))
+
+    def est_over(frame: DataFrame, keys: list) -> DataFrame:
+        agg = frame.groupBy(*keys).agg(
+            F.sum(F.expr(_hll_pow2_sql("register"))).alias("s_obs"),
+            F.count(F.lit(1)).alias("m_obs"),
+        )
+        return agg.selectExpr(
+            *keys,
+            f"CAST(({_HLL_ALPHA_NUM} * {HLL_M * HLL_M}L * {1 << _HLL_RHO_MAX}L) div"
+            f" ({_HLL_ALPHA_DEN} * (s_obs + ({HLL_M} - m_obs) * {1 << _HLL_RHO_MAX}L))"
+            " AS BIGINT) AS est",
+        )
+
+    per_group = est_over(regs, ["grp"]).withColumnRenamed("est", "est_group")
+    # the union sketch: elementwise MAX across every group's registers
+    merged = regs.groupBy("bucket").agg(F.max("register").alias("register"))
+    union_est = est_over(merged, []).withColumnRenamed("est", "est_union")
+    return (
+        per_group.crossJoin(F.broadcast(union_est))
+        .select(F.col("grp").alias(group_col), "est_group", "est_union")
+    )
+
+
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: per-event-type distinct-user sketches
+    merged into the all-types union estimate."""
+    return hll_merge_union(load_table(spark, sf_dir, "events"), "user_id", "event_type")
+
+
 def _hll_sql() -> str:
     h = _hll_mix_sql("user_id")
     return f"""
@@ -800,6 +851,35 @@ FROM regs CROSS JOIN est
 
 
 SKETCH_HLL_SQL = _hll_sql()
+
+
+def _hll_union_sql() -> str:
+    h = _hll_mix_sql("user_id")
+    est_num = (
+        f"{_HLL_ALPHA_NUM} * CAST({HLL_M * HLL_M} AS BIGINT) * {1 << _HLL_RHO_MAX}"
+    )
+    est_den = (
+        f"{_HLL_ALPHA_DEN} * (SUM({_hll_pow2_sql('register')})"
+        f" + ({HLL_M} - COUNT(*)) * {1 << _HLL_RHO_MAX})"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT event_type AS grp, {h} % {HLL_M} AS bucket,
+         {_hll_rho_sql(f'{h} // {HLL_M}')} AS rho
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+regs AS (SELECT grp, bucket, MAX(rho) AS register FROM hashed GROUP BY grp, bucket),
+per_group AS (
+  SELECT grp, CAST(({est_num}) // ({est_den}) AS BIGINT) AS est_group
+  FROM regs GROUP BY grp
+),
+merged AS (SELECT bucket, MAX(register) AS register FROM regs GROUP BY bucket),
+uni AS (SELECT CAST(({est_num}) // ({est_den}) AS BIGINT) AS est_union FROM merged)
+SELECT grp AS event_type, est_group, est_union FROM per_group CROSS JOIN uni
+""".strip()
+
+
+SKETCH_HLL_UNION_SQL = _hll_union_sql()
 
 
 def bloom_position_array():
@@ -915,6 +995,7 @@ QUERIES = {
     "sketch_kmv_overlap": sketch_kmv_overlap,
     "sketch_heavyhitters": sketch_heavyhitters,
     "sketch_hll_registers": sketch_hll_registers,
+    "sketch_hll_union": sketch_hll_union,
 }
 
 ORACLES = {
@@ -928,4 +1009,5 @@ ORACLES = {
     "sketch_kmv_overlap": SKETCH_KMV_OVERLAP_SQL,
     "sketch_heavyhitters": SKETCH_HEAVYHITTERS_SQL,
     "sketch_hll_registers": SKETCH_HLL_SQL,
+    "sketch_hll_union": SKETCH_HLL_UNION_SQL,
 }

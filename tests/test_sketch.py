@@ -367,3 +367,15 @@ def test_hll_duplicates_are_free(spark):
     once = sorted(map(tuple, S.hll_registers(df, "v").collect()))
     tripled = sorted(map(tuple, S.hll_registers(df.union(df).union(df), "v").collect()))
     assert once == tripled
+
+
+def test_hll_union_merge_equals_rebuild(spark):
+    """The merged-union estimate must equal the estimate of a sketch built
+    directly over the undivided stream — max-merge is lossless, the whole
+    point of HLL rollups."""
+    ev = load_table(spark, SF_DIR, "events")
+    direct = S.hll_registers(ev, "user_id").select("est").first()["est"]
+    merged = S.hll_merge_union(ev, "user_id", "event_type").select("est_union").first()[
+        "est_union"
+    ]
+    assert merged == direct
