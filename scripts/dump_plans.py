@@ -49,6 +49,8 @@ SHOWCASE = [
     ("sketch_heavyhitters", "two-pass heavy hitters: MapInPandas MG sweep is map-only (O(k) state per task, <= k rows out per task); candidates re-join BROADCAST; recount is a partial-agg groupBy — the token stream never shuffles"),
     ("sketch_hll_registers", "HLL: IsNotNull pushed to the scan, ReadSchema pruned to the one column; partial_max before the exchange so only <= 256 register rows shuffle; the estimate is a broadcast 1-row attach"),
     ("text_bm25", "BM25: query-term table broadcast (the postings probe — corpus tf filtered map-side, never re-shuffled); dfreq/dl join broadcast at this sf, SMJ at scale; WindowGroupLimit pushes the top-k below the final exchange"),
+    ("text_bm25_served", "persisted-postings serve: PushedFilters carries In(tok, ...) into the tok-sorted postings scan (row-group skipping of unprobed postings); statistics tables read, never recomputed"),
+    ("pipeline_sample_weighted", "weighted Bernoulli sample: NO Exchange anywhere — the coin and the keep probability are row-local expressions inside one WholeStageCodegen scan stage"),
 ]
 
 

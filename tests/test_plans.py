@@ -554,3 +554,11 @@ def test_bm25_served_scan_pushes_query_terms(spark, queries):
     seg = postings_segs[0]
     pf = seg.split("PushedFilters")[1][:400]
     assert "In(tok" in pf or "In(tok, " in pf, pf
+
+
+def test_weighted_sample_is_map_only(spark, queries):
+    """pipeline_sample_weighted must compile to a pure scan stage: the
+    coin and keep probability are row-local, so ANY Exchange in the plan
+    means the map-only contract broke."""
+    plan = _plan(queries["pipeline_sample_weighted"](spark, SF_DIR))
+    assert "Exchange" not in plan
