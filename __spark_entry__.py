@@ -673,8 +673,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sketch_hll_registers, text_bm25_served (persisted postings-index
 #   serve), pipeline_sample_weighted (deterministic weighted Bernoulli
 #   sample), sketch_hll_union (per-group HLL sketches max-merged into a
-#   lossless union estimate).  Total entries: 224 = 215 at the r7 cap
-#   freeze + these nine.
+#   lossless union estimate), sketch_hll_hourly (windowed HLL, the batch
+#   twin of streaming/events.hll_stream).  Total entries: 225 = 215 at
+#   the r7 cap freeze + these ten.
 #
 # Round 7 rotation — the 50 seats:
 #   * 10 seats: the r7 queue — sparql_filter_strbefore,

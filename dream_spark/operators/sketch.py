@@ -882,6 +882,72 @@ SELECT grp AS event_type, est_group, est_union FROM per_group CROSS JOIN uni
 SKETCH_HLL_UNION_SQL = _hll_union_sql()
 
 
+def hll_by_window(
+    df: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    window_us: int = KMV_WINDOW_US,
+) -> DataFrame:
+    """Per-tumbling-window HLL distinct estimates: (hour_bucket, m_obs,
+    est) — the batch twin of the bounded-state streaming sketch
+    (streaming/events.hll_stream; identical hash+mixer+estimator, so the
+    closed stream windows equal these rows exactly).
+
+    Scale shape: (window, bucket, rho) partially MAX-aggregates before
+    the shuffle — ≤ m=256 rows per window per partition move, however
+    many events the window saw."""
+    from dream_spark.functions.timeutils import epoch_micros
+
+    us = epoch_micros(df, ts_col)
+    h = _hll_mix_sql(col)
+    hashed = df.where(F.col(col).isNotNull()).select(
+        _window_bucket(us, window_us).alias("hour_bucket"),
+        F.expr(f"{h} % {HLL_M}").alias("bucket"),
+        F.expr(_hll_rho_sql(f"{h} div {HLL_M}")).alias("rho"),
+    )
+    regs = hashed.groupBy("hour_bucket", "bucket").agg(F.max("rho").alias("register"))
+    agg = regs.groupBy("hour_bucket").agg(
+        F.sum(F.expr(_hll_pow2_sql("register"))).alias("s_obs"),
+        F.count(F.lit(1)).alias("m_obs"),
+    )
+    return agg.selectExpr(
+        "CAST(hour_bucket AS BIGINT) AS hour_bucket",
+        "CAST(m_obs AS BIGINT) AS m_obs",
+        f"CAST(({_HLL_ALPHA_NUM} * {HLL_M * HLL_M}L * {1 << _HLL_RHO_MAX}L) div"
+        f" ({_HLL_ALPHA_DEN} * (s_obs + ({HLL_M} - m_obs) * {1 << _HLL_RHO_MAX}L))"
+        " AS BIGINT) AS est",
+    )
+
+
+def sketch_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: hourly-window HLL distinct-user estimates
+    over the events table."""
+    return hll_by_window(load_table(spark, sf_dir, "events"), "user_id")
+
+
+def _hll_hourly_sql() -> str:
+    h = _hll_mix_sql("user_id")
+    return f"""
+WITH hashed AS (
+  SELECT CAST((epoch_us(ts) - ((epoch_us(ts) % {KMV_WINDOW_US}) + {KMV_WINDOW_US}) % {KMV_WINDOW_US}) / {KMV_WINDOW_US} AS BIGINT) AS hour_bucket,
+         {h} % {HLL_M} AS bucket,
+         {_hll_rho_sql(f'{h} // {HLL_M}')} AS rho
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (SELECT hour_bucket, bucket, MAX(rho) AS register
+         FROM hashed GROUP BY hour_bucket, bucket)
+SELECT CAST(hour_bucket AS BIGINT) AS hour_bucket,
+       CAST(COUNT(*) AS BIGINT) AS m_obs,
+       CAST(({_HLL_ALPHA_NUM} * CAST({HLL_M * HLL_M} AS BIGINT) * {1 << _HLL_RHO_MAX})
+            // ({_HLL_ALPHA_DEN} * (SUM({_hll_pow2_sql('register')})
+                + ({HLL_M} - COUNT(*)) * {1 << _HLL_RHO_MAX})) AS BIGINT) AS est
+FROM regs GROUP BY hour_bucket
+""".strip()
+
+
+SKETCH_HLL_HOURLY_SQL = _hll_hourly_sql()
+
+
 def bloom_position_array():
     """The in-row bit-position array of one document's ``text`` column:
     k universal-hash positions in [0, m), duplicates collapsed — the
@@ -996,6 +1062,7 @@ QUERIES = {
     "sketch_heavyhitters": sketch_heavyhitters,
     "sketch_hll_registers": sketch_hll_registers,
     "sketch_hll_union": sketch_hll_union,
+    "sketch_hll_hourly": sketch_hll_hourly,
 }
 
 ORACLES = {
@@ -1010,4 +1077,5 @@ ORACLES = {
     "sketch_heavyhitters": SKETCH_HEAVYHITTERS_SQL,
     "sketch_hll_registers": SKETCH_HLL_SQL,
     "sketch_hll_union": SKETCH_HLL_UNION_SQL,
+    "sketch_hll_hourly": SKETCH_HLL_HOURLY_SQL,
 }

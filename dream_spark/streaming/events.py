@@ -516,6 +516,100 @@ def kmv_stream(
     )
 
 
+_HLL_STATE_SCHEMA = T.StructType([T.StructField("regs", T.ArrayType(T.LongType()))])
+
+HLL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("hour_bucket", T.LongType()),
+        T.StructField("m_obs", T.LongType()),
+        T.StructField("est", T.LongType()),
+    ]
+)
+
+
+def hll_stream(
+    events: DataFrame,
+    window_min: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed HLL distinct-count sketch over the stream: per tumbling
+    window, a DENSE m=256 register array max-updated per batch — fixed
+    O(m) state per open window however many distinct users flow through
+    (the complementary state shape to ``kmv_stream``'s order statistic:
+    registers never grow, never sort, and merge by elementwise max).
+    Windows close on EVENT-time timeout when the watermark passes the
+    window end; a closed window's row is EXACTLY the batch twin's
+    (operators/sketch.hll_by_window — same hash, same quadratic mixer,
+    same integer estimator), so batch and stream sketches union freely."""
+    import numpy as np
+
+    from dream_spark.functions.hashing import MERSENNE_P, hash_params
+    from dream_spark.operators.sketch import (
+        _HLL_ALPHA_DEN,
+        _HLL_ALPHA_NUM,
+        _HLL_FN,
+        _HLL_FN2,
+        _HLL_RHO_MAX,
+        HLL_M,
+        _window_bucket,
+    )
+
+    A, B = hash_params(_HLL_FN)
+    A2, B2 = hash_params(_HLL_FN2)
+    win_us = window_min * 60 * 1_000_000
+
+    ev = events.where(F.col("user_id").isNotNull())
+    us = epoch_micros(ev, "ts")
+    keyed = ev.select(
+        F.col("ts"), _window_bucket(us, win_us).alias("hour_bucket"), F.col("user_id")
+    )
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        if state.hasTimedOut:
+            (regs,) = state.get
+            rs = [int(r) for r in regs]
+            m_obs = sum(1 for r in rs if r > 0)
+            s_obs = sum(1 << (_HLL_RHO_MAX - r) for r in rs if r > 0)
+            den = _HLL_ALPHA_DEN * (s_obs + (HLL_M - m_obs) * (1 << _HLL_RHO_MAX))
+            est = (_HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << _HLL_RHO_MAX)) // den
+            state.remove()
+            yield pd.DataFrame(
+                {"hour_bucket": [bucket], "m_obs": [m_obs], "est": [est]}
+            )
+            return
+        regs = np.zeros(HLL_M, dtype="int64")
+        if state.exists:
+            (prev,) = state.get
+            regs = np.asarray(prev, dtype="int64")
+        for pdf in pdfs:
+            x = pdf["user_id"].to_numpy().astype("int64")
+            # the exact batch hash + quadratic mixer (every intermediate
+            # < 2^63: h < 2^31, so h*h < 2^62 and A2*h < 2^62)
+            h = ((A * x + B) % MERSENNE_P + MERSENNE_P) % MERSENNE_P
+            h = (h * h % MERSENNE_P + A2 * h + B2) % MERSENNE_P
+            b = h % HLL_M
+            w = h // HLL_M
+            # exact integer bit length via frexp (float mantissa/exponent
+            # decomposition is exact for ints < 2^53)
+            _, exp = np.frexp(w.astype("float64"))
+            rho = np.where(w == 0, _HLL_RHO_MAX, _HLL_RHO_MAX - exp).astype("int64")
+            np.maximum.at(regs, b, rho)
+        state.update(([int(r) for r in regs],))
+        end_ms = ((int(bucket) + 1) * win_us) // 1000 + 1
+        state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
+
+    return keyed.withWatermark("ts", watermark).groupBy("hour_bucket").applyInPandasWithState(
+        fn,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 #: tumbling funnel window (minutes); hour-aligned so the batch twin's
 #: date_trunc('hour') produces identical window starts
 FUNNEL_WINDOW_MIN = 60

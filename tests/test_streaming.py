@@ -314,3 +314,34 @@ def test_kmv_stream_matches_batch_windows(spark):
     assert got, "stream emitted no closed windows"
     mismatched = {b for b, v in got.items() if batch.get(b) != v}
     assert not mismatched, sorted(mismatched)[:5]
+
+
+@pytest.mark.slow
+def test_hll_stream_matches_batch_windows(spark):
+    """Closed stream windows must equal the batch per-window HLL rows
+    EXACTLY (same hash, same quadratic mixer, same integer estimator) —
+    the merge contract between the dense-register stream sketch and its
+    batch twin."""
+    from dream_spark.operators.sketch import hll_by_window
+    from dream_spark.sources.tables import load_table
+
+    stream = SE.hll_stream(SE.read_events_stream(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hll_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["hour_bucket"]: (r["m_obs"], r["est"])
+        for r in spark.sql("select * from hll_sink").collect()
+    }
+    batch = {
+        r["hour_bucket"]: (r["m_obs"], r["est"])
+        for r in hll_by_window(load_table(spark, SF_DIR, "events"), "user_id").collect()
+    }
+    assert got, "stream emitted no closed windows"
+    mismatched = {b for b, v in got.items() if batch.get(b) != v}
+    assert not mismatched, sorted(mismatched)[:5]
