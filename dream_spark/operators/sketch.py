@@ -116,6 +116,16 @@ def _window_bucket(us, width: int):
     return ((us - F.pmod(us, F.lit(width))) / F.lit(width)).cast("long")
 
 
+def _window_bucket_oracle_sql(width: int, ts: str = "ts") -> str:
+    """The oracle-side twin of :func:`_window_bucket` (floored integer
+    window bucket over epoch micros) — ONE rendering shared by every
+    windowed-sketch oracle string so the bucket definition cannot drift
+    between entries on the DuckDB side while the Spark side is
+    centralized."""
+    e = f"epoch_us({ts})"
+    return f"CAST(({e} - (({e} % {width}) + {width}) % {width}) / {width} AS BIGINT)"
+
+
 def kmv_distinct_by_window(
     df: DataFrame,
     col: str,
@@ -165,7 +175,7 @@ def sketch_kmv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKETCH_KMV_HOURLY_SQL = f"""
 WITH h AS (
   SELECT DISTINCT
-         CAST((epoch_us(ts) - ((epoch_us(ts) % {KMV_WINDOW_US}) + {KMV_WINDOW_US}) % {KMV_WINDOW_US}) / {KMV_WINDOW_US} AS BIGINT) AS hour_bucket,
+         {_window_bucket_oracle_sql(KMV_WINDOW_US)} AS hour_bucket,
          {_nn_hash_sql("user_id", _KMV_FN)} AS hv
   FROM events WHERE user_id IS NOT NULL
 ),
@@ -720,6 +730,26 @@ def _hll_rho_sql(w: str) -> str:
     )
 
 
+def _hll_est_sql(s_obs: str, m_obs: str, d: str) -> str:
+    """The ONE rendering of the raw HLL estimator
+    alpha·m²·2^RHO_MAX div (s_obs + (m − m_obs)·2^RHO_MAX) — shared by
+    every Spark selectExpr and every DuckDB oracle string (``d`` is the
+    integer-division operator: `div` or `//`); the streaming twin's
+    Python mirror is :func:`hll_est_py`.  One definition, so the
+    stream/batch/oracle bit-for-bit parity cannot drift."""
+    num = f"{_HLL_ALPHA_NUM} * CAST({HLL_M * HLL_M} AS BIGINT) * {1 << _HLL_RHO_MAX}"
+    den = f"{_HLL_ALPHA_DEN} * (({s_obs}) + ({HLL_M} - ({m_obs})) * {1 << _HLL_RHO_MAX})"
+    return f"CAST(({num}) {d} ({den}) AS BIGINT)"
+
+
+def hll_est_py(s_obs: int, m_obs: int) -> int:
+    """Python mirror of :func:`_hll_est_sql` for the streaming state
+    function."""
+    num = _HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << _HLL_RHO_MAX)
+    den = _HLL_ALPHA_DEN * (s_obs + (HLL_M - m_obs) * (1 << _HLL_RHO_MAX))
+    return num // den
+
+
 def _hll_pow2_sql(reg: str) -> str:
     """2^(RHO_MAX − register) as an integer CASE — no float pow, no
     engine-specific shift operator."""
@@ -761,11 +791,7 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     est = regs.agg(
         F.sum(F.expr(_hll_pow2_sql("register"))).alias("s_obs"),
         F.count(F.lit(1)).alias("m_obs"),
-    ).selectExpr(
-        f"CAST(({_HLL_ALPHA_NUM} * {HLL_M * HLL_M}L * {1 << _HLL_RHO_MAX}L) div"
-        f" ({_HLL_ALPHA_DEN} * (s_obs + ({HLL_M} - m_obs) * {1 << _HLL_RHO_MAX}L))"
-        " AS BIGINT) AS est"
-    )
+    ).selectExpr(f"{_hll_est_sql('s_obs', 'm_obs', 'div')} AS est")
     return regs.crossJoin(F.broadcast(est)).select(
         F.col("bucket").cast("bigint"),
         F.col("register").cast("bigint"),
@@ -795,7 +821,11 @@ def hll_merge_union(df: DataFrame, col: str, group_col: str) -> DataFrame:
     The whole computation is replayable, so the oracle hash-checks the
     merge itself, not just the estimates."""
     h = _hll_mix_sql(col)
-    hashed = df.where(F.col(col).isNotNull() & F.col(group_col).isNotNull()).selectExpr(
+    # NULL groups are KEPT (a group of their own, like GROUP BY on both
+    # engines) — filtering them would drop their registers from the merged
+    # union sketch and silently break the merge-equals-rebuild contract
+    # on any dataset with a nullable group column (r7 review finding)
+    hashed = df.where(F.col(col).isNotNull()).selectExpr(
         f"{group_col} AS grp",
         f"{h} % {HLL_M} AS bucket",
         f"{_hll_rho_sql(f'{h} div {HLL_M}')} AS rho",
@@ -808,10 +838,7 @@ def hll_merge_union(df: DataFrame, col: str, group_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("m_obs"),
         )
         return agg.selectExpr(
-            *keys,
-            f"CAST(({_HLL_ALPHA_NUM} * {HLL_M * HLL_M}L * {1 << _HLL_RHO_MAX}L) div"
-            f" ({_HLL_ALPHA_DEN} * (s_obs + ({HLL_M} - m_obs) * {1 << _HLL_RHO_MAX}L))"
-            " AS BIGINT) AS est",
+            *keys, f"{_hll_est_sql('s_obs', 'm_obs', 'div')} AS est"
         )
 
     per_group = est_over(regs, ["grp"]).withColumnRenamed("est", "est_group")
@@ -840,9 +867,7 @@ WITH hashed AS (
 ),
 regs AS (SELECT bucket, MAX(rho) AS register FROM hashed GROUP BY bucket),
 est AS (
-  SELECT CAST(({_HLL_ALPHA_NUM} * CAST({HLL_M * HLL_M} AS BIGINT) * {1 << _HLL_RHO_MAX})
-         // ({_HLL_ALPHA_DEN} * (SUM({_hll_pow2_sql('register')})
-             + ({HLL_M} - COUNT(*)) * {1 << _HLL_RHO_MAX})) AS BIGINT) AS est
+  SELECT {_hll_est_sql(f"SUM({_hll_pow2_sql('register')})", "COUNT(*)", "//")} AS est
   FROM regs
 )
 SELECT CAST(bucket AS BIGINT) AS bucket, CAST(register AS BIGINT) AS register, est
@@ -855,26 +880,20 @@ SKETCH_HLL_SQL = _hll_sql()
 
 def _hll_union_sql() -> str:
     h = _hll_mix_sql("user_id")
-    est_num = (
-        f"{_HLL_ALPHA_NUM} * CAST({HLL_M * HLL_M} AS BIGINT) * {1 << _HLL_RHO_MAX}"
-    )
-    est_den = (
-        f"{_HLL_ALPHA_DEN} * (SUM({_hll_pow2_sql('register')})"
-        f" + ({HLL_M} - COUNT(*)) * {1 << _HLL_RHO_MAX})"
-    )
+    est = _hll_est_sql(f"SUM({_hll_pow2_sql('register')})", "COUNT(*)", "//")
     return f"""
 WITH hashed AS (
   SELECT event_type AS grp, {h} % {HLL_M} AS bucket,
          {_hll_rho_sql(f'{h} // {HLL_M}')} AS rho
-  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  FROM events WHERE user_id IS NOT NULL
 ),
 regs AS (SELECT grp, bucket, MAX(rho) AS register FROM hashed GROUP BY grp, bucket),
 per_group AS (
-  SELECT grp, CAST(({est_num}) // ({est_den}) AS BIGINT) AS est_group
+  SELECT grp, {est} AS est_group
   FROM regs GROUP BY grp
 ),
 merged AS (SELECT bucket, MAX(register) AS register FROM regs GROUP BY bucket),
-uni AS (SELECT CAST(({est_num}) // ({est_den}) AS BIGINT) AS est_union FROM merged)
+uni AS (SELECT {est} AS est_union FROM merged)
 SELECT grp AS event_type, est_group, est_union FROM per_group CROSS JOIN uni
 """.strip()
 
@@ -913,9 +932,7 @@ def hll_by_window(
     return agg.selectExpr(
         "CAST(hour_bucket AS BIGINT) AS hour_bucket",
         "CAST(m_obs AS BIGINT) AS m_obs",
-        f"CAST(({_HLL_ALPHA_NUM} * {HLL_M * HLL_M}L * {1 << _HLL_RHO_MAX}L) div"
-        f" ({_HLL_ALPHA_DEN} * (s_obs + ({HLL_M} - m_obs) * {1 << _HLL_RHO_MAX}L))"
-        " AS BIGINT) AS est",
+        f"{_hll_est_sql('s_obs', 'm_obs', 'div')} AS est",
     )
 
 
@@ -927,9 +944,10 @@ def sketch_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hll_hourly_sql() -> str:
     h = _hll_mix_sql("user_id")
+    est = _hll_est_sql(f"SUM({_hll_pow2_sql('register')})", "COUNT(*)", "//")
     return f"""
 WITH hashed AS (
-  SELECT CAST((epoch_us(ts) - ((epoch_us(ts) % {KMV_WINDOW_US}) + {KMV_WINDOW_US}) % {KMV_WINDOW_US}) / {KMV_WINDOW_US} AS BIGINT) AS hour_bucket,
+  SELECT {_window_bucket_oracle_sql(KMV_WINDOW_US)} AS hour_bucket,
          {h} % {HLL_M} AS bucket,
          {_hll_rho_sql(f'{h} // {HLL_M}')} AS rho
   FROM events WHERE user_id IS NOT NULL
@@ -938,9 +956,7 @@ regs AS (SELECT hour_bucket, bucket, MAX(rho) AS register
          FROM hashed GROUP BY hour_bucket, bucket)
 SELECT CAST(hour_bucket AS BIGINT) AS hour_bucket,
        CAST(COUNT(*) AS BIGINT) AS m_obs,
-       CAST(({_HLL_ALPHA_NUM} * CAST({HLL_M * HLL_M} AS BIGINT) * {1 << _HLL_RHO_MAX})
-            // ({_HLL_ALPHA_DEN} * (SUM({_hll_pow2_sql('register')})
-                + ({HLL_M} - COUNT(*)) * {1 << _HLL_RHO_MAX})) AS BIGINT) AS est
+       {est} AS est
 FROM regs GROUP BY hour_bucket
 """.strip()
 

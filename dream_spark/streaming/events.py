@@ -545,13 +545,12 @@ def hll_stream(
 
     from dream_spark.functions.hashing import MERSENNE_P, hash_params
     from dream_spark.operators.sketch import (
-        _HLL_ALPHA_DEN,
-        _HLL_ALPHA_NUM,
         _HLL_FN,
         _HLL_FN2,
         _HLL_RHO_MAX,
         HLL_M,
         _window_bucket,
+        hll_est_py,
     )
 
     A, B = hash_params(_HLL_FN)
@@ -573,8 +572,7 @@ def hll_stream(
             rs = [int(r) for r in regs]
             m_obs = sum(1 for r in rs if r > 0)
             s_obs = sum(1 << (_HLL_RHO_MAX - r) for r in rs if r > 0)
-            den = _HLL_ALPHA_DEN * (s_obs + (HLL_M - m_obs) * (1 << _HLL_RHO_MAX))
-            est = (_HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << _HLL_RHO_MAX)) // den
+            est = hll_est_py(s_obs, m_obs)
             state.remove()
             yield pd.DataFrame(
                 {"hour_bucket": [bucket], "m_obs": [m_obs], "est": [est]}

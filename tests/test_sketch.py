@@ -372,8 +372,14 @@ def test_hll_duplicates_are_free(spark):
 def test_hll_union_merge_equals_rebuild(spark):
     """The merged-union estimate must equal the estimate of a sketch built
     directly over the undivided stream — max-merge is lossless, the whole
-    point of HLL rollups."""
-    ev = load_table(spark, SF_DIR, "events")
+    point of HLL rollups.  NULL groups are injected deliberately: their
+    rows must stay in the union (a GROUP BY group of their own), or the
+    contract silently breaks on any nullable group column (r7 review
+    finding)."""
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_type",
+        F.when(F.col("user_id") % 10 == 0, None).otherwise(F.col("event_type")),
+    )
     direct = S.hll_registers(ev, "user_id").select("est").first()["est"]
     merged = S.hll_merge_union(ev, "user_id", "event_type").select("est_union").first()[
         "est_union"

@@ -300,7 +300,7 @@ def test_kmv_stream_matches_batch_windows(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow query did not finish"
     got = {
         r["hour_bucket"]: (r["k"], r["n_kept"], r["kth_min"], r["est_distinct"])
         for r in spark.sql("select * from kmv_sink").collect()
@@ -312,6 +312,8 @@ def test_kmv_stream_matches_batch_windows(spark):
         ).collect()
     }
     assert got, "stream emitted no closed windows"
+    # the watermark leaves only the last few windows open at end-of-stream
+    assert len(got) >= len(batch) - 4, (len(got), len(batch))
     mismatched = {b for b, v in got.items() if batch.get(b) != v}
     assert not mismatched, sorted(mismatched)[:5]
 
@@ -333,7 +335,7 @@ def test_hll_stream_matches_batch_windows(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow query did not finish"
     got = {
         r["hour_bucket"]: (r["m_obs"], r["est"])
         for r in spark.sql("select * from hll_sink").collect()
@@ -343,5 +345,7 @@ def test_hll_stream_matches_batch_windows(spark):
         for r in hll_by_window(load_table(spark, SF_DIR, "events"), "user_id").collect()
     }
     assert got, "stream emitted no closed windows"
+    # the watermark leaves only the last few windows open at end-of-stream
+    assert len(got) >= len(batch) - 4, (len(got), len(batch))
     mismatched = {b for b, v in got.items() if batch.get(b) != v}
     assert not mismatched, sorted(mismatched)[:5]
