@@ -664,18 +664,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #   seats.  Any OTHER entry without a green row is a regression, not a
 #   rotation artifact.
 #
-# R8 QUEUE (entries added after the r7 seat cap froze; each
-#   check_entry-green at sf0.01 when added and re-verified together at r7
-#   close — rotate these into the r8 seats): knn_sq8 (SQ8 scalar-quantized
-#   ANN with exact rerank), maintenance_zorder (Z-order layout + verified
+# R7-CLOSE ADDITIONS (each check_entry-green at sf0.01 when added and
+#   re-verified at r7 close): knn_sq8 (SQ8 scalar-quantized ANN with
+#   exact rerank), maintenance_zorder (Z-order layout + verified
 #   data-skipping index), pipeline_surprisal (integer-exact unigram
-#   surprisal quality score), sketch_heavyhitters, text_bm25,
-#   sketch_hll_registers, text_bm25_served (persisted postings-index
-#   serve), pipeline_sample_weighted (deterministic weighted Bernoulli
-#   sample), sketch_hll_union (per-group HLL sketches max-merged into a
-#   lossless union estimate), sketch_hll_hourly (windowed HLL, the batch
-#   twin of streaming/events.hll_stream).  Total entries: 225 = 215 at
-#   the r7 cap freeze + these ten.
+#   surprisal quality score), sketch_heavyhitters (two-pass Misra-Gries),
+#   sketch_hll_registers / sketch_hll_union / sketch_hll_hourly (the HLL
+#   family; hourly is the batch twin of streaming/events.hll_stream),
+#   text_bm25 + text_bm25_served (quantized BM25, inline + persisted
+#   postings index), pipeline_sample_weighted (deterministic weighted
+#   Bernoulli sample).  Total entries: 225 = 215 at the r7 mid-round
+#   freeze + these ten.  ALL TEN HOLD r7 SEATS (seated before the
+#   driver's r7 adjudication ran, below), so no r8 queue carries over —
+#   entries without a green row after r7 are regressions, not rotation
+#   artifacts.
 #
 # Round 7 rotation — the 50 seats:
 #   * 10 seats: the r7 queue — sparql_filter_strbefore,
@@ -710,9 +712,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #     oracle entries — the _batch entries are semantics TWINS, and the
 #     stream-vs-twin equivalence is pinned by tests/test_streaming*.py,
 #     which is where that coverage lives.
-#   * 24 breadth seats: long-stable entries with the oldest green rows,
+#   * 10 seats: the r7-close additions (the list above) + 1 seat for
+#     sketch_kmv_hourly, whose ORACLE STRING was rebuilt at r7 close over
+#     the shared window-bucket fragment (semantics identical; the seat
+#     pins that).
+#   * 12 breadth seats: long-stable entries with the oldest green rows,
 #     spread across every family; re-greening them guards the shared
-#     layers (store, stats, value encoding) the r7 edits sit on.
+#     layers (store, stats, value encoding) the r7 edits sit on.  Eleven
+#     former breadth seats (streaming_enrich_batch, temporal_asof,
+#     dedup_exact_docs, simhash_docs, media_knn, pipeline_contamination,
+#     pipeline_profile, pipeline_chunks, sketch_quantiles,
+#     rel_q2_mincost, sparql_group_concat) rotated out to make room —
+#     every one has a cumulative driver-green row from r1-r6 and its code
+#     was untouched in r7.
 PRIORITY_ORDER = [
     # --- the 10-entry r7 queue (never driver-adjudicated) ---
     "sparql_filter_strbefore", "sparql_filter_isnumeric",
@@ -728,16 +740,19 @@ PRIORITY_ORDER = [
     "knn_ivf_refreshed", "pipeline_sample_alloc",
     "pipeline_canonicalize", "pipeline_dup_rate",
     "sketch_bloom", "streaming_dedup_batch",
-    # --- breadth re-verification (23) ---
+    # --- the r7-close additions (10) + the one oracle-string-touched
+    #     stable entry (sketch_kmv_hourly now renders its window bucket
+    #     via the shared fragment) ---
+    "knn_sq8", "maintenance_zorder", "pipeline_surprisal",
+    "sketch_heavyhitters", "sketch_hll_registers", "sketch_hll_union",
+    "sketch_hll_hourly", "text_bm25", "text_bm25_served",
+    "pipeline_sample_weighted", "sketch_kmv_hourly",
+    # --- breadth re-verification (12) ---
     "streaming_sessionize_batch", "streaming_funnel_batch",
-    "streaming_enrich_batch", "temporal_funnel", "temporal_asof",
-    "dedup_exact_docs", "dedup_jaccard", "simhash_docs",
-    "knn_bruteforce", "knn_ivf", "media_knn", "media_dedup",
-    "pipeline_tfidf", "pipeline_contamination", "pipeline_curate",
-    "pipeline_profile", "pipeline_chunks",
-    "sketch_cms_users", "sketch_quantiles",
-    "rel_q2_mincost", "rel_cube",
-    "sparql_cycle5", "sparql_group_concat",
+    "temporal_funnel", "dedup_jaccard",
+    "knn_bruteforce", "knn_ivf", "media_dedup",
+    "pipeline_tfidf", "pipeline_curate",
+    "sketch_cms_users", "rel_cube", "sparql_cycle5",
 ]
 
 
