@@ -1435,3 +1435,36 @@ def test_random_union_matches_oracle(engine, duck, pats_a, pats_b, distinct):
         ).fetchone()[0]
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: ORDER BY + LIMIT/OFFSET over random connected BGPs
+# ---------------------------------------------------------------------------
+@pytest.mark.slow
+@given(_bgp(), st.lists(st.booleans(), min_size=1, max_size=4), st.integers(1, 40), st.integers(0, 5))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_orderby_limit_matches_oracle(engine, duck, pats, descs, lim, off):
+    """Multi-key mixed-direction ORDER BY over ALL projected variables +
+    LIMIT/OFFSET: the total order makes the selected window deterministic,
+    so the engines must return the identical row SET — fuzzes the final
+    sort, the limit pushdown, and the offset arithmetic together."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    proj = sorted({t for s, p, o in pats for t in (s, o) if t.startswith("?")})
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in pats)
+    order = " ".join(
+        f"DESC({v})" if descs[i % len(descs)] else v for i, v in enumerate(proj)
+    )
+    q = (
+        f"select {' '.join(proj)} where {{ {body} }}"
+        f" order by {order} limit {lim} offset {off}"
+    )
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    assert df.count() <= lim
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
