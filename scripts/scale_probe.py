@@ -157,6 +157,15 @@ def main() -> None:
             if i + 1 >= len(sys.argv):
                 raise SystemExit("--copies requires an integer argument")
             copies_n = int(sys.argv[i + 1])
+    # --entries a,b,c restricts the measured set (second-decade runs are
+    # expensive; probing only the entries under investigation keeps a
+    # targeted 100x run to minutes)
+    for i, a in enumerate(sys.argv):
+        if a == "--entries":
+            if i + 1 >= len(sys.argv):
+                raise SystemExit("--entries requires a comma-separated list")
+            global HEAVY
+            HEAVY = [e for e in sys.argv[i + 1].split(",") if e]
     out_dir = f"/tmp/dream_spark_scale{copies_n}"
     for i, a in enumerate(sys.argv):
         if a == "--out":
