@@ -650,7 +650,15 @@ def save_postings_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     I/O skipping (the Spark-native analog of reading only the query
     terms' postings lists), the per-term lexicon (tok, df), per-document
     lengths (doc_id, dl), and the two corpus scalars."""
-    toks = tokens(spread_small(load_table(spark, sf_dir, "documents")))
+    save_postings_index_from(
+        spark, spread_small(load_table(spark, sf_dir, "documents")), path
+    )
+
+
+def save_postings_index_from(spark: SparkSession, docs: DataFrame, path: str) -> None:
+    """Index ANY (doc_id, text) DataFrame at ``path`` — the layout step
+    shared by the sf_dir builder above and synthetic-corpus tests."""
+    toks = tokens(docs)
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     (
         tf.repartitionByRange(POSTINGS_PARTS, "tok")

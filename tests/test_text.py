@@ -235,3 +235,32 @@ def test_bm25_served_matches_inline(spark):
     inline = sorted(map(tuple, T.text_bm25(spark, SF_DIR).collect()))
     served = sorted(map(tuple, T.text_bm25_served(spark, SF_DIR).collect()))
     assert inline == served and len(inline) > 0
+
+
+def test_bm25_served_matches_inline_on_random_corpora(spark, tmp_path):
+    """Index build + serve over SYNTHETIC corpora (unicode, duplicate
+    tokens, empty and token-free documents, singleton corpus) must equal
+    the inline scorer exactly — the parquet roundtrip and the IN-pushdown
+    pruning may never change a score."""
+    corpora = [
+        [(0, "alpha beta beta"), (1, "beta gamma"), (2, ""), (3, "??!!"), (4, "alpha gamma delta")],
+        [(0, "höhe straße héllo"), (1, "hohe strasse hello"), (2, "höhe höhe")],
+        [(0, "solo")],
+        [(0, "x " * 200), (1, "x y"), (2, "y z"), (3, "z x")],
+    ]
+    for i, rows in enumerate(corpora):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        path = str(tmp_path / f"idx{i}")
+        T.save_postings_index_from(spark, docs, path)
+        inline = sorted(map(tuple, T.bm25_topk(docs, n_queries=1, k=10).collect()))
+        served = sorted(map(tuple, T.bm25_serve(spark, path, n_queries=1, k=10).collect()))
+        assert inline == served, (i, inline[:3], served[:3])
+
+
+def test_bm25_serve_empty_and_termless_query(spark, tmp_path):
+    """A corpus whose query doc has no tokens (or no corpus at all after
+    tokenization) serves an EMPTY result, not a crash."""
+    docs = spark.createDataFrame([(0, "!!!"), (1, "alpha beta")], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    T.save_postings_index_from(spark, docs, path)
+    assert T.bm25_serve(spark, path, n_queries=1).count() == 0
