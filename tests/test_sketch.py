@@ -385,3 +385,32 @@ def test_hll_union_merge_equals_rebuild(spark):
         "est_union"
     ]
     assert merged == direct
+
+
+@pytest.mark.slow
+def test_heavy_hitters_adversarial_streams(spark):
+    """Exactness on adversarial synthetic shapes: all-unique stream (no
+    heavy hitter), single-token stream (everything is the hitter), one
+    planted hitter just above threshold, and a tie exactly AT the
+    threshold — under a tight counter budget and hostile partitioning."""
+    cases = [
+        [f"u{i}" for i in range(200)],                      # all unique
+        ["only"] * 50,                                       # degenerate
+        ["hh"] * 40 + [f"u{i}" for i in range(160)],         # planted 20%
+        ["a"] * 25 + ["b"] * 25 + [f"u{i}" for i in range(50)],  # ties at 25%
+    ]
+    for k in (4, 10):
+        for toks_list in cases:
+            df = spark.createDataFrame([(t,) for t in toks_list], "tok string")
+            total = len(toks_list)
+            truth = {
+                (t, c)
+                for t, c in __import__("collections").Counter(toks_list).items()
+                if c * k >= total
+            }
+            for parts in (1, 7):
+                got = {
+                    (r["term"], r["cnt"])
+                    for r in S.heavy_hitters(df.repartition(parts), k).collect()
+                }
+                assert got == truth, (k, parts, len(toks_list), got, truth)
