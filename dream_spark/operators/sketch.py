@@ -619,23 +619,35 @@ def misra_gries_candidates(toks: DataFrame, k: int = HH_K) -> DataFrame:
     heavy hitters — the exact recount pass makes the final answer
     deterministic and partitioning-independent.
 
-    Scale shape: one map-only pass with O(k) state per task, candidate
-    output ≤ k rows per task; no shuffle of the token stream."""
+    The partition's exact TOKEN COUNT rides along as one extra row
+    (term = NULL) so the caller gets the stream length from the same
+    pass — without it, computing ``total`` would re-tokenize the corpus
+    a third time (r7 review finding).
+
+    Scale shape: one map-only pass with O(k) state per task, ≤ k+1 rows
+    out per task; no shuffle of the token stream."""
     import pandas as pd
 
     def mg(batches):
         from collections import Counter
 
         counters: Counter = Counter()
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             counters.update(pdf["tok"].value_counts().to_dict())
             if len(counters) > k:
                 top = counters.most_common(k + 1)
                 cut = top[k][1]
                 counters = Counter({t: c - cut for t, c in top[:k] if c > cut})
-        yield pd.DataFrame({"term": list(counters.keys())}, dtype=object)
+        yield pd.DataFrame(
+            {
+                "term": list(counters.keys()) + [None],
+                "n_part": [None] * len(counters) + [n_part],
+            }
+        )
 
-    return toks.select("tok").mapInPandas(mg, schema="term string")
+    return toks.select("tok").mapInPandas(mg, schema="term string, n_part long")
 
 
 def heavy_hitters(toks: DataFrame, k: int = HH_K) -> DataFrame:
@@ -645,8 +657,12 @@ def heavy_hitters(toks: DataFrame, k: int = HH_K) -> DataFrame:
     Output is EXACT — the sketch only bounds what the second pass counts —
     so the entry carries a full value-hash oracle even though pass 1 is
     not SQL-expressible."""
-    cands = misra_gries_candidates(toks, k).distinct()
-    total = toks.select(F.count(F.lit(1)).alias("total"))
+    # ONE sketch pass feeds both the candidate set and the stream length;
+    # localCheckpoint materializes its ≤ (k+1)·n_tasks rows so the two
+    # derivations below don't each re-run the tokenize lineage
+    sketch = misra_gries_candidates(toks, k).localCheckpoint()
+    cands = sketch.where(F.col("term").isNotNull()).select("term").distinct()
+    total = sketch.agg(F.sum("n_part").cast("bigint").alias("total"))
     exact = (
         toks.join(F.broadcast(cands), toks["tok"] == cands["term"])
         .groupBy("term")

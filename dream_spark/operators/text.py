@@ -466,11 +466,18 @@ BM25_K = 5
 #: idf quantization scale (the BM25 idf (N−df+½)/(df+½) replayed as the
 #: exact rational (2(N−df)+1)/(2df+1), scaled)
 BM25_IDF_Q = 4096
-#: idf saturation cap: keeps idf·sat products inside int64 even when a
-#: term's df is vanishingly rare relative to N (cap binds at N/df > 2^18)
-BM25_IDF_CAP = 1 << 30
+#: idf saturation cap.  The int64 budget is allocated across the WHOLE
+#: per-pair sum, not just one product: documents are bounded at 2^17
+#: tokens (the module contract), so a query/candidate pair shares at most
+#: 2^17 terms, and the summed score must stay under 2^62 — i.e. each
+#: idf·sat product gets ≤ 2^45.  With sat < 2.2·SAT_Q ≈ 2^17.2, the idf
+#: cap is 2^27 (binds for terms rarer than ~N/2^15).  A cap of 2^30 with
+#: SAT_Q = 2^20 (the first-cut values) left the SUM free to overflow on
+#: near-duplicate long documents of rare terms — Spark would wrap
+#: silently while the DuckDB oracle raises (r7 review finding).
+BM25_IDF_CAP = 1 << 27
 #: fixed-point scale for the tf-saturation factor (range (0, 2.2))
-BM25_SAT_Q = 1 << 20
+BM25_SAT_Q = 1 << 16
 
 
 def _bm25_idf_sql(n: str, df: str) -> str:
@@ -492,8 +499,9 @@ def _bm25_sat_sql(tf: str, dl: str, avgdl: str) -> str:
     """Quantized BM25 tf-saturation tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
     with k1 = 1.2, b = 0.75: multiplying through by 20·avgdl clears every
     fraction — numerator 44·tf·avgdl, denominator 20·tf·avgdl + 6·avgdl +
-    18·dl — then fixed-point scaled by SAT_Q.  int64-exact while
-    tf·avgdl·SAT_Q < 2^62, i.e. for documents up to ~2^17 tokens."""
+    18·dl — then fixed-point scaled by SAT_Q.  int64-exact for documents
+    up to ~2^17 tokens: 44·tf·avgdl·SAT_Q < 2^56 there, and the FULL
+    per-pair score sum stays under 2^62 (see the BM25_IDF_CAP budget)."""
     return (
         f"(44 * ({tf}) * ({avgdl}) * {BM25_SAT_Q})"
         f" {{d}} (20 * ({tf}) * ({avgdl}) + 6 * ({avgdl}) + 18 * ({dl}))"

@@ -553,7 +553,7 @@ def test_bm25_served_scan_pushes_query_terms(spark, queries):
     assert postings_segs, "no scan over the persisted postings file"
     seg = postings_segs[0]
     pf = seg.split("PushedFilters")[1][:400]
-    assert "In(tok" in pf or "In(tok, " in pf, pf
+    assert "In(tok" in pf, pf
 
 
 def test_weighted_sample_is_map_only(spark, queries):

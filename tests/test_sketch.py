@@ -307,15 +307,20 @@ def test_mg_candidates_bounded_and_superset(spark):
 
     k = 10  # tight budget to make the bound bite
     toks = tokens(load_table(spark, SF_DIR, "documents")).repartition(4)
+    sk = S.misra_gries_candidates(toks, k)
     per_part = (
-        S.misra_gries_candidates(toks, k)
+        sk.where(F.col("term").isNotNull())
         .withColumn("pid", F.spark_partition_id())
         .groupBy("pid")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     assert all(r["n"] <= k for r in per_part)
-    cands = {r["term"] for r in S.misra_gries_candidates(toks, k).collect()}
+    # the sentinel count rows carry the exact stream length
+    assert (
+        sk.agg(F.sum("n_part")).collect()[0][0] == toks.count()
+    )
+    cands = {r["term"] for r in sk.where(F.col("term").isNotNull()).collect()}
     total = toks.count()
     truth = {
         r["tok"]
