@@ -1468,3 +1468,69 @@ def test_random_orderby_limit_matches_oracle(engine, duck, pats, descs, lim, off
     df = engine.sparql(q, decode=False)
     assert df.count() <= lim
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: aggregated subqueries joined into random outer BGPs
+# ---------------------------------------------------------------------------
+@st.composite
+def _bgp_with_subquery(draw):
+    """Random inner BGP grouped+aggregated on one of its variables, then a
+    random OUTER BGP that shares that variable: the inner SELECT runs
+    first (SPARQL bottom-up evaluation) and its aggregate joins into the
+    outer pattern — the composition sparql_subquery samples, over
+    arbitrary shapes.  Optionally the inner block gains ORDER BY+LIMIT
+    (the deterministic top-k variant)."""
+    from hypothesis import assume
+
+    inner = draw(_bgp())
+    outer = draw(_bgp())
+    inner_vars = sorted({t for s, p, o in inner for t in (s, o) if t.startswith("?")})
+    outer_vars = {t for s, p, o in outer for t in (s, o) if t.startswith("?")}
+    shared = sorted(set(inner_vars) & outer_vars)
+    assume(shared)
+    key = draw(st.sampled_from(shared))
+    cnt_var = draw(st.sampled_from(inner_vars))
+    topk = draw(st.sampled_from([0, 0, 3, 7]))  # 0 = no inner limit
+    return inner, outer, key, cnt_var, topk
+
+
+@pytest.mark.slow
+@given(_bgp_with_subquery())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_subquery_matches_oracle(engine, duck, case):
+    """{ SELECT ?k (count(?v) AS ?cnt) ... GROUP BY ?k [ORDER BY ?cnt
+    DESC ?k LIMIT n] } joined into a random outer BGP must agree with the
+    oracle — the aggregate runs before the join, the key equi-joins, and
+    the inner top-k (when drawn) is made deterministic by the ?k
+    tie-break."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    inner, outer, key, cnt_var, topk = case
+    inner_body = " . ".join(f"{s} {p} {o}" for s, p, o in inner)
+    outer_body = " . ".join(f"{s} {p} {o}" for s, p, o in outer)
+    outer_proj = sorted(
+        {t for s, p, o in outer for t in (s, o) if t.startswith("?")}
+    )
+    proj = sorted(set(outer_proj) | {key, "?cnt"})
+    lim = f" order by ?cnt desc {key} limit {topk}" if topk else ""
+    q = (
+        f"select {' '.join(proj)} where {{"
+        f" {{ select {key} (count({cnt_var}) as ?cnt)"
+        f" where {{ {inner_body} }} group by {key}{lim} }} ."
+        f" {outer_body} }}"
+    )
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    n = df.count()
+    if n > 300_000:  # pathological blowup guard: counts still compared
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({bgp_to_sql(parsed, decode=False)}) __c"
+        ).fetchone()[0]
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
