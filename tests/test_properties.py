@@ -1534,3 +1534,82 @@ def test_random_subquery_matches_oracle(engine, duck, case):
         ).fetchone()[0]
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: VALUES blocks (incl. UNDEF rows) over random connected BGPs
+# ---------------------------------------------------------------------------
+_VALUES_POOL = {
+    "N": [f"<nation:{i}>" for i in range(0, 25)],
+    "C": [f"<customer:{i}>" for i in range(1, 121)],
+    "O": [f"<order:{i}>" for i in range(1, 301)],
+    "P": [f"<part:{i}>" for i in range(1, 41)],
+    "PR": ["<1-URGENT>", "<2-HIGH>", "<5-LOW>"],
+}
+
+
+@st.composite
+def _bgp_with_values(draw):
+    """Random connected BGP plus a VALUES block over 1-2 of its variables
+    with kind-correct constants: single-variable form (IN-filter
+    lowering), multi-variable row form (row-IN on id tuples), and UNDEF
+    wildcards in random row positions.  Constants may or may not match
+    real data — empty restrictions are a legal outcome the engines must
+    agree on."""
+    from hypothesis import assume
+
+    pats = draw(_bgp())
+    usable = sorted(
+        {
+            t
+            for s, p, o in pats
+            for t in (s, o)
+            if t.startswith("?") and t[2:] in _VALUES_POOL
+        }
+    )
+    assume(usable)
+    n_vars = draw(st.integers(1, min(2, len(usable))))
+    vs = sorted(draw(st.permutations(usable))[:n_vars])
+    n_rows = draw(st.integers(1, 4))
+    rows = []
+    for _ in range(n_rows):
+        row = []
+        for v in vs:
+            if n_vars > 1 and draw(st.booleans()) and draw(st.booleans()):
+                row.append("UNDEF")  # ~25% wildcard slots in row form
+            else:
+                row.append(draw(st.sampled_from(_VALUES_POOL[v[2:]])))
+        rows.append(tuple(row))
+    return pats, vs, sorted(set(rows))
+
+
+@pytest.mark.slow
+@given(_bgp_with_values())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_values_matches_oracle(engine, duck, case):
+    """VALUES over random connected BGPs — the single-variable IN
+    lowering, the multi-variable row-IN on id tuples, UNDEF wildcards,
+    and constants that match nothing — must answer identically on both
+    engines."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    pats, vs, rows = case
+    proj = sorted({t for s, p, o in pats for t in (s, o) if t.startswith("?")})
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in pats)
+    if len(vs) == 1:
+        vals = " ".join(r[0] for r in rows)
+        vblock = f"values {vs[0]} {{ {vals} }}"
+    else:
+        vals = " ".join("(" + " ".join(r) + ")" for r in rows)
+        vblock = f"values ({' '.join(vs)}) {{ {vals} }}"
+    q = f"select {' '.join(proj)} where {{ {body} . {vblock} }}"
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    if df.count() > 300_000:
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
