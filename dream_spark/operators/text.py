@@ -598,7 +598,13 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load_table(spark, sf_dir, "documents"))
 
 
-def _text_bm25_sql() -> str:
+def _bm25_oracle_sql(qterms_cte: str) -> str:
+    """The BM25 oracle body, parameterized ONLY by the qterms CTE — the
+    statistics, scoring, and ranking SQL is one definition shared by the
+    broad (``text_bm25``/``_served``) and narrow (``text_bm25_lookup``)
+    oracles, so the scoring arithmetic cannot drift between them (the
+    shared-fragment convention; drift is guarded by the per-entry hash
+    contract tests in tests/test_text.py)."""
     idf = _bm25_idf_sql("n_docs", "df").format(d="//")
     sat = _bm25_sat_sql("tf", "dl", "avgdl").format(d="//")
     return f"""
@@ -608,8 +614,7 @@ dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
 dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
 scal AS (SELECT CAST(COUNT(*) // COUNT(DISTINCT doc_id) AS BIGINT) AS avgdl,
                 COUNT(DISTINCT doc_id) AS n_docs FROM toks),
-qterms AS (SELECT DISTINCT doc_id AS query_id, tok AS qtok FROM tf
-           WHERE doc_id < {TEXT_KNN_QUERIES}),
+qterms AS ({qterms_cte}),
 scored AS (
   SELECT q.query_id, t.doc_id AS neighbor_id,
          CAST(SUM(({idf}) * ({sat})) AS BIGINT) AS score
@@ -629,7 +634,10 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """.strip()
 
 
-TEXT_BM25_SQL = _text_bm25_sql()
+TEXT_BM25_SQL = _bm25_oracle_sql(
+    "SELECT DISTINCT doc_id AS query_id, tok AS qtok FROM tf"
+    f" WHERE doc_id < {TEXT_KNN_QUERIES}"
+)
 
 
 # --------------------------------------------------------------------------
@@ -709,15 +717,24 @@ def _postings_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     root = os.path.abspath(sf_dir)
     doc = os.path.join(root, "documents.parquet")
-    # keyed on what DEFINES the stored artifact: the tokenizer regex and
-    # the layout (scoring constants like BM25_IDF_Q apply at serve time —
-    # they neither invalidate nor rebuild the index)
+    # keyed on what DEFINES the stored artifact: the FULL tokenizer
+    # definition — a source digest of tokens(), not just its regex, so a
+    # behavior change anywhere in tokenization (case folding, filters)
+    # invalidates the cache without anyone remembering to bump the manual
+    # version (r7 ADVICE) — and the layout.  Scoring constants like
+    # BM25_IDF_Q apply at serve time; they neither invalidate nor rebuild.
+    import hashlib
+    import inspect
+
+    tok_digest = hashlib.md5(
+        (inspect.getsource(tokens) + TOKEN_SPLIT_RE).encode()
+    ).hexdigest()[:12]
     sig = "|".join(
         [
             root,
             str(os.path.getmtime(doc) if os.path.exists(doc) else 0),
             f"v{_POSTINGS_FORMAT_VERSION}",
-            f"tok[{TOKEN_SPLIT_RE}]-p{POSTINGS_PARTS}",
+            f"tok[{tok_digest}]-p{POSTINGS_PARTS}",
         ]
     )
     return build_once_path(sig, "lexindex", lambda tmp: save_postings_index(spark, sf_dir, tmp))
@@ -766,6 +783,72 @@ def text_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     results as ``text_bm25`` (same oracle), probed against the persisted
     index."""
     return bm25_serve(spark, _postings_index_path(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Narrow-query BM25 lookup: the few-term serve path
+# --------------------------------------------------------------------------
+#: the query document whose rarest terms form the narrow lookup query
+BM25_LOOKUP_DOC = 0
+#: how many of its rarest terms (by df asc, tok asc) the lookup probes
+BM25_LOOKUP_TERMS = 8
+
+
+def bm25_lookup(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    query_doc: int = BM25_LOOKUP_DOC,
+    n_terms: int = BM25_LOOKUP_TERMS,
+    k: int = BM25_K,
+) -> DataFrame:
+    """The NARROW serve shape: a handful of query terms probed against the
+    persisted postings index — the interactive-lookup workload, as opposed
+    to the ~10³-distinct-term batch shape ``text_bm25_served`` measures.
+
+    Query = the ``n_terms`` rarest distinct tokens of ``query_doc``
+    (ranked by lexicon df ascending, then token — deterministic, and
+    replayable on the oracle from the raw corpus).  Building the term set
+    touches ONE document (the doc_id predicate pushes into the documents
+    parquet scan) plus the lexicon (vocabulary-sized, sublinear in corpus
+    rows); scoring then rides :func:`bm25_serve`, whose inline ``tok IN
+    (...)`` gate fires at ``n_terms`` literals — parquet row-group min/max
+    on the tok-sorted postings skip everything but the probed terms'
+    postings ranges.  At 100 TB this is the path whose cost tracks the
+    probed lists, not the corpus (the IVF-pruned analog for lexical
+    retrieval; slope measured in SCALE.md §7)."""
+    _, lex, _, _ = load_postings_index(spark, path)
+    qtoks = tokens(docs.where(F.col("doc_id") == query_doc)).select("tok").distinct()
+    qterms = (
+        lex.join(F.broadcast(qtoks), on="tok")
+        .orderBy(F.col("df").asc(), F.col("tok").asc())
+        .limit(n_terms)
+        .select(
+            F.lit(query_doc).cast("bigint").alias("query_id"),
+            F.col("tok").alias("qtok"),
+        )
+    )
+    return bm25_serve(spark, path, qterms=qterms, k=k)
+
+
+def text_bm25_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: narrow BM25 lookup against the persisted
+    index (SCALE.md §7's narrow-query slope entry)."""
+    return bm25_lookup(
+        spark,
+        _postings_index_path(spark, sf_dir),
+        load_table(spark, sf_dir, "documents"),
+    )
+
+
+TEXT_BM25_LOOKUP_SQL = _bm25_oracle_sql(
+    f"""SELECT CAST({BM25_LOOKUP_DOC} AS BIGINT) AS query_id, tok AS qtok FROM (
+    SELECT f.tok FROM dfreq f
+    JOIN (SELECT DISTINCT tok FROM toks WHERE doc_id = {BM25_LOOKUP_DOC}) q
+      ON q.tok = f.tok
+    ORDER BY f.df ASC, f.tok ASC LIMIT {BM25_LOOKUP_TERMS}
+  )"""
+)
 
 
 # --------------------------------------------------------------------------
@@ -878,6 +961,7 @@ QUERIES = {
     "text_redact": text_redact,
     "text_bm25": text_bm25,
     "text_bm25_served": text_bm25_served,
+    "text_bm25_lookup": text_bm25_lookup,
 }
 
 ORACLES = {
@@ -890,4 +974,5 @@ ORACLES = {
     "text_redact": TEXT_REDACT_SQL,
     "text_bm25": TEXT_BM25_SQL,
     "text_bm25_served": TEXT_BM25_SQL,
+    "text_bm25_lookup": TEXT_BM25_LOOKUP_SQL,
 }

@@ -257,6 +257,53 @@ def test_bm25_served_matches_inline_on_random_corpora(spark, tmp_path):
         assert inline == served, (i, inline[:3], served[:3])
 
 
+def test_bm25_lookup_selects_rarest_terms(spark, tmp_path):
+    """The narrow lookup probes exactly the n rarest distinct terms of the
+    query doc (df asc, tok asc tiebreak) and scores them with the shared
+    quantized formula — verified against a pure-Python mirror."""
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple banana"),
+        (2, "apple"),
+        (3, "banana durian"),
+    ]
+    # dfs: apple=3, banana=3, cherry=1 -> rarest 2 of doc 0 = {cherry, apple}
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    T.save_postings_index_from(spark, docs, path)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in T.bm25_lookup(spark, path, docs, query_doc=0, n_terms=2, k=10).collect()
+    }
+    qterms = {"cherry", "apple"}
+    toks = {d: t.split() for d, t in rows}
+    n_docs = len(rows)
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) // n_docs
+    df_: dict = {}
+    for t in toks.values():
+        for w in set(t):
+            df_[w] = df_.get(w, 0) + 1
+    expect = {}
+    for nb in range(1, n_docs):
+        s = 0
+        for w in qterms:
+            tf = toks[nb].count(w)
+            if tf == 0:
+                continue
+            idf = min(
+                T.BM25_IDF_Q * (2 * (n_docs - df_[w]) + 1) // (2 * df_[w] + 1),
+                T.BM25_IDF_CAP,
+            )
+            sat = (44 * tf * avgdl * T.BM25_SAT_Q) // (
+                20 * tf * avgdl + 6 * avgdl + 18 * dl[nb]
+            )
+            s += idf * sat
+        if s > 0:
+            expect[(0, nb)] = s
+    assert got == expect and len(got) == 2  # docs 1 and 2 share apple; 3 shares nothing
+
+
 def test_bm25_serve_empty_and_termless_query(spark, tmp_path):
     """A corpus whose query doc has no tokens (or no corpus at all after
     tokenization) serves an EMPTY result, not a crash."""
