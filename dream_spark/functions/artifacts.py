@@ -64,17 +64,34 @@ def build_once_path(sig: str, prefix: str, build: Callable[[str], None]) -> str:
     path = os.path.join(base, digest)
     marker = os.path.join(path, "COMPLETE")
     if not os.path.exists(marker):
-        tmp = os.path.join(base, f".build-{digest}-{uuid.uuid4().hex[:8]}")
-        build(tmp)
-        with open(os.path.join(tmp, "COMPLETE"), "w") as f:
-            f.write("ok\n")
+        # per-digest advisory lock: without it, two processes that both
+        # see the missing marker each run the full (expensive) build and
+        # one copy is discarded — safe (the rename race below still
+        # arbitrates) but wasteful for bench's parallel warm pool plus a
+        # concurrent check run (r7 ADVICE).  The loser blocks until the
+        # winner installs, then takes the marker fast path.
+        import fcntl
+
+        lock_fd = os.open(
+            os.path.join(base, f".lock-{digest}"), os.O_CREAT | os.O_RDWR, 0o600
+        )
         try:
-            os.rename(tmp, path)
-        except OSError:
-            # lost the install race: a concurrent builder renamed first.
-            # Its artifact is complete (marker precedes rename), so drop
-            # ours.
-            shutil.rmtree(tmp, ignore_errors=True)
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
             if not os.path.exists(marker):
-                raise
+                tmp = os.path.join(base, f".build-{digest}-{uuid.uuid4().hex[:8]}")
+                build(tmp)
+                with open(os.path.join(tmp, "COMPLETE"), "w") as f:
+                    f.write("ok\n")
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    # lost the install race (a builder not holding this
+                    # lock, e.g. pre-lock code, renamed first).  Its
+                    # artifact is complete (marker precedes rename), so
+                    # drop ours.
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.exists(marker):
+                        raise
+        finally:
+            os.close(lock_fd)  # releases the flock
     return path

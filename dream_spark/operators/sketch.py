@@ -658,9 +658,16 @@ def heavy_hitters(toks: DataFrame, k: int = HH_K) -> DataFrame:
     so the entry carries a full value-hash oracle even though pass 1 is
     not SQL-expressible."""
     # ONE sketch pass feeds both the candidate set and the stream length;
-    # localCheckpoint materializes its ≤ (k+1)·n_tasks rows so the two
-    # derivations below don't each re-run the tokenize lineage
-    sketch = misra_gries_candidates(toks, k).localCheckpoint()
+    # persist + count materializes its ≤ (k+1)·n_tasks rows so the two
+    # derivations below don't each re-run the tokenize lineage.  persist
+    # (not localCheckpoint) deliberately: checkpoint blocks are
+    # UNREPLICATED and truncate lineage, so on a real cluster one executor
+    # loss would make the job unrecoverable — persist keeps the lineage
+    # for recomputation (r7 ADVICE)
+    from pyspark import StorageLevel
+
+    sketch = misra_gries_candidates(toks, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sketch.count()
     cands = sketch.where(F.col("term").isNotNull()).select("term").distinct()
     total = sketch.agg(F.sum("n_part").cast("bigint").alias("total"))
     exact = (

@@ -63,6 +63,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
+    return _instant_ts(raw)
+
+
+def _instant_ts(raw: DataFrame) -> DataFrame:
+    """NTZ ``ts`` → UTC-instant TIMESTAMP via timezone-free integer
+    arithmetic (see :func:`read_events_stream`'s contract note)."""
     from dream_spark.functions.timeutils import epoch_micros_expr
 
     return raw.withColumn(
@@ -441,6 +447,20 @@ KMV_OUT_SCHEMA = T.StructType(
 )
 
 
+def _check_hash_domain(x) -> None:
+    """Enforce the 31-bit hash family's input contract (0 ≤ x < 2^31,
+    documented at sketch._nn_hash_sql): the numpy replay here wraps A·x
+    mod 2^64 and uses FLOORED ``%`` while Spark/DuckDB truncate, so a
+    negative or ≥2^31 user_id would diverge from the batch/oracle twin
+    SILENTLY — fail loudly instead.  Vectorized; negligible per batch."""
+    if len(x) and (int(x.min()) < 0 or int(x.max()) >= (1 << 31)):
+        raise ValueError(
+            "kmv/hll streams require 0 <= user_id < 2^31 (the 31-bit "
+            "universal-hash domain, see sketch._nn_hash_sql); got values "
+            f"in [{int(x.min())}, {int(x.max())}]"
+        )
+
+
 def kmv_stream(
     events: DataFrame,
     window_min: int = 60,
@@ -499,6 +519,7 @@ def kmv_stream(
             cur = {int(h) for h in hashes}
         for pdf in pdfs:
             x = pdf["user_id"].to_numpy().astype("int64")
+            _check_hash_domain(x)
             # the exact batch hash: (A·x + B) mod P mapped into [0, P)
             h = ((A * x + B) % MERSENNE_P + MERSENNE_P) % MERSENNE_P
             cur.update(int(v) for v in h)
@@ -584,6 +605,7 @@ def hll_stream(
             regs = np.asarray(prev, dtype="int64")
         for pdf in pdfs:
             x = pdf["user_id"].to_numpy().astype("int64")
+            _check_hash_domain(x)
             # the exact batch hash + quadratic mixer (every intermediate
             # < 2^63: h < 2^31, so h*h < 2^62 and A2*h < 2^62)
             h = ((A * x + B) % MERSENNE_P + MERSENNE_P) % MERSENNE_P
@@ -780,15 +802,165 @@ def _funnel_windows_sql() -> str:
 FUNNEL_WINDOWS_SQL = _funnel_windows_sql()
 
 
+# --------------------------------------------------------------------------
+# Live trigger-mode runs: the driver's oracle gate on ACTUAL stream output
+# --------------------------------------------------------------------------
+#: bump when the live-run layout (sentinel, sink shape) changes
+_LIVE_FORMAT_VERSION = 1
+#: sentinel flush row: a far-future event for a reserved negative user —
+#: once processed, the query's event-time watermark passes every real
+#: session/window horizon, so EVERY real key's event-time timeout fires in
+#: the trailing no-data micro-batch and the availableNow run emits the
+#: COMPLETE closed result (without it, append mode keeps the last session/
+#: window per key open forever and the output is only a subset of the
+#: batch twin — un-oracle-able).  The sentinel's own state stays open past
+#: the final watermark and is dropped by the user_id filter on read-back.
+_FLUSH_USER = -1
+_FLUSH_TS = "2100-01-01 00:00:00"
+
+
+def _live_run_path(spark: SparkSession, sf_dir: str, name: str, build_stream) -> str:
+    """Build-once location of a REAL availableNow trigger run of
+    ``build_stream`` over the events table plus the flush sentinel: the
+    augmented input is written to ``<dir>/in``, streamed through the
+    operator into a parquet sink at ``<dir>/out`` with a checkpoint, and
+    the sink is what the live entries read back.  The cache signature
+    folds a source digest of THIS MODULE, so any change to the streaming
+    operators re-runs the stream — the driver's oracle row then fails if
+    trigger-mode state handling ever drifts from the batch twin."""
+    import hashlib
+    import inspect
+    import os
+    import sys
+
+    from dream_spark.functions.artifacts import build_once_path
+
+    root = os.path.abspath(sf_dir)
+    ev_file = os.path.join(root, "events.parquet")
+    src_digest = hashlib.md5(
+        inspect.getsource(sys.modules[__name__]).encode()
+    ).hexdigest()[:12]
+    sig = "|".join(
+        [
+            root,
+            str(os.path.getmtime(ev_file) if os.path.exists(ev_file) else 0),
+            f"live-{name}-v{_LIVE_FORMAT_VERSION}",
+            src_digest,
+        ]
+    )
+
+    def build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        import datetime
+
+        sentinel = spark.createDataFrame(
+            [
+                (
+                    -1,
+                    datetime.datetime.fromisoformat(_FLUSH_TS),
+                    _FLUSH_USER,
+                    "view",  # a funnel step, so step-filtered streams keep it
+                    0.0,
+                    "",
+                )
+            ],
+            EVENTS_SCHEMA,
+        )
+        ev.unionByName(sentinel).coalesce(8).write.parquet(f"{tmp}/in")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(f"{tmp}/in")
+        )
+        q = (
+            build_stream(_instant_ts(raw))
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"live stream run {name!r} did not drain in 600s")
+        # The sink's _spark_metadata log (and the checkpoint) record the
+        # ABSOLUTE paths of the temp build dir — after build_once_path's
+        # atomic rename those paths are gone and a metadata-log read of
+        # the sink returns an empty file list.  The availableNow run is
+        # fully committed here, so drop both and let read.parquet do a
+        # plain directory listing of the committed part files.
+        import shutil
+
+        shutil.rmtree(f"{tmp}/out/_spark_metadata", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+
+    return build_once_path(sig, "livestream", build)
+
+
+def _ntz(col: str):
+    """UTC-instant TIMESTAMP → the equivalent NTZ wall time, timezone-free
+    (integer micros through the NTZ epoch) — the sink stores tz-aware UTC
+    instants, the batch twin and the DuckDB oracle speak naive NTZ."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, unix_micros({col}),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+
+
+def warm_live_streams(spark: SparkSession, sf_dir: str) -> None:
+    """Bench/deployment warm hook: run the availableNow trigger runs once
+    so the live entries measure sink read-back (the serving shape), not
+    the stream execution — the maintenance_compact artifact convention."""
+    _live_run_path(spark, sf_dir, "sessionize", sessionize_stream)
+    _live_run_path(spark, sf_dir, "funnel", funnel_stream)
+
+
+def sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sessionizer's ACTUAL trigger-mode output, oracle-checked: read
+    back the parquet a real availableNow run of :func:`sessionize_stream`
+    wrote.  With the flush sentinel every real user's open session times
+    out, so the result is the COMPLETE session set — hash-equal to
+    ``sessionize_batch``'s gaps-and-islands oracle.  This is the entry
+    that fails if applyInPandasWithState state handling (island merge,
+    tz-domain state keys, timeout arithmetic) drifts from the twin."""
+    path = _live_run_path(spark, sf_dir, "sessionize", sessionize_stream)
+    out = spark.read.parquet(f"{path}/out")
+    return out.where(F.col("user_id") != _FLUSH_USER).select(
+        "user_id",
+        _ntz("session_start").alias("session_start"),
+        _ntz("session_end").alias("session_end"),
+        "n_events",
+    )
+
+
+def funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed funnel's ACTUAL trigger-mode output (same construction
+    as :func:`sessionize_live`): a real availableNow run of
+    :func:`funnel_stream`, flushed complete by the sentinel, hash-checked
+    against the batch twin's SQL oracle."""
+    path = _live_run_path(spark, sf_dir, "funnel", funnel_stream)
+    out = spark.read.parquet(f"{path}/out")
+    return out.where(F.col("user_id") != _FLUSH_USER).select(
+        "user_id",
+        _ntz("window_start").alias("window_start"),
+        "stage_reached",
+    )
+
+
 QUERIES = {
     "streaming_sessionize_batch": sessionize_batch,
     "streaming_dedup_batch": dedup_events_batch,
     "streaming_funnel_batch": funnel_windows_batch,
     "streaming_enrich_batch": enrich_events_batch,
+    "streaming_sessionize_live": sessionize_live,
+    "streaming_funnel_live": funnel_live,
 }
 ORACLES = {
     "streaming_sessionize_batch": SESSIONIZE_BATCH_SQL,
     "streaming_dedup_batch": DEDUP_EVENTS_SQL,
     "streaming_funnel_batch": FUNNEL_WINDOWS_SQL,
     "streaming_enrich_batch": ENRICH_EVENTS_SQL,
+    "streaming_sessionize_live": SESSIONIZE_BATCH_SQL,
+    "streaming_funnel_live": FUNNEL_WINDOWS_SQL,
 }

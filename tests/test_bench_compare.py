@@ -114,3 +114,37 @@ def test_two_line_stdout_capture_prefers_the_full_map(tmp_path):
         + json.dumps({"queries": {"q1": 1.0}, "queries_full": "BENCH_LAST.json"}) + "\n"
     )
     assert bc.load_queries(str(p)) == {"q1": 1.0, "q2": 2.0, "q3": 3.0}
+
+
+def test_compact_summary_line_fits_driver_tail():
+    """The LAST stdout line bench.py prints must fit the driver's
+    2000-byte tail capture WITHOUT triggering the smallest-first anchor
+    trimming — if the 53-anchor compact line as currently generated ever
+    outgrows ~1800 bytes, the durable record silently degrades (VERDICT
+    r7 task 6).  Built with worst-realistic-case widths: every timing at
+    maximum 2-decimal width (999.99) and headline scalars at full width."""
+    import importlib.util as _il
+
+    spec = _il.spec_from_file_location(
+        "bench_mod",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+    )
+    bench = _il.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    anchor = {n: 999.99 for n in bench.BASELINE_53}
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": 99999.9999,
+        "unit": "sec",
+        "queries": anchor,
+        "sf": 0.1,
+        "setup_sec": 999.999,
+        "n_queries": 999,
+        "baseline53_sec": 99999.9999,
+        "queries_full": "BENCH_LAST.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1800, (
+        f"compact bench summary line is {len(line)} bytes — approaching the "
+        "driver's 2000-byte tail; shrink the anchor map or key names"
+    )

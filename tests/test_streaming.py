@@ -46,6 +46,45 @@ def test_dedup_batch_oracle(spark, duck):
 
 
 @pytest.mark.slow
+def test_sessionize_live_equals_batch_twin(spark):
+    """The ACTUAL availableNow trigger run (with the flush sentinel) must
+    emit the COMPLETE closed session set — exactly equal to the batch
+    twin, not merely a subset.  This is the stream-mode/twin equivalence
+    the driver's oracle row (streaming_sessionize_live) also pins."""
+    live = sorted(map(tuple, SE.sessionize_live(spark, SF_DIR).collect()))
+    batch = sorted(map(tuple, SE.sessionize_batch(spark, SF_DIR).collect()))
+    assert live == batch and len(live) > 0
+
+
+@pytest.mark.slow
+def test_funnel_live_equals_batch_twin(spark):
+    live = sorted(map(tuple, SE.funnel_live(spark, SF_DIR).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            SE.funnel_windows_batch(spark, SF_DIR)
+            .select("user_id", "window_start", "stage_reached")
+            .collect(),
+        )
+    )
+    assert live == batch and len(live) > 0
+
+
+def test_hash_domain_guard():
+    """kmv/hll streams fail LOUDLY outside the 31-bit hash domain instead
+    of silently diverging from the batch/oracle twin (numpy floored %
+    vs Spark truncated %)."""
+    import numpy as np
+
+    SE._check_hash_domain(np.array([0, 2**31 - 1], dtype="int64"))  # in-domain
+    SE._check_hash_domain(np.array([], dtype="int64"))  # empty batch
+    with pytest.raises(ValueError):
+        SE._check_hash_domain(np.array([-1], dtype="int64"))
+    with pytest.raises(ValueError):
+        SE._check_hash_domain(np.array([5, 2**31], dtype="int64"))
+
+
+@pytest.mark.slow
 def test_dedup_stream_drops_duplicates(spark):
     """Two unioned copies of the stream dedup down to one row per event."""
     s1 = SE.read_events_stream(spark, SF_DIR)
