@@ -679,7 +679,50 @@ def entry(spark: SparkSession) -> DataFrame:
 #   entries without a green row after r7 are regressions, not rotation
 #   artifacts.
 #
-# Round 7 rotation — the 50 seats:
+# ROTATION LEDGER r8 (one cumulative line): entering r8, 225 of the 228
+#   entries have a driver-green CORRECTNESS row (r1-r7 cumulative;
+#   CORRECTNESS_r07 = 49 green + graph_components rows-only by design).
+#   The 3 without one are the r8-new live/lookup entries
+#   (text_bm25_lookup, streaming_sessionize_live, streaming_funnel_live
+#   — each check_entry-green at sf0.01 when added), all seated below.
+#   Any OTHER entry without a green row after r8 is a regression.
+#
+# Round 8 rotation — the 50 seats:
+#   * 3 seats: the r8-new entries — text_bm25_lookup (narrow-query BM25
+#     serve, the SCALE.md §7 narrow-slope evidence),
+#     streaming_sessionize_live + streaming_funnel_live (ACTUAL
+#     availableNow trigger runs read back from a parquet sink, hash-
+#     checked by the existing batch-twin oracles — the trigger-mode
+#     oracle loop VERDICT r7 task 2 asked for).
+#   * 10 seats: entries whose code or shared layers changed in r8 —
+#     text_bm25 + text_bm25_served (oracle body refactored into the
+#     shared qterms-parameterized fragment; postings cache signature now
+#     digests the tokenizer source), sketch_heavyhitters
+#     (localCheckpoint → persist, r7 ADVICE), sketch_hll_hourly +
+#     sketch_kmv_hourly (their stream twins gained the 31-bit hash-domain
+#     guard), streaming_sessionize_batch + streaming_funnel_batch (their
+#     oracle strings are now shared with the live entries),
+#     knn_ivf_pruned + maintenance_compact + maintenance_zorder
+#     (build_once_path gained the per-digest flock — representative
+#     artifact-cache consumers).
+#   * 37 breadth seats, strictly oldest-green-first: the full r1 cohort
+#     (rel_q10_returns rel_q11_important rel_q13_outer rel_q14_promo
+#     rel_q15_topsupp rel_q16_countd rel_q17_corr rel_q18_having
+#     rel_q19_disjunct rel_q22_idle rel_q4_semi rel_q6_filter
+#     rel_q7_nations rel_rollup rel_window_running), the full r2 cohort
+#     (media_frames rel_except rel_pivot simhash_docs sparql_empty_join
+#     sparql_filter_ne sparql_ground text_fingerprint), and 14 of the r3
+#     cohort (dedup_exact media_catalog media_decode_stats
+#     pipeline_shards pipeline_split rel_anti rel_events_hourly
+#     rel_intersect rel_json_props rel_q1_pricing sketch_kmv_users
+#     sparql_count_group sparql_decode sparql_optional).  The REMAINING
+#     r3 cohort (rel_q12_priority rel_q3_top10 rel_q5_cycle
+#     rel_sql_passthrough rel_window_top3 sparql_disconnected
+#     sparql_distinct sparql_empty sparql_minus sparql_path sparql_star
+#     sparql_subquery sparql_topk sparql_union sparql_varpred
+#     text_features text_langid) leads the r9 breadth queue.
+#
+# Round 7 rotation — the 50 seats (superseded by r8 above):
 #   * 10 seats: the r7 queue — sparql_filter_strbefore,
 #     sparql_filter_isnumeric, rel_window_movavg, graph_components
 #     (rows-only by design — operators/graph.py::graph_components),
@@ -726,33 +769,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #     every one has a cumulative driver-green row from r1-r6 and its code
 #     was untouched in r7.
 PRIORITY_ORDER = [
-    # --- the 10-entry r7 queue (never driver-adjudicated) ---
-    "sparql_filter_strbefore", "sparql_filter_isnumeric",
-    "rel_window_movavg", "graph_components", "media_pair_gate",
-    "sparql_nt_roundtrip", "sparql_count_all", "sparql_order_multi",
-    "temporal_resample", "hybrid_search",
-    # --- r7 new / semantics-touched (8) ---
-    "graph_components_forest", "knn_ivf_pruned", "temporal_concurrency",
-    "media_audio_chunks", "text_knn",
-    "sparql_path_opt", "sparql_path_star", "sparql_path_ground",
-    # --- r7 clustering/streaming hardening + new ops (9) ---
-    "dedup_clusters", "dedup_cluster_sizes", "dedup_clusters_lsh",
-    "knn_ivf_refreshed", "pipeline_sample_alloc",
-    "pipeline_canonicalize", "pipeline_dup_rate",
-    "sketch_bloom", "streaming_dedup_batch",
-    # --- the r7-close additions (10) + the one oracle-string-touched
-    #     stable entry (sketch_kmv_hourly now renders its window bucket
-    #     via the shared fragment) ---
-    "knn_sq8", "maintenance_zorder", "pipeline_surprisal",
-    "sketch_heavyhitters", "sketch_hll_registers", "sketch_hll_union",
-    "sketch_hll_hourly", "text_bm25", "text_bm25_served",
-    "pipeline_sample_weighted", "sketch_kmv_hourly",
-    # --- breadth re-verification (12) ---
+    # --- r8 new (3) ---
+    "text_bm25_lookup", "streaming_sessionize_live", "streaming_funnel_live",
+    # --- r8 code/shared-layer touched (10) ---
+    "text_bm25", "text_bm25_served", "sketch_heavyhitters",
+    "sketch_hll_hourly", "sketch_kmv_hourly",
     "streaming_sessionize_batch", "streaming_funnel_batch",
-    "temporal_funnel", "dedup_jaccard",
-    "knn_bruteforce", "knn_ivf", "media_dedup",
-    "pipeline_tfidf", "pipeline_curate",
-    "sketch_cms_users", "rel_cube", "sparql_cycle5",
+    "knn_ivf_pruned", "maintenance_compact", "maintenance_zorder",
+    # --- breadth, oldest-green-first: the r1 cohort (15) ---
+    "rel_q10_returns", "rel_q11_important", "rel_q13_outer",
+    "rel_q14_promo", "rel_q15_topsupp", "rel_q16_countd",
+    "rel_q17_corr", "rel_q18_having", "rel_q19_disjunct",
+    "rel_q22_idle", "rel_q4_semi", "rel_q6_filter",
+    "rel_q7_nations", "rel_rollup", "rel_window_running",
+    # --- the r2 cohort (8) ---
+    "media_frames", "rel_except", "rel_pivot", "simhash_docs",
+    "sparql_empty_join", "sparql_filter_ne", "sparql_ground",
+    "text_fingerprint",
+    # --- 14 of the r3 cohort (rest lead the r9 queue) ---
+    "dedup_exact", "media_catalog", "media_decode_stats",
+    "pipeline_shards", "pipeline_split", "rel_anti",
+    "rel_events_hourly", "rel_intersect", "rel_json_props",
+    "rel_q1_pricing", "sketch_kmv_users", "sparql_count_group",
+    "sparql_decode", "sparql_optional",
 ]
 
 
