@@ -62,6 +62,9 @@ HEAVY = [
     "sketch_hll_registers",
     "text_bm25",
     "text_bm25_served",
+    "text_bm25_lookup",
+    "graph_pagerank",
+    "graph_ppr",
 ]
 
 

@@ -556,6 +556,29 @@ def test_bm25_served_scan_pushes_query_terms(spark, queries):
     assert "In(tok" in pf, pf
 
 
+def test_bm25_lookup_narrow_pushdown_and_one_doc_scan(spark, queries):
+    """The NARROW lookup must (a) push its few-term literal IN into the
+    postings scan like the broad serve path, and (b) read the documents
+    table with the query-doc equality predicate pushed down — the term-set
+    derivation touches ONE document, not the corpus (SCALE.md §7's
+    narrow-slope design)."""
+    plan = _plan(queries["text_bm25_lookup"](spark, SF_DIR))
+    postings_segs = [
+        seg for seg in plan.split("Scan parquet")[1:]
+        if "/postings" in seg[:600]
+    ]
+    assert postings_segs, "no scan over the persisted postings file"
+    pf = postings_segs[0].split("PushedFilters")[1][:400]
+    assert "In(tok" in pf, pf
+    doc_segs = [
+        seg for seg in plan.split("Scan parquet")[1:]
+        if "documents.parquet" in seg[:600]
+    ]
+    assert doc_segs, "no scan over the documents table"
+    dpf = doc_segs[0].split("PushedFilters")[1][:400]
+    assert "EqualTo(doc_id,0)" in dpf, dpf
+
+
 def test_weighted_sample_is_map_only(spark, queries):
     """pipeline_sample_weighted must compile to a pure scan stage: the
     coin and keep probability are row-local, so ANY Exchange in the plan
