@@ -711,12 +711,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     rel_q19_disjunct rel_q22_idle rel_q4_semi rel_q6_filter
 #     rel_q7_nations rel_rollup rel_window_running), the full r2 cohort
 #     (media_frames rel_except rel_pivot simhash_docs sparql_empty_join
-#     sparql_filter_ne sparql_ground text_fingerprint), and 14 of the r3
+#     sparql_filter_ne sparql_ground text_fingerprint), 12 of the r3
 #     cohort (dedup_exact media_catalog media_decode_stats
-#     pipeline_shards pipeline_split rel_anti rel_events_hourly
-#     rel_intersect rel_json_props rel_q1_pricing sketch_kmv_users
-#     sparql_count_group sparql_decode sparql_optional).  The REMAINING
-#     r3 cohort (rel_q12_priority rel_q3_top10 rel_q5_cycle
+#     pipeline_shards pipeline_split rel_events_hourly
+#     rel_json_props rel_q1_pricing sketch_kmv_users
+#     sparql_count_group sparql_decode sparql_optional), and — so every
+#     family holds a seat (test_entry_contract.py) — the oldest-green
+#     temporal_ and graph_ entries, temporal_range + graph_ppr (both
+#     r4).  The REMAINING r3 cohort (rel_anti rel_intersect
+#     rel_q12_priority rel_q3_top10 rel_q5_cycle
 #     rel_sql_passthrough rel_window_top3 sparql_disconnected
 #     sparql_distinct sparql_empty sparql_minus sparql_path sparql_star
 #     sparql_subquery sparql_topk sparql_union sparql_varpred
@@ -786,12 +789,17 @@ PRIORITY_ORDER = [
     "media_frames", "rel_except", "rel_pivot", "simhash_docs",
     "sparql_empty_join", "sparql_filter_ne", "sparql_ground",
     "text_fingerprint",
-    # --- 14 of the r3 cohort (rest lead the r9 queue) ---
+    # --- 12 of the r3 cohort (rest lead the r9 queue) ---
     "dedup_exact", "media_catalog", "media_decode_stats",
-    "pipeline_shards", "pipeline_split", "rel_anti",
-    "rel_events_hourly", "rel_intersect", "rel_json_props",
+    "pipeline_shards", "pipeline_split",
+    "rel_events_hourly", "rel_json_props",
     "rel_q1_pricing", "sketch_kmv_users", "sparql_count_group",
     "sparql_decode", "sparql_optional",
+    # --- family-coverage seats (every family must hold a seat —
+    #     tests/test_entry_contract.py): the oldest-green temporal_ and
+    #     graph_ entries (both r4; graph_ppr also carries the fresh
+    #     SCALE.md §7 slope row) ---
+    "temporal_range", "graph_ppr",
 ]
 
 
