@@ -934,10 +934,11 @@ def warm_live_streams(spark: SparkSession, sf_dir: str) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     _live_input_path(spark, sf_dir)  # once, BEFORE the concurrent runs
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
             pool.submit(_live_run_path, spark, sf_dir, "sessionize", sessionize_stream),
             pool.submit(_live_run_path, spark, sf_dir, "funnel", funnel_stream),
+            pool.submit(_live_run_path, spark, sf_dir, "hourly", hourly_counts_stream),
         ]
         for f in futs:
             f.result()
@@ -958,6 +959,27 @@ def sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ntz("session_start").alias("session_start"),
         _ntz("session_end").alias("session_end"),
         "n_events",
+    )
+
+
+def hourly_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATELESS live shape (same construction as
+    :func:`sessionize_live`, third trigger-mode path): a real availableNow
+    run of the watermarked tumbling-window aggregation
+    :func:`hourly_counts_stream`.  The flush sentinel's watermark advance
+    closes every REAL window (append mode emits only finalized windows),
+    so the sink holds the complete hourly table — hash-equal to the batch
+    ``rel_events_hourly`` oracle; the sentinel's own far-future window
+    never closes and is additionally excluded by the year guard."""
+    path = _live_run_path(spark, sf_dir, "hourly", hourly_counts_stream)
+    out = spark.read.parquet(f"{path}/out")
+    return out.where(
+        F.col("hour") < F.lit(_FLUSH_TS).cast("timestamp")
+    ).select(
+        _ntz("hour").alias("hour"),
+        "event_type",
+        "n_events",
+        "sum_value",
     )
 
 
@@ -982,6 +1004,7 @@ QUERIES = {
     "streaming_enrich_batch": enrich_events_batch,
     "streaming_sessionize_live": sessionize_live,
     "streaming_funnel_live": funnel_live,
+    "streaming_hourly_live": hourly_live,
 }
 ORACLES = {
     "streaming_sessionize_batch": SESSIONIZE_BATCH_SQL,
@@ -991,3 +1014,14 @@ ORACLES = {
     "streaming_sessionize_live": SESSIONIZE_BATCH_SQL,
     "streaming_funnel_live": FUNNEL_WINDOWS_SQL,
 }
+
+
+def _hourly_live_oracle() -> str:
+    # the batch twin's SQL, one definition (operators/relational.py) — the
+    # live run must reproduce the full hourly table bit-for-bit
+    from dream_spark.operators.relational import EVENTS_HOURLY_SQL
+
+    return EVENTS_HOURLY_SQL
+
+
+ORACLES["streaming_hourly_live"] = _hourly_live_oracle()

@@ -70,6 +70,25 @@ def test_funnel_live_equals_batch_twin(spark):
     assert live == batch and len(live) > 0
 
 
+@pytest.mark.slow
+def test_hourly_live_equals_batch_twin(spark):
+    """The stateless watermark-window live run (append mode + flush
+    sentinel) must emit the COMPLETE hourly table — exactly the batch
+    aggregation, with the sentinel's own window never closing."""
+    from dream_spark.operators.relational import events_hourly
+
+    live = sorted(map(tuple, SE.hourly_live(spark, SF_DIR).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            events_hourly(spark, SF_DIR)
+            .select("hour", "event_type", "n_events", "sum_value")
+            .collect(),
+        )
+    )
+    assert live == batch and len(live) > 0
+
+
 def test_hash_domain_guard():
     """kmv/hll streams fail LOUDLY outside the 31-bit hash domain instead
     of silently diverging from the batch/oracle twin (numpy floored %
