@@ -806,16 +806,19 @@ FUNNEL_WINDOWS_SQL = _funnel_windows_sql()
 # Live trigger-mode runs: the driver's oracle gate on ACTUAL stream output
 # --------------------------------------------------------------------------
 #: bump when the live-run layout (sentinel, sink shape) changes
-_LIVE_FORMAT_VERSION = 1
-#: sentinel flush row: a far-future event for a reserved negative user —
-#: once processed, the query's event-time watermark passes every real
+_LIVE_FORMAT_VERSION = 2
+#: sentinel flush row: a far-future event for a reserved user id — once
+#: processed, the query's event-time watermark passes every real
 #: session/window horizon, so EVERY real key's event-time timeout fires in
 #: the trailing no-data micro-batch and the availableNow run emits the
 #: COMPLETE closed result (without it, append mode keeps the last session/
 #: window per key open forever and the output is only a subset of the
 #: batch twin — un-oracle-able).  The sentinel's own state stays open past
-#: the final watermark and is dropped by the user_id filter on read-back.
-_FLUSH_USER = -1
+#: the final watermark and is dropped by the user_id / far-future-window
+#: filter on read-back.  The id is the TOP of the 31-bit hash domain (not
+#: a negative id, which the kmv/hll streams' domain guard rightly
+#: rejects); real testdata ids are orders of magnitude below it.
+_FLUSH_USER = (1 << 31) - 1
 _FLUSH_TS = "2100-01-01 00:00:00"
 
 
@@ -934,11 +937,13 @@ def warm_live_streams(spark: SparkSession, sf_dir: str) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     _live_input_path(spark, sf_dir)  # once, BEFORE the concurrent runs
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         futs = [
             pool.submit(_live_run_path, spark, sf_dir, "sessionize", sessionize_stream),
             pool.submit(_live_run_path, spark, sf_dir, "funnel", funnel_stream),
             pool.submit(_live_run_path, spark, sf_dir, "hourly", hourly_counts_stream),
+            pool.submit(_live_run_path, spark, sf_dir, "kmv", kmv_stream),
+            pool.submit(_live_run_path, spark, sf_dir, "hll", hll_stream),
         ]
         for f in futs:
             f.result()
@@ -959,6 +964,49 @@ def sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ntz("session_start").alias("session_start"),
         _ntz("session_end").alias("session_end"),
         "n_events",
+    )
+
+
+def _flush_bucket(window_us: int) -> int:
+    """The sentinel's window bucket index: everything at-or-past it is the
+    sentinel's own (never-closed) state, excluded on read-back."""
+    import datetime
+
+    flush_us = int(
+        datetime.datetime.fromisoformat(_FLUSH_TS)
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    return flush_us // window_us
+
+
+def kmv_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE bounded-state sketch run: a real availableNow run of
+    :func:`kmv_stream` (order-statistic state), flushed complete by the
+    sentinel — every real hourly bucket's event-time timeout fires, so
+    the sink holds exactly the batch twin's rows (sketch_kmv_hourly's
+    oracle, one hash/estimator definition).  Also the entry that executes
+    the 31-bit domain guard on real data every round."""
+    from dream_spark.operators.sketch import KMV_WINDOW_US
+
+    path = _live_run_path(spark, sf_dir, "kmv", kmv_stream)
+    out = spark.read.parquet(f"{path}/out")
+    return out.where(F.col("hour_bucket") < _flush_bucket(KMV_WINDOW_US)).select(
+        "hour_bucket", "k", "n_kept", "kth_min", "est_distinct"
+    )
+
+
+def hll_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE dense-register sketch run: :func:`hll_stream` under a real
+    availableNow trigger, flushed complete (same construction as
+    :func:`kmv_live`); hash-checked by the batch twin's oracle."""
+    from dream_spark.operators.sketch import KMV_WINDOW_US
+
+    path = _live_run_path(spark, sf_dir, "hll", hll_stream)
+    out = spark.read.parquet(f"{path}/out")
+    return out.where(F.col("hour_bucket") < _flush_bucket(KMV_WINDOW_US)).select(
+        "hour_bucket", "m_obs", "est"
     )
 
 
@@ -1005,6 +1053,8 @@ QUERIES = {
     "streaming_sessionize_live": sessionize_live,
     "streaming_funnel_live": funnel_live,
     "streaming_hourly_live": hourly_live,
+    "streaming_kmv_live": kmv_live,
+    "streaming_hll_live": hll_live,
 }
 ORACLES = {
     "streaming_sessionize_batch": SESSIONIZE_BATCH_SQL,
@@ -1016,12 +1066,21 @@ ORACLES = {
 }
 
 
-def _hourly_live_oracle() -> str:
-    # the batch twin's SQL, one definition (operators/relational.py) — the
-    # live run must reproduce the full hourly table bit-for-bit
+def _live_twin_oracles() -> dict[str, str]:
+    # the batch twins' SQL, one definition each (operators/relational.py,
+    # operators/sketch.py) — the live runs must reproduce the full batch
+    # tables bit-for-bit
     from dream_spark.operators.relational import EVENTS_HOURLY_SQL
+    from dream_spark.operators.sketch import (
+        SKETCH_HLL_HOURLY_SQL,
+        SKETCH_KMV_HOURLY_SQL,
+    )
 
-    return EVENTS_HOURLY_SQL
+    return {
+        "streaming_hourly_live": EVENTS_HOURLY_SQL,
+        "streaming_kmv_live": SKETCH_KMV_HOURLY_SQL,
+        "streaming_hll_live": SKETCH_HLL_HOURLY_SQL,
+    }
 
 
-ORACLES["streaming_hourly_live"] = _hourly_live_oracle()
+ORACLES.update(_live_twin_oracles())

@@ -89,6 +89,21 @@ def test_hourly_live_equals_batch_twin(spark):
     assert live == batch and len(live) > 0
 
 
+@pytest.mark.slow
+def test_sketch_live_entries_equal_batch_twins(spark):
+    """The bounded-state sketch live runs (kmv order statistic, hll dense
+    registers) must emit exactly the batch twins' hourly rows once the
+    sentinel closes every real window."""
+    from dream_spark.operators.sketch import sketch_hll_hourly, sketch_kmv_hourly
+
+    kl = sorted(map(tuple, SE.kmv_live(spark, SF_DIR).collect()))
+    kb = sorted(map(tuple, sketch_kmv_hourly(spark, SF_DIR).collect()))
+    assert kl == kb and len(kl) > 0
+    hl = sorted(map(tuple, SE.hll_live(spark, SF_DIR).collect()))
+    hb = sorted(map(tuple, sketch_hll_hourly(spark, SF_DIR).collect()))
+    assert hl == hb and len(hl) > 0
+
+
 def test_hash_domain_guard():
     """kmv/hll streams fail LOUDLY outside the 31-bit hash domain instead
     of silently diverging from the batch/oracle twin (numpy floored %
