@@ -937,13 +937,24 @@ def warm_live_streams(spark: SparkSession, sf_dir: str) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     _live_input_path(spark, sf_dir)  # once, BEFORE the concurrent runs
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    dim = user_profile_dim(spark, sf_dir).select("user_id", "n_events")
+    with ThreadPoolExecutor(max_workers=7) as pool:
         futs = [
             pool.submit(_live_run_path, spark, sf_dir, "sessionize", sessionize_stream),
             pool.submit(_live_run_path, spark, sf_dir, "funnel", funnel_stream),
             pool.submit(_live_run_path, spark, sf_dir, "hourly", hourly_counts_stream),
             pool.submit(_live_run_path, spark, sf_dir, "kmv", kmv_stream),
             pool.submit(_live_run_path, spark, sf_dir, "hll", hll_stream),
+            pool.submit(_live_run_path, spark, sf_dir, "attribution", attribution_stream),
+            pool.submit(
+                _live_run_path,
+                spark,
+                sf_dir,
+                "enrich",
+                lambda ev: enrich_stream(ev, dim).select(
+                    "event_id", "user_id", "event_type", "n_events"
+                ),
+            ),
         ]
         for f in futs:
             f.result()
@@ -964,6 +975,57 @@ def sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ntz("session_start").alias("session_start"),
         _ntz("session_end").alias("session_end"),
         "n_events",
+    )
+
+
+def attribution_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-stream interval join: a real availableNow run of
+    :func:`attribution_stream` (watermarked click→purchase window join),
+    read back from the sink and hash-checked against a plain batch
+    interval-join SQL.  Inner joins emit eagerly on match — no flush
+    dependency — and the sentinel ('view' for the reserved user) is
+    filtered out of both sides by the event_type predicates."""
+    path = _live_run_path(spark, sf_dir, "attribution", attribution_stream)
+    out = spark.read.parquet(f"{path}/out")
+    return out.select(
+        "click_id",
+        "click_user",
+        _ntz("click_ts").alias("click_ts"),
+        "purchase_id",
+        _ntz("purchase_ts").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+ATTRIBUTION_LIVE_SQL = f"""
+SELECT c.event_id AS click_id, c.user_id AS click_user, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts, p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) > epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + {ATTRIBUTION_WINDOW_MIN * 60 * 1_000_000}
+""".strip()
+
+
+def enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-static join: a real availableNow run of
+    :func:`enrich_stream` against the per-user profile dimension,
+    hash-checked by the batch twin's oracle.  Stateless — each
+    micro-batch re-plans the static side; the sentinel row left-joins to
+    nothing and is dropped on read-back."""
+    dim = user_profile_dim(spark, sf_dir).select("user_id", "n_events")
+    path = _live_run_path(
+        spark,
+        sf_dir,
+        "enrich",
+        lambda ev: enrich_stream(ev, dim).select(
+            "event_id", "user_id", "event_type", "n_events"
+        ),
+    )
+    out = spark.read.parquet(f"{path}/out")
+    return out.where(F.col("user_id") != _FLUSH_USER).select(
+        "event_id", "user_id", "event_type", "n_events"
     )
 
 
@@ -1055,6 +1117,8 @@ QUERIES = {
     "streaming_hourly_live": hourly_live,
     "streaming_kmv_live": kmv_live,
     "streaming_hll_live": hll_live,
+    "streaming_attribution_live": attribution_live,
+    "streaming_enrich_live": enrich_live,
 }
 ORACLES = {
     "streaming_sessionize_batch": SESSIONIZE_BATCH_SQL,
@@ -1080,6 +1144,8 @@ def _live_twin_oracles() -> dict[str, str]:
         "streaming_hourly_live": EVENTS_HOURLY_SQL,
         "streaming_kmv_live": SKETCH_KMV_HOURLY_SQL,
         "streaming_hll_live": SKETCH_HLL_HOURLY_SQL,
+        "streaming_attribution_live": ATTRIBUTION_LIVE_SQL,
+        "streaming_enrich_live": ENRICH_EVENTS_SQL,
     }
 
 
