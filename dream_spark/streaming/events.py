@@ -748,6 +748,85 @@ def funnel_stream(
     )
 
 
+def funnel_stream_agg(
+    events: DataFrame,
+    window_min: int = FUNNEL_WINDOW_MIN,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The JVM-ONLY windowed funnel — the 100-TB path.  Identical
+    semantics to :func:`funnel_stream` (per (user, tumbling window) the
+    deepest view→click→purchase stage, stage k counting only events
+    at-or-after the stage k-1 time), but expressed as a streaming
+    WINDOWED AGGREGATION (collect_list of per-stage event times in the
+    JVM state store) followed by a stateless array-function chain
+    (array_min over filter()) on the watermark-finalized rows.
+
+    Why it exists: the r8 stream probe measured the
+    applyInPandasWithState funnel at 8.2x wall for 10x data — bounded
+    state, but LINEAR in distinct (user, window) keys with a ~0.3 ms
+    per-key Python/Arrow constant (583k keys = 164 s on local[32]).
+    This variant keeps the same raw-times state shape (late stage-1
+    events still re-qualify earlier stage-2 times, the exactness
+    property the raw lists exist for) entirely inside whole-stage
+    codegen + the state store: no Python worker in the loop, measured
+    ~10x faster at the 10x decade (SCALE.md §7).  funnel_stream remains
+    the custom-stateful-operator surface; this is the operator to run
+    when the key count is large."""
+    from dream_spark.operators.temporal import FUNNEL_STEPS
+
+    steps = list(FUNNEL_STEPS)
+    ev = (
+        events.where(F.col("event_type").isin(steps))
+        .select("user_id", "ts", "event_type", F.unix_micros("ts").alias("__us"))
+        .withWatermark("ts", watermark)
+    )
+    g = ev.groupBy(
+        F.window("ts", f"{window_min} minutes").alias("win"), F.col("user_id")
+    ).agg(
+        *[
+            F.collect_list(
+                F.when(F.col("event_type") == s, F.col("__us"))
+            ).alias(f"t{i + 1}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # the min-chain on closed windows: s1 = min(t1); s_k = min(t_k >= s_{k-1});
+    # one projection per stage so each s_k can reference s_{k-1} as a column
+    n = len(steps)
+    chained = g
+    for i in range(1, n + 1):
+        expr = (
+            "array_min(t1) AS s1"
+            if i == 1
+            else f"array_min(filter(t{i}, x -> x >= s{i - 1})) AS s{i}"
+        )
+        chained = chained.selectExpr(
+            "win", "user_id",
+            *[f"s{j}" for j in range(1, i)],
+            expr,
+            *[f"t{j}" for j in range(i + 1, n + 1)],
+        )
+    stage = "CASE " + " ".join(
+        f"WHEN s{i} IS NOT NULL THEN {i}" for i in range(len(steps), 0, -1)
+    ) + " ELSE 0 END"
+    return chained.selectExpr(
+        "win.start AS window_start", "user_id", f"CAST({stage} AS BIGINT) AS stage_reached"
+    )
+
+
+def funnel_agg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE run of the JVM windowed funnel (same construction as
+    :func:`funnel_live`, same batch-twin oracle): proves the fast path
+    answers identically to the stateful operator AND the batch SQL."""
+    path = _live_run_path(spark, sf_dir, "funnel_agg", funnel_stream_agg)
+    out = spark.read.parquet(f"{path}/out")
+    return out.where(F.col("user_id") != _FLUSH_USER).select(
+        "user_id",
+        _ntz("window_start").alias("window_start"),
+        "stage_reached",
+    )
+
+
 def funnel_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of ``funnel_stream``: per (user, hour window) deepest
     funnel stage — SQL-expressible, so the DuckDB oracle checks the
@@ -946,6 +1025,7 @@ def warm_live_streams(spark: SparkSession, sf_dir: str) -> None:
             pool.submit(_live_run_path, spark, sf_dir, "kmv", kmv_stream),
             pool.submit(_live_run_path, spark, sf_dir, "hll", hll_stream),
             pool.submit(_live_run_path, spark, sf_dir, "attribution", attribution_stream),
+            pool.submit(_live_run_path, spark, sf_dir, "funnel_agg", funnel_stream_agg),
             pool.submit(
                 _live_run_path,
                 spark,
@@ -1119,6 +1199,7 @@ QUERIES = {
     "streaming_hll_live": hll_live,
     "streaming_attribution_live": attribution_live,
     "streaming_enrich_live": enrich_live,
+    "streaming_funnel_agg_live": funnel_agg_live,
 }
 ORACLES = {
     "streaming_sessionize_batch": SESSIONIZE_BATCH_SQL,
@@ -1146,6 +1227,7 @@ def _live_twin_oracles() -> dict[str, str]:
         "streaming_hll_live": SKETCH_HLL_HOURLY_SQL,
         "streaming_attribution_live": ATTRIBUTION_LIVE_SQL,
         "streaming_enrich_live": ENRICH_EVENTS_SQL,
+        "streaming_funnel_agg_live": FUNNEL_WINDOWS_SQL,
     }
 
 

@@ -1,0 +1,92 @@
+"""Measured scaling slope of the STREAM RUNS themselves (r8).
+
+The live entries (streaming_*_live) measure sink read-back; the
+availableNow trigger runs they read are one-time builds whose cost DOES
+scale with data — this probe measures that cost per decade, which is the
+number a 100-TB streaming deployment sizes against (state rows per key,
+shuffle volume per micro-batch).
+
+Method: for each named stream operator, build the augmented input
+(events + flush sentinel, the live-entry recipe) for the sf dir, run the
+stream availableNow into a throwaway parquet sink, and time the full
+drain.  No build-once cache — every run is a real measured execution.
+
+Usage: python scripts/stream_scale_probe.py [--dirs d1,d2,...]
+Defaults to /root/testdata/sf0.1 and /tmp/dream_spark_scale10 (built by
+scale_probe.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIRS = ["/root/testdata/sf0.1", "/tmp/dream_spark_scale10"]
+
+
+def measure(sf_dir: str) -> dict[str, float]:
+    from dream_spark import get_spark
+    from dream_spark.streaming import events as SE
+
+    spark = get_spark("stream-scale-probe")
+    in_dir = SE._live_input_path(spark, sf_dir)  # cached: input build excluded
+    streams = {
+        "sessionize": SE.sessionize_stream,
+        "funnel": SE.funnel_stream,
+        "funnel_agg": SE.funnel_stream_agg,
+        "hourly": SE.hourly_counts_stream,
+        "kmv": SE.kmv_stream,
+        "hll": SE.hll_stream,
+    }
+    out: dict[str, float] = {}
+    scratch = tempfile.mkdtemp(prefix="stream_probe_")
+    try:
+        for name, build in streams.items():
+            raw = (
+                spark.readStream.schema(SE.EVENTS_SCHEMA)
+                .format("parquet")
+                .load(f"{in_dir}/in")
+            )
+            t0 = time.perf_counter()
+            q = (
+                build(SE._instant_ts(raw))
+                .writeStream.format("parquet")
+                .option("path", f"{scratch}/{name}/out")
+                .option("checkpointLocation", f"{scratch}/{name}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(1200), name
+            out[name] = round(time.perf_counter() - t0, 2)
+            n = spark.read.parquet(f"{scratch}/{name}/out").count()
+            print(f"  {name} @ {sf_dir}: {out[name]}s rows={n}", file=sys.stderr)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    dirs = DIRS
+    for i, a in enumerate(sys.argv):
+        if a == "--dirs":
+            dirs = sys.argv[i + 1].split(",")
+    results = {d: measure(d) for d in dirs}
+    base = results[dirs[0]]
+    ratios = {
+        d: {k: round(v[k] / base[k], 2) if base.get(k) else None for k in v}
+        for d, v in results.items()
+        if d != dirs[0]
+    }
+    print(json.dumps({"runs": results, "ratio_vs_first": ratios}))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,23 @@ def test_sessionize_live_equals_batch_twin(spark):
 
 
 @pytest.mark.slow
+def test_funnel_agg_live_equals_batch_twin(spark):
+    """The JVM windowed-agg funnel (the 100-TB path: collect_list state +
+    array-min chain, no per-key Python) must emit exactly the batch
+    twin's rows — and therefore exactly the stateful funnel_stream's."""
+    live = sorted(map(tuple, SE.funnel_agg_live(spark, SF_DIR).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            SE.funnel_windows_batch(spark, SF_DIR)
+            .select("user_id", "window_start", "stage_reached")
+            .collect(),
+        )
+    )
+    assert live == batch and len(live) > 0
+
+
+@pytest.mark.slow
 def test_funnel_live_equals_batch_twin(spark):
     live = sorted(map(tuple, SE.funnel_live(spark, SF_DIR).collect()))
     batch = sorted(
