@@ -679,20 +679,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #   entries without a green row after r7 are regressions, not rotation
 #   artifacts.
 #
-# ROTATION LEDGER r8 (one cumulative line): entering r8, 225 of the 234
+# ROTATION LEDGER r8 (one cumulative line): entering r8, 225 of the 235
 #   entries have a driver-green CORRECTNESS row (r1-r7 cumulative;
 #   CORRECTNESS_r07 = 49 green + graph_components rows-only by design).
-#   The 9 without one are the r8-new live/lookup entries
+#   The 10 without one are the r8-new live/lookup entries
 #   (text_bm25_lookup, streaming_sessionize_live, streaming_funnel_live,
 #   streaming_hourly_live, streaming_kmv_live, streaming_hll_live,
 #   streaming_attribution_live, streaming_enrich_live,
-#   streaming_funnel_agg_live — each
+#   streaming_funnel_agg_live, streaming_sessionize_agg_live — each
 #   check_entry-green at sf0.01 when added), all seated below.
 #   Any OTHER entry without a green row after r8 is a regression.
 #
 # Round 8 rotation — the 50 seats:
-#   * 9 seats: the r8-new entries — text_bm25_lookup (narrow-query BM25
-#     serve, the SCALE.md §7 narrow-slope evidence), and the eight LIVE
+#   * 10 seats: the r8-new entries — text_bm25_lookup (narrow-query BM25
+#     serve, the SCALE.md §7 narrow-slope evidence), and the nine LIVE
 #     entries (ACTUAL availableNow trigger runs read back from a parquet
 #     sink, hash-checked by batch-twin SQL oracles — the trigger-mode
 #     oracle loop VERDICT r7 task 2 asked for): the two stateful
@@ -701,12 +701,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     sketch streams (kmv order-statistic, hll dense registers — these
 #     also execute the 31-bit domain guard on real data every round),
 #     the watermarked stream-stream interval join (attribution), the
-#     stream-static enrichment join (enrich), and funnel_agg — the
+#     stream-static enrichment join (enrich), funnel_agg — the
 #     JVM-only windowed funnel the r8 stream probe motivated (the
 #     stateful funnel's trigger run measured 8.2x at 10x data from its
 #     per-key Python constant; the agg form is ~37x faster there,
-#     SCALE.md §7).  Every streaming operator shape in events.py now
-#     carries a driver-gated trigger-mode row.
+#     SCALE.md §7) — and sessionize_agg, the Spark-native
+#     session_window sessionizer (gap widened +1µs so the strict-< merge
+#     equals this engine's <= semantics exactly).  Every streaming
+#     operator shape in events.py now carries a driver-gated
+#     trigger-mode row, and both heavy stateful operators have JVM-only
+#     high-cardinality twins.
 #   * 10 seats: entries whose code or shared layers changed in r8 —
 #     text_bm25 + text_bm25_served (oracle body refactored into the
 #     shared qterms-parameterized fragment; postings cache signature now
@@ -724,15 +728,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     rel_q19_disjunct rel_q22_idle rel_q4_semi rel_q6_filter
 #     rel_q7_nations rel_rollup rel_window_running), the full r2 cohort
 #     (media_frames rel_except rel_pivot simhash_docs sparql_empty_join
-#     sparql_filter_ne sparql_ground text_fingerprint), 6 of the r3
+#     sparql_filter_ne sparql_ground text_fingerprint), 5 of the r3
 #     cohort (dedup_exact media_catalog media_decode_stats
-#     pipeline_shards pipeline_split rel_q1_pricing),
+#     pipeline_shards pipeline_split),
 #     and — so every
 #     family holds a seat (test_entry_contract.py) — the oldest-green
 #     temporal_ and graph_ entries, temporal_range + graph_ppr (both
 #     r4).  The REMAINING r3 cohort (rel_anti rel_events_hourly
 #     rel_intersect rel_json_props
-#     rel_q12_priority rel_q3_top10 rel_q5_cycle
+#     rel_q12_priority rel_q1_pricing rel_q3_top10 rel_q5_cycle
 #     rel_sql_passthrough rel_window_top3 sketch_kmv_users
 #     sparql_count_group
 #     sparql_decode sparql_disconnected
@@ -790,11 +794,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     every one has a cumulative driver-green row from r1-r6 and its code
 #     was untouched in r7.
 PRIORITY_ORDER = [
-    # --- r8 new (9) ---
+    # --- r8 new (10) ---
     "text_bm25_lookup", "streaming_sessionize_live", "streaming_funnel_live",
     "streaming_hourly_live", "streaming_kmv_live", "streaming_hll_live",
     "streaming_attribution_live", "streaming_enrich_live",
-    "streaming_funnel_agg_live",
+    "streaming_funnel_agg_live", "streaming_sessionize_agg_live",
     # --- r8 code/shared-layer touched (10) ---
     "text_bm25", "text_bm25_served", "sketch_heavyhitters",
     "sketch_hll_hourly", "sketch_kmv_hourly",
@@ -810,12 +814,11 @@ PRIORITY_ORDER = [
     "media_frames", "rel_except", "rel_pivot", "simhash_docs",
     "sparql_empty_join", "sparql_filter_ne", "sparql_ground",
     "text_fingerprint",
-    # --- 6 of the r3 cohort (rest lead the r9 queue; rel_events_hourly
+    # --- 5 of the r3 cohort (rest lead the r9 queue; rel_events_hourly
     #     rotates out with its oracle still seated — streaming_hourly_live
     #     hash-checks the same SQL) ---
     "dedup_exact", "media_catalog", "media_decode_stats",
     "pipeline_shards", "pipeline_split",
-    "rel_q1_pricing",
     # --- family-coverage seats (every family must hold a seat —
     #     tests/test_entry_contract.py): the oldest-green temporal_ and
     #     graph_ entries (both r4; graph_ppr also carries the fresh

@@ -222,6 +222,39 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_agg(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN, watermark: str = "2 hours"
+) -> DataFrame:
+    """The JVM-native sessionizer: Spark's built-in ``session_window``
+    (state-store-merged session intervals, no Python in the loop) — the
+    high-key-cardinality twin of :func:`sessionize_stream`, the same
+    relationship :func:`funnel_stream_agg` has to the stateful funnel.
+
+    EXACTNESS NOTE: ``session_window`` merges an event into the open
+    session iff ``ts < last_ts + gap`` (strict), while this engine's
+    session semantics (the stateful operator, the batch twin, and the
+    DuckDB oracle) CONTINUE a session at ``ts - last_ts <= gap``.  Over
+    integer microseconds the two are reconciled exactly by widening the
+    native gap one microsecond: ``diff <= gap  ⟺  diff < gap + 1µs``.
+    Emitted columns are min/max event time per session (the window's
+    start equals min ts; its end is last+gap, which is NOT the session
+    end this engine reports)."""
+    gap_us = gap_min * 60 * 1_000_000
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_us + 1} microseconds").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the sessionizer (gaps-and-islands with window
     functions) — SQL-expressible, so the DuckDB oracle checks the session
@@ -814,6 +847,21 @@ def funnel_stream_agg(
     )
 
 
+def sessionize_agg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE run of the JVM-native session_window sessionizer (same
+    construction and batch-twin oracle as :func:`sessionize_live`):
+    proves Spark's built-in session merging answers identically to the
+    custom stateful operator AND the gaps-and-islands SQL."""
+    path = _live_run_path(spark, sf_dir, "sessionize_agg", sessionize_stream_agg)
+    out = spark.read.parquet(f"{path}/out")
+    return out.where(F.col("user_id") != _FLUSH_USER).select(
+        "user_id",
+        _ntz("session_start").alias("session_start"),
+        _ntz("session_end").alias("session_end"),
+        "n_events",
+    )
+
+
 def funnel_agg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE run of the JVM windowed funnel (same construction as
     :func:`funnel_live`, same batch-twin oracle): proves the fast path
@@ -1026,6 +1074,7 @@ def warm_live_streams(spark: SparkSession, sf_dir: str) -> None:
             pool.submit(_live_run_path, spark, sf_dir, "hll", hll_stream),
             pool.submit(_live_run_path, spark, sf_dir, "attribution", attribution_stream),
             pool.submit(_live_run_path, spark, sf_dir, "funnel_agg", funnel_stream_agg),
+            pool.submit(_live_run_path, spark, sf_dir, "sessionize_agg", sessionize_stream_agg),
             pool.submit(
                 _live_run_path,
                 spark,
@@ -1200,6 +1249,7 @@ QUERIES = {
     "streaming_attribution_live": attribution_live,
     "streaming_enrich_live": enrich_live,
     "streaming_funnel_agg_live": funnel_agg_live,
+    "streaming_sessionize_agg_live": sessionize_agg_live,
 }
 ORACLES = {
     "streaming_sessionize_batch": SESSIONIZE_BATCH_SQL,
@@ -1228,6 +1278,7 @@ def _live_twin_oracles() -> dict[str, str]:
         "streaming_attribution_live": ATTRIBUTION_LIVE_SQL,
         "streaming_enrich_live": ENRICH_EVENTS_SQL,
         "streaming_funnel_agg_live": FUNNEL_WINDOWS_SQL,
+        "streaming_sessionize_agg_live": SESSIONIZE_BATCH_SQL,
     }
 
 

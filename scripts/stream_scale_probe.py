@@ -38,6 +38,7 @@ def measure(sf_dir: str) -> dict[str, float]:
     in_dir = SE._live_input_path(spark, sf_dir)  # cached: input build excluded
     streams = {
         "sessionize": SE.sessionize_stream,
+        "sessionize_agg": SE.sessionize_stream_agg,
         "funnel": SE.funnel_stream,
         "funnel_agg": SE.funnel_stream_agg,
         "hourly": SE.hourly_counts_stream,

@@ -57,6 +57,16 @@ def test_sessionize_live_equals_batch_twin(spark):
 
 
 @pytest.mark.slow
+def test_sessionize_agg_live_equals_batch_twin(spark):
+    """Spark's native session_window (gap widened +1µs to match the <=
+    merge semantics exactly) must emit exactly the batch twin's sessions
+    — and therefore exactly the custom stateful sessionizer's."""
+    live = sorted(map(tuple, SE.sessionize_agg_live(spark, SF_DIR).collect()))
+    batch = sorted(map(tuple, SE.sessionize_batch(spark, SF_DIR).collect()))
+    assert live == batch and len(live) > 0
+
+
+@pytest.mark.slow
 def test_funnel_agg_live_equals_batch_twin(spark):
     """The JVM windowed-agg funnel (the 100-TB path: collect_list state +
     array-min chain, no per-key Python) must emit exactly the batch
