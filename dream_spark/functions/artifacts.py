@@ -26,6 +26,19 @@ from __future__ import annotations
 from typing import Callable
 
 
+def source_digest(*parts) -> str:
+    """Short stable digest of code-defined semantics for artifact cache
+    signatures: each part is either a literal string or an object whose
+    ``inspect.getsource`` defines the cached artifact's behavior.  One
+    definition for every consumer (postings index, live stream runs), so
+    the digest idiom cannot drift between them."""
+    import hashlib
+    import inspect
+
+    rendered = [p if isinstance(p, str) else inspect.getsource(p) for p in parts]
+    return hashlib.md5("||".join(rendered).encode()).hexdigest()[:12]
+
+
 def build_once_path(sig: str, prefix: str, build: Callable[[str], None]) -> str:
     """Deterministic on-disk location of the artifact identified by
     ``sig``; runs ``build(tmp_dir)`` exactly once per signature (across

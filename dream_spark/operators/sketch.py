@@ -657,28 +657,27 @@ def heavy_hitters(toks: DataFrame, k: int = HH_K) -> DataFrame:
     Output is EXACT — the sketch only bounds what the second pass counts —
     so the entry carries a full value-hash oracle even though pass 1 is
     not SQL-expressible."""
-    # ONE sketch pass feeds both the candidate set and the stream length;
-    # persist + count materializes its ≤ (k+1)·n_tasks rows so the two
-    # derivations below don't each re-run the tokenize lineage.  persist
-    # (not localCheckpoint) deliberately: checkpoint blocks are
-    # UNREPLICATED and truncate lineage, so on a real cluster one executor
-    # loss would make the job unrecoverable — persist keeps the lineage
-    # for recomputation (r7 ADVICE)
-    from pyspark import StorageLevel
-
-    sketch = misra_gries_candidates(toks, k).persist(StorageLevel.MEMORY_AND_DISK)
-    sketch.count()
-    cands = sketch.where(F.col("term").isNotNull()).select("term").distinct()
-    total = sketch.agg(F.sum("n_part").cast("bigint").alias("total"))
+    # ONE sketch pass feeds both the candidate set and the stream length:
+    # collect the ≤ (k+1)·n_tasks sketch rows to the driver ONCE (the
+    # bounded-collect contract — bounded by sketch geometry, never by data)
+    # and derive both from the collected rows.  This replaces an earlier
+    # localCheckpoint (unreplicated blocks — unrecoverable on executor
+    # loss, r7 ADVICE) and its persist successor (CacheManager entries a
+    # long-lived session never releases, r8 review finding): the second
+    # pass re-reads only the literal candidate list, and no cluster state
+    # outlives the call.
+    rows = misra_gries_candidates(toks, k).collect()
+    terms = sorted({r["term"] for r in rows if r["term"] is not None})
+    total_n = sum(r["n_part"] for r in rows if r["n_part"] is not None)
+    spark = toks.sparkSession
+    cands = spark.createDataFrame([(t,) for t in terms] or [], "term string")
     exact = (
         toks.join(F.broadcast(cands), toks["tok"] == cands["term"])
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return (
-        exact.crossJoin(F.broadcast(total))
-        .where(F.col("cnt") * k >= F.col("total"))
-        .select("term", "cnt", "total")
+    return exact.where(F.col("cnt") * k >= F.lit(total_n)).select(
+        "term", "cnt", F.lit(total_n).cast("bigint").alias("total")
     )
 
 

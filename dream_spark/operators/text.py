@@ -723,12 +723,9 @@ def _postings_index_path(spark: SparkSession, sf_dir: str) -> str:
     # invalidates the cache without anyone remembering to bump the manual
     # version (r7 ADVICE) — and the layout.  Scoring constants like
     # BM25_IDF_Q apply at serve time; they neither invalidate nor rebuild.
-    import hashlib
-    import inspect
+    from dream_spark.functions.artifacts import source_digest
 
-    tok_digest = hashlib.md5(
-        (inspect.getsource(tokens) + TOKEN_SPLIT_RE).encode()
-    ).hexdigest()[:12]
+    tok_digest = source_digest(tokens, TOKEN_SPLIT_RE)
     sig = "|".join(
         [
             root,

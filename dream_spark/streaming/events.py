@@ -998,15 +998,21 @@ def _live_run_path(spark: SparkSession, sf_dir: str, name: str, build_stream) ->
     source digest of THIS MODULE, so any change to the streaming
     operators re-runs the stream — the driver's oracle row then fails if
     trigger-mode state handling ever drifts from the batch twin."""
-    import hashlib
-    import inspect
     import sys
 
-    from dream_spark.functions.artifacts import build_once_path
+    from dream_spark.functions import hashing as _hashing
+    from dream_spark.functions.artifacts import build_once_path, source_digest
+    from dream_spark.operators.sketch import KMV_WINDOW_US
+    from dream_spark.operators.temporal import FUNNEL_STEPS
 
-    src_digest = hashlib.md5(
-        inspect.getsource(sys.modules[__name__]).encode()
-    ).hexdigest()[:12]
+    # digest THIS module plus the imported definitions the stream
+    # semantics ride on (hash family, funnel steps, window geometry) — a
+    # change to any of them must re-run the stream, or the cached sink
+    # would silently disagree with the freshly-recomputed batch oracle
+    # (r8 review finding)
+    src_digest = source_digest(
+        sys.modules[__name__], _hashing, repr(FUNNEL_STEPS), str(KMV_WINDOW_US)
+    )
     sig = "|".join(
         [_events_sig(sf_dir), f"live-{name}-v{_LIVE_FORMAT_VERSION}", src_digest]
     )
@@ -1033,11 +1039,37 @@ def _live_run_path(spark: SparkSession, sf_dir: str, name: str, build_stream) ->
         # The sink's _spark_metadata log (and the checkpoint) record the
         # ABSOLUTE paths of the temp build dir — after build_once_path's
         # atomic rename those paths are gone and a metadata-log read of
-        # the sink returns an empty file list.  The availableNow run is
-        # fully committed here, so drop both and let read.parquet do a
-        # plain directory listing of the committed part files.
+        # the sink returns an empty file list.  So the live entries read
+        # the sink by plain directory listing instead — which is only
+        # correct if the listing equals the COMMITTED file set: a sink
+        # task that wrote its part file but died before commit leaves an
+        # orphan the manifest excludes but a listing would double-count
+        # (r8 review finding).  Reconcile before dropping the log: keep
+        # exactly the manifest's committed basenames, delete any other
+        # part file, and materialize an empty-but-typed parquet when the
+        # run emitted zero rows (a bare directory fails schema
+        # inference; the oracle side is an empty table, not an error).
+        import glob
+        import json as _json
+        import os as _os
         import shutil
 
+        committed: set[str] = set()
+        for log_file in glob.glob(f"{tmp}/out/_spark_metadata/[0-9]*"):
+            with open(log_file) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue
+                    entry = _json.loads(line)
+                    if "path" in entry:
+                        committed.add(_os.path.basename(entry["path"]))
+        for part in glob.glob(f"{tmp}/out/part-*"):
+            if _os.path.basename(part) not in committed:
+                _os.remove(part)
+        if not glob.glob(f"{tmp}/out/part-*"):
+            empty = spark.createDataFrame([], build_stream(_instant_ts(raw)).schema)
+            empty.coalesce(1).write.mode("append").parquet(f"{tmp}/out")
         shutil.rmtree(f"{tmp}/out/_spark_metadata", ignore_errors=True)
         shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
 
@@ -1058,9 +1090,11 @@ def warm_live_streams(spark: SparkSession, sf_dir: str) -> None:
     """Bench/deployment warm hook: run the availableNow trigger runs once
     so the live entries measure sink read-back (the serving shape), not
     the stream execution — the maintenance_compact artifact convention.
-    The two independent streaming queries run on concurrent driver
-    threads over the shared augmented input (serial cold warm was ~50 s
-    at sf0.1; concurrent is the slower of the two)."""
+    The nine independent streaming queries run on concurrent driver
+    threads (seven at a time) over the shared augmented input; the cold
+    warm cost is the slowest few runs overlapped, not the sum (a serial
+    cold warm of just the first two streams was already ~50 s at
+    sf0.1)."""
     from concurrent.futures import ThreadPoolExecutor
 
     _live_input_path(spark, sf_dir)  # once, BEFORE the concurrent runs
@@ -1212,9 +1246,11 @@ def hourly_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     never closes and is additionally excluded by the year guard."""
     path = _live_run_path(spark, sf_dir, "hourly", hourly_counts_stream)
     out = spark.read.parquet(f"{path}/out")
-    return out.where(
-        F.col("hour") < F.lit(_FLUSH_TS).cast("timestamp")
-    ).select(
+    # integer-micros guard, NOT a timestamp-literal cast (which a non-UTC
+    # session would shift, silently disarming the filter — the module's
+    # timezone-free convention; r8 review finding)
+    flush_us = _flush_bucket(1)  # window_us=1 -> raw epoch micros
+    return out.where(F.unix_micros(F.col("hour")) < flush_us).select(
         _ntz("hour").alias("hour"),
         "event_type",
         "n_events",

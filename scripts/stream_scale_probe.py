@@ -64,7 +64,12 @@ def measure(sf_dir: str) -> dict[str, float]:
                 .trigger(availableNow=True)
                 .start()
             )
-            assert q.awaitTermination(1200), name
+            # explicit raise (an assert vanishes under -O and would
+            # publish a partial-drain wall time as a slope); stop the
+            # query BEFORE the finally-block deletes its sink/checkpoint
+            if not q.awaitTermination(1200):
+                q.stop()
+                raise RuntimeError(f"stream {name!r} did not drain in 1200s")
             out[name] = round(time.perf_counter() - t0, 2)
             n = spark.read.parquet(f"{scratch}/{name}/out").count()
             print(f"  {name} @ {sf_dir}: {out[name]}s rows={n}", file=sys.stderr)
@@ -78,7 +83,10 @@ def main() -> None:
     dirs = DIRS
     for i, a in enumerate(sys.argv):
         if a == "--dirs":
+            if i + 1 >= len(sys.argv):
+                raise SystemExit("--dirs requires a comma-separated directory list")
             dirs = sys.argv[i + 1].split(",")
+            break
     results = {d: measure(d) for d in dirs}
     base = results[dirs[0]]
     ratios = {
