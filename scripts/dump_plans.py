@@ -46,10 +46,11 @@ SHOWCASE = [
     ("text_knn", "lexical kNN over the session-shared hashed-BoW frame: InMemoryTableScan (no tokenize/hash recompute), broadcast 10-row query side, single pass over the corpus vectors"),
     ("dedup_clusters_lsh", "bucket-star clustering: the edge list is ONE window pass keyed hashpartitioning(band, bh) — NO bucket self-join anywhere (the final frame shown is the CC output; the joinless edge derivation is pinned by tests/test_plans.py::test_lsh_cluster_star_edges_are_joinless)"),
     ("pipeline_sample_alloc", "proportional stratified sample: per-doc rank window keyed hashpartitioning(source); the exact largest-remainder allocation broadcasts onto it; the only SinglePartition exchange is over the strata-COUNT table (strata-sized, never the corpus)"),
-    ("sketch_heavyhitters", "two-pass heavy hitters: ONE MapInPandas MG sweep (O(k) state per task, <= k+1 rows out incl. the stream-length sentinel, localCheckpointed) feeds candidates AND total; candidates re-join BROADCAST; recount is a partial-agg groupBy — the token stream never shuffles and tokenizes exactly twice"),
+    ("sketch_heavyhitters", "two-pass heavy hitters: ONE MapInPandas MG sweep (O(k) state per task, <= k+1 rows out incl. the stream-length sentinel) is bounded-collected once — candidates AND total become literals, no persisted/checkpointed cluster state; candidates re-join BROADCAST; recount is a partial-agg groupBy — the token stream never shuffles and tokenizes exactly twice"),
     ("sketch_hll_registers", "HLL: IsNotNull pushed to the scan, ReadSchema pruned to the one column; partial_max before the exchange so only <= 256 register rows shuffle; the estimate is a broadcast 1-row attach"),
     ("text_bm25", "BM25: query-term table broadcast (the postings probe — corpus tf filtered map-side, never re-shuffled); dfreq/dl join broadcast at this sf, SMJ at scale; WindowGroupLimit pushes the top-k below the final exchange"),
     ("text_bm25_served", "persisted-postings serve: PushedFilters carries In(tok, ...) into the tok-sorted postings scan (row-group skipping of unprobed postings); statistics tables read, never recomputed"),
+    ("text_bm25_lookup", "NARROW lookup: 8-literal In(tok,...) pushed into BOTH the postings and lexicon scans; the query-doc read carries EqualTo(doc_id,0) pushed to the documents scan (one document, not the corpus); final rank is a distributed TakeOrderedAndProject feeding a k-row window"),
     ("pipeline_sample_weighted", "weighted Bernoulli sample: NO Exchange anywhere — the coin and the keep probability are row-local expressions inside one WholeStageCodegen scan stage"),
 ]
 
