@@ -1247,6 +1247,78 @@ def test_random_path_under_optional_and_exists_matches_oracle(engine, duck, case
 
 
 # ---------------------------------------------------------------------------
+# Spark-side: aggregates over UNION (r8) — branch-private variables arrive
+# NULL-padded in the other branch's rows, so COUNT(v)/SUM(v)'s NULL-skipping
+# and COUNT(*)'s NULL-keeping compose with the bag union's multiplicity
+# ---------------------------------------------------------------------------
+@st.composite
+def _agg_over_union(draw):
+    from hypothesis import assume
+
+    pats_a = draw(_bgp())
+    pats_b = draw(_bgp())
+    va = {t for s, p, o in pats_a for t in (s, o) if t.startswith("?")}
+    vb = {t for s, p, o in pats_b for t in (s, o) if t.startswith("?")}
+    shared, union_vars = sorted(va & vb), sorted(va | vb)
+    n_keys = draw(st.integers(0, min(2, len(shared))))
+    keys = sorted(draw(st.permutations(shared))[:n_keys]) if shared else []
+    n_aggs = draw(st.integers(1, 3))
+    aggs, seen = [], set()
+    for i in range(n_aggs):
+        form = draw(st.sampled_from(["count", "count_distinct", "count_star", "min", "max"]))
+        # weight toward branch-PRIVATE vars (the NULL-padded surface)
+        private = sorted((va ^ vb))
+        v = draw(st.sampled_from(private)) if private and draw(st.booleans()) else draw(
+            st.sampled_from(union_vars)
+        )
+        if (form, v) in seen:
+            continue
+        seen.add((form, v))
+        alias = f"?a{i}"
+        if form == "count_star":
+            aggs.append(f"(count(*) as {alias})")
+        elif form == "count_distinct":
+            aggs.append(f"(count(distinct {v}) as {alias})")
+        else:
+            aggs.append(f"({form}({v}) as {alias})")
+    assume(aggs)
+    return pats_a, pats_b, keys, aggs
+
+
+@pytest.mark.slow
+@given(_agg_over_union())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_agg_over_union_matches_oracle(engine, duck, case):
+    """GROUP BY + aggregates computed over {A} UNION {B}: COUNT/MIN/MAX
+    skip the branch that never binds the argument, COUNT(*) keeps every
+    padded row, implicit groups aggregate the whole bag union — engines
+    must agree exactly."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    pats_a, pats_b, keys, aggs = case
+    body_a = " . ".join(f"{s} {p} {o}" for s, p, o in pats_a)
+    body_b = " . ".join(f"{s} {p} {o}" for s, p, o in pats_b)
+    proj = " ".join(keys + aggs)
+    group = f" group by {' '.join(keys)}" if keys else ""
+    q = f"select {proj} where {{ {{ {body_a} }} union {{ {body_b} }} }}{group}"
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    try:
+        oracle = bgp_to_sql(parsed, decode=False)
+    except NotImplementedError:
+        assert df.count() >= 0
+        return
+    if df.count() > 300_000:
+        return
+    assert_oracle_match(df, duck, oracle)
+
+
+# ---------------------------------------------------------------------------
 # Spark-side: aggregates + HAVING over OPTIONAL groups (VERDICT r6 task 7)
 # ---------------------------------------------------------------------------
 @st.composite
