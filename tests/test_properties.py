@@ -1141,9 +1141,9 @@ def _path_composed(draw):
     """Random connected BGP carrying one closure-marked pattern, with one
     pattern (half the time the PATH pattern itself, half a plain sibling)
     pushed under OPTIONAL (depth 1), nested OPTIONAL { .. OPTIONAL { } }
-    (depth 2), or a FILTER [NOT] EXISTS group — the composition square of
-    zero-length identity domains × left-join NULL extension × semi/anti
-    substitution semantics."""
+    (depth 2), a FILTER [NOT] EXISTS group, or a MINUS group — the
+    composition square of zero-length identity domains × left-join NULL
+    extension × semi/anti substitution × set-difference semantics."""
     from hypothesis import assume
 
     pats = draw(_bgp_with_path())
@@ -1168,7 +1168,9 @@ def _path_composed(draw):
     inner_vars = {t for t in (inner[0], inner[2]) if t.startswith("?")}
     assume(rest and connected(rest) and (inner_vars & rest_vars))
 
-    mode = draw(st.sampled_from(["optional", "optional2", "exists", "not_exists"]))
+    mode = draw(
+        st.sampled_from(["optional", "optional2", "exists", "not_exists", "minus"])
+    )
     mid = None
     if mode == "optional2":
         # pull a second pattern out for the middle OPTIONAL level; fall
@@ -1221,6 +1223,12 @@ def test_random_path_under_optional_and_exists_matches_oracle(engine, duck, case
             f"select {' '.join(proj)} where {{ {rest_body} ."
             f" optional {{ {mid[0]} {mid[1]} {mid[2]} ."
             f" optional {{ {inner[0]} {inner[1]} {inner[2]} }} }} }}"
+        )
+    elif mode == "minus":
+        proj = sorted(rest_vars)
+        q = (
+            f"select {' '.join(proj)} where {{ {rest_body} ."
+            f" minus {{ {inner[0]} {inner[1]} {inner[2]} }} }}"
         )
     else:
         kw = "exists" if mode == "exists" else "not exists"
