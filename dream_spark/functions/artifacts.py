@@ -92,9 +92,17 @@ def build_once_path(sig: str, prefix: str, build: Callable[[str], None]) -> str:
             fcntl.flock(lock_fd, fcntl.LOCK_EX)
             if not os.path.exists(marker):
                 tmp = os.path.join(base, f".build-{digest}-{uuid.uuid4().hex[:8]}")
-                build(tmp)
-                with open(os.path.join(tmp, "COMPLETE"), "w") as f:
-                    f.write("ok\n")
+                try:
+                    build(tmp)
+                    with open(os.path.join(tmp, "COMPLETE"), "w") as f:
+                        f.write("ok\n")
+                except BaseException:
+                    # a raising build (e.g. a live run's stream-drain
+                    # timeout) must not leak its temp dir — for live
+                    # runs that is a full parquet sink + checkpoint PER
+                    # RETRY (r8 ADVICE)
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    raise
                 try:
                     os.rename(tmp, path)
                 except OSError:

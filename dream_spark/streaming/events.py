@@ -367,6 +367,15 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> Dat
     return events.join(dim, on=on, how="left")
 
 
+def _enrich_projected(ev: DataFrame, dim: DataFrame) -> DataFrame:
+    """The enrich live run's projected stream — ONE definition shared by
+    the warm hook and the live entry, so both call sites build the same
+    artifact under the same cache signature/digest row."""
+    return enrich_stream(ev, dim).select(
+        "event_id", "user_id", "event_type", "n_events"
+    )
+
+
 def user_profile_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A static per-user dimension snapshot derived from the batch events
     table: first/last seen and event count — the profile table an
@@ -947,6 +956,10 @@ _LIVE_FORMAT_VERSION = 2
 #: rejects); real testdata ids are orders of magnitude below it.
 _FLUSH_USER = (1 << 31) - 1
 _FLUSH_TS = "2100-01-01 00:00:00"
+#: the sentinel's FULL row shape, folded verbatim into the augmented-input
+#: cache signature — changing ANY field (not just id/ts) must rebuild the
+#: cached input, with no _LIVE_FORMAT_VERSION bump to remember (r8 ADVICE)
+_SENTINEL_ROW = (-1, _FLUSH_TS, _FLUSH_USER, "view", 0.0, "")
 
 
 def _events_sig(sf_dir: str) -> str:
@@ -964,7 +977,7 @@ def _live_input_path(spark: SparkSession, sf_dir: str) -> str:
     cost)."""
     from dream_spark.functions.artifacts import build_once_path
 
-    sig = f"{_events_sig(sf_dir)}|livein-v{_LIVE_FORMAT_VERSION}|{_FLUSH_USER}@{_FLUSH_TS}"
+    sig = f"{_events_sig(sf_dir)}|livein-v{_LIVE_FORMAT_VERSION}|{_SENTINEL_ROW!r}"
 
     def build(tmp: str) -> None:
         import datetime
@@ -972,17 +985,10 @@ def _live_input_path(spark: SparkSession, sf_dir: str) -> str:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         )
+        eid, ts_iso, uid, etype, val, props = _SENTINEL_ROW
         sentinel = spark.createDataFrame(
-            [
-                (
-                    -1,
-                    datetime.datetime.fromisoformat(_FLUSH_TS),
-                    _FLUSH_USER,
-                    "view",  # a funnel step, so step-filtered streams keep it
-                    0.0,
-                    "",
-                )
-            ],
+            # event_type is a funnel step, so step-filtered streams keep it
+            [(eid, datetime.datetime.fromisoformat(ts_iso), uid, etype, val, props)],
             EVENTS_SCHEMA,
         )
         ev.unionByName(sentinel).coalesce(8).write.parquet(f"{tmp}/in")
@@ -990,29 +996,69 @@ def _live_input_path(spark: SparkSession, sf_dir: str) -> str:
     return build_once_path(sig, "livestream", build)
 
 
+def _stream_digest_parts(name: str) -> tuple:
+    """The code-defined semantics ONE stream's live run rides on: the
+    stream function itself, the imported helpers/constants its semantics
+    use (hash family, funnel steps, window geometry, state/output
+    schemas), and the plumbing every live run shares (NTZ→instant
+    conversion, the sentinel row, ``_live_run_path``'s own
+    build/reconcile logic).  Narrow BY STREAM (r8 VERDICT task 5): a
+    one-line edit to one stream re-runs ONE trigger run, not nine —
+    while an edit to any digested dependency still invalidates, closing
+    the r8 review's drift hazard (a cached sink silently disagreeing
+    with the freshly-recomputed batch oracle).  An unknown stream name
+    gets the whole module — the safe direction for a stream added
+    without a deps row."""
+    import sys
+
+    from dream_spark.functions import hashing as _hashing
+    from dream_spark.functions import timeutils as _tu
+    from dream_spark.operators import sketch as _sk
+    from dream_spark.operators.temporal import FUNNEL_STEPS
+
+    common: tuple = (_instant_ts, _tu, _live_run_path, repr(_SENTINEL_ROW))
+    sketch_common: tuple = (_check_hash_domain, _hashing, _sk._window_bucket)
+    deps = {
+        "sessionize": (
+            sessionize_stream, merge_session_islands,
+            str(SESSION_GAP_MIN), repr(SESSION_SCHEMA), repr(_STATE_SCHEMA),
+        ),
+        "sessionize_agg": (sessionize_stream_agg, str(SESSION_GAP_MIN)),
+        "funnel": (
+            funnel_stream, repr(FUNNEL_STEPS), str(FUNNEL_WINDOW_MIN),
+            repr(_FUNNEL_STATE_SCHEMA), repr(FUNNEL_OUT_SCHEMA),
+        ),
+        "funnel_agg": (funnel_stream_agg, repr(FUNNEL_STEPS), str(FUNNEL_WINDOW_MIN)),
+        "hourly": (hourly_counts_stream,),
+        "kmv": sketch_common + (
+            kmv_stream, str(_sk._KMV_FN), str(_sk.KMV_K), str(_sk.KMV_WINDOW_US),
+            repr(_KMV_STATE_SCHEMA), repr(KMV_OUT_SCHEMA),
+        ),
+        "hll": sketch_common + (
+            hll_stream, str(_sk._HLL_FN), str(_sk._HLL_FN2),
+            str(_sk.HLL_M), str(_sk._HLL_RHO_MAX), _sk.hll_est_py,
+            repr(_HLL_STATE_SCHEMA), repr(HLL_OUT_SCHEMA),
+        ),
+        "attribution": (attribution_stream, str(ATTRIBUTION_WINDOW_MIN)),
+        "enrich": (_enrich_projected, enrich_stream, user_profile_dim),
+    }
+    if name not in deps:
+        return common + (sys.modules[__name__],)
+    return common + deps[name]
+
+
 def _live_run_path(spark: SparkSession, sf_dir: str, name: str, build_stream) -> str:
     """Build-once location of a REAL availableNow trigger run of
     ``build_stream`` over the shared augmented input: the stream runs
     into a parquet sink at ``<dir>/out`` with a checkpoint, and the sink
     is what the live entries read back.  The cache signature folds a
-    source digest of THIS MODULE, so any change to the streaming
-    operators re-runs the stream — the driver's oracle row then fails if
+    source digest of the stream's OWN semantics closure
+    (:func:`_stream_digest_parts`), so any change to that stream — and
+    only that stream — re-runs it; the driver's oracle row then fails if
     trigger-mode state handling ever drifts from the batch twin."""
-    import sys
-
-    from dream_spark.functions import hashing as _hashing
     from dream_spark.functions.artifacts import build_once_path, source_digest
-    from dream_spark.operators.sketch import KMV_WINDOW_US
-    from dream_spark.operators.temporal import FUNNEL_STEPS
 
-    # digest THIS module plus the imported definitions the stream
-    # semantics ride on (hash family, funnel steps, window geometry) — a
-    # change to any of them must re-run the stream, or the cached sink
-    # would silently disagree with the freshly-recomputed batch oracle
-    # (r8 review finding)
-    src_digest = source_digest(
-        sys.modules[__name__], _hashing, repr(FUNNEL_STEPS), str(KMV_WINDOW_US)
-    )
+    src_digest = source_digest(*_stream_digest_parts(name))
     sig = "|".join(
         [_events_sig(sf_dir), f"live-{name}-v{_LIVE_FORMAT_VERSION}", src_digest]
     )
@@ -1114,9 +1160,7 @@ def warm_live_streams(spark: SparkSession, sf_dir: str) -> None:
                 spark,
                 sf_dir,
                 "enrich",
-                lambda ev: enrich_stream(ev, dim).select(
-                    "event_id", "user_id", "event_type", "n_events"
-                ),
+                lambda ev: _enrich_projected(ev, dim),
             ),
         ]
         for f in futs:
@@ -1179,12 +1223,7 @@ def enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing and is dropped on read-back."""
     dim = user_profile_dim(spark, sf_dir).select("user_id", "n_events")
     path = _live_run_path(
-        spark,
-        sf_dir,
-        "enrich",
-        lambda ev: enrich_stream(ev, dim).select(
-            "event_id", "user_id", "event_type", "n_events"
-        ),
+        spark, sf_dir, "enrich", lambda ev: _enrich_projected(ev, dim)
     )
     out = spark.read.parquet(f"{path}/out")
     return out.where(F.col("user_id") != _FLUSH_USER).select(

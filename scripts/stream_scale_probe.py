@@ -1,4 +1,4 @@
-"""Measured scaling slope of the STREAM RUNS themselves (r8).
+"""Measured scaling slope of the STREAM RUNS themselves (r8; 100x legs r9).
 
 The live entries (streaming_*_live) measure sink read-back; the
 availableNow trigger runs they read are one-time builds whose cost DOES
@@ -12,8 +12,13 @@ stream availableNow into a throwaway parquet sink, and time the full
 drain.  No build-once cache — every run is a real measured execution.
 
 Usage: python scripts/stream_scale_probe.py [--dirs d1,d2,...]
+           [--entries name1,name2,...] [--timeout SECONDS]
 Defaults to /root/testdata/sf0.1 and /tmp/dream_spark_scale10 (built by
-scale_probe.py).
+scale_probe.py).  ``--entries`` restricts the measured set (the 100x
+legs are expensive — a targeted run keeps a second-decade probe to
+minutes); ``--timeout`` raises the per-stream drain bound for those
+legs.  The 100x dir needs SPARK_GRAFT_DRIVER_MEM=48g like scale_probe's
+second decade (a memory-sizing knob, not a slope term).
 """
 
 from __future__ import annotations
@@ -30,64 +35,85 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DIRS = ["/root/testdata/sf0.1", "/tmp/dream_spark_scale10"]
 
 
-def measure(sf_dir: str) -> dict[str, float]:
+def measure(sf_dir: str, entries: list[str] | None, timeout_s: int) -> dict[str, float]:
     from dream_spark import get_spark
     from dream_spark.streaming import events as SE
 
     spark = get_spark("stream-scale-probe")
-    in_dir = SE._live_input_path(spark, sf_dir)  # cached: input build excluded
-    streams = {
-        "sessionize": SE.sessionize_stream,
-        "sessionize_agg": SE.sessionize_stream_agg,
-        "funnel": SE.funnel_stream,
-        "funnel_agg": SE.funnel_stream_agg,
-        "hourly": SE.hourly_counts_stream,
-        "kmv": SE.kmv_stream,
-        "hll": SE.hll_stream,
-    }
     out: dict[str, float] = {}
-    scratch = tempfile.mkdtemp(prefix="stream_probe_")
     try:
-        for name, build in streams.items():
-            raw = (
-                spark.readStream.schema(SE.EVENTS_SCHEMA)
-                .format("parquet")
-                .load(f"{in_dir}/in")
-            )
-            t0 = time.perf_counter()
-            q = (
-                build(SE._instant_ts(raw))
-                .writeStream.format("parquet")
-                .option("path", f"{scratch}/{name}/out")
-                .option("checkpointLocation", f"{scratch}/{name}/ckpt")
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            # explicit raise (an assert vanishes under -O and would
-            # publish a partial-drain wall time as a slope); stop the
-            # query BEFORE the finally-block deletes its sink/checkpoint
-            if not q.awaitTermination(1200):
-                q.stop()
-                raise RuntimeError(f"stream {name!r} did not drain in 1200s")
-            out[name] = round(time.perf_counter() - t0, 2)
-            n = spark.read.parquet(f"{scratch}/{name}/out").count()
-            print(f"  {name} @ {sf_dir}: {out[name]}s rows={n}", file=sys.stderr)
+        in_dir = SE._live_input_path(spark, sf_dir)  # cached: input build excluded
+        dim = SE.user_profile_dim(spark, sf_dir).select("user_id", "n_events")
+        streams = {
+            "sessionize": SE.sessionize_stream,
+            "sessionize_agg": SE.sessionize_stream_agg,
+            "funnel": SE.funnel_stream,
+            "funnel_agg": SE.funnel_stream_agg,
+            "hourly": SE.hourly_counts_stream,
+            "kmv": SE.kmv_stream,
+            "hll": SE.hll_stream,
+            "attribution": SE.attribution_stream,
+            "enrich": lambda ev: SE._enrich_projected(ev, dim),
+        }
+        if entries:
+            unknown = [e for e in entries if e not in streams]
+            if unknown:
+                raise SystemExit(f"unknown stream entries: {unknown}")
+            streams = {k: v for k, v in streams.items() if k in entries}
+        scratch = tempfile.mkdtemp(prefix="stream_probe_")
+        try:
+            for name, build in streams.items():
+                raw = (
+                    spark.readStream.schema(SE.EVENTS_SCHEMA)
+                    .format("parquet")
+                    .load(f"{in_dir}/in")
+                )
+                t0 = time.perf_counter()
+                q = (
+                    build(SE._instant_ts(raw))
+                    .writeStream.format("parquet")
+                    .option("path", f"{scratch}/{name}/out")
+                    .option("checkpointLocation", f"{scratch}/{name}/ckpt")
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                # explicit raise (an assert vanishes under -O and would
+                # publish a partial-drain wall time as a slope); stop the
+                # query BEFORE the finally-block deletes its sink/checkpoint
+                if not q.awaitTermination(timeout_s):
+                    q.stop()
+                    raise RuntimeError(
+                        f"stream {name!r} did not drain in {timeout_s}s"
+                    )
+                out[name] = round(time.perf_counter() - t0, 2)
+                n = spark.read.parquet(f"{scratch}/{name}/out").count()
+                print(f"  {name} @ {sf_dir}: {out[name]}s rows={n}", file=sys.stderr)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
     finally:
-        shutil.rmtree(scratch, ignore_errors=True)
-    spark.stop()
+        # in the finally block (r8 ADVICE): a drain timeout raising out of
+        # measure() must not leak the session — the next measure() call
+        # would otherwise create a second session against the leaked one
+        spark.stop()
     return out
 
 
 def main() -> None:
     dirs = DIRS
-    for i, a in enumerate(sys.argv):
+    entries: list[str] | None = None
+    timeout_s = 1200
+    argv = sys.argv
+    for i, a in enumerate(argv):
+        if a in ("--dirs", "--entries", "--timeout") and i + 1 >= len(argv):
+            raise SystemExit(f"{a} requires an argument")
         if a == "--dirs":
-            if i + 1 >= len(sys.argv):
-                raise SystemExit("--dirs requires a comma-separated directory list")
-            dirs = sys.argv[i + 1].split(",")
-            break
-    results = {d: measure(d) for d in dirs}
+            dirs = argv[i + 1].split(",")
+        elif a == "--entries":
+            entries = [e for e in argv[i + 1].split(",") if e]
+        elif a == "--timeout":
+            timeout_s = int(argv[i + 1])
+    results = {d: measure(d, entries, timeout_s) for d in dirs}
     base = results[dirs[0]]
     ratios = {
         d: {k: round(v[k] / base[k], 2) if base.get(k) else None for k in v}

@@ -449,3 +449,63 @@ def test_hll_stream_matches_batch_windows(spark):
     assert len(got) >= len(batch) - 4, (len(got), len(batch))
     mismatched = {b for b, v in got.items() if batch.get(b) != v}
     assert not mismatched, sorted(mismatched)[:5]
+
+
+def test_stream_digest_is_per_stream():
+    """r8 VERDICT task 5: the live-run cache signature must be a function
+    of the ONE stream it caches (plus shared plumbing), so a one-line
+    edit to one stream operator re-runs one trigger run, not nine.
+    Pinned structurally: each stream's dedicated operator function
+    appears ONLY in its own digest parts (editing funnel_stream cannot
+    invalidate the sessionize artifact), every digest still folds the
+    shared plumbing (sentinel row, _live_run_path reconcile logic), and
+    an unknown name falls back to digesting the whole module — the safe
+    direction for a stream added without a deps row."""
+    import inspect
+    import sys
+
+    from dream_spark.functions.artifacts import source_digest
+
+    names = [
+        "sessionize", "sessionize_agg", "funnel", "funnel_agg", "hourly",
+        "kmv", "hll", "attribution", "enrich",
+    ]
+    own = {
+        "sessionize": SE.sessionize_stream,
+        "sessionize_agg": SE.sessionize_stream_agg,
+        "funnel": SE.funnel_stream,
+        "funnel_agg": SE.funnel_stream_agg,
+        "hourly": SE.hourly_counts_stream,
+        "kmv": SE.kmv_stream,
+        "hll": SE.hll_stream,
+        "attribution": SE.attribution_stream,
+        "enrich": SE._enrich_projected,
+    }
+    parts = {n: SE._stream_digest_parts(n) for n in names}
+    digests = {n: source_digest(*parts[n]) for n in names}
+    assert len(set(digests.values())) == len(names), digests
+    for a in names:
+        # own operator present; every OTHER stream's operator absent
+        assert own[a] in parts[a], a
+        for b in names:
+            if b != a:
+                assert own[b] not in parts[a], (a, b)
+        # shared plumbing folded everywhere: sentinel + reconcile logic
+        assert repr(SE._SENTINEL_ROW) in parts[a], a
+        assert SE._live_run_path in parts[a], a
+        # and never the whole module (that is the nine-run invalidation
+        # the narrowing removes)
+        assert sys.modules["dream_spark.streaming.events"] not in parts[a], a
+    # unknown stream -> whole-module fallback, and it actually digests
+    fallback = SE._stream_digest_parts("no_such_stream")
+    assert sys.modules["dream_spark.streaming.events"] in fallback
+    assert isinstance(source_digest(*fallback), str)
+    # the digest is source-sensitive: dropping any one part changes it
+    # (the property that makes "touch one stream fn -> only that cache
+    # dir rebuilds" hold, without running nine live streams in a test)
+    for n in names:
+        assert source_digest(*parts[n][:-1]) != digests[n], n
+    # sanity: parts are digestible (strings or source-inspectable)
+    for n in names:
+        for p in parts[n]:
+            assert isinstance(p, str) or inspect.getsource(p), (n, p)
