@@ -793,37 +793,57 @@ def entry(spark: SparkSession) -> DataFrame:
 #     rel_q2_mincost, sparql_group_concat) rotated out to make room —
 #     every one has a cumulative driver-green row from r1-r6 and its code
 #     was untouched in r7.
+# ROTATION LEDGER r9 (one cumulative line): entering r9, 234 of the 235
+#   entries have a driver-green CORRECTNESS row (r1-r8 cumulative;
+#   CORRECTNESS_r08 = 50/50 green); the sole exception remains
+#   graph_components, the documented rows-only entry (its hash-matched
+#   twin graph_components_forest is green).  No r9 queue carries over.
+#   Any entry without a green row after r9 is a regression, not a
+#   rotation artifact.
+#
+# Round 9 rotation — the 50 seats:
+#   * 9 seats: the entries TOUCHED in r9 — all nine streaming_*_live
+#     entries: their build-once cache signatures changed from a
+#     whole-module source digest to per-stream dependency closures
+#     (streaming/events.py::_stream_digest_parts, VERDICT r8 task 5 +
+#     r8 ADVICE), and build_once_path gained the failed-build temp-dir
+#     cleanup; semantics are unchanged but every live artifact rebuilds
+#     under the new signatures, so the driver's hash rows re-adjudicate
+#     real fresh trigger runs.
+#   * 38 breadth seats, STRICTLY oldest-green-first by (latest green
+#     round, name) over CORRECTNESS_r01-r08: the full r3-cohort
+#     remainder (26 entries, green r3, named by the r8 ledger as leading
+#     this queue) plus the 12 alphabetically-first r4-green entries.
+#     (pipeline_profile / sketch_quantiles / sparql_group_concat and the
+#     remaining r4 cohort land just past the cut and lead the r10
+#     queue.)
+#   * 3 family-coverage seats (every family inside the cap —
+#     tests/test_entry_contract.py): the oldest-green temporal_ /
+#     graph_ / knn_ entries — temporal_asof (r5), graph_pagerank (r5,
+#     also the entry whose 100x slope the r9 probe measured), and
+#     knn_lsh_served (r5).
 PRIORITY_ORDER = [
-    # --- r8 new (10) ---
-    "text_bm25_lookup", "streaming_sessionize_live", "streaming_funnel_live",
+    # --- r9 touched: the nine live entries under new per-stream cache
+    #     signatures (fresh trigger runs re-adjudicated) ---
+    "streaming_sessionize_live", "streaming_funnel_live",
     "streaming_hourly_live", "streaming_kmv_live", "streaming_hll_live",
     "streaming_attribution_live", "streaming_enrich_live",
     "streaming_funnel_agg_live", "streaming_sessionize_agg_live",
-    # --- r8 code/shared-layer touched (10) ---
-    "text_bm25", "text_bm25_served", "sketch_heavyhitters",
-    "sketch_hll_hourly", "sketch_kmv_hourly",
-    "streaming_sessionize_batch", "streaming_funnel_batch",
-    "knn_ivf_pruned", "maintenance_compact", "maintenance_zorder",
-    # --- breadth, oldest-green-first: the r1 cohort (15) ---
-    "rel_q10_returns", "rel_q11_important", "rel_q13_outer",
-    "rel_q14_promo", "rel_q15_topsupp", "rel_q16_countd",
-    "rel_q17_corr", "rel_q18_having", "rel_q19_disjunct",
-    "rel_q22_idle", "rel_q4_semi", "rel_q6_filter",
-    "rel_q7_nations", "rel_rollup", "rel_window_running",
-    # --- the r2 cohort (8) ---
-    "media_frames", "rel_except", "rel_pivot", "simhash_docs",
-    "sparql_empty_join", "sparql_filter_ne", "sparql_ground",
-    "text_fingerprint",
-    # --- 5 of the r3 cohort (rest lead the r9 queue; rel_events_hourly
-    #     rotates out with its oracle still seated — streaming_hourly_live
-    #     hash-checks the same SQL) ---
-    "dedup_exact", "media_catalog", "media_decode_stats",
-    "pipeline_shards", "pipeline_split",
-    # --- family-coverage seats (every family must hold a seat —
-    #     tests/test_entry_contract.py): the oldest-green temporal_ and
-    #     graph_ entries (both r4; graph_ppr also carries the fresh
-    #     SCALE.md §7 slope row) ---
-    "temporal_range", "graph_ppr",
+    # --- breadth, oldest-green-first: the r3 cohort remainder (26) ---
+    "rel_anti", "rel_events_hourly", "rel_intersect", "rel_json_props",
+    "rel_q12_priority", "rel_q1_pricing", "rel_q3_top10", "rel_q5_cycle",
+    "rel_sql_passthrough", "rel_window_top3", "sketch_kmv_users",
+    "sparql_count_group", "sparql_decode", "sparql_disconnected",
+    "sparql_distinct", "sparql_empty", "sparql_minus", "sparql_optional",
+    "sparql_path", "sparql_star", "sparql_subquery", "sparql_topk",
+    "sparql_union", "sparql_varpred", "text_features", "text_langid",
+    # --- the 12 alphabetically-first r4-green entries ---
+    "dedup_exact_docs", "media_knn", "pipeline_chunks",
+    "pipeline_contamination", "pipeline_mixture", "pipeline_oov",
+    "pipeline_repetition", "pipeline_vocab", "rel_events_rollup",
+    "rel_q20_bulk", "rel_q21_waiting", "rel_q2_mincost",
+    # --- family-coverage seats: oldest-green temporal_/graph_/knn_ ---
+    "temporal_asof", "graph_pagerank", "knn_lsh_served",
 ]
 
 

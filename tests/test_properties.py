@@ -1808,3 +1808,175 @@ def test_random_values_matches_oracle(engine, duck, case):
     if df.count() > 300_000:
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: property paths INSIDE aggregated subqueries (r9) — the closure
+# frame (semi-naive fixpoint + zero-length identity domain) is computed in
+# the bottom-up inner block, aggregated, and only then joined into the outer
+# pattern; fuzzes the interaction of the path cache with subquery scoping
+# ---------------------------------------------------------------------------
+@st.composite
+def _subquery_with_path(draw):
+    """Random inner BGP carrying ONE closure-marked pattern (+ * ?),
+    grouped+aggregated on a variable the outer BGP shares — the
+    composition of ``_bgp_with_path`` and ``_bgp_with_subquery``."""
+    from hypothesis import assume
+
+    inner = draw(_bgp_with_path())
+    outer = draw(_bgp())
+    inner_vars = sorted({t for s, p, o in inner for t in (s, o) if t.startswith("?")})
+    outer_vars = {t for s, p, o in outer for t in (s, o) if t.startswith("?")}
+    shared = sorted(set(inner_vars) & outer_vars)
+    assume(shared)
+    key = draw(st.sampled_from(shared))
+    cnt_var = draw(st.sampled_from(inner_vars))
+    topk = draw(st.sampled_from([0, 0, 3, 7]))  # 0 = no inner limit
+    return inner, outer, key, cnt_var, topk
+
+
+@pytest.mark.slow
+@given(_subquery_with_path())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_subquery_with_path_matches_oracle(engine, duck, case):
+    """{ SELECT ?k (count(?v) AS ?cnt) WHERE { ...p+/p*/p?... } GROUP BY
+    ?k [ORDER BY ... LIMIT n] } joined into a random outer BGP must agree
+    with the oracle: the path closure evaluates inside the subquery (its
+    identity domain restricted to the INNER block's bindings, not the
+    outer join's), the aggregate counts closure-reachable rows, and the
+    key equi-joins outward.  Oracle compositions the renderer documents
+    as unsupported raise NotImplementedError and are skipped visibly —
+    the engine must still execute them."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    inner, outer, key, cnt_var, topk = case
+    inner_body = " . ".join(f"{s} {p} {o}" for s, p, o in inner)
+    outer_body = " . ".join(f"{s} {p} {o}" for s, p, o in outer)
+    outer_proj = sorted({t for s, p, o in outer for t in (s, o) if t.startswith("?")})
+    proj = sorted(set(outer_proj) | {key, "?cnt"})
+    lim = f" order by ?cnt desc {key} limit {topk}" if topk else ""
+    q = (
+        f"select {' '.join(proj)} where {{"
+        f" {{ select {key} (count({cnt_var}) as ?cnt)"
+        f" where {{ {inner_body} }} group by {key}{lim} }} ."
+        f" {outer_body} }}"
+    )
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return  # e.g. a closure marker on a variable predicate
+    df = engine.sparql(q, decode=False)
+    try:
+        oracle = bgp_to_sql(parsed, decode=False)
+    except NotImplementedError:
+        assert df.count() >= 0  # engine still executes; skip the oracle
+        return
+    n = df.count()
+    if n > 300_000:  # pathological blowup guard: counts still compared
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({oracle}) __c"
+        ).fetchone()[0]
+        return
+    assert_oracle_match(df, duck, oracle)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: OPTIONAL inside UNION branches (r9) — a branch's OPTIONAL
+# variable can be NULL two different ways in the union output (left-join
+# non-match in its own branch, NULL-padding in the other branch), and the
+# bag-union multiplicity must survive both (translator.py UNION superset)
+# ---------------------------------------------------------------------------
+@st.composite
+def _union_with_optional(draw):
+    """Two independently drawn connected BGPs; in one (or both) branches a
+    pattern is pulled under OPTIONAL, keeping the remaining required part
+    connected and sharing ≥1 variable with the optional pattern."""
+    from hypothesis import assume
+
+    def connected(ps):
+        if not ps:
+            return False
+        reach = {0}
+        grew = True
+        while grew:
+            grew = False
+            vs = {t for i in reach for t in (ps[i][0], ps[i][2]) if t.startswith("?")}
+            for i, (s, p, o) in enumerate(ps):
+                if i not in reach and ({s, o} & vs):
+                    reach.add(i)
+                    grew = True
+        return reach == set(range(len(ps)))
+
+    def split(pats):
+        """(required rest, optional inner) or None when no valid split."""
+        if len(pats) < 2:
+            return None
+        idx = draw(st.integers(0, len(pats) - 1))
+        inner, rest = pats[idx], pats[:idx] + pats[idx + 1 :]
+        rest_vars = {t for s, p, o in rest for t in (s, o) if t.startswith("?")}
+        inner_vars = {t for t in (inner[0], inner[2]) if t.startswith("?")}
+        if connected(rest) and (inner_vars & rest_vars):
+            return rest, inner
+        return None
+
+    pats_a = draw(_bgp())
+    pats_b = draw(_bgp())
+    which = draw(st.sampled_from(["a", "b", "both"]))
+    opt_a = split(pats_a) if which in ("a", "both") else None
+    opt_b = split(pats_b) if which in ("b", "both") else None
+    assume(opt_a or opt_b)  # at least one branch actually carries OPTIONAL
+    distinct = draw(st.booleans())
+    return pats_a, opt_a, pats_b, opt_b, distinct
+
+
+@pytest.mark.slow
+@given(_union_with_optional())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_union_with_optional_matches_oracle(engine, duck, case):
+    """{ A optional { a } } UNION { B [optional { b }] } — the left-join
+    NULL extension inside a branch composes with the union's NULL-padding
+    of branch-private variables: a variable may be NULL because its own
+    branch's OPTIONAL missed OR because the other branch never binds it,
+    and bag multiplicity (plus the DISTINCT variant's NULL-equality
+    collapse) must agree with the oracle either way."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    pats_a, opt_a, pats_b, opt_b, distinct = case
+
+    def branch(pats, opt):
+        if opt is None:
+            return " . ".join(f"{s} {p} {o}" for s, p, o in pats)
+        rest, (s, p, o) = opt
+        rest_body = " . ".join(f"{s2} {p2} {o2}" for s2, p2, o2 in rest)
+        return f"{rest_body} . optional {{ {s} {p} {o} }}"
+
+    proj = sorted(
+        {
+            t
+            for pats in (pats_a, pats_b)
+            for s, p, o in pats
+            for t in (s, o)
+            if t.startswith("?")
+        }
+    )
+    kw = "select distinct" if distinct else "select"
+    q = (
+        f"{kw} {' '.join(proj)} where"
+        f" {{ {{ {branch(pats_a, opt_a)} }} union {{ {branch(pats_b, opt_b)} }} }}"
+    )
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    n = df.count()
+    if n > 300_000:  # pathological blowup guard: counts still compared
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({bgp_to_sql(parsed, decode=False)}) __c"
+        ).fetchone()[0]
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
