@@ -1980,3 +1980,136 @@ def test_random_union_with_optional_matches_oracle(engine, duck, case):
         ).fetchone()[0]
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: property paths inside UNION branches (r9) — the closure frame
+# evaluates per-branch, then the bag union NULL-pads branch-private
+# variables around it (the last path×group-operator composition square
+# cell: paths under OPTIONAL/EXISTS/MINUS and in subqueries are fuzzed
+# above; UNION completes the set)
+# ---------------------------------------------------------------------------
+@st.composite
+def _union_with_path(draw):
+    """Two independently drawn connected BGPs, one (or both) carrying a
+    closure-marked pattern; DISTINCT drawn half the time."""
+    which = draw(st.sampled_from(["a", "b", "both"]))
+    pats_a = draw(_bgp_with_path() if which in ("a", "both") else _bgp())
+    pats_b = draw(_bgp_with_path() if which in ("b", "both") else _bgp())
+    distinct = draw(st.booleans())
+    return pats_a, pats_b, distinct
+
+
+@pytest.mark.slow
+@given(_union_with_path())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_union_with_path_matches_oracle(engine, duck, case):
+    """{ ...p+... } UNION { B } — the semi-naive closure (and the
+    zero-length identity domain for * / ?) computed inside a union
+    branch, its variables NULL-padded in the other branch's rows, with
+    the DISTINCT variant collapsing across the padding — must answer
+    identically on both engines.  Unsupported oracle path compositions
+    raise NotImplementedError and are skipped visibly; the engine must
+    still execute them."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    pats_a, pats_b, distinct = case
+    proj = sorted(
+        {
+            t
+            for pats in (pats_a, pats_b)
+            for s, p, o in pats
+            for t in (s, o)
+            if t.startswith("?")
+        }
+    )
+    body_a = " . ".join(f"{s} {p} {o}" for s, p, o in pats_a)
+    body_b = " . ".join(f"{s} {p} {o}" for s, p, o in pats_b)
+    kw = "select distinct" if distinct else "select"
+    q = f"{kw} {' '.join(proj)} where {{ {{ {body_a} }} union {{ {body_b} }} }}"
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return  # e.g. a closure marker on a variable predicate
+    df = engine.sparql(q, decode=False)
+    try:
+        oracle = bgp_to_sql(parsed, decode=False)
+    except NotImplementedError:
+        assert df.count() >= 0
+        return
+    n = df.count()
+    if n > 300_000:  # pathological blowup guard: counts still compared
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({oracle}) __c"
+        ).fetchone()[0]
+        return
+    assert_oracle_match(df, duck, oracle)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: VALUES restricting OPTIONAL-bound variables (r9) — the IN
+# lowering lands on a column the left join can NULL-extend: an UNBOUND
+# optional variable must NOT satisfy a VALUES restriction (SPARQL's
+# join-compatibility would keep it only under UNDEF), the composition the
+# all-required VALUES fuzzer above never reaches
+# ---------------------------------------------------------------------------
+@st.composite
+def _values_over_optional(draw):
+    """Random connected BGP with one pattern under OPTIONAL, plus a
+    VALUES block over a variable drawn — with preference — from the
+    OPTIONAL-only variables (falling back to any usable variable), with
+    kind-correct constants and an UNDEF row ~25% of the time."""
+    from hypothesis import assume
+
+    rest, opt, _tree = draw(_bgp_optional_with_filter())
+    rest_vars = {t for s, p, o in rest for t in (s, o) if t.startswith("?")}
+    opt_vars = {t for t in (opt[0], opt[2]) if t.startswith("?")}
+    opt_only = sorted((opt_vars - rest_vars))
+    usable = [v for v in sorted(opt_vars | rest_vars) if v[2:] in _VALUES_POOL]
+    pref = [v for v in opt_only if v[2:] in _VALUES_POOL]
+    assume(usable)
+    v = draw(st.sampled_from(pref if pref else usable))
+    n_rows = draw(st.integers(1, 4))
+    rows = sorted({draw(st.sampled_from(_VALUES_POOL[v[2:]])) for _ in range(n_rows)})
+    undef = draw(st.booleans()) and draw(st.booleans())  # ~25%: UNDEF row
+    return rest, opt, v, rows, undef
+
+
+@pytest.mark.slow
+@given(_values_over_optional())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_values_over_optional_matches_oracle(engine, duck, case):
+    """VALUES ?v { ... } where ?v is (preferentially) bound only inside
+    an OPTIONAL group: rows whose optional side missed carry UNBOUND ?v,
+    which is join-INCOMPATIBLE with every concrete VALUES constant but
+    compatible with an UNDEF row — both engines must agree on exactly
+    which NULL-extended rows survive."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    rest, opt, v, rows, undef = case
+    rest_body = " . ".join(f"{s} {p} {o}" for s, p, o in rest)
+    proj = sorted(
+        {t for s, p, o in rest + [opt] for t in (s, o) if t.startswith("?")}
+    )
+    vals = " ".join(rows + (["UNDEF"] if undef else []))
+    q = (
+        f"select {' '.join(proj)} where {{ {rest_body} ."
+        f" optional {{ {opt[0]} {opt[1]} {opt[2]} }} ."
+        f" values {v} {{ {vals} }} }}"
+    )
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    n = df.count()
+    if n > 300_000:
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({bgp_to_sql(parsed, decode=False)}) __c"
+        ).fetchone()[0]
+        return
+    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
