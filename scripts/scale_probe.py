@@ -17,6 +17,7 @@ fixed-cost-dominated; well past the copy count = superlinear, a
 next-round task.
 
 Usage: python scripts/scale_probe.py [--rebuild] [--out DIR] [--copies N]
+       [--entries a,b,...] [--isolate]
 Scratch default: /tmp/dream_spark_scale{N} (driver-local, like the repo's
 other scratch paths — local-mode/shared-FS assumption documented in
 sources/sinks.py).  ``--copies 100`` measures a second decade (sf10
@@ -129,7 +130,7 @@ SELECT vec_id + {k * SHIFT['vec_id']} AS vec_id,
        label FROM '{SRC}/embeddings.parquet'""")
 
 
-def measure(sf_dir: str) -> dict[str, float]:
+def _measure_names(sf_dir: str, names: list[str]) -> dict[str, float]:
     import __spark_entry__ as entrymod
     from dream_spark import get_spark
     from dream_spark.operators.graph import warm_graph_artifacts
@@ -137,19 +138,38 @@ def measure(sf_dir: str) -> dict[str, float]:
     from dream_spark.operators.text import shared_hbow, warm_postings_index
 
     spark = get_spark("scale-probe")
-    qs = entrymod.queries()
-    entrymod._engine(spark, sf_dir)
-    warm_vector_indexes(spark, sf_dir)
-    warm_graph_artifacts(spark, sf_dir)
-    shared_hbow(spark, sf_dir)
-    warm_postings_index(spark, sf_dir)
-    out = {}
+    try:
+        qs = entrymod.queries()
+        entrymod._engine(spark, sf_dir)
+        warm_vector_indexes(spark, sf_dir)
+        warm_graph_artifacts(spark, sf_dir)
+        shared_hbow(spark, sf_dir)
+        warm_postings_index(spark, sf_dir)
+        out = {}
+        for name in names:
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            out[name] = round(time.perf_counter() - t0, 2)
+            print(f"  {name} @ {sf_dir}: {out[name]}s rows={n}", file=sys.stderr)
+    finally:
+        spark.stop()
+    return out
+
+
+def measure(sf_dir: str, isolate: bool = False) -> dict[str, float]:
+    """``isolate=True`` measures each entry FIRST-IN-SESSION (one fresh
+    SparkSession per entry, warm repaid each time): the r9 probe caught a
+    same-session second-run penalty — a heavy iterative entry leaves its
+    localCheckpoint blocks and persisted artifacts resident, and the NEXT
+    heavy entry in the same session pays ~1.5-2x in memory contention at
+    the 100x decade (ppr read 133 s after pagerank, 51 s measured first;
+    SCALE.md §7 r9).  Slope rows for heavy entries should use --isolate;
+    the shared-session default stays for cheap entries and quick sweeps."""
+    if not isolate:
+        return _measure_names(sf_dir, HEAVY)
+    out: dict[str, float] = {}
     for name in HEAVY:
-        t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
-        out[name] = round(time.perf_counter() - t0, 2)
-        print(f"  {name} @ {sf_dir}: {out[name]}s rows={n}", file=sys.stderr)
-    spark.stop()
+        out.update(_measure_names(sf_dir, [name]))
     return out
 
 
@@ -183,10 +203,11 @@ def main() -> None:
         build(out_dir, copies_n)
         with open(marker, "w") as f:
             f.write("ok\n")
-    base = measure(SRC)
+    isolate = "--isolate" in sys.argv
+    base = measure(SRC, isolate)
     # fresh process-level state matters less than session state; measure()
     # stops its session, so the 10x run starts cold like the sf0.1 one
-    big = measure(out_dir)
+    big = measure(out_dir, isolate)
     ratios = {k: round(big[k] / base[k], 2) if base[k] else None for k in HEAVY}
     print(json.dumps({"copies": copies_n, "sf0.1_sec": base,
                       f"x{copies_n}_sec": big, "ratio": ratios}))
