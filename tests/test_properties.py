@@ -2113,3 +2113,75 @@ def test_random_values_over_optional_matches_oracle(engine, duck, case):
         ).fetchone()[0]
         return
     assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: BIND chains over random BGPs (r9) — arithmetic over typed
+# values (numeric ?VSZ vs entity-id variables, whose arith is NULL on both
+# engines), two-variable arithmetic, and re-binding a previous alias
+# ---------------------------------------------------------------------------
+@st.composite
+def _bgp_with_binds(draw):
+    """Random connected BGP plus a 1-2 step BIND chain: one-variable
+    arithmetic (?v op k), two-variable arithmetic (?a op ?b), or a chain
+    step over the PREVIOUS alias — sources drawn from all variable kinds
+    so both the typed-numeric path and the NULL-for-non-numeric path are
+    exercised."""
+    pats = draw(_bgp())
+    vars_ = sorted({t for s, p, o in pats for t in (s, o) if t.startswith("?")})
+    binds = []
+    aliases = []
+    n = draw(st.integers(1, 2))
+    for i in range(n):
+        op = draw(st.sampled_from(["+", "*", "-"]))
+        alias = f"?B{i}"
+        mode = draw(st.sampled_from(["arith", "arith", "arith2", "chain"]))
+        if mode == "chain" and aliases:
+            binds.append(f"bind({aliases[-1]} {op} {draw(st.integers(-5, 9))} as {alias})")
+        elif mode == "arith2" and len(vars_) >= 2:
+            a, b = draw(st.sampled_from(vars_)), draw(st.sampled_from(vars_))
+            binds.append(f"bind({a} {op} {b} as {alias})")
+        else:
+            v = draw(st.sampled_from(vars_))
+            binds.append(f"bind({v} {op} {draw(st.integers(-5, 9))} as {alias})")
+        aliases.append(alias)
+    return pats, binds, aliases
+
+
+@pytest.mark.slow
+@given(_bgp_with_binds())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_bind_chain_matches_oracle(engine, duck, case):
+    """BIND chains — integer arithmetic over typed values, NULL
+    propagation for non-numeric sources, alias-over-alias chaining —
+    must answer identically on both engines.  Grammar-rejected
+    compositions (e.g. a chain form the parser does not accept) return
+    visibly via the SparqlSyntaxError skip."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    pats, binds, aliases = case
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in pats)
+    proj = sorted({t for s, p, o in pats for t in (s, o) if t.startswith("?")})
+    q = (
+        f"select {' '.join(proj + aliases)} where"
+        f" {{ {body} . {' . '.join(binds)} }}"
+    )
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    try:
+        oracle = bgp_to_sql(parsed, decode=False)
+    except NotImplementedError:
+        assert df.count() >= 0
+        return
+    n = df.count()
+    if n > 300_000:
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({oracle}) __c"
+        ).fetchone()[0]
+        return
+    assert_oracle_match(df, duck, oracle)
