@@ -2185,3 +2185,69 @@ def test_random_bind_chain_matches_oracle(engine, duck, case):
         ).fetchone()[0]
         return
     assert_oracle_match(df, duck, oracle)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: CONSTRUCT templates over random BGPs (r9) — template
+# instantiation per binding (bag), dictionary resolution of template
+# constants, and the spec's omit-unbound-slot rule when the body carries
+# an OPTIONAL (an optional-only variable in a template slot)
+# ---------------------------------------------------------------------------
+@st.composite
+def _construct_case(draw):
+    """Random body (half the time with one pattern under OPTIONAL) plus a
+    1-2 triple CONSTRUCT template whose slots draw from the body's
+    variables (including optional-only ones — the NULL-omission path) and
+    kind-matching constants."""
+    if draw(st.booleans()):
+        rest, opt, _tree = draw(_bgp_optional_with_filter())
+    else:
+        rest, opt = draw(_bgp()), None
+    all_pats = rest + ([opt] if opt is not None else [])
+    vars_ = sorted({t for s, p, o in all_pats for t in (s, o) if t.startswith("?")})
+    preds = sorted(_PRED_SIG)
+    tmpl = []
+    for _ in range(draw(st.integers(1, 2))):
+        s_slot = draw(st.sampled_from(vars_ + _ANCHORS))
+        p_slot = draw(st.sampled_from(preds))
+        o_slot = draw(st.sampled_from(vars_ + _ANCHORS))
+        tmpl.append((s_slot, p_slot, o_slot))
+    return rest, opt, tmpl
+
+
+@pytest.mark.slow
+@given(_construct_case())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_construct_matches_oracle(engine, duck, case):
+    """CONSTRUCT { t1 [. t2] } over random (optionally OPTIONAL-bearing)
+    bodies: one emitted (s,p,o) row per template triple per binding,
+    template constants resolved through the dictionary, and template
+    triples with an UNBOUND slot omitted per the spec — identical on
+    both engines."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    rest, opt, tmpl = case
+    body = " . ".join(f"{s} {p} {o}" for s, p, o in rest)
+    if opt is not None:
+        body += f" . optional {{ {opt[0]} {opt[1]} {opt[2]} }}"
+    tmpl_body = " . ".join(f"{s} {p} {o}" for s, p, o in tmpl)
+    q = f"construct {{ {tmpl_body} }} where {{ {body} }}"
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    try:
+        oracle = bgp_to_sql(parsed, decode=False)
+    except NotImplementedError:
+        assert df.count() >= 0
+        return
+    n = df.count()
+    if n > 300_000:
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({oracle}) __c"
+        ).fetchone()[0]
+        return
+    assert_oracle_match(df, duck, oracle)
