@@ -970,6 +970,21 @@ def _events_sig(sf_dir: str) -> str:
     return f"{root}|{os.path.getmtime(ev_file) if os.path.exists(ev_file) else 0}"
 
 
+def _live_input_sig(sf_dir: str) -> str:
+    """Cache signature of the augmented stream input.  Folds the sentinel
+    row AND a source digest of :func:`_live_input_path` itself (r9
+    ADVICE): an edit to the augmented-input construction (projection,
+    unionByName, coalesce) self-invalidates the cached input with no
+    ``_LIVE_FORMAT_VERSION`` bump to remember — the same hazard the
+    ``_SENTINEL_ROW`` fold removed for sentinel edits."""
+    from dream_spark.functions.artifacts import source_digest
+
+    return (
+        f"{_events_sig(sf_dir)}|livein-v{_LIVE_FORMAT_VERSION}"
+        f"|{_SENTINEL_ROW!r}|{source_digest(_live_input_path)}"
+    )
+
+
 def _live_input_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once augmented stream input: the events table plus the flush
     sentinel, written as plain parquet — ONE copy shared by every live
@@ -977,7 +992,7 @@ def _live_input_path(spark: SparkSession, sf_dir: str) -> str:
     cost)."""
     from dream_spark.functions.artifacts import build_once_path
 
-    sig = f"{_events_sig(sf_dir)}|livein-v{_LIVE_FORMAT_VERSION}|{_SENTINEL_ROW!r}"
+    sig = _live_input_sig(sf_dir)
 
     def build(tmp: str) -> None:
         import datetime
@@ -1059,8 +1074,16 @@ def _live_run_path(spark: SparkSession, sf_dir: str, name: str, build_stream) ->
     from dream_spark.functions.artifacts import build_once_path, source_digest
 
     src_digest = source_digest(*_stream_digest_parts(name))
+    # fold the INPUT artifact's signature too: a rebuilt augmented input
+    # lands at a new build_once_path directory, and a cached sink produced
+    # from the old input must not be served over it (r9 ADVICE follow-on)
     sig = "|".join(
-        [_events_sig(sf_dir), f"live-{name}-v{_LIVE_FORMAT_VERSION}", src_digest]
+        [
+            _events_sig(sf_dir),
+            f"live-{name}-v{_LIVE_FORMAT_VERSION}",
+            src_digest,
+            _live_input_sig(sf_dir),
+        ]
     )
     in_dir = _live_input_path(spark, sf_dir)
 

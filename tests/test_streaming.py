@@ -509,3 +509,121 @@ def test_stream_digest_is_per_stream():
     for n in names:
         for p in parts[n]:
             assert isinstance(p, str) or inspect.getsource(p), (n, p)
+
+
+def test_stream_digest_closure_covers_referenced_globals():
+    """r9 ADVICE: the per-stream deps table in _stream_digest_parts is
+    hand-maintained, so a KNOWN stream that later gains a new module-level
+    helper/constant dependency could silently miss it — later edits to
+    that helper would not invalidate the cached sink, and a stale green
+    oracle row could mask a regression until an unrelated rebuild.  Guard
+    mechanically: every module-level name referenced by each stream
+    function's code object (recursing into nested code objects — the
+    applyInPandasWithState inner functions — and transitively into
+    same-module helper functions that are themselves digest parts) must
+    be covered by that stream's digest parts:
+
+      * an object part by identity, or
+      * a function/class whose defining module is itself a part (whole
+        module source digested), or
+      * third-party (non-dream_spark) — pyspark/pandas surface, stable
+        relative to this repo's semantics, or
+      * a constant whose str()/repr() is folded into the string parts.
+
+    Anything else is an uncovered dependency and fails with the missing
+    name, which is exactly the signal to extend the deps row."""
+    import inspect
+    import types
+
+    def referenced_names(fn) -> set:
+        names: set = set()
+        stack = [fn.__code__]
+        while stack:
+            co = stack.pop()
+            names |= set(co.co_names)
+            for const in co.co_consts:
+                if isinstance(const, types.CodeType):
+                    stack.append(const)
+        return names
+
+    module_globals = vars(SE)
+    streams = {
+        "sessionize": SE.sessionize_stream,
+        "sessionize_agg": SE.sessionize_stream_agg,
+        "funnel": SE.funnel_stream,
+        "funnel_agg": SE.funnel_stream_agg,
+        "hourly": SE.hourly_counts_stream,
+        "kmv": SE.kmv_stream,
+        "hll": SE.hll_stream,
+        "attribution": SE.attribution_stream,
+        "enrich": SE._enrich_projected,
+    }
+    for name, fn in streams.items():
+        parts = SE._stream_digest_parts(name)
+        obj_parts = [p for p in parts if not isinstance(p, str)]
+        str_parts = "||".join(p for p in parts if isinstance(p, str))
+        part_modules = {
+            p.__name__ for p in obj_parts if isinstance(p, types.ModuleType)
+        }
+
+        def covered(obj) -> bool:
+            if any(obj is p for p in obj_parts):
+                return True
+            if isinstance(obj, types.ModuleType):
+                return (
+                    not obj.__name__.startswith("dream_spark")
+                    or obj.__name__ in part_modules
+                )
+            if callable(obj) or inspect.isclass(obj):
+                mod = getattr(obj, "__module__", "") or ""
+                if not mod.startswith("dream_spark"):
+                    return True  # third-party surface
+                return mod in part_modules
+            # module-level constant: printed form must be in the digest
+            return str(obj) in str_parts or repr(obj) in str_parts
+
+        todo, audited = [fn], set()
+        while todo:
+            current = todo.pop()
+            if id(current) in audited:
+                continue
+            audited.add(id(current))
+            for ref in sorted(referenced_names(current)):
+                if ref not in module_globals:
+                    continue  # local/builtin/inner-import, not a module dep
+                obj = module_globals[ref]
+                assert covered(obj), (
+                    f"stream {name!r}: module-level dependency {ref!r} is "
+                    f"not covered by its digest parts — add it to the "
+                    f"deps row in _stream_digest_parts"
+                )
+                # transitively audit same-module helper functions that are
+                # digest parts: THEIR new dependencies must be covered too
+                if (
+                    isinstance(obj, types.FunctionType)
+                    and getattr(obj, "__module__", "") == SE.__name__
+                    and any(obj is p for p in obj_parts)
+                    and obj is not SE._live_run_path  # sig plumbing, not
+                    # stream semantics: digested by identity, and its own
+                    # deps are signature-computation code whose edits
+                    # already flow into every sig value at runtime
+                ):
+                    todo.append(obj)
+
+
+def test_live_input_sig_folds_builder_source():
+    """r9 ADVICE: the augmented-input cache signature must fold a source
+    digest of _live_input_path itself, so an edit to the input
+    construction (projection, unionByName, coalesce) self-invalidates the
+    cached input without a _LIVE_FORMAT_VERSION bump; and the per-stream
+    run signature must fold the input signature, so a rebuilt input can
+    never be paired with a stale cached sink."""
+    from dream_spark.functions.artifacts import source_digest
+
+    sig = SE._live_input_sig(SF_DIR)
+    assert source_digest(SE._live_input_path) in sig
+    assert repr(SE._SENTINEL_ROW) in sig
+    # the run-sig fold: _live_run_path's own source calls _live_input_sig
+    import inspect
+
+    assert "_live_input_sig(sf_dir)" in inspect.getsource(SE._live_run_path)
