@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dream_spark.session import release_local_checkpoint
 from dream_spark.sources.triples import TRIPLES_SQL
 
 #: rank mass per node, in integer micro-units
@@ -118,6 +119,7 @@ def pagerank(
         deg = deg_base_df.withColumn("ind", ind)
         ranks = deg.withColumn("rank", (F.lit(RANK_SCALE) * F.col("ind")).cast("long"))
         teleport = RANK_SCALE * (D_DEN - D_NUM) // D_DEN
+        prev_ckpt = None  # superseded-checkpoint handle (released below)
         for it in range(iters):
             contribs = (
                 e.join(ranks, e.src == ranks.node)
@@ -139,10 +141,19 @@ def pagerank(
             # unbounded iteration still needs the cut)
             if (it + 1) % 4 == 0 and it + 1 < iters:
                 ranks = ranks.localCheckpoint()
+                # the PREVIOUS checkpoint's blocks are superseded the
+                # moment this one materializes (eager) — free them now
+                # instead of at driver GC (r9: resident blocks taxed the
+                # next same-session iterative job 1.5-2x at 100x)
+                if prev_ckpt is not None:
+                    release_local_checkpoint(prev_ckpt)
+                prev_ckpt = ranks
         # materialize BEFORE dropping the caches: the returned frame must not
         # re-derive the edge union after e/deg are unpersisted (the lazy-return
         # variant silently recomputed everything at evaluation time)
         out = ranks.select("node", "rank").localCheckpoint()
+        if prev_ckpt is not None:
+            release_local_checkpoint(prev_ckpt)
         if own:
             e.unpersist()
             deg_base_df.unpersist()

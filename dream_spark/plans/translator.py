@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from dream_spark.plans.sparql import Condition, Filter, ParsedQuery, strslice_sql
 from dream_spark.plans.stats import TripleStats
+from dream_spark.session import release_local_checkpoint
 from dream_spark.sources.triples import (
     UNKNOWN_ID,
     TripleStore,
@@ -94,10 +95,27 @@ def _closure_frame(store: TripleStore, pids: tuple[int, ...]) -> DataFrame:
             .join(full, on=["s", "o"], how="left_anti")
             .localCheckpoint()
         )
+        # the old frontier's pairs are already folded into `full`
+        # (checkpoints copy rows, not lineage) — its blocks are
+        # superseded the moment `nxt` materializes.  Never release `e`:
+        # the edge set joins every round.  (r9: superseded checkpoint
+        # blocks lingering until driver GC taxed the next same-session
+        # iterative job 1.5-2x at the 100x decade.)
+        if frontier is not e:
+            release_local_checkpoint(frontier)
         if nxt.isEmpty():
+            release_local_checkpoint(nxt)
             break
-        full = full.unionByName(nxt).localCheckpoint()
+        new_full = full.unionByName(nxt).localCheckpoint()
+        if full is not e:
+            release_local_checkpoint(full)
+        full = new_full
         frontier = nxt
+    # the per-call edge frame is only read by the rounds above; once the
+    # final closure is materialized (and cached), its blocks go too —
+    # unless the closure IS the edge set (zero-iteration break)
+    if full is not e:
+        release_local_checkpoint(e)
     cache[key] = full
     return full
 

@@ -68,3 +68,32 @@ def get_spark(app_name: str = "dream_spark", master: str | None = None) -> Spark
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def release_local_checkpoint(df) -> None:
+    """Immediately free the storage blocks behind a SUPERSEDED
+    ``localCheckpoint`` frame.
+
+    A checkpointed DataFrame's rows live in RDD block storage, not the
+    relation cache, so ``DataFrame.unpersist()`` never touches them and
+    the blocks otherwise linger until the driver garbage-collects the
+    plan and the ContextCleaner notices — measured (SCALE.md §7 r9
+    order-reversal experiment) as a 1.5-2x memory-contention tax on the
+    NEXT iterative job in the same session at the 100x decade.  The
+    iterative loops (pagerank supersteps, min-label CC rounds, path-
+    closure rounds) call this on each round's frame as soon as the next
+    checkpoint has MATERIALIZED.
+
+    The caller must guarantee the frame is never read again: a local
+    checkpoint's lineage is truncated, so Spark fails a post-release read
+    loudly (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) instead of silently
+    recomputing — the right failure mode for a hygiene helper (a
+    use-after-release is a bug, not a performance regression).
+    Best-effort by design: plan shapes or backends without the
+    LogicalRDD handle (e.g. Connect) degrade to the old GC-eventually
+    behavior, never to an error.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass

@@ -156,3 +156,47 @@ def test_components_forest_matches_geography(spark):
     )
     got = sorted(r["component_size"] for r in G.graph_components_forest(spark, SF_DIR).collect())
     assert got == expected
+
+
+def test_pagerank_releases_superseded_checkpoints(spark):
+    """r9 VERDICT task 2: superseded localCheckpoint blocks must be freed
+    the moment the next checkpoint materializes, not at driver GC — the
+    resident blocks taxed the NEXT same-session iterative job 1.5-2x at
+    the 100x decade (order-reversal experiment, SCALE.md §7).  Local
+    checkpoints live in RDD block storage (sc.getPersistentRDDs), not the
+    relation cache, so their count is a direct residency metric: a
+    9-superstep run checkpoints at rounds 4 and 8 plus the final result —
+    at most ONE checkpointed frame (the returned one) may remain."""
+    jsc = spark.sparkContext._jsc.sc()
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 40) for i in range(40)] + [(i, (i + 7) % 40) for i in range(40)],
+        "src long, dst long",
+    )
+    before = jsc.getPersistentRDDs().size()
+    pr = G.pagerank(edges, iters=9)
+    after = jsc.getPersistentRDDs().size()
+    # before the fix this delta was 3 (two intermediates + the result);
+    # <= allows the ContextCleaner to have swept unrelated older frames
+    assert after - before <= 1, (before, after)
+    # and the returned frame's own blocks are intact (released frames
+    # fail loudly on read — the right failure mode, but not for this one)
+    assert pr.count() == 40
+
+
+def test_connected_components_releases_superseded_checkpoints(spark):
+    """Same residency pin for the distributed min-label CC loop: every
+    round's half/merged frame is released once superseded; only the frame
+    backing the returned labels may remain checkpoint-resident."""
+    from dream_spark.operators.dedup import connected_components
+
+    jsc = spark.sparkContext._jsc.sc()
+    # a 60-node path forces many rounds (and the pointer-doubling branch)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    before = jsc.getPersistentRDDs().size()
+    cc = connected_components(edges, small_edges=0)
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)
+    got = cc.collect()
+    assert len(got) == 61 and {r["cluster"] for r in got} == {0}
