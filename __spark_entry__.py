@@ -822,29 +822,76 @@ def entry(spark: SparkSession) -> DataFrame:
 #     graph_ / knn_ entries — temporal_asof (r5), graph_pagerank (r5,
 #     also the entry whose 100x slope the r9 probe measured), and
 #     knn_lsh_served (r5).
+# ROTATION LEDGER r10 (one cumulative line): entering r10, 234 of the 235
+#   entries have a driver-green CORRECTNESS row (r1-r9 cumulative;
+#   CORRECTNESS_r09 = 50/50 green); the sole exception remains
+#   graph_components, the documented rows-only entry (hash-matched twin
+#   graph_components_forest is green).  No correctness queue carries over;
+#   oldest-green cohort is r4 (23 entries), then r5 (41).
+#
+# Round 10 rotation — the 50 seats:
+#   * 6 seats: entries TOUCHED in r10 — graph_pagerank / graph_ppr /
+#     graph_components_forest / dedup_clusters_lsh (their iterative loops
+#     now RELEASE superseded localCheckpoint blocks the moment the next
+#     checkpoint materializes — session.py::release_local_checkpoint,
+#     VERDICT r9 task 2; a use-after-release fails loudly, so the hash
+#     rows re-adjudicate the changed loops), plus streaming_sessionize_live
+#     + streaming_kmv_live as representatives of the nine live streams,
+#     whose cache signatures changed again (the input-construction digest
+#     fold, r9 ADVICE — all nine rebuild and re-run; one stateful-Pandas
+#     and one sketch stream re-adjudicate the new plumbing).  The
+#     translator's path-closure loop changed identically; its coverage
+#     rides on sparql_path_plus (r4 seat below) and sparql_alt_pred
+#     (alternation closure, r5 seat below) plus the path fuzzers.
+#   * 23 seats: the FULL r4 cohort (strictly oldest-green-first).
+#   * 6 family-coverage seats (14-prefix contract,
+#     tests/test_entry_contract.py — maintenance_/hybrid_/simhash_ added
+#     in r10 per VERDICT r9 gap 3): oldest-green-then-alphabetical per
+#     family — temporal_active (r6), knn_filtered (r6),
+#     media_audio_chunks (r7), hybrid_search (r7), maintenance_compact
+#     (r8), simhash_docs (r8).
+#   * 15 seats: the alphabetically-first r5-cohort entries.  The r5
+#     remainder (26 entries, sparql_bind_if onward alphabetically) leads
+#     the r11 breadth queue.
 PRIORITY_ORDER = [
-    # --- r9 touched: the nine live entries under new per-stream cache
-    #     signatures (fresh trigger runs re-adjudicated) ---
-    "streaming_sessionize_live", "streaming_funnel_live",
-    "streaming_hourly_live", "streaming_kmv_live", "streaming_hll_live",
-    "streaming_attribution_live", "streaming_enrich_live",
-    "streaming_funnel_agg_live", "streaming_sessionize_agg_live",
-    # --- breadth, oldest-green-first: the r3 cohort remainder (26) ---
-    "rel_anti", "rel_events_hourly", "rel_intersect", "rel_json_props",
-    "rel_q12_priority", "rel_q1_pricing", "rel_q3_top10", "rel_q5_cycle",
-    "rel_sql_passthrough", "rel_window_top3", "sketch_kmv_users",
-    "sparql_count_group", "sparql_decode", "sparql_disconnected",
-    "sparql_distinct", "sparql_empty", "sparql_minus", "sparql_optional",
-    "sparql_path", "sparql_star", "sparql_subquery", "sparql_topk",
-    "sparql_union", "sparql_varpred", "text_features", "text_langid",
-    # --- the 12 alphabetically-first r4-green entries ---
-    "dedup_exact_docs", "media_knn", "pipeline_chunks",
-    "pipeline_contamination", "pipeline_mixture", "pipeline_oov",
-    "pipeline_repetition", "pipeline_vocab", "rel_events_rollup",
-    "rel_q20_bulk", "rel_q21_waiting", "rel_q2_mincost",
-    # --- family-coverage seats: oldest-green temporal_/graph_/knn_ ---
-    "temporal_asof", "graph_pagerank", "knn_lsh_served",
+    # --- r10 touched: checkpoint-release loops + live-run plumbing ---
+    "graph_pagerank", "graph_ppr", "graph_components_forest",
+    "dedup_clusters_lsh", "streaming_sessionize_live", "streaming_kmv_live",
+    # --- breadth, oldest-green-first: the full r4 cohort (23) ---
+    "rel_q8_share", "rel_q9_profit", "sketch_kmv_by_type",
+    "sketch_quantiles", "sparql_ask_pos", "sparql_construct",
+    "sparql_count_decode", "sparql_count_distinct", "sparql_count_optional",
+    "sparql_exists", "sparql_filter_arith", "sparql_filter_regex",
+    "sparql_filter_samenation", "sparql_having", "sparql_inverse",
+    "sparql_minus_shared", "sparql_not_exists", "sparql_optional_decode",
+    "sparql_optional_ground", "sparql_path_plus", "sparql_sum_group",
+    "sparql_union_hetero", "text_redact",
+    # --- family-coverage seats (oldest-green per missing family) ---
+    "temporal_active", "knn_filtered", "media_audio_chunks",
+    "hybrid_search", "maintenance_compact", "simhash_docs",
+    # --- the 15 alphabetically-first r5-cohort entries ---
+    "pipeline_bigrams", "pipeline_boilerplate", "pipeline_familiarity",
+    "pipeline_profile", "pipeline_sample", "rel_window_delta",
+    "sketch_quantiles_sampled", "sparql_alt_pred", "sparql_ask_neg",
+    "sparql_avg_size", "sparql_bind", "sparql_bind_arith",
+    "sparql_bind_arith_vars", "sparql_bind_coalesce", "sparql_bind_concat",
 ]
+# Round 9 rotation — the 50 seats (superseded by r10 above):
+#   streaming_sessionize_live streaming_funnel_live streaming_hourly_live
+#   streaming_kmv_live streaming_hll_live streaming_attribution_live
+#   streaming_enrich_live streaming_funnel_agg_live
+#   streaming_sessionize_agg_live | r3-cohort remainder (26): rel_anti
+#   rel_events_hourly rel_intersect rel_json_props rel_q12_priority
+#   rel_q1_pricing rel_q3_top10 rel_q5_cycle rel_sql_passthrough
+#   rel_window_top3 sketch_kmv_users sparql_count_group sparql_decode
+#   sparql_disconnected sparql_distinct sparql_empty sparql_minus
+#   sparql_optional sparql_path sparql_star sparql_subquery sparql_topk
+#   sparql_union sparql_varpred text_features text_langid | 12
+#   alphabetically-first r4-green: dedup_exact_docs media_knn
+#   pipeline_chunks pipeline_contamination pipeline_mixture pipeline_oov
+#   pipeline_repetition pipeline_vocab rel_events_rollup rel_q20_bulk
+#   rel_q21_waiting rel_q2_mincost | family seats: temporal_asof
+#   graph_pagerank knn_lsh_served
 
 
 def _ordered(full: dict) -> dict:

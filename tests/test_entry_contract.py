@@ -13,7 +13,9 @@ import __spark_entry__ as entry
 
 # One prefix per operator family that must land inside the driver's 50-entry
 # adjudication cap.  (Round 5: knn_ is back in-cap via the new
-# knn_lsh_served serve-path entry.)
+# knn_lsh_served serve-path entry.  Round 10: maintenance_/hybrid_/simhash_
+# added — r9 VERDICT gap 3: the guard omitted three families the cap could
+# silently drop.)
 FAMILIES = [
     "sparql_",
     "rel_",
@@ -26,6 +28,9 @@ FAMILIES = [
     "media_",
     "streaming_",
     "knn_",
+    "maintenance_",
+    "hybrid_",
+    "simhash_",
 ]
 
 

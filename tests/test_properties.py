@@ -1297,9 +1297,17 @@ def _agg_over_union(draw):
     n_keys = draw(st.integers(0, min(2, len(shared))))
     keys = sorted(draw(st.permutations(shared))[:n_keys]) if shared else []
     n_aggs = draw(st.integers(1, 3))
+    # r10 (VERDICT r9 task 5b): SUM/AVG/GROUP_CONCAT/SAMPLE join the draw —
+    # sum/avg exercise the typed numeric-value layer over NULL-padded
+    # branch-private vars (non-numeric → NULL, skipped identically), sample
+    # is the deterministic MIN-over-ids contract, group_concat the decoded
+    # sorted-join contract — each composed with bag-union multiplicity
     aggs, seen = [], set()
     for i in range(n_aggs):
-        form = draw(st.sampled_from(["count", "count_distinct", "count_star", "min", "max"]))
+        form = draw(st.sampled_from([
+            "count", "count_distinct", "count_star", "min", "max",
+            "sum", "avg", "sample", "group_concat",
+        ]))
         # weight toward branch-PRIVATE vars (the NULL-padded surface)
         private = sorted((va ^ vb))
         v = draw(st.sampled_from(private)) if private and draw(st.booleans()) else draw(
@@ -1714,8 +1722,19 @@ def _bgp_with_subquery(draw):
     assume(shared)
     key = draw(st.sampled_from(shared))
     cnt_var = draw(st.sampled_from(inner_vars))
+    # r10 (VERDICT r9 task 5b): the aggregate form joins the draw — count
+    # stays weighted; sum/avg exercise typed numeric aggregation
+    # (non-numeric → NULL, skipped identically both engines), sample the
+    # deterministic MIN-over-ids contract, group_concat the decoded
+    # sorted-join contract — each INSIDE a subquery joined outward.
+    # ORDER BY ?cnt DESC stays sound for the nullable forms: Spark desc
+    # and DuckDB default are both NULLS LAST, and the ascending key
+    # tiebreak is a GROUP BY key (never NULL).
+    agg_fn = draw(st.sampled_from(
+        ["count", "count", "count", "sum", "avg", "sample", "group_concat", "min", "max"]
+    ))
     topk = draw(st.sampled_from([0, 0, 3, 7]))  # 0 = no inner limit
-    return inner, outer, key, cnt_var, topk
+    return inner, outer, key, cnt_var, agg_fn, topk
 
 
 @pytest.mark.slow
@@ -1731,7 +1750,7 @@ def test_random_subquery_matches_oracle(engine, duck, case):
     from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
     from tests.conftest import assert_oracle_match
 
-    inner, outer, key, cnt_var, topk = case
+    inner, outer, key, cnt_var, agg_fn, topk = case
     inner_body = " . ".join(f"{s} {p} {o}" for s, p, o in inner)
     outer_body = " . ".join(f"{s} {p} {o}" for s, p, o in outer)
     outer_proj = sorted(
@@ -1741,7 +1760,7 @@ def test_random_subquery_matches_oracle(engine, duck, case):
     lim = f" order by ?cnt desc {key} limit {topk}" if topk else ""
     q = (
         f"select {' '.join(proj)} where {{"
-        f" {{ select {key} (count({cnt_var}) as ?cnt)"
+        f" {{ select {key} ({agg_fn}({cnt_var}) as ?cnt)"
         f" where {{ {inner_body} }} group by {key}{lim} }} ."
         f" {outer_body} }}"
     )
@@ -1750,13 +1769,22 @@ def test_random_subquery_matches_oracle(engine, duck, case):
     except SparqlSyntaxError:
         return
     df = engine.sparql(q, decode=False)
+    try:
+        oracle = bgp_to_sql(parsed, decode=False)
+    except NotImplementedError:
+        # documented unsupported oracle composition (possible for the r10
+        # aggregate forms in subquery position): engine must still execute
+        _oracle_reach("subquery_agg", False)
+        assert df.count() >= 0
+        return
+    _oracle_reach("subquery_agg", True)
     n = df.count()
     if n > 300_000:  # pathological blowup guard: counts still compared
         assert n == duck.execute(
-            f"SELECT COUNT(*) FROM ({bgp_to_sql(parsed, decode=False)}) __c"
+            f"SELECT COUNT(*) FROM ({oracle}) __c"
         ).fetchone()[0]
         return
-    assert_oracle_match(df, duck, bgp_to_sql(parsed, decode=False))
+    assert_oracle_match(df, duck, oracle)
 
 
 # ---------------------------------------------------------------------------
@@ -1859,8 +1887,16 @@ def _subquery_with_path(draw):
     assume(shared)
     key = draw(st.sampled_from(shared))
     cnt_var = draw(st.sampled_from(inner_vars))
+    # r10 (VERDICT r9 task 5b): the aggregate form joins the draw — count
+    # stays weighted; sum/avg/sample/group_concat/min/max compose with the
+    # path closure inside the subquery.  ORDER BY ?cnt DESC stays sound
+    # for the nullable forms: Spark desc and DuckDB default are both
+    # NULLS LAST, and the ascending key tiebreak is a GROUP BY key.
+    agg_fn = draw(st.sampled_from(
+        ["count", "count", "count", "sum", "avg", "sample", "group_concat", "min", "max"]
+    ))
     topk = draw(st.sampled_from([0, 0, 3, 7]))  # 0 = no inner limit
-    return inner, outer, key, cnt_var, topk
+    return inner, outer, key, cnt_var, agg_fn, topk
 
 
 @pytest.mark.slow
@@ -1879,7 +1915,7 @@ def test_random_subquery_with_path_matches_oracle(engine, duck, case):
     from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
     from tests.conftest import assert_oracle_match
 
-    inner, outer, key, cnt_var, topk = case
+    inner, outer, key, cnt_var, agg_fn, topk = case
     inner_body = " . ".join(f"{s} {p} {o}" for s, p, o in inner)
     outer_body = " . ".join(f"{s} {p} {o}" for s, p, o in outer)
     outer_proj = sorted({t for s, p, o in outer for t in (s, o) if t.startswith("?")})
@@ -1887,7 +1923,7 @@ def test_random_subquery_with_path_matches_oracle(engine, duck, case):
     lim = f" order by ?cnt desc {key} limit {topk}" if topk else ""
     q = (
         f"select {' '.join(proj)} where {{"
-        f" {{ select {key} (count({cnt_var}) as ?cnt)"
+        f" {{ select {key} ({agg_fn}({cnt_var}) as ?cnt)"
         f" where {{ {inner_body} }} group by {key}{lim} }} ."
         f" {outer_body} }}"
     )
@@ -2282,6 +2318,127 @@ def test_random_construct_matches_oracle(engine, duck, case):
     _oracle_reach("construct", True)
     n = df.count()
     if n > 300_000:
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({oracle}) __c"
+        ).fetchone()[0]
+        return
+    assert_oracle_match(df, duck, oracle)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: negated property sets !(…) / !p and inverse hops ^p INSIDE
+# group operators (r10 — VERDICT r9 task 5a): sparql.py's negation
+# machinery (plans/sparql.py:218-250) was only exercised standalone; here
+# it composes with OPTIONAL's NULL-extension, UNION's bag padding, MINUS's
+# shared-variable compatibility, EXISTS/NOT EXISTS substitution, and
+# aggregated subqueries.
+# ---------------------------------------------------------------------------
+@st.composite
+def _group_with_negation(draw):
+    """Random connected base BGP plus ONE inner pattern whose predicate is
+    a negated property set (!p or !(p1|p2|p3)) or an inverse hop (^p),
+    placed under a drawn group operator.  Negation subjects come from the
+    base's variables (the join surface); inverse patterns use the
+    kind-consistent ?V names so they share variables with the base
+    whenever kinds overlap — and when they don't, the engines must still
+    agree (MINUS over disjoint domains removes nothing, per spec)."""
+    from hypothesis import assume
+
+    base = draw(_bgp())
+    base_vars = sorted({t for s, p, o in base for t in (s, o) if t.startswith("?")})
+    assume(base_vars)
+    form = draw(st.sampled_from(["neg", "neg", "neg_single", "inv", "inv"]))
+    if form == "inv":
+        p = draw(st.sampled_from(sorted(_PRED_SIG)))
+        sk, ok = _PRED_SIG[p]
+        sk = draw(st.sampled_from(["C", "S"])) if sk == "CN" else sk
+        # inverse flips the slots: ?a ^p ?b  ≡  ?b p ?a
+        inner = (f"?V{ok}", f"^{p}", f"?V{sk}")
+    else:
+        subj = draw(st.sampled_from(base_vars))
+        n_excl = draw(st.integers(1, 3)) if form == "neg" else 1
+        excl = draw(st.permutations(sorted(_PRED_SIG)))[:n_excl]
+        pred = f"!({'|'.join(sorted(excl))})" if form == "neg" else f"!{excl[0]}"
+        inner = (subj, pred, "?W")
+    mode = draw(st.sampled_from(
+        ["optional", "union", "minus", "exists", "not_exists", "subquery"]
+    ))
+    if mode == "subquery":
+        # the inner block aggregates on a variable shared with the base
+        inner_vars = [t for t in (inner[0], inner[2]) if t.startswith("?")]
+        shared = sorted(set(inner_vars) & set(base_vars))
+        assume(shared)
+        key = draw(st.sampled_from(shared))
+        cnt_var = next((v for v in inner_vars if v != key), key)
+        return base, inner, mode, (key, cnt_var)
+    return base, inner, mode, None
+
+
+@pytest.mark.slow
+@given(_group_with_negation())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_negation_in_groups_matches_oracle(engine, duck, case):
+    """!(…) / !p / ^p under OPTIONAL / UNION / MINUS / EXISTS / NOT
+    EXISTS / aggregated subqueries: the negated-set NOT-IN residual and
+    the inverse slot swap must compose with each group operator's
+    NULL-extension / padding / compatibility semantics identically on
+    both engines.  Unsupported oracle compositions raise
+    NotImplementedError and are skipped visibly (tallied below)."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    base, inner, mode, subq = case
+    base_body = " . ".join(f"{s} {p} {o}" for s, p, o in base)
+    base_vars = sorted({t for s, p, o in base for t in (s, o) if t.startswith("?")})
+    inner_body = f"{inner[0]} {inner[1]} {inner[2]}"
+    inner_vars = [t for t in (inner[0], inner[2]) if t.startswith("?")]
+    if mode == "optional":
+        proj = sorted(set(base_vars) | set(inner_vars))
+        q = (
+            f"select {' '.join(proj)} where"
+            f" {{ {base_body} . optional {{ {inner_body} }} }}"
+        )
+    elif mode == "union":
+        proj = sorted(set(base_vars) | set(inner_vars))
+        q = (
+            f"select {' '.join(proj)} where"
+            f" {{ {{ {base_body} }} union {{ {inner_body} }} }}"
+        )
+    elif mode == "minus":
+        q = (
+            f"select {' '.join(base_vars)} where"
+            f" {{ {base_body} . minus {{ {inner_body} }} }}"
+        )
+    elif mode in ("exists", "not_exists"):
+        kw = "exists" if mode == "exists" else "not exists"
+        q = (
+            f"select {' '.join(base_vars)} where"
+            f" {{ {base_body} . filter {kw} {{ {inner_body} }} }}"
+        )
+    else:  # subquery
+        key, cnt_var = subq
+        proj = sorted(set(base_vars) | {key, "?cnt"})
+        q = (
+            f"select {' '.join(proj)} where {{"
+            f" {{ select {key} (count({cnt_var}) as ?cnt)"
+            f" where {{ {inner_body} }} group by {key} }} ."
+            f" {base_body} }}"
+        )
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    try:
+        oracle = bgp_to_sql(parsed, decode=False)
+    except NotImplementedError:
+        _oracle_reach("negation_in_groups", False)
+        assert df.count() >= 0
+        return
+    _oracle_reach("negation_in_groups", True)
+    n = df.count()
+    if n > 300_000:  # pathological blowup guard: counts still compared
         assert n == duck.execute(
             f"SELECT COUNT(*) FROM ({oracle}) __c"
         ).fetchone()[0]
