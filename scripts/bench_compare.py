@@ -28,18 +28,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def load_queries(path: str) -> dict[str, float]:
-    """Per-query timing map of one bench JSON, or {} when the file holds
-    none (a crashed round's record) — callers decide whether that is
-    fatal (an explicitly named file) or skippable (the fallback scan)."""
+def load_doc(path: str) -> dict:
+    """The full JSON document of one bench output file (when a captured
+    stdout holds TWO JSON lines — full map first, compact summary last —
+    the line with the most per-query timings wins)."""
     with open(path) as f:
         text = f.read()
     try:
-        doc = json.loads(text)
+        return json.loads(text)
     except json.JSONDecodeError:
-        # a captured bench stdout holds TWO JSON lines (full map first,
-        # compact tail-fitting summary last — bench.py r7); prefer the
-        # line with the most per-query timings
         docs = []
         for line in text.splitlines():
             line = line.strip()
@@ -50,7 +47,14 @@ def load_queries(path: str) -> dict[str, float]:
                     continue
         if not docs:
             raise
-        doc = max(docs, key=lambda d: len(d.get("queries", {}) or {}))
+        return max(docs, key=lambda d: len(d.get("queries", {}) or {}))
+
+
+def load_queries(path: str) -> dict[str, float]:
+    """Per-query timing map of one bench JSON, or {} when the file holds
+    none (a crashed round's record) — callers decide whether that is
+    fatal (an explicitly named file) or skippable (the fallback scan)."""
+    doc = load_doc(path)
     # bench.py output: {"queries": {...}}; driver BENCH_r*.json: {"parsed":
     # {...}} or a truncated "tail" string to scavenge
     for key in ("queries", "parsed"):
@@ -88,6 +92,7 @@ def main() -> None:
     # the consumed value must NOT leak into the positional file args
     thr = 1.3
     min_of: list[str] = []
+    write_min: str | None = None
     argv = list(sys.argv[1:])
     args: list[str] = []
     i = 0
@@ -107,6 +112,12 @@ def main() -> None:
             else:
                 i += 1
                 min_of = argv[i].split(",")
+        elif a == "--write-min" or a.startswith("--write-min="):
+            if "=" in a:
+                write_min = a.split("=", 1)[1]
+            else:
+                i += 1
+                write_min = argv[i]
         elif a.startswith("--"):
             raise SystemExit(f"unknown option {a!r}")
         else:
@@ -157,6 +168,33 @@ def main() -> None:
             for k, v in m.items():
                 new[k] = min(v, new.get(k, v))
         new_path = f"min-of-{len(maps)}({','.join(os.path.basename(p) for p in min_of)})"
+        if write_min:
+            # snapshot the ELEMENTWISE-MIN map in the BENCH_FULL schema
+            # (r9 VERDICT task 3: two rounds running, a committed
+            # single-run snapshot handed the judge a phantom mover that
+            # BENCH_LAST contradicted same-day; the committed artifact is
+            # now the protocol's own min-of-N map, with provenance).
+            # Template: the quietest run's full doc (sf/setup metadata).
+            docs = [load_doc(p) for p in min_of]
+            base = min(docs, key=lambda d: d.get("value", float("inf")))
+            out = dict(base)
+            out["queries"] = {k: round(new[k], 4) for k in sorted(new)}
+            out["value"] = round(sum(new.values()), 4)
+            b53 = [
+                d["baseline53_sec"]
+                for d in docs
+                if isinstance(d.get("baseline53_sec"), (int, float))
+            ]
+            if b53:
+                out["baseline53_sec"] = round(min(b53), 4)
+            out["provenance"] = (
+                f"per-query min of the {len(min_of)} closing runs: "
+                + ", ".join(os.path.basename(p) for p in min_of)
+            )
+            with open(write_min, "w") as f:
+                json.dump(out, f)
+                f.write("\n")
+            print(f"wrote elementwise-min map -> {write_min}")
     else:
         new = load_queries(new_path)
     old = load_queries(old_path)
