@@ -828,9 +828,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #   graph_components, the documented rows-only entry (hash-matched twin
 #   graph_components_forest is green).  No correctness queue carries over;
 #   oldest-green cohort is r4 (23 entries), then r5 (41).
+#   r10 MID-ROUND CHANGE: graph_components GAINED A HASH ORACLE
+#   (operators/graph.py::_components_sql — unrolled min-label +
+#   pointer-jump rounds with a fixed-point guard; check_entry-green at
+#   sf0.01 when added), ending its rows-only status.  It takes a seventh
+#   touched seat below so the driver's r10 run adjudicates the repo's
+#   FIRST full-hash row for it; sparql_bind_concat (r5-green, untouched)
+#   rotates out of the tail to keep the sum at 50 and now leads the r11
+#   breadth queue.
 #
 # Round 10 rotation — the 50 seats:
-#   * 6 seats: entries TOUCHED in r10 — graph_pagerank / graph_ppr /
+#   * 7 seats: entries TOUCHED in r10 — graph_components (the new hash
+#     oracle above), plus graph_pagerank / graph_ppr /
 #     graph_components_forest / dedup_clusters_lsh (their iterative loops
 #     now RELEASE superseded localCheckpoint blocks the moment the next
 #     checkpoint materializes — session.py::release_local_checkpoint,
@@ -850,11 +859,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     family — temporal_active (r6), knn_filtered (r6),
 #     media_audio_chunks (r7), hybrid_search (r7), maintenance_compact
 #     (r8), simhash_docs (r8).
-#   * 15 seats: the alphabetically-first r5-cohort entries.  The r5
-#     remainder (26 entries, sparql_bind_if onward alphabetically) leads
-#     the r11 breadth queue.
+#   * 14 seats: the alphabetically-first r5-cohort entries (was 15;
+#     sparql_bind_concat ceded its seat to graph_components mid-round).
+#     The r5 remainder (27 entries, sparql_bind_concat onward
+#     alphabetically) leads the r11 breadth queue.
 PRIORITY_ORDER = [
-    # --- r10 touched: checkpoint-release loops + live-run plumbing ---
+    # --- r10 touched: new CC hash oracle + checkpoint-release loops +
+    #     live-run plumbing ---
+    "graph_components",
     "graph_pagerank", "graph_ppr", "graph_components_forest",
     "dedup_clusters_lsh", "streaming_sessionize_live", "streaming_kmv_live",
     # --- breadth, oldest-green-first: the full r4 cohort (23) ---
@@ -874,7 +886,7 @@ PRIORITY_ORDER = [
     "pipeline_profile", "pipeline_sample", "rel_window_delta",
     "sketch_quantiles_sampled", "sparql_alt_pred", "sparql_ask_neg",
     "sparql_avg_size", "sparql_bind", "sparql_bind_arith",
-    "sparql_bind_arith_vars", "sparql_bind_coalesce", "sparql_bind_concat",
+    "sparql_bind_arith_vars", "sparql_bind_coalesce",
 ]
 # Round 9 rotation — the 50 seats (superseded by r10 above):
 #   streaming_sessionize_live streaming_funnel_live streaming_hourly_live

@@ -494,16 +494,19 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to exercise the path a 100-TB graph actually takes:
     O(diameter) join+min rounds, lineage-checkpointed per round).
 
-    NO DuckDB oracle: iterative CC on a dense graph is the documented
-    non-SQL-expressible case — the recursive reachability CTE the
-    dedup_clusters oracle uses materializes the closure, which is
-    n_component² rows (the co-purchase graph is one near-clique of every
-    active part).  Correctness is pinned instead by the A/B property test
+    Oracle (r10 — this was the repo's one rows-only entry through r9):
+    ``GRAPH_COMPONENTS_SQL`` below runs UNROLLED min-label + pointer-jump
+    rounds in DuckDB, sidestepping the closure blowup that kept it
+    rows-only (a recursive reachability CTE materializes n_component²
+    pairs — the co-purchase graph is one near-clique of every active
+    part).  The label table stays node-count-sized per round, and a
+    fixed-point guard makes an insufficient round count FAIL VISIBLY
+    (empty result → driver rows-mismatch) instead of silently wrong.
+    Correctness is additionally pinned by the A/B property test
     (tests/test_graph.py): the distributed labels must EQUAL the driver
     union-find labels on identical edges — two independent
     implementations, both producing min-reachable-id labels — plus the
-    fixed-point invariant (no edge joins two labels).  The driver records
-    the weaker rows-only check for this entry, by design."""
+    fixed-point invariant (no edge joins two labels)."""
     from dream_spark.operators.dedup import connected_components
 
     e, _deg, _adj = _copurchase_graph(spark, sf_dir)
@@ -569,6 +572,84 @@ FROM members GROUP BY root
 GRAPH_COMPONENTS_FOREST_SQL = _components_forest_sql()
 
 
+def _components_sql(rounds: int = 12) -> str:
+    """DuckDB oracle for ``graph_components``: min-label propagation with
+    pointer jumping, UNROLLED ``rounds`` times over node-count-sized label
+    tables — never the reachability closure (n² pairs on the near-clique
+    co-purchase graph, which is why this entry stayed rows-only r1-r9).
+
+    Each round is (a) min over the closed neighborhood, then (b) one
+    pointer jump ``label := label(label)`` — labels are node ids, so the
+    jump is a self-join.  Jumping gives logarithmic convergence: 12
+    rounds converge any component of diameter ≲ 2^12 (verified on a
+    3000-node path graph in tests/test_graph.py; the sf0.01 co-purchase
+    graph is a diameter-2 near-clique).  The ``bad`` fixed-point guard
+    keeps the oracle honest rather than heuristic: if any edge still
+    joins two labels after the unrolled rounds, the final join against
+    ``bad.c = 0`` empties the result and the driver records a VISIBLE
+    rows mismatch — insufficient rounds can never silently agree.
+
+    Every multiply-referenced CTE is ``MATERIALIZED``: DuckDB 1.0
+    otherwise inlines CTE references, and a 12-round chain that
+    references its predecessor twice per round inflates the plan
+    exponentially (observed: >2 min vs 2.4 s materialized at sf0.01)."""
+    from dream_spark.sources.triples import resolve_lexical
+
+    head = f"""WITH triples AS ({TRIPLES_SQL}),
+lo AS (SELECT s AS l, o AS ord FROM triples WHERE p = {resolve_lexical("ofOrder")}),
+lp AS (SELECT s AS l, o AS part FROM triples WHERE p = {resolve_lexical("ofPart")}),
+op AS (SELECT DISTINCT ord, part FROM lo JOIN lp USING (l)),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.part AS a, y.part AS b
+  FROM op x JOIN op y ON x.ord = y.ord AND x.part < y.part
+)"""
+    return head + ",\n" + _minlabel_histogram_sql(rounds)
+
+
+def _minlabel_histogram_sql(rounds: int) -> str:
+    """The engine-independent tail of the CC oracle: given an undirected
+    canonical edge CTE ``e0 (a, b)`` already in scope, append ``rounds``
+    min-label + pointer-jump rounds, the fixed-point guard, and the
+    component-size histogram projection.  Split out so the unit test can
+    drive the EXACT shipped machinery over adversarial VALUES-built
+    graphs (long paths, multiple components) without the triple-store
+    reconstruction in front."""
+    parts = [
+        """e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM e)"""
+    ]
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        mid, cur = f"m{k}", f"l{k}"
+        parts.append(
+            f"""{mid} AS MATERIALIZED (SELECT node, MIN(label) AS label FROM (
+  SELECT node, label FROM {prev}
+  UNION ALL SELECT e.a AS node, p.label FROM e JOIN {prev} p ON p.node = e.b
+) GROUP BY node)"""
+        )
+        parts.append(
+            f"""{cur} AS MATERIALIZED (SELECT c.node, LEAST(c.label, COALESCE(j.label, c.label)) AS label
+  FROM {mid} c LEFT JOIN {mid} j ON j.node = c.label)"""
+        )
+        prev = cur
+    parts.append(
+        f"""bad AS (SELECT COUNT(*) AS c FROM e
+  JOIN {prev} x ON x.node = e.a JOIN {prev} y ON y.node = e.b
+  WHERE x.label <> y.label),
+sizes AS (SELECT label, COUNT(*) AS component_size FROM {prev} GROUP BY label)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes, bad WHERE bad.c = 0
+GROUP BY component_size"""
+    )
+
+
+GRAPH_COMPONENTS_SQL = _components_sql()
+
+
 def warm_graph_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Pre-build the session-shared graph artifacts a deployment holds
     open: the entity graph (edges + degrees, PageRank/PPR iterate over it)
@@ -594,5 +675,6 @@ ORACLES = {
     "graph_ppr": GRAPH_PPR_SQL,
     "graph_degree": GRAPH_DEGREE_SQL,
     "graph_triangles": GRAPH_TRIANGLES_SQL,
+    "graph_components": GRAPH_COMPONENTS_SQL,
     "graph_components_forest": GRAPH_COMPONENTS_FOREST_SQL,
 }

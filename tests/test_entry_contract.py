@@ -51,12 +51,12 @@ def test_every_family_inside_the_cap():
 # Entries ALLOWED to lack an oracle_sql(): the driver records the weaker
 # rows-only check for these, by documented design (each must carry an
 # oracle-equivalent property test — see COVERAGE.md for the pin).
-ROWS_ONLY = {
-    # iterative CC on a dense graph: the closure-CTE oracle is
-    # n_component^2 on a near-clique; pinned by the A/B
-    # distributed-vs-union-find test (tests/test_graph.py)
-    "graph_components",
-}
+# EMPTY since r10: graph_components — the last rows-only entry — gained a
+# closure-free hash oracle (operators/graph.py::_components_sql, unrolled
+# min-label + pointer-jump rounds with a visible fixed-point guard), so
+# this set now exists only to keep the contract explicit for any future
+# genuinely non-SQL-expressible entry.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_an_oracle_with_matching_keys():

@@ -10,12 +10,45 @@ from dream_spark.operators import graph as G
 from tests.conftest import SF_DIR, assert_oracle_match
 
 
-# graph_components is the documented rows-only entry (iterative CC on a
-# dense graph has no tractable closure oracle); its correctness pin is the
-# A/B union-find test below
+# graph_components gained a hash oracle in r10 (unrolled min-label +
+# pointer-jump rounds, _components_sql) after nine rounds rows-only; the
+# A/B union-find test below stays as the Spark-side independent pin, and
+# the two template tests after it pin the oracle machinery itself
 @pytest.mark.parametrize("name", sorted(G.ORACLES))
 def test_graph_oracle(spark, duck, name):
     assert_oracle_match(G.QUERIES[name](spark, SF_DIR), duck, G.ORACLES[name])
+
+
+def _minlabel_on_edges(duck, edge_rows, rounds):
+    """Run the SHIPPED min-label oracle tail over a VALUES-built edge set."""
+    values = ", ".join(f"({a}, {b})" for a, b in edge_rows)
+    sql = (
+        f"WITH e0 AS MATERIALIZED (SELECT * FROM (VALUES {values}) v(a, b)),\n"
+        + G._minlabel_histogram_sql(rounds)
+    )
+    return sorted(duck.execute(sql).fetchall())
+
+
+def test_components_oracle_template_adversarial_graphs(duck):
+    """The oracle's 12 unrolled rounds converge graphs far nastier than
+    the near-clique it ships against: a 3000-node path (diameter 2999 —
+    pointer jumping is what makes 12 rounds enough), plus a disjoint
+    1000-node cycle and an isolated pair, interleaved node ids."""
+    edges = [(i * 3 + 1, (i + 1) * 3 + 1) for i in range(2999)]  # path
+    edges += [(900000 + i, 900000 + (i + 1) % 1000) for i in range(1000)]  # cycle
+    edges += [(5, 2000000)]  # pair
+    out = _minlabel_on_edges(duck, edges, rounds=12)
+    assert out == [(2, 1), (1000, 1), (3000, 1)] or out == sorted(
+        [(3000, 1), (1000, 1), (2, 1)]
+    )
+
+
+def test_components_oracle_guard_fails_visibly_when_unconverged(duck):
+    """The honesty property the docstring promises: with too few rounds
+    the fixed-point guard EMPTIES the result (driver rows-mismatch), it
+    never returns a plausible-but-wrong histogram."""
+    edges = [(i, i + 1) for i in range(200)]  # 201-node path
+    assert _minlabel_on_edges(duck, edges, rounds=1) == []
 
 
 def test_pagerank_mass_positive_and_bounded(spark):
