@@ -2447,6 +2447,113 @@ def test_random_negation_in_groups_matches_oracle(engine, duck, case):
 
 
 # ---------------------------------------------------------------------------
+# Spark-side: LEFT-JOIN TREES (r10) — nested OPTIONAL (optional inside an
+# optional group) and sibling OPTIONALs (two optional groups against the
+# same required part).  The per-entry queries and the unit tests at
+# tests/test_sparql.py pin fixed shapes; this draws random well-designed
+# trees so the translator's group-nesting bookkeeping (optional_parent,
+# plans/sparql.py:398) is exercised across the predicate signature space.
+# ---------------------------------------------------------------------------
+@st.composite
+def _optional_tree(draw):
+    """Connected BGP split into (required rest, g1, g2) plus a tree shape:
+    'nested'  → rest . optional { g1 . optional { g2 } }
+    'sibling' → rest . optional { g1 } . optional { g2 }
+    Both variants are kept WELL-DESIGNED (an optional-only variable never
+    leaks into a scope that binds it elsewhere), matching the fragment the
+    engine documents; non-well-designed shapes raise at translation and
+    are unit-tested separately."""
+    from hypothesis import assume
+
+    def connected(ps):
+        if not ps:
+            return False
+        reach = {0}
+        grew = True
+        while grew:
+            grew = False
+            vs = {t for i in reach for t in (ps[i][0], ps[i][2]) if t.startswith("?")}
+            for i, (s, p, o) in enumerate(ps):
+                if i not in reach and ({s, o} & vs):
+                    reach.add(i)
+                    grew = True
+        return reach == set(range(len(ps)))
+
+    pats = draw(_bgp())
+    assume(len(pats) >= 3)
+    order = draw(st.permutations(range(len(pats))))
+    i, j = order[0], order[1]
+    g1, g2 = pats[i], pats[j]
+    rest = [p for k, p in enumerate(pats) if k not in (i, j)]
+    g1v = {t for t in (g1[0], g1[2]) if t.startswith("?")}
+    g2v = {t for t in (g2[0], g2[2]) if t.startswith("?")}
+    rest_vars = {t for s, p, o in rest for t in (s, o) if t.startswith("?")}
+    assume(connected(rest))
+    assume(g1v & rest_vars)  # the first optional joins the required part
+    shape = draw(st.sampled_from(["nested", "sibling"]))
+    if shape == "nested":
+        assume(g2v & g1v)  # the inner optional joins its parent group
+        # well-designed: inner-only vars stay out of the required part
+        assume(not ((g2v - g1v) & rest_vars))
+    else:
+        assume(g2v & rest_vars)  # each sibling joins the required part
+        # well-designed: a var private to one optional group must not
+        # appear in the other (that cross-branch correlation is the
+        # non-well-designed fragment)
+        assume(not ((g2v - rest_vars) & g1v))
+        assume(not ((g1v - rest_vars) & g2v))
+    distinct = draw(st.booleans())
+    return rest, g1, g2, shape, distinct
+
+
+@pytest.mark.slow
+@given(_optional_tree())
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_optional_tree_matches_oracle(engine, duck, case):
+    """Nested and sibling OPTIONAL left-join trees must agree with the
+    oracle: nesting NULL-extends in two stages (a row can carry g1's
+    bindings with g2's all-NULL, or neither), siblings NULL-extend
+    independently against the same required rows, and DISTINCT's
+    NULL-equality collapse must agree on top of either tree."""
+    from dream_spark.plans.oracle import bgp_to_sql
+    from dream_spark.plans.sparql import SparqlSyntaxError, parse_sparql
+    from tests.conftest import assert_oracle_match
+
+    rest, g1, g2, shape, distinct = case
+    rest_body = " . ".join(f"{s} {p} {o}" for s, p, o in rest)
+    g1_body = f"{g1[0]} {g1[1]} {g1[2]}"
+    g2_body = f"{g2[0]} {g2[1]} {g2[2]}"
+    if shape == "nested":
+        body = f"{rest_body} . optional {{ {g1_body} . optional {{ {g2_body} }} }}"
+    else:
+        body = f"{rest_body} . optional {{ {g1_body} }} . optional {{ {g2_body} }}"
+    proj = sorted(
+        {t for pat in (*rest, g1, g2) for t in (pat[0], pat[2]) if t.startswith("?")}
+    )
+    kw = "select distinct" if distinct else "select"
+    q = f"{kw} {' '.join(proj)} where {{ {body} }}"
+    try:
+        parsed = parse_sparql(q)
+    except SparqlSyntaxError:
+        return
+    df = engine.sparql(q, decode=False)
+    try:
+        oracle = bgp_to_sql(parsed, decode=False)
+    except NotImplementedError:
+        _oracle_reach("optional_tree", False)
+        assert df.count() >= 0
+        return
+    _oracle_reach("optional_tree", True)
+    n = df.count()
+    if n > 300_000:  # pathological blowup guard: counts still compared
+        assert n == duck.execute(
+            f"SELECT COUNT(*) FROM ({oracle}) __c"
+        ).fetchone()[0]
+        return
+    assert_oracle_match(df, duck, oracle)
+
+
+# ---------------------------------------------------------------------------
 # Keep last in this module: vacuity guard over the oracle-reach tallies
 # ---------------------------------------------------------------------------
 def test_fuzzers_reach_oracle():
