@@ -835,7 +835,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   touched seat below so the driver's r10 run adjudicates the repo's
 #   FIRST full-hash row for it; sparql_bind_concat (r5-green, untouched)
 #   rotates out of the tail to keep the sum at 50 and now leads the r11
-#   breadth queue.
+#   breadth queue.  Second mid-round addition: dedup_minhash_served
+#   (r10-NEW, entry 236 — incremental-ingest dedup against a PERSISTED
+#   band index with probe-set PushedFilters pruning, the "served" twin
+#   the BM25/IVF paths already had; check_entry-green at sf0.001 AND
+#   sf0.01 when added, prune-equivalence A/B + plan pin in tests).  It
+#   takes the seat of sparql_bind_coalesce (r5-green, untouched), which
+#   joins sparql_bind_concat at the head of the r11 breadth queue.
 #
 # Round 10 rotation — the 50 seats:
 #   * 7 seats: entries TOUCHED in r10 — graph_components (the new hash
@@ -859,14 +865,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     family — temporal_active (r6), knn_filtered (r6),
 #     media_audio_chunks (r7), hybrid_search (r7), maintenance_compact
 #     (r8), simhash_docs (r8).
-#   * 14 seats: the alphabetically-first r5-cohort entries (was 15;
-#     sparql_bind_concat ceded its seat to graph_components mid-round).
-#     The r5 remainder (27 entries, sparql_bind_concat onward
-#     alphabetically) leads the r11 breadth queue.
+#   * 13 seats: the alphabetically-first r5-cohort entries (was 15;
+#     sparql_bind_concat and sparql_bind_coalesce ceded their seats to
+#     graph_components and dedup_minhash_served mid-round).  The r5
+#     remainder (28 entries, sparql_bind_coalesce onward alphabetically)
+#     leads the r11 breadth queue.
 PRIORITY_ORDER = [
     # --- r10 touched: new CC hash oracle + checkpoint-release loops +
     #     live-run plumbing ---
-    "graph_components",
+    "graph_components", "dedup_minhash_served",
     "graph_pagerank", "graph_ppr", "graph_components_forest",
     "dedup_clusters_lsh", "streaming_sessionize_live", "streaming_kmv_live",
     # --- breadth, oldest-green-first: the full r4 cohort (23) ---
@@ -886,7 +893,7 @@ PRIORITY_ORDER = [
     "pipeline_profile", "pipeline_sample", "rel_window_delta",
     "sketch_quantiles_sampled", "sparql_alt_pred", "sparql_ask_neg",
     "sparql_avg_size", "sparql_bind", "sparql_bind_arith",
-    "sparql_bind_arith_vars", "sparql_bind_coalesce",
+    "sparql_bind_arith_vars",
 ]
 # Round 9 rotation — the 50 seats (superseded by r10 above):
 #   streaming_sessionize_live streaming_funnel_live streaming_hourly_live

@@ -1150,6 +1150,19 @@ def incremental_minhash_dedup(
     the batch compaction layer's job (``duplicate_clusters``)."""
     bands = minhash_index(new_docs).persist()
     bands.count()
+    out = _incremental_from_bands(bands, index)
+    bands.unpersist()
+    return out
+
+
+def _incremental_from_bands(
+    bands: DataFrame, index: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """The drop/keep core of :func:`incremental_minhash_dedup`, over an
+    already-persisted batch band frame — shared with the persisted-index
+    serve path (:func:`dedup_minhash_served`), which computes the batch
+    bands once for probe pruning and must apply the IDENTICAL rules to
+    them.  The caller owns ``bands``' persistence."""
     if index is not None:
         hit = (
             bands.join(index.select("band", "bh").distinct(), on=["band", "bh"])
@@ -1171,9 +1184,139 @@ def incremental_minhash_dedup(
     cc = connected_components(pairs, "doc_a", "doc_b")
     drop = cc.where(F.col("node") != F.col("cluster")).select(F.col("node").alias("doc_id"))
     kept_bands = fresh.join(drop, on="doc_id", how="left_anti").localCheckpoint()
-    bands.unpersist()
     fresh.unpersist()
     return kept_bands.select("doc_id").distinct(), kept_bands
+
+
+# --------------------------------------------------------------------------
+# persisted-index incremental dedup serve (the missing "served" twin the
+# BM25 postings and IVF inverted-file paths already have)
+# --------------------------------------------------------------------------
+#: max distinct (band, bh) probe pairs inlined as a literal pushdown
+#: filter — the same bounded-collect contract as the BM25 narrow lookup's
+#: <=1024 inline-IN probes; a wider batch falls back to the plain
+#: (band, bh) equi-join, which is the at-scale default anyway
+_SERVE_PROBE_BOUND = 1024
+
+
+def save_minhash_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the corpus half's MinHash-LSH band index (doc_id, bh,
+    band), ``partitionBy("band")`` — the on-disk layout every arriving
+    batch probes.  Corpus = even doc_ids; odd doc_ids play the arriving
+    batch in :func:`dedup_minhash_served` (the same split-the-table
+    convention as the cross-source and contamination entries).  The index
+    lands under ``{path}/bands`` — the artifact ROOT belongs to
+    ``build_once_path`` (its COMPLETE marker lives there)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    minhash_index(docs).write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+
+
+def _served_minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once location of the persisted band index — keyed on the
+    data path + documents parquet mtime + the SOURCE DIGEST of the whole
+    signature pipeline (shingle → minhash → banding), so both regenerated
+    testdata and changed index code self-invalidate (the r9 ADVICE
+    pattern: no version constant anyone must remember to bump)."""
+    import os
+
+    from dream_spark.functions.artifacts import build_once_path, source_digest
+    from dream_spark.functions import textkernels
+
+    root = os.path.abspath(sf_dir)
+    doc = os.path.join(root, "documents.parquet")
+    sig = "|".join(
+        [
+            root,
+            str(os.path.getmtime(doc) if os.path.exists(doc) else 0),
+            f"mh{MINHASH_K}b{N_BANDS}",
+            source_digest(
+                save_minhash_index,
+                minhash_index,
+                _band_frame,
+                _band_slot_hash,
+                textkernels.minhash_signatures,
+            ),
+        ]
+    )
+    return build_once_path(sig, "mhindex", lambda tmp: save_minhash_index(spark, sf_dir, tmp))
+
+
+def dedup_minhash_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup against a PERSISTED corpus index: the
+    arriving batch (odd doc_ids) is deduped against the corpus half's
+    on-disk band index (even doc_ids) and then within itself, returning
+    the kept batch ``doc_id`` rows — the steady-state ingestion loop a
+    100-TB corpus actually runs (never re-dedup the world; probe the
+    index, admit survivors, append their bands).
+
+    Scale shape: the index is read back from its ``partitionBy("band")``
+    layout and, when the batch's distinct (band, bh) probe set fits the
+    ``_SERVE_PROBE_BOUND`` bounded-collect contract, filtered with
+    literal per-band ``bh IN (...)`` predicates that reach the parquet
+    scan as ``PushedFilters`` — row-group skipping turns the corpus-index
+    scan into a probe-sized read, the same narrow-serve economics as
+    ``text_bm25_lookup``.  Wider batches fall back to the plain
+    (band, bh) equi-join (ids and hashes only move; at deployment scale
+    the index is additionally bucketed by (band, bh) via
+    ``sinks.write_bucketed`` so that join does not shuffle the index).
+    Pruning is an OPTIMIZATION, not a semantics change: dropped index
+    rows share no (band, bh) with any batch row, so they can never
+    produce a hit — pinned by the A/B equivalence test
+    (tests/test_dedup.py)."""
+    path = _served_minhash_index_path(spark, sf_dir)
+    index = spark.read.parquet(f"{path}/bands")
+    batch = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 1)
+    bands = minhash_index(batch).persist()
+    bands.count()
+    kept_ids, _kept_bands = _incremental_from_bands(
+        bands, _probe_pruned_index(index, bands)
+    )
+    bands.unpersist()
+    return kept_ids
+
+
+def _probe_pruned_index(index: DataFrame, bands: DataFrame) -> DataFrame:
+    """Restrict the persisted band index to the batch's probe set when it
+    fits the bounded-collect contract: literal per-band ``bh IN (...)``
+    predicates reach the parquet scan as PushedFilters (row-group
+    skipping) and the ``band =`` arms prune the partition directories —
+    plan-pinned by tests/test_plans.py.  Past the bound, the full index
+    joins on (band, bh) as usual.  Equivalence: a dropped row shares no
+    (band, bh) with any batch row, so it can never produce a hit."""
+    probes = bands.select("band", "bh").distinct()
+    if probes.count() > _SERVE_PROBE_BOUND:
+        return index
+    by_band: dict = {}
+    for r in probes.collect():  # bounded by _SERVE_PROBE_BOUND
+        by_band.setdefault(r["band"], []).append(r["bh"])
+    cond = None
+    for b, hs in sorted(by_band.items()):
+        c = (F.col("band") == F.lit(b)) & F.col("bh").isin(hs)
+        cond = c if cond is None else (cond | c)
+    return index.where(cond) if cond is not None else index.limit(0)
+
+
+DEDUP_MINHASH_SERVED_SQL = f"""
+WITH RECURSIVE {_duck_minhash_bands()},
+idx AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+bat AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+hit AS (SELECT DISTINCT b.doc_id FROM bat b
+        JOIN idx i ON b.band = i.band AND b.bh = i.bh),
+fresh AS (SELECT * FROM bat WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+fpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM fresh a JOIN fresh b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+fsym AS (SELECT doc_a AS a, doc_b AS b FROM fpairs
+         UNION ALL SELECT doc_b AS a, doc_a AS b FROM fpairs),
+freach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM fsym)
+  UNION
+  SELECT s.a, r.r FROM fsym s JOIN freach r ON r.node = s.b
+),
+flabels AS (SELECT node, MIN(r) AS cluster FROM freach GROUP BY node)
+SELECT DISTINCT doc_id FROM fresh
+WHERE doc_id NOT IN (SELECT node FROM flabels WHERE node <> cluster)
+""".strip()
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -1327,6 +1470,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_minhash": dedup_minhash,
+    "dedup_minhash_served": dedup_minhash_served,
     "dedup_cross_source": dedup_cross_source,
     "dedup_jaccard": dedup_jaccard,
     "simhash_docs": simhash_docs,
@@ -1343,6 +1487,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_exact_docs": DEDUP_EXACT_DOCS_SQL,
     "dedup_minhash": DEDUP_MINHASH_SQL,
+    "dedup_minhash_served": DEDUP_MINHASH_SERVED_SQL,
     "dedup_cross_source": DEDUP_CROSS_SOURCE_SQL,
     "dedup_jaccard": DEDUP_JACCARD_SQL,
     "simhash_docs": SIMHASH_DOCS_SQL,

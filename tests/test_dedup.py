@@ -30,6 +30,27 @@ def test_minhash_finds_near_identical_docs(spark):
     assert all(r["doc_a"] < r["doc_b"] for r in rows)
 
 
+def test_minhash_served_prune_equivalence(spark):
+    """The serve path's probe pruning is an optimization, never a
+    semantics change: kept batch ids must EQUAL the unpruned incremental
+    path over the full persisted index on the same corpus/batch split —
+    and the batch must actually lose documents to the index (the corpus
+    collision path is exercised, not vacuously absent)."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.sources.tables import load_table
+
+    path = D._served_minhash_index_path(spark, SF_DIR)
+    full_index = spark.read.parquet(f"{path}/bands")
+    batch = load_table(spark, SF_DIR, "documents").where(F.col("doc_id") % 2 == 1)
+    ref_ids, _ = D.incremental_minhash_dedup(batch, full_index)
+    ref = {r["doc_id"] for r in ref_ids.collect()}
+    got = {r["doc_id"] for r in D.dedup_minhash_served(spark, SF_DIR).collect()}
+    assert got == ref
+    n_batch = batch.count()
+    assert len(got) < n_batch  # some batch docs were dropped (hit or dup)
+
+
 def test_jaccard_threshold_respected(spark):
     rows = D.dedup_jaccard(spark, SF_DIR).collect()
     assert all(r["jaccard"] >= D.JACCARD_THRESHOLD for r in rows)

@@ -556,6 +556,36 @@ def test_bm25_served_scan_pushes_query_terms(spark, queries):
     assert "In(tok" in pf, pf
 
 
+def test_minhash_serve_index_scan_pushes_probes(spark):
+    """The incremental-dedup serve path must push the batch's literal
+    per-band ``bh IN (...)`` probe predicate into the persisted band-index
+    scan (PushedFilters carries `In(bh, ...)`) and prune the
+    ``partitionBy("band")`` directories (PartitionFilters carries band),
+    so the corpus-index read is probe-sized — the same narrow-serve
+    economics as the BM25 postings scan."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators import dedup as D
+    from dream_spark.sources.tables import load_table
+
+    path = D._served_minhash_index_path(spark, SF_DIR)
+    index = spark.read.parquet(f"{path}/bands")
+    batch = load_table(spark, SF_DIR, "documents").where(F.col("doc_id") % 2 == 1)
+    bands = D.minhash_index(batch).persist()
+    try:
+        bands.count()
+        plan = _plan(D._probe_pruned_index(index, bands))
+    finally:
+        bands.unpersist()
+    segs = [
+        seg for seg in plan.split("Scan parquet")[1:] if "/bands" in seg[:600]
+    ]
+    assert segs, "no scan over the persisted band index"
+    seg = segs[0]
+    assert "In(bh" in seg.split("PushedFilters")[1][:400], seg[:800]
+    assert "band" in seg.split("PartitionFilters")[1][:200], seg[:800]
+
+
 def test_bm25_lookup_narrow_pushdown_and_one_doc_scan(spark, queries):
     """The NARROW lookup must (a) push its few-term literal IN into the
     postings scan like the broad serve path, and (b) read the documents
