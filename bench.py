@@ -85,18 +85,20 @@ def main() -> None:
     #     (VERDICT r6 task 2: hybrid_search was rebuilding it per call)
     from concurrent.futures import ThreadPoolExecutor
 
+    from dream_spark.operators.dedup import warm_minhash_index
     from dream_spark.operators.graph import warm_graph_artifacts
     from dream_spark.operators.similarity import warm_vector_indexes
     from dream_spark.operators.text import shared_hbow, warm_postings_index
     from dream_spark.streaming.events import warm_live_streams
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
         futs = [
             pool.submit(warm_vector_indexes, spark, sf_dir),
             pool.submit(warm_graph_artifacts, spark, sf_dir),
             pool.submit(shared_hbow, spark, sf_dir),
             pool.submit(warm_postings_index, spark, sf_dir),
             pool.submit(warm_live_streams, spark, sf_dir),
+            pool.submit(warm_minhash_index, spark, sf_dir),
         ]
         for f in futs:
             f.result()

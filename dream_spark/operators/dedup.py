@@ -1241,6 +1241,14 @@ def _served_minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
     return build_once_path(sig, "mhindex", lambda tmp: save_minhash_index(spark, sf_dir, tmp))
 
 
+def warm_minhash_index(spark: SparkSession, sf_dir: str) -> None:
+    """Pre-build the persisted band index the serve entry probes, so a
+    bench/probe row measures the steady-state serve, not the one-time
+    index construction — the same setup economics as
+    ``warm_postings_index`` / ``warm_vector_indexes``."""
+    _served_minhash_index_path(spark, sf_dir)
+
+
 def dedup_minhash_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup against a PERSISTED corpus index: the
     arriving batch (odd doc_ids) is deduped against the corpus half's
@@ -1283,11 +1291,14 @@ def _probe_pruned_index(index: DataFrame, bands: DataFrame) -> DataFrame:
     plan-pinned by tests/test_plans.py.  Past the bound, the full index
     joins on (band, bh) as usual.  Equivalence: a dropped row shares no
     (band, bh) with any batch row, so it can never produce a hit."""
-    probes = bands.select("band", "bh").distinct()
-    if probes.count() > _SERVE_PROBE_BOUND:
+    # ONE bounded action decides and fetches: collect at most bound+1
+    # distinct probes — the extra row is the over-bound signal, so the
+    # decision does not need a separate count() job
+    rows = bands.select("band", "bh").distinct().limit(_SERVE_PROBE_BOUND + 1).collect()
+    if len(rows) > _SERVE_PROBE_BOUND:
         return index
     by_band: dict = {}
-    for r in probes.collect():  # bounded by _SERVE_PROBE_BOUND
+    for r in rows:
         by_band.setdefault(r["band"], []).append(r["bh"])
     cond = None
     for b, hs in sorted(by_band.items()):

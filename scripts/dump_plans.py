@@ -52,6 +52,7 @@ SHOWCASE = [
     ("text_bm25_served", "persisted-postings serve: PushedFilters carries In(tok, ...) into the tok-sorted postings scan (row-group skipping of unprobed postings); statistics tables read, never recomputed"),
     ("text_bm25_lookup", "NARROW lookup: 8-literal In(tok,...) pushed into BOTH the postings and lexicon scans; the query-doc read carries EqualTo(doc_id,0) pushed to the documents scan (one document, not the corpus); final rank is a distributed TakeOrderedAndProject feeding a k-row window"),
     ("pipeline_sample_weighted", "weighted Bernoulli sample: NO Exchange anywhere — the coin and the keep probability are row-local expressions inside one WholeStageCodegen scan stage"),
+    ("dedup_minhash_served", "incremental-dedup serve: the persisted band-index scan carries PartitionFilters on band and PushedFilters In(bh, ...) — the corpus index read is probe-sized.  (The plan shown IS the pre-checkpoint probe-pruned index frame; the entry's returned kept-id frame truncates lineage at its localCheckpoint by design, so the reviewable scan lives here)"),
 ]
 
 
@@ -70,8 +71,27 @@ def main() -> None:
         "the invariant to verify in the plan below it.",
         "",
     ]
+    def _frame(name):
+        if name == "dedup_minhash_served":
+            # the entry's returned frame truncates at its localCheckpoint;
+            # the plan worth reviewing is the probe-pruned index scan the
+            # serve path builds just before it (same construction as
+            # tests/test_plans.py::test_minhash_serve_index_scan_pushes_probes)
+            from pyspark.sql import functions as F
+
+            from dream_spark.operators import dedup as D
+            from dream_spark.sources.tables import load_table
+
+            path = D._served_minhash_index_path(spark, sf_dir)
+            index = spark.read.parquet(f"{path}/bands")
+            batch = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 1)
+            bands = D.minhash_index(batch).persist()
+            bands.count()
+            return D._probe_pruned_index(index, bands)
+        return qs[name](spark, sf_dir)
+
     for name, invariant in SHOWCASE:
-        df = qs[name](spark, sf_dir)
+        df = _frame(name)
         txt = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
         out += [f"## {name}", "", f"**Invariant:** {invariant}", "", "```", txt.rstrip(), "```", ""]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")

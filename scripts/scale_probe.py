@@ -133,6 +133,7 @@ SELECT vec_id + {k * SHIFT['vec_id']} AS vec_id,
 def _measure_names(sf_dir: str, names: list[str]) -> dict[str, float]:
     import __spark_entry__ as entrymod
     from dream_spark import get_spark
+    from dream_spark.operators.dedup import warm_minhash_index
     from dream_spark.operators.graph import warm_graph_artifacts
     from dream_spark.operators.similarity import warm_vector_indexes
     from dream_spark.operators.text import shared_hbow, warm_postings_index
@@ -145,6 +146,7 @@ def _measure_names(sf_dir: str, names: list[str]) -> dict[str, float]:
         warm_graph_artifacts(spark, sf_dir)
         shared_hbow(spark, sf_dir)
         warm_postings_index(spark, sf_dir)
+        warm_minhash_index(spark, sf_dir)
         out = {}
         for name in names:
             t0 = time.perf_counter()
