@@ -817,17 +817,22 @@ def connected_components(
     """
     if small_edges is None:
         small_edges = conf_int(edges.sparkSession, CC_SMALL_EDGES_CONF, _CC_SMALL_EDGES)
-    # persist AND materialize the DIRECTED edge list before symmetrizing:
-    # the union's two branches otherwise race to compute the upstream
-    # pipeline concurrently before the cache is populated (for dedup
-    # clusters that is the whole candidate-join + verification subtree,
-    # evaluated twice)
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    # Materialize the DIRECTED edge list ONCE and TRUNCATE its lineage
+    # before symmetrizing (eager localCheckpoint, not persist+count): the
+    # union's two branches would otherwise race to compute the upstream
+    # pipeline concurrently before a cache is populated, and — measured
+    # r10, guide §7.2/§3.3 — every iteration round's action re-plans the
+    # full upstream logical tree (for graph_components that is the
+    # 7-table triple union + co-purchase joins: ~4 s per .rdd/action
+    # compile, ~10 s of the entry's 15 s).  A checkpoint scan plans in
+    # milliseconds; the rounds below then cost their shuffles, not their
+    # plan compiles.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     n_edges = e.count()
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     if 2 * n_edges <= small_edges:
         rows = _unionfind_components([(r["a"], r["b"]) for r in sym.collect()])
-        e.unpersist()
+        release_local_checkpoint(e)
         spark = edges.sparkSession
         # hand the driver-local result back through Arrow (pandas), NOT a
         # parallelized Python list: the list form deserializes via one
@@ -861,12 +866,27 @@ def connected_components(
     # iteration rounds — must not leak the loop's shuffle-partition
     # override or the caches into the session's unrelated later queries
     try:
-        if loop_par is not None and sym.rdd.getNumPartitions() > 2 * loop_par:
+        # the partition probe is a cheap checkpoint-scan plan now (the
+        # pre-r10 form paid the full upstream plan compile just to learn
+        # the count); e's partitioning is the upstream's, so 2x e = sym
+        if loop_par is not None and 2 * e.rdd.getNumPartitions() > 2 * loop_par:
             sym = sym.repartition(loop_par)
         sym = sym.persist()
         labels = (
             sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
         ).localCheckpoint()
+        # The label/nbr frames are NODE-count-sized and — being checkpoint
+        # scans — carry no usable size stats, so without a hint every
+        # round sort-merge-joins them against the EDGE-sized sym (the
+        # 2|E|-row shuffle was the measured round cost, r10; guide §3.1).
+        # Size-gate the broadcast on the node count (known once, constant
+        # across rounds): below the gate each round is a map-side
+        # broadcast join + partial-agg and only node-sized rows shuffle;
+        # past the gate (a 100-TB node table) it stays SMJ, unchanged.
+        from dream_spark.functions.joins import broadcast_if_small
+
+        n_nodes = labels.count()
+        bcast = lambda df: broadcast_if_small(df, known_count=n_nodes)  # noqa: E731
         # handle to the checkpointed frame currently backing `labels`:
         # once the next round's frame materializes it is superseded, and
         # its blocks are released immediately instead of lingering until
@@ -875,7 +895,7 @@ def connected_components(
         labels_ckpt = labels
         for it in range(_CC_MAX_ITERS):
             nbr = (
-                sym.join(labels, sym.b == labels.node)
+                sym.join(bcast(labels), sym.b == labels.node)
                 .groupBy("a")
                 .agg(F.min("label").alias("nbr_min"))
             )
@@ -884,7 +904,7 @@ def connected_components(
             # partitions instead of a third node-keyed join per round
             # (the probe join was ~1/3 of each round's work)
             half = (
-                labels.join(nbr, labels.node == nbr.a, "left")
+                labels.join(bcast(nbr), labels.node == nbr.a, "left")
                 .select(
                     "node",
                     F.col("label").alias("__old"),
@@ -911,7 +931,7 @@ def connected_components(
                 # extra join + checkpoint per round.
                 lk = half.select(F.col("node").alias("__ln"), F.col("label").alias("__ll"))
                 merged = (
-                    half.join(lk, half["label"] == lk["__ln"], "left")
+                    half.join(bcast(lk), half["label"] == lk["__ln"], "left")
                     .select("node", "__old", F.coalesce("__ll", "label").alias("label"))
                 ).localCheckpoint()
                 release_local_checkpoint(half)  # superseded by `merged`
@@ -933,7 +953,7 @@ def connected_components(
         return labels.select(F.col("node"), F.col("label").alias("cluster"))
     finally:
         sym.unpersist()
-        e.unpersist()
+        release_local_checkpoint(e)
         if restore_partitions is not None:
             try:
                 spark.conf.set("spark.sql.shuffle.partitions", restore_partitions)
