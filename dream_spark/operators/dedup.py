@@ -1184,8 +1184,12 @@ def _incremental_from_bands(
     bands once for probe pruning and must apply the IDENTICAL rules to
     them.  The caller owns ``bands``' persistence."""
     if index is not None:
+        # no distinct on the index side: duplicate (band, bh) index rows
+        # only multiply hit rows, and the doc_id projection dedups below —
+        # dropping it removes an index-scan-wide exchange (guide §2.4, a
+        # distinct on data whose duplicates are harmless)
         hit = (
-            bands.join(index.select("band", "bh").distinct(), on=["band", "bh"])
+            bands.join(index.select("band", "bh"), on=["band", "bh"])
             .select("doc_id")
             .distinct()
         )
@@ -1228,7 +1232,12 @@ def save_minhash_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     lands under ``{path}/bands`` — the artifact ROOT belongs to
     ``build_once_path`` (its COMPLETE marker lives there)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
-    minhash_index(docs).write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    # AQE-sized write (guide §6): rebalance by the partition column so a
+    # band directory holds advisory-size files instead of one KB file per
+    # write task that touched it (skewed bands split by AQE at scale)
+    minhash_index(docs).hint("rebalance", "band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
 
 
 def _served_minhash_index_path(spark: SparkSession, sf_dir: str) -> str:

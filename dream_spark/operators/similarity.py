@@ -315,9 +315,9 @@ def save_vector_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     serving into pure joins against these tables — no kernel re-runs, the
     FAISS-style train/serve split as actual storage."""
     qc = shared_quantized(spark, sf_dir)
-    shared_buckets(spark, sf_dir).write.mode("overwrite").partitionBy("tbl").parquet(
-        f"{path}/buckets"
-    )
+    shared_buckets(spark, sf_dir).hint("rebalance", "tbl").write.mode(
+        "overwrite"
+    ).partitionBy("tbl").parquet(f"{path}/buckets")
     _write_ivf_index(path, qc, _ivf_centroids(qc, IVF_K))
 
 
@@ -331,12 +331,20 @@ def _write_ivf_index(path: str, qc: DataFrame, cents: DataFrame) -> None:
     100 TB this is the difference between scanning the corpus and
     scanning nprobe/n_cells of it; Spark's partition pruning does the
     skipping from a plain ``cell IN (...)`` filter, no custom reader)."""
+    # Directory-partitioned writes get an AQE rebalance on the partition
+    # column (guide §6): without it every write task opens a file in each
+    # cell directory it touches — files = tasks × cells at scale; with it
+    # rows cluster by target directory, AQE sizes the output partitions
+    # (and splits skewed cells), so each dir holds advisory-size files.
+    # The FLAT table writes stay unhinted: their file sizes are already
+    # governed by scan/shuffle partition sizing, and a rebalance there
+    # would add a full corpus shuffle for nothing.
     qc.write.mode("overwrite").parquet(f"{path}/quantized")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cells = _ivf_assign(qc, cents, 1).select("vec_id", "cell")
-    qc.join(cells, on="vec_id").write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/cells"
-    )
+    qc.join(cells, on="vec_id").hint("rebalance", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/cells")
 
 
 def load_vector_index(
@@ -512,15 +520,21 @@ def refresh_vector_index(spark: SparkSession, path: str, new_vectors: DataFrame)
         have = _have(sub)
         return qn if have is None else qn.join(have, on="vec_id", how="left_anti")
 
+    # same keyed-rebalance treatment as _write_ivf_index for the
+    # directory-partitioned appends (an append batch is far smaller than
+    # the corpus, so unbalanced it scatters per-task KB files into every
+    # partition directory it touches); flat append stays unhinted
     _fresh("quantized").write.mode("append").parquet(f"{path}/quantized")
     fc = _fresh("cells")
-    fc.join(_ivf_assign(fc, cents, 1).select("vec_id", "cell"), on="vec_id").write.mode(
-        "append"
-    ).partitionBy("cell").parquet(f"{path}/cells")
+    fc.join(_ivf_assign(fc, cents, 1).select("vec_id", "cell"), on="vec_id").hint(
+        "rebalance", "cell"
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
     have_b = _have("buckets")
     if have_b is not None:  # IVF-only layouts carry no bucket table
         fb = qn.join(have_b, on="vec_id", how="left_anti")
-        _bucket_ids(fb).write.mode("append").partitionBy("tbl").parquet(f"{path}/buckets")
+        _bucket_ids(fb).hint("rebalance", "tbl").write.mode("append").partitionBy(
+            "tbl"
+        ).parquet(f"{path}/buckets")
 
 
 def knn_ivf_refreshed(spark: SparkSession, sf_dir: str) -> DataFrame:
