@@ -652,8 +652,12 @@ _DP_MAX_CONDITIONS = 13
 _BCAST_CARTESIAN_MAX_ROWS = 1_000_000
 
 #: broadcast-hint a pattern scan into its equi-join when its predicate edge
-#: set's EXACT count stays under this (≤ 2 longs/row → ≤ 16 MB build side)
-_BCAST_JOIN_MAX_ROWS = 1_000_000
+#: set's EXACT count stays under this (≤ 2 longs/row → ≤ ~5 MB build side,
+#: aligned with the session's 4 MB autoBroadcastJoinThreshold).  Lowered from
+#: 1M in r10: a broadcast build is driver-serial, and the measured crossover
+#: on the open store is in the low-hundreds-of-thousands of rows — 600k-row
+#: sides joined 3-4x faster as shuffle joins (OPTIMIZATION_r10.md).
+_BCAST_JOIN_MAX_ROWS = 300_000
 
 
 def _bcast_pattern_ok(stats: "TripleStats | None", store: TripleStore, cond: Condition) -> bool:

@@ -13,6 +13,10 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: session default for spark.sql.autoBroadcastJoinThreshold (bytes, as str) —
+#: also what tests restore after temporarily flipping the conf
+AUTO_BCAST_THRESHOLD = os.environ.get("SPARK_GRAFT_AUTOBCAST", str(4 * 1024 * 1024))
+
 
 def get_spark(app_name: str = "dream_spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for the engine.
@@ -56,7 +60,20 @@ def get_spark(app_name: str = "dream_spark", master: str | None = None) -> Spark
         # drive join *selection* (broadcast thresholds), just not order.
         .config("spark.sql.cbo.joinReorder.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # 4 MB, down from the build rounds' 32 MB (overridable via
+        # SPARK_GRAFT_AUTOBCAST).  Broadcast builds are driver-serial:
+        # collect + serialize + ship per join.  Measured on the open
+        # triple store (r10, guide §3.1): a 5-way self-join over
+        # 600k-row predicate sets runs 3.4 s with those sides broadcast
+        # vs 0.7-0.9 s as shuffle joins, while genuinely small sides
+        # (dimension tables, ≤~150k-row edge sets) still fit under 4 MB
+        # and keep their broadcast plans.  This threshold also caps
+        # AQE's runtime SMJ→BHJ conversion, which otherwise re-adds the
+        # slow broadcast from accurate cached-relation sizes.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_AUTOBCAST", str(4 * 1024 * 1024)),
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

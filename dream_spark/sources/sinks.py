@@ -372,7 +372,14 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed = ev.select(
             "event_id", "user_id", epoch_micros(ev, "ts").cast("long").alias("tsu")
         )
-        zorder_bucket(keyed, "user_id", "tsu").write.partitionBy("zbucket").parquet(path)
+        # keyed AQE rebalance before the directory-partitioned rewrite
+        # (guide §6, same treatment as the vector-index writes): without
+        # it every write task opens a file in each zbucket directory it
+        # touches — files = tasks × buckets; with it rows cluster by
+        # target directory and AQE sizes the output partitions.
+        zorder_bucket(keyed, "user_id", "tsu").hint("rebalance", "zbucket").write.partitionBy(
+            "zbucket"
+        ).parquet(path)
         back = spark.read.parquet(path)
         stats = back.groupBy(F.col("zbucket").cast("long").alias("zbucket")).agg(
             F.count("*").cast("long").alias("n_rows"),

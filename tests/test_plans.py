@@ -252,8 +252,10 @@ def test_broadcast_gate_degrades_to_shuffle_join(spark, queries):
             plan = _plan(queries[name](spark, SF_DIR))
             assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
     finally:
+        from dream_spark.session import AUTO_BCAST_THRESHOLD
+
         spark.conf.unset(BROADCAST_MAX_ROWS_CONF)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", AUTO_BCAST_THRESHOLD)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 

@@ -74,7 +74,9 @@ def test_bucketed_store_star_join_is_shuffle_free(spark, engine, tmp_path):
         assert pland.count("Exchange hashpartitioning(__id") == 1, pland
         n_decoded = dfd.count()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        from dream_spark.session import AUTO_BCAST_THRESHOLD
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", AUTO_BCAST_THRESHOLD)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     b = sorted(
         map(
