@@ -227,7 +227,7 @@ def _ivf_centroids(qc: DataFrame, n_cells: int, iters: int = IVF_TRAIN_ITERS) ->
         return hit
     cents = _ivf_seed(qc, n_cells)
     for _ in range(iters):
-        asgn = _ivf_assign(qc, cents, 1).select("vec_id", "cell")
+        asgn = _ivf_assign1(qc, cents)
         pos = qc.join(asgn, on="vec_id").select(
             "cell", F.posexplode("qe").alias("dim", "v")
         )
@@ -270,6 +270,24 @@ def _ivf_assign(q: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     )
 
 
+def _ivf_assign1(q: DataFrame, cents: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Nearest-centroid assignment for the nprobe=1 (corpus) side as ONE
+    partial-aggregating groupBy: ``min(struct(d2, cell, *carry))`` is
+    exactly ``_ivf_assign``'s argmin-with-cell-tiebreak — (d2, cell) is
+    unique per (vector, centroid) pair, so the carried payload columns
+    never decide the struct ordering, they just ride along.  vs the
+    window form: the map side pre-aggregates |q|×k pair rows down to |q|
+    before the exchange (no full sort of the pair set), and carrying
+    ``qe``/``nrm`` through the aggregate removes the vec_id join-back the
+    inverted-file writers otherwise need (one shuffle less per write)."""
+    pairs = q.crossJoin(F.broadcast(cents)).withColumn("cdot", dot_col("qe", "ce"))
+    fields = [F.expr(_D2).alias("d2"), F.col("cell")] + [F.col(c) for c in carry]
+    best = pairs.groupBy("vec_id").agg(F.min(F.struct(*fields)).alias("b"))
+    return best.select(
+        "vec_id", F.col("b.cell").alias("cell"), *[F.col(f"b.{c}").alias(c) for c in carry]
+    )
+
+
 def knn_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -288,14 +306,17 @@ def knn_ivf_topk(
     qc = corpus_quantized if corpus_quantized is not None else quantize(corpus)
     qq = quantize(queries)
     cents = centroids if centroids is not None else _ivf_centroids(qc, n_cells)
-    corpus_cells = _ivf_assign(qc, cents, 1).select(F.col("vec_id").alias("neighbor_id"), "cell")
+    corpus_cells = _ivf_assign1(qc, cents).select(F.col("vec_id").alias("neighbor_id"), "cell")
     query_cells = _ivf_assign(qq, cents, nprobe).select(F.col("vec_id").alias("query_id"), "cell")
+    # each corpus vector lives in exactly ONE cell (nprobe=1 assignment)
+    # and a query probes DISTINCT cells, so the cell join yields every
+    # (query, neighbor) pair at most once — no distinct (one Exchange
+    # less; same argument as _probe_inverted's no-dedup contract)
     cand = (
         F.broadcast(query_cells)
         .join(corpus_cells, on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     qa = qq.select(F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na"))
     qb = qc.select(F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("qb"), F.col("nrm").alias("nb"))
@@ -341,10 +362,13 @@ def _write_ivf_index(path: str, qc: DataFrame, cents: DataFrame) -> None:
     # would add a full corpus shuffle for nothing.
     qc.write.mode("overwrite").parquet(f"{path}/quantized")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    cells = _ivf_assign(qc, cents, 1).select("vec_id", "cell")
-    qc.join(cells, on="vec_id").hint("rebalance", "cell").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/cells")
+    # the fused assignment carries (qe, nrm) through the aggregate, so the
+    # inverted file needs no vec_id join-back against the corpus
+    _ivf_assign1(qc, cents, carry=("qe", "nrm")).select(
+        "vec_id", "qe", "nrm", "cell"
+    ).hint("rebalance", "cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
 
 
 def load_vector_index(
@@ -456,10 +480,20 @@ def _probe_inverted(cents: DataFrame, inverted: DataFrame, qq: DataFrame) -> Dat
     """Serve quantized queries against a cell-partitioned inverted file:
     probe each query's nprobe nearest cells, partition-prune the file scan
     with a literal ``cell IN (probed)``, exact-rerank, top-k."""
-    qcells = _ivf_assign(qq, cents, IVF_NPROBE).select(
-        F.col("vec_id").alias("query_id"), "cell"
+    # ONE bounded collect of the (query, probed cell) pairs (<= N_QUERIES x
+    # nprobe rows) serves both needs: the literal cell IN (...) pruning
+    # predicate AND the probe table itself — vs collecting distinct cells
+    # and re-evaluating the assignment subtree inside the main query (one
+    # assignment job instead of two)
+    qrows = (
+        _ivf_assign(qq, cents, IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+        .collect()
     )
-    probed = sorted(r["cell"] for r in qcells.select("cell").distinct().collect())
+    probed = sorted({r["cell"] for r in qrows})
+    qcells = qq.sparkSession.createDataFrame(
+        [(r["query_id"], r["cell"]) for r in qrows], "query_id long, cell long"
+    )
     pruned = inverted.where(F.col("cell").isin(probed))
     qa = qq.select(
         F.col("vec_id").alias("query_id"), F.col("qe").alias("qa"), F.col("nrm").alias("na")
@@ -506,35 +540,49 @@ def refresh_vector_index(spark: SparkSession, path: str, new_vectors: DataFrame)
     from pyspark.sql.utils import AnalysisException
 
     cents = spark.read.parquet(f"{path}/centroids")
-    qn = quantize(new_vectors)
+    # quantize the batch ONCE for the up-to-three artifact appends (each
+    # otherwise re-scans the input and re-runs the Arrow dot kernel); the
+    # checkpoint blocks are released before returning (the r10 residency
+    # contract), and each invocation recomputes from its inputs — this is
+    # an intra-call intermediate, not a cross-run cache
+    qn = quantize(new_vectors).localCheckpoint()
+    try:
 
-    def _have(sub: str) -> DataFrame | None:
-        # read-probe, not a path check (os.path.exists answers only for
-        # LOCAL paths — the streaming/documents.py trap)
-        try:
-            return spark.read.parquet(f"{path}/{sub}").select("vec_id").distinct()
-        except AnalysisException:
-            return None
+        def _have(sub: str) -> DataFrame | None:
+            # read-probe, not a path check (os.path.exists answers only for
+            # LOCAL paths — the streaming/documents.py trap).  No distinct:
+            # left_anti semantics are unaffected by duplicate right-side
+            # keys, so deduping here is one aggregate Exchange for nothing.
+            try:
+                return spark.read.parquet(f"{path}/{sub}").select("vec_id")
+            except AnalysisException:
+                return None
 
-    def _fresh(sub: str) -> DataFrame:
-        have = _have(sub)
-        return qn if have is None else qn.join(have, on="vec_id", how="left_anti")
+        def _fresh(sub: str) -> DataFrame:
+            have = _have(sub)
+            return qn if have is None else qn.join(have, on="vec_id", how="left_anti")
 
-    # same keyed-rebalance treatment as _write_ivf_index for the
-    # directory-partitioned appends (an append batch is far smaller than
-    # the corpus, so unbalanced it scatters per-task KB files into every
-    # partition directory it touches); flat append stays unhinted
-    _fresh("quantized").write.mode("append").parquet(f"{path}/quantized")
-    fc = _fresh("cells")
-    fc.join(_ivf_assign(fc, cents, 1).select("vec_id", "cell"), on="vec_id").hint(
-        "rebalance", "cell"
-    ).write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
-    have_b = _have("buckets")
-    if have_b is not None:  # IVF-only layouts carry no bucket table
-        fb = qn.join(have_b, on="vec_id", how="left_anti")
-        _bucket_ids(fb).hint("rebalance", "tbl").write.mode("append").partitionBy(
-            "tbl"
-        ).parquet(f"{path}/buckets")
+        # same keyed-rebalance treatment as _write_ivf_index for the
+        # directory-partitioned appends (an append batch is far smaller than
+        # the corpus, so unbalanced it scatters per-task KB files into every
+        # partition directory it touches); flat append stays unhinted
+        _fresh("quantized").write.mode("append").parquet(f"{path}/quantized")
+        # fused assignment carries (qe, nrm): no vec_id join-back, and the
+        # anti-joined batch subtree appears ONCE in the plan instead of
+        # twice (the old self-join evaluated it on both sides)
+        _ivf_assign1(_fresh("cells"), cents, carry=("qe", "nrm")).select(
+            "vec_id", "qe", "nrm", "cell"
+        ).hint("rebalance", "cell").write.mode("append").partitionBy("cell").parquet(
+            f"{path}/cells"
+        )
+        have_b = _have("buckets")
+        if have_b is not None:  # IVF-only layouts carry no bucket table
+            fb = qn.join(have_b, on="vec_id", how="left_anti")
+            _bucket_ids(fb).hint("rebalance", "tbl").write.mode("append").partitionBy(
+                "tbl"
+            ).parquet(f"{path}/buckets")
+    finally:
+        qn.unpersist()
 
 
 def knn_ivf_refreshed(spark: SparkSession, sf_dir: str) -> DataFrame:

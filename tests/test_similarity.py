@@ -313,6 +313,39 @@ def test_refresh_vector_index_matches_union_build(spark, tmp_path):
     assert spark.read.parquet(f"{path}/quantized").count() == emb.count()
 
 
+def test_ivf_assign1_matches_windowed_assignment(spark):
+    """The fused nprobe=1 assignment (_ivf_assign1: one partial-aggregating
+    min(struct(d2, cell, payload)) groupBy) must reproduce the windowed
+    argmin (_ivf_assign rank-1, ties by cell id) EXACTLY, including the
+    carried (qe, nrm) payload matching a vec_id join-back — the r10 plan
+    change the inverted-file writers and knn_ivf's corpus side rely on."""
+    from pyspark.sql import functions as F
+
+    from dream_spark.operators.dedup import quantize
+    from dream_spark.operators.similarity import (
+        IVF_K,
+        _ivf_assign,
+        _ivf_assign1,
+        _ivf_centroids,
+    )
+    from dream_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    qc = quantize(load_table(spark, SF_DIR, "embeddings"))
+    cents = _ivf_centroids(qc, IVF_K)
+    want = {
+        (r["vec_id"], r["cell"], tuple(r["qe"]), r["nrm"])
+        for r in qc.join(
+            _ivf_assign(qc, cents, 1).select("vec_id", "cell"), on="vec_id"
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], r["cell"], tuple(r["qe"]), r["nrm"])
+        for r in _ivf_assign1(qc, cents, carry=("qe", "nrm")).collect()
+    }
+    assert got == want and len(got) == qc.count()
+
+
 def test_sq8_codes_bounded_and_recall(spark):
     """SQ8 codes must lie in [0, 255]; the compressed-domain scan with
     exact rerank must (a) report the same exact cosine as brute force for
