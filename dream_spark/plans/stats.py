@@ -54,13 +54,33 @@ class PredStat:
     ndv_o: int
 
 
+#: collect exact per-object counts only for predicates with at most this
+#: many distinct objects (class/status/enum-shaped columns) — keeps the
+#: obj_counts table bounded at ndv_o x #low-ndv-preds rows however large
+#: the store grows
+_OBJ_COUNT_MAX_NDV = 1024
+
+
 class TripleStats:
     """count/ndv per predicate + totals, with optional JSON persistence
-    (the analog of the reference's stat files, reference Main.c:139-140)."""
+    (the analog of the reference's stat files, reference Main.c:139-140).
 
-    def __init__(self, per_pred: dict[int, PredStat], total: int):
+    ``obj_counts`` adds EXACT per-(predicate, object) counts for low-ndv_o
+    predicates (r10): a bound-object pattern like ``?C type Customer``
+    scans count(type=*, o=Customer) rows, not count(type) — without the
+    exact figure the broadcast gate had to assume the full predicate count
+    (786 K for ``type`` at sf0.1) and withhold the hint from a 15 K-row
+    scan, demoting dimension-shaped joins to sort-merge."""
+
+    def __init__(
+        self,
+        per_pred: dict[int, PredStat],
+        total: int,
+        obj_counts: dict[int, dict[int, int]] | None = None,
+    ):
         self.per_pred = per_pred
         self.total = max(total, 1)
+        self.obj_counts = obj_counts or {}
 
     @classmethod
     def collect(cls, triples: DataFrame) -> "TripleStats":
@@ -74,13 +94,33 @@ class TripleStats:
             .collect()
         )
         per = {r["p"]: PredStat(r["n"], max(r["ndv_s"], 1), max(r["ndv_o"], 1)) for r in rows}
-        return cls(per, sum(s.count for s in per.values()))
+        # exact per-object counts for enum-shaped predicates: one more
+        # bounded aggregate (approx ndv only SELECTS the predicates; the
+        # counts themselves are exact).  The collect is <= _OBJ_COUNT_MAX_NDV
+        # rows per selected predicate by construction.
+        low = [p for p, s in per.items() if s.ndv_o <= _OBJ_COUNT_MAX_NDV]
+        obj_counts: dict[int, dict[int, int]] = {}
+        if low:
+            rows2 = (
+                triples.where(F.col("p").isin(low))
+                .groupBy("p", "o")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            for r in rows2:
+                obj_counts.setdefault(r["p"], {})[r["o"]] = r["n"]
+        return cls(per, sum(s.count for s in per.values()), obj_counts)
 
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> None:
         payload = {
+            "version": 2,  # v2 adds obj_counts; v1 caches recollect
             "total": self.total,
             "per_pred": {str(p): [s.count, s.ndv_s, s.ndv_o] for p, s in self.per_pred.items()},
+            "obj_counts": {
+                str(p): {str(o): n for o, n in oc.items()}
+                for p, oc in self.obj_counts.items()
+            },
         }
         # write-then-rename: concurrent engine constructions share the cache
         # path, and a reader must never see a half-written file
@@ -105,6 +145,8 @@ class TripleStats:
         try:
             with open(path) as f:
                 payload = json.load(f)
+            if payload.get("version") != 2:
+                return None  # pre-obj_counts cache: recollect once
             # validate values NOW (int() each field): a malformed entry
             # must degrade to recollection here, not crash cardinality
             # estimation at query-planning time
@@ -112,18 +154,29 @@ class TripleStats:
                 int(p): PredStat(int(v[0]), int(v[1]), int(v[2]))
                 for p, v in payload["per_pred"].items()
             }
-            return cls(per, int(payload["total"]))
+            obj_counts = {
+                int(p): {int(o): int(n) for o, n in oc.items()}
+                for p, oc in payload["obj_counts"].items()
+            }
+            return cls(per, int(payload["total"]), obj_counts)
         # ValueError covers json.JSONDecodeError (its subclass) AND bad
         # int() casts — the documented contract is unreadable == no cache
         except (ValueError, KeyError, TypeError, IndexError, OSError):
             return None  # unreadable cache == no cache: caller recollects
 
     # -- estimation ---------------------------------------------------------
-    def pattern_cardinality(self, pred_id: int | None, s_const: bool, o_const: bool) -> float:
+    def pattern_cardinality(
+        self, pred_id: int | None, s_const: bool, o_const: bool, o_id: int | None = None
+    ) -> float:
         """Estimated matches for one triple pattern under independence.
 
         Same role as the reference's per-subquery resultSize lookups
         (PlanCostEstimator.cpp:434-437), without ever executing anything.
+        ``o_id`` (the scan's bound object-slot id, when the caller knows it)
+        upgrades the o-slot selectivity from the independence estimate
+        count/ndv_o to the EXACT per-object count where obj_counts covers
+        the predicate — skewed enum objects (type=Lineitem vs type=Region)
+        stop being averaged together.
         """
         if pred_id is None:  # variable predicate: whole table minus nothing
             n = float(self.total)
@@ -133,8 +186,30 @@ class TripleStats:
             if st is None:
                 return 0.0  # predicate absent => provably empty pattern
             n, ndv_s, ndv_o = float(st.count), float(st.ndv_s), float(st.ndv_o)
+            if o_const and o_id is not None:
+                oc = self.obj_counts.get(pred_id)
+                if oc is not None:
+                    n = float(oc.get(o_id, 0))  # exact; absent obj => empty
+                    if s_const:
+                        n /= ndv_s
+                    return max(n, 1e-3)
         if s_const:
             n /= ndv_s
         if o_const:
             n /= ndv_o
         return max(n, 1e-3)
+
+    def exact_pattern_bound(self, pred_id: int, o_id: int | None = None) -> int | None:
+        """EXACT upper bound on a pattern scan's row count, or None when no
+        exact figure exists: the per-(pred, obj) count when the scan's
+        object slot is bound and obj_counts covers the predicate, else the
+        predicate total.  This is what the translator's broadcast gate
+        keys on — never an independence estimate."""
+        st = self.per_pred.get(pred_id)
+        if st is None:
+            return 0
+        if o_id is not None:
+            oc = self.obj_counts.get(pred_id)
+            if oc is not None:
+                return oc.get(o_id, 0)
+        return st.count

@@ -248,6 +248,28 @@ def _identity_domain(
     return _condition_frame(store, c2).select(F.col(v).alias("n")).distinct()
 
 
+def _dict_lex(store: TripleStore, id_alias: str, lex_alias: str) -> DataFrame:
+    """The dictionary projected to ``(id_alias, lex_alias)`` with a
+    size-gated broadcast hint — the build side of every decode, regex and
+    string-function join.  The session's 4 MB autoBroadcastJoinThreshold
+    (retuned r10 for the 600 K-row PATTERN sides, where a driver-serial
+    broadcast build loses to a shuffle join) also demoted these dict joins
+    to sort-merge, which re-shuffled the whole dictionary per decode —
+    measured 2-3x slower on the decode-family entries (sparql_bind_concat
+    0.86->2.11 s, count_decode, filter_regex/strends/substr).  Unlike a
+    pattern side, the dict join's OTHER side is a result stream, so the
+    shuffle moves the full dictionary every time; the broadcast is built
+    once and reused across a plan's slots (BroadcastExchange reuse).  Gate
+    on the store's memoized row count: past ``BROADCAST_MAX_ROWS_CONF``
+    (a 100-TB dictionary) it stays a shuffle join."""
+    from dream_spark.functions.joins import broadcast_if_small
+
+    lex = store.dictionary.select(
+        F.col("id").alias(id_alias), F.col("lexical").alias(lex_alias)
+    )
+    return broadcast_if_small(lex, known_count=store.dict_count())
+
+
 def _row_pred(f, store, numeric_cols: frozenset[str]):
     """One row-local FILTER form as a Column predicate:
 
@@ -393,9 +415,7 @@ def _apply_filters(
                 )
                 plan = plan.where(F.expr(f"struct({cols}) IN ({lits})"))
         elif f.kind == "regex":
-            lex = store.dictionary.select(
-                F.col("id").alias(f.var), F.col("lexical").alias(f"__flex_{tag}{i}")
-            )
+            lex = _dict_lex(store, f.var, f"__flex_{tag}{i}")
             plan = plan.join(lex, on=f.var).where(
                 F.col(f"__flex_{tag}{i}").rlike(f.pattern)
             ).drop(f"__flex_{tag}{i}")
@@ -407,9 +427,7 @@ def _apply_filters(
             # column.  Like regex, the inner join drops unbound (NULL)
             # variables — a string function on an unbound term is a SPARQL
             # type error, so the row drops on both engines.
-            lex = store.dictionary.select(
-                F.col("id").alias(f.var), F.col("lexical").alias(f"__fstr_{tag}{i}")
-            )
+            lex = _dict_lex(store, f.var, f"__fstr_{tag}{i}")
             c = F.col(f"__fstr_{tag}{i}")
             if f.kind == "strlen":
                 ln = F.length(c)
@@ -527,6 +545,17 @@ def _condition_frame(
     return df.select(*cols)
 
 
+def _scan_o_id(store: TripleStore, cond: Condition) -> int | None:
+    """The dictionary id bound to the SCAN's o slot, when there is one —
+    the obj term normally, the subj term for inverse predicates.  Feeds
+    the exact per-object stats (obj_counts) into estimation and the
+    broadcast gate."""
+    term = cond.subj if cond.pred.is_inverse else cond.obj
+    if term.is_var:
+        return None
+    return store.resolve(term.lexical)
+
+
 def _estimate(stats: TripleStats | None, store: TripleStore, cond: Condition) -> float:
     if stats is None:
         return 1.0
@@ -542,14 +571,15 @@ def _estimate(stats: TripleStats | None, store: TripleStore, cond: Condition) ->
             for x in cond.pred.alternatives
         )
         return max(total - excl, 1.0)
+    o_id = None if cond.pred.is_var or cond.pred.is_path_closure else _scan_o_id(store, cond)
     if cond.pred.is_alternation:
         # alternation scans the union of the predicates' edge sets
         return sum(
-            stats.pattern_cardinality(store.resolve(x), s_bound, o_bound)
+            stats.pattern_cardinality(store.resolve(x), s_bound, o_bound, o_id)
             for x in cond.pred.alternatives
         )
     pred_id = None if cond.pred.is_var else store.resolve(cond.pred.lexical)
-    return stats.pattern_cardinality(pred_id, s_bound, o_bound)
+    return stats.pattern_cardinality(pred_id, s_bound, o_bound, o_id)
 
 
 def _var_ndvs(stats: TripleStats | None, store: TripleStore, cond: Condition, card: float) -> dict[str, float]:
@@ -677,11 +707,16 @@ def _bcast_pattern_ok(stats: "TripleStats | None", store: TripleStore, cond: Con
     if stats is None or cond.pred.is_var or cond.pred.is_negated or cond.pred.is_path_closure:
         return False
     preds = cond.pred.alternatives if cond.pred.is_alternation else (cond.pred.lexical,)
+    # bound-object patterns bound by the EXACT per-(pred, obj) count where
+    # obj_counts covers the predicate (r10: ``?C type Customer`` is a
+    # 15 K-row scan, not a 786 K-row one — without the per-object figure
+    # the gate demoted every dimension-shaped join to sort-merge)
+    o_id = _scan_o_id(store, cond)
     total = 0
     for x in preds:
-        st = stats.per_pred.get(store.resolve(x))
-        if st is not None:
-            total += st.count
+        bound = stats.exact_pattern_bound(store.resolve(x), o_id)
+        if bound is not None:
+            total += bound
     return total <= _BCAST_JOIN_MAX_ROWS
 
 
@@ -812,9 +847,7 @@ def translate(
                 plan = sem_s.unionByName(sem_o).select("s", "p", "o").distinct()
         if decode:
             for slot in ("s", "p", "o"):
-                lex = store.dictionary.select(
-                    F.col("id").alias(slot), F.col("lexical").alias(f"__dlex_{slot}")
-                )
+                lex = _dict_lex(store, slot, f"__dlex_{slot}")
                 plan = (
                     plan.join(lex, on=slot, how="left")
                     .drop(slot)
@@ -872,9 +905,7 @@ def translate(
         )
         if decode:
             for slot in ("s", "p", "o"):
-                lex = store.dictionary.select(
-                    F.col("id").alias(slot), F.col("lexical").alias(f"__clex_{slot}")
-                )
+                lex = _dict_lex(store, slot, f"__clex_{slot}")
                 plan = (
                     plan.join(lex, on=slot, how="left")
                     .drop(slot)
@@ -1080,9 +1111,7 @@ def translate(
                     continue
                 if v not in seen:
                     tmpc = f"__bs_{alias}_{v}"
-                    lex = store.dictionary.select(
-                        F.col("id").alias(v), F.col("lexical").alias(tmpc)
-                    )
+                    lex = _dict_lex(store, v, tmpc)
                     plan = plan.join(lex, on=v, how="left")
                     seen[v] = tmpc
                     tmp_cols.append(tmpc)
@@ -1109,9 +1138,7 @@ def translate(
         # distinct gc var; the dictionary is the small side by construction)
         gc_vars = sorted({a.var for a in query.aggregates if a.fn == "group_concat"})
         for v in gc_vars:
-            lex = store.dictionary.select(
-                F.col("id").alias(v), F.col("lexical").alias(f"__gc_{v}")
-            )
+            lex = _dict_lex(store, v, f"__gc_{v}")
             plan = plan.join(lex, on=v, how="left")
 
         def _agg_col(a):
@@ -1194,9 +1221,7 @@ def translate(
         if decode:
             # decode the (id-valued) group columns only — counts pass through
             for v in query.group_by:
-                lex = store.dictionary.select(
-                    F.col("id").alias(v), F.col("lexical").alias(f"__glex_{v}")
-                )
+                lex = _dict_lex(store, v, f"__glex_{v}")
                 plan = (
                     plan.join(lex, on=v, how="left")
                     .drop(v)
@@ -1242,7 +1267,7 @@ def translate(
             F.posexplode(F.array(*[F.col(v) for v in proj])).alias("__slot", "__id"),
         )
         dec = plan.join(
-            store.dictionary.select(F.col("id").alias("__id"), "lexical"),
+            _dict_lex(store, "__id", "lexical"),
             on="__id",
             how="left",
         )

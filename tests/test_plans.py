@@ -132,6 +132,68 @@ def test_sparql_pattern_broadcast_gate(engine):
     assert not _bcast_pattern_ok(small, store, closure)  # closure > edges
 
 
+def test_bcast_gate_uses_exact_object_counts(engine):
+    """A bound-object pattern must gate on the EXACT per-(pred, obj) count
+    where obj_counts covers the predicate (``?C type Customer`` is a
+    15 K-row scan even though ``type`` totals 786 K edges at sf0.1), and
+    fall back to the predicate total where it does not — both directions
+    exact bounds, never estimates."""
+    from dream_spark.plans.sparql import parse_sparql
+    from dream_spark.plans.stats import PredStat, TripleStats
+    from dream_spark.plans.translator import _bcast_pattern_ok
+
+    store = engine.store
+    tid = store.resolve("type")
+    cust = store.resolve("Customer")
+    cond = parse_sparql("select ?C where { ?C type Customer }").conditions[0]
+    # predicate total far over the gate; the one object's count far under
+    with_oc = TripleStats({tid: PredStat(10_000_000, 1, 7)}, 10_000_000, {tid: {cust: 15_000}})
+    assert _bcast_pattern_ok(with_oc, store, cond)
+    # same predicate, a hub object past the gate: hint withheld
+    hub = TripleStats({tid: PredStat(10_000_000, 1, 7)}, 10_000_000, {tid: {cust: 600_000}})
+    assert not _bcast_pattern_ok(hub, store, cond)
+    # no obj_counts coverage: conservative predicate-total bound applies
+    no_oc = TripleStats({tid: PredStat(10_000_000, 1, 7)}, 10_000_000)
+    assert not _bcast_pattern_ok(no_oc, store, cond)
+    # the physical consequence: the dimension-shaped type join broadcasts
+    p = engine.sparql(
+        "select ?C ?NM where { ?C type Customer . ?C name ?NM }", decode=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_stats_obj_counts_roundtrip_and_estimates(tmp_path, engine):
+    """obj_counts must survive the JSON cache and sharpen the bound-object
+    cardinality estimate from count/ndv_o to the exact per-object figure."""
+    from dream_spark.plans.stats import TripleStats
+
+    st = engine.stats
+    assert st is not None and st.obj_counts, "low-ndv predicates must be covered"
+    path = str(tmp_path / "s.json")
+    st.save(path)
+    st2 = TripleStats.load(path)
+    assert st2 is not None and st2.obj_counts == st.obj_counts
+    # exact estimate: a skewed enum object stops being averaged
+    tid = engine.store.resolve("type")
+    oc = st.obj_counts.get(tid)
+    assert oc, "type is enum-shaped and must carry exact object counts"
+    some_obj, exact = next(iter(oc.items()))
+    assert st.pattern_cardinality(tid, False, True, some_obj) == float(exact)
+
+
+def test_decode_dict_join_broadcasts(engine):
+    """Every dictionary decode join (regex/string filters, final id2name)
+    carries the size-gated broadcast hint: at bench SF the dict is the
+    build side, so the result stream is never sort-merge-shuffled against
+    a re-shuffled dictionary (r10: the 4 MB session threshold had demoted
+    these to SMJ, 2-3x slower across the decode family)."""
+    p = engine.sparql(
+        'select ?C ?NM where { ?C type Customer . ?C name ?NM . filter strends(?NM, "7") }',
+        decode=True,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p
+
+
 def test_sparql_subquery_outer_pattern_broadcasts(engine):
     """The analytic subquery shape (aggregate ⋈ one dimension-like outer
     pattern) broadcasts the exact-count-bounded outer side instead of
