@@ -870,19 +870,37 @@ def connected_components(
         # pre-r10 form paid the full upstream plan compile just to learn
         # the count); e's partitioning is the upstream's, so 2x e = sym
         if loop_par is not None and 2 * e.rdd.getNumPartitions() > 2 * loop_par:
-            sym = sym.repartition(loop_par)
+            # keyed repartition: locally just caps the per-round task count;
+            # past the broadcast gate (a 100-TB graph) the b-partitioned
+            # cache lets each round's label join reuse the partitioning
+            # instead of re-shuffling the 2|E| rows (pagerank's
+            # co-partitioned-superstep argument, guide §2.4)
+            sym = sym.repartition(loop_par, "b")
         sym = sym.persist()
+        # Round 0 FUSED into the init (r10): with initial label(x) = x the
+        # first neighbor-min round is exactly least(a, min(b)) grouped by a
+        # — one partial-aggregated pass over sym replaces the separate
+        # node-set distinct (a full 2|E| aggregate that existed only to
+        # write x=x labels) plus the first join round.  __old = a is the
+        # initial label, so the convergence probe semantics are unchanged.
         labels = (
-            sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+            sym.groupBy("a")
+            .agg(F.min("b").alias("__nb"))
+            .select(
+                F.col("a").alias("node"),
+                F.col("a").alias("__old"),
+                F.least(F.col("a"), F.col("__nb")).alias("label"),
+            )
         ).localCheckpoint()
-        # The label/nbr frames are NODE-count-sized and — being checkpoint
+        # The label frames are NODE-count-sized and — being checkpoint
         # scans — carry no usable size stats, so without a hint every
         # round sort-merge-joins them against the EDGE-sized sym (the
         # 2|E|-row shuffle was the measured round cost, r10; guide §3.1).
         # Size-gate the broadcast on the node count (known once, constant
         # across rounds): below the gate each round is a map-side
         # broadcast join + partial-agg and only node-sized rows shuffle;
-        # past the gate (a 100-TB node table) it stays SMJ, unchanged.
+        # past the gate (a 100-TB node table) it degrades to a keyed
+        # shuffle join against the b-partitioned sym cache.
         from dream_spark.functions.joins import broadcast_if_small
 
         n_nodes = labels.count()
@@ -893,27 +911,43 @@ def connected_components(
         # driver GC (r9: resident checkpoint blocks taxed the next
         # same-session iterative job 1.5-2x at the 100x decade)
         labels_ckpt = labels
-        for it in range(_CC_MAX_ITERS):
-            nbr = (
-                sym.join(bcast(labels), sym.b == labels.node)
-                .groupBy("a")
-                .agg(F.min("label").alias("nbr_min"))
+        converged = False
+        for it in range(1, _CC_MAX_ITERS + 1):
+            # convergence probe FIRST (a filter over the already-
+            # materialized checkpoint): the previous round's frame carries
+            # its __old label, so detecting the fixed point costs no join
+            if not labels.where(F.col("label") != F.col("__old")).limit(1).count():
+                converged = True
+                break
+            cur = labels.select("node", "label")
+            # ONE-AGGREGATE round (r10): the neighbor-label contributions
+            # and the node's own label meet in a single partial-aggregated
+            # union — min(label) is the new label, and the self row carries
+            # the old one out for the next probe.  The pre-r10 form ran a
+            # second node-keyed join (labels LEFT JOIN nbr_min) plus its
+            # own broadcast build per round for the same result.
+            upd = sym.join(bcast(cur), sym.b == cur.node).select(
+                F.col("a").alias("node"), "label", F.lit(False).alias("__self")
             )
-            # carry the OLD label through the checkpointed frame so the
-            # convergence probe is a filter over already-materialized
-            # partitions instead of a third node-keyed join per round
-            # (the probe join was ~1/3 of each round's work)
+            slf = cur.select("node", "label", F.lit(True).alias("__self"))
             half = (
-                labels.join(bcast(nbr), labels.node == nbr.a, "left")
-                .select(
-                    "node",
-                    F.col("label").alias("__old"),
-                    F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+                upd.unionByName(slf)
+                .groupBy("node")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.max(F.when(F.col("__self"), F.col("label"))).alias("__old"),
                 )
+                .select("node", "__old", "label")
             ).localCheckpoint()
             release_local_checkpoint(labels_ckpt)  # superseded by `half`
             if it < _CC_DOUBLE_FROM:
                 merged = half
+            elif not half.where(F.col("label") != F.col("__old")).limit(1).count():
+                # the neighbor-min round already reached the fixed point:
+                # doubling (an accelerator) would join for nothing
+                labels, labels_ckpt = half, half
+                converged = True
+                break
             else:
                 # pointer doubling: label ← label(label).  Neighbor-min
                 # alone converges in O(diameter) rounds — a 100-long path
@@ -935,14 +969,11 @@ def connected_components(
                     .select("node", "__old", F.coalesce("__ll", "label").alias("label"))
                 ).localCheckpoint()
                 release_local_checkpoint(half)  # superseded by `merged`
-            changed = (
-                merged.where(F.col("label") != F.col("__old")).limit(1).count()
-            )
-            labels = merged.select("node", "label")
+            # no probe here: the next iteration's top-of-loop filter reads
+            # the checkpointed frame (and its carried __old) for free
+            labels = merged
             labels_ckpt = merged
-            if not changed:
-                break
-        else:
+        if not converged:
             # 2^25 ≫ any real diameter: reaching here means a logic bug,
             # and unconverged labels are WRONG answers — fail loud.
             raise RuntimeError(
