@@ -563,17 +563,39 @@ def _bm25_qterms(tf: DataFrame, n_queries: int) -> DataFrame:
 
 
 def _bm25_score(
-    tf: DataFrame, dfreq: DataFrame, dl: DataFrame, scal: DataFrame, qterms: DataFrame, k: int
+    tf: DataFrame,
+    dfreq: DataFrame,
+    dl: DataFrame,
+    scal: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    dfreq_query_bounded: bool = False,
 ) -> DataFrame:
     """The shared BM25 scoring join: the (query_id, qtok) table broadcasts
     onto the postings, statistics attach, per-term quantized scores sum,
     window top-k.  One definition for the inline path and the
-    persisted-index serve path, so the two entries cannot drift."""
+    persisted-index serve path, so the two entries cannot drift.
+
+    The df attach (r10): only query terms can survive the qterms join, so
+    dfreq is semi-filtered to the query's distinct terms first and the
+    remainder broadcast UNCONDITIONALLY — it is at most one row per query
+    term, the same bounded-by-the-query-set contract as the qterms
+    broadcast itself.  Without the filter the join's build side is the
+    VOCABULARY (corpus-scale at 100 TB), which sort-merge re-shuffled the
+    whole df table against a query-bounded scored stream."""
     idf = _bm25_idf_sql("n_docs", "df").format(d="div")
     sat = _bm25_sat_sql("tf", "dl", "avgdl").format(d="div")
+    if dfreq_query_bounded:
+        # caller already restricted dfreq to the query terms (the serve
+        # path's inline tok IN (...) gate): the semi-join would re-derive
+        # what the literal filter guarantees — broadcast directly
+        dfreq_q = F.broadcast(dfreq)
+    else:
+        qt = qterms.select(F.col("qtok").alias("tok")).distinct()
+        dfreq_q = F.broadcast(dfreq.join(F.broadcast(qt), "tok", "left_semi"))
     scored = (
         tf.join(F.broadcast(qterms), (tf["tok"] == qterms["qtok"]) & (tf["doc_id"] != qterms["query_id"]))
-        .join(dfreq, on="tok")
+        .join(dfreq_q, on="tok")
         .join(dl, on="doc_id")
         .crossJoin(F.broadcast(scal))
         .select(
@@ -772,6 +794,7 @@ def bm25_serve(
     if len(terms) <= _BM25_INLINE_TERMS:
         postings = postings.where(F.col("tok").isin(terms))
         lex = lex.where(F.col("tok").isin(terms))
+        return _bm25_score(postings, lex, dl, stats, qterms, k, dfreq_query_bounded=True)
     return _bm25_score(postings, lex, dl, stats, qterms, k)
 
 
