@@ -740,6 +740,65 @@ def greedy_order(conditions: list[Condition], est: dict[int, float]) -> list[Con
     return order
 
 
+def _articulation_split(conditions: list[Condition]) -> tuple[list[list[Condition]], str] | None:
+    """Split a CONNECTED pattern group at an articulation VARIABLE: a
+    variable v whose edges are the only thing holding the condition graph
+    together, so removing them leaves ≥2 components of which ≥2 have ≥2
+    conditions each.  Every resulting component then shares EXACTLY {v}
+    with the others (a second shared variable would be a non-v edge,
+    contradiction), so the components compose with plain equi-joins on v.
+
+    This is what turns the self-join pair queries bushy (r10, guide
+    §2.4): ``?L1 ofOrder ?O . ?L2 ofOrder ?O . ?L1 ofPart ?P1 …`` splits
+    at O into two ISOMORPHIC branches — Catalyst's exchange reuse then
+    computes the branch's shuffles once (ReusedExchange on the second
+    side; canonicalized plans ignore the alias names), and the C(k,2)
+    pair stream on top is never exchanged at all.  The left-deep chain
+    shuffled the pair stream itself to attach the second branch's
+    patterns.  Cycles (no articulation variable) and star/dimension
+    shapes (components of size 1) are left exactly as before."""
+    if len(conditions) < 4:
+        return None
+    cvars = {c.cid: set(c.variables()) for c in conditions}
+    all_vars = sorted(set().union(*cvars.values())) if conditions else []
+
+    def _components(excl: str | None) -> list[list[Condition]]:
+        parent = {c.cid: c.cid for c in conditions}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        n = len(conditions)
+        for i in range(n):
+            for j in range(i + 1, n):
+                ci, cj = conditions[i], conditions[j]
+                if (cvars[ci.cid] & cvars[cj.cid]) - ({excl} if excl else set()):
+                    parent[find(ci.cid)] = find(cj.cid)
+        groups: dict[int, list[Condition]] = {}
+        for c in conditions:
+            groups.setdefault(find(c.cid), []).append(c)
+        return list(groups.values())
+
+    if len(_components(None)) != 1:
+        return None  # already disconnected: the chain's crossJoin handles it
+    best: tuple | None = None
+    for v in all_vars:
+        comps = _components(v)
+        if len(comps) >= 2 and sum(1 for g in comps if len(g) >= 2) >= 2:
+            # prefer the most BALANCED cut (max component smallest): the
+            # symmetric split is the one whose branches canonicalize
+            # identically and share their exchanges
+            key = (max(len(g) for g in comps), v)
+            if best is None or key < best[0]:
+                best = (key, comps, v)
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
 def _join_group(
     store: TripleStore,
     conditions: list[Condition],
@@ -749,6 +808,30 @@ def _join_group(
     """Join one pattern group (inner equi-joins on shared variables) in a
     stats-seeded order; returns (plan, bound variables)."""
     est = {c.cid: _estimate(stats, store, c) for c in conditions}
+    if use_dp and stats is not None:
+        split = _articulation_split(conditions)
+        if split is not None:
+            comps, _v = split
+            # build every component independently (recursively splittable),
+            # largest first so single-pattern components keep their
+            # broadcast hint on the probe side of the join
+            def _comp_key(g: list[Condition]) -> tuple:
+                return (-len(g), -max(est[c.cid] for c in g), min(c.cid for c in g))
+
+            comps = sorted(comps, key=_comp_key)
+            plan: DataFrame | None = None
+            bound: set[str] = set()
+            for g in comps:
+                sub, sub_bound = _join_group(store, g, stats, use_dp)
+                if len(g) == 1 and _bcast_pattern_ok(stats, store, g[0]):
+                    sub = F.broadcast(sub)
+                if plan is None:
+                    plan, bound = sub, sub_bound
+                else:
+                    plan = plan.join(sub, on=sorted(bound & sub_bound))
+                    bound |= sub_bound
+            assert plan is not None
+            return plan, bound
     if use_dp and stats is not None and len(conditions) <= _DP_MAX_CONDITIONS:
         ndvs = {c.cid: _var_ndvs(stats, store, c, est[c.cid]) for c in conditions}
         order = dp_order(conditions, est, ndvs)
@@ -756,6 +839,7 @@ def _join_group(
         order = greedy_order(conditions, est)
     plan: DataFrame | None = None
     bound: set[str] = set()
+    first_cond: Condition | None = None  # broadcast-hint the base side once
     for cond in order:
         ident = None
         if cond.pred.is_zero_or_more or cond.pred.is_zero_or_one:
@@ -763,11 +847,21 @@ def _join_group(
         cdf = _condition_frame(store, cond, identity_nodes=ident)
         if plan is None:
             plan = cdf
+            first_cond = cond
         else:
             shared = sorted(bound & set(cond.variables()))
             if shared:
                 if _bcast_pattern_ok(stats, store, cond):
                     cdf = F.broadcast(cdf)
+                elif first_cond is not None and _bcast_pattern_ok(stats, store, first_cond):
+                    # the order starts at the most selective pattern, so a
+                    # small base joining a large side must hint ITSELF
+                    # (BuildLeft) — the chain only ever hinted the joined
+                    # side, which left a small-first two-pattern group
+                    # sort-merging (surfaced by the r10 bushy split, whose
+                    # sub-groups are exactly that shape)
+                    plan = F.broadcast(plan)
+                first_cond = None  # the base is no longer a single pattern
                 plan = plan.join(cdf, on=shared)
             else:
                 # Disconnected component (reference O7: bag-union cross
