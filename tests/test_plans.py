@@ -194,6 +194,55 @@ def test_decode_dict_join_broadcasts(engine):
     assert "SortMergeJoin" not in p
 
 
+def test_articulation_split_targets_and_guards(engine):
+    """The bushy split fires exactly on hub-variable self-join shapes and
+    nowhere else: the pair query splits at its most BALANCED articulation
+    variable (?O — 3+3, not ?L1's 2+4); a 5-cycle (2-connected) and a
+    star (size-1 components) return None and keep their left-deep chain."""
+    from dream_spark.plans.sparql import parse_sparql
+    from dream_spark.plans.translator import _articulation_split
+
+    pair = parse_sparql(
+        "select ?L1 ?L2 ?S1 ?S2 where { ?L1 ofOrder ?O . ?L2 ofOrder ?O ."
+        " ?L1 ofPart ?P1 . ?L2 ofPart ?P2 . ?P1 size ?S1 . ?P2 size ?S2 }"
+    )
+    split = _articulation_split(pair.conditions)
+    assert split is not None
+    comps, v = split
+    assert v == "O" and sorted(len(g) for g in comps) == [3, 3]
+
+    cycle = parse_sparql(
+        "select ?L ?C ?S ?N where { ?L suppliedBy ?S . ?S inNation ?N ."
+        " ?C inNation ?N . ?O placedBy ?C . ?L ofOrder ?O }"
+    )
+    assert _articulation_split(cycle.conditions) is None  # 2-connected
+
+    star = parse_sparql(
+        "select ?C ?NM ?N ?MS where { ?C type Customer . ?C name ?NM ."
+        " ?C inNation ?N . ?C mktsegment ?MS }"
+    )
+    assert _articulation_split(star.conditions) is None  # size-1 components
+
+
+def test_pair_query_plans_bushy(engine):
+    """Physical consequences of the split on the pair shape: each branch
+    broadcast-builds its small size pattern (2 BroadcastHashJoin — the
+    left-deep chain had 1), and the cross-branch arithmetic filter fuses
+    into the top join condition, so the C(k,2) pair stream is never
+    materialized below a standalone Filter or exchanged."""
+    df = engine.sparql(
+        "select ?L1 ?L2 ?S1 ?S2 where { ?L1 ofOrder ?O . ?L2 ofOrder ?O ."
+        " ?L1 ofPart ?P1 . ?L2 ofPart ?P2 . ?P1 size ?S1 . ?P2 size ?S2 ."
+        " filter (abs(?S1 - ?S2) >= 45) }",
+        decode=False,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the top pair join carries the filter as its join condition
+    top = plan[plan.index("Join"):].splitlines()[0]
+    assert "abs(" in top
+
+
 def test_sparql_subquery_outer_pattern_broadcasts(engine):
     """The analytic subquery shape (aggregate ⋈ one dimension-like outer
     pattern) broadcasts the exact-count-bounded outer side instead of
