@@ -66,13 +66,28 @@ def test_bucketed_store_star_join_is_shuffle_free(spark, engine, tmp_path):
         assert "SortMergeJoin" in plan
         a = sorted(map(tuple, df.collect()))
 
-        # §6.4: decode must never shuffle the dictionary — the only __id
-        # exchange is the (small) melted result side aligning to the
-        # dict's buckets
+        # §6.4: decode must never hash-shuffle the DICTIONARY, in either
+        # regime of the size-gated decode broadcast (r10):
+        #  - under the gate (a local-scale dict) the dict side is an
+        #    explicit broadcast hint — no __id exchange at all;
+        #  - past the gate (a 100-TB dict; forced here via maxRows=0) the
+        #    bucketed layout serves the join — the only __id exchange is
+        #    the (small) melted result side aligning to the dict's buckets.
+        from dream_spark.functions.joins import BROADCAST_MAX_ROWS_CONF
+
         dfd = translate(st, q, None, decode=True)
         pland = dfd._jdf.queryExecution().executedPlan().toString()
-        assert pland.count("Exchange hashpartitioning(__id") == 1, pland
-        n_decoded = dfd.count()
+        assert pland.count("Exchange hashpartitioning(__id") == 0, pland
+        assert "BroadcastExchange" in pland, pland
+        spark.conf.set(BROADCAST_MAX_ROWS_CONF, "0")
+        try:
+            dfd = translate(st, q, None, decode=True)
+            pland = dfd._jdf.queryExecution().executedPlan().toString()
+            assert pland.count("Exchange hashpartitioning(__id") == 1, pland
+            assert "BroadcastExchange" not in pland, pland
+            n_decoded = dfd.count()
+        finally:
+            spark.conf.unset(BROADCAST_MAX_ROWS_CONF)
     finally:
         from dream_spark.session import AUTO_BCAST_THRESHOLD
 
