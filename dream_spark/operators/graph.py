@@ -445,15 +445,17 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     COMPACT-FORWARD counting over the degree-ordered adjacency (never
     materialize the wedge stream): explode each node's out-neighbor
-    array back to oriented edges, re-attach both endpoints' arrays, and
-    sum |N+(u) ∩ N+(v)| per edge — each triangle has exactly one node
-    pointing at the other two (its lowest-(deg,id) corner), so the sum
-    counts every triangle once.  Intermediates stay EDGE-sized (two
-    O(√m)-bounded arrays ride each edge row); the Σ C(outdeg,2) wedge
-    stream is never enumerated as rows.  The adjacency attach joins are
-    size-gate-broadcast on the EDGE count (the broadcast payload is the
-    total array-entry count, not the row count); past the gate they
-    degrade to keyed edge-count shuffles — still never wedge-sized.
+    array back to oriented edges — N+(u) rides along for FREE (it is the
+    array being exploded), so only the dst endpoint's array needs an
+    attach join — and sum |N+(u) ∩ N+(v)| per edge: each triangle has
+    exactly one node pointing at the other two (its lowest-(deg,id)
+    corner), so the sum counts every triangle once.  Intermediates stay
+    EDGE-sized (two O(√m)-bounded arrays ride each edge row); the
+    Σ C(outdeg,2) wedge stream is never enumerated as rows.  The one
+    adjacency attach join is size-gate-broadcast on the EDGE count (the
+    broadcast payload is the total array-entry count, not the row
+    count); past the gate it degrades to a keyed edge-count shuffle —
+    still never wedge-sized.
     The oracle counts the same triangles with the plain a<b<c triple
     self-join — identical value, no orientation needed at oracle scale."""
     from dream_spark.functions.joins import broadcast_if_small
@@ -471,10 +473,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint"), F.lit(0)
         ).alias("n_wedges"),
     )
-    oriented = adj.select("src", F.explode("nb").alias("dst"))
-    adj_u = broadcast_if_small(
-        adj.select(F.col("src").alias("__u"), F.col("nb").alias("nu")),
-        known_count=n_edges_gate,
+    # nu = N+(src) is the very array the explode unrolls — project it
+    # alongside the explode instead of joining the adjacency back on src
+    # (the pre-r10 shape paid a whole second adjacency attach — one more
+    # broadcast build under the gate, two more Exchanges past it — to
+    # re-fetch an array each oriented edge already came from)
+    oriented = adj.select(
+        F.col("nb").alias("nu"), F.explode("nb").alias("dst")
     )
     adj_v = broadcast_if_small(
         adj.select(F.col("src").alias("__v"), F.col("nb").alias("nv")),
@@ -482,7 +487,6 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = (
         oriented
-        .join(adj_u, F.col("src") == F.col("__u"))
         .join(adj_v, F.col("dst") == F.col("__v"), "left")
         .select(
             F.size(F.array_intersect("nu", F.coalesce("nv", F.array()))).alias("t")
