@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dream_spark.functions.joins import broadcast_if_small
-from dream_spark.functions.vectors import cos_sql, dot_col, dot_sql, dot_udf, l2_col, l2_sql
+from dream_spark.functions.vectors import cos_sql, dot_col, dot_sql, l2_col, l2_sql
 from dream_spark.operators.dedup import (
     _bucket_ids,
     _duck_buckets,
@@ -219,36 +219,59 @@ def _ivf_centroids(qc: DataFrame, n_cells: int, iters: int = IVF_TRAIN_ITERS) ->
     centroid table is materialized driver-side (k rows × dim ints): the
     assignment/probe joins broadcast it and the training lineage is
     truncated instead of being re-evaluated per downstream subtree."""
-    import pandas as pd
-
     key = (id(qc.sparkSession), qc.semanticHash(), n_cells, iters)
     hit = _TRAINED_CENTROIDS.get(key)
     if hit is not None:
         return hit
-    cents = _ivf_seed(qc, n_cells)
+    # Each round's centroid table is k rows × dim ints — materialize it
+    # DRIVER-SIDE per round (collect + local frame), so round r's
+    # assignment broadcast builds from a local relation instead of
+    # re-executing rounds 1..r-1's whole lineage (the lazy-chained form
+    # was quadratic in iters: every broadcast build re-ran the preceding
+    # rounds AND the corpus quantize kernel; guide §7.2's iterative-loop
+    # truncation, at the natural k-rows-fit-on-the-driver size).  cn is
+    # an exact int64 sum of squares either way — Python bigints can only
+    # agree with the UDF.
+    sess = qc.sparkSession
+    cents = _mk_local_centroids(
+        sess,
+        [(r["cell"], list(r["ce"])) for r in _ivf_seed(qc, n_cells).collect()],
+    )
     for _ in range(iters):
-        asgn = _ivf_assign1(qc, cents)
-        pos = qc.join(asgn, on="vec_id").select(
-            "cell", F.posexplode("qe").alias("dim", "v")
-        )
+        # carry qe through the fused assignment (same trick as the
+        # inverted-file writers): the means pass needs each vector's
+        # components, and carrying them beats re-joining the corpus on
+        # vec_id — one aggregate, zero joins per round
+        asgn = _ivf_assign1(qc, cents, carry=("qe",))
+        pos = asgn.select("cell", F.posexplode("qe").alias("dim", "v"))
         means = pos.groupBy("cell", "dim").agg(
             F.expr("CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)").alias("m")
         )
         ce = means.groupBy("cell").agg(
             F.expr("transform(sort_array(collect_list(struct(dim, m))), x -> x.m)").alias("ce")
         )
-        cents = ce.withColumn("cn", dot_udf()("ce", "ce")).select("cell", "ce", "cn")
-    rows = cents.collect()
+        cents = _mk_local_centroids(
+            sess, [(r["cell"], list(r["ce"])) for r in ce.collect()]
+        )
+    _TRAINED_CENTROIDS[key] = cents
+    return cents
+
+
+def _mk_local_centroids(sess: SparkSession, rows: list) -> DataFrame:
+    """(cell, ce, cn) as a driver-local Arrow frame from collected
+    ``(cell, ce)`` pairs — cn = ⟨ce, ce⟩ computed exactly in Python ints
+    (the components are int64, so the sum of squares is exact in both
+    engines' arithmetic)."""
+    import pandas as pd
+
     pdf = pd.DataFrame(
         {
-            "cell": pd.Series([r["cell"] for r in rows], dtype="int64"),
-            "ce": pd.Series([list(r["ce"]) for r in rows], dtype=object),
-            "cn": pd.Series([r["cn"] for r in rows], dtype="int64"),
+            "cell": pd.Series([c for c, _ in rows], dtype="int64"),
+            "ce": pd.Series([e for _, e in rows], dtype=object),
+            "cn": pd.Series([sum(v * v for v in e) for _, e in rows], dtype="int64"),
         }
     )
-    out = qc.sparkSession.createDataFrame(pdf, schema="cell long, ce array<long>, cn long")
-    _TRAINED_CENTROIDS[key] = out
-    return out
+    return sess.createDataFrame(pdf, schema="cell long, ce array<long>, cn long")
 
 
 #: (session id, corpus semanticHash, n_cells, iters) -> trained centroid
@@ -362,9 +385,16 @@ def _write_ivf_index(path: str, qc: DataFrame, cents: DataFrame) -> None:
     # would add a full corpus shuffle for nothing.
     qc.write.mode("overwrite").parquet(f"{path}/quantized")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    # the fused assignment carries (qe, nrm) through the aggregate, so the
-    # inverted file needs no vec_id join-back against the corpus
-    _ivf_assign1(qc, cents, carry=("qe", "nrm")).select(
+    # the cell assignment reads the flat table BACK from the parquet just
+    # written instead of re-evaluating qc: when qc is a raw quantize(...)
+    # plan (the refresh entry's corpus half) that re-evaluation is a
+    # second Arrow-kernel pass over the corpus (guide §4) — the stored
+    # rows are the same int64 values, and assignment is per-row, so the
+    # swap cannot change a cell.  The fused assignment carries (qe, nrm)
+    # through the aggregate, so the inverted file needs no vec_id
+    # join-back against the corpus.
+    qc_stored = qc.sparkSession.read.parquet(f"{path}/quantized")
+    _ivf_assign1(qc_stored, cents, carry=("qe", "nrm")).select(
         "vec_id", "qe", "nrm", "cell"
     ).hint("rebalance", "cell").write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/cells"
@@ -607,6 +637,10 @@ def knn_ivf_refreshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{base_dir}/index"
     try:
         emb = load_table(spark, sf_dir, "embeddings")
+        # the LAZY quantized frame is the _TRAINED_CENTROIDS memo key the
+        # warm pass filled; _write_ivf_index evaluates it once for the
+        # flat write and reads the stored parquet back for the cell
+        # assignment, so the Arrow quantize kernel runs ONCE per build
         qb = quantize(emb.where(F.col("vec_id") % 2 == 0))
         _write_ivf_index(path, qb, _ivf_centroids(qb, IVF_K))
         refresh_vector_index(spark, path, emb.where(F.col("vec_id") % 2 != 0))
