@@ -223,7 +223,13 @@ def write_ntriples(store, path: str, mode: str = "overwrite", max_files: int = 0
     )
 
     d = store.dictionary
-    t0 = store.triples.persist()
+    # localCheckpoint, not persist: the export set is typically a DERIVED
+    # frame over a tall store lineage (the entry exports a predicate slice
+    # of the 7-table triple union), and every downstream action here — the
+    # semi-filter build, the two fail-fast gates, the write — would re-plan
+    # that whole tree per action (the r10 CC finding, guide §7.2).  The
+    # checkpoint truncates it once; n_t is then a cached-scan count.
+    t0 = store.triples.localCheckpoint()
     n_t = t0.count()
     gate = conf_int(
         store.triples.sparkSession, BROADCAST_MAX_ROWS_CONF, DEFAULT_BROADCAST_MAX_ROWS
@@ -251,27 +257,33 @@ def write_ntriples(store, path: str, mode: str = "overwrite", max_files: int = 0
     # cached projections, not three full join evaluations
     t = t.persist()
     try:
-        # fail FAST on ids the dictionary cannot decode: concat_ws silently
-        # SKIPS nulls, which would emit a malformed 2-term line that the
-        # reader then silently drops — data loss with no error at either end
-        missing = t.where(
-            F.col("s_lex").isNull() | F.col("p_lex").isNull() | F.col("o_lex").isNull()
-        )
-        if missing.limit(1).count():
+        rendered = t.select(
+            F.col("s_lex").isNull()
+            | F.col("p_lex").isNull()
+            | F.col("o_lex").isNull(),
+            _nt_term("s_lex", "s").alias("s_t"),
+            _nt_term("p_lex", "p").alias("p_t"),
+            _nt_term("o_lex", "o").alias("o_t"),
+        ).toDF("__miss", "s_t", "p_t", "o_t")
+        # BOTH fail-fast gates in ONE aggregate job (each limit(1).count()
+        # scanned the whole frame on the happy path anyway):
+        # - undecodable ids: concat_ws silently SKIPS nulls, which would
+        #   emit a malformed 2-term line the reader then silently drops —
+        #   data loss with no error at either end;
+        # - unexportable subject/predicate terms (characters illegal in an
+        #   IRIREF): a NULL rendering must raise, not drop through.
+        # The missing-id error wins when both fire, same as the old
+        # two-job order (a missing lexical also renders NULL).
+        flags = rendered.agg(
+            F.max(F.col("__miss")).alias("any_missing"),
+            F.max(F.col("s_t").isNull() | F.col("p_t").isNull()).alias("any_bad"),
+        ).first()
+        if flags["any_missing"]:
             raise ValueError(
                 "write_ntriples: triples reference ids missing from the dictionary "
                 "(store integrity error — dictionary and triples are out of sync)"
             )
-        rendered = t.select(
-            _nt_term("s_lex", "s").alias("s_t"),
-            _nt_term("p_lex", "p").alias("p_t"),
-            _nt_term("o_lex", "o").alias("o_t"),
-        )
-        # same fail-fast contract for UNEXPORTABLE subject/predicate terms
-        # (characters illegal inside an IRIREF): a NULL rendering must
-        # raise here, not silently drop through concat_ws
-        bad = rendered.where(F.col("s_t").isNull() | F.col("p_t").isNull())
-        if bad.limit(1).count():
+        if flags["any_bad"]:
             raise ValueError(
                 "write_ntriples: a subject/predicate lexical cannot be rendered "
                 "as an IRI (whitespace, control, or <>\"{}|^`\\ in the term) — "
@@ -284,11 +296,11 @@ def write_ntriples(store, path: str, mode: str = "overwrite", max_files: int = 0
             lines = lines.coalesce(max_files)
         lines.write.mode(mode).text(path)
     finally:
-        t.unpersist()
-        t0.unpersist()
-        if slim_ckpt is not None:
-            from dream_spark.session import release_local_checkpoint
+        from dream_spark.session import release_local_checkpoint
 
+        t.unpersist()
+        release_local_checkpoint(t0)
+        if slim_ckpt is not None:
             release_local_checkpoint(slim_ckpt)
 
 
