@@ -156,6 +156,11 @@ def main() -> None:
         old_path = next((c for c in cands if load_queries(c)), None)
         if old_path is None:
             raise SystemExit("no BENCH_r*.json with per-query timings found")
+    # load the OLD side BEFORE any --write-min output: the natural closing
+    # invocation writes the refreshed map over the committed OLD path, and
+    # loading afterwards silently compared the new map against itself
+    # (always "zero movers" — a useless gate)
+    old = load_queries(old_path)
     if min_of:
         # per-query minimum across the listed runs; a query missing from
         # some run still contributes the min over the runs that have it
@@ -197,7 +202,6 @@ def main() -> None:
             print(f"wrote elementwise-min map -> {write_min}")
     else:
         new = load_queries(new_path)
-    old = load_queries(old_path)
     if not new:
         raise SystemExit(f"no per-query map found in {new_path}")
     if not old:
