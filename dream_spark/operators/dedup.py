@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from dream_spark.functions.features import duck_shingle_ids_cte, duck_token_ngram_ids_cte
 from dream_spark.functions.hashing import hash_sql
 from dream_spark.functions.joins import (
+    CC_DOUBLE_FROM_CONF,
     CC_SMALL_EDGES_CONF,
     DEFAULT_CC_SMALL_EDGES,
     broadcast_if_small,
@@ -883,6 +884,24 @@ def connected_components(
         # node-set distinct (a full 2|E| aggregate that existed only to
         # write x=x labels) plus the first join round.  __old = a is the
         # initial label, so the convergence probe semantics are unchanged.
+        #
+        # Probe/count FUSED into the materializing action (r11): an
+        # Observation on the pre-checkpoint frame is computed by the
+        # localCheckpoint job itself, so the changed-label count and the
+        # node count arrive with the round instead of costing a separate
+        # scan job each — the per-round floor here is local job latency
+        # (and at scale an extra full node-table pass), guide §1.5/§2.4.
+        from pyspark.sql import Observation
+
+        def _round_metrics():
+            return (
+                F.sum(F.when(F.col("label") != F.col("__old"), 1).otherwise(0)).alias(
+                    "__changed"
+                ),
+                F.count(F.lit(1)).alias("__n"),
+            )
+
+        obs0 = Observation()
         labels = (
             sym.groupBy("a")
             .agg(F.min("b").alias("__nb"))
@@ -891,7 +910,10 @@ def connected_components(
                 F.col("a").alias("__old"),
                 F.least(F.col("a"), F.col("__nb")).alias("label"),
             )
+            .observe(obs0, *_round_metrics())
         ).localCheckpoint()
+        _m0 = obs0.get
+        n_changed = int(_m0["__changed"] or 0)
         # The label frames are NODE-count-sized and — being checkpoint
         # scans — carry no usable size stats, so without a hint every
         # round sort-merge-joins them against the EDGE-sized sym (the
@@ -903,7 +925,7 @@ def connected_components(
         # shuffle join against the b-partitioned sym cache.
         from dream_spark.functions.joins import broadcast_if_small
 
-        n_nodes = labels.count()
+        n_nodes = int(_m0["__n"] or 0)
         bcast = lambda df: broadcast_if_small(df, known_count=n_nodes)  # noqa: E731
         # handle to the checkpointed frame currently backing `labels`:
         # once the next round's frame materializes it is superseded, and
@@ -911,13 +933,10 @@ def connected_components(
         # driver GC (r9: resident checkpoint blocks taxed the next
         # same-session iterative job 1.5-2x at the 100x decade)
         labels_ckpt = labels
-        converged = False
+        double_from = conf_int(spark, CC_DOUBLE_FROM_CONF, _CC_DOUBLE_FROM)
+        converged = n_changed == 0
         for it in range(1, _CC_MAX_ITERS + 1):
-            # convergence probe FIRST (a filter over the already-
-            # materialized checkpoint): the previous round's frame carries
-            # its __old label, so detecting the fixed point costs no join
-            if not labels.where(F.col("label") != F.col("__old")).limit(1).count():
-                converged = True
+            if converged:
                 break
             cur = labels.select("node", "label")
             # ONE-AGGREGATE round (r10): the neighbor-label contributions
@@ -926,6 +945,7 @@ def connected_components(
             # the old one out for the next probe.  The pre-r10 form ran a
             # second node-keyed join (labels LEFT JOIN nbr_min) plus its
             # own broadcast build per round for the same result.
+            obs = Observation()
             upd = sym.join(bcast(cur), sym.b == cur.node).select(
                 F.col("a").alias("node"), "label", F.lit(False).alias("__self")
             )
@@ -938,16 +958,19 @@ def connected_components(
                     F.max(F.when(F.col("__self"), F.col("label"))).alias("__old"),
                 )
                 .select("node", "__old", "label")
+                .observe(obs, *_round_metrics())
             ).localCheckpoint()
             release_local_checkpoint(labels_ckpt)  # superseded by `half`
-            if it < _CC_DOUBLE_FROM:
-                merged = half
-            elif not half.where(F.col("label") != F.col("__old")).limit(1).count():
-                # the neighbor-min round already reached the fixed point:
-                # doubling (an accelerator) would join for nothing
+            # the round's own action computed the convergence flag (r11):
+            # no per-round probe job, and no pre-doubling probe either —
+            # a zero count here IS the neighbor-min fixed point
+            n_changed = int(obs.get["__changed"] or 0)
+            if n_changed == 0:
                 labels, labels_ckpt = half, half
                 converged = True
                 break
+            if it < double_from:
+                merged = half
             else:
                 # pointer doubling: label ← label(label).  Neighbor-min
                 # alone converges in O(diameter) rounds — a 100-long path
@@ -959,18 +982,19 @@ def connected_components(
                 # checkpointed frame, so the subtree is never computed
                 # twice.  Labels stay monotone min-reachable ids, so
                 # plain coalesce (no least) is exact.  Doubling is purely
-                # an ACCELERATOR, so the first _CC_DOUBLE_FROM rounds
+                # an ACCELERATOR, so the first double_from rounds
                 # skip it: low-diameter graphs (the near-dup clique case)
                 # break the loop on neighbor-min alone without paying the
-                # extra join + checkpoint per round.
+                # extra join + checkpoint per round.  After a doubled
+                # round the next neighbor-min round always runs (doubling
+                # cannot certify a fixed point), which the old top-of-loop
+                # probe re-derived with a scan job every round.
                 lk = half.select(F.col("node").alias("__ln"), F.col("label").alias("__ll"))
                 merged = (
                     half.join(bcast(lk), half["label"] == lk["__ln"], "left")
                     .select("node", "__old", F.coalesce("__ll", "label").alias("label"))
                 ).localCheckpoint()
                 release_local_checkpoint(half)  # superseded by `merged`
-            # no probe here: the next iteration's top-of-loop filter reads
-            # the checkpointed frame (and its carried __old) for free
             labels = merged
             labels_ckpt = merged
         if not converged:

@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--top", type=int, default=0, help="take the N slowest from --from instead of a name list")
     ap.add_argument("--from", dest="from_file", default="BENCH_LAST.json")
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        help="k=v runtime conf set on the session before the warm pass (A/B knobs)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -35,6 +41,9 @@ def main() -> None:
 
     t0 = time.perf_counter()
     spark = get_spark("time_entries")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     qs = entrymod.queries()
     names: list[str]
     if args.top:
