@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from dream_spark.functions.joins import broadcast_if_small
 from dream_spark.functions.vectors import cos_sql, dot_col, dot_sql, l2_col, l2_sql
+from dream_spark.session import release_local_checkpoint
 from dream_spark.operators.dedup import (
     _bucket_ids,
     _duck_buckets,
@@ -383,22 +384,27 @@ def _write_ivf_index(path: str, qc: DataFrame, cents: DataFrame) -> None:
     # The FLAT table writes stay unhinted: their file sizes are already
     # governed by scan/shuffle partition sizing, and a rebalance there
     # would add a full corpus shuffle for nothing.
-    qc.write.mode("overwrite").parquet(f"{path}/quantized")
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    # the cell assignment reads the flat table BACK from the parquet just
-    # written instead of re-evaluating qc: when qc is a raw quantize(...)
-    # plan (the refresh entry's corpus half) that re-evaluation is a
-    # second Arrow-kernel pass over the corpus (guide §4) — the stored
-    # rows are the same int64 values, and assignment is per-row, so the
-    # swap cannot change a cell.  The fused assignment carries (qe, nrm)
-    # through the aggregate, so the inverted file needs no vec_id
-    # join-back against the corpus.
-    qc_stored = qc.sparkSession.read.parquet(f"{path}/quantized")
-    _ivf_assign1(qc_stored, cents, carry=("qe", "nrm")).select(
-        "vec_id", "qe", "nrm", "cell"
-    ).hint("rebalance", "cell").write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/cells"
-    )
+    #
+    # ONE materialization feeds BOTH writes (r11): the quantized corpus is
+    # localCheckpoint-ed, the flat write scans the blocks, and the cell
+    # assignment scans the SAME blocks — so the Arrow quantize kernel runs
+    # once per build (guide §4) and the r10 read-the-parquet-back pass
+    # (one extra DFS listing + scan per build, plus the cannot-overwrite-
+    # path-being-read hazard for in-place rebuilds flagged in r10 ADVICE)
+    # disappears.  Row equivalence is now trivial: the rows written to
+    # {path}/quantized and the rows assigned to cells are the same
+    # materialized blocks, not two evaluations argued equal.
+    qck = qc.localCheckpoint()
+    try:
+        qck.write.mode("overwrite").parquet(f"{path}/quantized")
+        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        _ivf_assign1(qck, cents, carry=("qe", "nrm")).select(
+            "vec_id", "qe", "nrm", "cell"
+        ).hint("rebalance", "cell").write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/cells"
+        )
+    finally:
+        release_local_checkpoint(qck)
 
 
 def load_vector_index(
@@ -638,9 +644,9 @@ def knn_ivf_refreshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         emb = load_table(spark, sf_dir, "embeddings")
         # the LAZY quantized frame is the _TRAINED_CENTROIDS memo key the
-        # warm pass filled; _write_ivf_index evaluates it once for the
-        # flat write and reads the stored parquet back for the cell
-        # assignment, so the Arrow quantize kernel runs ONCE per build
+        # warm pass filled; _write_ivf_index localCheckpoints it once and
+        # feeds the flat write AND the cell assignment from the same
+        # blocks, so the Arrow quantize kernel runs ONCE per build
         qb = quantize(emb.where(F.col("vec_id") % 2 == 0))
         _write_ivf_index(path, qb, _ivf_centroids(qb, IVF_K))
         refresh_vector_index(spark, path, emb.where(F.col("vec_id") % 2 != 0))
