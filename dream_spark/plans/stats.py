@@ -52,6 +52,12 @@ class PredStat:
     count: int
     ndv_s: int
     ndv_o: int
+    # EXACT max rows per distinct subject / object value of the predicate's
+    # edge set (r11) — the join-side multiplicity the broadcast gate needs
+    # to bound a JOIN RESULT exactly: |A ⋈_v B| <= |A| * mult_B(v).  0 =
+    # unknown (stats collected by an older code path): no bound claimed.
+    mult_s: int = 0
+    mult_o: int = 0
 
 
 #: collect exact per-object counts only for predicates with at most this
@@ -93,7 +99,30 @@ class TripleStats:
             )
             .collect()
         )
-        per = {r["p"]: PredStat(r["n"], max(r["ndv_s"], 1), max(r["ndv_o"], 1)) for r in rows}
+        # EXACT per-predicate max multiplicities (r11): two partial-
+        # aggregating passes, each collecting #predicates rows.  These are
+        # what lets the broadcast gate bound a join RESULT exactly
+        # (|A ⋈_v B| <= |A| * mult_B(v)) instead of only base scans.
+        mult: dict[int, list[int]] = {}
+        for slot, idx in (("s", 0), ("o", 1)):
+            mrows = (
+                triples.groupBy("p", slot)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .groupBy("p")
+                .agg(F.max("n").alias("m"))
+                .collect()
+            )
+            for r in mrows:
+                mult.setdefault(r["p"], [0, 0])[idx] = r["m"]
+        per = {
+            r["p"]: PredStat(
+                r["n"],
+                max(r["ndv_s"], 1),
+                max(r["ndv_o"], 1),
+                *mult.get(r["p"], [0, 0]),
+            )
+            for r in rows
+        }
         # exact per-object counts for enum-shaped predicates: one more
         # bounded aggregate (approx ndv only SELECTS the predicates; the
         # counts themselves are exact).  The collect is <= _OBJ_COUNT_MAX_NDV
@@ -114,9 +143,12 @@ class TripleStats:
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> None:
         payload = {
-            "version": 2,  # v2 adds obj_counts; v1 caches recollect
+            "version": 3,  # v3 adds mult_s/mult_o; older caches recollect
             "total": self.total,
-            "per_pred": {str(p): [s.count, s.ndv_s, s.ndv_o] for p, s in self.per_pred.items()},
+            "per_pred": {
+                str(p): [s.count, s.ndv_s, s.ndv_o, s.mult_s, s.mult_o]
+                for p, s in self.per_pred.items()
+            },
             "obj_counts": {
                 str(p): {str(o): n for o, n in oc.items()}
                 for p, oc in self.obj_counts.items()
@@ -145,13 +177,13 @@ class TripleStats:
         try:
             with open(path) as f:
                 payload = json.load(f)
-            if payload.get("version") != 2:
-                return None  # pre-obj_counts cache: recollect once
+            if payload.get("version") != 3:
+                return None  # pre-mult cache: recollect once
             # validate values NOW (int() each field): a malformed entry
             # must degrade to recollection here, not crash cardinality
             # estimation at query-planning time
             per = {
-                int(p): PredStat(int(v[0]), int(v[1]), int(v[2]))
+                int(p): PredStat(int(v[0]), int(v[1]), int(v[2]), int(v[3]), int(v[4]))
                 for p, v in payload["per_pred"].items()
             }
             obj_counts = {
@@ -198,6 +230,17 @@ class TripleStats:
         if o_const:
             n /= ndv_o
         return max(n, 1e-3)
+
+    def exact_slot_mult(self, pred_id: int, slot: str) -> int | None:
+        """EXACT max rows of predicate ``pred_id``'s edge set per distinct
+        value of scan slot ``slot`` ("s" or "o"), or None when unknown.
+        This is the join-fanout figure: joining any frame A to this
+        pattern on a variable in ``slot`` yields at most |A| * mult rows."""
+        st = self.per_pred.get(pred_id)
+        if st is None:
+            return 0  # absent predicate: empty edge set
+        m = st.mult_s if slot == "s" else st.mult_o
+        return m if m > 0 else None
 
     def exact_pattern_bound(self, pred_id: int, o_id: int | None = None) -> int | None:
         """EXACT upper bound on a pattern scan's row count, or None when no

@@ -720,6 +720,144 @@ def _bcast_pattern_ok(stats: "TripleStats | None", store: TripleStore, cond: Con
     return total <= _BCAST_JOIN_MAX_ROWS
 
 
+def _exact_scan_bound(stats: "TripleStats", store: TripleStore, cond: Condition) -> int | None:
+    """EXACT upper bound on one pattern scan's rows, or None.  Unlike
+    ``_bcast_pattern_ok`` this also bounds var/negated-predicate scans (by
+    the store total — exact, if loose); path-closure frames can exceed any
+    stored count and stay unbounded."""
+    if cond.pred.is_path_closure:
+        return None
+    if cond.pred.is_var or cond.pred.is_negated:
+        return stats.total
+    preds = cond.pred.alternatives if cond.pred.is_alternation else (cond.pred.lexical,)
+    o_id = _scan_o_id(store, cond)
+    total = 0
+    for x in preds:
+        bound = stats.exact_pattern_bound(store.resolve(x), o_id)
+        if bound is None:
+            return None
+        total += bound
+    return total
+
+
+def _cond_var_mult(
+    stats: "TripleStats", store: TripleStore, cond: Condition, v: str
+) -> int | None:
+    """EXACT max rows of ``cond``'s scan per value of variable ``v`` (the
+    join fanout when joining any frame to this pattern on ``v``), or None
+    when no exact figure exists."""
+    if cond.pred.is_var or cond.pred.is_negated or cond.pred.is_path_closure:
+        return None
+    # the scan's s slot carries subj (obj under an inverse predicate)
+    s_term = cond.obj if cond.pred.is_inverse else cond.subj
+    o_term = cond.subj if cond.pred.is_inverse else cond.obj
+    slots = [
+        slot
+        for slot, term in (("s", s_term), ("o", o_term))
+        if term.is_var and term.var == v
+    ]
+    if not slots:
+        return None
+    preds = cond.pred.alternatives if cond.pred.is_alternation else (cond.pred.lexical,)
+    best: int | None = None
+    for slot in slots:  # ?X p ?X: either slot's mult bounds the fanout
+        tot = 0
+        for x in preds:
+            m = stats.exact_slot_mult(store.resolve(x), slot)
+            if m is None:
+                tot = -1
+                break
+            tot += m  # union of edge sets: fanouts add (safe upper bound)
+        if tot >= 0:
+            best = tot if best is None else min(best, tot)
+    return best
+
+
+#: give up on a group bound past this (it cannot gate anything anyway and
+#: keeps the arithmetic overflow-free)
+_GROUP_BOUND_CAP = 10**15
+
+
+def _exact_group_bound(
+    stats: "TripleStats | None", store: TripleStore, conds: list[Condition]
+) -> int | None:
+    """EXACT upper bound on the rows of the inner equi-join of a pattern
+    group, or None when no exact figure exists.
+
+    For each connected component, anchor at a root scan and multiply by
+    each remaining pattern's exact join fanout on a shared variable
+    (|A ⋈_v B| <= |A| * mult_B(v)); take the best root.  Components
+    multiply (the chain composes them as cross products).  Every factor
+    is an exact maximum from the stats pass, so the figure is a hard
+    bound under ANY additional constants or filters — the same safety
+    argument as ``_bcast_pattern_ok``, lifted from scans to join results
+    (the (placedBy ⋈ inNation) side of the samenation query is 150 K rows
+    by this bound; the scan-only gate saw two patterns and proved
+    nothing)."""
+    if stats is None or not conds:
+        return None
+    cvars = {c.cid: set(c.variables()) for c in conds}
+    # connected components on shared variables (cross products multiply)
+    remaining = {c.cid: c for c in conds}
+    total = 1
+    while remaining:
+        seed = next(iter(remaining.values()))
+        comp = [seed]
+        comp_vars = set(cvars[seed.cid])
+        del remaining[seed.cid]
+        grew = True
+        while grew:
+            grew = False
+            for cid, c in list(remaining.items()):
+                if cvars[cid] & comp_vars:
+                    comp.append(c)
+                    comp_vars |= cvars[cid]
+                    del remaining[cid]
+                    grew = True
+        best: int | None = None
+        for root in comp:
+            bound = _exact_scan_bound(stats, store, root)
+            if bound is None:
+                continue
+            done = {root.cid}
+            bound_vars = set(cvars[root.cid])
+            ok = True
+            while len(done) < len(comp) and ok:
+                # greedy: attach the connected pattern with the smallest
+                # exact fanout first (tighter; any order stays a bound)
+                pick: tuple[int, Condition] | None = None
+                for c in comp:
+                    if c.cid in done:
+                        continue
+                    shared = cvars[c.cid] & bound_vars
+                    if not shared:
+                        continue
+                    mults = [_cond_var_mult(stats, store, c, v) for v in sorted(shared)]
+                    mults = [m for m in mults if m is not None]
+                    if not mults:
+                        continue
+                    m = min(mults)
+                    if pick is None or m < pick[0]:
+                        pick = (m, c)
+                if pick is None:
+                    ok = False  # a member has no exact fanout: root fails
+                    break
+                bound *= pick[0]
+                if bound > _GROUP_BOUND_CAP:
+                    ok = False
+                    break
+                done.add(pick[1].cid)
+                bound_vars |= cvars[pick[1].cid]
+            if ok:
+                best = bound if best is None else min(best, bound)
+        if best is None:
+            return None
+        total *= best
+        if total > _GROUP_BOUND_CAP:
+            return None
+    return total
+
+
 def greedy_order(conditions: list[Condition], est: dict[int, float]) -> list[Condition]:
     """Smallest-first greedy: start at the cheapest pattern, then repeatedly
     take the cheapest pattern *connected* to the bound variables; fall back to
@@ -821,15 +959,25 @@ def _join_group(
             comps = sorted(comps, key=_comp_key)
             plan: DataFrame | None = None
             bound: set[str] = set()
+            joined: list[Condition] = []  # conditions already in `plan`
             for g in comps:
                 sub, sub_bound = _join_group(store, g, stats, use_dp)
-                if len(g) == 1 and _bcast_pattern_ok(stats, store, g[0]):
+                # exact GROUP bound (r11): a multi-pattern component whose
+                # join result is provably small broadcasts the same way a
+                # small scan does (singletons reduce to the old scan gate)
+                gb = _exact_group_bound(stats, store, g)
+                if gb is not None and gb <= _BCAST_JOIN_MAX_ROWS:
                     sub = F.broadcast(sub)
+                elif plan is not None:
+                    pb = _exact_group_bound(stats, store, joined)
+                    if pb is not None and pb <= _BCAST_JOIN_MAX_ROWS:
+                        plan = F.broadcast(plan)
                 if plan is None:
                     plan, bound = sub, sub_bound
                 else:
                     plan = plan.join(sub, on=sorted(bound & sub_bound))
                     bound |= sub_bound
+                joined.extend(g)
             assert plan is not None
             return plan, bound
     if use_dp and stats is not None and len(conditions) <= _DP_MAX_CONDITIONS:
@@ -839,7 +987,7 @@ def _join_group(
         order = greedy_order(conditions, est)
     plan: DataFrame | None = None
     bound: set[str] = set()
-    first_cond: Condition | None = None  # broadcast-hint the base side once
+    plan_conds: list[Condition] = []  # conditions accumulated into `plan`
     for cond in order:
         ident = None
         if cond.pred.is_zero_or_more or cond.pred.is_zero_or_one:
@@ -847,21 +995,23 @@ def _join_group(
         cdf = _condition_frame(store, cond, identity_nodes=ident)
         if plan is None:
             plan = cdf
-            first_cond = cond
         else:
             shared = sorted(bound & set(cond.variables()))
             if shared:
                 if _bcast_pattern_ok(stats, store, cond):
                     cdf = F.broadcast(cdf)
-                elif first_cond is not None and _bcast_pattern_ok(stats, store, first_cond):
-                    # the order starts at the most selective pattern, so a
-                    # small base joining a large side must hint ITSELF
-                    # (BuildLeft) — the chain only ever hinted the joined
-                    # side, which left a small-first two-pattern group
-                    # sort-merging (surfaced by the r10 bushy split, whose
-                    # sub-groups are exactly that shape)
-                    plan = F.broadcast(plan)
-                first_cond = None  # the base is no longer a single pattern
+                else:
+                    # a small base joining a large side must hint ITSELF
+                    # (BuildLeft).  r11: the gate is the EXACT bound of the
+                    # whole accumulated join group, not just a single-
+                    # pattern base — (placedBy ⋈ inNation) is provably
+                    # <= |placedBy| rows (inNation is functional per
+                    # subject), so it broadcasts into the 4x-larger
+                    # ofOrder side instead of sort-merging both through
+                    # two exchanges (samenation, VERDICT r10 item 4)
+                    pb = _exact_group_bound(stats, store, plan_conds)
+                    if pb is not None and pb <= _BCAST_JOIN_MAX_ROWS:
+                        plan = F.broadcast(plan)
                 plan = plan.join(cdf, on=shared)
             else:
                 # Disconnected component (reference O7: bag-union cross
@@ -873,6 +1023,7 @@ def _join_group(
                 # never the bottleneck.
                 small = est[cond.cid] <= _BCAST_CARTESIAN_MAX_ROWS
                 plan = plan.crossJoin(F.broadcast(cdf) if small else cdf)
+        plan_conds.append(cond)
         bound |= set(cond.variables())
     assert plan is not None
     return plan, bound
