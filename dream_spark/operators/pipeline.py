@@ -308,7 +308,16 @@ def tfidf_topterms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
     docs = spread_small(docs)
     toks = tokens(docs)
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # df is derivable from tf — one row per (doc_id, tok) means row count
+    # per tok IS the distinct-doc count — so the corpus is tokenized once
+    # and the (doc_id, tok) shuffle stage is shared (AQE stage reuse)
+    # instead of a second full scan+explode feeding a countDistinct
+    # (guide §2.3 aggregate-first / §2.4 shared exchange).  COUNT_IF(tf>0)
+    # not COUNT(*): tf >= 1 always so the value is identical, but a plain
+    # count lets the optimizer prune tf out of this branch's child
+    # aggregate, which de-canonicalizes the two subtrees and blocks the
+    # stage reuse this rewrite exists for.
+    dfreq = tf.groupBy("tok").agg(F.count_if(F.col("tf") > 0).alias("df"))
     total = docs.select(F.countDistinct("doc_id").alias("n_total"))
     scored = (
         tf.join(dfreq, on="tok")
