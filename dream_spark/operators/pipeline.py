@@ -655,9 +655,10 @@ def canonicalize(docs: DataFrame) -> DataFrame:
 
     Scale shape: the cluster table is duplicate-set-sized (orders of
     magnitude under the corpus), so the rank window partitions tiny
-    groups; the corpus-wide work is one features pass (token explode +
-    partial-agg) and one id-keyed left join whose build side (the mapped
-    duplicates) broadcasts at any realistic dup rate."""
+    groups; the corpus-wide work is one features pass (map-side since
+    ``features_of`` went HOF) and one id-keyed left join whose build side
+    (the mapped duplicates) broadcasts at any realistic dup rate."""
+    from dream_spark.functions.joins import broadcast_if_small
     from dream_spark.operators.dedup import duplicate_clusters
     from dream_spark.operators.text import features_of
 
@@ -673,6 +674,13 @@ def canonicalize(docs: DataFrame) -> DataFrame:
         .select("cluster_id", F.col("doc_id").alias("canonical"))
     )
     mapped = cc.join(canon, on="cluster_id").select("doc_id", "canonical")
+    # |mapped| = |cc| (one row per clustered doc), and cc is already
+    # materialized (small path: driver-local; scale path: checkpointed CC
+    # labels) so its count is a metadata-cheap job — gate the final join's
+    # build side on it instead of letting the planner's blown-up estimate
+    # of the window subtree force both sides through a sort-merge exchange
+    # (guide §3.1: the corpus side should not shuffle for a dup-sized map)
+    mapped = broadcast_if_small(mapped, known_count=cc.count())
     out_canon = F.coalesce(F.col("canonical"), F.col("doc_id"))
     return (
         docs.select("doc_id")

@@ -44,24 +44,30 @@ def features_of(docs: DataFrame) -> DataFrame:
 
     Columns: n_chars, n_ws_tokens (whitespace-ish split), n_bpe_tokens
     (regex tokenizer), n_distinct_tokens, alpha_ratio, digit_ratio,
-    stop_ratio, quality_score.  One scan, one groupBy(doc_id) over the
-    token explode — partial aggregation keeps the shuffle at #docs rows.
+    stop_ratio, quality_score.  Entirely map-side: the token counts are
+    array higher-order functions over the SAME split the explode-based
+    form tokenized with, so one scan and zero shuffles replace the old
+    scan + explode + per-doc aggregation + self-join (guide §2.4 — the
+    per-doc "aggregate" never needed a shuffle because every token of a
+    document is already in its row).  The coalesce(…, 0) mirrors the old
+    left-join + zero-fill for NULL text; token-less text yields an empty
+    array either way.
     """
-    toks = tokens(docs)
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_ws_tokens"),
-        F.countDistinct("tok").alias("n_distinct_tokens"),
-        F.sum(F.when(F.col("tok").isin(_ALL_STOP), 1).otherwise(0)).alias("n_stop"),
-    )
-    base = docs.select(
+    stops = ", ".join(f"'{w}'" for w in _ALL_STOP)
+    arr = f"filter(split(lower(text), '{TOKEN_SPLIT_RE}'), x -> x != '')"
+    j = docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
         F.expr(f"size(regexp_extract_all(lower(text), '{BPE_RE}', 0))").cast("bigint").alias("n_bpe_tokens"),
         F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).alias("n_alpha"),
         F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).alias("n_digit"),
-    )
-    j = base.join(per_doc, on="doc_id", how="left").na.fill(
-        {"n_ws_tokens": 0, "n_distinct_tokens": 0, "n_stop": 0}
+        F.coalesce(F.expr(f"size({arr})"), F.lit(0)).cast("bigint").alias("n_ws_tokens"),
+        F.coalesce(F.expr(f"size(array_distinct({arr}))"), F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct_tokens"),
+        F.coalesce(F.expr(f"size(filter({arr}, x -> x in ({stops})))"), F.lit(0))
+        .cast("bigint")
+        .alias("n_stop"),
     )
     # zero-guard: Spark 4's default ANSI mode makes the bare division THROW
     # DIVIDE_BY_ZERO on an empty document, killing the whole job; DuckDB's
