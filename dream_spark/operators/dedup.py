@@ -140,8 +140,17 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
 
     shingle → minhash → band → bucket-join: signatures come from the
     zero-shuffle Arrow kernel (functions/textkernels.py) — the only shuffle
-    in the whole operator is the band self-join, keyed on ids."""
-    bands = _band_frame(minhash_signatures(docs, MINHASH_K))
+    in the whole operator is the band self-join, keyed on ids.
+
+    The signature frame is localCheckpoint-materialized before the
+    self-join: without it each side of the join re-runs the Arrow
+    shingle+minhash kernel over the full corpus (the broadcast build side
+    cannot reuse the probe side's stage), which is the single most
+    expensive stage here run twice for nothing.  Signatures are 17 ints
+    per document — the cheapest possible materialization of that work
+    (guide §8: decide on small proxies, §5 localCheckpoint to cut
+    lineage)."""
+    bands = _band_frame(minhash_signatures(docs, MINHASH_K).localCheckpoint())
     a = bands.alias("a")
     b = bands.alias("b")
     return (
