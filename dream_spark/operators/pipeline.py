@@ -601,8 +601,13 @@ def curate(docs: DataFrame) -> DataFrame:
     exactly what a tokenizer/sharding stage consumes."""
     from dream_spark.operators.dedup import duplicate_clusters
 
-    toks = tokens(docs)
-    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    # map-side token count (same split the explode-based form tokenized
+    # with): one scan, zero shuffles, instead of explode + groupBy(doc_id)
+    # (guide §2.4 — every token of a document is already in its row).
+    # Token-less/NULL text never reaches the >= gate either way.
+    counts = docs.select(
+        "doc_id", F.expr(f"size({_TOKARR_SPARK})").cast("bigint").alias("n_tokens")
+    )
     quality = counts.where(F.col("n_tokens") >= CURATE_MIN_TOKENS)
     drop = (
         duplicate_clusters(docs)
