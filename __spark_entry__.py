@@ -843,58 +843,75 @@ def entry(spark: SparkSession) -> DataFrame:
 #   takes the seat of sparql_bind_coalesce (r5-green, untouched), which
 #   joins sparql_bind_concat at the head of the r11 breadth queue.
 #
-# Round 10 rotation — the 50 seats:
-#   * 7 seats: entries TOUCHED in r10 — graph_components (the new hash
-#     oracle above), plus graph_pagerank / graph_ppr /
-#     graph_components_forest / dedup_clusters_lsh (their iterative loops
-#     now RELEASE superseded localCheckpoint blocks the moment the next
-#     checkpoint materializes — session.py::release_local_checkpoint,
-#     VERDICT r9 task 2; a use-after-release fails loudly, so the hash
-#     rows re-adjudicate the changed loops), plus streaming_sessionize_live
-#     + streaming_kmv_live as representatives of the nine live streams,
-#     whose cache signatures changed again (the input-construction digest
-#     fold, r9 ADVICE — all nine rebuild and re-run; one stateful-Pandas
-#     and one sketch stream re-adjudicate the new plumbing).  The
-#     translator's path-closure loop changed identically; its coverage
-#     rides on sparql_path_plus (r4 seat below) and sparql_alt_pred
-#     (alternation closure, r5 seat below) plus the path fuzzers.
-#   * 23 seats: the FULL r4 cohort (strictly oldest-green-first).
-#   * 6 family-coverage seats (14-prefix contract,
-#     tests/test_entry_contract.py — maintenance_/hybrid_/simhash_ added
-#     in r10 per VERDICT r9 gap 3): oldest-green-then-alphabetical per
-#     family — temporal_active (r6), knn_filtered (r6),
-#     media_audio_chunks (r7), hybrid_search (r7), maintenance_compact
-#     (r8), simhash_docs (r8).
-#   * 13 seats: the alphabetically-first r5-cohort entries (was 15;
-#     sparql_bind_concat and sparql_bind_coalesce ceded their seats to
-#     graph_components and dedup_minhash_served mid-round).  The r5
-#     remainder (28 entries, sparql_bind_coalesce onward alphabetically)
-#     leads the r11 breadth queue.
+# ROTATION LEDGER r11 (one cumulative line): entering r11, ALL 236
+#   entries have a driver-green CORRECTNESS row (r1-r10 cumulative;
+#   CORRECTNESS_r10 = 50/50).  No queue carries over — any entry without
+#   a green row after r11 is a regression, not a rotation artifact.
+#
+# Round 11 rotation — the 50 seats:
+#   * 9 seats: entries TOUCHED in r11 (their physical plans changed, so
+#     the hash rows re-adjudicate the changed code) — graph_components
+#     (CC rounds now fuse the convergence probe into the round's own
+#     CollectMetrics observation), knn_ivf_refreshed (the index build
+#     feeds both writes from one localCheckpoint), sparql_filter_samenation
+#     (the stats-v3 exact group-bound broadcast gate's target query; the
+#     gate touches every BGP plan — breadth below is 27 more SPARQL
+#     forms), pipeline_tfidf (single-tokenize + AQE stage reuse),
+#     text_features + pipeline_canonicalize + pipeline_curate (map-side
+#     HOF token stats), dedup_minhash + dedup_cross_source (single
+#     signature-kernel pass).
+#   * 28 seats: the r5-cohort remainder, strictly oldest-green-first
+#     (latest green row = r5): sparql_bind_coalesce onward alphabetically
+#     plus text_topterms — exactly the queue the r10 ledger promised.
+#   * 7 family-coverage seats (14-prefix contract,
+#     tests/test_entry_contract.py), oldest-green-then-alphabetical per
+#     family: temporal_gaps (r6), sketch_kmv_overlap (r6),
+#     streaming_enrich_batch (r6), media_dedup (r7), maintenance_zorder
+#     (r8), hybrid_search (r10), simhash_docs (r10).
+#   * 6 seats: the alphabetically-first r6-cohort entries (latest green
+#     row = r6).  The r6 remainder (graph_degree onward) leads the r12
+#     breadth queue.
 PRIORITY_ORDER = [
-    # --- r10 touched: new CC hash oracle + checkpoint-release loops +
-    #     live-run plumbing ---
-    "graph_components", "dedup_minhash_served",
-    "graph_pagerank", "graph_ppr", "graph_components_forest",
-    "dedup_clusters_lsh", "streaming_sessionize_live", "streaming_kmv_live",
-    # --- breadth, oldest-green-first: the full r4 cohort (23) ---
-    "rel_q8_share", "rel_q9_profit", "sketch_kmv_by_type",
-    "sketch_quantiles", "sparql_ask_pos", "sparql_construct",
-    "sparql_count_decode", "sparql_count_distinct", "sparql_count_optional",
-    "sparql_exists", "sparql_filter_arith", "sparql_filter_regex",
-    "sparql_filter_samenation", "sparql_having", "sparql_inverse",
-    "sparql_minus_shared", "sparql_not_exists", "sparql_optional_decode",
-    "sparql_optional_ground", "sparql_path_plus", "sparql_sum_group",
-    "sparql_union_hetero", "text_redact",
+    # --- r11 touched: probe-fused CC, one-checkpoint IVF build,
+    #     group-bound broadcast gate, HOF token stats, single-pass minhash ---
+    "graph_components", "knn_ivf_refreshed", "sparql_filter_samenation",
+    "pipeline_tfidf", "text_features", "pipeline_canonicalize",
+    "pipeline_curate", "dedup_minhash", "dedup_cross_source",
+    # --- breadth, oldest-green-first: the full r5-cohort remainder (28) ---
+    "sparql_bind_coalesce", "sparql_bind_concat", "sparql_bind_if",
+    "sparql_construct_optional", "sparql_describe", "sparql_describe_where",
+    "sparql_filter_arith_mul", "sparql_filter_arith_vars",
+    "sparql_filter_contains", "sparql_filter_range", "sparql_filter_strlen",
+    "sparql_filter_strstarts", "sparql_filter_substr", "sparql_filter_ucase",
+    "sparql_group_concat", "sparql_having_sum", "sparql_minmax",
+    "sparql_neg_pred", "sparql_not_bound", "sparql_optional_filtered",
+    "sparql_paged", "sparql_path_group", "sparql_sample",
+    "sparql_seq_inverse", "sparql_subquery_topk", "sparql_values",
+    "sparql_values_rows", "text_topterms",
     # --- family-coverage seats (oldest-green per missing family) ---
-    "temporal_active", "knn_filtered", "media_audio_chunks",
-    "hybrid_search", "maintenance_compact", "simhash_docs",
-    # --- the 15 alphabetically-first r5-cohort entries ---
-    "pipeline_bigrams", "pipeline_boilerplate", "pipeline_familiarity",
-    "pipeline_profile", "pipeline_sample", "rel_window_delta",
-    "sketch_quantiles_sampled", "sparql_alt_pred", "sparql_ask_neg",
-    "sparql_avg_size", "sparql_bind", "sparql_bind_arith",
-    "sparql_bind_arith_vars",
+    "temporal_gaps", "sketch_kmv_overlap", "streaming_enrich_batch",
+    "media_dedup", "maintenance_zorder", "hybrid_search", "simhash_docs",
+    # --- the 6 alphabetically-first r6-cohort entries ---
+    "dedup_embedding", "dedup_simhash", "dedup_spans",
+    "rel_grouping_sets", "rel_median", "rel_window_ntile",
 ]
+# Round 10 rotation — the 50 seats (superseded by r11 above):
+#   graph_components dedup_minhash_served graph_pagerank graph_ppr
+#   graph_components_forest dedup_clusters_lsh streaming_sessionize_live
+#   streaming_kmv_live | full r4 cohort (23): rel_q8_share rel_q9_profit
+#   sketch_kmv_by_type sketch_quantiles sparql_ask_pos sparql_construct
+#   sparql_count_decode sparql_count_distinct sparql_count_optional
+#   sparql_exists sparql_filter_arith sparql_filter_regex
+#   sparql_filter_samenation sparql_having sparql_inverse
+#   sparql_minus_shared sparql_not_exists sparql_optional_decode
+#   sparql_optional_ground sparql_path_plus sparql_sum_group
+#   sparql_union_hetero text_redact | family seats: temporal_active
+#   knn_filtered media_audio_chunks hybrid_search maintenance_compact
+#   simhash_docs | 13 alphabetically-first r5: pipeline_bigrams
+#   pipeline_boilerplate pipeline_familiarity pipeline_profile
+#   pipeline_sample rel_window_delta sketch_quantiles_sampled
+#   sparql_alt_pred sparql_ask_neg sparql_avg_size sparql_bind
+#   sparql_bind_arith sparql_bind_arith_vars
 # Round 9 rotation — the 50 seats (superseded by r10 above):
 #   streaming_sessionize_live streaming_funnel_live streaming_hourly_live
 #   streaming_kmv_live streaming_hll_live streaming_attribution_live

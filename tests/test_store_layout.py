@@ -79,6 +79,9 @@ def test_bucketed_store_star_join_is_shuffle_free(spark, engine, tmp_path):
         pland = dfd._jdf.queryExecution().executedPlan().toString()
         assert pland.count("Exchange hashpartitioning(__id") == 0, pland
         assert "BroadcastExchange" in pland, pland
+        # capture-and-restore (not unset): a pre-existing session-level
+        # gate value must survive this test (ADVICE r10 #3)
+        prev_max_rows = spark.conf.get(BROADCAST_MAX_ROWS_CONF, None)
         spark.conf.set(BROADCAST_MAX_ROWS_CONF, "0")
         try:
             dfd = translate(st, q, None, decode=True)
@@ -87,7 +90,10 @@ def test_bucketed_store_star_join_is_shuffle_free(spark, engine, tmp_path):
             assert "BroadcastExchange" not in pland, pland
             n_decoded = dfd.count()
         finally:
-            spark.conf.unset(BROADCAST_MAX_ROWS_CONF)
+            if prev_max_rows is None:
+                spark.conf.unset(BROADCAST_MAX_ROWS_CONF)
+            else:
+                spark.conf.set(BROADCAST_MAX_ROWS_CONF, prev_max_rows)
     finally:
         from dream_spark.session import AUTO_BCAST_THRESHOLD
 
