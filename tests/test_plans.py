@@ -287,11 +287,26 @@ def test_semi_and_anti_join_operators(spark, queries):
 
 def test_dedup_minhash_signatures_from_kernel(spark, queries):
     """Signatures must come from the zero-shuffle Arrow kernel, not an
-    explode→groupBy pipeline (which would shuffle ~300× the corpus size):
-    the plan contains the kernel node and no shingle-level aggregation."""
+    explode→groupBy pipeline (which would shuffle ~300× the corpus size).
+    r11: minhash_pairs localCheckpoint-materializes the kernel output
+    before the band self-join, so the pin splits in two — the kernel node
+    lives in the SIGNATURE frame's plan, and the entry's plan must show
+    the kernel ran EXACTLY ONCE at build (a checkpointed-rows scan with
+    ZERO Python eval nodes — two MapInPandas would mean the self-join
+    sides each re-ran the kernel, the shape r11 removed)."""
+    from dream_spark.functions.textkernels import minhash_signatures
+    from dream_spark.operators.dedup import MINHASH_K
+    from dream_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sig_plan = _plan(minhash_signatures(docs, MINHASH_K))
+    assert "MapInPandas" in sig_plan  # the Arrow kernel
+    assert "partial_min" not in sig_plan  # no shingle-row groupBy(doc_id) min
+
     plan = _plan(queries["dedup_minhash"](spark, SF_DIR))
-    assert "MapInPandas" in plan
-    assert "partial_min" not in plan  # no shingle-row groupBy(doc_id) min
+    assert "MapInPandas" not in plan  # kernel already ran, once, at build
+    assert "partial_min" not in plan
+    assert "ExistingRDD" in plan  # both join sides read the checkpointed rows
 
 
 def test_sparql_optional_is_left_outer_join(engine):
